@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table helpers shared by SparkEntry / Verify / Bench / tests.
+  *
+  * Design notes (100 TB posture):
+  *  - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  *    and dynamic join-strategy switching are the main levers that survive a
+  *    1000-executor scale-up without hand-tuning per query.
+  *  - `spark.sql.shuffle.partitions` is a *default* sized for local[32]; on a
+  *    real cluster AQE re-derives it from `advisoryPartitionSizeInBytes`.
+  */
+object Graft {
+
+  /** Standard session for local development / tests. */
+  def session(appName: String = "graft", cores: String = "32"): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+      // type for; read it as a Long of epoch-nanos and convert explicitly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply scale-aware defaults to an externally-built session (Verify/Bench). */
+  def tune(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
+
+  /** Load one driver testdata table (see TESTDATA.md). Column pruning and
+    * predicate pushdown reach the parquet scan because this stays a plain
+    * file-source relation — callers `.select`/`.where` on top.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

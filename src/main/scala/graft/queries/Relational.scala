@@ -1,0 +1,390 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.Graft.table
+
+/** Relational operator coverage: scans, filters, projections, hash/broadcast
+  * joins, semi/anti joins, aggregates (incl. distinct, rollup, having),
+  * windows (ranking + running frames), sorts/top-k, set ops, scalar
+  * functions, CASE, scalar subqueries.
+  *
+  * Conventions shared with the DuckDB oracles (the driver hash-compares):
+  *  - every double aggregate is ROUNDed identically on both sides;
+  *  - every output carries a deterministic ORDER BY with a unique tiebreak;
+  *  - DuckDB integer SUM/COUNT are CAST back to BIGINT to match Spark types.
+  *
+  * Scale notes: fact-fact joins shuffle on their keys and rely on AQE for
+  * skew; genuinely bounded dims (region 5 rows, nation 25 rows) are
+  * broadcast explicitly; everything else is left to Catalyst/AQE so the
+  * same plan survives a 100x scale-up.
+  */
+object Relational {
+
+  private def r2(c: Column): Column = round(c, 2)
+  private def r6(c: Column): Column = round(c, 6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: full-scan group-by aggregate; Catalyst plans
+    // partial+final HashAggregate, no extra shuffle beyond the group-by.
+    "q1_agg" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          r2(sum($"l_quantity")).as("sum_qty"),
+          r2(sum($"l_extendedprice")).as("sum_base_price"),
+          r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("sum_disc_price"),
+          r6(avg($"l_quantity")).as("avg_qty"),
+          r6(avg($"l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // TPC-H Q6 shape: tight filter + scalar aggregate. Filters and the
+    // 2-column projection push down to the parquet scan.
+    "q2_filter_agg" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .where($"l_shipdate" >= lit("1995-01-01") && $"l_shipdate" < lit("1997-01-01")
+          && $"l_discount" > 0.05 && $"l_quantity" < 24)
+        .agg(r2(sum($"l_extendedprice" * $"l_discount")).as("revenue"))
+    },
+
+    // TPC-H Q3 shape: two hash joins + group-by + top-k by revenue.
+    "q3_join_topk" -> { (s, dir) =>
+      import s.implicits._
+      val c = table(s, dir, "customer").where($"c_mktsegment" === "BUILDING")
+      val o = table(s, dir, "orders").where($"o_orderdate" < lit("1995-03-15"))
+      val l = table(s, dir, "lineitem").where($"l_shipdate" > lit("1995-03-15"))
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape: 6-way join; bounded dims nation/region broadcast.
+    "q4_join_multi" -> { (s, dir) =>
+      import s.implicits._
+      val l = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val su = table(s, dir, "supplier")
+      val n = broadcast(table(s, dir, "nation"))
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(su, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(n, $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    },
+
+    // Left-semi join (EXISTS).
+    "q5_semi_join" -> { (s, dir) =>
+      import s.implicits._
+      val o = table(s, dir, "orders")
+      val big = table(s, dir, "lineitem").where($"l_quantity" >= 49)
+      o.join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey", r2($"o_totalprice").as("totalprice"))
+        .orderBy($"o_orderkey")
+    },
+
+    // Left-anti join (NOT EXISTS): orders with no high-quantity line.
+    "q6_anti_join" -> { (s, dir) =>
+      import s.implicits._
+      val o = table(s, dir, "orders")
+      val big = table(s, dir, "lineitem").where($"l_quantity" >= 49)
+      o.join(big, $"o_orderkey" === $"l_orderkey", "left_anti")
+        .select($"o_orderkey", $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    },
+
+    // Ranking window: top-3 customers per market segment by acctbal.
+    "q7_window_rank" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      table(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= 3)
+        .select($"c_mktsegment", $"rn", $"c_custkey", r2($"c_acctbal").as("acctbal"))
+        .orderBy($"c_mktsegment", $"rn")
+    },
+
+    // Running-total window frame per supplier over a deterministic order.
+    "q8_window_running" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "lineitem")
+        .where($"l_suppkey" <= 3)
+        .withColumn("running_qty", sum($"l_quantity").over(w))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          r2($"running_qty").as("running_qty"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+
+    // Top-k by value: orderBy+limit compiles to TakeOrderedAndProject
+    // (bounded-memory per-partition heaps + driver merge, no full sort).
+    "q9_topk" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", r2($"l_extendedprice").as("price"))
+        .orderBy($"price".desc, $"l_orderkey", $"l_linenumber")
+        .limit(100)
+    },
+
+    // Aggregate with DISTINCT + plain aggregates in one pass.
+    "q10_agg_distinct" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          countDistinct($"c_nationkey").as("n_nations"),
+          r2(sum($"c_acctbal")).as("sum_bal"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // Set op: UNION (distinct) of two key sets.
+    "q11_union" -> { (s, dir) =>
+      import s.implicits._
+      val a = table(s, dir, "orders").select($"o_custkey".as("key"))
+      val b = table(s, dir, "customer").select($"c_custkey".as("key"))
+      a.union(b).distinct().orderBy($"key")
+    },
+
+    // Set op: EXCEPT — buyer keys outside the BUILDING segment.
+    "q12_except" -> { (s, dir) =>
+      import s.implicits._
+      val a = table(s, dir, "orders").select($"o_custkey".as("key"))
+      val b = table(s, dir, "customer")
+        .where($"c_mktsegment" === "BUILDING").select($"c_custkey".as("key"))
+      a.except(b).orderBy($"key")
+    },
+
+    // Set op: INTERSECT — customers that did order.
+    "q13_intersect" -> { (s, dir) =>
+      import s.implicits._
+      val b = table(s, dir, "customer").select($"c_custkey".as("key"))
+      val a = table(s, dir, "orders").select($"o_custkey".as("key"))
+      b.intersect(a).orderBy($"key")
+    },
+
+    // ROLLUP with grouping_id so the NULL super-aggregate rows are tagged.
+    "q14_rollup" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "customer")
+        .rollup($"c_mktsegment")
+        .agg(r2(sum($"c_acctbal")).as("sum_bal"), count(lit(1)).as("n"))
+        .select(coalesce($"c_mktsegment", lit("(all)")).as("segment"),
+          $"sum_bal", $"n")
+        .orderBy($"segment")
+    },
+
+    // Scalar function coverage: string/math/date built-ins.
+    "q15_scalar_funcs" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "part")
+        .select(
+          $"p_partkey",
+          upper($"p_brand").as("brand_u"),
+          substring($"p_name", 1, 5).as("name5"),
+          length($"p_name").as("name_len"),
+          concat_ws("-", $"p_brand", $"p_type").as("brand_type"),
+          abs($"p_size" - 25).as("size_dist"),
+          r2(floor($"p_retailprice") + lit(0.5)).as("floor_price"),
+          r2(sqrt($"p_retailprice")).as("sqrt_price"))
+        .orderBy($"p_partkey")
+    },
+
+    // CASE expression bucketing + aggregate over buckets.
+    "q16_case_buckets" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "orders")
+        .select(
+          when($"o_totalprice" < 50000, "small")
+            .when($"o_totalprice" < 150000, "medium")
+            .otherwise("large").as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    },
+
+    // Uncorrelated scalar subquery: orders above 1.5x the average price.
+    "q17_scalar_subquery" -> { (s, dir) =>
+      import s.implicits._
+      val o = table(s, dir, "orders")
+      val avgPrice = o.agg(avg($"o_totalprice").as("a"))
+      o.join(broadcast(avgPrice))
+        .where($"o_totalprice" > $"a" * 1.5)
+        .select($"o_orderkey", r2($"o_totalprice").as("totalprice"))
+        .orderBy($"o_orderkey")
+    },
+
+    // GROUP BY ... HAVING.
+    "q18_having" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), r2(sum($"o_totalprice")).as("spend"))
+        .where($"n_orders" >= 15)
+        .orderBy($"o_custkey")
+    },
+
+    // Join + window combined: each order's price rank within its customer.
+    "q19_join_window" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      table(s, dir, "orders")
+        .join(table(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" === 1)
+        .select($"c_custkey", $"c_name", $"o_orderkey", r2($"o_totalprice").as("best_price"))
+        .orderBy($"c_custkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_agg" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount > 0.05 AND l_quantity < 24""".stripMargin,
+
+    "q3_join_topk" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q4_join_multi" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q5_semi_join" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q6_anti_join" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q7_window_rank" ->
+      """SELECT c_mktsegment, rn, c_custkey, acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q8_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  ROUND(SUM(l_quantity) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q9_topk" ->
+      """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q10_agg_distinct" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+        |  ROUND(SUM(c_acctbal), 2) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q11_union" ->
+      """SELECT o_custkey AS key FROM orders
+        |UNION SELECT c_custkey AS key FROM customer ORDER BY key""".stripMargin,
+
+    "q12_except" ->
+      """SELECT o_custkey AS key FROM orders
+        |EXCEPT SELECT c_custkey AS key FROM customer
+        |        WHERE c_mktsegment = 'BUILDING' ORDER BY key""".stripMargin,
+
+    "q13_intersect" ->
+      """SELECT c_custkey AS key FROM customer
+        |INTERSECT SELECT o_custkey AS key FROM orders ORDER BY key""".stripMargin,
+
+    "q14_rollup" ->
+      """SELECT COALESCE(c_mktsegment, '(all)') AS segment,
+        |  ROUND(SUM(c_acctbal), 2) AS sum_bal, COUNT(*) AS n
+        |FROM customer GROUP BY ROLLUP(c_mktsegment) ORDER BY segment""".stripMargin,
+
+    "q15_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  UPPER(p_brand) AS brand_u,
+        |  SUBSTR(p_name, 1, 5) AS name5,
+        |  CAST(LENGTH(p_name) AS INT) AS name_len,
+        |  CONCAT(p_brand, '-', p_type) AS brand_type,
+        |  ABS(p_size - 25) AS size_dist,
+        |  ROUND(FLOOR(p_retailprice) + 0.5, 2) AS floor_price,
+        |  ROUND(SQRT(p_retailprice), 2) AS sqrt_price
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q16_case_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q17_scalar_subquery" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q18_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 2) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q19_join_window" ->
+      """SELECT c_custkey, c_name, o_orderkey, best_price FROM (
+        |  SELECT c_custkey, c_name, o_orderkey,
+        |    ROUND(o_totalprice, 2) AS best_price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rk = 1 ORDER BY c_custkey""".stripMargin
+  )
+}
