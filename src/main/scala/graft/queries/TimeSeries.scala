@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Graft.table
+import graft.tsdb.{StreamCatalog, StreamDef, TsdbEngine, VType}
+
+/** Time-series operator coverage driven through the actual PromQL engine
+  * (graft.tsdb): selector scans, @/offset, comparison-as-filter, V2S/S2S
+  * arithmetic, scalar-subquery broadcast, whole-range aggregates with
+  * tachyon's empty-set semantics, topk/bottomk, and V2V interpolation
+  * alignment. The `events` testdata table is the series carrier:
+  * name=event_type, labels={user: user_id}, timestamp=epoch-ms.
+  *
+  * The oracles re-derive the same semantics in portable SQL (DuckDB):
+  * epoch_ns(ts)//1000000 mirrors the Spark-side `ts div 1000000` (the
+  * parquet column is TIMESTAMP(NANOS), read as a nanos Long — see Graft).
+  */
+object TimeSeries {
+
+  // Jan 6 .. Jan 17 2024 (UTC), epoch ms — the standard query window.
+  private val SubStart = 1704499200000L
+  private val SubEnd = 1705449600000L
+  // Window covering all of the data.
+  private val AllStart = 0L
+  private val AllEnd = 4102444800000L
+
+  private val catalog = new StreamCatalog(
+    Seq("click", "view", "purchase", "signup", "error")
+      .map(n => StreamDef(n, Map.empty, VType.F64)))
+
+  /** events → long-format series table. */
+  def eventsLong(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events").select(
+      col("event_type").as("name"),
+      map(lit("user"), col("user_id").cast("string")).as("labels"),
+      expr("ts div 1000000").as("timestamp"),
+      col("value"))
+
+  def engine(s: SparkSession, dir: String): TsdbEngine =
+    new TsdbEngine(s, eventsLong(s, dir), catalog)
+
+  /** Series pre-aggregated to one sample per (name, timestamp) — dedup
+    * policy for alignment ops where per-timestamp uniqueness is required.
+    */
+  def engineDedup(s: SparkSession, dir: String): TsdbEngine = {
+    val dedup = eventsLong(s, dir)
+      .groupBy("name", "timestamp")
+      .agg(avg("value").as("value"))
+      .select(col("name"), map().cast("map<string,string>").as("labels"),
+        col("timestamp"), col("value"))
+    new TsdbEngine(s, dedup, catalog)
+  }
+
+  private def q(promql: String, start: Long = SubStart, end: Long = SubEnd,
+      roundTo: Int = -1, dedup: Boolean = false)(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = if (dedup) engineDedup(s, dir) else engine(s, dir)
+    val res = e.query(promql, start, end)
+    val df = res.output
+    val rounded = if (roundTo >= 0) df.withColumn("value", round(col("value"), roundTo)) else df
+    if (res.isScalar) rounded.orderBy(col("value")) else rounded.orderBy("timestamp")
+  }
+
+  // Shared SQL fragment: the ms-timestamp projection of events.
+  private def ev(cond: String): String =
+    s"(SELECT epoch_ns(ts)//1000000 AS t, value AS v FROM events WHERE $cond)"
+
+  private def sub(col: String = "t"): String =
+    s"$col >= $SubStart AND $col <= $SubEnd"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts01_select_range" -> q("purchase") _,
+    "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
+    "ts03_cmp_filter" -> q("purchase > 150") _,
+    "ts04_arith" -> q("click * 2 + 1", roundTo = 6) _,
+    "ts05_sum" -> q("sum(purchase)", roundTo = 6) _,
+    "ts06_count" -> q("count(purchase)") _,
+    "ts07_avg" -> q("avg(purchase)", roundTo = 6) _,
+    "ts08_min" -> q("min(purchase)") _,
+    "ts09_max" -> q("max(purchase)") _,
+    "ts10_sum_empty" -> q("sum(purchase > 100000)") _,
+    "ts11_count_empty" -> q("count(purchase > 100000)") _,
+    "ts12_topk" -> q("topk(100, click)") _,
+    "ts13_bottomk" -> q("bottomk(100, click)") _,
+    "ts14_div_scalar_sub" -> q("purchase / sum(purchase)", roundTo = 9) _,
+    "ts15_s2s" -> q("sum(purchase) / count(purchase)", roundTo = 6) _,
+    "ts16_at_offset" -> q("sum(purchase @ 1704499200 offset 30m)", roundTo = 6) _,
+    "ts17_align_interp" -> q("click + view", roundTo = 6, dedup = true) _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ts01_select_range" ->
+      s"""SELECT t AS timestamp, v AS value FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} ORDER BY timestamp""".stripMargin,
+
+    "ts02_select_label" ->
+      s"""SELECT t AS timestamp, v AS value
+         |FROM ${ev("event_type = 'click' AND user_id = 12")}
+         |ORDER BY timestamp""".stripMargin,
+
+    "ts03_cmp_filter" ->
+      s"""SELECT t AS timestamp, v AS value FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} AND v > 150 ORDER BY timestamp""".stripMargin,
+
+    "ts04_arith" ->
+      s"""SELECT t AS timestamp, ROUND(v * 2 + 1, 6) AS value
+         |FROM ${ev("event_type = 'click'")} WHERE ${sub()} ORDER BY timestamp""".stripMargin,
+
+    "ts05_sum" ->
+      s"""SELECT ROUND(SUM(v), 6) AS value FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} HAVING SUM(v) IS NOT NULL""".stripMargin,
+
+    "ts06_count" ->
+      s"""SELECT COUNT(*) AS value FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()}""".stripMargin,
+
+    "ts07_avg" ->
+      s"""SELECT ROUND(AVG(v), 6) AS value FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} HAVING AVG(v) IS NOT NULL""".stripMargin,
+
+    "ts08_min" ->
+      s"""SELECT MIN(v) AS value FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} HAVING MIN(v) IS NOT NULL""".stripMargin,
+
+    "ts09_max" ->
+      s"""SELECT MAX(v) AS value FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} HAVING MAX(v) IS NOT NULL""".stripMargin,
+
+    "ts10_sum_empty" ->
+      s"""SELECT SUM(v) AS value FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} AND v > 100000 HAVING SUM(v) IS NOT NULL""".stripMargin,
+
+    "ts11_count_empty" ->
+      s"""SELECT COUNT(*) AS value FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} AND v > 100000""".stripMargin,
+
+    "ts12_topk" ->
+      s"""SELECT v AS value FROM ${ev("event_type = 'click'")}
+         |WHERE ${sub()} ORDER BY v DESC, t DESC LIMIT 100""".stripMargin,
+
+    "ts13_bottomk" ->
+      s"""SELECT v AS value FROM ${ev("event_type = 'click'")}
+         |WHERE ${sub()} ORDER BY v ASC, t DESC LIMIT 100""".stripMargin,
+
+    "ts14_div_scalar_sub" ->
+      s"""SELECT t AS timestamp,
+         |  ROUND(v / (SELECT SUM(v) FROM ${ev("event_type = 'purchase'")}
+         |             WHERE ${sub()}), 9) AS value
+         |FROM ${ev("event_type = 'purchase'")} WHERE ${sub()}
+         |ORDER BY timestamp""".stripMargin,
+
+    "ts15_s2s" ->
+      s"""SELECT ROUND(
+         |  (SELECT SUM(v) FROM ${ev("event_type = 'purchase'")} WHERE ${sub()}) /
+         |  (SELECT COUNT(*) FROM ${ev("event_type = 'purchase'")} WHERE ${sub()}),
+         |  6) AS value""".stripMargin,
+
+    "ts16_at_offset" ->
+      s"""SELECT ROUND(SUM(v), 6) AS value FROM ${ev("event_type = 'purchase'")}
+         |WHERE t >= ${1704499200000L + 30 * 60000L} AND t <= $SubEnd
+         |HAVING SUM(v) IS NOT NULL""".stripMargin,
+
+    "ts17_align_interp" ->
+      s"""WITH a AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'click'")}
+         |           WHERE ${sub()} GROUP BY t),
+         |b AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'view'")}
+         |      WHERE ${sub()} GROUP BY t),
+         |u AS (SELECT COALESCE(a.t, b.t) AS t, a.v AS av, b.v AS bv
+         |      FROM a FULL OUTER JOIN b ON a.t = b.t),
+         |w AS (SELECT t, av, bv,
+         |  last_value(av IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pav,
+         |  last_value(CASE WHEN av IS NOT NULL THEN t END IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pat,
+         |  first_value(av IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nav,
+         |  first_value(CASE WHEN av IS NOT NULL THEN t END IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nat,
+         |  last_value(bv IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pbv,
+         |  last_value(CASE WHEN bv IS NOT NULL THEN t END IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pbt,
+         |  first_value(bv IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nbv,
+         |  first_value(CASE WHEN bv IS NOT NULL THEN t END IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nbt
+         |  FROM u)
+         |SELECT t AS timestamp, ROUND(
+         |  (CASE WHEN av IS NOT NULL THEN av
+         |        WHEN pav IS NULL THEN nav
+         |        WHEN nav IS NULL THEN pav
+         |        ELSE pav + (nav - pav) * (t - pat) / (nat - pat) END) +
+         |  (CASE WHEN bv IS NOT NULL THEN bv
+         |        WHEN pbv IS NULL THEN nbv
+         |        WHEN nbv IS NULL THEN pbv
+         |        ELSE pbv + (nbv - pbv) * (t - pbt) / (nbt - pbt) END), 6) AS value
+         |FROM w ORDER BY timestamp""".stripMargin
+  )
+}

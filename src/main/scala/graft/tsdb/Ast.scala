@@ -1,0 +1,87 @@
+package graft.tsdb
+
+/** PromQL-subset AST mirroring the reference's supported surface
+  * (tachyon_core/src/query/planner.rs:84-261): number literals, vector
+  * selectors with equality matchers and @/offset modifiers, binary
+  * arithmetic/comparison, sum/count/avg/min/max, topk/bottomk.
+  * Everything else (matrix selectors, subqueries, calls, strings) is a
+  * parse/plan error, as in the reference.
+  */
+sealed trait Expr
+
+object Expr {
+  final case class NumberLit(v: Double) extends Expr
+
+  /** `@` resolution per planner.rs:162-180: Start→0, End→Long.MaxValue
+    * (u64::MAX clamps to Long range here), At(t)→epoch-ms; `offset` only
+    * applies when `@` is present (it shifts the resolved start).
+    */
+  sealed trait AtMod
+  case object AtStart extends AtMod
+  case object AtEnd extends AtMod
+  final case class AtTime(epochMs: Long) extends AtMod
+
+  /** Only equality is effective in the reference's index
+    * (indexer.rs:73-91): every matcher op probes the exact (name,value)
+    * pair. We therefore treat all matcher ops as `=`.
+    */
+  final case class Matcher(label: String, value: String)
+
+  final case class Selector(
+      name: String,
+      matchers: List[Matcher],
+      at: Option[AtMod],
+      offsetMs: Long) extends Expr
+
+  sealed trait BinKind
+  case object Add extends BinKind
+  case object Sub extends BinKind
+  case object Mul extends BinKind
+  case object Div extends BinKind
+  case object Mod extends BinKind
+  case object Eq extends BinKind
+  case object Ne extends BinKind
+  case object Gt extends BinKind
+  case object Lt extends BinKind
+  case object Ge extends BinKind
+  case object Le extends BinKind
+
+  def isComparison(k: BinKind): Boolean = k match {
+    case Eq | Ne | Gt | Lt | Ge | Le => true
+    case _ => false
+  }
+
+  final case class BinaryOp(kind: BinKind, lhs: Expr, rhs: Expr) extends Expr
+
+  sealed trait AggKind
+  case object AggSum extends AggKind
+  case object AggCount extends AggKind
+  case object AggAvg extends AggKind
+  case object AggMin extends AggKind
+  case object AggMax extends AggKind
+
+  /** Grouping (`by`/`without`) is parsed but ignored, as in the reference
+    * (SURVEY §2 row 7). Our engine adds an optional `by` extension at the
+    * API level instead.
+    */
+  final case class Aggregate(kind: AggKind, child: Expr) extends Expr
+
+  final case class GetK(top: Boolean, k: Expr, child: Expr) extends Expr
+}
+
+/** The reference's value types and coercion lattice (lib.rs:54-73):
+  * any Float64 operand → Float64; else any Integer64 → Integer64; else
+  * UInteger64. Division and modulo always promote to Float64
+  * (lib.rs:306-362).
+  */
+sealed trait VType
+object VType {
+  case object I64 extends VType
+  case object U64 extends VType
+  case object F64 extends VType
+
+  def combine(a: VType, b: VType): VType =
+    if (a == F64 || b == F64) F64
+    else if (a == I64 || b == I64) I64
+    else U64
+}

@@ -1,0 +1,245 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Expr._
+
+/** Stream metadata: the Spark-side analogue of the reference's SQLite
+  * catalog (tachyon_core/src/query/indexer.rs): a stream is a metric name
+  * plus label set with a fixed value type (lib.rs:429-456).
+  */
+final case class StreamDef(name: String, labels: Map[String, String], vtype: VType)
+
+final class StreamCatalog(defs: Seq[StreamDef]) {
+  /** Selector resolution = equality intersection over (label,value) pairs
+    * (indexer.rs:493-516). Returns matching stream defs.
+    */
+  def resolve(name: String, matchers: Seq[Matcher]): Seq[StreamDef] =
+    defs.filter(d => d.name == name &&
+      matchers.forall(m => d.labels.get(m.label).contains(m.value)))
+
+  def vtypeOf(name: String, matchers: Seq[Matcher]): VType = {
+    val hits = resolve(name, matchers)
+    if (hits.isEmpty) VType.F64
+    else hits.map(_.vtype).reduce(VType.combine)
+  }
+}
+
+/** A query result: either a vector (rows of timestamp,value) or scalars
+  * (rows of value — aggregates emit ≤1, topk emits ≤k), with the node's
+  * value type per the coercion lattice.
+  */
+final case class TsdbResult(df: DataFrame, isScalar: Boolean, vtype: VType) {
+  /** Output with reference type fidelity: integer-typed results are cast
+    * to LongType (the engine computes in Double; exact below 2^53).
+    */
+  def output: DataFrame =
+    if (vtype == VType.F64) df
+    else df.withColumn("value", round(col("value")).cast("long"))
+}
+
+/** PromQL-subset → DataFrame translator; the Spark-native replacement for
+  * the reference's planner+executor (tachyon_core/src/query/planner.rs
+  * and the execution/node tree). Everything stays declarative: selectors
+  * become
+  * pushed-down parquet filters, aggregates become partial+final
+  * HashAggregates, topk becomes TakeOrderedAndProject, and the V2V align
+  * is a full-outer join + window interpolation (Align.scala).
+  *
+  * `data` is a long-format series table:
+  *   (name STRING, labels MAP<STRING,STRING>, timestamp LONG (ms),
+  *    value DOUBLE)
+  */
+final class TsdbEngine(
+    val spark: SparkSession,
+    data: DataFrame,
+    catalog: StreamCatalog) {
+
+  /** Queries require explicit [start, end], as in the reference
+    * (planner.rs:196-205).
+    */
+  def query(promql: String, startMs: Long, endMs: Long): TsdbResult =
+    eval(PromParser.parse(promql), startMs, endMs)
+
+  private def scanValue = col("value")
+
+  private def eval(e: Expr, start: Long, end: Long): TsdbResult = e match {
+    case NumberLit(v) =>
+      // Literal scalars are always Float64 (planner.rs:140-143).
+      TsdbResult(
+        spark.range(1).select(lit(v).cast("double").as("value")),
+        isScalar = true, VType.F64)
+
+    case sel: Selector =>
+      TsdbResult(select(sel, start, end), isScalar = false,
+        catalog.vtypeOf(sel.name, sel.matchers))
+
+    case Aggregate(kind, child) =>
+      val c = eval(child, start, end)
+      require(!c.isScalar, "aggregate over a scalar is not supported (reference planner)")
+      aggregate(kind, c)
+
+    case GetK(top, kExpr, child) =>
+      val kRes = eval(kExpr, start, end)
+      require(kRes.isScalar, "topk/bottomk k-parameter must be scalar")
+      // The reference evaluates the k subplan first (get_k.rs:77-79); k is
+      // one number, so the single-value collect mirrors that.
+      val kRows = kRes.df.limit(1).collect()
+      val k = if (kRows.isEmpty) 0 else math.max(0L, math.round(kRows(0).getDouble(0))).toInt
+      val c = eval(child, start, end)
+      require(!c.isScalar, "topk/bottomk over a scalar is not supported")
+      getK(top, k, c)
+
+    case BinaryOp(kind, lhs, rhs) =>
+      val l = eval(lhs, start, end)
+      val r = eval(rhs, start, end)
+      binary(kind, l, r)
+  }
+
+  /** VectorSelectNode: label+name equality, [start,end] range; streams
+    * concatenate (vector_select.rs:78-105). Ordered (stream, timestamp).
+    */
+  private def select(sel: Selector, queryStart: Long, queryEnd: Long): DataFrame = {
+    // @/offset rewrite the scan *start* only (planner.rs:162-180).
+    val start = sel.at match {
+      case None => queryStart
+      case Some(at) =>
+        val base = at match {
+          case AtStart => 0L
+          case AtEnd => Long.MaxValue
+          case AtTime(t) => t
+        }
+        val shifted = base + sel.offsetMs
+        // saturating add/sub in u64 space
+        if (sel.offsetMs > 0 && shifted < base) Long.MaxValue
+        else if (shifted < 0) 0L else shifted
+    }
+    val matcherFilter = sel.matchers.foldLeft(col("name") === sel.name) {
+      (acc, m) => acc && element_at(col("labels"), m.label) === m.value
+    }
+    data
+      .where(matcherFilter && col("timestamp") >= start && col("timestamp") <= queryEnd)
+      .select(col("timestamp"), scanValue)
+  }
+
+  /** AggregateNode: whole-range aggregate → one scalar. Empty input emits
+    * no row for sum/avg/min/max but count → 0 (aggregate.rs:35-75,
+    * lib.rs:1038-1062). Value types per aggregate.rs:77-90.
+    */
+  private def aggregate(kind: AggKind, child: TsdbResult): TsdbResult = kind match {
+    case AggCount =>
+      TsdbResult(child.df.agg(count(lit(1)).cast("double").as("value")),
+        isScalar = true, VType.U64)
+    case AggAvg =>
+      TsdbResult(child.df.agg(avg("value").as("value")).where(col("value").isNotNull),
+        isScalar = true, VType.F64)
+    case other =>
+      val aggCol = other match {
+        case AggSum => sum(col("value"))
+        case AggMin => min(col("value"))
+        case AggMax => max(col("value"))
+        case _ => throw new IllegalStateException
+      }
+      TsdbResult(child.df.agg(aggCol.as("value")).where(col("value").isNotNull),
+        isScalar = true, child.vtype)
+  }
+
+  /** GetKNode: top-k/bottom-k by value over the whole range, emitted as k
+    * scalars in rank order; ties favor newer samples (get_k.rs:86-128);
+    * k=0 → empty; k>n → all n. orderBy+limit compiles to
+    * TakeOrderedAndProject — Spark's bounded-memory heap top-k.
+    */
+  private def getK(top: Boolean, k: Int, child: TsdbResult): TsdbResult = {
+    if (k == 0)
+      return TsdbResult(child.df.select(col("value")).limit(0), isScalar = true, child.vtype)
+    val ordered =
+      if (top) child.df.orderBy(col("value").desc, col("timestamp").desc)
+      else child.df.orderBy(col("value").asc, col("timestamp").desc)
+    TsdbResult(ordered.limit(k).select(col("value")), isScalar = true, child.vtype)
+  }
+
+  private def arith(kind: BinKind, l: Column, r: Column): Column = kind match {
+    case Add => l + r
+    case Sub => l - r
+    case Mul => l * r
+    case Div => l / r
+    case Mod => l % r
+    case _ => throw new IllegalArgumentException(s"not arithmetic: $kind")
+  }
+
+  private def cmp(kind: BinKind, l: Column, r: Column): Column = kind match {
+    case Eq => l === r
+    case Ne => l =!= r
+    case Gt => l > r
+    case Lt => l < r
+    case Ge => l >= r
+    case Le => l <= r
+    case _ => throw new IllegalArgumentException(s"not a comparison: $kind")
+  }
+
+  /** Result type: div/mod always Float64; otherwise the coercion lattice
+    * (lib.rs:63-73,306-362). Comparisons keep the vector side's type
+    * (they filter, they don't compute).
+    */
+  private def resultType(kind: BinKind, l: VType, r: VType): VType = kind match {
+    case Div | Mod => VType.F64
+    case _ => VType.combine(l, r)
+  }
+
+  /** BinaryOpNode dispatch (binary_op.rs:94-111), done at plan time:
+    * scalar·scalar, vector·scalar, scalar·vector, vector·vector.
+    */
+  private def binary(kind: BinKind, l: TsdbResult, r: TsdbResult): TsdbResult =
+    (l.isScalar, r.isScalar) match {
+      case (true, true) =>
+        // ScalarToScalarNode: arithmetic only (scalar_to_scalar.rs:41-44).
+        require(!isComparison(kind), "comparison between two scalars is not supported")
+        val rr = r.df.select(col("value").as("rv"))
+        val df = l.df.crossJoin(broadcast(rr))
+          .select(arith(kind, col("value"), col("rv")).as("value"))
+        TsdbResult(df, isScalar = true, resultType(kind, l.vtype, r.vtype))
+
+      case (false, true) =>
+        // VectorToScalarNode: arithmetic elementwise; comparison = filter
+        // keeping the original value (vector_to_scalar.rs:44-77).
+        val rr = broadcast(r.df.select(col("value").as("rv")))
+        val joined = l.df.crossJoin(rr)
+        val df =
+          if (isComparison(kind))
+            joined.where(cmp(kind, col("value"), col("rv")))
+              .select(col("timestamp"), col("value"))
+          else
+            joined.select(col("timestamp"),
+              arith(kind, col("value"), col("rv")).as("value"))
+        val vt = if (isComparison(kind)) l.vtype else resultType(kind, l.vtype, r.vtype)
+        TsdbResult(df, isScalar = false, vt)
+
+      case (true, false) =>
+        // scalar·vector: operands swapped at dispatch (binary_op.rs:99-105).
+        val ll = broadcast(l.df.select(col("value").as("lv")))
+        val joined = r.df.crossJoin(ll)
+        val df =
+          if (isComparison(kind))
+            joined.where(cmp(kind, col("lv"), col("value")))
+              .select(col("timestamp"), col("value"))
+          else
+            joined.select(col("timestamp"),
+              arith(kind, col("lv"), col("value")).as("value"))
+        val vt = if (isComparison(kind)) r.vtype else resultType(kind, l.vtype, r.vtype)
+        TsdbResult(df, isScalar = false, vt)
+
+      case (false, false) =>
+        // VectorToVectorNode: interpolation align; arithmetic only
+        // (vector_to_vector.rs:409-411). Interpolated operands round to
+        // integers unless both sides are Float64 (the reference rounds
+        // always — its TODO bug; we keep float fidelity for f64 streams
+        // and replicate rounding for integer streams, per SURVEY §7).
+        require(!isComparison(kind), "comparison between two vectors is not supported")
+        val roundInterp = !(l.vtype == VType.F64 && r.vtype == VType.F64)
+        val aligned = Align.interpolated(l.df, r.df, roundInterp)
+        val df = aligned.select(col("timestamp"),
+          arith(kind, col("lv"), col("rv")).as("value"))
+        TsdbResult(df, isScalar = false, resultType(kind, l.vtype, r.vtype))
+    }
+}

@@ -1,0 +1,261 @@
+package graft.tsdb
+
+import scala.util.matching.Regex
+
+import Expr._
+
+/** Hand-written recursive-descent parser for the PromQL subset the
+  * reference engine accepts (see Ast.scala). Built from the public PromQL
+  * grammar (prometheus.io/docs/prometheus/latest/querying/basics); no
+  * third-party parser.
+  *
+  * Precedence (low→high): comparison < +,- < *,/,% < unary- < atom.
+  */
+final class PromParseException(msg: String) extends IllegalArgumentException(msg)
+
+object PromParser {
+
+  private sealed trait Tok
+  private final case class TNum(v: Double) extends Tok
+  private final case class TIdent(s: String) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TDur(ms: Long) extends Tok
+  private final case class TOp(s: String) extends Tok
+  private case object TEof extends Tok
+
+  private val durRe: Regex = raw"(\d+)(ms|s|m|h|d|w|y)".r
+  private val numRe: Regex = raw"(\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)".r
+  private val identRe: Regex = raw"[a-zA-Z_:][a-zA-Z0-9_:]*".r
+
+  private def unitMs(u: String): Long = u match {
+    case "ms" => 1L
+    case "s" => 1000L
+    case "m" => 60000L
+    case "h" => 3600000L
+    case "d" => 86400000L
+    case "w" => 604800000L
+    case "y" => 31536000000L
+  }
+
+  private def tokenize(q: String): Vector[Tok] = {
+    val toks = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) { i += 1 }
+      else if (c == '"' || c == '\'') {
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && q.charAt(i) != quote) {
+          if (q.charAt(i) == '\\' && i + 1 < n) { sb.append(q.charAt(i + 1)); i += 2 }
+          else { sb.append(q.charAt(i)); i += 1 }
+        }
+        if (i >= n) throw new PromParseException(s"unterminated string in: $q")
+        i += 1
+        toks += TStr(sb.toString)
+      } else if (c.isDigit || (c == '.' && i + 1 < n && q.charAt(i + 1).isDigit)) {
+        // duration (5m, 1h30m…) or plain number
+        durRe.findPrefixMatchOf(q.substring(i)) match {
+          case Some(m) if !numRe.findPrefixMatchOf(q.substring(i)).exists(_.end > m.end) =>
+            // consume a chain of duration parts: 1h30m
+            var ms = 0L
+            var rest = q.substring(i)
+            var consumed = 0
+            var continue = true
+            while (continue) durRe.findPrefixMatchOf(rest) match {
+              case Some(d) =>
+                ms += d.group(1).toLong * unitMs(d.group(2))
+                consumed += d.end; rest = rest.substring(d.end)
+              case None => continue = false
+            }
+            i += consumed
+            toks += TDur(ms)
+          case _ =>
+            val m = numRe.findPrefixMatchOf(q.substring(i)).getOrElse(
+              throw new PromParseException(s"bad number at '$q'.substring($i)"))
+            toks += TNum(m.group(1).toDouble)
+            i += m.end
+        }
+      } else identRe.findPrefixMatchOf(q.substring(i)) match {
+        case Some(m) =>
+          toks += TIdent(m.matched)
+          i += m.end
+        case None =>
+          val two = if (i + 1 < n) q.substring(i, i + 2) else ""
+          if (Set("==", "!=", ">=", "<=", "=~", "!~").contains(two)) {
+            toks += TOp(two); i += 2
+          } else if ("+-*/%(){},=@<>".indexOf(c) >= 0) {
+            toks += TOp(c.toString); i += 1
+          } else throw new PromParseException(s"unexpected character '$c' in query: $q")
+      }
+    }
+    toks += TEof
+    toks.result()
+  }
+
+  def parse(q: String): Expr = {
+    val toks = tokenize(q)
+    var pos = 0
+    def peek: Tok = toks(pos)
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def expectOp(s: String): Unit = next() match {
+      case TOp(`s`) => ()
+      case t => throw new PromParseException(s"expected '$s', got $t in: $q")
+    }
+
+    val aggNames = Map(
+      "sum" -> AggSum, "count" -> AggCount, "avg" -> AggAvg,
+      "min" -> AggMin, "max" -> AggMax)
+
+    def parseExpr(): Expr = parseComparison()
+
+    def parseComparison(): Expr = {
+      var l = parseAdditive()
+      var continue = true
+      while (continue) peek match {
+        case TOp(op @ ("==" | "!=" | ">" | "<" | ">=" | "<=")) =>
+          next()
+          val kind = op match {
+            case "==" => Eq; case "!=" => Ne; case ">" => Gt
+            case "<" => Lt; case ">=" => Ge; case "<=" => Le
+          }
+          l = BinaryOp(kind, l, parseAdditive())
+        case _ => continue = false
+      }
+      l
+    }
+
+    def parseAdditive(): Expr = {
+      var l = parseMultiplicative()
+      var continue = true
+      while (continue) peek match {
+        case TOp(op @ ("+" | "-")) =>
+          next()
+          l = BinaryOp(if (op == "+") Add else Sub, l, parseMultiplicative())
+        case _ => continue = false
+      }
+      l
+    }
+
+    def parseMultiplicative(): Expr = {
+      var l = parseUnary()
+      var continue = true
+      while (continue) peek match {
+        case TOp(op @ ("*" | "/" | "%")) =>
+          next()
+          val kind = op match { case "*" => Mul; case "/" => Div; case _ => Mod }
+          l = BinaryOp(kind, l, parseUnary())
+        case _ => continue = false
+      }
+      l
+    }
+
+    def parseUnary(): Expr = peek match {
+      case TOp("-") =>
+        next()
+        parseUnary() match {
+          case NumberLit(v) => NumberLit(-v)
+          case e => BinaryOp(Sub, NumberLit(0), e) // -vec ≡ 0 - vec
+        }
+      case _ => parseAtom()
+    }
+
+    def parseAtom(): Expr = next() match {
+      case TNum(v) => NumberLit(v)
+      case TOp("(") =>
+        val e = parseExpr()
+        expectOp(")")
+        e
+      case TIdent(name) if aggNames.contains(name) && peek == TOp("(") =>
+        next() // consume '('
+        val child = parseExpr()
+        expectOp(")")
+        // `by (...)` / `without (...)` after the paren: parsed + ignored
+        // (reference ignores grouping modifiers entirely).
+        peek match {
+          case TIdent("by") | TIdent("without") =>
+            next(); expectOp("(")
+            var depth = 1
+            while (depth > 0) next() match {
+              case TOp("(") => depth += 1
+              case TOp(")") => depth -= 1
+              case TEof => throw new PromParseException(s"unterminated grouping in: $q")
+              case _ => ()
+            }
+          case _ => ()
+        }
+        Aggregate(aggNames(name), child)
+      case TIdent(fn @ ("topk" | "bottomk")) if peek == TOp("(") =>
+        next()
+        val k = parseExpr()
+        expectOp(",")
+        val child = parseExpr()
+        expectOp(")")
+        GetK(fn == "topk", k, child)
+      case TIdent(fn) if peek == TOp("(") =>
+        throw new PromParseException(s"unsupported function call: $fn (reference rejects Call exprs)")
+      case TIdent(name) => parseSelectorTail(name)
+      case t => throw new PromParseException(s"unexpected token $t in: $q")
+    }
+
+    def parseSelectorTail(name: String): Selector = {
+      var matchers = List.newBuilder[Matcher]
+      if (peek == TOp("{")) {
+        next()
+        var continue = peek != TOp("}")
+        while (continue) {
+          val label = next() match {
+            case TIdent(s) => s
+            case t => throw new PromParseException(s"expected label name, got $t")
+          }
+          next() match {
+            case TOp("=") | TOp("==") | TOp("!=") | TOp("=~") | TOp("!~") => ()
+            case t => throw new PromParseException(s"expected matcher op, got $t")
+          }
+          val v = next() match {
+            case TStr(s) => s
+            case t => throw new PromParseException(s"expected quoted label value, got $t")
+          }
+          matchers += Matcher(label, v)
+          peek match {
+            case TOp(",") => next()
+            case _ => continue = false
+          }
+        }
+        expectOp("}")
+      }
+      // modifiers, either order: `@ ...` and/or `offset <dur>`
+      var at: Option[AtMod] = None
+      var offsetMs = 0L
+      var scanning = true
+      while (scanning) peek match {
+        case TOp("@") =>
+          next()
+          at = Some(next() match {
+            case TNum(v) => AtTime((v * 1000).toLong) // PromQL @ is unix seconds
+            case TIdent("start") => expectOp("("); expectOp(")"); AtStart
+            case TIdent("end") => expectOp("("); expectOp(")"); AtEnd
+            case t => throw new PromParseException(s"bad @ modifier: $t")
+          })
+        case TIdent("offset") =>
+          next()
+          offsetMs = next() match {
+            case TDur(ms) => ms
+            case TOp("-") => next() match {
+              case TDur(ms) => -ms
+              case t => throw new PromParseException(s"bad offset: $t")
+            }
+            case t => throw new PromParseException(s"bad offset: $t")
+          }
+        case _ => scanning = false
+      }
+      Selector(name, matchers.result(), at, offsetMs)
+    }
+
+    val e = parseExpr()
+    if (peek != TEof) throw new PromParseException(s"trailing tokens at $pos in: $q")
+    e
+  }
+}

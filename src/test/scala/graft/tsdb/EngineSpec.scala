@@ -1,0 +1,237 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Graft
+
+/** Ports the reference's inline E2E expectation corpus
+  * (tachyon_core/src/lib.rs:585-1808) against the Spark engine.
+  * Fixtures per /root/repo/FIXTURES.md §3.
+  */
+object TsdbFixtures {
+  lazy val spark: SparkSession = Graft.session("tsdb-test", "4")
+
+  val schema = StructType(Seq(
+    StructField("name", StringType),
+    StructField("labels", MapType(StringType, StringType)),
+    StructField("timestamp", LongType),
+    StructField("value", DoubleType)))
+
+  def longDf(rows: Seq[(String, Map[String, String], Long, Double)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (n, l, t, v) => Row(n, l, t, v) }, 2),
+      schema)
+
+  /** lib.rs:805-831: streams ints/uints/floats on ts [10,20,30,40]. */
+  def helperEngine(): TsdbEngine = {
+    val ts = Seq(10L, 20L, 30L, 40L)
+    val rows =
+      ts.zip(Seq(2d, 4d, 6d, 8d)).map { case (t, v) => ("ints", Map.empty[String, String], t, v) } ++
+      ts.zip(Seq(1d, 2d, 3d, 4d)).map { case (t, v) => ("uints", Map.empty[String, String], t, v) } ++
+      ts.zip(Seq(4.1, 3.2, 2.3, 1.4)).map { case (t, v) => ("floats", Map.empty[String, String], t, v) }
+    val cat = new StreamCatalog(Seq(
+      StreamDef("ints", Map.empty, VType.I64),
+      StreamDef("uints", Map.empty, VType.U64),
+      StreamDef("floats", Map.empty, VType.F64)))
+    new TsdbEngine(spark, longDf(rows), cat)
+  }
+
+  /** lib.rs:605-652,722-803: labeled http_requests_total streams. */
+  def httpEngine(): TsdbEngine = {
+    val web = Seq(23L -> 45d, 29L -> 47d, 40L -> 23d, 51L -> 48d)
+    val mobile = Seq(23L -> 9d, 29L -> 18d, 40L -> 0d, 51L -> 100d)
+    val rows =
+      web.map { case (t, v) => ("http_requests_total", Map("service" -> "web"), t, v) } ++
+      mobile.map { case (t, v) => ("http_requests_total", Map("service" -> "mobile"), t, v) }
+    val cat = new StreamCatalog(Seq(
+      StreamDef("http_requests_total", Map("service" -> "web"), VType.U64),
+      StreamDef("http_requests_total", Map("service" -> "mobile"), VType.U64)))
+    new TsdbEngine(spark, longDf(rows), cat)
+  }
+
+  def vectorOf(r: TsdbResult): Seq[(Long, Double)] =
+    r.output.orderBy("timestamp").collect().toSeq
+      .map(row => (row.getLong(0), row.get(1) match {
+        case d: Double => d
+        case l: Long => l.toDouble
+      }))
+
+  def scalarsOf(r: TsdbResult): Seq[Double] =
+    r.output.collect().toSeq.map(_.get(0) match {
+      case d: Double => d
+      case l: Long => l.toDouble
+    })
+}
+
+class EngineSpec extends AnyFunSuite {
+  import TsdbFixtures._
+
+  private val R = (0L, 100L) // full-range window for the helper fixture
+
+  private def vec(e: TsdbEngine, q: String, r: (Long, Long) = R): Seq[(Long, Double)] =
+    vectorOf(e.query(q, r._1, r._2))
+  private def sca(e: TsdbEngine, q: String, r: (Long, Long) = R): Seq[Double] =
+    scalarsOf(e.query(q, r._1, r._2))
+
+  // ---- arithmetic / comparison matrix (lib.rs:862-1030) ----
+
+  test("scan returns raw samples in timestamp order") {
+    assert(vec(helperEngine(), "ints") ==
+      Seq(10L -> 2d, 20L -> 4d, 30L -> 6d, 40L -> 8d))
+  }
+
+  test("division always promotes to f64: ints / uints") {
+    assert(vec(helperEngine(), "ints / uints").map(_._2) == Seq(2d, 2d, 2d, 2d))
+  }
+
+  test("modulo always f64: uints % 2 (lib.rs:952-960)") {
+    assert(vec(helperEngine(), "uints % 2").map(_._2) == Seq(1d, 0d, 1d, 0d))
+  }
+
+  test("comparison = filter keeping values: ints % 4 == 2 (lib.rs:962-970)") {
+    assert(vec(helperEngine(), "ints % 4 == 2") == Seq(10L -> 2d, 30L -> 2d))
+  }
+
+  test("vector + literal promotes per lattice to f64 (lib.rs:912-920)") {
+    val r = helperEngine().query("ints + 2", 0, 100)
+    assert(r.vtype == VType.F64)
+    assert(vectorOf(r).map(_._2) == Seq(4d, 6d, 8d, 10d))
+  }
+
+  test("int arithmetic stays integer-typed: ints * uints") {
+    val r = helperEngine().query("ints * uints", 0, 100)
+    assert(r.vtype == VType.I64)
+    assert(vectorOf(r).map(_._2) == Seq(2d, 8d, 18d, 32d))
+  }
+
+  test("comparison filter on floats keeps float values") {
+    assert(vec(helperEngine(), "floats > 2.5") == Seq(10L -> 4.1, 20L -> 3.2))
+  }
+
+  // ---- aggregates (lib.rs:1033-1098) ----
+
+  test("sum/count/avg/min/max over full range") {
+    val e = helperEngine()
+    assert(sca(e, "sum(ints)") == Seq(20d))
+    assert(sca(e, "count(ints)") == Seq(4d))
+    assert(sca(e, "avg(ints)") == Seq(5d))
+    assert(sca(e, "min(ints)") == Seq(2d))
+    assert(sca(e, "max(ints)") == Seq(8d))
+  }
+
+  test("aggregate of empty set: no row for sum, 0 for count (lib.rs:1038-1062)") {
+    val e = helperEngine()
+    assert(sca(e, "sum(ints < 0)").isEmpty)
+    assert(sca(e, "min(ints < 0)").isEmpty)
+    assert(sca(e, "count(ints < 0)") == Seq(0d))
+  }
+
+  // ---- topk / bottomk (lib.rs:1100-1150) ----
+
+  test("topk/bottomk rank order, k clamps, k=0 empty") {
+    val e = helperEngine()
+    assert(sca(e, "topk(2, ints)") == Seq(8d, 6d))
+    assert(sca(e, "bottomk(2, ints)") == Seq(2d, 4d))
+    assert(sca(e, "topk(0, ints)").isEmpty)
+    assert(sca(e, "topk(10, ints)") == Seq(8d, 6d, 4d, 2d))
+  }
+
+  test("topk on negatives (lib.rs:1732-1739)") {
+    val rows = Seq(1L -> -5d, 2L -> -7d, 3L -> -1d, 4L -> -1000d)
+      .map { case (t, v) => ("neg", Map.empty[String, String], t, v) }
+    val e = new TsdbEngine(spark, longDf(rows),
+      new StreamCatalog(Seq(StreamDef("neg", Map.empty, VType.I64))))
+    assert(scalarsOf(e.query("topk(2, neg)", 0, 10)) == Seq(-1d, -5d))
+    assert(scalarsOf(e.query("sum(neg)", 0, 10)) == Seq(-1013d))
+    assert(scalarsOf(e.query("min(neg)", 0, 10)) == Seq(-1000d))
+  }
+
+  test("bottomk/avg on float stream (lib.rs:1787-1794)") {
+    val rows = Seq(1L -> 3.8, 2L -> -23.1)
+      .map { case (t, v) => ("f", Map.empty[String, String], t, v) }
+    val e = new TsdbEngine(spark, longDf(rows),
+      new StreamCatalog(Seq(StreamDef("f", Map.empty, VType.F64))))
+    assert(scalarsOf(e.query("bottomk(1, f)", 0, 10)) == Seq(-23.1))
+    val avg = scalarsOf(e.query("avg(f)", 0, 10)).head
+    assert(math.abs(avg - -9.65) < 0.001)
+  }
+
+  // ---- labeled selectors & ranges (lib.rs:605-652,722-803,1152-1193) ----
+
+  test("labeled selector full/partial range sums (lib.rs:1188-1193)") {
+    val e = httpEngine()
+    assert(scalarsOf(e.query("sum(http_requests_total{service=\"web\"})", 23, 51)) == Seq(163d))
+    assert(scalarsOf(e.query("avg(http_requests_total{service=\"web\"})", 29, 40)) == Seq(35d))
+    assert(scalarsOf(e.query("count(http_requests_total)", 23, 51)) == Seq(8d))
+  }
+
+  test("multi-stream isolation: matchers pick one stream") {
+    val e = httpEngine()
+    assert(vectorOf(e.query("http_requests_total{service=\"mobile\"}", 23, 51)) ==
+      Seq(23L -> 9d, 29L -> 18d, 40L -> 0d, 51L -> 100d))
+  }
+
+  test("vector + scalar-subquery broadcasts the aggregate (lib.rs:1473-1527)") {
+    val e = httpEngine()
+    val r = e.query(
+      "http_requests_total{service=\"web\"} + sum(http_requests_total{service=\"mobile\"})",
+      23, 51)
+    assert(vectorOf(r) == Seq(23L -> 172d, 29L -> 174d, 40L -> 150d, 51L -> 175d))
+  }
+
+  test("scalar / scalar of aggregates (lib.rs:1529-1583)") {
+    val e = helperEngine()
+    assert(sca(e, "sum(ints) / count(ints)") == Seq(5d))
+  }
+
+  test("@ modifier rewrites scan start (planner.rs:162-180)") {
+    val e = httpEngine()
+    // @0.029s → start=29ms; end stays 51 → sum 47+23+48
+    assert(scalarsOf(e.query("sum(http_requests_total{service=\"web\"} @ 0.029)", 23, 51)) ==
+      Seq(118d))
+    // offset shifts the @-resolved start: @0.023 offset 6ms → 29
+    assert(scalarsOf(
+      e.query("sum(http_requests_total{service=\"web\"} @ 0.023 offset 6ms)", 23, 51)) ==
+      Seq(118d))
+  }
+
+  // ---- interpolation golden vectors (lib.rs:1395-1470) ----
+
+  private def interpEngine(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): TsdbEngine = {
+    val rows = a.map { case (t, v) => ("a", Map.empty[String, String], t, v) } ++
+      b.map { case (t, v) => ("b", Map.empty[String, String], t, v) }
+    new TsdbEngine(spark, longDf(rows), new StreamCatalog(Seq(
+      StreamDef("a", Map.empty, VType.U64), StreamDef("b", Map.empty, VType.U64))))
+  }
+
+  test("interpolation basic golden vector") {
+    val e = interpEngine(
+      Seq(10L, 20L, 30L, 40L).zip(Seq(0d, 20d, 0d, 20d)),
+      Seq(5L, 15L, 25L, 35L, 45L).zip(Seq(10d, 10d, 10d, 10d, 10d)))
+    val got = vectorOf(e.query("a + b", 0, 100))
+    assert(got == Seq(5L, 10L, 15L, 20L, 25L, 30L, 35L, 40L, 45L)
+      .zip(Seq(10d, 10d, 20d, 30d, 20d, 10d, 20d, 30d, 30d)))
+  }
+
+  test("interpolation complex golden vector") {
+    val e = interpEngine(
+      Seq(1L, 2L, 4L, 6L, 10L, 12L, 13L, 14L, 15L, 16L)
+        .zip(Seq(10d, 20d, 30d, 20d, 20d, 10d, 15d, 20d, 80d, 100d)),
+      Seq(3L, 5L, 7L, 8L, 9L, 11L, 16L).zip(Seq(30d, 30d, 10d, 20d, 20d, 10d, 10d)))
+    val got = vectorOf(e.query("a + b", 0, 100))
+    assert(got == (1L to 16L)
+      .zip(Seq(40d, 50d, 55d, 60d, 55d, 40d, 30d, 40d, 40d, 35d, 25d, 20d, 25d, 30d, 90d, 110d)))
+  }
+
+  // ---- parser rejections (planner.rs:208-232) ----
+
+  test("unsupported forms are rejected") {
+    val e = helperEngine()
+    intercept[PromParseException](e.query("rate(ints[5m])", 0, 100))
+    intercept[PromParseException](e.query("ints[5m]", 0, 100))
+    intercept[IllegalArgumentException](e.query("ints == uints", 0, 100))
+    intercept[IllegalArgumentException](e.query("sum(ints) > count(ints)", 0, 100))
+  }
+}
