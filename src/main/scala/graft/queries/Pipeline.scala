@@ -1,0 +1,376 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Graft.table
+import graft.functions.TextFunctions._
+import graft.dedup.Dedup
+import graft.ann.Knn
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * exact + MinHash-LSH + SimHash + n-gram-Jaccard + embedding-cosine
+  * dedup, brute-force and IVF-bucketed ANN, and text analysis (tokens,
+  * language-ID heuristic, quality scoring, fingerprinting).
+  *
+  * The raw corpus has no duplicates, so the dedup queries run against a
+  * deterministic *planted* corpus built identically on both sides: the
+  * documents plus exact copies (dd01) or near-copies with an appended
+  * marker (dd02-dd04) of every 10th/20th doc.
+  */
+object Pipeline {
+
+  private val Marker = " graft dup marker"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+
+  /** documents ∪ exact copies of every 10th doc (ids offset by 1e6). */
+  private def corpusExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(col("doc_id"), col("text")).unionAll(
+      d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  private val CorpusExactSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** documents ∪ near-copies (marker appended) of every 20th doc. */
+  private def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(col("doc_id"), col("text"), col("lang"), col("source")).unionAll(
+      d.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(Marker)).as("text"),
+          col("lang"), col("source")))
+  }
+
+  private val CorpusNearSql =
+    s"""corpus AS (
+       |  SELECT doc_id, text, lang, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || '$Marker' AS text,
+       |         lang, source
+       |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
+
+  // ---- shared SQL fragments (DuckDB) mirroring TextFunctions ----
+
+  private val ToksSql = "regexp_extract_all(text, '[^\\s]+')"
+
+  /** word 3-gram shingles of a token list column named `toks`. */
+  private def shinglesSql(toks: String): String =
+    s"list_distinct(list_transform(range(1, greatest(len($toks) - 1, 1)), " +
+      s"i -> array_to_string($toks[i:i+2], ' ')))"
+
+  private def minhashSigSql(shs: String, k: Int): String =
+    (0 until k).map(j =>
+      s"list_min(list_transform($shs, s -> md5('$j:' || s)))")
+      .mkString("[", ", ", "]")
+
+  private def simhashSql(shs: String): String = {
+    val hashes = s"list_transform($shs, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT))"
+    (0 until 32).map { i =>
+      s"(CASE WHEN list_sum(list_transform($hashes, h -> ((h >> $i) & 1) * 2 - 1)) >= 0 " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  private val EnMarkers = Seq("the", "a", "and", "of", "to")
+  private val DeMarkers = Seq("der", "die", "das", "und", "ist")
+  private val FrMarkers = Seq("le", "la", "les", "et", "est")
+  private val EsMarkers = Seq("el", "los", "las", "y", "es")
+  private val ZhMarkers = Seq("的", "是", "在", "我", "了")
+
+  private def markerSql(toks: String, words: Seq[String]): String =
+    s"len(list_filter($toks, t -> t IN (" +
+      words.map(w => s"'$w'").mkString(", ") + ")))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup family ----
+    "dd01_exact" -> { (s, dir) =>
+      Dedup.exactGroups(corpusExact(s, dir), "doc_id", "text")
+        .orderBy("keep_id")
+    },
+
+    "dd02_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashPairs(corpusNear(s, dir), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("id_a", "id_b")
+    },
+
+    "dd03_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(corpusNear(s, dir), "doc_id", "text",
+          Seq("lang", "source"), maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+
+    "dd04_ngram_jaccard" -> { (s, dir) =>
+      val withBlock = corpusNear(s, dir)
+        .withColumn("tok1", element_at(tokens(col("text")), 1))
+      Dedup.jaccardPairs(withBlock, "doc_id", "text",
+          Seq("lang", "source", "tok1"), threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("id_a", "id_b")
+    },
+
+    "dd05_embed_cosine" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val planted = e.select(col("vec_id"), col("embedding"), col("label")).unionAll(
+        e.where(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label")))
+      Dedup.embeddingPairs(planted, "vec_id", "embedding", Seq("label"))
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- similarity search ----
+    "ann01_brute_topk" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Knn.bruteTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    },
+
+    "ann02_ivf_topk" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val row = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"), col("label")).head()
+      val q = row.getSeq[Double](0)
+      val cell = row.getInt(1)
+      Knn.ivfTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", "label",
+          q, Seq(cell), 5)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    },
+
+    // ---- text analysis ----
+    "tx01_tokens" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    "tx02_langid" -> { (s, dir) =>
+      val t = tokens(col("text"))
+      val sEn = markerHits(t, EnMarkers)
+      val sDe = markerHits(t, DeMarkers)
+      val sFr = markerHits(t, FrMarkers)
+      val sEs = markerHits(t, EsMarkers)
+      val sZh = markerHits(t, ZhMarkers)
+      // argmax with fixed preference order on ties — mirrors the oracle's
+      // CASE chain exactly
+      val pred =
+        when(sEn >= sDe && sEn >= sFr && sEn >= sEs && sEn >= sZh, "en")
+          .when(sDe >= sFr && sDe >= sEs && sDe >= sZh, "de")
+          .when(sFr >= sEs && sFr >= sZh, "fr")
+          .when(sEs >= sZh, "es")
+          .otherwise("zh")
+      docs(s, dir)
+        .select(col("doc_id"), pred.as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    "tx03_quality" -> { (s, dir) =>
+      val t = tokens(col("text"))
+      val nTok = size(t).cast("double")
+      val avgLen = aggregate(transform(t, x => length(x)), lit(0),
+        (acc, v) => acc + v).cast("double") / nTok
+      val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+        .cast("double") / length(col("text")).cast("double")
+      val stop = markerHits(t, EnMarkers).cast("double") / nTok
+      val score = least(lit(1.0), nTok / 200.0) * 0.5 +
+        (lit(1.0) - digits) * 0.3 + least(lit(1.0), avgLen / 8.0) * 0.2
+      docs(s, dir).select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        round(avgLen, 6).as("avg_token_len"),
+        round(stop, 6).as("stopword_ratio"),
+        round(digits, 6).as("digit_ratio"),
+        round(score, 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    "tx04_fingerprint" -> { (s, dir) =>
+      val shs = wordShingles(tokens(col("text")), 3)
+      docs(s, dir).select(
+        col("doc_id"),
+        coalesce(fingerprint(shs), md5(col("text"))).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal (opaque payload) plumbing ----
+    "mm01_meta" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        md5(col("text")).as("digest"),
+        when(substring(col("text"), 1, 1) === "{", "application/json")
+          .otherwise("text/plain").as("kind"))
+        .orderBy("doc_id")
+    },
+
+    "mm02_framesample" -> { (s, dir) =>
+      val sample = array_join(
+        transform(sequence(lit(1), length(col("text")), lit(7)),
+          i => col("text").substr(i, lit(1))), "")
+      docs(s, dir).select(col("doc_id"), sample.as("sampled"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dd01_exact" ->
+      s"""WITH $CorpusExactSql
+         |SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+         |       COUNT(*) AS n_dups
+         |FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+         |ORDER BY keep_id""".stripMargin,
+
+    "dd02_minhash_lsh" ->
+      s"""WITH $CorpusNearSql,
+         |tk AS (SELECT doc_id AS id, $ToksSql AS toks, text FROM corpus),
+         |sh AS (SELECT id, ${shinglesSql("toks")} AS shs FROM tk),
+         |sig AS (SELECT id, shs, ${minhashSigSql("shs", 16)} AS sig
+         |        FROM sh WHERE len(shs) > 0),
+         |banded AS (SELECT id, shs, b,
+         |    md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' ||
+         |        sig[b*4+3] || '|' || sig[b*4+4]) AS key
+         |  FROM sig CROSS JOIN range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key
+         |  WHERE a.id < b.id),
+         |pairs AS (SELECT id_a, id_b,
+         |    len(list_intersect(sa.shs, sb.shs))::DOUBLE /
+         |    len(list_distinct(list_concat(sa.shs, sb.shs))) AS jac
+         |  FROM cand JOIN sh sa ON cand.id_a = sa.id
+         |            JOIN sh sb ON cand.id_b = sb.id)
+         |SELECT id_a, id_b, ROUND(jac, 6) AS jac FROM pairs
+         |WHERE jac >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    "dd03_simhash" ->
+      s"""WITH $CorpusNearSql,
+         |tk AS (SELECT doc_id AS id, lang, source, $ToksSql AS toks FROM corpus),
+         |sh AS (SELECT id, lang, source, ${shinglesSql("toks")} AS shs FROM tk),
+         |fp AS (SELECT id, lang, source, ${simhashSql("shs")} AS fp FROM sh
+         |       WHERE len(shs) > 0)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         |FROM fp a JOIN fp b ON a.lang = b.lang AND a.source = b.source
+         |WHERE a.id < b.id AND bit_count(xor(a.fp, b.fp)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd04_ngram_jaccard" ->
+      s"""WITH $CorpusNearSql,
+         |tk AS (SELECT doc_id AS id, lang, source, $ToksSql AS toks FROM corpus),
+         |sh AS (SELECT id, lang, source, toks[1] AS tok1,
+         |       ${shinglesSql("toks")} AS shs FROM tk),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    len(list_intersect(a.shs, b.shs))::DOUBLE /
+         |    len(list_distinct(list_concat(a.shs, b.shs))) AS jac
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.tok1 = b.tok1
+         |  WHERE a.id < b.id AND len(a.shs) > 0 AND len(b.shs) > 0)
+         |SELECT id_a, id_b, ROUND(jac, 6) AS jac FROM pairs
+         |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dd05_embed_cosine" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding, label
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM corpus)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cos
+        |FROM v a JOIN v b ON a.label = b.label
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.vec, b.vec) >= 0.995
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann01_brute_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |           WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS sim
+        |FROM embeddings CROSS JOIN q WHERE vec_id != 0
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC,
+        |         vec_id
+        |LIMIT 10""".stripMargin,
+
+    "ann02_ivf_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS sim
+        |FROM embeddings CROSS JOIN q
+        |WHERE vec_id != 0 AND label = qlabel
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC,
+        |         vec_id
+        |LIMIT 5""".stripMargin,
+
+    "tx01_tokens" ->
+      s"""SELECT doc_id, CAST(len($ToksSql) AS INT) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx02_langid" -> {
+      val t = ToksSql
+      val scoreCases = Seq(
+        ("en", EnMarkers), ("de", DeMarkers), ("fr", FrMarkers),
+        ("es", EsMarkers), ("zh", ZhMarkers))
+      val withScores = scoreCases.map { case (l, ws) =>
+        s"${markerSql(t, ws)} AS s_$l"
+      }.mkString(", ")
+      s"""WITH sc AS (SELECT doc_id, $withScores FROM documents)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+         |    WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+         |    WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         |    WHEN s_es >= s_zh THEN 'es'
+         |    ELSE 'zh' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "tx03_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS avg_token_len,
+         |  ${markerSql("toks", EnMarkers)}::DOUBLE / len(toks) AS stopword_ratio,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) AS digit_ratio
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  ROUND(avg_token_len, 6) AS avg_token_len,
+         |  ROUND(stopword_ratio, 6) AS stopword_ratio,
+         |  ROUND(digit_ratio, 6) AS digit_ratio,
+         |  ROUND(least(1.0, n_tokens / 200.0) * 0.5 + (1.0 - digit_ratio) * 0.3 +
+         |        least(1.0, avg_token_len / 8.0) * 0.2, 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "tx04_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, text, ${shinglesSql("toks")} AS shs FROM t)
+         |SELECT doc_id,
+         |  COALESCE(list_min(list_transform(shs, x -> md5(x))), md5(text)) AS fp
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "mm01_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  CASE WHEN substr(text, 1, 1) = '{' THEN 'application/json'
+        |       ELSE 'text/plain' END AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm02_framesample" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(range(1, length(text) + 1, 7),
+        |    i -> substr(text, i, 1)), '') AS sampled
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
