@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming ingestion for the series store — the streaming
+  * analogue of the reference's synchronous write path
+  * (storage/writer/persistent_writer.rs:76-116): an in-progress
+  * micro-batch plays the role of the open `.ty` file; the micro-batch
+  * commit is the seal; `withWatermark` replaces the implicit
+  * "whatever arrives goes into the open file" policy with explicit
+  * bounded lateness.
+  */
+object Ingest {
+
+  /** Normalize a raw event stream to the long series format.
+    * Input schema: (name STRING, timestamp LONG(ms), value DOUBLE).
+    */
+  def toSeries(raw: DataFrame, bucketMs: Long = 3600 * 1000L): DataFrame =
+    raw.select(col("name"), col("timestamp"), col("value"))
+      .withColumn("bucket", col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
+
+  /** Append the stream to the partitioned Parquet store. Exactly-once via
+    * the file-sink commit log; partitioned identically to GraftDb so
+    * batch queries prune on (name, bucket).
+    */
+  def appendToStore(series: DataFrame, dataDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    series.writeStream
+      .format("parquet")
+      .option("path", dataDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("name", "bucket")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("10 seconds"))
+
+  /** Event-time windowed aggregates with bounded lateness: per-series
+    * sum/count/min/max over tumbling windows — the streaming rendition of
+    * the reference's per-file header statistics (storage/file.rs:15-36),
+    * maintained continuously instead of at seal time.
+    */
+  def windowedStats(raw: DataFrame, windowMs: Long, latenessMs: Long): DataFrame = {
+    raw
+      .withColumn("event_time", timestamp_millis(col("timestamp")))
+      .withWatermark("event_time", s"$latenessMs milliseconds")
+      .groupBy(col("name"),
+        window(col("event_time"), s"$windowMs milliseconds"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("value").as("value_sum"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+      .select(col("name"),
+        unix_millis(col("window.start")).as("window_start"),
+        col("n"), col("value_sum"), col("min_value"), col("max_value"))
+  }
+}

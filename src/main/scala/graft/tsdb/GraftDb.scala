@@ -1,0 +1,174 @@
+package graft.tsdb
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Expr.Matcher
+
+/** Embedded-database facade: the Spark-native equivalent of the
+  * reference's `Connection`/`Inserter`/`Query` lifecycle
+  * (tachyon_core/src/lib.rs:375-577).
+  *
+  *  - `createStream(selector, vtype)` — lib.rs:429-456: parses a PromQL
+  *    vector selector, registers (name, labels, type) in the catalog.
+  *  - `inserter(selector)` — lib.rs:475-554: buffered appends; `flush()`
+  *    writes a time-partitioned Parquet delta (the analogue of sealing a
+  *    `.ty` file, storage/writer/persistent_writer.rs:80-98).
+  *  - `query(promql, start, end)` — lib.rs:495-577 via TsdbEngine.
+  *
+  * Physical layout: one Parquet dataset partitioned by (`name`,
+  * `bucket`) where bucket = timestamp div bucketMs — the analogue of the
+  * reference's per-stream time-partitioned files (§1.3); Spark partition
+  * pruning replaces its SQLite `id_to_file` index, and Parquet row-group
+  * stats replace the `.ty` header min/max. The catalog is a JSON-lines
+  * sidecar (replacing indexer.sqlite).
+  */
+final class GraftDb(
+    val spark: SparkSession,
+    rootDir: String,
+    bucketMs: Long = 3600 * 1000L) {
+
+  private val dataDir = s"$rootDir/data"
+  private val catalogFile = Paths.get(rootDir, "catalog.jsonl")
+  Files.createDirectories(Paths.get(rootDir))
+
+  private val dataSchema = StructType(Seq(
+    StructField("name", StringType),
+    StructField("labels", MapType(StringType, StringType)),
+    StructField("timestamp", LongType),
+    StructField("value", DoubleType)))
+
+  // ---- catalog ----
+
+  private def parseSelector(selector: String): (String, Map[String, String]) =
+    PromParser.parse(selector) match {
+      case Expr.Selector(name, ms, None, 0L) =>
+        (name, ms.map(m => m.label -> m.value).toMap)
+      case other =>
+        throw new IllegalArgumentException(s"not a plain selector: $other")
+    }
+
+  def streams(): Seq[StreamDef] =
+    if (!Files.exists(catalogFile)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(catalogFile).asScala.toSeq.filter(_.nonEmpty).map { line =>
+        // line format: vtype \t name \t k=v,k=v
+        val parts = line.split("\t", -1)
+        val vt = parts(0) match {
+          case "i64" => VType.I64; case "u64" => VType.U64; case _ => VType.F64
+        }
+        val labels =
+          if (parts(2).isEmpty) Map.empty[String, String]
+          else parts(2).split(",").map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap
+        StreamDef(parts(1), labels, vt)
+      }
+    }
+
+  /** Fixed-type stream creation (lib.rs:429-456); rejects duplicates. */
+  def createStream(selector: String, vtype: VType): Unit = {
+    val (name, labels) = parseSelector(selector)
+    require(!streams().exists(d => d.name == name && d.labels == labels),
+      s"stream already exists: $selector")
+    val vt = vtype match {
+      case VType.I64 => "i64"; case VType.U64 => "u64"; case VType.F64 => "f64"
+    }
+    val labelStr = labels.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+    Files.writeString(catalogFile, s"$vt\t$name\t$labelStr\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  // ---- ingestion ----
+
+  /** Buffered single-stream writer (lib.rs:513-554). Appends are
+    * accumulated locally and written as one Parquet delta per `flush`,
+    * mirroring the reference's open-file/seal cycle.
+    */
+  final class Inserter private[GraftDb] (name: String, labels: Map[String, String]) {
+    private val buf = ArrayBuffer.empty[(Long, Double)]
+
+    def insert(timestampMs: Long, value: Double): Unit =
+      buf += ((timestampMs, value))
+
+    def flush(): Unit = {
+      if (buf.isEmpty) return
+      val rows = buf.toSeq.map { case (t, v) => Row(name, labels, t, v) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), dataSchema)
+        .withColumn("bucket", col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
+        .write.mode(SaveMode.Append)
+        .partitionBy("name", "bucket")
+        .parquet(dataDir)
+      buf.clear()
+    }
+  }
+
+  /** Selector must resolve to exactly one catalogued stream (lib.rs:475-493). */
+  def inserter(selector: String): Inserter = {
+    val (name, labels) = parseSelector(selector)
+    val hits = streams().filter(d => d.name == name &&
+      labels.forall(kv => d.labels.get(kv._1).contains(kv._2)))
+    require(hits.size == 1, s"selector must match exactly 1 stream, got ${hits.size}")
+    new Inserter(hits.head.name, hits.head.labels)
+  }
+
+  /** Bulk CSV import (tachyon_cli/src/main.rs:247-296): header
+    * `Timestamp,Value`, one stream per file.
+    */
+  def importCsv(selector: String, csvPath: String): Unit = {
+    val (name, labels) = parseSelector(selector)
+    spark.read.option("header", "true")
+      .schema(StructType(Seq(
+        StructField("Timestamp", LongType), StructField("Value", DoubleType))))
+      .csv(csvPath)
+      .select(lit(name).as("name"),
+        typedLit(labels).as("labels"),
+        col("Timestamp").as("timestamp"), col("Value").as("value"))
+      .withColumn("bucket", col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
+      .write.mode(SaveMode.Append).partitionBy("name", "bucket").parquet(dataDir)
+  }
+
+  // ---- query ----
+
+  private def dataset(): DataFrame =
+    if (Files.exists(Paths.get(dataDir)))
+      spark.read.parquet(dataDir).drop("bucket")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+
+  def engine(): TsdbEngine =
+    new TsdbEngine(spark, dataset(), new StreamCatalog(streams()))
+
+  /** PromQL query over [startMs, endMs] — both required, as in the
+    * reference (planner.rs:196-205).
+    */
+  def query(promql: String, startMs: Long, endMs: Long): TsdbResult =
+    engine().query(promql, startMs, endMs)
+
+  /** CSV export of a vector query (tachyon_cli/src/main.rs:177-186). */
+  def exportCsv(promql: String, startMs: Long, endMs: Long, outPath: String): Unit = {
+    val res = query(promql, startMs, endMs)
+    require(!res.isScalar, "exportCsv expects a vector query")
+    res.output.orderBy("timestamp")
+      .select(col("timestamp").as("Timestamp"), col("value").as("Value"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(outPath)
+  }
+
+  /** Stream listing with per-stream sample counts + footer-stat summary —
+    * parity with the CLI's `parse-headers` (main.rs:139-145).
+    */
+  def describeStreams(): DataFrame =
+    dataset().groupBy("name", "labels")
+      .agg(count(lit(1)).as("n_samples"),
+        min("timestamp").as("min_ts"), max("timestamp").as("max_ts"),
+        min("value").as("min_value"), max("value").as("max_value"),
+        sum("value").as("value_sum"))
+}

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.tsdb.{GraftDb, VType}
+import graft.tsdb.TsdbFixtures.spark
+
+/** End-to-end specs for the embedded-DB facade, multimodal plumbing, and
+  * streaming ingestion.
+  */
+class LibrarySpec extends AnyFunSuite {
+
+  test("GraftDb create/insert/flush/query round-trip (lib.rs:1188-1193 scenario)") {
+    val dir = Files.createTempDirectory("graftdb").toString
+    val db = new GraftDb(spark, dir)
+    db.createStream("http_requests_total{service=\"web\"}", VType.U64)
+    db.createStream("http_requests_total{service=\"mobile\"}", VType.U64)
+    val ins = db.inserter("http_requests_total{service=\"web\"}")
+    Seq(23L -> 45d, 29L -> 47d, 40L -> 23d, 51L -> 48d)
+      .foreach { case (t, v) => ins.insert(t, v) }
+    ins.flush()
+    val ins2 = db.inserter("http_requests_total{service=\"mobile\"}")
+    ins2.insert(25L, 10d); ins2.flush()
+
+    val sum = db.query("sum(http_requests_total{service=\"web\"})", 23, 51)
+    assert(sum.output.collect().map(_.getLong(0)).toSeq == Seq(163L))
+
+    // duplicate stream creation rejected
+    intercept[IllegalArgumentException](
+      db.createStream("http_requests_total{service=\"web\"}", VType.U64))
+    // ambiguous inserter selector rejected (matches both streams)
+    intercept[IllegalArgumentException](db.inserter("http_requests_total"))
+
+    val desc = db.describeStreams().collect()
+    assert(desc.length == 2)
+    assert(desc.map(_.getAs[Long]("n_samples")).sum == 5)
+  }
+
+  test("GraftDb csv import + export round-trip") {
+    val dir = Files.createTempDirectory("graftcsv").toString
+    val csv = Files.createTempDirectory("csvin").resolve("s.csv")
+    Files.writeString(csv, "Timestamp,Value\n23,45\n29,47\n40,23\n51,48\n")
+    val db = new GraftDb(spark, dir)
+    db.createStream("imported", VType.U64)
+    db.importCsv("imported", csv.toString)
+    val res = db.query("imported", 0, 100)
+    assert(res.output.orderBy("timestamp").collect().map(_.getLong(1)).toSeq ==
+      Seq(45L, 47L, 23L, 48L))
+    val out = Files.createTempDirectory("csvout").toString + "/exp"
+    db.exportCsv("imported", 0, 100, out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 4)
+  }
+
+  test("multimodal: stub feature extraction is deterministic and distributed") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(
+      (1L, "abcdefghij"), (2L, "klmnopqrst"), (3L, "abcdefghij")))
+      .toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val media = Multimodal.asMedia(docs, "doc_id", "payload", "jpeg")
+    assert(media.schema.fieldNames.toSeq == Seq("id", "payload", "meta"))
+    val feats = Multimodal
+      .extractFeatures(media.as[Multimodal.MediaRow], dim = 8)
+      .collect().sortBy(_.id)
+    assert(feats.length == 3)
+    assert(feats.forall(_.features.length == 8))
+    // identical payloads → identical features; different → different
+    assert(feats(0).features.toSeq == feats(2).features.toSeq)
+    assert(feats(0).features.toSeq != feats(1).features.toSeq)
+    // repartitioning must not change results
+    val feats4 = Multimodal
+      .extractFeatures(media.repartition(4).as[Multimodal.MediaRow], dim = 8)
+      .collect().sortBy(_.id)
+    assert(feats4.map(_.features.toSeq).toSeq == feats.map(_.features.toSeq).toSeq)
+  }
+
+  test("multimodal: chunk sampling keeps every stride-th chunk") {
+    import spark.implicits._
+    val df = Seq((1L, "AAAABBBBCCCCDDDDEEEE")).toDF("id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val out = Multimodal.sampleChunks(df, "payload", chunkBytes = 4, stride = 2)
+      .select(transform(col("sampled_chunks"), c => decode(c, "UTF-8")).as("s"))
+      .head().getSeq[String](0)
+    assert(out == Seq("AAAA", "CCCC", "EEEE"))
+  }
+
+  test("streaming: windowed stats with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val raw = mem.toDF().toDF("name", "timestamp", "value")
+    val stats = graft.streaming.Ingest.windowedStats(raw,
+      windowMs = 1000, latenessMs = 500)
+    val q = stats.writeStream.format("memory")
+      .queryName("win_stats").outputMode("append").start()
+    try {
+      mem.addData(("m", 100L, 1d), ("m", 200L, 2d), ("m", 1100L, 10d))
+      q.processAllAvailable()
+      // watermark passes window [0,1000) once event-time reaches 1500
+      mem.addData(("m", 2000L, 5d))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats")
+        .orderBy("window_start").collect()
+      assert(rows.nonEmpty)
+      val first = rows.head
+      assert(first.getAs[Long]("window_start") == 0L)
+      assert(first.getAs[Long]("n") == 2L)
+      assert(first.getAs[Double]("value_sum") == 3d)
+    } finally q.stop()
+  }
+
+  test("streaming: append to partitioned store and read back") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest").toString
+    val mem = MemoryStream[(String, Long, Double)]
+    val series = graft.streaming.Ingest.toSeries(
+      mem.toDF().toDF("name", "timestamp", "value"), bucketMs = 1000)
+    val q = graft.streaming.Ingest
+      .appendToStore(series, s"$dir/data", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    mem.addData(("m", 100L, 1d), ("m", 1100L, 2d), ("n", 100L, 3d))
+    q.awaitTermination(60000)
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() == 3)
+    // partition pruning works on (name, bucket)
+    assert(back.where(col("name") === "m" && col("bucket") === 0L).count() == 1)
+  }
+}
