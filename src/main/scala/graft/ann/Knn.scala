@@ -3,13 +3,14 @@ package graft.ann
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Vector similarity primitives as pure column expressions (codegen'd —
-  * `zip_with`/`aggregate` higher-order functions, no UDFs).
+/** Vector similarity primitives backed by the native codegen
+  * `DotProduct` expression (graft.functions.VectorExpressions) — a
+  * primitive loop in whole-stage codegen, no per-row array allocation.
   */
 object Vectors {
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

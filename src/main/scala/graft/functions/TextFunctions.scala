@@ -25,13 +25,38 @@ object TextFunctions {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
-  /** MinHash signature: k independent permutation proxies, each the
-    * lexicographic min of md5(seed || shingle). md5 is bit-identical
-    * across engines, which makes signatures portable to the oracle.
+  /** 60-bit integer hash per shingle (first 15 md5 hex digits) —
+    * bit-identical across engines. All downstream set/sketch ops work on
+    * these longs: integer arrays shuffle and intersect far cheaper than
+    * the shingle strings.
+    *
+    * IMPORTANT for callers: materialize the result in its own column
+    * (`withColumn`) before fanning out into k signature expressions —
+    * Catalyst inlines non-materialized sub-expressions into every
+    * consumer, recomputing the md5 pass k times (a measured 4x
+    * regression at sf0.1).
     */
-  def minhashSig(shingles: Column, k: Int): Column =
+  def shingleHashes(shingles: Column): Column =
+    array_distinct(transform(shingles, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+
+  /** Affine-permutation MinHash constants: a_j bounded so a_j * h28 stays
+    * well inside Long (h28 < 2^28, a_j < 2^18). Shared with the DuckDB
+    * oracle SQL generators.
+    */
+  val MinhashPrime = 2147483647L
+  val Mask28 = 268435455L // 2^28 - 1
+  def minhashA(j: Int): Long = 100003L + 7919L * j
+  def minhashB(j: Int): Long = 40009L + 104729L * j
+
+  /** MinHash signature over pre-materialized shingle hashes: k affine
+    * permutations h_j = (a_j*(h & mask28) + b_j) mod p, min-reduced.
+    * One md5 pass total (in shingleHashes), then pure integer math.
+    */
+  def minhashSig(hashes: Column, k: Int): Column =
     array((0 until k).map { j =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s))))
+      array_min(transform(hashes, h =>
+        (h.bitwiseAND(Mask28) * minhashA(j) + minhashB(j)) % MinhashPrime))
     }: _*)
 
   /** LSH band keys: the signature split into `bands` equal rows-per-band
@@ -39,20 +64,20 @@ object TextFunctions {
     */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
-      md5(concat_ws("|", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
+      md5(concat_ws("|",
+        transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+          h => h.cast("string"))))
     }: _*)
 
-  /** A 32-bit SimHash over a shingle array: each shingle hashes to 32
-    * bits (first 8 md5 hex digits); bit i of the fingerprint is set when
-    * the sum of (+1/-1) votes at position i is >= 0.
+  /** A 32-bit SimHash over pre-materialized shingle hashes (see
+    * shingleHashes): bit i of the fingerprint is set when the sum of
+    * (+1/-1) votes from the shingle hashes' bit i is >= 0.
     */
-  def simhash32(shingles: Column): Column = {
-    val hashes = transform(shingles, s =>
-      conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+  def simhash32(hashes: Column): Column = {
     val bits = (0 until 32).map { i =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, i).bitwiseAND(1) * 2 - 1))
-      when(vote >= 0, lit(1L) * (1L << i)).otherwise(0L)
+      when(vote >= 0, lit(1L << i)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }

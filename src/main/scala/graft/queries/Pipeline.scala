@@ -67,18 +67,28 @@ object Pipeline {
     s"list_distinct(list_transform(range(1, greatest(len($toks) - 1, 1)), " +
       s"i -> array_to_string($toks[i:i+2], ' ')))"
 
-  private def minhashSigSql(shs: String, k: Int): String =
-    (0 until k).map(j =>
-      s"list_min(list_transform($shs, s -> md5('$j:' || s)))")
-      .mkString("[", ", ", "]")
+  /** Mirrors TextFunctions.shingleHashes: 60-bit int per shingle from
+    * the first 15 md5 hex digits, deduplicated.
+    */
+  private def hashesSql(shs: String): String =
+    s"list_distinct(list_transform($shs, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))"
 
-  private def simhashSql(shs: String): String = {
-    val hashes = s"list_transform($shs, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT))"
+  /** Mirrors TextFunctions.minhashSig: k affine permutations over the
+    * low 28 bits of the pre-materialized shingle hashes.
+    */
+  private def minhashSigSql(hs: String, k: Int): String = {
+    import graft.functions.TextFunctions.{minhashA, minhashB, Mask28, MinhashPrime}
+    (0 until k).map(j =>
+      s"list_min(list_transform($hs, h -> ((h & $Mask28) * ${minhashA(j)} + ${minhashB(j)}) % $MinhashPrime))")
+      .mkString("[", ", ", "]")
+  }
+
+  /** Mirrors TextFunctions.simhash32 over pre-materialized hashes. */
+  private def simhashSql(hs: String): String =
     (0 until 32).map { i =>
-      s"(CASE WHEN list_sum(list_transform($hashes, h -> ((h >> $i) & 1) * 2 - 1)) >= 0 " +
+      s"(CASE WHEN list_sum(list_transform($hs, h -> ((h >> $i) & 1) * 2 - 1)) >= 0 " +
         s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
-  }
 
   private val EnMarkers = Seq("the", "a", "and", "of", "to")
   private val DeMarkers = Seq("der", "die", "das", "und", "ist")
@@ -104,8 +114,12 @@ object Pipeline {
     },
 
     "dd03_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(corpusNear(s, dir), "doc_id", "text",
-          Seq("lang", "source"), maxHamming = 6)
+      // tok1 joins the block key: near-copies keep their first token, and
+      // the extra key cuts candidate pairs ~40x at sf0.1.
+      val withBlock = corpusNear(s, dir)
+        .withColumn("tok1", element_at(tokens(col("text")), 1))
+      Dedup.simhashPairs(withBlock, "doc_id", "text",
+          Seq("lang", "source", "tok1"), maxHamming = 6)
         .orderBy("id_a", "id_b")
     },
 
@@ -234,12 +248,12 @@ object Pipeline {
     "dd02_minhash_lsh" ->
       s"""WITH $CorpusNearSql,
          |tk AS (SELECT doc_id AS id, $ToksSql AS toks, text FROM corpus),
-         |sh AS (SELECT id, ${shinglesSql("toks")} AS shs FROM tk),
+         |sh AS (SELECT id, ${hashesSql(shinglesSql("toks"))} AS shs FROM tk),
          |sig AS (SELECT id, shs, ${minhashSigSql("shs", 16)} AS sig
          |        FROM sh WHERE len(shs) > 0),
          |banded AS (SELECT id, shs, b,
-         |    md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' ||
-         |        sig[b*4+3] || '|' || sig[b*4+4]) AS key
+         |    md5(sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR || '|' ||
+         |        sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR) AS key
          |  FROM sig CROSS JOIN range(0, 4) t(b)),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key
@@ -255,12 +269,14 @@ object Pipeline {
     "dd03_simhash" ->
       s"""WITH $CorpusNearSql,
          |tk AS (SELECT doc_id AS id, lang, source, $ToksSql AS toks FROM corpus),
-         |sh AS (SELECT id, lang, source, ${shinglesSql("toks")} AS shs FROM tk),
-         |fp AS (SELECT id, lang, source, ${simhashSql("shs")} AS fp FROM sh
+         |sh AS (SELECT id, lang, source, toks[1] AS tok1,
+         |       ${hashesSql(shinglesSql("toks"))} AS shs FROM tk),
+         |fp AS (SELECT id, lang, source, tok1, ${simhashSql("shs")} AS fp FROM sh
          |       WHERE len(shs) > 0)
          |SELECT a.id AS id_a, b.id AS id_b,
          |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
          |FROM fp a JOIN fp b ON a.lang = b.lang AND a.source = b.source
+         |  AND a.tok1 = b.tok1
          |WHERE a.id < b.id AND bit_count(xor(a.fp, b.fp)) <= 6
          |ORDER BY id_a, id_b""".stripMargin,
 
@@ -268,13 +284,14 @@ object Pipeline {
       s"""WITH $CorpusNearSql,
          |tk AS (SELECT doc_id AS id, lang, source, $ToksSql AS toks FROM corpus),
          |sh AS (SELECT id, lang, source, toks[1] AS tok1,
-         |       ${shinglesSql("toks")} AS shs FROM tk),
+         |       ${hashesSql(shinglesSql("toks"))} AS shs FROM tk),
          |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
          |    len(list_intersect(a.shs, b.shs))::DOUBLE /
          |    len(list_distinct(list_concat(a.shs, b.shs))) AS jac
          |  FROM sh a JOIN sh b
          |    ON a.lang = b.lang AND a.source = b.source AND a.tok1 = b.tok1
-         |  WHERE a.id < b.id AND len(a.shs) > 0 AND len(b.shs) > 0)
+         |  WHERE a.id < b.id AND len(a.shs) > 0 AND len(b.shs) > 0
+         |    AND len(a.shs) >= len(b.shs) * 0.5 AND len(b.shs) >= len(a.shs) * 0.5)
          |SELECT id_a, id_b, ROUND(jac, 6) AS jac FROM pairs
          |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 

