@@ -238,6 +238,116 @@ object Relational {
         .orderBy($"o_custkey")
     },
 
+    // Date functions: month truncation + extraction.
+    "q20_datetrunc" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "orders")
+        .groupBy(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"), r2(sum($"o_totalprice")).as("revenue"))
+        .orderBy($"month")
+    },
+
+    // String function battery: replace/pad/trim/split_part/reverse.
+    "q21_strings" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "part")
+        .select(
+          $"p_partkey",
+          regexp_replace($"p_name", "[aeiou]", "").as("consonants"),
+          lpad($"p_brand", 12, "_").as("padded"),
+          split_part($"p_type", lit(" "), lit(1)).as("type1"),
+          reverse($"p_brand").as("rev"),
+          lower($"p_type").as("lo"))
+        .orderBy($"p_partkey")
+    },
+
+    // Analytic window: lag — price delta between consecutive orders.
+    "q22_lag" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      table(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          r2($"o_totalprice" - lag($"o_totalprice", 1).over(w)).as("delta"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // Analytic window: first/last value over a running frame.
+    "q23_first_last" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "lineitem")
+        .where($"l_suppkey" <= 2)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          r2(first($"l_extendedprice").over(w)).as("first_price"),
+          r2(last($"l_extendedprice").over(w)).as("running_last"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+
+    // Ranking windows: ntile + percent_rank with a total order.
+    "q24_ntile" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+      table(s, dir, "orders")
+        .select($"o_orderkey",
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 9).as("prank"))
+        .orderBy($"o_orderkey")
+    },
+
+    // Sessionization (gaps-and-islands): 30-minute inactivity gap per
+    // user over the events stream — lag + cumulative flag sum.
+    "q25_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      val ev = table(s, dir, "events")
+        .select($"user_id", expr("ts div 1000000").as("t"))
+      val byUser = Window.partitionBy($"user_id").orderBy($"t")
+      val sess = ev
+        .withColumn("gap",
+          when(lag($"t", 1).over(byUser).isNull, 1)
+            .when($"t" - lag($"t", 1).over(byUser) > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum($"gap").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy($"user_id")
+        .agg(max($"session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+
+    // JSON extraction from the events props column.
+    "q26_json" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "events")
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), r6(avg($"k")).as("avg_k"))
+        .orderBy($"event_type")
+    },
+
+    // Exact percentiles (linear interpolation) per group.
+    "q27_percentile" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          r6(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+          r6(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Statistical aggregates: stddev / correlation.
+    "q28_stats" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .groupBy($"l_linestatus")
+        .agg(
+          r6(stddev_samp($"l_quantity")).as("sd_qty"),
+          r6(corr($"l_quantity", $"l_extendedprice")).as("corr_qp"))
+        .orderBy($"l_linestatus")
+    },
+
     // Join + window combined: each order's price rank within its customer.
     "q19_join_window" -> { (s, dir) =>
       import s.implicits._
@@ -377,6 +487,74 @@ object Relational {
         |  ROUND(SUM(o_totalprice), 2) AS spend
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
         |ORDER BY o_custkey""".stripMargin,
+
+    "q20_datetrunc" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q21_strings" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+        |  lpad(p_brand, 12, '_') AS padded,
+        |  split_part(p_type, ' ', 1) AS type1,
+        |  reverse(p_brand) AS rev,
+        |  lower(p_type) AS lo
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q22_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(o_totalprice - LAG(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q23_first_last" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  ROUND(FIRST_VALUE(l_extendedprice) OVER w, 2) AS first_price,
+        |  ROUND(LAST_VALUE(l_extendedprice) OVER w, 2) AS running_last
+        |FROM lineitem WHERE l_suppkey <= 2
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q24_ntile" ->
+      """SELECT o_orderkey,
+        |  NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 9) AS prank
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q25_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts)//1000000 AS t FROM events),
+        |flagged AS (SELECT user_id, t,
+        |  CASE WHEN LAG(t, 1) OVER (PARTITION BY user_id ORDER BY t) IS NULL THEN 1
+        |       WHEN t - LAG(t, 1) OVER (PARTITION BY user_id ORDER BY t) > 1800000 THEN 1
+        |       ELSE 0 END AS gap
+        |  FROM ev),
+        |sess AS (SELECT user_id,
+        |  SUM(gap) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q26_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q27_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q28_stats" ->
+      """SELECT l_linestatus,
+        |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q19_join_window" ->
       """SELECT c_custkey, c_name, o_orderkey, best_price FROM (

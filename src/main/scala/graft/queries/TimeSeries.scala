@@ -87,7 +87,23 @@ object TimeSeries {
     "ts14_div_scalar_sub" -> q("purchase / sum(purchase)", roundTo = 9) _,
     "ts15_s2s" -> q("sum(purchase) / count(purchase)", roundTo = 6) _,
     "ts16_at_offset" -> q("sum(purchase @ 1704499200 offset 30m)", roundTo = 6) _,
-    "ts17_align_interp" -> q("click + view", roundTo = 6, dedup = true) _
+    "ts17_align_interp" -> q("click + view", roundTo = 6, dedup = true) _,
+
+    // Aggregate-from-statistics (tachyon ScanHint, SURVEY §4 #1): covered
+    // buckets answer from the stats table, boundary buckets from rows.
+    // The oracle recomputes the same aggregates directly from raw rows —
+    // equality proves the covered/boundary decomposition.
+    "ts18_stats_agg" -> { (s, dir) =>
+      val data = eventsLong(s, dir)
+      val bucketMs = 3600 * 1000L
+      val stats = graft.tsdb.StatsAggregate.buildStats(data, bucketMs)
+      // deliberately bucket-unaligned bounds: both boundary paths run
+      graft.tsdb.StatsAggregate
+        .aggregate(data, stats, "purchase", SubStart + 1800000L, SubEnd - 1800001L, bucketMs)
+        .select(col("n"), round(col("value_sum"), 6).as("value_sum"),
+          col("min_value"), col("max_value"),
+          round(col("avg_value"), 6).as("avg_value"))
+    }
   )
 
   val oracle: Map[String, String] = Map(
@@ -161,6 +177,13 @@ object TimeSeries {
       s"""SELECT ROUND(SUM(v), 6) AS value FROM ${ev("event_type = 'purchase'")}
          |WHERE t >= ${1704499200000L + 30 * 60000L} AND t <= $SubEnd
          |HAVING SUM(v) IS NOT NULL""".stripMargin,
+
+    "ts18_stats_agg" ->
+      s"""SELECT COUNT(*) AS n, ROUND(SUM(v), 6) AS value_sum,
+         |  MIN(v) AS min_value, MAX(v) AS max_value,
+         |  ROUND(SUM(v) / COUNT(*), 6) AS avg_value
+         |FROM ${ev("event_type = 'purchase'")}
+         |WHERE t >= ${SubStart + 1800000L} AND t <= ${SubEnd - 1800001L}""".stripMargin,
 
     "ts17_align_interp" ->
       s"""WITH a AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'click'")}

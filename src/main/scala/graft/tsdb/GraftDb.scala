@@ -162,6 +162,21 @@ final class GraftDb(
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(outPath)
   }
 
+  /** Rebuild the per-(name,bucket) statistics table (the analogue of the
+    * reference's `.ty` file headers, storage/file.rs:15-36). Incremental
+    * maintenance belongs to the streaming path (Ingest.windowedStats).
+    */
+  def refreshStats(): Unit =
+    StatsAggregate.buildStats(dataset(), bucketMs)
+      .write.mode(SaveMode.Overwrite).parquet(s"$rootDir/stats")
+
+  /** Whole-range sum/count/min/max/avg served from the stats table for
+    * covered buckets — tachyon's ScanHint pushdown (SURVEY §4 #1).
+    */
+  def fastAggregate(name: String, startMs: Long, endMs: Long): DataFrame =
+    StatsAggregate.aggregate(dataset(), spark.read.parquet(s"$rootDir/stats"),
+      name, startMs, endMs, bucketMs)
+
   /** Stream listing with per-stream sample counts + footer-stat summary —
     * parity with the CLI's `parse-headers` (main.rs:139-145).
     */

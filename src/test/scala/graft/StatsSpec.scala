@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tsdb.{StatsAggregate, TsdbFixtures}
+import graft.tsdb.TsdbFixtures.spark
+
+/** Stats-pushdown equivalence: aggregate-from-stats must equal the plain
+  * row-scan aggregate on every query range — the Spark port of the
+  * reference's scan-hint-vs-row-scan tests
+  * (tachyon_core/src/storage/file.rs:941-1046).
+  */
+class StatsSpec extends AnyFunSuite {
+
+  private val bucketMs = 10L
+  // 30 samples at ts 0..29, values = ts * 2 (+ a second stream as noise)
+  private val data = TsdbFixtures.longDf(
+    (0L until 30L).map(t => ("m", Map.empty[String, String], t, t * 2.0)) ++
+      (0L until 30L).map(t => ("other", Map.empty[String, String], t, 999.0)))
+  private val stats = StatsAggregate.buildStats(data, bucketMs)
+
+  private def direct(startMs: Long, endMs: Long): (Long, Double, Double, Double) = {
+    val rows = (startMs to endMs).filter(t => t >= 0 && t < 30).map(_ * 2.0)
+    (rows.size.toLong, rows.sum, rows.min, rows.max)
+  }
+
+  private def viaStats(startMs: Long, endMs: Long): Row =
+    StatsAggregate.aggregate(data, stats, "m", startMs, endMs, bucketMs).head()
+
+  // ranges mirroring file.rs:941-1046: full, partial head/tail, single
+  // bucket, bucket-aligned, unaligned both ends
+  for ((s, e) <- Seq((0L, 29L), (5L, 28L), (0L, 9L), (2L, 9L), (10L, 19L),
+      (3L, 27L), (9L, 10L), (0L, 100L))) {
+    test(s"stats aggregate equals row scan on [$s,$e]") {
+      val (n, sum, mn, mx) = direct(s, e)
+      val r = viaStats(s, e)
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("value_sum") - sum) < 1e-9)
+      assert(r.getAs[Double]("min_value") == mn)
+      assert(r.getAs[Double]("max_value") == mx)
+      assert(math.abs(r.getAs[Double]("avg_value") - sum / n) < 1e-9)
+    }
+  }
+
+  test("graft_dot reaches SQL through the function registry") {
+    // getOrCreate would return the shared fixture session (extensions are
+    // bound at session build), so register into the live registry the
+    // same way GraftExtensions does.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
+      "built-in")
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 32.0)
+    // the extensions class itself builds its injection list cleanly
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
