@@ -103,6 +103,42 @@ object TimeSeries {
         .select(col("n"), round(col("value_sum"), 6).as("value_sum"),
           col("min_value"), col("max_value"),
           round(col("avg_value"), 6).as("avg_value"))
+    },
+
+    // As-of join: each purchase paired with the user's most recent click
+    // at or before it (union + ordered window, not a range join).
+    "ts19_asof_join" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000").as("t"),
+          col("value"), col("event_type"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "t").agg(avg("value").as("click_value"))
+      graft.operators.AsOfJoin
+        .backward(purchases, clicks, "user_id", "t", "click_value")
+        .select(col("user_id"), col("t").as("timestamp"), col("value"),
+          col("asof_click_value").as("last_click"))
+        .orderBy("user_id", "timestamp")
+    },
+
+    // Time-bucket downsampling to 6h resolution.
+    "ts20_downsample" -> { (s, dir) =>
+      graft.operators.Downsample(
+        eventsLong(s, dir).where(col("name") === "view"), 6 * 3600 * 1000L)
+        .select(col("name"), col("bucket"), col("n"),
+          round(col("avg_value"), 6).as("avg_value"),
+          col("min_value"), col("max_value"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("bucket")
+    },
+
+    // Grouped aggregate extension: sum of clicks by user label.
+    "ts21_agg_by" -> { (s, dir) =>
+      engine(s, dir)
+        .aggregateBy("click", graft.tsdb.Expr.AggSum, "user", SubStart, SubEnd)
+        .select(col("group"), round(col("value"), 6).as("value"))
+        .orderBy(col("group").cast("long"))
     }
   )
 
@@ -184,6 +220,30 @@ object TimeSeries {
          |  ROUND(SUM(v) / COUNT(*), 6) AS avg_value
          |FROM ${ev("event_type = 'purchase'")}
          |WHERE t >= ${SubStart + 1800000L} AND t <= ${SubEnd - 1800001L}""".stripMargin,
+
+    "ts19_asof_join" ->
+      s"""WITH p AS (SELECT user_id, epoch_ns(ts)//1000000 AS t, value
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, epoch_ns(ts)//1000000 AS t, AVG(value) AS click_value
+         |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT p.user_id, p.t AS timestamp, p.value, c.click_value AS last_click
+         |FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND p.t >= c.t
+         |ORDER BY p.user_id, timestamp""".stripMargin,
+
+    "ts20_downsample" ->
+      s"""SELECT 'view' AS name, t - (t % ${6 * 3600 * 1000L}) AS bucket,
+         |  COUNT(*) AS n, ROUND(AVG(v), 6) AS avg_value,
+         |  MIN(v) AS min_value, MAX(v) AS max_value,
+         |  ROUND(SUM(v), 6) AS sum_value
+         |FROM ${ev("event_type = 'view'")}
+         |GROUP BY 2 ORDER BY bucket""".stripMargin,
+
+    "ts21_agg_by" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS "group", ROUND(SUM(v), 6) AS value
+         |FROM (SELECT user_id, epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'click')
+         |WHERE ${sub()} GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ts17_align_interp" ->
       s"""WITH a AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'click'")}

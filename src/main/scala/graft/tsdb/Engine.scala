@@ -97,6 +97,32 @@ final class TsdbEngine(
       binary(kind, l, r)
   }
 
+  /** Grouped aggregates — the `sum by (label)` extension the reference
+    * parses but ignores (SURVEY §2 row 7): per-label-value whole-range
+    * aggregation over a selector. Returns (group, value) rows.
+    */
+  def aggregateBy(selector: String, kind: AggKind, labelKey: String,
+      startMs: Long, endMs: Long): DataFrame = {
+    val sel = PromParser.parse(selector) match {
+      case s: Selector => s
+      case other => throw new IllegalArgumentException(s"not a selector: $other")
+    }
+    val matcherFilter = sel.matchers.foldLeft(col("name") === sel.name) {
+      (acc, m) => acc && element_at(col("labels"), m.label) === m.value
+    }
+    val rows = data
+      .where(matcherFilter && col("timestamp") >= startMs && col("timestamp") <= endMs)
+      .select(element_at(col("labels"), labelKey).as("group"), col("value"))
+    val aggCol = kind match {
+      case AggSum => sum(col("value"))
+      case AggCount => count(lit(1)).cast("double")
+      case AggAvg => avg(col("value"))
+      case AggMin => min(col("value"))
+      case AggMax => max(col("value"))
+    }
+    rows.groupBy("group").agg(aggCol.as("value"))
+  }
+
   /** VectorSelectNode: label+name equality, [start,end] range; streams
     * concatenate (vector_select.rs:78-105). Ordered (stream, timestamp).
     */
