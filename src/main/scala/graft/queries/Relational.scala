@@ -26,6 +26,13 @@ object Relational {
   private def r2(c: Column): Column = round(c, 2)
   private def r6(c: Column): Column = round(c, 6)
 
+  /** TIMESTAMP_NTZ literal (the testdata timestamps are tz-less): a
+    * string literal would force a cast onto the column and defeat parquet
+    * filter pushdown.
+    */
+  private def ntz(date: String): Column =
+    lit(java.time.LocalDate.parse(date).atStartOfDay())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: full-scan group-by aggregate; Catalyst plans
     // partial+final HashAggregate, no extra shuffle beyond the group-by.
@@ -48,7 +55,7 @@ object Relational {
     "q2_filter_agg" -> { (s, dir) =>
       import s.implicits._
       table(s, dir, "lineitem")
-        .where($"l_shipdate" >= lit("1995-01-01") && $"l_shipdate" < lit("1997-01-01")
+        .where($"l_shipdate" >= ntz("1995-01-01") && $"l_shipdate" < ntz("1997-01-01")
           && $"l_discount" > 0.05 && $"l_quantity" < 24)
         .agg(r2(sum($"l_extendedprice" * $"l_discount")).as("revenue"))
     },
@@ -57,8 +64,8 @@ object Relational {
     "q3_join_topk" -> { (s, dir) =>
       import s.implicits._
       val c = table(s, dir, "customer").where($"c_mktsegment" === "BUILDING")
-      val o = table(s, dir, "orders").where($"o_orderdate" < lit("1995-03-15"))
-      val l = table(s, dir, "lineitem").where($"l_shipdate" > lit("1995-03-15"))
+      val o = table(s, dir, "orders").where($"o_orderdate" < ntz("1995-03-15"))
+      val l = table(s, dir, "lineitem").where($"l_shipdate" > ntz("1995-03-15"))
       l.join(o, $"l_orderkey" === $"o_orderkey")
         .join(c, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate")
