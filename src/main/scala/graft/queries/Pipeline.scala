@@ -228,6 +228,16 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Corpus-wide bigram frequency (raw counts — shingles NOT deduped).
+    "tx05_top_bigrams" -> { (s, dir) =>
+      docs(s, dir)
+        .select(explode(wordShingles(tokens(col("text")), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    },
+
     "mm02_framesample" -> { (s, dir) =>
       val sample = array_join(
         transform(sequence(lit(1), length(col("text")), lit(7)),
@@ -375,6 +385,13 @@ object Pipeline {
          |SELECT doc_id,
          |  COALESCE(list_min(list_transform(shs, x -> md5(x))), md5(text)) AS fp
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "tx05_top_bigrams" ->
+      s"""WITH t AS (SELECT $ToksSql AS toks FROM documents),
+         |b AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+         |        i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM t)
+         |SELECT bigram, COUNT(*) AS n FROM b
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
 
     "mm01_meta" ->
       """SELECT doc_id,

@@ -139,6 +139,34 @@ object TimeSeries {
         .aggregateBy("click", graft.tsdb.Expr.AggSum, "user", SubStart, SubEnd)
         .select(col("group"), round(col("value"), 6).as("value"))
         .orderBy(col("group").cast("long"))
+    },
+
+    // Per-bucket counter rate/delta (beyond-parity: reference rejects
+    // rate(); min_by/max_by endpoints, no window).
+    "ts22_rate" -> { (s, dir) =>
+      graft.operators.Rate(
+        eventsLong(s, dir).where(col("name") === "purchase"), 6 * 3600 * 1000L)
+        .select(col("name"), col("bucket"),
+          round(col("delta"), 6).as("delta"),
+          round(col("rate_per_sec"), 9).as("rate_per_sec"))
+        .orderBy("bucket")
+    },
+
+    // Funnel: users with a signup whose first purchase follows it.
+    "ts23_funnel" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000").as("t"), col("event_type"))
+      val signups = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("t").as("s"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("t").as("pt"))
+      val converted = signups
+        .join(purchases, col("user_id") === col("pu") && col("pt") > col("s"), "left_semi")
+      val nSignup = signups.agg(count(lit(1)).as("n_signup"))
+      val nConv = converted.agg(count(lit(1)).as("n_converted"))
+      nSignup.crossJoin(nConv)
+        .select(col("n_signup"), col("n_converted"),
+          round(col("n_converted").cast("double") / col("n_signup"), 6).as("conversion"))
     }
   )
 
@@ -244,6 +272,26 @@ object TimeSeries {
          |FROM (SELECT user_id, epoch_ns(ts)//1000000 AS t, value AS v
          |      FROM events WHERE event_type = 'click')
          |WHERE ${sub()} GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts22_rate" ->
+      s"""SELECT 'purchase' AS name, t - (t % ${6 * 3600 * 1000L}) AS bucket,
+         |  ROUND(arg_max(v, t) - arg_min(v, t), 6) AS delta,
+         |  ROUND(CASE WHEN MAX(t) > MIN(t)
+         |    THEN (arg_max(v, t) - arg_min(v, t)) / ((MAX(t) - MIN(t)) / 1000.0)
+         |    ELSE 0 END, 9) AS rate_per_sec
+         |FROM ${ev("event_type = 'purchase'")}
+         |GROUP BY 2 ORDER BY bucket""".stripMargin,
+
+    "ts23_funnel" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS t, event_type FROM events),
+         |u AS (SELECT user_id, MIN(t) AS s FROM e WHERE event_type = 'signup' GROUP BY 1),
+         |c AS (SELECT u.user_id FROM u WHERE EXISTS (
+         |  SELECT 1 FROM e WHERE e.user_id = u.user_id
+         |    AND e.event_type = 'purchase' AND e.t > u.s))
+         |SELECT (SELECT COUNT(*) FROM u) AS n_signup,
+         |       (SELECT COUNT(*) FROM c) AS n_converted,
+         |       ROUND((SELECT COUNT(*) FROM c)::DOUBLE /
+         |             (SELECT COUNT(*) FROM u), 6) AS conversion""".stripMargin,
 
     "ts17_align_interp" ->
       s"""WITH a AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'click'")}

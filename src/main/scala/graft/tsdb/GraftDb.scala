@@ -162,6 +162,25 @@ final class GraftDb(
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(outPath)
   }
 
+  /** Query result as a JSON string — parity with the HTTP endpoint's
+    * response shape (tachyon_web_backend/src/main.rs:44-51: an array of
+    * (timestamp,value) for vectors, bare values for scalars).
+    */
+  def queryJson(promql: String, startMs: Long, endMs: Long): String = {
+    val res = query(promql, startMs, endMs)
+    def jsNum(v: Any): String = v match {
+      case d: java.lang.Double => if (d == d.longValue().toDouble) d.longValue().toString else d.toString
+      case other => other.toString
+    }
+    if (res.isScalar) {
+      res.output.collect().map(r => jsNum(r.get(0))).mkString("[", ",", "]")
+    } else {
+      res.output.orderBy("timestamp").collect()
+        .map(r => s"""{"timestamp":${r.getLong(0)},"value":${jsNum(r.get(1))}}""")
+        .mkString("[", ",", "]")
+    }
+  }
+
   /** Rebuild the per-(name,bucket) statistics table (the analogue of the
     * reference's `.ty` file headers, storage/file.rs:15-36). Incremental
     * maintenance belongs to the streaming path (Ingest.windowedStats).

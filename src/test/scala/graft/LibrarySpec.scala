@@ -90,6 +90,41 @@ class LibrarySpec extends AnyFunSuite {
     assert(out == Seq("AAAA", "CCCC", "EEEE"))
   }
 
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c"), (1L, "d")).toDF("k", "lv")
+    val right = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "rv")
+    val plain = left.join(right, "k").select("k", "lv", "rv")
+      .collect().map(_.toSeq).toSet
+    val salted = graft.operators.SaltedJoin.inner(left, right, "k")
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("rate/delta per bucket") {
+    import spark.implicits._
+    val data = Seq(("m", 0L, 10.0), ("m", 2000L, 16.0), ("m", 9000L, 30.0),
+      ("m", 10000L, 5.0), ("m", 12000L, 7.0))
+      .toDF("name", "timestamp", "value")
+    val r = graft.operators.Rate(data, 10000L).orderBy("bucket").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Double]("delta") == 20.0)          // 30 - 10 over 9s
+    assert(math.abs(r(0).getAs[Double]("rate_per_sec") - 20.0 / 9.0) < 1e-9)
+    assert(r(1).getAs[Double]("delta") == 2.0)           // 7 - 5 over 2s
+    assert(r(1).getAs[Double]("rate_per_sec") == 1.0)
+  }
+
+  test("queryJson matches the web-backend response shape") {
+    val dir = Files.createTempDirectory("graftjson").toString
+    val db = new GraftDb(spark, dir)
+    db.createStream("m", VType.U64)
+    val ins = db.inserter("m")
+    ins.insert(10L, 4d); ins.insert(20L, 6d); ins.flush()
+    assert(db.queryJson("m", 0, 100) ==
+      """[{"timestamp":10,"value":4},{"timestamp":20,"value":6}]""")
+    assert(db.queryJson("sum(m)", 0, 100) == "[10]")
+  }
+
   test("streaming: windowed stats with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
