@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions._
 
@@ -20,6 +21,13 @@ import graft.functions.TextFunctions._
   * candidate join keyed on band/block buckets, whose cardinality is data
   * (near-dup) bound, not corpus^2 bound. Skewed buckets (e.g. boilerplate
   * shingles) are AQE-skew-join split.
+  *
+  * Self-joined intermediates (the shingle-hash pass) persist at
+  * MEMORY_AND_DISK: Spark's exchange reuse does not deduplicate the two
+  * sides of a self-join here (the build side broadcasts, the streamed
+  * side has no exchange), so without a persist the md5 pass runs once
+  * per side — measured ~2x at sf0.1. Same pattern Spark MLlib uses for
+  * reused training intermediates; spills to executor disk at scale.
   */
 object Dedup {
 
@@ -51,6 +59,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         shingleHashes(wordShingles(tokens(col(textCol)), nGram)).as("hs"))
       .where(size(col("hs")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val exploded = base.select(col("id"), explode(col("hs")).as("h"))
     val sigCols = (0 until k).map { j =>
       min((col("h").bitwiseAND(Mask28) * minhashA(j) + minhashB(j)) % MinhashPrime)
@@ -73,7 +82,7 @@ object Dedup {
       .join(base.select(col("id").as("id_a"), col("hs").as("shs_a")), "id_a" :: Nil)
       .join(base.select(col("id").as("id_b"), col("hs").as("shs_b")), "id_b" :: Nil)
       .select(col("id_a"), col("id_b"),
-        jaccard(col("shs_a"), col("shs_b")).as("jac"))
+        jaccardSorted(col("shs_a"), col("shs_b")).as("jac"))
       .where(col("jac") >= threshold)
   }
 
@@ -92,6 +101,7 @@ object Dedup {
         struct(blockCols.map(col): _*).as("blk"),
         shingleHashes(wordShingles(tokens(col(textCol)), nGram)).as("hs"))
       .where(size(col("hs")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val voteCols = (0 until 32).map { i =>
       sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"v$i")
     }
@@ -102,6 +112,7 @@ object Dedup {
       .reduce(_ + _)
     val fp = votes.select(col("id"), fpExpr.as("fp"))
       .join(base.select(col("id"), col("blk")), "id" :: Nil)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = fp.select(col("blk"), col("id").as("id_a"), col("fp").as("fp_a"))
     val r = fp.select(col("blk"), col("id").as("id_b"), col("fp").as("fp_b"))
     l.join(r, "blk" :: Nil)
@@ -121,6 +132,7 @@ object Dedup {
       struct(blockCols.map(col): _*).as("blk"),
       shingleHashes(wordShingles(tokens(col(textCol)), nGram)).as("shs"))
       .where(size(col("shs")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = sh.select(col("blk"), col("id").as("id_a"), col("shs").as("shs_a"))
     val r = sh.select(col("blk"), col("id").as("id_b"), col("shs").as("shs_b"))
     // Size-ratio prefilter: jac >= t implies min(|A|,|B|)/max(|A|,|B|) >= t,
@@ -131,7 +143,7 @@ object Dedup {
         size(col("shs_a")).cast("double") >= size(col("shs_b")) * threshold &&
         size(col("shs_b")).cast("double") >= size(col("shs_a")) * threshold)
       .select(col("id_a"), col("id_b"),
-        jaccard(col("shs_a"), col("shs_b")).as("jac"))
+        jaccardSorted(col("shs_a"), col("shs_b")).as("jac"))
       .where(col("jac") >= threshold)
   }
 

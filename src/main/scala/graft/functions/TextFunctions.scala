@@ -37,8 +37,8 @@ object TextFunctions {
     * regression at sf0.1).
     */
   def shingleHashes(shingles: Column): Column =
-    array_distinct(transform(shingles, s =>
-      conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+    array_sort(array_distinct(transform(shingles, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
 
   /** Affine-permutation MinHash constants: a_j bounded so a_j * h28 stays
     * well inside Long (h28 < 2^28, a_j < 2^18). Shared with the DuckDB
@@ -86,6 +86,15 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** Set-Jaccard of two SORTED distinct long arrays (shingleHashes
+    * output): one merge-count, |A∪B| derived as |A|+|B|-|A∩B| — no hash
+    * sets, no second pass.
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = VectorExpressions.sortedIntersectCount(a, b).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
 
   /** Marker-word count: how many tokens are in `words`. Language-ID
     * heuristic building block (exact token membership — regex-free, so

@@ -57,8 +57,67 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Merge-count of common elements between two SORTED distinct LONG
+  * arrays. The built-in `array_intersect` materializes a hash set per
+  * call; for the near-dup verification joins (millions of pairs x
+  * ~300-element arrays) the two-pointer merge is several times cheaper
+  * and allocation-free. Callers must sort upstream (one array_sort per
+  * document vs. a hash set per pair).
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { cnt += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; int $cnt = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $cnt++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper for DotProduct. */
   def dot(a: Column, b: Column): Column =
     ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column wrapper for SortedLongIntersectCount. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnShim.column(SortedLongIntersectCount(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
 }
