@@ -85,6 +85,13 @@ final class GraftDb(
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
+  /** Stream deletion — unimplemented in the reference too
+    * (lib.rs:458-473 is an explicit todo stub); kept for API parity.
+    */
+  def deleteStream(selector: String): Unit =
+    throw new UnsupportedOperationException(
+      "deleteStream is a stub, mirroring the reference (lib.rs:458-473)")
+
   // ---- ingestion ----
 
   /** Buffered single-stream writer (lib.rs:513-554). Appends are
