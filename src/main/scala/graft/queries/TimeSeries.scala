@@ -167,6 +167,22 @@ object TimeSeries {
       nSignup.crossJoin(nConv)
         .select(col("n_signup"), col("n_converted"),
           round(col("n_converted").cast("double") / col("n_signup"), 6).as("conversion"))
+    },
+
+    // The 100 TB align path: bucket-partitioned interpolation windows
+    // with boundary-carry summaries. Checked against the SAME oracle as
+    // ts17 — the two implementations must agree with DuckDB's window SQL.
+    "ts24_align_bucketed" -> { (s, dir) =>
+      def series(name: String) = eventsLong(s, dir)
+        .where(col("name") === name &&
+          col("timestamp") >= SubStart && col("timestamp") <= SubEnd)
+        .groupBy("timestamp").agg(avg("value").as("value"))
+      val aligned = graft.tsdb.Align.interpolatedBucketed(
+        series("click"), series("view"), roundInterpolated = false,
+        bucketMs = 6 * 3600 * 1000L)
+      aligned.select(col("timestamp"),
+        round(col("lv") + col("rv"), 6).as("value"))
+        .orderBy("timestamp")
     }
   )
 
@@ -292,6 +308,34 @@ object TimeSeries {
          |       (SELECT COUNT(*) FROM c) AS n_converted,
          |       ROUND((SELECT COUNT(*) FROM c)::DOUBLE /
          |             (SELECT COUNT(*) FROM u), 6) AS conversion""".stripMargin,
+
+    "ts24_align_bucketed" ->
+      s"""WITH a AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'click'")}
+         |           WHERE ${sub()} GROUP BY t),
+         |b AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'view'")}
+         |      WHERE ${sub()} GROUP BY t),
+         |u AS (SELECT COALESCE(a.t, b.t) AS t, a.v AS av, b.v AS bv
+         |      FROM a FULL OUTER JOIN b ON a.t = b.t),
+         |w AS (SELECT t, av, bv,
+         |  last_value(av IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pav,
+         |  last_value(CASE WHEN av IS NOT NULL THEN t END IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pat,
+         |  first_value(av IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nav,
+         |  first_value(CASE WHEN av IS NOT NULL THEN t END IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nat,
+         |  last_value(bv IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pbv,
+         |  last_value(CASE WHEN bv IS NOT NULL THEN t END IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pbt,
+         |  first_value(bv IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nbv,
+         |  first_value(CASE WHEN bv IS NOT NULL THEN t END IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nbt
+         |  FROM u)
+         |SELECT t AS timestamp, ROUND(
+         |  (CASE WHEN av IS NOT NULL THEN av
+         |        WHEN pav IS NULL THEN nav
+         |        WHEN nav IS NULL THEN pav
+         |        ELSE pav + (nav - pav) * (t - pat) / (nat - pat) END) +
+         |  (CASE WHEN bv IS NOT NULL THEN bv
+         |        WHEN pbv IS NULL THEN nbv
+         |        WHEN nbv IS NULL THEN pbv
+         |        ELSE pbv + (nbv - pbv) * (t - pbt) / (nbt - pbt) END), 6) AS value
+         |FROM w ORDER BY timestamp""".stripMargin,
 
     "ts17_align_interp" ->
       s"""WITH a AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'click'")}

@@ -77,4 +77,90 @@ object Align {
       side("lv_raw", "plv", "plt", "nlv", "nlt", "lv"),
       side("rv_raw", "prv", "prt", "nrv", "nrt", "rv"))
   }
+
+  /** Scale path: identical semantics to `interpolated`, but all row-level
+    * windows are PARTITIONED BY time bucket, so the align parallelizes
+    * across the cluster. Cross-bucket neighbor visibility comes from a
+    * per-bucket summary (one row per bucket — first/last non-null value
+    * and timestamp per side) whose cumulative carry is computed with a
+    * window over that tiny table and broadcast-joined back. The only
+    * global-order work is over #buckets rows, not #samples.
+    */
+  def interpolatedBucketed(
+      l: DataFrame, r: DataFrame, roundInterpolated: Boolean,
+      bucketMs: Long): DataFrame = {
+    val lv = l.select(col("timestamp"), col("value").as("lv_raw"))
+    val rv = r.select(col("timestamp"), col("value").as("rv_raw"))
+    val joined = lv.join(rv, Seq("timestamp"), "full_outer")
+      .withColumn("bucket", col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
+
+    // Per-bucket, per-side boundary summary.
+    def lastNonNull(c: String, t: String) = Seq(
+      max_by(col(c), when(col(c).isNotNull, col("timestamp"))).as(s"last_$c"),
+      max(when(col(c).isNotNull, col("timestamp"))).as(s"last_$t"),
+      min_by(col(c), when(col(c).isNotNull, col("timestamp"))).as(s"first_$c"),
+      min(when(col(c).isNotNull, col("timestamp"))).as(s"first_$t"))
+    val summary = joined.groupBy("bucket")
+      .agg(lastNonNull("lv_raw", "lt").head,
+        (lastNonNull("lv_raw", "lt").tail ++ lastNonNull("rv_raw", "rt")): _*)
+
+    // Carry-in: the last non-null at any earlier bucket; carry-out: the
+    // first non-null at any later bucket. Windows over #buckets rows.
+    val prevW = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = summary
+      .withColumn("in_lv", last(col("last_lv_raw"), ignoreNulls = true).over(prevW))
+      .withColumn("in_lt", last(col("last_lt"), ignoreNulls = true).over(prevW))
+      .withColumn("in_rv", last(col("last_rv_raw"), ignoreNulls = true).over(prevW))
+      .withColumn("in_rt", last(col("last_rt"), ignoreNulls = true).over(prevW))
+      .withColumn("out_lv", last(col("first_lv_raw"), ignoreNulls = true).over(nextW))
+      .withColumn("out_lt", last(col("first_lt"), ignoreNulls = true).over(nextW))
+      .withColumn("out_rv", last(col("first_rv_raw"), ignoreNulls = true).over(nextW))
+      .withColumn("out_rt", last(col("first_rt"), ignoreNulls = true).over(nextW))
+      .select("bucket", "in_lv", "in_lt", "in_rv", "in_rt",
+        "out_lv", "out_lt", "out_rv", "out_rt")
+
+    val withCarry = joined.join(broadcast(carries), Seq("bucket"), "left")
+
+    val asc = Window.partitionBy("bucket").orderBy(col("timestamp").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy("bucket").orderBy(col("timestamp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def neighbor(c: String, w: org.apache.spark.sql.expressions.WindowSpec,
+        carryV: String, carryT: String, outV: String, outT: String) = {
+      val v = coalesce(last(col(c), ignoreNulls = true).over(w), col(carryV))
+      val t = coalesce(last(when(col(c).isNotNull, col("timestamp")),
+        ignoreNulls = true).over(w), col(carryT))
+      (v.as(outV), t.as(outT))
+    }
+
+    val (plv, plt) = neighbor("lv_raw", asc, "in_lv", "in_lt", "plv", "plt")
+    val (prv, prt) = neighbor("rv_raw", asc, "in_rv", "in_rt", "prv", "prt")
+    val (nlv, nlt) = neighbor("lv_raw", desc, "out_lv", "out_lt", "nlv", "nlt")
+    val (nrv, nrt) = neighbor("rv_raw", desc, "out_rv", "out_rt", "nrv", "nrt")
+
+    val withNeighbors = withCarry.select(
+      col("timestamp"), col("lv_raw"), col("rv_raw"),
+      plv, plt, prv, prt, nlv, nlt, nrv, nrt)
+
+    def side(raw: String, pv: String, pt: String, nv: String, nt: String, out: String) = {
+      val c = col(raw)
+      val slopeVal = col(pv) + (col(nv) - col(pv)) *
+        (col("timestamp") - col(pt)).cast("double") / (col(nt) - col(pt)).cast("double")
+      val interp = when(col(pv).isNull, col(nv))
+        .when(col(nv).isNull, col(pv))
+        .otherwise(slopeVal)
+      val filled =
+        if (roundInterpolated) round(interp).cast("double")
+        else interp
+      when(c.isNotNull, c).otherwise(filled).as(out)
+    }
+
+    withNeighbors.select(col("timestamp"),
+      side("lv_raw", "plv", "plt", "nlv", "nlt", "lv"),
+      side("rv_raw", "prv", "prt", "nrv", "nrt", "rv"))
+  }
 }

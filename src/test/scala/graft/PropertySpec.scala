@@ -100,6 +100,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- bucketed align ≡ exact align on random series ----
+
+  test("interpolatedBucketed equals global interpolated") {
+    for ((a, b) <- samples(seriesGen, 6).zip(samples(seriesGen.map(_.map {
+        case (t, v) => (t + 3, v) }), 6))) {
+      if (a.nonEmpty && b.nonEmpty) {
+        val mk = (s: List[(Long, Double)]) => TsdbFixtures.longDf(
+          s.map { case (t, v) => ("x", Map.empty[String, String], t, v) })
+          .select(org.apache.spark.sql.functions.col("timestamp"),
+            org.apache.spark.sql.functions.col("value"))
+        val exact = graft.tsdb.Align.interpolated(mk(a), mk(b), roundInterpolated = true)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+        val bucketed = graft.tsdb.Align.interpolatedBucketed(
+          mk(a), mk(b), roundInterpolated = true, bucketMs = 7L)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+        assert(bucketed.toSeq == exact.toSeq, s"a=$a b=$b")
+      }
+    }
+  }
+
   // ---- minhash determinism under repartitioning ----
 
   test("minhash pairs stable under input partitioning") {
