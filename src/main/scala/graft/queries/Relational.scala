@@ -355,6 +355,37 @@ object Relational {
         .orderBy($"l_linestatus")
     },
 
+    // Full outer join with non-matching rows on both sides.
+    "q29_full_outer" -> { (s, dir) =>
+      import s.implicits._
+      val big = table(s, dir, "orders").where($"o_totalprice" > 300000)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_big"))
+      val poor = table(s, dir, "customer").where($"c_acctbal" < 1000)
+        .select($"c_custkey", r2($"c_acctbal").as("acctbal"))
+      big.join(poor, $"o_custkey" === $"c_custkey", "full_outer")
+        .select(coalesce($"o_custkey", $"c_custkey").as("key"),
+          $"n_big", $"acctbal")
+        .orderBy($"key")
+    },
+
+    // Cross join (bounded dims only at scale).
+    "q30_cross_join" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "nation").crossJoin(table(s, dir, "region"))
+        .select($"n_name", $"r_name")
+        .orderBy($"n_name", $"r_name")
+    },
+
+    // Right outer join preserving unmatched right rows.
+    "q31_right_join" -> { (s, dir) =>
+      import s.implicits._
+      val big = table(s, dir, "orders").where($"o_totalprice" > 300000)
+      table(s, dir, "customer")
+        .join(big, $"c_custkey" === $"o_custkey", "right_outer")
+        .select($"o_orderkey", $"c_name", r2($"o_totalprice").as("totalprice"))
+        .orderBy($"o_orderkey")
+    },
+
     // Join + window combined: each order's price rank within its customer.
     "q19_join_window" -> { (s, dir) =>
       import s.implicits._
@@ -562,6 +593,25 @@ object Relational {
         |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
         |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q29_full_outer" ->
+      """SELECT COALESCE(b.o_custkey, p.c_custkey) AS key, b.n_big, p.acctbal
+        |FROM (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+        |      WHERE o_totalprice > 300000 GROUP BY o_custkey) b
+        |FULL OUTER JOIN (SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        |      FROM customer WHERE c_acctbal < 1000) p
+        |  ON b.o_custkey = p.c_custkey
+        |ORDER BY key""".stripMargin,
+
+    "q30_cross_join" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin,
+
+    "q31_right_join" ->
+      """SELECT o_orderkey, c_name, ROUND(o_totalprice, 2) AS totalprice
+        |FROM customer RIGHT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q19_join_window" ->
       """SELECT c_custkey, c_name, o_orderkey, best_price FROM (
