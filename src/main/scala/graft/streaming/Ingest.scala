@@ -36,6 +36,30 @@ object Ingest {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.ProcessingTime("10 seconds"))
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same key within [0, windowMs] after it. Watermarks on
+    * both sides bound the join state (Spark drops buffered rows once
+    * event time passes lateness + interval).
+    * Inputs: (key LONG, timestamp LONG(ms), value DOUBLE) streaming DFs.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      windowMs: Long, latenessMs: Long): DataFrame = {
+    val l = left
+      .withColumn("l_time", timestamp_millis(col("timestamp")))
+      .withWatermark("l_time", s"$latenessMs milliseconds")
+      .select(col("key"), col("l_time"), col("value").as("l_value"))
+    val r = right
+      .withColumn("r_time", timestamp_millis(col("timestamp")))
+      .withWatermark("r_time", s"$latenessMs milliseconds")
+      .select(col("key").as("r_key"), col("r_time"), col("value").as("r_value"))
+    l.join(r,
+      col("key") === col("r_key") &&
+        col("r_time") >= col("l_time") &&
+        col("r_time") <= col("l_time") + expr(s"INTERVAL $windowMs MILLISECONDS"))
+      .select(col("key"), unix_millis(col("l_time")).as("l_ts"),
+        unix_millis(col("r_time")).as("r_ts"), col("l_value"), col("r_value"))
+  }
+
   /** Event-time windowed aggregates with bounded lateness: per-series
     * sum/count/min/max over tumbling windows — the streaming rendition of
     * the reference's per-file header statistics (storage/file.rs:15-36),

@@ -31,6 +31,29 @@ class SketchStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(Long, Long, Double)]
+    val rmem = MemoryStream[(Long, Long, Double)]
+    val joined = graft.streaming.Ingest.intervalJoin(
+      lmem.toDF().toDF("key", "timestamp", "value"),
+      rmem.toDF().toDF("key", "timestamp", "value"),
+      windowMs = 1000, latenessMs = 100)
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      lmem.addData((1L, 1000L, 1.0), (2L, 1000L, 2.0))
+      rmem.addData((1L, 1500L, 10.0), (1L, 3000L, 99.0), (2L, 900L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // key 1: right@1500 within [1000, 2000] ✓; right@3000 outside;
+      // key 2: right@900 before the left event — excluded.
+      assert(rows == Set((1L, 1000L, 1500L)))
+    } finally q.stop()
+  }
+
   test("approximate sketches land within error bounds of exact") {
     import spark.implicits._
     val df = (1 to 10000).map(i => (i.toLong, (i % 1000).toLong)).toDF("id", "k")
