@@ -238,6 +238,19 @@ object Pipeline {
         .limit(20)
     },
 
+    // Chunk sampling through the Multimodal operator: every 3rd 16-byte
+    // chunk of the payload, joined for portable comparison.
+    "mm03_chunks" -> { (s, dir) =>
+      val payload = docs(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      graft.multimodal.Multimodal
+        .sampleChunks(payload, "payload", chunkBytes = 16, stride = 3)
+        .select(col("doc_id"),
+          array_join(transform(col("sampled_chunks"),
+            c => decode(c, "UTF-8")), "|").as("sampled"))
+        .orderBy("doc_id")
+    },
+
     "mm02_framesample" -> { (s, dir) =>
       val sample = array_join(
         transform(sequence(lit(1), length(col("text")), lit(7)),
@@ -399,6 +412,13 @@ object Pipeline {
         |  md5(text) AS digest,
         |  CASE WHEN substr(text, 1, 1) = '{' THEN 'application/json'
         |       ELSE 'text/plain' END AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm03_chunks" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(
+        |    range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 3),
+        |    i -> substr(text, CAST(i * 16 + 1 AS INT), 16)), '|') AS sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm02_framesample" ->

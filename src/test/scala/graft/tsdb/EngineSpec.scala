@@ -225,6 +225,30 @@ class EngineSpec extends AnyFunSuite {
       .zip(Seq(40d, 50d, 55d, 60d, 55d, 40d, 30d, 40d, 40d, 35d, 25d, 20d, 25d, 30d, 90d, 110d)))
   }
 
+  // ---- type-fidelity fixture (lib.rs:1647-1807) ----
+
+  test("all three value types incl. negatives, pi, f64 minimum") {
+    val ts = Seq(1L, 2L, 3L, 4L, 5L)
+    val rows =
+      ts.zip(Seq(0d, 5d, 10d, 15d, 20d)).map { case (t, v) => ("u", Map.empty[String, String], t, v) } ++
+      ts.zip(Seq(-10d, -5d, 0d, 5d, 10d)).map { case (t, v) => ("i", Map.empty[String, String], t, v) } ++
+      ts.zip(Seq(-2.5e2, -math.Pi, 0.0, java.lang.Double.MIN_NORMAL, 2395353.2352))
+        .map { case (t, v) => ("f", Map.empty[String, String], t, v) }
+    val e = new TsdbEngine(spark, longDf(rows), new StreamCatalog(Seq(
+      StreamDef("u", Map.empty, VType.U64),
+      StreamDef("i", Map.empty, VType.I64),
+      StreamDef("f", Map.empty, VType.F64))))
+    assert(scalarsOf(e.query("sum(u)", 0, 10)) == Seq(50d))
+    assert(scalarsOf(e.query("sum(i)", 0, 10)) == Seq(0d))
+    val fsum = scalarsOf(e.query("sum(f)", 0, 10)).head
+    assert(math.abs(fsum - (-2.5e2 - math.Pi + 0.0 + java.lang.Double.MIN_NORMAL + 2395353.2352)) < 0.001)
+    assert(scalarsOf(e.query("min(i)", 0, 10)) == Seq(-10d))
+    assert(scalarsOf(e.query("max(f)", 0, 10)) == Seq(2395353.2352))
+    assert(vectorOf(e.query("i + u", 0, 10)).map(_._2) == Seq(-10d, 0d, 10d, 20d, 30d))
+    assert(vectorOf(e.query("f > 0", 0, 10)).map(_._2) ==
+      Seq(java.lang.Double.MIN_NORMAL, 2395353.2352))
+  }
+
   // ---- parser rejections (planner.rs:208-232) ----
 
   test("unsupported forms are rejected") {
