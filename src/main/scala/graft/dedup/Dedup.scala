@@ -13,14 +13,18 @@ import graft.functions.TextFunctions._
   *  - minhash:  signatures computed row-wise (no shuffle), candidates via
   *              an equi-join on LSH band keys (shuffle on band buckets —
   *              tiny vs. the corpus), verification row-wise on the pair.
-  *  - simhash:  row-wise fingerprints; candidate pairs from equi-join on
-  *              cheap block keys, verified by bit_count(xor) <= radius.
-  *  - jaccard:  candidate pairs from block keys, exact set-Jaccard.
+  *  - simhash:  row-wise fingerprints; candidates from pigeonhole banding
+  *              on the fingerprint itself (complete for the Hamming
+  *              radius), verified by bit_count(xor) <= radius.
+  *  - jaccard:  candidates from PPJoin-style prefix filtering (complete
+  *              for the threshold), verified by exact set-Jaccard.
   *
   * At 100 TB the only all-to-all movement in any of these is the
-  * candidate join keyed on band/block buckets, whose cardinality is data
-  * (near-dup) bound, not corpus^2 bound. Skewed buckets (e.g. boilerplate
-  * shingles) are AQE-skew-join split.
+  * candidate join keyed on band/segment/prefix buckets, whose cardinality
+  * is data (near-dup) bound, not corpus^2 bound — and unlike content
+  * heuristics (language, source, first token) the keys are derived from
+  * the similarity structure, so candidate generation loses NO pairs.
+  * Skewed buckets (e.g. boilerplate shingles) are AQE-skew-join split.
   *
   * Self-joined intermediates (the shingle-hash pass) persist at
   * MEMORY_AND_DISK: Spark's exchange reuse does not deduplicate the two
@@ -53,13 +57,32 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, nGram: Int = 3,
-      threshold: Double = 0.6): DataFrame = {
-    val k = bands * rowsPerBand
-    val base = df
-      .select(col(idCol).as("id"),
+      threshold: Double = 0.6): DataFrame =
+    minhashPairsFromShingles(
+      shingleBase(df, idCol, textCol, nGram).persist(StorageLevel.MEMORY_AND_DISK),
+      bands, rowsPerBand, threshold)
+
+  /** The corpus-wide tokenize → shingle → hash pass every text-similarity
+    * operator starts from: (id, hs = sorted distinct 60-bit shingle
+    * hashes), empty-shingle docs dropped. Callers that run several dedup
+    * operators over ONE corpus should compute this once, persist it, and
+    * use the `FromShingles` variants — the md5 pass is the dominant cost
+    * and Spark will not share it across separately-planned queries.
+    */
+  def shingleBase(df: DataFrame, idCol: String, textCol: String,
+      nGram: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
         shingleHashes(wordShingles(tokens(col(textCol)), nGram)).as("hs"))
       .where(size(col("hs")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** minhashPairs over a pre-computed (id, hs) shingle table. The caller
+    * owns persistence of `base` (it is read three times: signature pass +
+    * both sides of the verify join).
+    */
+  def minhashPairsFromShingles(
+      base: DataFrame, bands: Int = 4, rowsPerBand: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val k = bands * rowsPerBand
     val exploded = base.select(col("id"), explode(col("hs")).as("h"))
     val sigCols = (0 until k).map { j =>
       min((col("h").bitwiseAND(Mask28) * minhashA(j) + minhashB(j)) % MinhashPrime)
@@ -86,61 +109,123 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
-  /** SimHash near-duplicate pairs: candidates from equality on
-    * `blockCols`, kept when hamming(simhash32) <= maxHamming.
+  /** SimHash fingerprint width: the shingle hashes are 60-bit (15 md5 hex
+    * digits), so bits 60+ of any fingerprint would be degenerate.
+    */
+  val SimhashBits = 60
+
+  /** Near-equal-width contiguous bit segments: (offset, width) per
+    * segment, widths differing by at most 1.
+    */
+  private[graft] def segmentBounds(bits: Int, nSeg: Int): Seq[(Int, Int)] = {
+    val base = bits / nSeg
+    val extra = bits % nSeg
+    val widths = Seq.tabulate(nSeg)(i => if (i < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** SimHash near-duplicate pairs: ALL pairs with
+    * hamming(simhash60) <= maxHamming, found without an all-pairs join.
     *
-    * Same explode+aggregate shape as minhashPairs (and for the same
-    * codegen/scale reasons): 32 `sum` bit-vote aggregates over the
-    * exploded (id, h) rows, fingerprint assembled from the votes.
+    * Candidate generation is pigeonhole banding on the fingerprint
+    * itself: the 60-bit fingerprint splits into maxHamming+1 contiguous
+    * segments, and two fingerprints within the radius differ in at most
+    * maxHamming segments, so they agree EXACTLY on at least one — an
+    * equi-join on (segment index, segment value) is a complete candidate
+    * generator. Unlike blocking on content heuristics (language, source,
+    * first token), this derives the blocks from the similarity structure:
+    * no near-dup pair can be missed, and block sizes are corpus/2^width
+    * rather than unbounded. (Production tuning: radius 3 on a 64-bit
+    * fingerprint gives 4 x 16-bit segments — the classic multi-index
+    * Hamming config; radius 6 here keeps 8-9-bit segments, still
+    * data-bound.)
+    *
+    * Fingerprints use the same explode+aggregate shape as minhashPairs
+    * (and for the same codegen/scale reasons): 60 `sum` bit-vote
+    * aggregates over the exploded (id, h) rows, fingerprint assembled
+    * from the votes.
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], maxHamming: Int = 6, nGram: Int = 3): DataFrame = {
-    val base = df.select(
-        col(idCol).as("id"),
-        struct(blockCols.map(col): _*).as("blk"),
-        shingleHashes(wordShingles(tokens(col(textCol)), nGram)).as("hs"))
-      .where(size(col("hs")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val voteCols = (0 until 32).map { i =>
+      maxHamming: Int = 6, nGram: Int = 3): DataFrame =
+    simhashPairsFromShingles(shingleBase(df, idCol, textCol, nGram), maxHamming)
+
+  /** simhashPairs over a pre-computed (id, hs) shingle table. */
+  def simhashPairsFromShingles(base: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val voteCols = (0 until SimhashBits).map { i =>
       sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"v$i")
     }
     val votes = base.select(col("id"), explode(col("hs")).as("h"))
       .groupBy("id").agg(voteCols.head, voteCols.tail: _*)
-    val fpExpr = (0 until 32)
+    val fpExpr = (0 until SimhashBits)
       .map(i => when(col(s"v$i") >= 0, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
+    // The banded table self-joins: persist the fingerprints so the vote
+    // pass runs once, not once per join side (exchange reuse does not
+    // cover broadcast self-joins — measured in round 1).
     val fp = votes.select(col("id"), fpExpr.as("fp"))
-      .join(base.select(col("id"), col("blk")), "id" :: Nil)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val l = fp.select(col("blk"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val r = fp.select(col("blk"), col("id").as("id_b"), col("fp").as("fp_b"))
-    l.join(r, "blk" :: Nil)
+    val segCols = segmentBounds(SimhashBits, maxHamming + 1).zipWithIndex.map {
+      case ((off, w), i) =>
+        struct(lit(i).as("seg_idx"),
+          shiftrightunsigned(col("fp"), off).bitwiseAND((1L << w) - 1).as("seg_val"))
+    }
+    val banded = fp.select(col("id"), col("fp"),
+        explode(array(segCols: _*)).as("seg"))
+      .select(col("id"), col("fp"),
+        col("seg.seg_idx").as("seg_idx"), col("seg.seg_val").as("seg_val"))
+    val l = banded.select(col("seg_idx"), col("seg_val"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = banded.select(col("seg_idx"), col("seg_val"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("seg_idx", "seg_val"))
       .where(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .where(col("hamming") <= maxHamming)
+      // a pair within radius can agree on several segments
       .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
-  /** Exact n-gram-set Jaccard pairs over candidate blocks. */
+  /** Exact n-gram-set Jaccard pairs: ALL pairs with jac >= threshold,
+    * found via PPJoin-style prefix filtering instead of an all-pairs or
+    * heuristic-block join.
+    */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], nGram: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(
-      col(idCol).as("id"),
-      struct(blockCols.map(col): _*).as("blk"),
-      shingleHashes(wordShingles(tokens(col(textCol)), nGram)).as("shs"))
-      .where(size(col("shs")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val l = sh.select(col("blk"), col("id").as("id_a"), col("shs").as("shs_a"))
-    val r = sh.select(col("blk"), col("id").as("id_b"), col("shs").as("shs_b"))
-    // Size-ratio prefilter: jac >= t implies min(|A|,|B|)/max(|A|,|B|) >= t,
-    // so mismatched sizes are dropped before the expensive set intersect.
-    // Semantics-preserving — no false negatives.
-    l.join(r, "blk" :: Nil)
-      .where(col("id_a") < col("id_b") &&
-        size(col("shs_a")).cast("double") >= size(col("shs_b")) * threshold &&
+      nGram: Int = 3, threshold: Double = 0.5): DataFrame =
+    jaccardPairsFromShingles(
+      shingleBase(df, idCol, textCol, nGram).persist(StorageLevel.MEMORY_AND_DISK),
+      threshold)
+
+  /** jaccardPairs over a pre-computed (id, hs) shingle table (sorted
+    * distinct hashes — shingleBase output). Caller owns persistence.
+    *
+    * Candidate generation is the AllPairs/PPJoin prefix filter: under any
+    * global element order (here: the hash values' natural ascending
+    * order, which shingleBase already sorts by), two sets with
+    * |A∩B| >= ceil(t * max(|A|,|B|)) must share an element within their
+    * first |X| - ceil(t*|X|) + 1 elements. Exploding ONLY those prefixes
+    * and equi-joining on the element is therefore a complete candidate
+    * generator, with per-element buckets bounded by the element's
+    * document frequency — data-bound, never corpus^2. The size-ratio
+    * prefilter (jac >= t implies t <= min/max size ratio) then drops
+    * mismatched pairs before the exact sorted-merge intersect.
+    */
+  def jaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val prefLen = (size(col("hs")) -
+      ceil(size(col("hs")).cast("double") * threshold) + 1).cast("int")
+    val pref = sh.select(col("id"),
+      explode(slice(col("hs"), lit(1), prefLen)).as("h"))
+    val cand = pref.select(col("h"), col("id").as("id_a"))
+      .join(pref.select(col("h"), col("id").as("id_b")), "h" :: Nil)
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("hs").as("shs_a")), "id_a" :: Nil)
+      .join(sh.select(col("id").as("id_b"), col("hs").as("shs_b")), "id_b" :: Nil)
+      .where(size(col("shs_a")).cast("double") >= size(col("shs_b")) * threshold &&
         size(col("shs_b")).cast("double") >= size(col("shs_a")) * threshold)
       .select(col("id_a"), col("id_b"),
         jaccardSorted(col("shs_a"), col("shs_b")).as("jac"))

@@ -16,14 +16,13 @@ import org.apache.spark.sql.functions._
   *    (vector_to_vector.rs:53-60 — the "TODO: Allow floats" quirk).
   *
   * Implementation: full-outer join on timestamp, then prev/next non-null
-  * neighbor via two window passes. The windows are keyed on a `grid`
-  * bucket column when provided by the caller; with the default single
-  * grid this is a global-order window (fine per-series — a single metric
-  * stream is bounded); the 100 TB path is `AlignedGrid` time-bucketing:
-  * both sides are range-partitioned on the same time buckets upstream so
-  * the join is co-partitioned and only bucket boundaries need the
-  * neighbor exchange. That variant lands with the streaming ingestion
-  * work; semantics here are the contract.
+  * neighbor via two window passes. `interpolatedBucketed` is the engine
+  * default (TsdbEngine.binary): every per-row window is partitioned by a
+  * time bucket so the align parallelizes across the cluster, and only the
+  * one-row-per-bucket boundary summary sees a global-order window.
+  * `interpolated` is the reference-exact single-window formulation, kept
+  * as the semantic contract and the property-test oracle for the bucketed
+  * path.
   */
 object Align {
 

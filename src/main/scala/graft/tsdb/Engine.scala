@@ -94,7 +94,7 @@ final class TsdbEngine(
     case BinaryOp(kind, lhs, rhs) =>
       val l = eval(lhs, start, end)
       val r = eval(rhs, start, end)
-      binary(kind, l, r)
+      binary(kind, l, r, start, end)
   }
 
   /** Grouped aggregates — the `sum by (label)` extension the reference
@@ -214,9 +214,11 @@ final class TsdbEngine(
   }
 
   /** BinaryOpNode dispatch (binary_op.rs:94-111), done at plan time:
-    * scalar·scalar, vector·scalar, scalar·vector, vector·vector.
+    * scalar·scalar, vector·scalar, scalar·vector, vector·vector. The
+    * query range sizes the V2V align's time buckets.
     */
-  private def binary(kind: BinKind, l: TsdbResult, r: TsdbResult): TsdbResult =
+  private def binary(kind: BinKind, l: TsdbResult, r: TsdbResult,
+      start: Long, end: Long): TsdbResult =
     (l.isScalar, r.isScalar) match {
       case (true, true) =>
         // ScalarToScalarNode: arithmetic only (scalar_to_scalar.rs:41-44).
@@ -263,7 +265,15 @@ final class TsdbEngine(
         // and replicate rounding for integer streams, per SURVEY §7).
         require(!isComparison(kind), "comparison between two vectors is not supported")
         val roundInterp = !(l.vtype == VType.F64 && r.vtype == VType.F64)
-        val aligned = Align.interpolated(l.df, r.df, roundInterp)
+        // Default to the bucket-partitioned align (property-tested equal to
+        // the global-window exact path): all per-row windows are keyed on a
+        // time bucket, so the align parallelizes; only the per-bucket
+        // boundary summary (one row per bucket) sees a global-order window.
+        // ~64 buckets across the query range ≈ 2x local[32] parallelism and
+        // stays proportional on a larger cluster via the same knob.
+        val span = math.max(1L, end - start)
+        val bucketMs = math.max(1L, span / 64L)
+        val aligned = Align.interpolatedBucketed(l.df, r.df, roundInterp, bucketMs)
         val df = aligned.select(col("timestamp"),
           arith(kind, col("lv"), col("rv")).as("value"))
         TsdbResult(df, isScalar = false, resultType(kind, l.vtype, r.vtype))

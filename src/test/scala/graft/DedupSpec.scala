@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.tsdb.TsdbFixtures.spark
+
+/** Completeness of the scale-safe candidate generators: pigeonhole
+  * fingerprint banding (simhash) and PPJoin prefix filtering (jaccard)
+  * must find exactly the pairs a naive all-pairs join finds — including
+  * pairs that content-heuristic blocking (language / source / first
+  * token) would have missed.
+  */
+class DedupSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  // Near-dup pairs that deliberately DIFFER in their first token: an
+  // equality block on the first token would never compare them.
+  private def corpus: DataFrame = {
+    val base = (0 until 30).map { i =>
+      (i.toLong, s"alpha$i " + (0 until 40).map(j => s"w${(i * 7 + j) % 11}_$j").mkString(" "))
+    }
+    val dups = (0 until 30 by 5).map { i =>
+      // different first token, one interior token edited
+      (i + 1000L, s"beta$i " + (0 until 40).map(j =>
+        if (j == 20) "EDITED" else s"w${(i * 7 + j) % 11}_$j").mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  private def fingerprints(df: DataFrame): Map[Long, Long] = {
+    val sh = Dedup.shingleBase(df, "doc_id", "text")
+    val votes = (0 until Dedup.SimhashBits).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"v$i")
+    }
+    val fpExpr = (0 until Dedup.SimhashBits)
+      .map(i => when(col(s"v$i") >= 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    sh.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), fpExpr.as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("segmentBounds covers all bits with near-equal widths") {
+    for (bits <- Seq(60, 64, 32); nSeg <- 1 to 8) {
+      val segs = Dedup.segmentBounds(bits, nSeg)
+      assert(segs.size == nSeg)
+      assert(segs.map(_._2).sum == bits)
+      assert(segs.map(_._2).max - segs.map(_._2).min <= 1)
+      // contiguous, starting at 0
+      assert(segs.head._1 == 0)
+      segs.sliding(2).foreach {
+        case Seq((o1, w1), (o2, _)) => assert(o2 == o1 + w1)
+        case _ =>
+      }
+    }
+  }
+
+  test("simhash banding finds exactly the all-pairs hamming matches") {
+    val maxHamming = 6
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp = fingerprints(corpus)
+    val ids = fp.keys.toSeq.sorted
+    val expect = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(fp(a) ^ fp(b)) <= maxHamming
+    } yield (a, b)).toSet
+    assert(got == expect)
+    // the planted cross-first-token near-dups ARE found
+    assert(expect.exists { case (a, b) => b - a == 1000 },
+      "fixture should contain at least one planted near-dup pair")
+    assert((0 until 30 by 5).forall(i =>
+      !fp.contains(i.toLong) || !fp.contains(i + 1000L) ||
+        java.lang.Long.bitCount(fp(i.toLong) ^ fp(i + 1000L)) > maxHamming ||
+        got.contains((i.toLong, i + 1000L))))
+  }
+
+  test("jaccard prefix filter finds exactly the all-pairs matches") {
+    val t = 0.5
+    val got = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = t)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = Dedup.shingleBase(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val expect = (for {
+      a <- ids; b <- ids if a < b
+      jac = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if jac >= t
+    } yield (a, b)).toSet
+    assert(got == expect)
+    assert(expect.exists { case (a, b) => b - a == 1000 },
+      "fixture should contain at least one planted near-dup pair")
+  }
+}
