@@ -1,14 +1,16 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** IVF coarse quantizer for ANN at scale: k-means cells learned with
-  * deterministic Lloyd iterations, expressed entirely as DataFrame ops —
-  * assignment is a broadcast join against the (k x dim) centroid table
-  * with a min_by over squared distance; the mean recompute is a
-  * posexplode + groupBy(cell, dim) aggregate. Only the k x dim centroid
-  * matrix ever reaches the driver.
+  * deterministic Lloyd iterations. Assignment carries the whole (k x dim)
+  * centroid matrix into the plan as one literal and computes the argmin
+  * cell per row with a fold — no join, no shuffle, no row amplification
+  * (the earlier crossJoin+groupBy shape amplified every row k times
+  * through a shuffle per Lloyd iteration). The mean recompute is a
+  * posexplode + groupBy(cell, dim) aggregate — map-side combined, k x dim
+  * output rows. Only the k x dim centroid matrix ever reaches the driver.
   *
   * At 100 TB: persist the assignment as a partition column and the
   * centroid table alongside; a query then prunes to nProbe cells before
@@ -20,22 +22,32 @@ object IvfIndex {
     def k: Int = centroids.length
   }
 
-  private def centroidDf(spark: SparkSession, m: Model): DataFrame = {
-    import spark.implicits._
-    m.centroids.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
+  /** Per-row nearest-centroid id. |v|^2 is rank-invariant per row, so the
+    * argmin only needs -2 v.c + |c|^2 (|c|^2 precomputed driver-side).
+    * Ties break to the smaller cell id: the fold visits cells in
+    * ascending id order with a strict less-than.
+    */
+  private def nearestCell(vecCol: String, m: Model): Column = {
+    val cents = array(m.centroids.sortBy(_._1).map { case (c, v) =>
+      struct(lit(c).as("cell"),
+        array(v.map(lit): _*).as("centroid"),
+        lit(v.map(x => x * x).sum).as("norm2"))
+    }: _*)
+    aggregate(
+      cents,
+      struct(lit(-1).as("cell"), lit(Double.PositiveInfinity).as("score")),
+      (acc, e) => {
+        val score = lit(-2.0) * Vectors.dot(col(vecCol), e.getField("centroid")) +
+          e.getField("norm2")
+        when(score < acc.getField("score"),
+          struct(e.getField("cell").as("cell"), score.as("score")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("cell"))
   }
 
-  /** Squared L2 distance: |v|^2 - 2 v.c + |c|^2; the |v|^2 term is
-    * rank-invariant per vector but kept so distances are true.
-    */
-  private def assignCells(df: DataFrame, vecCol: String, cents: DataFrame): DataFrame = {
-    val d2 = Vectors.dot(col(vecCol), col(vecCol)) -
-      lit(2.0) * Vectors.dot(col(vecCol), col("centroid")) +
-      Vectors.dot(col("centroid"), col("centroid"))
-    df.crossJoin(broadcast(cents))
-      .groupBy(df.columns.map(col): _*)
-      .agg(min_by(col("cell"), struct(d2, col("cell"))).as("cell"))
-  }
+  private def assignCells(df: DataFrame, vecCol: String, m: Model): DataFrame =
+    df.withColumn("cell", nearestCell(vecCol, m))
 
   /** Deterministic training: init = the k vectors with smallest ids,
     * `iters` Lloyd steps. Input vectors must be array<double> (cast
@@ -43,15 +55,13 @@ object IvfIndex {
     */
   def fit(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): Model = {
-    val spark = df.sparkSession
     var model = Model(
       df.orderBy(col(idCol)).limit(k)
         .select(col(vecCol)).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) })
     for (_ <- 0 until iters) {
       val assigned = assignCells(
-        df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec",
-        centroidDf(spark, model))
+        df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", model)
       val means = assigned
         .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg("x").as("m"))
@@ -72,7 +82,7 @@ object IvfIndex {
 
   /** Assign every vector its cell id. */
   def transform(df: DataFrame, vecCol: String, m: Model): DataFrame =
-    assignCells(df, vecCol, centroidDf(df.sparkSession, m))
+    assignCells(df, vecCol, m)
 
   /** Top-k cosine search probing only the nProbe nearest cells. */
   def search(assigned: DataFrame, idCol: String, vecCol: String, m: Model,

@@ -157,6 +157,26 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // IVF cells as the dedup blocks: the k-means quantizer bounds every
+    // block to ~corpus/k rows, where a pre-existing metadata column
+    // (dd05's label) may be missing or skewed at 100 TB. Exact duplicates
+    // always co-assign (argmin of identical vectors is deterministic) and
+    // at this threshold only exact copies match (max non-copy cosine in
+    // the testdata is ~0.51), so the complete blocking-free all-pairs
+    // oracle still verifies the blocked result exactly.
+    "dd06_embed_ivf" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val planted = e.select(col("vec_id"), col("embedding")).unionAll(
+        e.where(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val m = graft.ann.IvfIndex.fit(planted, "vec_id", "vec", k = 16, iters = 2)
+      val assigned = graft.ann.IvfIndex.transform(planted, "vec", m)
+      Dedup.embeddingPairs(assigned, "vec_id", "vec", Seq("cell"))
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- similarity search ----
     "ann01_brute_topk" -> { (s, dir) =>
       val e = table(s, dir, "embeddings")
@@ -354,6 +374,19 @@ object Pipeline {
         |FROM v a JOIN v b ON a.label = b.label
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.vec, b.vec) >= 0.995
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd06_embed_ivf" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM corpus)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.995
         |ORDER BY id_a, id_b""".stripMargin,
 
     "ann01_brute_topk" ->

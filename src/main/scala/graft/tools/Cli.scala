@@ -1,0 +1,151 @@
+package graft.tools
+
+import java.io.BufferedReader
+
+import org.apache.spark.sql.SparkSession
+
+import graft.tsdb.{GraftDb, VType}
+
+/** Command-line surface — parity with the reference CLI
+  * (tachyon_cli/src/main.rs:66-82 Commands enum, main.rs:298-329 repl,
+  * main.rs:330-419 dispatch): subcommands over a GraftDb root plus a
+  * REPL that treats every input line as a query. Differences, both
+  * deliberate: results print as plain rows instead of a terminal
+  * line-chart, and `parse-headers` reports per-(stream, time-bucket)
+  * Parquet stats — the engine's analogue of the reference's `.ty` file
+  * headers (main.rs:105-151).
+  *
+  * Usage: Cli <db_dir> [command ...]
+  *   (no command)                          REPL: one PromQL query per line
+  *   list-all-streams
+  *   parse-headers
+  *   query <promql> [start] [end] [export_csv_path]
+  *   create-stream <selector> <i64|u64|f64>
+  *   insert <selector> <timestamp> <value>
+  *   import-csv <selector> <csv_file>
+  */
+object Cli {
+
+  /** Absent start/end default to the reference's full-range hack
+    * (main.rs:188-190).
+    */
+  val HackTimeStart = 0L
+  val HackTimeEnd = 1719776339748L
+
+  private val ReplHeader = "graft tsdb repl — one query per line, ctrl-d to exit"
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: Cli <db_dir> [command ...]")
+      sys.exit(2)
+    }
+    val spark = graft.engine.Graft.session("graft-cli")
+    val code =
+      try run(spark, args(0), args.drop(1).toIndexedSeq, Console.in, println(_))
+      finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Dispatch one invocation; returns a process exit code. Pure in/out
+    * seams so the E2E spec can drive it.
+    */
+  def run(spark: SparkSession, dbDir: String, cmd: Seq[String],
+      in: BufferedReader, out: String => Unit): Int = {
+    val db = new GraftDb(spark, dbDir)
+    try {
+      cmd match {
+        case Seq() =>
+          repl(db, in, out); 0
+        case Seq("list-all-streams") =>
+          // main.rs:336-352: stream name + matchers + value type
+          db.streams().foreach { d =>
+            val matchers = d.labels.toSeq.sortBy(_._1)
+              .map { case (k, v) => s""""$k" = "$v"""" }.mkString(" | ")
+            out(s"${d.name} | $matchers | ${vtypeName(d.vtype)}")
+          }
+          0
+        case Seq("parse-headers") =>
+          // .ty header analogue: per-(stream, bucket) footer stats
+          db.describeStreams().orderBy("name").collect().foreach { r =>
+            out(r.mkString(" | "))
+          }
+          0
+        case "query" +: promql +: rest if rest.size <= 3 =>
+          val start = rest.headOption.map(_.toLong).getOrElse(HackTimeStart)
+          val end = rest.lift(1).map(_.toLong).getOrElse(HackTimeEnd)
+          val res = db.query(promql, start, end)
+          rest.lift(2) match {
+            case Some(csvPath) if !res.isScalar =>
+              db.exportCsv(promql, start, end, csvPath)
+              out(s"exported to $csvPath")
+            case _ =>
+              if (res.isScalar)
+                res.output.collect().foreach(r => out(fmt(r.get(0))))
+              else
+                res.output.orderBy("timestamp").collect()
+                  .foreach(r => out(s"${r.getLong(0)} ${fmt(r.get(1))}"))
+          }
+          0
+        case Seq("create-stream", selector, vt) =>
+          db.createStream(selector, parseVType(vt)); 0
+        case Seq("insert", selector, ts, value) =>
+          val ins = db.inserter(selector)
+          ins.insert(ts.toLong, value.toDouble)
+          ins.flush()
+          0
+        case Seq("import-csv", selector, csvFile) =>
+          db.importCsv(selector, csvFile); 0
+        case other =>
+          out(s"unknown command: ${other.mkString(" ")}"); 2
+      }
+    } catch {
+      case e: Exception =>
+        out(s"error: ${e.getMessage}"); 1
+    }
+  }
+
+  /** Interactive loop (main.rs:298-329): every line is a query over the
+    * default full range; errors print and the loop continues; EOF exits.
+    */
+  def repl(db: GraftDb, in: BufferedReader, out: String => Unit): Unit = {
+    out(ReplHeader)
+    Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.trim.nonEmpty)
+      .foreach { line =>
+        try {
+          val res = db.query(line.trim, HackTimeStart, HackTimeEnd)
+          if (res.isScalar)
+            res.output.collect().foreach(r => out(fmt(r.get(0))))
+          else
+            res.output.orderBy("timestamp").collect()
+              .foreach(r => out(s"${r.getLong(0)} ${fmt(r.get(1))}"))
+        } catch {
+          case e: Exception => out(s"error: ${e.getMessage}")
+        }
+      }
+    out("exiting")
+  }
+
+  private def parseVType(s: String): VType = s match {
+    case "i64" => VType.I64
+    case "u64" => VType.U64
+    case "f64" => VType.F64
+    case other => throw new IllegalArgumentException(
+      s"value type must be i64|u64|f64, got $other")
+  }
+
+  private def vtypeName(v: VType): String = v match {
+    case VType.I64 => "i64"
+    case VType.U64 => "u64"
+    case VType.F64 => "f64"
+  }
+
+  /** Integer-typed outputs are Longs (TsdbResult.output); print without
+    * a decimal point, floats as-is.
+    */
+  private def fmt(v: Any): String = v match {
+    case d: java.lang.Double =>
+      if (d == d.longValue().toDouble) d.longValue().toString else d.toString
+    case other => other.toString
+  }
+}

@@ -1,0 +1,110 @@
+package graft.tools
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.tsdb.{GraftDb, VType}
+
+/** HTTP query endpoint — parity with the reference web backend
+  * (tachyon_web_backend/src/main.rs:10-90):
+  *
+  *   GET  /health  -> 200, empty body
+  *   POST /query   -> {"path", "query", "start"?, "end"?}
+  *                 -> {"value_type", "timestamps",
+  *                     "values_u64"|"values_i64"|"values_f64"}
+  *
+  * Exactly one `values_*` array is non-null, selected by the query's
+  * value type (main.rs:18-24, 55-76); absent start/end default to the
+  * same full-range constants as the CLI; errors map to 400 with the
+  * message as the body (main.rs:31-35). Scalar query results (which the
+  * reference endpoint never materializes — it only drains next_vector)
+  * are returned as values with an empty `timestamps`.
+  *
+  * One JVM/SparkSession serves many databases: `path` picks the GraftDb
+  * root per request, like the reference's per-request Connection.
+  */
+object Web {
+
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8080)
+    val spark = graft.engine.Graft.session("graft-web")
+    val server = start(spark, port)
+    println(s"graft web backend listening on :${server.getAddress.getPort}")
+    // block forever; the server threads own the process from here
+    Thread.currentThread().join()
+  }
+
+  /** Start a server on `port` (0 = ephemeral). Caller stops it. */
+  def start(spark: SparkSession, port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/health", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    })
+    server.createContext("/query", (ex: HttpExchange) => {
+      val (code, body) =
+        try {
+          if (ex.getRequestMethod != "POST") (405, "POST only")
+          else (200, handleQuery(spark,
+            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)))
+        } catch {
+          case e: Exception => (400, Option(e.getMessage).getOrElse("bad request"))
+        }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        if (code == 200) "application/json" else "text/plain")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.setExecutor(null)
+    server.start()
+    server
+  }
+
+  private[tools] def handleQuery(spark: SparkSession, requestJson: String): String = {
+    val mapper = new ObjectMapper()
+    val req = mapper.readTree(requestJson)
+    def field(k: String) = Option(req.get(k)).filterNot(_.isNull)
+    val path = field("path").map(_.asText())
+      .getOrElse(throw new IllegalArgumentException("missing field: path"))
+    val promql = field("query").map(_.asText())
+      .getOrElse(throw new IllegalArgumentException("missing field: query"))
+    val start = field("start").map(_.asLong()).getOrElse(Cli.HackTimeStart)
+    val end = field("end").map(_.asLong()).getOrElse(Cli.HackTimeEnd)
+
+    val res = new GraftDb(spark, path).query(promql, start, end)
+    val rows =
+      if (res.isScalar) res.output.collect().map(r => (None: Option[Long], r.get(0)))
+      else res.output.orderBy("timestamp").collect()
+        .map(r => (Some(r.getLong(0)), r.get(1)))
+
+    val root = mapper.createObjectNode()
+    root.put("value_type", res.vtype match {
+      case VType.I64 => "Integer64"
+      case VType.U64 => "UInteger64"
+      case VType.F64 => "Float64"
+    })
+    val ts = root.putArray("timestamps")
+    rows.foreach { case (t, _) => t.foreach(ts.add) }
+    val (u64, i64, f64) = ("values_u64", "values_i64", "values_f64")
+    val valueKey = res.vtype match {
+      case VType.I64 => i64
+      case VType.U64 => u64
+      case VType.F64 => f64
+    }
+    Seq(u64, i64, f64).filterNot(_ == valueKey).foreach(root.putNull)
+    val vs = root.putArray(valueKey)
+    rows.foreach {
+      case (_, v: java.lang.Long) => vs.add(v.longValue())
+      case (_, v: java.lang.Double) =>
+        if (res.vtype == VType.F64) vs.add(v.doubleValue()) else vs.add(v.longValue())
+      case (_, v) => throw new IllegalStateException(s"unexpected value $v")
+    }
+    mapper.writeValueAsString(root)
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import java.io.{BufferedReader, StringReader}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.{Cli, Web}
+import graft.tsdb.TsdbFixtures.spark
+
+/** E2E over the user surfaces: the CLI subcommands + REPL and the HTTP
+  * endpoint, driving the reference's own e2e scenario
+  * (tachyon_core/src/lib.rs:1152-1193): create a u64 stream, insert
+  * (23,45) (29,47) (40,23) (51,48), then sum over [23,51] == 163 and
+  * over [29,40] == 70.
+  */
+class CliWebSpec extends AnyFunSuite {
+
+  private val sel = """http_requests_total{service = "web"}"""
+
+  private def freshDb(): String =
+    Files.createTempDirectory("graft_cli_db").toString
+
+  private def cli(db: String, args: String*): (Int, Seq[String]) = {
+    val out = ArrayBuffer.empty[String]
+    val code = Cli.run(spark, db, args,
+      new BufferedReader(new StringReader("")), out += _)
+    (code, out.toSeq)
+  }
+
+  private def seed(db: String): Unit = {
+    assert(cli(db, "create-stream", sel, "u64")._1 == 0)
+    for ((t, v) <- Seq((23, 45), (29, 47), (40, 23), (51, 48)))
+      assert(cli(db, "insert", sel, t.toString, v.toString)._1 == 0)
+  }
+
+  test("cli: create + insert + query reproduces the reference e2e sums") {
+    val db = freshDb()
+    seed(db)
+    val (c1, full) = cli(db, "query", s"sum($sel)", "23", "51")
+    assert(c1 == 0 && full == Seq("163"))
+    val (c2, partial) = cli(db, "query", s"sum($sel)", "29", "40")
+    assert(c2 == 0 && partial == Seq("70"))
+    // vector query prints (timestamp, value) rows in time order
+    val (c3, vec) = cli(db, "query", sel, "23", "51")
+    assert(c3 == 0 && vec == Seq("23 45", "29 47", "40 23", "51 48"))
+  }
+
+  test("cli: list-all-streams and parse-headers see the stream") {
+    val db = freshDb()
+    seed(db)
+    val (c1, ls) = cli(db, "list-all-streams")
+    assert(c1 == 0 && ls.size == 1)
+    assert(ls.head.contains("http_requests_total") &&
+      ls.head.contains(""""service" = "web"""") && ls.head.contains("u64"))
+    val (c2, hdrs) = cli(db, "parse-headers")
+    assert(c2 == 0 && hdrs.size == 1)
+    assert(hdrs.head.contains("163")) // value_sum over the whole stream
+  }
+
+  test("cli: csv export + import round-trip") {
+    val db = freshDb()
+    seed(db)
+    val csvDir = Files.createTempDirectory("graft_csv").toString + "/out"
+    val (c1, msg) = cli(db, "query", sel, "23", "51", csvDir)
+    assert(c1 == 0 && msg.exists(_.contains("exported")))
+
+    val db2 = freshDb()
+    assert(cli(db2, "create-stream", sel, "u64")._1 == 0)
+    val part = new java.io.File(csvDir).listFiles()
+      .find(_.getName.endsWith(".csv")).get
+    assert(cli(db2, "import-csv", sel, part.toString)._1 == 0)
+    assert(cli(db2, "query", s"sum($sel)", "23", "51")._2 == Seq("163"))
+  }
+
+  test("cli: repl evaluates queries line by line and survives errors") {
+    val db = freshDb()
+    seed(db)
+    val out = ArrayBuffer.empty[String]
+    val in = new BufferedReader(new StringReader(
+      s"sum($sel)\nnot a query!!\ncount($sel)\n"))
+    assert(Cli.run(spark, db, Seq.empty, in, out += _) == 0)
+    val body = out.toSeq.drop(1) // header line
+    assert(body.take(1) == Seq("163"))
+    assert(body(1).startsWith("error:"))
+    assert(body(2) == "4")
+    assert(body.last == "exiting")
+  }
+
+  test("cli: unknown command and bad value type fail non-zero") {
+    val db = freshDb()
+    assert(cli(db, "frobnicate")._1 == 2)
+    val (code, out) = cli(db, "create-stream", sel, "i32")
+    assert(code == 1 && out.exists(_.contains("i64|u64|f64")))
+  }
+
+  test("http: /health and /query parity with the reference shapes") {
+    val db = freshDb()
+    seed(db)
+    val server = Web.start(spark, 0)
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      val health = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(health.statusCode() == 200)
+
+      def post(json: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      // vector query: typed u64 values, parallel timestamps array
+      val vec = post(
+        s"""{"path": "$db", "query": "http_requests_total{service = \\"web\\"}", "start": 23, "end": 51}""")
+      assert(vec.statusCode() == 200)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(vec.body())
+      assert(node.get("value_type").asText() == "UInteger64")
+      assert((0 until 4).map(node.get("timestamps").get(_).asLong()) == Seq(23L, 29L, 40L, 51L))
+      assert((0 until 4).map(node.get("values_u64").get(_).asLong()) == Seq(45L, 47L, 23L, 48L))
+      assert(node.get("values_i64").isNull && node.get("values_f64").isNull)
+
+      // scalar query: empty timestamps, single summed value
+      val sc = post(
+        s"""{"path": "$db", "query": "sum(http_requests_total{service = \\"web\\"})", "start": 23, "end": 51}""")
+      val scNode = new com.fasterxml.jackson.databind.ObjectMapper().readTree(sc.body())
+      assert(scNode.get("timestamps").size() == 0)
+      assert(scNode.get("values_u64").get(0).asLong() == 163L)
+
+      // bad request: missing query field
+      assert(post(s"""{"path": "$db"}""").statusCode() == 400)
+    } finally server.stop(0)
+  }
+}
