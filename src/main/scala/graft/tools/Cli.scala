@@ -89,8 +89,11 @@ object Cli {
         case Seq("create-stream", selector, vt) =>
           db.createStream(selector, parseVType(vt)); 0
         case Seq("insert", selector, ts, value) =>
+          // typed parse per the stream's value type, as the reference CLI
+          // does (main.rs:374-410): integer streams take exact i64 input
           val ins = db.inserter(selector)
-          ins.insert(ts.toLong, value.toDouble)
+          if (ins.vtype == VType.F64) ins.insert(ts.toLong, value.toDouble)
+          else ins.insert(ts.toLong, value.toLong)
           ins.flush()
           0
         case Seq("import-csv", selector, csvFile) =>

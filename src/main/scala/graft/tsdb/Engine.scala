@@ -31,12 +31,18 @@ final class StreamCatalog(defs: Seq[StreamDef]) {
   * value type per the coercion lattice.
   */
 final case class TsdbResult(df: DataFrame, isScalar: Boolean, vtype: VType) {
-  /** Output with reference type fidelity: integer-typed results are cast
-    * to LongType (the engine computes in Double; exact below 2^53).
+  /** Output with reference type fidelity. Integer-typed streams compute
+    * in LongType end-to-end (exact at any i64 magnitude, not just below
+    * 2^53) except through V2V interpolation, which goes via f64 exactly
+    * as the reference does (vector_to_vector.rs casts to f64 and rounds)
+    * — that one path is rounded and cast back here.
     */
   def output: DataFrame =
     if (vtype == VType.F64) df
-    else df.withColumn("value", round(col("value")).cast("long"))
+    else df.schema("value").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("value", round(col("value")).cast("long"))
+    }
 }
 
 /** PromQL-subset → DataFrame translator; the Spark-native replacement for
@@ -86,7 +92,11 @@ final class TsdbEngine(
       // The reference evaluates the k subplan first (get_k.rs:77-79); k is
       // one number, so the single-value collect mirrors that.
       val kRows = kRes.df.limit(1).collect()
-      val k = if (kRows.isEmpty) 0 else math.max(0L, math.round(kRows(0).getDouble(0))).toInt
+      val k = if (kRows.isEmpty) 0 else math.max(0L, kRows(0).get(0) match {
+        case d: java.lang.Double => math.round(d.doubleValue())
+        case l: java.lang.Long => l.longValue()
+        case other => other.toString.toLong
+      }).toInt
       val c = eval(child, start, end)
       require(!c.isScalar, "topk/bottomk over a scalar is not supported")
       getK(top, k, c)
@@ -125,8 +135,16 @@ final class TsdbEngine(
 
   /** VectorSelectNode: label+name equality, [start,end] range; streams
     * concatenate (vector_select.rs:78-105). Ordered (stream, timestamp).
+    *
+    * Integer-typed streams come out as LongType: from the exact `lvalue`
+    * sidecar column when the source carries one (GraftDb writes it so
+    * values above 2^53 survive the Parquet round-trip), else by casting
+    * the double (exact for the magnitudes a double can carry). Float
+    * streams stay DoubleType. From here on the whole plan is typed like
+    * the reference's Value union (lib.rs:126-132).
     */
   private def select(sel: Selector, queryStart: Long, queryEnd: Long): DataFrame = {
+    val vt = catalog.vtypeOf(sel.name, sel.matchers)
     // @/offset rewrite the scan *start* only (planner.rs:162-180).
     val start = sel.at match {
       case None => queryStart
@@ -144,9 +162,14 @@ final class TsdbEngine(
     val matcherFilter = sel.matchers.foldLeft(col("name") === sel.name) {
       (acc, m) => acc && element_at(col("labels"), m.label) === m.value
     }
+    val typedValue =
+      if (vt == VType.F64) scanValue
+      else if (data.columns.contains("lvalue"))
+        coalesce(col("lvalue"), scanValue.cast("long")).as("value")
+      else scanValue.cast("long").as("value")
     data
       .where(matcherFilter && col("timestamp") >= start && col("timestamp") <= queryEnd)
-      .select(col("timestamp"), scanValue)
+      .select(col("timestamp"), typedValue)
   }
 
   /** AggregateNode: whole-range aggregate → one scalar. Empty input emits
@@ -155,7 +178,7 @@ final class TsdbEngine(
     */
   private def aggregate(kind: AggKind, child: TsdbResult): TsdbResult = kind match {
     case AggCount =>
-      TsdbResult(child.df.agg(count(lit(1)).cast("double").as("value")),
+      TsdbResult(child.df.agg(count(lit(1)).as("value")),
         isScalar = true, VType.U64)
     case AggAvg =>
       TsdbResult(child.df.agg(avg("value").as("value")).where(col("value").isNotNull),
@@ -185,12 +208,17 @@ final class TsdbEngine(
     TsdbResult(ordered.limit(k).select(col("value")), isScalar = true, child.vtype)
   }
 
+  /** Add/Sub/Mul keep the operands' common type (Long stays Long — exact
+    * i64/u64 math at any magnitude); Div and Mod go through f64 on BOTH
+    * operands, mirroring the reference exactly, which computes integer
+    * division/modulo as `(x as f64).div/rem(y as f64)` (lib.rs:306-362).
+    */
   private def arith(kind: BinKind, l: Column, r: Column): Column = kind match {
     case Add => l + r
     case Sub => l - r
     case Mul => l * r
-    case Div => l / r
-    case Mod => l % r
+    case Div => l.cast("double") / r.cast("double")
+    case Mod => l.cast("double") % r.cast("double")
     case _ => throw new IllegalArgumentException(s"not arithmetic: $kind")
   }
 
@@ -273,7 +301,13 @@ final class TsdbEngine(
         // stays proportional on a larger cluster via the same knob.
         val span = math.max(1L, end - start)
         val bucketMs = math.max(1L, span / 64L)
-        val aligned = Align.interpolatedBucketed(l.df, r.df, roundInterp, bucketMs)
+        // The align interpolates in f64 — exactly the reference's own
+        // lossy path (vector_to_vector.rs casts every operand to f64);
+        // integer inputs are cast here and TsdbResult.output rounds back.
+        def asDouble(df: DataFrame) =
+          df.select(col("timestamp"), col("value").cast("double").as("value"))
+        val aligned = Align.interpolatedBucketed(
+          asDouble(l.df), asDouble(r.df), roundInterp, bucketMs)
         val df = aligned.select(col("timestamp"),
           arith(kind, col("lv"), col("rv")).as("value"))
         TsdbResult(df, isScalar = false, resultType(kind, l.vtype, r.vtype))

@@ -37,11 +37,18 @@ final class GraftDb(
   private val catalogFile = Paths.get(rootDir, "catalog.jsonl")
   Files.createDirectories(Paths.get(rootDir))
 
+  /** `value` is the f64 view; `lvalue` is the exact i64/u64 sidecar for
+    * integer-typed streams (null for f64 streams) — the two views of the
+    * reference's 8-byte Value union (lib.rs:126-132). Doubles lose
+    * integer precision above 2^53, so the engine reads integer streams
+    * from `lvalue` (Engine.select) and stays in LongType end-to-end.
+    */
   private val dataSchema = StructType(Seq(
     StructField("name", StringType),
     StructField("labels", MapType(StringType, StringType)),
     StructField("timestamp", LongType),
-    StructField("value", DoubleType)))
+    StructField("value", DoubleType),
+    StructField("lvalue", LongType)))
 
   // ---- catalog ----
 
@@ -98,15 +105,30 @@ final class GraftDb(
     * accumulated locally and written as one Parquet delta per `flush`,
     * mirroring the reference's open-file/seal cycle.
     */
-  final class Inserter private[GraftDb] (name: String, labels: Map[String, String]) {
-    private val buf = ArrayBuffer.empty[(Long, Double)]
+  final class Inserter private[GraftDb] (
+      name: String, labels: Map[String, String], val vtype: VType) {
+    private val buf = ArrayBuffer.empty[(Long, Double, java.lang.Long)]
 
+    private def isInt = vtype != VType.F64
+
+    /** f64 insert (insert_float64); on an integer stream the value is
+      * rounded into the exact sidecar, like the reference's typed
+      * inserters reject/convert (lib.rs:519-554).
+      */
     def insert(timestampMs: Long, value: Double): Unit =
-      buf += ((timestampMs, value))
+      buf += ((timestampMs, value,
+        if (isInt) java.lang.Long.valueOf(math.round(value)) else null))
+
+    /** Exact integer insert (insert_integer64 / insert_uinteger64):
+      * `lvalue` keeps all 64 bits; the double view is the nearest f64.
+      */
+    def insert(timestampMs: Long, value: Long): Unit =
+      buf += ((timestampMs, value.toDouble,
+        if (isInt) java.lang.Long.valueOf(value) else null))
 
     def flush(): Unit = {
       if (buf.isEmpty) return
-      val rows = buf.toSeq.map { case (t, v) => Row(name, labels, t, v) }
+      val rows = buf.toSeq.map { case (t, v, lv) => Row(name, labels, t, v, lv) }
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), dataSchema)
         .withColumn("bucket", col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
@@ -123,7 +145,7 @@ final class GraftDb(
     val hits = streams().filter(d => d.name == name &&
       labels.forall(kv => d.labels.get(kv._1).contains(kv._2)))
     require(hits.size == 1, s"selector must match exactly 1 stream, got ${hits.size}")
-    new Inserter(hits.head.name, hits.head.labels)
+    new Inserter(hits.head.name, hits.head.labels, hits.head.vtype)
   }
 
   /** Bulk CSV import (tachyon_cli/src/main.rs:247-296): header
@@ -131,13 +153,20 @@ final class GraftDb(
     */
   def importCsv(selector: String, csvPath: String): Unit = {
     val (name, labels) = parseSelector(selector)
+    // Integer streams parse Value as i64 so magnitudes above 2^53 import
+    // exactly into the lvalue sidecar; f64 streams parse as double.
+    val isInt = streams().exists(d => d.name == name && d.labels == labels &&
+      d.vtype != VType.F64)
+    val valueField =
+      if (isInt) StructField("Value", LongType) else StructField("Value", DoubleType)
     spark.read.option("header", "true")
-      .schema(StructType(Seq(
-        StructField("Timestamp", LongType), StructField("Value", DoubleType))))
+      .schema(StructType(Seq(StructField("Timestamp", LongType), valueField)))
       .csv(csvPath)
       .select(lit(name).as("name"),
         typedLit(labels).as("labels"),
-        col("Timestamp").as("timestamp"), col("Value").as("value"))
+        col("Timestamp").as("timestamp"),
+        col("Value").cast("double").as("value"),
+        (if (isInt) col("Value") else lit(null).cast("long")).as("lvalue"))
       .withColumn("bucket", col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
       .write.mode(SaveMode.Append).partitionBy("name", "bucket").parquet(dataDir)
   }
