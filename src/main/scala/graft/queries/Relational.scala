@@ -292,14 +292,21 @@ object Relational {
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
     },
 
-    // Ranking windows: ntile + percent_rank with a total order.
+    // Ranking over a total order WITHOUT the global window: a plain
+    // Window.orderBy funnels the whole table through one task, so the
+    // rank comes from RangeRank's two-pass shape (range repartition +
+    // local rank + broadcast offsets) and NTILE/PERCENT_RANK are derived
+    // from (grank, gcount) with pure column math. Same values, no
+    // single-partition stage.
     "q24_ntile" -> { (s, dir) =>
       import s.implicits._
-      val w = Window.orderBy($"o_totalprice", $"o_orderkey")
-      table(s, dir, "orders")
-        .select($"o_orderkey",
-          ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 9).as("prank"))
+      import graft.operators.RangeRank._
+      val ranked = globalRowNumber(
+        table(s, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+        Seq($"o_totalprice", $"o_orderkey"))
+      ranked.select($"o_orderkey",
+          ntileFromRank($"grank", $"gcount", 4).cast("int").as("quartile"),
+          round(percentRankFromRank($"grank", $"gcount"), 9).as("prank"))
         .orderBy($"o_orderkey")
     },
 

@@ -60,6 +60,32 @@ object Ingest {
         unix_millis(col("r_time")).as("r_ts"), col("l_value"), col("r_value"))
   }
 
+  /** Per-(name, bucket) statistics in the EXACT schema of
+    * StatsAggregate.buildStats, computed continuously: tumbling windows
+    * of bucketMs are epoch-aligned, so `window.start` equals the batch
+    * bucket column (timestamp - timestamp % bucketMs). Emitted in Update
+    * mode each micro-batch carries the CURRENT totals of every window it
+    * touched, so a replace-by-key upsert (GraftDb.statsStream) keeps the
+    * stats table identical to a full rebuild after every commit.
+    */
+  def bucketStats(raw: DataFrame, bucketMs: Long, latenessMs: Long): DataFrame =
+    raw
+      .withColumn("event_time", timestamp_millis(col("timestamp")))
+      .withWatermark("event_time", s"$latenessMs milliseconds")
+      .groupBy(col("name"),
+        window(col("event_time"), s"$bucketMs milliseconds"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("value").as("value_sum"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        min("timestamp").as("min_ts"),
+        max("timestamp").as("max_ts"))
+      .select(col("name"),
+        unix_millis(col("window.start")).as("bucket"),
+        col("n"), col("value_sum"), col("min_value"), col("max_value"),
+        col("min_ts"), col("max_ts"))
+
   /** Event-time windowed aggregates with bounded lateness: per-series
     * sum/count/min/max over tumbling windows — the streaming rendition of
     * the reference's per-file header statistics (storage/file.rs:15-36),

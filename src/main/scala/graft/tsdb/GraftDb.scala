@@ -225,6 +225,48 @@ final class GraftDb(
     StatsAggregate.buildStats(dataset(), bucketMs)
       .write.mode(SaveMode.Overwrite).parquet(s"$rootDir/stats")
 
+  /** Incremental ScanHint maintenance: a streaming writer that upserts
+    * per-(name, bucket) statistics into <root>/stats continuously, so
+    * `fastAggregate` stays fresh under live ingestion without
+    * `refreshStats()` rebuilds. Update-mode micro-batches carry the
+    * CURRENT totals for each touched bucket (streaming state re-emits
+    * the whole aggregate, not a delta), so the merge is replace-by-key —
+    * after every commit the stats table equals a full rebuild over the
+    * rows seen so far. The table is one row per stream-bucket (~6 orders
+    * smaller than data), so the per-batch overwrite stays metadata-sized
+    * at any data scale.
+    *
+    * `raw` schema: (name STRING, timestamp LONG ms, value DOUBLE).
+    */
+  def statsStream(raw: DataFrame, latenessMs: Long,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    graft.streaming.Ingest.bucketStats(raw, bucketMs, latenessMs)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        upsertStats(batch.toDF())
+      }
+
+  private def upsertStats(delta: DataFrame): Unit = synchronized {
+    val statsPath = s"$rootDir/stats"
+    import org.apache.spark.storage.StorageLevel
+    val d = delta.persist(StorageLevel.MEMORY_AND_DISK)
+    d.count()
+    val merged =
+      if (Files.exists(Paths.get(statsPath)))
+        spark.read.parquet(statsPath)
+          .join(d.select("name", "bucket"), Seq("name", "bucket"), "left_anti")
+          .unionByName(d)
+      else d
+    // materialize BEFORE the overwrite deletes the files being read
+    val m = merged.persist(StorageLevel.MEMORY_AND_DISK)
+    m.count()
+    m.write.mode(SaveMode.Overwrite).parquet(statsPath)
+    m.unpersist()
+    d.unpersist()
+  }
+
   /** Whole-range sum/count/min/max/avg served from the stats table for
     * covered buckets — tachyon's ScanHint pushdown (SURVEY §4 #1).
     */

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RangeRank
+import graft.tsdb.TsdbFixtures.spark
+
+/** RangeRank's two-pass global ranking must equal Spark's own
+  * single-partition window, bucket for bucket, on awkward sizes (n not
+  * divisible by k, n < partitions, k > n).
+  */
+class RangeRankSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def fixture(n: Int) = {
+    // keys deliberately unsorted and non-unique on the primary column;
+    // (v, id) is the unique total order
+    (0 until n).map(i => ((i * 37) % 11, i.toLong)).toDF("v", "id")
+  }
+
+  test("globalRowNumber equals the global-window row_number") {
+    for (n <- Seq(1, 7, 100)) {
+      val df = fixture(n)
+      val expect = df
+        .withColumn("rn", row_number().over(Window.orderBy($"v", $"id")))
+        .select($"id", $"rn").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = RangeRank.globalRowNumber(df, Seq($"v", $"id"), numPartitions = 4)
+        .select($"id", $"grank", $"gcount").collect()
+      assert(got.length == n)
+      got.foreach { r =>
+        assert(r.getLong(1) == expect(r.getLong(0)).toLong, s"id ${r.getLong(0)}")
+        assert(r.getLong(2) == n.toLong)
+      }
+    }
+  }
+
+  test("ntileFromRank + percentRankFromRank equal the window functions") {
+    for (n <- Seq(1, 7, 10, 23); k <- Seq(1, 3, 4, 30)) {
+      val df = fixture(n)
+      val w = Window.orderBy($"v", $"id")
+      val expect = df.select($"id",
+          ntile(k).over(w).as("nt"),
+          percent_rank().over(w).as("pr"))
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      val got = RangeRank.globalRowNumber(df, Seq($"v", $"id"), numPartitions = 3)
+        .select($"id",
+          RangeRank.ntileFromRank($"grank", $"gcount", k).cast("int").as("nt"),
+          RangeRank.percentRankFromRank($"grank", $"gcount").as("pr"))
+        .collect()
+      got.foreach { r =>
+        val (nt, pr) = expect(r.getLong(0))
+        assert(r.getInt(1) == nt, s"n=$n k=$k id=${r.getLong(0)}")
+        assert(math.abs(r.getDouble(2) - pr) < 1e-12, s"n=$n k=$k id=${r.getLong(0)}")
+      }
+    }
+  }
+}
