@@ -232,6 +232,51 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** Connected components over the near-dup pair graph: every node gets
+    * the MINIMUM id reachable through the pairs — the cluster
+    * representative for keep-one-per-cluster dedup (pairs alone
+    * under-delete: near-dup similarity is not transitive, but the
+    * dedup policy is).
+    *
+    * Label propagation: labels start as self; each round every node
+    * takes the min of its own and its neighbors' labels; converges in
+    * O(cluster diameter) rounds — near-dup clusters are shallow, and
+    * `maxIters` bounds the worst case. Each round is one equi-join plus
+    * one map-side-combined min-aggregate, shuffling only the (data-bound)
+    * edge list. Labels are localCheckpoint'ed per round: iterative plans
+    * otherwise grow lineage exponentially (a cluster job would use a
+    * reliable checkpoint dir instead).
+    *
+    * Returns (id, rep) for every id that appears in `pairs`.
+    */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionAll(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst" :: Nil)
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, "id" :: Nil)
+        .select(col("id"), least(col("label"), col("nlabel")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id" :: Nil)
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("rep"))
+  }
+
   /** Embedding near-duplicate pairs by cosine within `blockCols` cells
     * (IVF-style candidate restriction).
     */

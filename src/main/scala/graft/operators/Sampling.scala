@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-dependent per partition SPLIT, so the selected
+  * set changes whenever the input repartitions — useless for
+  * reproducible corpus curation. These operators key the decision on a
+  * content hash of a stable key column instead: the same row is selected
+  * on any cluster layout, any partition count, any engine (the md5
+  * basis is the same one the DuckDB oracles share — see
+  * TextFunctions.shingleHashes).
+  *
+  * Scale shape: hashSample is a pure row-local filter (no shuffle, fully
+  * pushdown-friendly for the surviving columns); stratifiedTopN shuffles
+  * once on the stratum key and ranks inside each stratum — no global
+  * ordering anywhere.
+  */
+object Sampling {
+
+  /** 60-bit deterministic hash of a key column (first 15 md5 hex digits
+    * — bit-identical in DuckDB: CAST(('0x'||substr(md5(k),1,15)) AS BIGINT)).
+    */
+  def keyHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Keep ~fraction of rows, decided per row by hash bucket: stable
+    * under repartitioning, joins, and engine changes. `buckets` sets the
+    * resolution (fraction rounds to 1/buckets steps).
+    */
+  def hashSample(df: DataFrame, key: Column, fraction: Double,
+      buckets: Int = 10000): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    val cut = math.round(fraction * buckets)
+    df.where(pmod(keyHash(key), lit(buckets)) < cut)
+  }
+
+  /** Deterministic n-per-stratum sample: rows ranked inside each stratum
+    * by (key hash, key) — a reproducible shuffle order — and the first n
+    * kept. One hash shuffle on the stratum column; rank windows are
+    * per-stratum, never global.
+    */
+  def stratifiedTopN(df: DataFrame, stratum: Column, key: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(keyHash(key), key)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= n)
+      .drop("_rn")
+  }
+}

@@ -73,6 +73,33 @@ object Pipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  private val Marker2 = " graft dup marker two"
+
+  /** corpusNear plus a SECOND near-copy (ids +2e6) of every 20th doc —
+    * every planted cluster has 3 members, so cluster formation (dd07) has
+    * something transitive to find. The second copies' shingles extend the
+    * shared pass instead of recomputing the whole corpus.
+    */
+  private def tripleShingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(System.identityHashCode(s) + "|3|" + dir, {
+      val extra = docs(s, dir).where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(Marker2)).as("text"))
+      nearShingles(s, dir)
+        .unionAll(Dedup.shingleBase(extra, "doc_id", "text", nGram = 3))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private val CorpusTripleSql =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || '$Marker' AS text
+       |  FROM documents WHERE doc_id % 20 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text || '$Marker2' AS text
+       |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
+
   // ---- shared SQL fragments (DuckDB) mirroring TextFunctions ----
 
   private val ToksSql = "regexp_extract_all(text, '[^\\s]+')"
@@ -157,6 +184,16 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // Cluster formation: pairs under-delete (near-dup similarity is not
+    // transitive, the dedup policy is), so the kept set comes from
+    // connected components over the pair graph — min reachable id as the
+    // representative. The oracle recomputes reachability with a
+    // recursive CTE over the same complete all-pairs spec.
+    "dd07_dup_groups" -> { (s, dir) =>
+      val pairs = Dedup.jaccardPairsFromShingles(tripleShingles(s, dir), threshold = 0.5)
+      Dedup.components(pairs).orderBy("id")
+    },
+
     // IVF cells as the dedup blocks: the k-means quantizer bounds every
     // block to ~corpus/k rows, where a pre-existing metadata column
     // (dd05's label) may be missing or skewed at 100 TB. Exact duplicates
@@ -195,6 +232,23 @@ object Pipeline {
       Knn.ivfTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", "label",
           q, Seq(cell), 5)
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    },
+
+    // ---- deterministic sampling (corpus curation) ----
+    // Selection is keyed on a content hash, not Spark's seed+partition
+    // sampling — the same rows survive any repartitioning or engine, and
+    // the oracle can reproduce the exact set.
+    "sp01_hash_sample" -> { (s, dir) =>
+      graft.operators.Sampling.hashSample(
+          docs(s, dir).select(col("doc_id"), col("lang")), col("doc_id"), 0.1)
+        .orderBy("doc_id")
+    },
+
+    "sp02_stratified" -> { (s, dir) =>
+      graft.operators.Sampling.stratifiedTopN(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"), n = 5)
+        .orderBy("doc_id")
     },
 
     // ---- text analysis ----
@@ -376,6 +430,25 @@ object Pipeline {
         |  AND list_cosine_similarity(a.vec, b.vec) >= 0.995
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "dd07_dup_groups" ->
+      s"""WITH RECURSIVE $CorpusTripleSql,
+         |tk AS (SELECT doc_id AS id, $ToksSql AS toks FROM corpus),
+         |sh AS (SELECT id, ${hashesSql(shinglesSql("toks"))} AS shs FROM tk),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM sh a JOIN sh b ON a.id < b.id
+         |  WHERE len(a.shs) > 0 AND len(b.shs) > 0
+         |    AND len(a.shs) >= len(b.shs) * 0.5 AND len(b.shs) >= len(a.shs) * 0.5
+         |    AND len(list_intersect(a.shs, b.shs))::DOUBLE /
+         |        len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id, MIN(label) AS rep FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin,
+
     "dd06_embed_ivf" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -409,6 +482,22 @@ object Pipeline {
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC,
         |         vec_id
         |LIMIT 5""".stripMargin,
+
+    "sp01_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 10000 < 1000
+        |ORDER BY doc_id""".stripMargin,
+
+    "sp02_stratified" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM ranked WHERE rn <= 5
+        |ORDER BY doc_id""".stripMargin,
 
     "tx01_tokens" ->
       s"""SELECT doc_id, CAST(len($ToksSql) AS INT) AS n_tokens

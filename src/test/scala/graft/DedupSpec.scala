@@ -80,6 +80,25 @@ class DedupSpec extends AnyFunSuite {
         got.contains((i.toLong, i + 1000L))))
   }
 
+  test("components: transitive closure with min-id representative") {
+    // chain 1-2-3 (no direct 1-3 pair!), separate cluster 10-11,
+    // isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("components: long chain converges within the diameter") {
+    val n = 12
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1 to n).map(i => i.toLong -> 1L).toMap)
+  }
+
   test("jaccard prefix filter finds exactly the all-pairs matches") {
     val t = 0.5
     val got = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = t)

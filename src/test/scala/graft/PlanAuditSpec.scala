@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tsdb.TsdbFixtures.spark
+
+/** Plan-shape regression guards: the properties that make these
+  * operators survive a 100x scale-up are assertions on the physical
+  * plan, not just on row values — pushdown reaching the scan, pruning
+  * keeping scans narrow, windows never globally ordered over data, and
+  * row-local operators staying shuffle-free.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Formatted mode prints scans in full — the tree string truncates the
+    * filter list before the PushedFilters section appears.
+    */
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("date predicate is pushed to the parquet scan (q2)") {
+    val p = formatted(graft.queries.Relational.queries("q2_filter_agg")(spark, sf))
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*(GreaterThan|LessThan|GreaterThanOrEqual|LessThanOrEqual)[^\\]]*\\].*"),
+      "no range predicate reached the scan")
+  }
+
+  test("column pruning keeps the tx01 documents scan narrow") {
+    val p = formatted(graft.queries.Pipeline.queries("tx01_tokens")(spark, sf))
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+    assert(readSchemas.nonEmpty)
+    // tx01 needs doc_id + text only; a scan reading lang/source/etc. is
+    // a pruning regression
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("lang") && !rs.contains("source"), rs)
+    }
+  }
+
+  test("hash sampling is a row-local filter: zero exchanges") {
+    val p = plan(graft.operators.Sampling.hashSample(
+      spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id")),
+      col("doc_id"), 0.1))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
+  test("q24 global ranking has no window ordered over the data") {
+    val p = plan(graft.queries.Relational.queries("q24_ntile")(spark, sf))
+    // a Window whose spec leads with the o_totalprice sort would be the
+    // single-partition global window we removed
+    assert(!p.matches("(?s).*windowspecdefinition\\(o_totalprice.*"),
+      "global-order window over orders is back")
+  }
+
+  test("ts17 align windows are bucket-partitioned, never sample-global") {
+    val e = graft.queries.TimeSeries.engineDedup(spark, sf)
+    val p = plan(e.query("click + view", 1704499200000L, 1705449600000L).df)
+    // row-level neighbor windows must carry the bucket partition key in
+    // front; a spec leading with the timestamp sort = global window
+    assert(!p.matches("(?s).*windowspecdefinition\\(timestamp#\\d+L ASC.*"),
+      "sample-global window in the align path")
+    assert(p.contains("windowspecdefinition(bucket#"),
+      "expected bucket-partitioned neighbor windows")
+  }
+}
