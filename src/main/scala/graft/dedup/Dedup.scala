@@ -72,7 +72,7 @@ object Dedup {
   def shingleBase(df: DataFrame, idCol: String, textCol: String,
       nGram: Int = 3): DataFrame =
     df.select(col(idCol).as("id"),
-        shingleHashes(wordShingles(tokens(col(textCol)), nGram)).as("hs"))
+        graft.functions.ShingleHash.shingleHashes60(col(textCol), nGram).as("hs"))
       .where(size(col("hs")) > 0)
 
   /** minhashPairs over a pre-computed (id, hs) shingle table. The caller

@@ -48,4 +48,20 @@ object Graft {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Restore scan parallelism for CPU-heavy per-row passes when the
+    * source is a handful of unsplittable files (single-row-group parquet
+    * reads as ONE task no matter what `maxPartitionBytes` says — the
+    * whole corpus then tokenizes on one core).
+    *
+    * At 100 TB the scan already yields thousands of row-group-sized
+    * partitions and this is a no-op; it only ever adds a round-robin
+    * exchange when the scan cannot feed the cluster. Callers put it
+    * AFTER pushdown-able filters/projections so the exchange moves the
+    * narrow residue, and Catalyst still prunes columns through it.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

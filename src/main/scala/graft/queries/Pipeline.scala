@@ -22,8 +22,11 @@ object Pipeline {
 
   private val Marker = " graft dup marker"
 
+  // The testdata parquet is a single row group, so the scan is ONE task
+  // regardless of maxPartitionBytes — widen() restores parallelism for
+  // the CPU-heavy text/vector passes (no-op on a normally-split source).
   private def docs(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
+    graft.engine.Graft.widen(table(s, dir, "documents"))
 
   /** documents ∪ exact copies of every 10th doc (ids offset by 1e6). */
   private def corpusExact(s: SparkSession, dir: String): DataFrame = {
@@ -175,7 +178,7 @@ object Pipeline {
     },
 
     "dd05_embed_cosine" -> { (s, dir) =>
-      val e = table(s, dir, "embeddings")
+      val e = graft.engine.Graft.widen(table(s, dir, "embeddings"))
       val planted = e.select(col("vec_id"), col("embedding"), col("label")).unionAll(
         e.where(col("vec_id") % 50 === 0)
           .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label")))
@@ -202,7 +205,7 @@ object Pipeline {
     // the testdata is ~0.51), so the complete blocking-free all-pairs
     // oracle still verifies the blocked result exactly.
     "dd06_embed_ivf" -> { (s, dir) =>
-      val e = table(s, dir, "embeddings")
+      val e = graft.engine.Graft.widen(table(s, dir, "embeddings"))
       val planted = e.select(col("vec_id"), col("embedding")).unionAll(
         e.where(col("vec_id") % 50 === 0)
           .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
