@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -127,18 +127,31 @@ object Dedup {
   /** SimHash near-duplicate pairs: ALL pairs with
     * hamming(simhash60) <= maxHamming, found without an all-pairs join.
     *
-    * Candidate generation is pigeonhole banding on the fingerprint
-    * itself: the 60-bit fingerprint splits into maxHamming+1 contiguous
-    * segments, and two fingerprints within the radius differ in at most
-    * maxHamming segments, so they agree EXACTLY on at least one — an
-    * equi-join on (segment index, segment value) is a complete candidate
-    * generator. Unlike blocking on content heuristics (language, source,
-    * first token), this derives the blocks from the similarity structure:
-    * no near-dup pair can be missed, and block sizes are corpus/2^width
-    * rather than unbounded. (Production tuning: radius 3 on a 64-bit
-    * fingerprint gives 4 x 16-bit segments — the classic multi-index
-    * Hamming config; radius 6 here keeps 8-9-bit segments, still
-    * data-bound.)
+    * Candidate generation is multi-index pigeonhole banding on the
+    * fingerprint itself: split the 60 bits into m = maxHamming +
+    * comboWidth contiguous segments. A pair within the radius has
+    * errors in at most maxHamming segments, leaving >= comboWidth
+    * segments where the two fingerprints agree EXACTLY — so the pair
+    * shares at least one of the C(m, comboWidth) packed
+    * comboWidth-segment keys, and an equi-join on (combo index, packed
+    * value) is a complete candidate generator. Unlike blocking on
+    * content heuristics (language, source, first token), the blocks
+    * derive from the similarity structure: no in-radius pair can be
+    * missed.
+    *
+    * Candidate-volume math (the honest part): for NON-duplicate, near
+    * random fingerprint pairs, each combo key collides with probability
+    * ~2^-(comboWidth*60/m), so expected spurious candidates are about
+    * C(m, comboWidth) * n^2 / 2^(comboWidth*60/m) — still quadratic in
+    * n for any fixed key width. comboWidth is the lever: at radius 6,
+    * comboWidth=1 gives 7 keys of ~8.5 bits (candidate rate ~2%),
+    * comboWidth=2 gives 28 keys of ~15 bits (~1e-3), comboWidth=3 gives
+    * 84 keys of ~20 bits (~8e-5). Scale rule: pick comboWidth so the
+    * packed key width comboWidth*60/(maxHamming+comboWidth) stays >=
+    * log2(n) - that keeps expected bucket size O(1) and the join
+    * data-bound. Past comboWidth's reach (very large n at a wide
+    * radius), the fingerprint itself must widen — the 60-bit budget is
+    * the binding constraint, not the banding.
     *
     * Fingerprints use the same explode+aggregate shape as minhashPairs
     * (and for the same codegen/scale reasons): 60 `sum` bit-vote
@@ -151,7 +164,10 @@ object Dedup {
     simhashPairsFromShingles(shingleBase(df, idCol, textCol, nGram), maxHamming)
 
   /** simhashPairs over a pre-computed (id, hs) shingle table. */
-  def simhashPairsFromShingles(base: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simhashPairsFromShingles(base: DataFrame, maxHamming: Int = 6,
+      comboWidth: Int = 2): DataFrame = {
+    require(comboWidth >= 1 && maxHamming + comboWidth <= SimhashBits,
+      s"invalid comboWidth $comboWidth for radius $maxHamming")
     val voteCols = (0 until SimhashBits).map { i =>
       sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"v$i")
     }
@@ -165,10 +181,18 @@ object Dedup {
     // cover broadcast self-joins — measured in round 1).
     val fp = votes.select(col("id"), fpExpr.as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val segCols = segmentBounds(SimhashBits, maxHamming + 1).zipWithIndex.map {
-      case ((off, w), i) =>
-        struct(lit(i).as("seg_idx"),
-          shiftrightunsigned(col("fp"), off).bitwiseAND((1L << w) - 1).as("seg_val"))
+    val bounds = segmentBounds(SimhashBits, maxHamming + comboWidth)
+    // Any comboWidth segment widths sum to <= 60 bits, so a packed
+    // combo key always fits one long.
+    val segCols = bounds.indices.combinations(comboWidth).toSeq.zipWithIndex.map {
+      case (idxs, ci) =>
+        val packed = idxs.map { i =>
+          val (off, w) = bounds(i)
+          (shiftrightunsigned(col("fp"), off).bitwiseAND((1L << w) - 1), w)
+        }.reduceLeft[(Column, Int)] { case ((acc, aw), (v, w)) =>
+          (shiftleft(acc, w).bitwiseOR(v), aw + w)
+        }._1
+        struct(lit(ci).as("seg_idx"), packed.as("seg_val"))
     }
     val banded = fp.select(col("id"), col("fp"),
         explode(array(segCols: _*)).as("seg"))
@@ -249,11 +273,15 @@ object Dedup {
     *
     * Returns (id, rep) for every id that appears in `pairs`.
     */
-  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 20,
+      failOnNonConvergence: Boolean = true): DataFrame = {
+    // Ids keep their original type: min/least propagation only needs an
+    // ordering, which every Spark atomic type has (a long cast here
+    // would silently null out string-id corpora).
     val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+        .select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -265,15 +293,27 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst" :: Nil)
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
+      // `changed` rides along instead of a second labels join; the
+      // eager localCheckpoint both truncates the iterative lineage and
+      // makes the isEmpty convergence probe a cache read. Superseded
+      // label RDDs lose their last reference here and the
+      // ContextCleaner reclaims their blocks.
       val next = labels.join(neighborMin, "id" :: Nil)
-        .select(col("id"), least(col("label"), col("nlabel")).as("label"))
+        .select(col("id"), least(col("label"), col("nlabel")).as("label"),
+          (col("nlabel") < col("label")).as("changed"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id" :: Nil)
-        .where(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.where(col("changed")).isEmpty
+      labels = next.drop("changed")
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      val msg = s"components() did not converge in $maxIters rounds — " +
+        "a cluster's diameter exceeds maxIters and its representatives " +
+        "are NOT cluster minima; raise maxIters (rounds are O(diameter))"
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels.select(col("id"), col("label").as("rep"))
   }
 

@@ -29,18 +29,30 @@ import graft.tsdb.{GraftDb, VType}
   */
 object Web {
 
+  /** Usage: Web [port] [dbRoot]. Binds loopback only; databases are
+    * restricted to `dbRoot` (default: the working directory) — an open
+    * `path` field from the network must not grant arbitrary filesystem
+    * reads or directory creation.
+    */
   def main(args: Array[String]): Unit = {
     val port = args.headOption.map(_.toInt).getOrElse(8080)
+    val root = args.lift(1).getOrElse(System.getProperty("user.dir"))
     val spark = graft.engine.Graft.session("graft-web")
-    val server = start(spark, port)
-    println(s"graft web backend listening on :${server.getAddress.getPort}")
+    val server = start(spark, port, Some(root))
+    println(s"graft web backend listening on 127.0.0.1:${server.getAddress.getPort}" +
+      s" (db root: $root)")
     // block forever; the server threads own the process from here
     Thread.currentThread().join()
   }
 
-  /** Start a server on `port` (0 = ephemeral). Caller stops it. */
-  def start(spark: SparkSession, port: Int): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+  /** Start a server on `port` (0 = ephemeral), loopback-bound. When
+    * `dbRoot` is set, /query only opens databases under it. Caller
+    * stops it.
+    */
+  def start(spark: SparkSession, port: Int,
+      dbRoot: Option[String] = None): HttpServer = {
+    val server = HttpServer.create(
+      new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, port), 0)
     server.createContext("/health", (ex: HttpExchange) => {
       ex.sendResponseHeaders(200, -1)
       ex.close()
@@ -50,7 +62,8 @@ object Web {
         try {
           if (ex.getRequestMethod != "POST") (405, "POST only")
           else (200, handleQuery(spark,
-            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)))
+            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8),
+            dbRoot))
         } catch {
           case e: Exception => (400, Option(e.getMessage).getOrElse("bad request"))
         }
@@ -66,12 +79,19 @@ object Web {
     server
   }
 
-  private[tools] def handleQuery(spark: SparkSession, requestJson: String): String = {
+  private[tools] def handleQuery(spark: SparkSession, requestJson: String,
+      dbRoot: Option[String] = None): String = {
     val mapper = new ObjectMapper()
     val req = mapper.readTree(requestJson)
     def field(k: String) = Option(req.get(k)).filterNot(_.isNull)
     val path = field("path").map(_.asText())
       .getOrElse(throw new IllegalArgumentException("missing field: path"))
+    dbRoot.foreach { root =>
+      val canonical = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+      val requested = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      if (!requested.startsWith(canonical))
+        throw new IllegalArgumentException(s"path outside db root: $path")
+    }
     val promql = field("query").map(_.asText())
       .getOrElse(throw new IllegalArgumentException("missing field: query"))
     val start = field("start").map(_.asLong()).getOrElse(Cli.HackTimeStart)

@@ -221,9 +221,59 @@ final class GraftDb(
     * reference's `.ty` file headers, storage/file.rs:15-36). Incremental
     * maintenance belongs to the streaming path (Ingest.windowedStats).
     */
-  def refreshStats(): Unit =
-    StatsAggregate.buildStats(dataset(), bucketMs)
-      .write.mode(SaveMode.Overwrite).parquet(s"$rootDir/stats")
+  def refreshStats(): Unit = writeStats(StatsAggregate.buildStats(dataset(), bucketMs))
+
+  // ---- stats table storage: versioned dirs + an atomically-swapped ----
+  // ---- pointer file, so no writer ever overwrites the files a     ----
+  // ---- reader (or its own merge plan) is scanning.                ----
+
+  private val statsPointer = Paths.get(rootDir, "stats_current")
+
+  /** Current stats dir: pointer target, or the legacy fixed path. */
+  private def statsDir(): Option[String] = {
+    if (Files.exists(statsPointer))
+      Some(s"$rootDir/${Files.readString(statsPointer).trim}")
+    else if (Files.exists(Paths.get(rootDir, "stats"))) Some(s"$rootDir/stats")
+    else None
+  }
+
+  /** The stats table (empty-schema error if never built). */
+  def statsTable(): DataFrame =
+    spark.read.parquet(statsDir().getOrElse(
+      throw new IllegalStateException("stats never built: call refreshStats()")))
+
+  /** Publish `df` as the new stats table: write a fresh version dir,
+    * atomically swap the pointer, then prune versions older than the
+    * immediately-previous one (kept so a reader that resolved the old
+    * pointer just before the swap still scans intact files; a crash at
+    * any step leaves the pointer on a complete version, and the
+    * streaming retry of the batch simply re-merges against it).
+    */
+  private def writeStats(df: DataFrame): Unit = synchronized {
+    val prev = statsDir()
+    val version = s"stats_v${System.nanoTime()}"
+    df.write.parquet(s"$rootDir/$version")
+    val tmp = Paths.get(rootDir, s".stats_current.tmp")
+    Files.writeString(tmp, version)
+    Files.move(tmp, statsPointer,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // best-effort prune of versions before `prev`
+    val keep = Set(Some(s"$rootDir/$version"), prev).flatten
+      .map(p => Paths.get(p).getFileName.toString)
+    val dir = Paths.get(rootDir)
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("stats_v") ||
+        p.getFileName.toString == "stats")
+      .filterNot(p => keep.contains(p.getFileName.toString))
+      .foreach { p =>
+        try {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        } catch { case _: java.io.IOException => () }
+      }
+  }
 
   /** Incremental ScanHint maintenance: a streaming writer that upserts
     * per-(name, bucket) statistics into <root>/stats continuously, so
@@ -249,29 +299,24 @@ final class GraftDb(
       }
 
   private def upsertStats(delta: DataFrame): Unit = synchronized {
-    val statsPath = s"$rootDir/stats"
-    import org.apache.spark.storage.StorageLevel
-    val d = delta.persist(StorageLevel.MEMORY_AND_DISK)
-    d.count()
-    val merged =
-      if (Files.exists(Paths.get(statsPath)))
-        spark.read.parquet(statsPath)
-          .join(d.select("name", "bucket"), Seq("name", "bucket"), "left_anti")
-          .unionByName(d)
-      else d
-    // materialize BEFORE the overwrite deletes the files being read
-    val m = merged.persist(StorageLevel.MEMORY_AND_DISK)
-    m.count()
-    m.write.mode(SaveMode.Overwrite).parquet(statsPath)
-    m.unpersist()
-    d.unpersist()
+    // The merge plan reads the CURRENT version dir and writeStats never
+    // touches it (new version + pointer swap), so no persist/count
+    // detach dance is needed and a lost executor can always recompute.
+    val merged = statsDir() match {
+      case Some(cur) =>
+        spark.read.parquet(cur)
+          .join(delta.select("name", "bucket"), Seq("name", "bucket"), "left_anti")
+          .unionByName(delta)
+      case None => delta
+    }
+    writeStats(merged)
   }
 
   /** Whole-range sum/count/min/max/avg served from the stats table for
     * covered buckets — tachyon's ScanHint pushdown (SURVEY §4 #1).
     */
   def fastAggregate(name: String, startMs: Long, endMs: Long): DataFrame =
-    StatsAggregate.aggregate(dataset(), spark.read.parquet(s"$rootDir/stats"),
+    StatsAggregate.aggregate(dataset(), statsTable(),
       name, startMs, endMs, bucketMs)
 
   /** Stream listing with per-stream sample counts + footer-stat summary —

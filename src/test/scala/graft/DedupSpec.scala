@@ -80,6 +80,40 @@ class DedupSpec extends AnyFunSuite {
         got.contains((i.toLong, i + 1000L))))
   }
 
+  test("simhash comboWidth variants produce identical pairs") {
+    val sh = Dedup.shingleBase(corpus, "doc_id", "text")
+    def pairs(c: Int) =
+      Dedup.simhashPairsFromShingles(sh, maxHamming = 6, comboWidth = c)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(1)
+    assert(one == pairs(2) && one == pairs(3))
+  }
+
+  test("components: ids keep their type (string corpus)") {
+    val pairs = Seq(("docB", "docA"), ("docB", "docC"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "x" -> "x", "y" -> "x"))
+  }
+
+  test("components: non-convergence fails loudly (or warns when asked)") {
+    // a 9-hop chain cannot converge in 3 rounds
+    val pairs = (1 until 10).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.components(pairs, maxIters = 3).collect()
+    }
+    // opt-out returns the partial labels instead
+    assert(Dedup.components(pairs, maxIters = 3,
+      failOnNonConvergence = false).count() == 10)
+    // and the same graph converges exactly at the diameter
+    val got = Dedup.components(pairs, maxIters = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1 to 10).map(i => i.toLong -> 1L).toMap)
+  }
+
   test("components: transitive closure with min-id representative") {
     // chain 1-2-3 (no direct 1-3 pair!), separate cluster 10-11,
     // isolated pair 20-21

@@ -50,7 +50,7 @@ class StatsStreamSpec extends AnyFunSuite {
 
     val expected = StatsAggregate.buildStats(
       (batch1 ++ batch2).toDF("name", "timestamp", "value"), BucketMs)
-    val incremental = spark.read.parquet(s"$root/stats")
+    val incremental = db.statsTable()
     assert(canon(incremental) == canon(expected))
 
     // ...and the ScanHint path answers from the fresh table: both cpu
