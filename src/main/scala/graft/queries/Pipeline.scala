@@ -197,6 +197,21 @@ object Pipeline {
       Dedup.components(pairs).orderBy("id")
     },
 
+    // The end-to-end dedup surface: the corpus AFTER keep-one-per-cluster
+    // — every doc whose cluster representative is another doc is dropped,
+    // singletons (no near-dup) survive untouched. One anti-join over the
+    // components output; the oracle recomputes the kept set from the
+    // complete all-pairs spec + recursive reachability.
+    "dd08_keep_one" -> { (s, dir) =>
+      val pairs = Dedup.jaccardPairsFromShingles(nearShingles(s, dir), threshold = 0.5)
+      val reps = Dedup.components(pairs)
+      corpusNear(s, dir).select(col("doc_id"))
+        .join(reps, col("doc_id") === col("id"), "left")
+        .where(col("rep").isNull || col("rep") === col("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // IVF cells as the dedup blocks: the k-means quantizer bounds every
     // block to ~corpus/k rows, where a pre-existing metadata column
     // (dd05's label) may be missing or skewed at 100 TB. Exact duplicates
@@ -338,6 +353,39 @@ object Pipeline {
         .limit(20)
     },
 
+    // Intra-document repetition: 1 - distinct/total word trigrams — the
+    // standard boilerplate / degenerate-generation signal. Both counts
+    // are pure column math (the distinct count reuses the ShingleHash60
+    // kernel), no explode, no shuffle.
+    "tx06_repetition" -> { (s, dir) =>
+      val total = greatest(size(tokens(col("text"))) - 2, lit(0))
+      val distinctSh =
+        size(graft.functions.ShingleHash.shingleHashes60(col("text"), 3))
+      docs(s, dir).select(
+        col("doc_id"),
+        total.cast("int").as("n_trigrams"),
+        when(total > 0,
+          round(lit(1.0) - distinctSh.cast("double") / total, 6))
+          .otherwise(0.0).as("repetition"))
+        .orderBy("doc_id")
+    },
+
+    // Pattern scrubbing counts (PII-adjacent curation signal): emails,
+    // URLs, long digit runs. Conservative ASCII regexes that behave
+    // identically under Java regex (Spark) and RE2 (DuckDB oracle).
+    "tx07_patterns" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        regexp_count(col("text"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+          .cast("int").as("n_emails"),
+        regexp_count(col("text"), lit("https?://[^\\s]+"))
+          .cast("int").as("n_urls"),
+        regexp_count(col("text"), lit("[0-9]{6,}"))
+          .cast("int").as("n_digit_runs"))
+        .orderBy("doc_id")
+    },
+
     // Chunk sampling through the Multimodal operator: every 3rd 16-byte
     // chunk of the payload, joined for portable comparison.
     "mm03_chunks" -> { (s, dir) =>
@@ -452,6 +500,29 @@ object Pipeline {
          |SELECT id, MIN(label) AS rep FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
 
+    "dd08_keep_one" ->
+      s"""WITH RECURSIVE $CorpusNearSql,
+         |tk AS (SELECT doc_id AS id, $ToksSql AS toks FROM corpus),
+         |sh AS (SELECT id, ${hashesSql(shinglesSql("toks"))} AS shs FROM tk),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM sh a JOIN sh b ON a.id < b.id
+         |  WHERE len(a.shs) > 0 AND len(b.shs) > 0
+         |    AND len(a.shs) >= len(b.shs) * 0.5 AND len(b.shs) >= len(a.shs) * 0.5
+         |    AND len(list_intersect(a.shs, b.shs))::DOUBLE /
+         |        len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+         |nonrep AS (SELECT id FROM (
+         |  SELECT id, MIN(label) AS rep FROM reach GROUP BY id)
+         |  WHERE rep != id)
+         |SELECT doc_id FROM corpus
+         |WHERE doc_id NOT IN (SELECT id FROM nonrep)
+         |ORDER BY doc_id""".stripMargin,
+
     "dd06_embed_ivf" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -556,6 +627,26 @@ object Pipeline {
          |        i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM t)
          |SELECT bigram, COUNT(*) AS n FROM b
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "tx06_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  greatest(len(toks) - 2, 0) AS total,
+         |  len(${hashesSql(shinglesSql("toks"))}) AS dist
+         |  FROM t)
+         |SELECT doc_id, CAST(total AS INT) AS n_trigrams,
+         |  CASE WHEN total > 0
+         |       THEN ROUND(1.0 - dist::DOUBLE / total, 6)
+         |       ELSE 0.0 END AS repetition
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "tx07_patterns" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_digit_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm01_meta" ->
       """SELECT doc_id,
