@@ -29,6 +29,10 @@ object Bench {
         .mode("overwrite").format("noop").save())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // settle the heap between queries so a collection triggered by the
+      // previous query's garbage doesn't land inside this one's window
+      // (standard microbenchmark hygiene; untimed)
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }

@@ -225,7 +225,10 @@ object Pipeline {
         e.where(col("vec_id") % 50 === 0)
           .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-      val m = graft.ann.IvfIndex.fit(planted, "vec_id", "vec", k = 16, iters = 2)
+      // one Lloyd step: dedup blocking only needs cells that co-assign
+      // identical vectors and keep sizes ~corpus/k — quantizer quality
+      // beyond that buys recall (ANN's concern), not completeness here
+      val m = graft.ann.IvfIndex.fit(planted, "vec_id", "vec", k = 16, iters = 1)
       val assigned = graft.ann.IvfIndex.transform(planted, "vec", m)
       Dedup.embeddingPairs(assigned, "vec_id", "vec", Seq("cell"))
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
