@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, ShingleHash60, SortedLongIntersectCount}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Enable with
@@ -13,13 +13,30 @@ import graft.functions.DotProduct
   *
   * SQL surface:
   *   SELECT graft_dot(a.embedding, b.embedding) ...
+  *   SELECT graft_shingle_hash60(text, 3) ...
+  *   SELECT graft_sorted_intersect_count(a.hs, b.hs) ...
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    type Exprs = Seq[org.apache.spark.sql.catalyst.expressions.Expression]
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+      (exprs: Exprs) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (exprs: Exprs) => SortedLongIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingle_hash60"),
+      new ExpressionInfo(classOf[ShingleHash60].getName, "graft_shingle_hash60"),
+      (exprs: Exprs) => ShingleHash60(exprs(0),
+        exprs.lift(1).map(_.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_hash60 n must be an integer literal, got $other")
+        }).getOrElse(3))))
   }
 }

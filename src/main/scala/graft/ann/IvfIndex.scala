@@ -84,6 +84,25 @@ object IvfIndex {
   def transform(df: DataFrame, vecCol: String, m: Model): DataFrame =
     assignCells(df, vecCol, m)
 
+  /** Persist the centroid matrix as a tiny parquet table so the
+    * quantizer is fit ONCE and reused across queries/sessions — at
+    * 100 TB the fit is a full-corpus pass, the model is k x dim doubles.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, m: Model,
+      path: String): Unit = {
+    import spark.implicits._
+    m.centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(spark.read.parquet(path)
+      .select(col("cell"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1))
+
   /** Top-k cosine search probing only the nProbe nearest cells. */
   def search(assigned: DataFrame, idCol: String, vecCol: String, m: Model,
       query: Seq[Double], nProbe: Int, topK: Int): DataFrame = {

@@ -278,10 +278,14 @@ object Dedup {
     // Ids keep their original type: min/least propagation only needs an
     // ordering, which every Spark atomic type has (a long cast here
     // would silently null out string-id corpora).
+    // both directions from ONE pass over `pairs` — a unionAll of two
+    // selects would execute the (expensive) pair-generation subplan
+    // twice when this persist materializes
     val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs
-        .select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

@@ -27,6 +27,18 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf model save/load round-trips exactly") {
+    val m = IvfIndex.fit(emb, "vec_id", "vec", k = 8, iters = 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString + "/model"
+    IvfIndex.save(spark, m, path)
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.k == m.k)
+    m.centroids.zip(loaded.centroids).foreach { case ((c1, v1), (c2, v2)) =>
+      assert(c1 == c2 && v1.sameElements(v2))
+    }
+  }
+
   test("ivf search recall vs brute force") {
     val m = IvfIndex.fit(emb, "vec_id", "vec", k = 8, iters = 2)
     val assigned = IvfIndex.transform(emb, "vec", m)

@@ -59,4 +59,22 @@ class StatsSpec extends AnyFunSuite {
     // the extensions class itself builds its injection list cleanly
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("shingle-hash and intersect kernels reach SQL") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hash60",
+      exprs => graft.functions.ShingleHash60(exprs(0), 3),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect_count",
+      exprs => graft.functions.SortedLongIntersectCount(exprs(0), exprs(1)),
+      "built-in")
+    val n = spark.sql(
+      """SELECT graft_sorted_intersect_count(
+        |  graft_shingle_hash60('a b c d'),
+        |  graft_shingle_hash60('a b c e')) AS n""".stripMargin)
+      .head().getInt(0)
+    // shingles: {a b c, b c d} vs {a b c, b c e} share exactly one
+    assert(n == 1)
+  }
 }
