@@ -46,7 +46,33 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Ingest throughput (BASELINE.md bench plan, mirror of the
+    // reference's write.rs): events -> time-partitioned series store
+    // layout (same (name, bucket) partitioning as GraftDb/Ingest).
+    val ingest = try {
+      // day buckets: the (name, bucket) layout scales with data volume,
+      // so the bench picks a bucket size that gives non-degenerate
+      // partition sizes at this SF (hourly buckets here would measure
+      // small-file creation, not ingest)
+      val series = graft.queries.TimeSeries.eventsLong(spark, sfDir)
+        .withColumn("bucket",
+          org.apache.spark.sql.functions.expr(
+            "timestamp - timestamp % 86400000"))
+      val n = series.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_ingest")
+      val t0 = System.nanoTime()
+      series.write.partitionBy("name", "bucket")
+        .mode("overwrite").parquet(tmp.toString)
+      val rps = n / ((System.nanoTime() - t0) / 1e9)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      rps.toLong
+    } catch { case _: Throwable => -1L }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ingest_rows_per_sec":$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,6 +51,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
+  test("widen keeps filter pushdown below its repartition") {
+    val df = graft.engine.Graft.widen(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      .where(col("doc_id") % 10 === 0).select(col("doc_id"))
+    val p = plan(df)
+    val exchange = p.indexOf("RoundRobinPartitioning")
+    val filter = p.indexOf("Filter")
+    assert(exchange >= 0 && filter >= 0, p.take(1500))
+    // parents print first: pushdown puts the Filter BELOW the exchange
+    assert(exchange < filter, "filter did not push through widen()")
+  }
+
+  test("tx06 repetition is pure column math: no hash shuffle") {
+    val p = plan(graft.queries.Pipeline.queries("tx06_repetition")(spark, sf))
+    // the only exchanges allowed are widen's round-robin and the final
+    // orderBy range partitioning — a hashpartitioning exchange would
+    // mean an explode/groupBy crept into the per-doc counts
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
   test("q24 global ranking has no window ordered over the data") {
     val p = plan(graft.queries.Relational.queries("q24_ntile")(spark, sf))
     // a Window whose spec leads with the o_totalprice sort would be the
