@@ -106,4 +106,12 @@ object Multimodal {
       col("meta.format").as("format"),
       col("meta.nBytes").as("n_bytes"),
       md5(col("payload")).as("digest"))
+
+  /** Byte-distribution features (histogram-derived, integer-exact) per
+    * payload — the pre-codec content-type/corruption signal; see
+    * [[graft.functions.ByteStats]].
+    */
+  def byteStats(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("byte_stats",
+      graft.functions.ByteStatsFn.byteStats(col(payloadCol)))
 }

@@ -408,6 +408,21 @@ object Pipeline {
           i => col("text").substr(i, lit(1))), "")
       docs(s, dir).select(col("doc_id"), sample.as("sampled"))
         .orderBy("doc_id")
+    },
+
+    // Byte-distribution features over the opaque payload (ByteStats
+    // kernel): integer-exact content signals — occupied histogram bins,
+    // Simpson collision sum, dominant byte.
+    "mm04_bytestats" -> { (s, dir) =>
+      val payload = docs(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      graft.multimodal.Multimodal.byteStats(payload, "payload")
+        .select(col("doc_id"),
+          col("byte_stats.n_bytes").as("n_bytes"),
+          col("byte_stats.n_distinct_bytes").as("n_distinct_bytes"),
+          col("byte_stats.byte_collision_sum").as("byte_collision_sum"),
+          col("byte_stats.top_byte").as("top_byte"))
+        .orderBy("doc_id")
     }
   )
 
@@ -670,6 +685,31 @@ object Pipeline {
       """SELECT doc_id,
         |  array_to_string(list_transform(range(1, length(text) + 1, 7),
         |    i -> substr(text, i, 1)), '') AS sampled
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // bytes reconstructed bit-by-bit (DuckDB has no byte accessor on
+    // BLOB): byte i = sum_k get_bit(blob::BIT, 8i+k) << (7-k)
+    "mm04_bytestats" -> {
+      val byteExpr = (0 until 8)
+        .map(k => s"get_bit(bl, (i*8+$k)::INT) * ${1 << (7 - k)}")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, encode(text)::BIT AS bl,
+         |                  octet_length(encode(text)) AS n FROM documents),
+         |bytes AS (SELECT doc_id, n,
+         |    unnest(list_transform(range(0, n), i -> $byteExpr)) AS v
+         |  FROM b),
+         |cnt AS (SELECT doc_id, ANY_VALUE(n) AS n, v, COUNT(*) AS c
+         |  FROM bytes GROUP BY doc_id, v),
+         |agg AS (SELECT doc_id, CAST(ANY_VALUE(n) AS BIGINT) AS n_bytes,
+         |    CAST(COUNT(*) AS INT) AS n_distinct_bytes,
+         |    CAST(SUM(c * c) AS BIGINT) AS byte_collision_sum,
+         |    MAX(c) AS mc
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT agg.doc_id, n_bytes, n_distinct_bytes, byte_collision_sum,
+         |  CAST(MIN(cnt.v) AS INT) AS top_byte
+         |FROM agg JOIN cnt ON agg.doc_id = cnt.doc_id AND cnt.c = agg.mc
+         |GROUP BY agg.doc_id, n_bytes, n_distinct_bytes, byte_collision_sum
+         |ORDER BY agg.doc_id""".stripMargin
+    }
   )
 }

@@ -40,6 +40,25 @@ class ShingleHashSpec extends AnyFunSuite {
     }
   }
 
+  test("byte stats match a reference computation") {
+    val cases = Seq("", "a", "aaaa", "ab é 你好", "abcABC123 \t\n")
+    val df = cases.zipWithIndex.map(_.swap).toDF("id", "text")
+      .select($"id", graft.functions.ByteStatsFn.byteStats(
+        encode($"text", "UTF-8")).as("bs"))
+      .orderBy("id")
+    val got = df.collect().map(r => r.getStruct(1))
+    cases.zip(got).foreach { case (s, row) =>
+      val bytes = s.getBytes("UTF-8").map(_ & 0xff)
+      val hist = bytes.groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+      assert(row.getLong(0) == bytes.length)
+      assert(row.getInt(1) == hist.size)
+      assert(row.getLong(2) == hist.values.map(c => c * c).sum)
+      val expTop = if (hist.isEmpty) -1
+        else hist.toSeq.sortBy { case (b, c) => (-c, b) }.head._1
+      assert(row.getInt(3) == expTop, s"top byte of '$s'")
+    }
+  }
+
   test("null text yields null") {
     val df = Seq((1L, Option.empty[String]), (2L, Some("a b c"))).toDF("id", "text")
     val out = df.select(ShingleHash.shingleHashes60($"text", 3).as("hs"))
