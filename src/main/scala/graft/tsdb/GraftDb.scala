@@ -258,15 +258,24 @@ final class GraftDb(
     Files.move(tmp, statsPointer,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // best-effort prune of versions before `prev`
-    val keep = Set(Some(s"$rootDir/$version"), prev).flatten
-      .map(p => Paths.get(p).getFileName.toString)
+    // Best-effort prune of versions STRICTLY OLDER than the one we read
+    // at the start of this merge (`prev`): a reader that resolved `prev`
+    // just before our swap still scans intact files, and a concurrent
+    // writer's newer version can never be deleted (writers within one
+    // GraftDb are serialized by `synchronized`; cross-process writers
+    // are out of contract but degrade to orphan dirs, not data loss).
+    def versionOf(name: String): Long =
+      if (name.startsWith("stats_v")) name.drop("stats_v".length).toLong
+      else -1L // legacy fixed dir sorts oldest
+    val floor = prev.map(p => versionOf(Paths.get(p).getFileName.toString))
+      .getOrElse(versionOf(version))
     val dir = Paths.get(rootDir)
     import scala.jdk.CollectionConverters._
     Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("stats_v") ||
-        p.getFileName.toString == "stats")
-      .filterNot(p => keep.contains(p.getFileName.toString))
+      .filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith("stats_v") || n == "stats") && versionOf(n) < floor
+      }
       .foreach { p =>
         try {
           Files.walk(p).sorted(java.util.Comparator.reverseOrder())
