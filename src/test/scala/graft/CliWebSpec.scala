@@ -136,4 +136,27 @@ class CliWebSpec extends AnyFunSuite {
       assert(post(s"""{"path": "$db"}""").statusCode() == 400)
     } finally server.stop(0)
   }
+
+  test("http: db-root allowlist rejects paths outside it") {
+    val db = freshDb()
+    seed(db)
+    val server = Web.start(spark, 0, dbRoot = Some(db))
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      def post(json: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      // inside the root: served
+      val ok = post(s"""{"path": "$db", "query": "sum(http_requests_total{service = \\"web\\"})", "start": 23, "end": 51}""")
+      assert(ok.statusCode() == 200)
+      // outside the root (including traversal): rejected, no dir created
+      val bad = post(s"""{"path": "/tmp/graft_other_root", "query": "x", "start": 0, "end": 1}""")
+      assert(bad.statusCode() == 400 && bad.body().contains("outside db root"))
+      val trav = post(s"""{"path": "$db/../escape", "query": "x", "start": 0, "end": 1}""")
+      assert(trav.statusCode() == 400)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("/tmp/graft_other_root")))
+    } finally server.stop(0)
+  }
 }
