@@ -38,6 +38,19 @@ object Sampling {
     df.where(pmod(keyHash(key), lit(buckets)) < cut)
   }
 
+  /** Weighted deterministic sample: row i survives with probability
+    * `weight_i` (clamped to [0,1]), decided by comparing its hash bucket
+    * against a per-row cutoff — quality-weighted corpus downsampling
+    * where good documents keep a higher retention rate. Same stability
+    * contract as [[hashSample]] (row-local, layout-independent), weight
+    * resolution 1/buckets.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      buckets: Int = 10000): DataFrame = {
+    val cut = round(greatest(lit(0.0), least(weight, lit(1.0))) * buckets)
+    df.where(pmod(keyHash(key), lit(buckets)) < cut)
+  }
+
   /** Deterministic n-per-stratum sample: rows ranked inside each stratum
     * by (key hash, key) — a reproducible shuffle order — and the first n
     * kept. One hash shuffle on the stratum column; rank windows are

@@ -273,6 +273,25 @@ object Pipeline {
     },
 
     // ---- text analysis ----
+    // Quality-weighted deterministic downsampling: per-row keep
+    // probability = the tx03 quality score, decided by hash bucket —
+    // same layout-independence contract as sp01, row-local, no shuffle.
+    "sp03_weighted" -> { (s, dir) =>
+      val t = tokens(col("text"))
+      val nTok = size(t).cast("double")
+      val avgLen = aggregate(transform(t, x => length(x)), lit(0),
+        (acc, v) => acc + v).cast("double") / nTok
+      val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+        .cast("double") / length(col("text")).cast("double")
+      val score = least(lit(1.0), nTok / 200.0) * 0.5 +
+        (lit(1.0) - digits) * 0.3 + least(lit(1.0), avgLen / 8.0) * 0.2
+      graft.operators.Sampling.weightedSample(
+          docs(s, dir).select(col("doc_id"), col("text")),
+          col("doc_id"), score)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     "tx01_tokens" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
@@ -590,6 +609,22 @@ object Pipeline {
         |  FROM documents)
         |SELECT doc_id, lang FROM ranked WHERE rn <= 5
         |ORDER BY doc_id""".stripMargin,
+
+    "sp03_weighted" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(toks)::DOUBLE AS n_tokens,
+         |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)::DOUBLE AS avg_len,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)::DOUBLE AS digits
+         |  FROM t),
+         |w AS (SELECT doc_id,
+         |  least(1.0, n_tokens / 200.0) * 0.5 + (1.0 - digits) * 0.3 +
+         |  least(1.0, avg_len / 8.0) * 0.2 AS score
+         |  FROM m)
+         |SELECT doc_id FROM w
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 10000 < round(greatest(0.0, least(score, 1.0)) * 10000)
+         |ORDER BY doc_id""".stripMargin,
 
     "tx01_tokens" ->
       s"""SELECT doc_id, CAST(len($ToksSql) AS INT) AS n_tokens

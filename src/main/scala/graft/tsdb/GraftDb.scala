@@ -323,6 +323,14 @@ final class GraftDb(
 
   /** Whole-range sum/count/min/max/avg served from the stats table for
     * covered buckets — tachyon's ScanHint pushdown (SURVEY §4 #1).
+    *
+    * Deliberately explicit, NOT auto-routed inside `query()`: the
+    * reference's header stats are rewritten transactionally with every
+    * write (file.rs:552-573), which makes its automatic ScanHint safe;
+    * ours are maintained asynchronously (refreshStats / statsStream),
+    * so a planner rewrite serving them implicitly could silently
+    * return stale aggregates between a write and the next stats
+    * commit. Callers opt in where bounded staleness is acceptable.
     */
   def fastAggregate(name: String, startMs: Long, endMs: Long): DataFrame =
     StatsAggregate.aggregate(dataset(), statsTable(),
