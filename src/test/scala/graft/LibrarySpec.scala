@@ -41,6 +41,24 @@ class LibrarySpec extends AnyFunSuite {
     assert(desc.map(_.getAs[Long]("n_samples")).sum == 5)
   }
 
+  test("GraftDb 100k-row roundtrip (lib.rs:654-699 scenario)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_100k").toString
+    val db = new graft.tsdb.GraftDb(spark, root)
+    db.createStream("""bulk{kind = "seq"}""", graft.tsdb.VType.U64)
+    val ins = db.inserter("""bulk{kind = "seq"}""")
+    var i = 0L
+    while (i < 100000L) { ins.insert(i, i); i += 1 }
+    ins.flush()
+    // full-range scan returns every row in timestamp order
+    val res = db.query("""bulk{kind = "seq"}""", 0L, 200000L)
+    val n = res.output.count()
+    assert(n == 100000L)
+    // exact integer sum: 0 + 1 + ... + 99999
+    val sum = db.query("""sum(bulk{kind = "seq"})""", 0L, 200000L)
+      .output.head().getLong(0)
+    assert(sum == 100000L * 99999L / 2)
+  }
+
   test("GraftDb csv import + export round-trip") {
     val dir = Files.createTempDirectory("graftcsv").toString
     val csv = Files.createTempDirectory("csvin").resolve("s.csv")
