@@ -66,8 +66,9 @@ object Bench {
         .mode("overwrite").parquet(tmp.toString)
       val rps = n / ((System.nanoTime() - t0) / 1e9)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      scala.util.Using.resource(java.nio.file.Files.walk(tmp))(
+        _.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.toList).foreach(java.nio.file.Files.delete)
       rps.toLong
     } catch { case _: Throwable => -1L }
 

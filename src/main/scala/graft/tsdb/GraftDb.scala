@@ -271,16 +271,16 @@ final class GraftDb(
       .getOrElse(versionOf(version))
     val dir = Paths.get(rootDir)
     import scala.jdk.CollectionConverters._
-    Files.list(dir).iterator().asScala
+    scala.util.Using.resource(Files.list(dir))(_.iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
         (n.startsWith("stats_v") || n == "stats") && versionOf(n) < floor
-      }
+      }.toList)
       .foreach { p =>
-        try {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.delete)
-        } catch { case _: java.io.IOException => () }
+        try scala.util.Using.resource(Files.walk(p))(
+          _.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.toList).foreach(Files.delete)
+        catch { case _: java.io.IOException => () }
       }
   }
 
