@@ -123,13 +123,22 @@ object TimeSeries {
     },
 
     // Time-bucket downsampling to 6h resolution.
+    // exact = true: decimal accumulation keeps sum/avg independent of
+    // partition/reduction order (f64 summation flipped the 6-decimal
+    // rounding vs the sequential oracle at sf0.1) — and the COMPARED
+    // columns are integer micro-units with half-up integer division,
+    // because engines disagree on ROUND(double) at exact .5 boundaries
+    // (9026.13/160 = 56.4133125: Spark rounds the binary-exact value
+    // down, DuckDB rounds its scaled double up).
     "ts20_downsample" -> { (s, dir) =>
       graft.operators.Downsample(
-        eventsLong(s, dir).where(col("name") === "view"), 6 * 3600 * 1000L)
+        eventsLong(s, dir).where(col("name") === "view"), 6 * 3600 * 1000L,
+        exact = true)
         .select(col("name"), col("bucket"), col("n"),
-          round(col("avg_value"), 6).as("avg_value"),
+          expr("(2 * cast(round(sum_value * 1e6) as bigint) + n) div (2 * n)")
+            .as("avg_micros"),
           col("min_value"), col("max_value"),
-          round(col("sum_value"), 6).as("sum_value"))
+          round(col("sum_value") * 1e6).cast("long").as("sum_micros"))
         .orderBy("bucket")
     },
 
@@ -276,12 +285,15 @@ object TimeSeries {
          |ORDER BY p.user_id, timestamp""".stripMargin,
 
     "ts20_downsample" ->
-      s"""SELECT 'view' AS name, t - (t % ${6 * 3600 * 1000L}) AS bucket,
-         |  COUNT(*) AS n, ROUND(AVG(v), 6) AS avg_value,
-         |  MIN(v) AS min_value, MAX(v) AS max_value,
-         |  ROUND(SUM(v), 6) AS sum_value
-         |FROM ${ev("event_type = 'view'")}
-         |GROUP BY 2 ORDER BY bucket""".stripMargin,
+      s"""WITH g AS (
+         |  SELECT t - (t % ${6 * 3600 * 1000L}) AS bucket, COUNT(*) AS n,
+         |    CAST(SUM(CAST(v AS DECIMAL(28,8))) * 1000000 AS BIGINT) AS sm,
+         |    MIN(v) AS min_value, MAX(v) AS max_value
+         |  FROM ${ev("event_type = 'view'")} GROUP BY 1)
+         |SELECT 'view' AS name, bucket, n,
+         |  (2 * sm + n) // (2 * n) AS avg_micros,
+         |  min_value, max_value, sm AS sum_micros
+         |FROM g ORDER BY bucket""".stripMargin,
 
     "ts21_agg_by" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS "group", ROUND(SUM(v), 6) AS value
