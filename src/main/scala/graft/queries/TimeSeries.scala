@@ -77,7 +77,13 @@ object TimeSeries {
     "ts04_arith" -> q("click * 2 + 1", roundTo = 6) _,
     "ts05_sum" -> q("sum(purchase)", roundTo = 6) _,
     "ts06_count" -> q("count(purchase)") _,
-    "ts07_avg" -> q("avg(purchase)", roundTo = 6) _,
+    // round 3, not 6: avg = (2-decimal sum) / n terminates, and with a
+    // 2^a*5^b row count it can land EXACTLY on a fine rounding boundary
+    // where engines disagree on ROUND(double) — the ts20 failure class.
+    // A coarser cut keeps the semantic check with ~1000x less
+    // boundary-alignment risk (an exact hit would need digits 4-7 to be
+    // 5000).
+    "ts07_avg" -> q("avg(purchase)", roundTo = 3) _,
     "ts08_min" -> q("min(purchase)") _,
     "ts09_max" -> q("max(purchase)") _,
     "ts10_sum_empty" -> q("sum(purchase > 100000)") _,
@@ -222,7 +228,7 @@ object TimeSeries {
          |WHERE ${sub()}""".stripMargin,
 
     "ts07_avg" ->
-      s"""SELECT ROUND(AVG(v), 6) AS value FROM ${ev("event_type = 'purchase'")}
+      s"""SELECT ROUND(AVG(v), 3) AS value FROM ${ev("event_type = 'purchase'")}
          |WHERE ${sub()} HAVING AVG(v) IS NOT NULL""".stripMargin,
 
     "ts08_min" ->
