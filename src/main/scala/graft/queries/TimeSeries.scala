@@ -70,6 +70,39 @@ object TimeSeries {
   private def sub(col: String = "t"): String =
     s"$col >= $SubStart AND $col <= $SubEnd"
 
+  /** CTE chain mirroring one V2V interpolation align (Align.interpolated):
+    * inputs `a`, `b` are CTE names producing (t, v); emits
+    * `<p>_u`, `<p>_w`, and `<p>` — the aligned sum series (t, v).
+    * Composable: feed `<p>` back in as an input for chained binary ops.
+    */
+  private def alignCtes(a: String, b: String, p: String): String = {
+    def runUp(c: String) =
+      s"OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    def runDn(c: String) =
+      s"OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    def interp(v: String, pv: String, pt: String, nv: String, nt: String) =
+      s"""(CASE WHEN $v IS NOT NULL THEN $v
+         |        WHEN $pv IS NULL THEN $nv
+         |        WHEN $nv IS NULL THEN $pv
+         |        ELSE $pv + ($nv - $pv) * (t - $pt) / ($nt - $pt) END)""".stripMargin
+    s"""${p}_u AS (SELECT COALESCE($a.t, $b.t) AS t, $a.v AS av, $b.v AS bv
+       |      FROM $a FULL OUTER JOIN $b ON $a.t = $b.t),
+       |${p}_w AS (SELECT t, av, bv,
+       |  last_value(av IGNORE NULLS) ${runUp("av")} AS pav,
+       |  last_value(CASE WHEN av IS NOT NULL THEN t END IGNORE NULLS) ${runUp("av")} AS pat,
+       |  first_value(av IGNORE NULLS) ${runDn("av")} AS nav,
+       |  first_value(CASE WHEN av IS NOT NULL THEN t END IGNORE NULLS) ${runDn("av")} AS nat,
+       |  last_value(bv IGNORE NULLS) ${runUp("bv")} AS pbv,
+       |  last_value(CASE WHEN bv IS NOT NULL THEN t END IGNORE NULLS) ${runUp("bv")} AS pbt,
+       |  first_value(bv IGNORE NULLS) ${runDn("bv")} AS nbv,
+       |  first_value(CASE WHEN bv IS NOT NULL THEN t END IGNORE NULLS) ${runDn("bv")} AS nbt
+       |  FROM ${p}_u),
+       |$p AS (SELECT t,
+       |  ${interp("av", "pav", "pat", "nav", "nat")} +
+       |  ${interp("bv", "pbv", "pbt", "nbv", "nbt")} AS v
+       |  FROM ${p}_w)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
@@ -94,6 +127,10 @@ object TimeSeries {
     "ts15_s2s" -> q("sum(purchase) / count(purchase)", roundTo = 6) _,
     "ts16_at_offset" -> q("sum(purchase @ 1704499200 offset 30m)", roundTo = 6) _,
     "ts17_align_interp" -> q("click + view", roundTo = 6, dedup = true) _,
+    // nested V2V: the planner recurses binary-op trees, so (click+view)
+    // aligns first and its union-timestamp result aligns again with
+    // purchase — two interpolation passes through the bucketed path
+    "ts25_chain_align" -> q("click + view + purchase", roundTo = 6, dedup = true) _,
 
     // Aggregate-from-statistics (tachyon ScanHint, SURVEY §4 #1): covered
     // buckets answer from the stats table, boundary buckets from rows.
@@ -354,6 +391,18 @@ object TimeSeries {
          |        WHEN nbv IS NULL THEN pbv
          |        ELSE pbv + (nbv - pbv) * (t - pbt) / (nbt - pbt) END), 6) AS value
          |FROM w ORDER BY timestamp""".stripMargin,
+
+    "ts25_chain_align" ->
+      s"""WITH a AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'click'")}
+         |           WHERE ${sub()} GROUP BY t),
+         |b AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'view'")}
+         |      WHERE ${sub()} GROUP BY t),
+         |c AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}
+         |      WHERE ${sub()} GROUP BY t),
+         |${alignCtes("a", "b", "s1")},
+         |${alignCtes("s1", "c", "s2")}
+         |SELECT t AS timestamp, ROUND(v, 6) AS value FROM s2
+         |ORDER BY timestamp""".stripMargin,
 
     "ts17_align_interp" ->
       s"""WITH a AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'click'")}
