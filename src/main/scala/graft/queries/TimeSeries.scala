@@ -131,6 +131,11 @@ object TimeSeries {
     // aligns first and its union-timestamp result aligns again with
     // purchase — two interpolation passes through the bucketed path
     "ts25_chain_align" -> q("click + view + purchase", roundTo = 6, dedup = true) _,
+    // scalar ON THE LEFT of a non-commutative op: the dispatch swaps
+    // operands (binary_op.rs:99-105) but must keep scalar-minus-vector
+    "ts26_scalar_left" -> q("1000 - purchase", roundTo = 6) _,
+    // % is f64 fmod even on integer streams (lib.rs:306-362)
+    "ts27_mod" -> q("purchase % 7", roundTo = 6) _,
 
     // Aggregate-from-statistics (tachyon ScanHint, SURVEY §4 #1): covered
     // buckets answer from the stats table, boundary buckets from rows.
@@ -391,6 +396,16 @@ object TimeSeries {
          |        WHEN nbv IS NULL THEN pbv
          |        ELSE pbv + (nbv - pbv) * (t - pbt) / (nbt - pbt) END), 6) AS value
          |FROM w ORDER BY timestamp""".stripMargin,
+
+    "ts26_scalar_left" ->
+      s"""SELECT t AS timestamp, ROUND(1000 - v, 6) AS value
+         |FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} ORDER BY timestamp""".stripMargin,
+
+    "ts27_mod" ->
+      s"""SELECT t AS timestamp, ROUND(fmod(v, 7), 6) AS value
+         |FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} ORDER BY timestamp""".stripMargin,
 
     "ts25_chain_align" ->
       s"""WITH a AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'click'")}
