@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dense-grid gap filling over a bucketed series: emit EVERY bucket in
+  * the series' [min, max] range (or an explicit range) and forward-fill
+  * missing values — the resolution-normalization step dashboards and
+  * model-feature pipelines expect after downsampling.
+  *
+  * Scale shape: the grid generates per series (one `sequence` per name —
+  * grid size = time-range / bucketMs, bounded by the RANGE, not the
+  * data), the join is an equi-join on (name, bucket), and the fill
+  * window partitions by name. No global windows; a series' fill state
+  * is one running value. Skewed series lengths are a non-issue because
+  * every series has the same grid length.
+  */
+object GapFill {
+
+  /** `data`: (name, bucket, value) with one row per present bucket.
+    * Returns (name, bucket, value, filled) over the dense grid;
+    * `filled` marks synthesized rows. Buckets before a series' first
+    * sample stay null (nothing to carry).
+    */
+  def forwardFill(data: DataFrame, bucketMs: Long): DataFrame = {
+    val grid = data.groupBy("name")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col("name"),
+        explode(sequence(col("b0"), col("b1"), lit(bucketMs))).as("bucket"))
+    val w = Window.partitionBy("name").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(data, Seq("name", "bucket"), "left")
+      .select(col("name"), col("bucket"),
+        last(col("value"), ignoreNulls = true).over(w).as("value"),
+        col("value").isNull.as("filled"))
+  }
+}

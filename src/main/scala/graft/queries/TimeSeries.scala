@@ -137,6 +137,22 @@ object TimeSeries {
     // % is f64 fmod even on integer streams (lib.rs:306-362)
     "ts27_mod" -> q("purchase % 7", roundTo = 6) _,
 
+    // dense-grid gap filling after exact downsampling: every hourly
+    // bucket in the series range, missing ones forward-filled and
+    // marked; carried values are integer micros so the fill is exact
+    "ts28_gapfill" -> { (s, dir) =>
+      val hour = 3600 * 1000L
+      val d = graft.operators.Downsample(
+          eventsLong(s, dir).where(col("name") === "purchase"), hour,
+          exact = true)
+        .select(col("name"), col("bucket"),
+          round(col("sum_value") * 1e6).cast("long").as("value"))
+      graft.operators.GapFill.forwardFill(d, hour)
+        .select(col("name"), col("bucket"),
+          col("value").as("sum_micros"), col("filled"))
+        .orderBy("bucket")
+    },
+
     // Aggregate-from-statistics (tachyon ScanHint, SURVEY §4 #1): covered
     // buckets answer from the stats table, boundary buckets from rows.
     // The oracle recomputes the same aggregates directly from raw rows —
@@ -396,6 +412,19 @@ object TimeSeries {
          |        WHEN nbv IS NULL THEN pbv
          |        ELSE pbv + (nbv - pbv) * (t - pbt) / (nbt - pbt) END), 6) AS value
          |FROM w ORDER BY timestamp""".stripMargin,
+
+    "ts28_gapfill" ->
+      s"""WITH d AS (SELECT t - (t % 3600000) AS bucket,
+         |    CAST(SUM(CAST(v AS DECIMAL(28,8))) * 1000000 AS BIGINT) AS sm
+         |  FROM ${ev("event_type = 'purchase'")} GROUP BY 1),
+         |r AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM d),
+         |g AS (SELECT unnest(range(b0, b1 + 1, 3600000)) AS bucket FROM r),
+         |j AS (SELECT g.bucket, d.sm FROM g LEFT JOIN d ON g.bucket = d.bucket)
+         |SELECT 'purchase' AS name, bucket,
+         |  last_value(sm IGNORE NULLS) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_micros,
+         |  sm IS NULL AS filled
+         |FROM j ORDER BY bucket""".stripMargin,
 
     "ts26_scalar_left" ->
       s"""SELECT t AS timestamp, ROUND(1000 - v, 6) AS value
