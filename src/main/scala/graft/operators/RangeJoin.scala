@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch interval join: match point rows to the intervals that contain
+  * them (`start <= ts < end`) without the nested-loop plan Spark picks
+  * for a bare inequality join.
+  *
+  * Shape: intervals explode to the fixed-width time buckets they
+  * overlap, points map to their single containing bucket, and the match
+  * is an EQUI-join on (key, bucket) plus a residual range filter. A
+  * point lives in exactly one bucket, so each (point, interval) pair
+  * meets exactly once — no post-join dedup.
+  *
+  * Scale: the naive `l.join(r, ts >= start && ts < end)` has no equi
+  * predicate, so Catalyst can only broadcast-nested-loop it —
+  * O(points x intervals) compared rows. Here the join is hash/sort-merge
+  * on (key, bucket): movement is one shuffle of each side keyed by
+  * bucket, and the interval side's amplification is interval-length /
+  * bucketMs rows — pick bucketMs near the typical interval length so the
+  * explode stays O(1) per interval. Skewed buckets (many intervals over
+  * one hot hour) split under AQE skew handling like any equi-join.
+  */
+object RangeJoin {
+
+  /** `points`: rows with `keyCol` and `tsCol` (epoch ms). `intervals`:
+    * rows with `keyCol`, `startCol`, `endCol` (epoch ms, end exclusive)
+    * — every other column rides along. Returns matched pairs.
+    */
+  def byBucket(points: DataFrame, intervals: DataFrame, keyCol: String,
+      tsCol: String, startCol: String, endCol: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val b = lit(bucketMs)
+    // [start, end) overlaps buckets floor(start/b) .. floor((end-1)/b)
+    val bucketed = intervals.withColumn("bucket",
+      explode(sequence(
+        (col(startCol) - pmod(col(startCol), b)),
+        (col(endCol) - 1) - pmod(col(endCol) - 1, b),
+        b)))
+    points.withColumn("bucket", col(tsCol) - pmod(col(tsCol), b))
+      .join(bucketed, Seq(keyCol, "bucket"))
+      .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("bucket")
+  }
+}

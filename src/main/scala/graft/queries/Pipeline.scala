@@ -354,6 +354,55 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // TF-IDF relevance: per-document top-3 terms. The doc-frequency
+    // table is vocabulary-sized (equi-joined on term — broadcast when
+    // the vocab fits, shuffle otherwise), term counts are map-side
+    // combined, and the per-doc top-k window partitions by doc_id — no
+    // global movement beyond the term shuffle. Ranking is integer-only
+    // (tf desc, df asc, term asc) so engines can't disagree on float
+    // ties; the tf*ln(N/df) score itself is a rounded output column.
+    "tx08_tfidf" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(dfreq, "term" :: Nil)
+        .crossJoin(n)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("score"))
+        .orderBy("doc_id", "rank")
+    },
+
+    // Train/eval contamination audit: fraction of each training doc's
+    // shingles that appear anywhere in the held-out set (every 25th doc
+    // plays the benchmark). The eval shingle universe is the small side
+    // — broadcast in the typical corpus≫benchmark regime, a plain hash
+    // equi-join otherwise; per-doc hit counts are map-side combined.
+    // Counts are integers, reusing the one corpus-wide shingle pass.
+    "dd09_contamination" -> { (s, dir) =>
+      val sh = nearShingles(s, dir).where(col("id") < 1000000)
+      val evalHashes = sh.where(col("id") % 25 === 0)
+        .select(explode(col("hs")).as("h")).distinct()
+      val train = sh.where(col("id") % 25 =!= 0)
+      val hits = train.select(col("id"), explode(col("hs")).as("h"))
+        .join(evalHashes, "h" :: Nil)
+        .groupBy("id").agg(count(lit(1)).as("n_hit"))
+      train.select(col("id").as("doc_id"), size(col("hs")).as("n_shingles"))
+        .join(hits.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_shingles"), 6).as("contamination"))
+        .orderBy("doc_id")
+    },
+
     // ---- multimodal (opaque payload) plumbing ----
     "mm01_meta" -> { (s, dir) =>
       docs(s, dir).select(
@@ -700,6 +749,35 @@ object Pipeline {
         |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
         |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_digit_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx08_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |ranked AS (SELECT doc_id, term, tf, df,
+         |    tf * ln(n_docs::DOUBLE / df) AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY tf DESC, df ASC, term ASC) AS rnk
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tf, df, CAST(rnk AS INT) AS rank,
+         |  ROUND(score, 6) AS score
+         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "dd09_contamination" ->
+      s"""WITH t AS (SELECT doc_id AS id, $ToksSql AS toks FROM documents),
+         |sh AS (SELECT id, ${hashesSql(shinglesSql("toks"))} AS shs FROM t),
+         |ne AS (SELECT id, shs FROM sh WHERE len(shs) > 0),
+         |evh AS (SELECT DISTINCT unnest(shs) AS h FROM ne WHERE id % 25 = 0),
+         |tr AS (SELECT id, shs FROM ne WHERE id % 25 != 0),
+         |x AS (SELECT id, unnest(shs) AS h FROM tr),
+         |hit AS (SELECT id, COUNT(*) AS n_hit
+         |        FROM x JOIN evh USING (h) GROUP BY id)
+         |SELECT tr.id AS doc_id, CAST(len(tr.shs) AS INT) AS n_shingles,
+         |  COALESCE(hit.n_hit, 0) AS n_hit,
+         |  ROUND(COALESCE(hit.n_hit, 0)::DOUBLE / len(tr.shs), 6) AS contamination
+         |FROM tr LEFT JOIN hit ON tr.id = hit.id
+         |ORDER BY doc_id""".stripMargin,
 
     "mm01_meta" ->
       """SELECT doc_id,

@@ -153,6 +153,30 @@ object TimeSeries {
         .orderBy("bucket")
     },
 
+    // Interval join through the bucket-grid equi-join (RangeJoin): each
+    // event matched to the deterministic 90-minute campaign windows that
+    // contain it, aggregated per window. The oracle is the semantic spec
+    // (a bare inequality join) that Spark could only nested-loop;
+    // sums are decimal-accumulated integer micros (ts20 conventions).
+    "ts29_range_join" -> { (s, dir) =>
+      val step = 25 * 3600 * 1000L
+      val ivLen = 90 * 60 * 1000L
+      val names = eventsLong(s, dir).select("name").distinct()
+      val intervals = names
+        .select(col("name"), explode(sequence(lit(0), lit(9))).as("interval_id"))
+        .select(col("name"), col("interval_id"),
+          (lit(SubStart) + col("interval_id") * step).as("start_ms"),
+          (lit(SubStart) + col("interval_id") * step + ivLen).as("end_ms"))
+      val pts = eventsLong(s, dir).select(col("name"), col("timestamp"), col("value"))
+      graft.operators.RangeJoin.byBucket(pts, intervals,
+          "name", "timestamp", "start_ms", "end_ms", bucketMs = 3600 * 1000L)
+        .groupBy("name", "interval_id", "start_ms")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("value").cast("decimal(28,8)")) * 1000000)
+            .cast("long").as("sum_micros"))
+        .orderBy("name", "interval_id")
+    },
+
     // Aggregate-from-statistics (tachyon ScanHint, SURVEY §4 #1): covered
     // buckets answer from the stats table, boundary buckets from rows.
     // The oracle recomputes the same aggregates directly from raw rows —
@@ -430,6 +454,20 @@ object TimeSeries {
       s"""SELECT t AS timestamp, ROUND(1000 - v, 6) AS value
          |FROM ${ev("event_type = 'purchase'")}
          |WHERE ${sub()} ORDER BY timestamp""".stripMargin,
+
+    "ts29_range_join" ->
+      s"""WITH e AS (SELECT event_type AS name, epoch_ns(ts)//1000000 AS t,
+         |           value AS v FROM events),
+         |n AS (SELECT DISTINCT name FROM e),
+         |iv AS (SELECT name, CAST(i AS INT) AS interval_id,
+         |    $SubStart + i * ${25 * 3600 * 1000L} AS start_ms,
+         |    $SubStart + i * ${25 * 3600 * 1000L} + ${90 * 60 * 1000L} AS end_ms
+         |  FROM n CROSS JOIN range(0, 10) r(i))
+         |SELECT iv.name, interval_id, start_ms, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(v AS DECIMAL(28,8))) * 1000000 AS BIGINT) AS sum_micros
+         |FROM iv JOIN e ON e.name = iv.name
+         |  AND e.t >= iv.start_ms AND e.t < iv.end_ms
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
 
     "ts27_mod" ->
       s"""SELECT t AS timestamp, ROUND(fmod(v, 7), 6) AS value
