@@ -33,8 +33,13 @@ object RangeJoin {
       bucketMs: Long): DataFrame = {
     require(bucketMs > 0, "bucketMs must be positive")
     val b = lit(bucketMs)
-    // [start, end) overlaps buckets floor(start/b) .. floor((end-1)/b)
-    val bucketed = intervals.withColumn("bucket",
+    // [start, end) overlaps buckets floor(start/b) .. floor((end-1)/b).
+    // Empty intervals (end <= start) match nothing and are dropped up
+    // front — they would otherwise feed `sequence` a descending range,
+    // which throws at runtime.
+    val bucketed = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("bucket",
       explode(sequence(
         (col(startCol) - pmod(col(startCol), b)),
         (col(endCol) - 1) - pmod(col(endCol) - 1, b),

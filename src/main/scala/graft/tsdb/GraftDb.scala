@@ -171,6 +171,104 @@ final class GraftDb(
       .write.mode(SaveMode.Append).partitionBy("name", "bucket").parquet(dataDir)
   }
 
+  // ---- maintenance: small-file compaction ----
+
+  /** Rewrite every (name, bucket) partition holding more than
+    * `maxFilesPerPartition` flush deltas into a single file. Each
+    * `Inserter.flush` / streaming micro-batch appends one file per
+    * touched partition, so sustained ingest accumulates small files —
+    * the classic degradation of a parquet store (task-per-tiny-file
+    * scans, metadata bloat). The reference never rewrites sealed `.ty`
+    * files; compaction is the operational affordance its fixed 62,500
+    * entry seal size stands in for.
+    *
+    * Durability: per-partition roll-forward journal. The compacted file
+    * is written DOT-HIDDEN (invisible to Spark scans), the journal
+    * records (version, old files) before the first delete, and the
+    * hidden file is promoted only after the olds are gone; `compact()`
+    * first rolls forward any interrupted swap from a previous crash.
+    * Readers in another process can transiently observe a partition
+    * mid-swap; single-writer maintenance windows are the contract here
+    * — a multi-writer 100 TB deployment wants a transactional table
+    * format (Delta/Iceberg) on top of the same layout instead.
+    *
+    * Returns the number of partitions compacted.
+    */
+  def compact(maxFilesPerPartition: Int = 4): Long = synchronized {
+    import scala.jdk.CollectionConverters._
+    require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
+    val root = Paths.get(dataDir)
+    if (!Files.exists(root)) return 0L
+    def partitionDirs(): Seq[java.nio.file.Path] =
+      scala.util.Using.resource(Files.list(root))(_.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("name="))
+        .flatMap(n => scala.util.Using.resource(Files.list(n))(
+          _.iterator().asScala.filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("bucket=")).toList))
+        .toList)
+    def visibleParquet(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
+      scala.util.Using.resource(Files.list(dir))(_.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+        }.toList).sortBy(_.getFileName.toString)
+    partitionDirs().foreach(rollForward)
+    var compacted = 0L
+    partitionDirs().foreach { dir =>
+      val files = visibleParquet(dir)
+      if (files.size > maxFilesPerPartition) {
+        val v = System.nanoTime()
+        // Read exactly the listed files (not the dir): the schema is the
+        // in-file one (partition cols are dir-encoded) and a concurrent
+        // flush's new delta is never deleted unseen.
+        val df = spark.read.parquet(files.map(_.toString): _*)
+        val tmp = Files.createTempDirectory(s"graft_compact_$v")
+        df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val part = scala.util.Using.resource(Files.list(tmp))(
+          _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException("no compacted part file")))
+        val hidden = dir.resolve(s".compact-$v.parquet")
+        Files.move(part, hidden)
+        scala.util.Using.resource(Files.walk(tmp))(
+          _.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.toList).foreach(Files.deleteIfExists(_))
+        // journal BEFORE the first delete: crash at any later point
+        // rolls forward (re-delete listed, promote hidden)
+        Files.write(dir.resolve(".compact-journal"),
+          (v.toString +: files.map(_.getFileName.toString)).asJava)
+        files.foreach(Files.deleteIfExists(_))
+        Files.move(hidden, dir.resolve(s"compact-$v.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Files.deleteIfExists(dir.resolve(".compact-journal"))
+        compacted += 1
+      }
+    }
+    compacted
+  }
+
+  /** Finish an interrupted compaction swap in `dir` (idempotent). */
+  private def rollForward(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val journal = dir.resolve(".compact-journal")
+    if (!Files.exists(journal)) {
+      // hidden files with no journal are pre-journal orphans: nothing
+      // was deleted yet, so discard them and let compaction redo
+      scala.util.Using.resource(Files.list(dir))(_.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".compact-")).toList)
+        .foreach(Files.deleteIfExists(_))
+      return
+    }
+    val lines = Files.readAllLines(journal).asScala.toList
+    val v = lines.head
+    lines.tail.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    val hidden = dir.resolve(s".compact-$v.parquet")
+    if (Files.exists(hidden))
+      Files.move(hidden, dir.resolve(s"compact-$v.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.deleteIfExists(journal)
+  }
+
   // ---- query ----
 
   private def dataset(): DataFrame =

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tsdb.{GraftDb, VType}
+import graft.tsdb.TsdbFixtures.spark
+
+/** GraftDb.compact(): flush deltas merge to one file per partition with
+  * identical query results, and an interrupted swap (journal present,
+  * olds partially deleted) rolls forward losslessly.
+  */
+class CompactSpec extends AnyFunSuite {
+
+  private def parquetFiles(dir: java.nio.file.Path): List[java.nio.file.Path] =
+    scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+    }.toList)
+
+  private def setup(): (GraftDb, java.nio.file.Path, Long) = {
+    val root = Files.createTempDirectory("graft_compact").toString
+    val db = new GraftDb(spark, root)
+    db.createStream("m", VType.U64)
+    // five flushes into ONE hourly bucket -> five delta files
+    (0 until 5).foreach { i =>
+      val ins = db.inserter("m")
+      ins.insert(i * 1000L, (i + 1).toLong)
+      ins.flush()
+    }
+    val part = Paths.get(root, "data", "name=m", "bucket=0")
+    val sum = db.query("sum(m)", 0, 10000000L).output.head().getLong(0)
+    (db, part, sum)
+  }
+
+  test("compact merges deltas; query results unchanged") {
+    val (db, part, before) = setup()
+    assert(parquetFiles(part).size == 5)
+    assert(before == 15L)
+    assert(db.compact() == 1L)
+    assert(parquetFiles(part).size == 1)
+    assert(db.query("sum(m)", 0, 10000000L).output.head().getLong(0) == before)
+    assert(db.query("count(m)", 0, 10000000L).output.head().getLong(0) == 5L)
+    // already compact: a second pass is a no-op
+    assert(db.compact() == 0L)
+  }
+
+  test("interrupted swap (journal + partial deletes) rolls forward") {
+    val (db, part, before) = setup()
+    val files = parquetFiles(part).sortBy(_.getFileName.toString)
+    // build the compacted file exactly as compact() would...
+    val tmp = Files.createTempDirectory("graft_compact_sim")
+    spark.read.parquet(files.map(_.toString): _*)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val partFile = scala.util.Using.resource(Files.list(tmp))(
+      _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
+    Files.move(partFile, part.resolve(".compact-42.parquet"))
+    // ...journal it, then crash after deleting only SOME of the olds
+    Files.write(part.resolve(".compact-journal"),
+      ("42" +: files.map(_.getFileName.toString)).asJava)
+    Files.delete(files.head)
+    Files.delete(files(1))
+
+    assert(db.compact() == 0L) // roll-forward only; nothing left to merge
+    assert(parquetFiles(part).map(_.getFileName.toString) == List("compact-42.parquet"))
+    assert(!Files.exists(part.resolve(".compact-journal")))
+    assert(db.query("sum(m)", 0, 10000000L).output.head().getLong(0) == before)
+  }
+
+  test("pre-journal orphan hidden file is discarded, data intact") {
+    val (db, part, before) = setup()
+    Files.writeString(part.resolve(".compact-7.parquet"), "not a real parquet")
+    assert(db.compact() == 1L)
+    assert(parquetFiles(part).size == 1)
+    assert(db.query("sum(m)", 0, 10000000L).output.head().getLong(0) == before)
+  }
+}

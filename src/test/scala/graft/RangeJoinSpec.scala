@@ -40,6 +40,14 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("empty intervals (end <= start) match nothing and do not throw") {
+    val withEmpty = intervals.unionByName(
+      Seq(("a", 1000L, 1000L, 6), ("a", 2000L, 1500L, 7)).toDF("k", "s", "e", "iv_id"))
+    val got = RangeJoin.byBucket(points, withEmpty, "k", "ts", "s", "e", 1000L)
+      .select("iv_id").distinct().as[Int].collect().toSet
+    assert(!got.contains(6) && !got.contains(7))
+  }
+
   test("plan is an equi-join on (key, bucket), not a nested loop") {
     val plan = RangeJoin
       .byBucket(points, intervals, "k", "ts", "s", "e", 1000L)
