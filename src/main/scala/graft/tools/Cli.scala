@@ -23,6 +23,7 @@ import graft.tsdb.{GraftDb, VType}
   *   create-stream <selector> <i64|u64|f64>
   *   insert <selector> <timestamp> <value>
   *   import-csv <selector> <csv_file>
+  *   compact [max_files_per_partition]
   */
 object Cli {
 
@@ -98,6 +99,11 @@ object Cli {
           0
         case Seq("import-csv", selector, csvFile) =>
           db.importCsv(selector, csvFile); 0
+        case "compact" +: rest if rest.size <= 1 =>
+          // maintenance (beyond the reference CLI): merge flush deltas
+          val n = rest.headOption.map(_.toInt)
+            .map(db.compact(_)).getOrElse(db.compact())
+          out(s"compacted $n partitions"); 0
         case other =>
           out(s"unknown command: ${other.mkString(" ")}"); 2
       }

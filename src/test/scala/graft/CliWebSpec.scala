@@ -50,6 +50,17 @@ class CliWebSpec extends AnyFunSuite {
     assert(c3 == 0 && vec == Seq("23 45", "29 47", "40 23", "51 48"))
   }
 
+  test("cli: compact merges the four insert deltas, sums unchanged") {
+    val db = freshDb()
+    seed(db) // four flushes into bucket 0 -> four delta files
+    val (c1, msg) = cli(db, "compact", "1")
+    assert(c1 == 0 && msg == Seq("compacted 1 partitions"))
+    val (c2, full) = cli(db, "query", s"sum($sel)", "23", "51")
+    assert(c2 == 0 && full == Seq("163"))
+    val (c3, again) = cli(db, "compact", "1")
+    assert(c3 == 0 && again == Seq("compacted 0 partitions"))
+  }
+
   test("cli: list-all-streams and parse-headers see the stream") {
     val db = freshDb()
     seed(db)

@@ -79,6 +79,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "global-order window over orders is back")
   }
 
+  test("ts29 interval join is an equi-join, never a nested loop") {
+    val p = plan(graft.queries.TimeSeries.queries("ts29_range_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("tx08 tf-idf top-k window partitions by doc, never globally") {
+    val df = graft.queries.Pipeline.queries("tx08_tfidf")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "tf-idf ranking fell into a global window")
+  }
+
   test("ts17 align windows are bucket-partitioned, never sample-global") {
     val e = graft.queries.TimeSeries.engineDedup(spark, sf)
     val p = plan(e.query("click + view", 1704499200000L, 1705449600000L).df)
