@@ -20,14 +20,26 @@ object GapFill {
 
   /** `data`: (name, bucket, value) with one row per present bucket.
     * Returns (name, bucket, value, filled) over the dense grid;
-    * `filled` marks synthesized rows. Buckets before a series' first
-    * sample stay null (nothing to carry).
+    * `filled` marks synthesized rows. The grid spans each series' own
+    * [min, max] bucket range, or `range` = (startMs, endMs inclusive,
+    * bucket-aligned) to align every series to a common window — there,
+    * buckets before a series' first sample stay null (nothing to
+    * carry).
     */
-  def forwardFill(data: DataFrame, bucketMs: Long): DataFrame = {
-    val grid = data.groupBy("name")
-      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
-      .select(col("name"),
-        explode(sequence(col("b0"), col("b1"), lit(bucketMs))).as("bucket"))
+  def forwardFill(data: DataFrame, bucketMs: Long,
+      range: Option[(Long, Long)] = None): DataFrame = {
+    val grid = range match {
+      case Some((r0, r1)) =>
+        data.select("name").distinct()
+          .select(col("name"),
+            explode(sequence(lit(r0 - r0 % bucketMs), lit(r1 - r1 % bucketMs),
+              lit(bucketMs))).as("bucket"))
+      case None =>
+        data.groupBy("name")
+          .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+          .select(col("name"),
+            explode(sequence(col("b0"), col("b1"), lit(bucketMs))).as("bucket"))
+    }
     val w = Window.partitionBy("name").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(data, Seq("name", "bucket"), "left")

@@ -32,6 +32,12 @@ object RangeJoin {
       tsCol: String, startCol: String, endCol: String,
       bucketMs: Long): DataFrame = {
     require(bucketMs > 0, "bucketMs must be positive")
+    // internal join key under a reserved name: `bucket` is a common
+    // column in this library's series tables (Downsample/GapFill emit
+    // it) and must pass through untouched
+    val bk = "__rj_bucket"
+    require(!points.columns.contains(bk) && !intervals.columns.contains(bk),
+      s"inputs must not carry the reserved column $bk")
     val b = lit(bucketMs)
     // [start, end) overlaps buckets floor(start/b) .. floor((end-1)/b).
     // Empty intervals (end <= start) match nothing and are dropped up
@@ -39,14 +45,14 @@ object RangeJoin {
     // which throws at runtime.
     val bucketed = intervals
       .where(col(endCol) > col(startCol))
-      .withColumn("bucket",
+      .withColumn(bk,
       explode(sequence(
         (col(startCol) - pmod(col(startCol), b)),
         (col(endCol) - 1) - pmod(col(endCol) - 1, b),
         b)))
-    points.withColumn("bucket", col(tsCol) - pmod(col(tsCol), b))
-      .join(bucketed, Seq(keyCol, "bucket"))
+    points.withColumn(bk, col(tsCol) - pmod(col(tsCol), b))
+      .join(bucketed, Seq(keyCol, bk))
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
-      .drop("bucket")
+      .drop(bk)
   }
 }

@@ -363,8 +363,12 @@ object Pipeline {
     // ties; the tf*ln(N/df) score itself is a rounded output column.
     "tx08_tfidf" -> { (s, dir) =>
       val d = docs(s, dir)
+      // persisted: tf feeds both the doc-frequency aggregate and the
+      // join back — without it the tokenize+term shuffle runs twice
+      // (self-join sides share no exchange under AQE; measured cliff)
       val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = d.agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window

@@ -172,7 +172,9 @@ object TimeSeries {
           "name", "timestamp", "start_ms", "end_ms", bucketMs = 3600 * 1000L)
         .groupBy("name", "interval_id", "start_ms")
         .agg(count(lit(1)).as("n_events"),
-          (sum(col("value").cast("decimal(28,8)")) * 1000000)
+          // round() before the long cast (ts20/ts28 convention): a bare
+          // decimal->long cast truncates in Spark but rounds in DuckDB
+          round(sum(col("value").cast("decimal(28,8)")) * 1000000)
             .cast("long").as("sum_micros"))
         .orderBy("name", "interval_id")
     },

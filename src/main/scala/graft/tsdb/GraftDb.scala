@@ -234,10 +234,16 @@ final class GraftDb(
           _.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.toList).foreach(Files.deleteIfExists(_))
         // journal BEFORE the first delete: crash at any later point
-        // rolls forward (re-delete listed, promote hidden)
-        Files.write(dir.resolve(".compact-journal"),
+        // rolls forward (re-delete listed, promote hidden). The journal
+        // itself is temp-written + ATOMIC_MOVEd so it is all-or-nothing
+        // — a truncated journal would delete files the hidden copy
+        // doesn't fully replace (same pattern as writeStats' pointer).
+        val jTmp = dir.resolve(".compact-journal.tmp")
+        Files.write(jTmp,
           (v.toString +: files.map(_.getFileName.toString)).asJava)
-        files.foreach(Files.deleteIfExists(_))
+        Files.move(jTmp, dir.resolve(".compact-journal"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        files.foreach(deleteWithCrc)
         Files.move(hidden, dir.resolve(s"compact-$v.parquet"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         Files.deleteIfExists(dir.resolve(".compact-journal"))
@@ -247,25 +253,41 @@ final class GraftDb(
     compacted
   }
 
+  /** Delete a delta file and the Hadoop checksum sibling Spark's local
+    * committer writes beside it (`.NAME.crc`) — leaving the latter would
+    * re-accumulate hidden files under the very regime compaction exists
+    * to fix.
+    */
+  private def deleteWithCrc(p: java.nio.file.Path): Unit = {
+    Files.deleteIfExists(p)
+    Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
+  }
+
   /** Finish an interrupted compaction swap in `dir` (idempotent). */
   private def rollForward(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val journal = dir.resolve(".compact-journal")
     if (!Files.exists(journal)) {
-      // hidden files with no journal are pre-journal orphans: nothing
-      // was deleted yet, so discard them and let compaction redo
+      // hidden files with no journal are pre-journal orphans (including
+      // an interrupted .compact-journal.tmp): nothing was deleted yet,
+      // so discard them and let compaction redo
       scala.util.Using.resource(Files.list(dir))(_.iterator().asScala
         .filter(_.getFileName.toString.startsWith(".compact-")).toList)
         .foreach(Files.deleteIfExists(_))
       return
     }
+    // the journal was ATOMIC_MOVEd into place, so its content is
+    // complete; an empty read still degrades to a no-op, not a throw
     val lines = Files.readAllLines(journal).asScala.toList
-    val v = lines.head
-    lines.tail.foreach(f => Files.deleteIfExists(dir.resolve(f)))
-    val hidden = dir.resolve(s".compact-$v.parquet")
-    if (Files.exists(hidden))
-      Files.move(hidden, dir.resolve(s"compact-$v.parquet"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    lines match {
+      case v :: olds =>
+        olds.foreach(f => deleteWithCrc(dir.resolve(f)))
+        val hidden = dir.resolve(s".compact-$v.parquet")
+        if (Files.exists(hidden))
+          Files.move(hidden, dir.resolve(s"compact-$v.parquet"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      case Nil => ()
+    }
     Files.deleteIfExists(journal)
   }
 

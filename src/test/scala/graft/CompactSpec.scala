@@ -46,6 +46,11 @@ class CompactSpec extends AnyFunSuite {
     assert(db.query("count(m)", 0, 10000000L).output.head().getLong(0) == 5L)
     // already compact: a second pass is a no-op
     assert(db.compact() == 0L)
+    // the deltas' Hadoop .crc siblings are gone too — compaction must
+    // not leak hidden files under the regime it exists to fix
+    val leftoverCrc = scala.util.Using.resource(Files.list(part))(
+      _.iterator().asScala.filter(_.getFileName.toString.endsWith(".crc")).toList)
+    assert(leftoverCrc.size <= 1, s"stale checksum files: $leftoverCrc")
   }
 
   test("interrupted swap (journal + partial deletes) rolls forward") {

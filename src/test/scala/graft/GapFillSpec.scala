@@ -38,6 +38,22 @@ class GapFillSpec extends AnyFunSuite {
     assert(out.head.getLong(1) == 42L && !out.head.getBoolean(3))
   }
 
+  test("explicit range aligns series to a common window; leading nulls") {
+    val data = Seq(("a", 20L, 5L), ("b", 0L, 7L)).toDF("name", "bucket", "value")
+    val out = GapFill.forwardFill(data, 10L, range = Some((0L, 30L)))
+      .orderBy("name", "bucket")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(out == Seq(
+      // before a's first sample: nothing to carry, null but filled
+      ("a", 0L, -1L, true), ("a", 10L, -1L, true),
+      ("a", 20L, 5L, false), ("a", 30L, 5L, true),
+      ("b", 0L, 7L, false), ("b", 10L, 7L, true),
+      ("b", 20L, 7L, true), ("b", 30L, 7L, true)))
+  }
+
   test("forwardFill plan: fill window partitions by name (no global window)") {
     val data = Seq(("a", 0L, 1L), ("a", 20L, 2L)).toDF("name", "bucket", "value")
     // the optimized logical plan is not AQE-wrapped, unlike executedPlan

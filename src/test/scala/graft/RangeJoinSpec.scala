@@ -40,6 +40,14 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("a caller-owned 'bucket' column passes through untouched") {
+    val pts = points.withColumn("bucket", col("ts") * 100)
+    val got = RangeJoin.byBucket(pts, intervals, "k", "ts", "s", "e", 1000L)
+    assert(got.columns.contains("bucket"))
+    assert(got.where(col("bucket") =!= col("ts") * 100).isEmpty,
+      "caller's bucket column was clobbered")
+  }
+
   test("empty intervals (end <= start) match nothing and do not throw") {
     val withEmpty = intervals.unionByName(
       Seq(("a", 1000L, 1000L, 6), ("a", 2000L, 1500L, 7)).toDF("k", "s", "e", "iv_id"))
