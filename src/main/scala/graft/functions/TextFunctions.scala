@@ -25,6 +25,22 @@ object TextFunctions {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** Fixed-size token chunks with overlap — the context-window split of
+    * a training pipeline: chunk i covers tokens [i*stride, i*stride +
+    * chunkSize), space-rejoined; the last chunk may be shorter; a doc
+    * with fewer than one stride of tokens yields one chunk. Empty token
+    * lists yield no chunks (guard: `sequence` rejects descending
+    * ranges). Row-local — no shuffle at any corpus size.
+    */
+  def tokenChunks(toks: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    when(size(toks) <= 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - 1, lit(stride)),
+        s => concat_ws(" ", slice(toks, s + 1, lit(chunkSize)))))
+  }
+
   /** 60-bit integer hash per shingle (first 15 md5 hex digits) —
     * bit-identical across engines. All downstream set/sketch ops work on
     * these longs: integer arrays shuffle and intersect far cheaper than

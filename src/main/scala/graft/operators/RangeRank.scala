@@ -77,6 +77,49 @@ object RangeRank {
       .drop("_pid", "_lrn", "_off")
   }
 
+  /** Returns `df` plus `gcum` — the EXCLUSIVE global prefix sum of
+    * `weightCol` (long) in `sortCols` order: the sum of all weights
+    * strictly before each row. Same two-pass shape as
+    * [[globalRowNumber]]: range-repartition + per-partition local
+    * prefix sums (one imperative pass per partition — a
+    * `Window.partitionBy(pid)` here would re-shuffle the whole table,
+    * the measured q24 trap), then per-partition totals (#partitions
+    * rows) prefix-summed and broadcast back as offsets.
+    *
+    * `sortCols` must be a total order for a deterministic result.
+    */
+  def globalCumSum(df: DataFrame, sortCols: Seq[Column], weightCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val base = df.withColumn("_w", col(weightCol).cast("long"))
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val schema = base.schema.add("_lcum", org.apache.spark.sql.types.LongType)
+    val wIdx = base.schema.fieldIndex("_w")
+    // local exclusive prefix sum: one sequential pass per partition, no
+    // window, no extra exchange
+    val local = base.mapPartitions { it =>
+      var acc = 0L
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+        acc += r.getLong(wIdx)
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefW = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("_pid")).agg(sum(col("_w")).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(prefW), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    local.join(broadcast(offsets), "_pid" :: Nil)
+      .withColumn("gcum", col("_off") + col("_lcum"))
+      .drop("_pid", "_w", "_lcum", "_off")
+  }
+
   /** SQL NTILE(buckets) derived from a 1-based total-order rank and the
     * total count: the first n%k buckets hold floor(n/k)+1 rows, the rest
     * floor(n/k) — pure integer column math, no window.

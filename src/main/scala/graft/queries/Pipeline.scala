@@ -407,6 +407,35 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Context-window chunking: fixed-size token chunks with overlap
+    // (50-token windows, stride 40), row-local — the split step before
+    // packing/tokenization in a training pipeline. Chunk text compared
+    // by md5 to keep gate rows compact.
+    "tx09_token_chunks" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(tokenChunks(tokens(col("text")), 50, 40))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(tokens(col("chunk"))).as("n_chunk_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Sequence packing (concat-and-cut): documents laid end-to-end in
+    // doc_id order, 2048-token bins; each doc gets the bin where its
+    // first token lands + the offset inside it. The global prefix sum
+    // is the two-pass RangeRank.globalCumSum — no single-partition
+    // window; the oracle recomputes it with a plain SQL window.
+    "sq01_packing" -> { (s, dir) =>
+      val t = docs(s, dir).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Packing.pack(t, Seq(col("doc_id")), "n_tokens", 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("gcum"),
+          col("bin"), col("bin_offset"))
+        .orderBy("doc_id")
+    },
+
     // ---- multimodal (opaque payload) plumbing ----
     "mm01_meta" -> { (s, dir) =>
       docs(s, dir).select(
@@ -782,6 +811,29 @@ object Pipeline {
          |  ROUND(COALESCE(hit.n_hit, 0)::DOUBLE / len(tr.shs), 6) AS contamination
          |FROM tr LEFT JOIN hit ON tr.id = hit.id
          |ORDER BY doc_id""".stripMargin,
+
+    "tx09_token_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |e AS (SELECT doc_id, toks, len(toks) AS n,
+         |    unnest(range(0, CAST(len(toks) AS BIGINT), 40)) AS s
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(s // 40 AS INT) AS chunk_idx,
+         |  CAST(least(50, n - s) AS INT) AS n_chunk_tokens,
+         |  md5(array_to_string(list_transform(range(s, least(s + 50, n)),
+         |    j -> toks[CAST(j + 1 AS INT)]), ' ')) AS chunk_md5
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "sq01_packing" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS gcum
+         |  FROM t)
+         |SELECT doc_id, n_tokens, gcum, gcum // 2048 AS bin,
+         |  gcum % 2048 AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "mm01_meta" ->
       """SELECT doc_id,

@@ -36,6 +36,34 @@ class RangeRankSpec extends AnyFunSuite {
     }
   }
 
+  test("globalCumSum equals the global-window exclusive prefix sum") {
+    for (n <- Seq(1, 7, 100); parts <- Seq(1, 4, 13)) {
+      val df = fixture(n).withColumn("w", ($"id" % 5) + 1)
+      val expect = df.withColumn("c",
+        coalesce(sum($"w").over(Window.orderBy($"v", $"id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"id", $"c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = RangeRank.globalCumSum(df, Seq($"v", $"id"), "w", parts)
+        .select($"id", $"gcum").collect()
+      assert(got.length == n)
+      got.foreach(r => assert(r.getLong(1) == expect(r.getLong(0)),
+        s"n=$n parts=$parts id=${r.getLong(0)}"))
+    }
+  }
+
+  test("Packing.pack: bins cut at capacity, straddling docs keep start bin") {
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 6L), (4L, 2L))
+      .toDF("id", "w") // prefix sums: 0, 3, 7, 13
+    val got = graft.operators.Packing.pack(df, Seq($"id"), "w", capacity = 5L)
+      .select($"id", $"gcum", $"bin", $"bin_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 0L),   // fills 0..2 of bin 0
+      (2L, 3L, 0L, 3L),   // starts at 3, straddles into bin 1
+      (3L, 7L, 1L, 2L),   // starts inside bin 1, straddles into bin 2
+      (4L, 13L, 2L, 3L)))
+  }
+
   test("ntileFromRank + percentRankFromRank equal the window functions") {
     for (n <- Seq(1, 7, 10, 23); k <- Seq(1, 3, 4, 30)) {
       val df = fixture(n)
