@@ -137,6 +137,14 @@ object Pipeline {
         s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** GPT-2-ish pretokenizer regex, minus the `\s+(?!\S)` lookahead
+    * branch (RE2 cannot express it): contraction suffixes, then
+    * optionally-space-prefixed letter / digit / other-symbol runs, then
+    * whitespace runs.
+    */
+  private val BpeIshPattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
   private val EnMarkers = Seq("the", "a", "and", "of", "to")
   private val DeMarkers = Seq("der", "die", "das", "und", "ist")
   private val FrMarkers = Seq("le", "la", "les", "et", "est")
@@ -404,6 +412,22 @@ object Pipeline {
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           round(coalesce(col("n_hit"), lit(0L)).cast("double") /
             col("n_shingles"), 6).as("contamination"))
+        .orderBy("doc_id")
+    },
+
+    // BPE-style subword-boundary token counting: a GPT-2-like pretoken
+    // pattern (contraction suffixes, space-prefixed letter/digit/symbol
+    // runs, whitespace runs) simplified to drop the trailing-whitespace
+    // lookahead — RE2 (DuckDB) has no lookahead, and the simplified
+    // pattern is engine-identical. Row-local; the ratio to whitespace
+    // tokens is the fertility signal curation uses.
+    "tx10_bpe_tokens" -> { (s, dir) =>
+      val n = size(regexp_extract_all(col("text"), lit(BpeIshPattern), lit(0)))
+      val w = size(tokens(col("text")))
+      docs(s, dir).select(
+        col("doc_id"), n.as("n_bpe_tokens"), w.as("n_ws_tokens"),
+        when(w > 0, round(n.cast("double") / w, 6)).otherwise(0.0)
+          .as("fertility"))
         .orderBy("doc_id")
     },
 
@@ -811,6 +835,19 @@ object Pipeline {
          |  ROUND(COALESCE(hit.n_hit, 0)::DOUBLE / len(tr.shs), 6) AS contamination
          |FROM tr LEFT JOIN hit ON tr.id = hit.id
          |ORDER BY doc_id""".stripMargin,
+
+    "tx10_bpe_tokens" -> {
+      val pat = BpeIshPattern.replace("'", "''")
+      s"""WITH m AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_bpe_tokens,
+         |    CAST(len($ToksSql) AS INT) AS n_ws_tokens
+         |  FROM documents)
+         |SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+         |  CASE WHEN n_ws_tokens > 0
+         |       THEN ROUND(n_bpe_tokens::DOUBLE / n_ws_tokens, 6)
+         |       ELSE 0.0 END AS fertility
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "tx09_token_chunks" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
