@@ -27,17 +27,20 @@ object TextFunctions {
 
   /** Fixed-size token chunks with overlap — the context-window split of
     * a training pipeline: chunk i covers tokens [i*stride, i*stride +
-    * chunkSize), space-rejoined; the last chunk may be shorter; a doc
-    * with fewer than one stride of tokens yields one chunk. Empty token
-    * lists yield no chunks (guard: `sequence` rejects descending
-    * ranges). Row-local — no shuffle at any corpus size.
+    * chunkSize), space-rejoined; the last chunk may be shorter. Start
+    * generation stops once a chunk reaches the document end — a further
+    * start would emit a pure suffix of the previous chunk, feeding its
+    * tail tokens to training twice (the largest start is the smallest
+    * stride multiple s with s + chunkSize >= n). Empty token lists
+    * yield no chunks. Row-local — no shuffle at any corpus size.
     */
   def tokenChunks(toks: Column, chunkSize: Int, stride: Int): Column = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       "need 0 < stride <= chunkSize")
+    val lastStart = greatest(size(toks) - (chunkSize - stride) - 1, lit(0))
     when(size(toks) <= 0, array().cast("array<string>"))
       .otherwise(transform(
-        sequence(lit(0), size(toks) - 1, lit(stride)),
+        sequence(lit(0), lastStart, lit(stride)),
         s => concat_ws(" ", slice(toks, s + 1, lit(chunkSize)))))
   }
 

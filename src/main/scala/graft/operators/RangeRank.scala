@@ -90,10 +90,16 @@ object RangeRank {
     */
   def globalCumSum(df: DataFrame, sortCols: Seq[Column], weightCol: String,
       numPartitions: Int = 0): DataFrame = {
+    val reserved = Set("_w", "_pid", "_lcum", "_off", "gcum")
+    require(!df.columns.exists(reserved),
+      s"input must not carry the reserved columns ${reserved.mkString(", ")} " +
+        "(chain by renaming gcum away first)")
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val base = df.withColumn("_w", col(weightCol).cast("long"))
+    // NULL weights count as 0 (SQL SUM skips them; a bare getLong would
+    // NPE in the partition pass)
+    val base = df.withColumn("_w", coalesce(col(weightCol).cast("long"), lit(0L)))
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())

@@ -140,10 +140,12 @@ object Pipeline {
   /** GPT-2-ish pretokenizer regex, minus the `\s+(?!\S)` lookahead
     * branch (RE2 cannot express it): contraction suffixes, then
     * optionally-space-prefixed letter / digit / other-symbol runs, then
-    * whitespace runs.
+    * whitespace runs. The whitespace class is spelled out because `\s`
+    * differs between Java regex (includes \x0B) and RE2 (excludes it) —
+    * an engine divergence a vertical tab in the corpus would trigger.
     */
   private val BpeIshPattern =
-    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+"
 
   private val EnMarkers = Seq("the", "a", "and", "of", "to")
   private val DeMarkers = Seq("der", "die", "das", "und", "ist")
@@ -422,7 +424,9 @@ object Pipeline {
     // pattern is engine-identical. Row-local; the ratio to whitespace
     // tokens is the fertility signal curation uses.
     "tx10_bpe_tokens" -> { (s, dir) =>
-      val n = size(regexp_extract_all(col("text"), lit(BpeIshPattern), lit(0)))
+      // regexp_count, not size(regexp_extract_all): the count is the
+      // answer, materializing every matched substring is pure overhead
+      val n = regexp_count(col("text"), lit(BpeIshPattern)).cast("int")
       val w = size(tokens(col("text")))
       docs(s, dir).select(
         col("doc_id"), n.as("n_bpe_tokens"), w.as("n_ws_tokens"),
@@ -436,12 +440,16 @@ object Pipeline {
     // packing/tokenization in a training pipeline. Chunk text compared
     // by md5 to keep gate rows compact.
     "tx09_token_chunks" -> { (s, dir) =>
+      // toks materialized in its own Project (two consumers below keep
+      // it from collapsing) so the tokenize regex runs once per doc;
+      // chunk token counts are integer math, not a re-tokenize pass
       docs(s, dir)
-        .select(col("doc_id"),
-          posexplode(tokenChunks(tokens(col("text")), 50, 40))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n"),
+          posexplode(tokenChunks(col("toks"), 50, 40))
             .as(Seq("chunk_idx", "chunk")))
         .select(col("doc_id"), col("chunk_idx"),
-          size(tokens(col("chunk"))).as("n_chunk_tokens"),
+          least(lit(50), col("n") - col("chunk_idx") * 40).as("n_chunk_tokens"),
           md5(col("chunk")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
     },
@@ -852,7 +860,7 @@ object Pipeline {
     "tx09_token_chunks" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |e AS (SELECT doc_id, toks, len(toks) AS n,
-         |    unnest(range(0, CAST(len(toks) AS BIGINT), 40)) AS s
+         |    unnest(range(0, CAST(greatest(len(toks) - 10, 1) AS BIGINT), 40)) AS s
          |  FROM t WHERE len(toks) > 0)
          |SELECT doc_id, CAST(s // 40 AS INT) AS chunk_idx,
          |  CAST(least(50, n - s) AS INT) AS n_chunk_tokens,

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions.tokenChunks
+import graft.tsdb.TsdbFixtures.spark
+
+/** tokenChunks boundary semantics: full coverage, no pure-suffix final
+  * chunk, single chunk for short docs, none for empty ones.
+  */
+class TextChunkSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def chunksOf(n: Int, chunkSize: Int, stride: Int): Seq[Seq[Int]] = {
+    val toks = (1 to n).map(_.toString)
+    Seq(toks.mkString(" ")).toDF("text")
+      .select(tokenChunks(split(col("text"), " "), chunkSize, stride).as("c"))
+      .head().getSeq[String](0)
+      .map(_.split(" ").filter(_.nonEmpty).map(_.toInt).toSeq)
+  }
+
+  test("every token covered; last chunk is never a suffix of the previous") {
+    for (n <- Seq(1, 10, 40, 41, 50, 51, 89, 90, 91, 130); (cs, st) <- Seq((50, 40), (50, 50), (8, 3))) {
+      val cs_ = chunksOf(n, cs, st)
+      val covered = cs_.flatten.toSet
+      assert(covered == (1 to n).toSet, s"n=$n cs=$cs st=$st coverage")
+      cs_.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(!a.containsSlice(b) || b.size > a.size - (a.indexOfSlice(b)),
+            s"n=$n cs=$cs st=$st: chunk $b is a pure suffix of $a")
+          assert(b.last > a.last, s"n=$n cs=$cs st=$st: no new tokens in $b")
+        case _ => ()
+      }
+    }
+  }
+
+  test("short and empty docs") {
+    assert(chunksOf(3, 50, 40) == Seq(Seq(1, 2, 3)))
+    val empty = Seq("").toDF("text")
+      .select(tokenChunks(array().cast("array<string>"), 50, 40).as("c"))
+      .head().getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+}
