@@ -393,6 +393,46 @@ object Relational {
         .orderBy($"o_orderkey")
     },
 
+    // dense_rank + cume_dist: both are functions of the ORDER BY key's
+    // VALUE (not row position), so ties across engines cannot diverge.
+    "q32_dense_cume" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderstatus")
+      table(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority",
+          dense_rank().over(w).as("drank"),
+          round(cume_dist().over(w), 9).as("cdist"))
+        .orderBy($"o_orderkey")
+    },
+
+    // CUBE: all four grouping combinations in one pass; super-aggregate
+    // NULLs tagged by coalesce (the dimension values are never null).
+    "q33_cube" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "customer")
+        .cube($"c_mktsegment", ($"c_nationkey" % 5).as("nmod"))
+        .agg(r2(sum($"c_acctbal")).as("sum_bal"), count(lit(1)).as("n"))
+        .select(coalesce($"c_mktsegment", lit("(all)")).as("segment"),
+          coalesce($"nmod".cast("string"), lit("(all)")).as("nation_mod"),
+          $"sum_bal", $"n")
+        .orderBy($"segment", $"nation_mod")
+    },
+
+    // Array aggregation: per-customer top-3 order totals as a SORTED
+    // array (collect_list order is partition-dependent; the sort makes
+    // it deterministic), elements rounded before compare.
+    "q34_array_agg" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          transform(
+            slice(sort_array(collect_list($"o_totalprice"), asc = false),
+              lit(1), lit(3)),
+            x => round(x, 2)).as("top3"))
+        .orderBy($"o_custkey")
+    },
+
     // Join + window combined: each order's price rank within its customer.
     "q19_join_window" -> { (s, dir) =>
       import s.implicits._
@@ -619,6 +659,30 @@ object Relational {
         |FROM customer RIGHT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
         |  ON c_custkey = o_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q32_dense_cume" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  DENSE_RANK() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY o_orderstatus) AS drank,
+        |  ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+        |                          ORDER BY o_orderstatus), 9) AS cdist
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q33_cube" ->
+      """SELECT COALESCE(c_mktsegment, '(all)') AS segment,
+        |  COALESCE(CAST(nmod AS VARCHAR), '(all)') AS nation_mod,
+        |  ROUND(SUM(c_acctbal), 2) AS sum_bal, COUNT(*) AS n
+        |FROM (SELECT c_mktsegment, c_nationkey % 5 AS nmod, c_acctbal
+        |      FROM customer)
+        |GROUP BY CUBE(c_mktsegment, nmod)
+        |ORDER BY segment, nation_mod""".stripMargin,
+
+    "q34_array_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  list_transform(
+        |    (list(o_totalprice ORDER BY o_totalprice DESC))[1:3],
+        |    x -> ROUND(x, 2)) AS top3
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q19_join_window" ->
       """SELECT c_custkey, c_name, o_orderkey, best_price FROM (
