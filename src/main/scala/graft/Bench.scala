@@ -62,7 +62,13 @@ object Bench {
       val n = series.count()
       val tmp = java.nio.file.Files.createTempDirectory("graft_bench_ingest")
       val t0 = System.nanoTime()
-      series.write.partitionBy("name", "bucket")
+      // cluster rows by the dynamic-partition key before the write: each
+      // (name, bucket) dir then gets ONE file from one task, instead of
+      // every task writing a sliver into every dir (tasks x dirs tiny
+      // files — the standard dynamic-partition-write trap at any scale)
+      series.repartition(org.apache.spark.sql.functions.col("name"),
+          org.apache.spark.sql.functions.col("bucket"))
+        .write.partitionBy("name", "bucket")
         .mode("overwrite").parquet(tmp.toString)
       val rps = n / ((System.nanoTime() - t0) / 1e9)
       import scala.jdk.CollectionConverters._

@@ -28,7 +28,12 @@ object Ingest {
     */
   def appendToStore(series: DataFrame, dataDir: String,
       checkpointDir: String): DataStreamWriter[Row] =
-    series.writeStream
+    // cluster each micro-batch by the partition key first: one file per
+    // touched (name, bucket) dir per batch, not one per task per dir —
+    // without it sustained ingest fragments into tasks x dirs tiny
+    // files per commit (compact() exists, but not creating the mess
+    // beats cleaning it)
+    series.repartition(col("name"), col("bucket")).writeStream
       .format("parquet")
       .option("path", dataDir)
       .option("checkpointLocation", checkpointDir)
