@@ -62,11 +62,11 @@ object Bench {
       val n = series.count()
       val tmp = java.nio.file.Files.createTempDirectory("graft_bench_ingest")
       val t0 = System.nanoTime()
-      // cluster rows by the dynamic-partition key before the write: each
-      // (name, bucket) dir then gets ONE file from one task, instead of
-      // every task writing a sliver into every dir (tasks x dirs tiny
-      // files — the standard dynamic-partition-write trap at any scale)
-      series.repartition(org.apache.spark.sql.functions.col("name"),
+      // rebalance rows by the dynamic-partition key before the write:
+      // each (name, bucket) dir then gets its file(s) from one task
+      // instead of a sliver from every task (tasks x dirs tiny files),
+      // while AQE may still split a skewed partition across writers
+      series.hint("rebalance", org.apache.spark.sql.functions.col("name"),
           org.apache.spark.sql.functions.col("bucket"))
         .write.partitionBy("name", "bucket")
         .mode("overwrite").parquet(tmp.toString)

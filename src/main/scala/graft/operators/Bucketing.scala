@@ -29,7 +29,13 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, path: String,
       key: String, buckets: Int): Unit = {
     require(buckets > 0, "buckets must be positive")
-    df.write
+    // repartition(buckets, key) IS Spark's bucket assignment (Murmur3
+    // hash mod buckets), so each task holds exactly one bucket and
+    // writes ONE file — without it every upstream task writes a sliver
+    // of every bucket (tasks x buckets files), and multi-file buckets
+    // make Spark re-Sort before every "sorted" merge join.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write
       .option("path", path)
       .bucketBy(buckets, key)
       .sortBy(key)

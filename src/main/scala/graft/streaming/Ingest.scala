@@ -32,7 +32,9 @@ object Ingest {
     // touched (name, bucket) dir per batch, not one per task per dir —
     // without it sustained ingest fragments into tasks x dirs tiny
     // files per commit (compact() exists, but not creating the mess
-    // beats cleaning it)
+    // beats cleaning it). Plain repartition, not a REBALANCE hint:
+    // streaming plans don't run AQE, which is what gives rebalance its
+    // skew-split; a hot bucket here is bounded by the micro-batch.
     series.repartition(col("name"), col("bucket")).writeStream
       .format("parquet")
       .option("path", dataDir)

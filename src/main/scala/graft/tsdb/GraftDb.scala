@@ -168,9 +168,11 @@ final class GraftDb(
         col("Value").cast("double").as("value"),
         (if (isInt) col("Value") else lit(null).cast("long")).as("lvalue"))
       .withColumn("bucket", col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
-      // cluster by the partition key: one file per bucket dir, not one
-      // per scan task per dir (a multi-split CSV would fragment)
-      .repartition(col("name"), col("bucket"))
+      // REBALANCE (not plain repartition) by the partition key: one file
+      // per bucket dir from one task, but AQE may still SPLIT a hot
+      // (name, bucket) so a skewed hour never serializes the cluster
+      // behind one writer
+      .hint("rebalance", col("name"), col("bucket"))
       .write.mode(SaveMode.Append).partitionBy("name", "bucket").parquet(dataDir)
   }
 
