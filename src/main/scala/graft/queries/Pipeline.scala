@@ -417,6 +417,44 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // The end-to-end curation pipeline in ONE composed query — quality
+    // gate -> near-dup keep-one (complete prefix-filter candidates +
+    // connected components) -> deterministic hash sample -> sequence
+    // packing — emitting the packed training manifest (doc, tokens,
+    // global offset, bin). Every stage is an operator verified alone
+    // elsewhere; this gate proves they compose, against one SQL oracle
+    // that rebuilds the whole pipeline with a recursive CTE.
+    "pp01_curation" -> { (s, dir) =>
+      val c = corpusNear(s, dir)
+      val t = tokens(col("text"))
+      val nTok = size(t).cast("double")
+      val avgLen = aggregate(transform(t, x => length(x)), lit(0),
+        (acc, v) => acc + v).cast("double") / nTok
+      val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+        .cast("double") / length(col("text")).cast("double")
+      val score = least(lit(1.0), nTok / 200.0) * 0.5 +
+        (lit(1.0) - digits) * 0.3 + least(lit(1.0), avgLen / 8.0) * 0.2
+      val kept = c.where(score >= 0.55).select(col("doc_id"))
+      val sh = nearShingles(s, dir)
+        .join(kept.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val reps = Dedup.components(
+        Dedup.jaccardPairsFromShingles(sh, threshold = 0.5))
+      val keepOne = kept
+        .join(reps, col("doc_id") === col("id"), "left")
+        .where(col("rep").isNull || col("rep") === col("doc_id"))
+        .select("doc_id")
+      val sampled = graft.operators.Sampling.hashSample(
+        keepOne, col("doc_id"), 0.5)
+      val withTokens = sampled.join(
+        c.select(col("doc_id"), size(tokens(col("text"))).cast("long")
+          .as("n_tokens")), Seq("doc_id"))
+      graft.operators.Packing.pack(
+          withTokens, Seq(col("doc_id")), "n_tokens", 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("gcum"), col("bin"))
+        .orderBy("doc_id")
+    },
+
     // BPE-style subword-boundary token counting: a GPT-2-like pretoken
     // pattern (contraction suffixes, space-prefixed letter/digit/symbol
     // runs, whitespace runs) simplified to drop the trailing-whitespace
@@ -843,6 +881,48 @@ object Pipeline {
          |  ROUND(COALESCE(hit.n_hit, 0)::DOUBLE / len(tr.shs), 6) AS contamination
          |FROM tr LEFT JOIN hit ON tr.id = hit.id
          |ORDER BY doc_id""".stripMargin,
+
+    "pp01_curation" ->
+      s"""WITH RECURSIVE $CorpusNearSql,
+         |t AS (SELECT doc_id, text, $ToksSql AS toks FROM corpus),
+         |m AS (SELECT doc_id, toks,
+         |  len(toks)::DOUBLE AS n_tokens,
+         |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)::DOUBLE AS avg_len,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)::DOUBLE AS digits
+         |  FROM t),
+         |kept AS (SELECT doc_id, toks FROM m
+         |  WHERE least(1.0, n_tokens / 200.0) * 0.5 + (1.0 - digits) * 0.3 +
+         |        least(1.0, avg_len / 8.0) * 0.2 >= 0.55),
+         |sh AS (SELECT doc_id AS id, ${hashesSql(shinglesSql("toks"))} AS shs
+         |       FROM kept),
+         |shn AS (SELECT id, shs FROM sh WHERE len(shs) > 0),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM shn a JOIN shn b ON a.id < b.id
+         |  WHERE len(a.shs) >= len(b.shs) * 0.5 AND len(b.shs) >= len(a.shs) * 0.5
+         |    AND len(list_intersect(a.shs, b.shs))::DOUBLE /
+         |        len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+         |nonrep AS (SELECT id FROM (
+         |  SELECT id, MIN(label) AS rep FROM reach GROUP BY id)
+         |  WHERE rep != id),
+         |keep1 AS (SELECT doc_id, toks FROM kept
+         |  WHERE doc_id NOT IN (SELECT id FROM nonrep)),
+         |samp AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |  FROM keep1
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |        % 10000 < 5000),
+         |cum AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS gcum
+         |  FROM samp)
+         |SELECT doc_id, n_tokens, gcum, gcum // 2048 AS bin
+         |FROM cum ORDER BY doc_id""".stripMargin,
 
     "tx10_bpe_tokens" -> {
       val pat = BpeIshPattern.replace("'", "''")
