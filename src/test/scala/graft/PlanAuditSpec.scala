@@ -95,6 +95,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "tf-idf ranking fell into a global window")
   }
 
+  test("sq01 packing: the only global window orders the offset table") {
+    val p = plan(graft.queries.Pipeline.queries("sq01_packing")(spark, sf))
+    // the #partitions-row prefix-sum is the one permitted global window;
+    // a global window over the data columns would be the q24 cliff
+    assert(!p.matches("(?s).*windowspecdefinition\\(doc_id.*"),
+      "global window over doc_id crept into packing")
+    assert(!p.matches("(?s).*windowspecdefinition\\(n_tokens.*"),
+      "global window over n_tokens crept into packing")
+    assert(p.contains("windowspecdefinition(_pid#"),
+      "expected the _pid offset-table window")
+  }
+
   test("ts17 align windows are bucket-partitioned, never sample-global") {
     val e = graft.queries.TimeSeries.engineDedup(spark, sf)
     val p = plan(e.query("click + view", 1704499200000L, 1705449600000L).df)
