@@ -74,9 +74,48 @@ object Web {
       ex.getResponseBody.write(bytes)
       ex.close()
     })
+    // maintenance (beyond the reference backend): merge flush deltas.
+    // POST {"path", "max_files"?} -> {"compacted_partitions": n}
+    server.createContext("/compact", (ex: HttpExchange) => {
+      val (code, body) =
+        try {
+          if (ex.getRequestMethod != "POST") (405, "POST only")
+          else (200, handleCompact(spark,
+            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8),
+            dbRoot))
+        } catch {
+          case e: Exception => (400, Option(e.getMessage).getOrElse("bad request"))
+        }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        if (code == 200) "application/json" else "text/plain")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
     server.setExecutor(null)
     server.start()
     server
+  }
+
+  private[tools] def handleCompact(spark: SparkSession, requestJson: String,
+      dbRoot: Option[String]): String = {
+    val mapper = new ObjectMapper()
+    val req = mapper.readTree(requestJson)
+    def field(k: String) = Option(req.get(k)).filterNot(_.isNull)
+    val path = field("path").map(_.asText())
+      .getOrElse(throw new IllegalArgumentException("missing field: path"))
+    dbRoot.foreach { root =>
+      val canonical = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+      val requested = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      if (!requested.startsWith(canonical))
+        throw new IllegalArgumentException(s"path outside db root: $path")
+    }
+    val maxFiles = field("max_files").map(_.asInt()).getOrElse(4)
+    val n = new GraftDb(spark, path).compact(maxFiles)
+    val root = mapper.createObjectNode()
+    root.put("compacted_partitions", n)
+    mapper.writeValueAsString(root)
   }
 
   private[tools] def handleQuery(spark: SparkSession, requestJson: String,

@@ -109,6 +109,30 @@ class CliWebSpec extends AnyFunSuite {
     assert(code == 1 && out.exists(_.contains("i64|u64|f64")))
   }
 
+  test("http: /compact merges deltas and respects the db-root allowlist") {
+    val db = freshDb()
+    seed(db) // four flushes -> four delta files
+    val server = Web.start(spark, 0, dbRoot = Some(db))
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      def post(json: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/compact"))
+          .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val ok = post(s"""{"path": "$db", "max_files": 1}""")
+      assert(ok.statusCode() == 200)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(ok.body())
+      assert(node.get("compacted_partitions").asLong() == 1L)
+      // query still answers after the swap
+      val (c, out) = cli(db, "query", s"sum($sel)", "23", "51")
+      assert(c == 0 && out == Seq("163"))
+      // outside the allowlist -> 400, no compaction
+      val bad = post("""{"path": "/tmp/elsewhere"}""")
+      assert(bad.statusCode() == 400)
+    } finally server.stop(0)
+  }
+
   test("http: /health and /query parity with the reference shapes") {
     val db = freshDb()
     seed(db)
