@@ -433,6 +433,20 @@ object Relational {
         .orderBy($"o_custkey")
     },
 
+    // lead (forward neighbor) + nth_value (fixed frame member) — the
+    // remaining analytic-function row; unique (date, key) order makes
+    // both deterministic.
+    "q35_lead_nth" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          lead($"o_orderkey", 1).over(w).as("next_key"),
+          nth_value($"o_orderkey", 2).over(wf).as("second_key"))
+        .orderBy($"o_orderkey")
+    },
+
     // Join + window combined: each order's price rank within its customer.
     "q19_join_window" -> { (s, dir) =>
       import s.implicits._
@@ -683,6 +697,16 @@ object Relational {
         |    (list(o_totalprice ORDER BY o_totalprice DESC))[1:3],
         |    x -> ROUND(x, 2)) AS top3
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q35_lead_nth" ->
+      """SELECT o_orderkey, o_custkey,
+        |  LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS next_key,
+        |  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_key
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q19_join_window" ->
       """SELECT c_custkey, c_name, o_orderkey, best_price FROM (

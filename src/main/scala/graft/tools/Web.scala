@@ -103,14 +103,7 @@ object Web {
     val mapper = new ObjectMapper()
     val req = mapper.readTree(requestJson)
     def field(k: String) = Option(req.get(k)).filterNot(_.isNull)
-    val path = field("path").map(_.asText())
-      .getOrElse(throw new IllegalArgumentException("missing field: path"))
-    dbRoot.foreach { root =>
-      val canonical = java.nio.file.Paths.get(root).toAbsolutePath.normalize
-      val requested = java.nio.file.Paths.get(path).toAbsolutePath.normalize
-      if (!requested.startsWith(canonical))
-        throw new IllegalArgumentException(s"path outside db root: $path")
-    }
+    val path = allowedPath(req, dbRoot)
     val maxFiles = field("max_files").map(_.asInt()).getOrElse(4)
     val n = new GraftDb(spark, path).compact(maxFiles)
     val root = mapper.createObjectNode()
@@ -118,12 +111,13 @@ object Web {
     mapper.writeValueAsString(root)
   }
 
-  private[tools] def handleQuery(spark: SparkSession, requestJson: String,
-      dbRoot: Option[String] = None): String = {
-    val mapper = new ObjectMapper()
-    val req = mapper.readTree(requestJson)
-    def field(k: String) = Option(req.get(k)).filterNot(_.isNull)
-    val path = field("path").map(_.asText())
+  /** The request's `path` field, rejected unless it resolves under the
+    * configured db root (no arbitrary filesystem access from the
+    * network).
+    */
+  private def allowedPath(req: com.fasterxml.jackson.databind.JsonNode,
+      dbRoot: Option[String]): String = {
+    val path = Option(req.get("path")).filterNot(_.isNull).map(_.asText())
       .getOrElse(throw new IllegalArgumentException("missing field: path"))
     dbRoot.foreach { root =>
       val canonical = java.nio.file.Paths.get(root).toAbsolutePath.normalize
@@ -131,6 +125,15 @@ object Web {
       if (!requested.startsWith(canonical))
         throw new IllegalArgumentException(s"path outside db root: $path")
     }
+    path
+  }
+
+  private[tools] def handleQuery(spark: SparkSession, requestJson: String,
+      dbRoot: Option[String] = None): String = {
+    val mapper = new ObjectMapper()
+    val req = mapper.readTree(requestJson)
+    def field(k: String) = Option(req.get(k)).filterNot(_.isNull)
+    val path = allowedPath(req, dbRoot)
     val promql = field("query").map(_.asText())
       .getOrElse(throw new IllegalArgumentException("missing field: query"))
     val start = field("start").map(_.asLong()).getOrElse(Cli.HackTimeStart)
