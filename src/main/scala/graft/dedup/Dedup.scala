@@ -79,9 +79,11 @@ object Dedup {
     * owns persistence of `base` (it is read three times: signature pass +
     * both sides of the verify join).
     */
-  def minhashPairsFromShingles(
-      base: DataFrame, bands: Int = 4, rowsPerBand: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
+  /** (id, band_idx, band_key) LSH table for a shingle base: signatures
+    * via the explode+agg shape (see minhashPairs), band keys as md5 of
+    * each rowsPerBand signature slice.
+    */
+  private def bandedKeys(base: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
     val exploded = base.select(col("id"), explode(col("hs")).as("h"))
     val sigCols = (0 until k).map { j =>
@@ -93,8 +95,14 @@ object Dedup {
       md5(concat_ws("|",
         (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}").cast("string")): _*))
     }
-    val banded = sigs.select(col("id"),
+    sigs.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  def minhashPairsFromShingles(
+      base: DataFrame, bands: Int = 4, rowsPerBand: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val banded = bandedKeys(base, bands, rowsPerBand)
     val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
       .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
         Seq("band_idx", "band_key"))
@@ -105,6 +113,36 @@ object Dedup {
       .join(base.select(col("id").as("id_a"), col("hs").as("shs_a")), "id_a" :: Nil)
       .join(base.select(col("id").as("id_b"), col("hs").as("shs_b")), "id_b" :: Nil)
       .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("shs_a"), col("shs_b")).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** CROSS-corpus MinHash near-duplicate pairs: every (probe, corpus)
+    * pair with jac >= threshold whose signatures collide in some band —
+    * the near-dup decontamination primitive (held-out docs searched
+    * against the training corpus), and the general "find my matches in
+    * that other dataset" similarity join. Candidates equi-join ACROSS
+    * the two banded tables, so movement is band-bucket-bound on both
+    * sides; the probe side is typically the small one and broadcasts.
+    * Callers own persistence of both shingle tables (each is read
+    * twice: banding + verify).
+    */
+  def minhashPairsAcrossFromShingles(
+      probe: DataFrame, corpus: DataFrame, bands: Int = 4,
+      rowsPerBand: Int = 4, threshold: Double = 0.6): DataFrame = {
+    val cand = bandedKeys(probe, bands, rowsPerBand)
+      .select(col("band_idx"), col("band_key"), col("id").as("probe_id"))
+      .join(bandedKeys(corpus, bands, rowsPerBand)
+          .select(col("band_idx"), col("band_key"), col("id").as("corpus_id")),
+        Seq("band_idx", "band_key"))
+      .select("probe_id", "corpus_id")
+      .distinct()
+    cand
+      .join(probe.select(col("id").as("probe_id"), col("hs").as("shs_a")),
+        "probe_id" :: Nil)
+      .join(corpus.select(col("id").as("corpus_id"), col("hs").as("shs_b")),
+        "corpus_id" :: Nil)
+      .select(col("probe_id"), col("corpus_id"),
         jaccardSorted(col("shs_a"), col("shs_b")).as("jac"))
       .where(col("jac") >= threshold)
   }

@@ -417,6 +417,20 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Cross-corpus near-dup search: the planted copies (ids >= 1e6)
+    // play the held-out probe set, searched against the originals — the
+    // near-dup decontamination primitive (dd09 is shingle-overlap;
+    // this finds whole near-duplicate documents across datasets). Both
+    // sides read the one shared shingle pass.
+    "dd10_cross_neardup" -> { (s, dir) =>
+      val sh = nearShingles(s, dir)
+      Dedup.minhashPairsAcrossFromShingles(
+          sh.where(col("id") >= 1000000), sh.where(col("id") < 1000000))
+        .select(col("probe_id"), col("corpus_id"),
+          round(col("jac"), 6).as("jac"))
+        .orderBy("probe_id", "corpus_id")
+    },
+
     // The end-to-end curation pipeline in ONE composed query — quality
     // gate -> near-dup keep-one (complete prefix-filter candidates +
     // connected components) -> deterministic hash sample -> sequence
@@ -881,6 +895,27 @@ object Pipeline {
          |  ROUND(COALESCE(hit.n_hit, 0)::DOUBLE / len(tr.shs), 6) AS contamination
          |FROM tr LEFT JOIN hit ON tr.id = hit.id
          |ORDER BY doc_id""".stripMargin,
+
+    "dd10_cross_neardup" ->
+      s"""WITH $CorpusNearSql,
+         |tk AS (SELECT doc_id AS id, $ToksSql AS toks FROM corpus),
+         |sh AS (SELECT id, ${hashesSql(shinglesSql("toks"))} AS shs FROM tk),
+         |sig AS (SELECT id, shs, ${minhashSigSql("shs", 16)} AS sig
+         |        FROM sh WHERE len(shs) > 0),
+         |banded AS (SELECT id, shs, b,
+         |    md5(sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR || '|' ||
+         |        sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR) AS key
+         |  FROM sig CROSS JOIN range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.id AS probe_id, b.id AS corpus_id
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key
+         |  WHERE a.id >= 1000000 AND b.id < 1000000),
+         |pairs AS (SELECT probe_id, corpus_id,
+         |    len(list_intersect(sa.shs, sb.shs))::DOUBLE /
+         |    len(list_distinct(list_concat(sa.shs, sb.shs))) AS jac
+         |  FROM cand JOIN sh sa ON cand.probe_id = sa.id
+         |            JOIN sh sb ON cand.corpus_id = sb.id)
+         |SELECT probe_id, corpus_id, ROUND(jac, 6) AS jac FROM pairs
+         |WHERE jac >= 0.6 ORDER BY probe_id, corpus_id""".stripMargin,
 
     "pp01_curation" ->
       s"""WITH RECURSIVE $CorpusNearSql,
