@@ -133,6 +133,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got == (1 to n).map(i => i.toLong -> 1L).toMap)
   }
 
+  test("cross-corpus minhash equals the self-join restricted to cross pairs") {
+    val sh = Dedup.shingleBase(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = sh.where(col("id") >= 1000L)
+    val base = sh.where(col("id") < 1000L)
+    val across = Dedup.minhashPairsAcrossFromShingles(probe, base, threshold = 0.5)
+      .select(col("probe_id"), col("corpus_id"), round(col("jac"), 9).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // self-join pairs are emitted as (id_a < id_b), so cross pairs appear
+    // with the corpus id first
+    val self = Dedup.minhashPairsFromShingles(sh, threshold = 0.5)
+      .where(col("id_a") < 1000L && col("id_b") >= 1000L)
+      .select(col("id_b"), col("id_a"), round(col("jac"), 9).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    sh.unpersist()
+    assert(across.nonEmpty, "planted near-dups produced no cross pairs")
+    assert(across == self)
+  }
+
   test("jaccard prefix filter finds exactly the all-pairs matches") {
     val t = 0.5
     val got = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = t)
