@@ -23,8 +23,10 @@ object Bench {
     graft.engine.Graft.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Warm the JVM + file-system metadata once; not timed.
-    Seq("lineitem", "orders", "events", "documents", "embeddings")
+    // Warm the JVM + file-system metadata once (every table the pack
+    // touches); not timed.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").write
         .mode("overwrite").format("noop").save())
 
