@@ -75,10 +75,6 @@ object Dedup {
         graft.functions.ShingleHash.shingleHashes60(col(textCol), nGram).as("hs"))
       .where(size(col("hs")) > 0)
 
-  /** minhashPairs over a pre-computed (id, hs) shingle table. The caller
-    * owns persistence of `base` (it is read three times: signature pass +
-    * both sides of the verify join).
-    */
   /** (id, band_idx, band_key) LSH table for a shingle base: signatures
     * via the explode+agg shape (see minhashPairs), band keys as md5 of
     * each rowsPerBand signature slice.
@@ -99,6 +95,10 @@ object Dedup {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
   }
 
+  /** minhashPairs over a pre-computed (id, hs) shingle table. The caller
+    * owns persistence of `base` (it is read three times: signature pass +
+    * both sides of the verify join).
+    */
   def minhashPairsFromShingles(
       base: DataFrame, bands: Int = 4, rowsPerBand: Int = 4,
       threshold: Double = 0.6): DataFrame = {

@@ -46,8 +46,9 @@ object Web {
   }
 
   /** Start a server on `port` (0 = ephemeral), loopback-bound. When
-    * `dbRoot` is set, /query only opens databases under it. Caller
-    * stops it.
+    * `dbRoot` is set, /query only opens databases under it; /compact
+    * (a destructive, file-rewriting operation) REFUSES to run at all
+    * unless a `dbRoot` is configured. Caller stops it.
     */
   def start(spark: SparkSession, port: Int,
       dbRoot: Option[String] = None): HttpServer = {
@@ -57,42 +58,35 @@ object Web {
       ex.sendResponseHeaders(200, -1)
       ex.close()
     })
-    server.createContext("/query", (ex: HttpExchange) => {
-      val (code, body) =
-        try {
-          if (ex.getRequestMethod != "POST") (405, "POST only")
-          else (200, handleQuery(spark,
-            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8),
-            dbRoot))
-        } catch {
-          case e: Exception => (400, Option(e.getMessage).getOrElse("bad request"))
-        }
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type",
-        if (code == 200) "application/json" else "text/plain")
-      ex.sendResponseHeaders(code, bytes.length)
-      ex.getResponseBody.write(bytes)
-      ex.close()
-    })
+    // one copy of the POST-only / 400-on-error / JSON plumbing
+    def jsonContext(path: String)(handler: String => String): Unit =
+      server.createContext(path, (ex: HttpExchange) => {
+        val (code, body) =
+          try {
+            if (ex.getRequestMethod != "POST") (405, "POST only")
+            else (200, handler(new String(
+              ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)))
+          } catch {
+            case e: Exception => (400, Option(e.getMessage).getOrElse("bad request"))
+          }
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type",
+          if (code == 200) "application/json" else "text/plain")
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    jsonContext("/query")(handleQuery(spark, _, dbRoot))
     // maintenance (beyond the reference backend): merge flush deltas.
-    // POST {"path", "max_files"?} -> {"compacted_partitions": n}
-    server.createContext("/compact", (ex: HttpExchange) => {
-      val (code, body) =
-        try {
-          if (ex.getRequestMethod != "POST") (405, "POST only")
-          else (200, handleCompact(spark,
-            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8),
-            dbRoot))
-        } catch {
-          case e: Exception => (400, Option(e.getMessage).getOrElse("bad request"))
-        }
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type",
-        if (code == 200) "application/json" else "text/plain")
-      ex.sendResponseHeaders(code, bytes.length)
-      ex.getResponseBody.write(bytes)
-      ex.close()
-    })
+    // POST {"path", "max_files"?} -> {"compacted_partitions": n}.
+    // Deletes files, so it is gated on an explicit allowlist — a server
+    // started without one only exposes reads.
+    jsonContext("/compact") { body =>
+      if (dbRoot.isEmpty)
+        throw new IllegalArgumentException(
+          "compaction disabled: server started without a db root allowlist")
+      handleCompact(spark, body, dbRoot)
+    }
     server.setExecutor(null)
     server.start()
     server

@@ -131,6 +131,19 @@ class CliWebSpec extends AnyFunSuite {
       val bad = post("""{"path": "/tmp/elsewhere"}""")
       assert(bad.statusCode() == 400)
     } finally server.stop(0)
+
+    // a server with NO allowlist refuses the destructive op entirely
+    val open = Web.start(spark, 0)
+    try {
+      val port = open.getAddress.getPort
+      val refused = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/compact"))
+          .POST(HttpRequest.BodyPublishers.ofString(s"""{"path": "$db"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(refused.statusCode() == 400 &&
+        refused.body().contains("compaction disabled"))
+    } finally open.stop(0)
   }
 
   test("http: /health and /query parity with the reference shapes") {

@@ -98,11 +98,14 @@ class PlanAuditSpec extends AnyFunSuite {
   test("sq01 packing: the only global window orders the offset table") {
     val p = plan(graft.queries.Pipeline.queries("sq01_packing")(spark, sf))
     // the #partitions-row prefix-sum is the one permitted global window;
-    // a global window over the data columns would be the q24 cliff
-    assert(!p.matches("(?s).*windowspecdefinition\\(doc_id.*"),
-      "global window over doc_id crept into packing")
-    assert(!p.matches("(?s).*windowspecdefinition\\(n_tokens.*"),
-      "global window over n_tokens crept into packing")
+    // a global window over the data columns would be the q24 cliff. The
+    // pattern anchors on the ORDER spec (leading "col ASC/DESC") —
+    // partition columns print first WITHOUT a sort direction, so a
+    // legitimate partitionBy(doc_id) window would not trip this.
+    assert(!p.matches("(?s).*windowspecdefinition\\(doc_id#\\d+L? (ASC|DESC).*"),
+      "global window ordered over doc_id crept into packing")
+    assert(!p.matches("(?s).*windowspecdefinition\\(n_tokens#\\d+L? (ASC|DESC).*"),
+      "global window ordered over n_tokens crept into packing")
     assert(p.contains("windowspecdefinition(_pid#"),
       "expected the _pid offset-table window")
   }
