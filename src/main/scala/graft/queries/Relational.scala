@@ -395,13 +395,27 @@ object Relational {
 
     // dense_rank + cume_dist: both are functions of the ORDER BY key's
     // VALUE (not row position), so ties across engines cannot diverge.
+    // A per-row window over partitionBy(o_orderpriority) caps parallelism
+    // at the priority cardinality (5) and sorts n/5 rows per task, so the
+    // window runs over the tiny distinct (priority, status) count table
+    // instead and the per-row values arrive via a broadcast equi-join:
+    // dense_rank = the status's rank among the partition's distinct
+    // statuses; cume_dist = running row count / partition row count —
+    // the same integer division the engines' native cume_dist performs.
     "q32_dense_cume" -> { (s, dir) =>
       import s.implicits._
-      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderstatus")
+      val counts = table(s, dir, "orders")
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+      val wOrd = Window.partitionBy($"o_orderpriority").orderBy($"o_orderstatus")
+      val wAll = Window.partitionBy($"o_orderpriority")
+      val ranks = counts.select($"o_orderpriority", $"o_orderstatus",
+        dense_rank().over(wOrd).as("drank"),
+        round(sum($"cnt").over(wOrd).cast("double") /
+          sum($"cnt").over(wAll), 9).as("cdist"))
       table(s, dir, "orders")
-        .select($"o_orderkey", $"o_orderpriority",
-          dense_rank().over(w).as("drank"),
-          round(cume_dist().over(w), 9).as("cdist"))
+        .join(broadcast(ranks), Seq("o_orderpriority", "o_orderstatus"))
+        .select($"o_orderkey", $"o_orderpriority", $"drank", $"cdist")
         .orderBy($"o_orderkey")
     },
 
@@ -420,16 +434,19 @@ object Relational {
 
     // Array aggregation: per-customer top-3 order totals as a SORTED
     // array (collect_list order is partition-dependent; the sort makes
-    // it deterministic), elements rounded before compare.
+    // it deterministic). Emitted as a '|'-joined string of fixed-2dp
+    // decimals (the mm03 pattern) so the driver's pandas hash-compare —
+    // which cannot sort/hash an array column — stays oracle-portable.
     "q34_array_agg" -> { (s, dir) =>
       import s.implicits._
       table(s, dir, "orders")
         .groupBy($"o_custkey")
         .agg(count(lit(1)).as("n_orders"),
-          transform(
+          array_join(transform(
             slice(sort_array(collect_list($"o_totalprice"), asc = false),
               lit(1), lit(3)),
-            x => round(x, 2)).as("top3"))
+            x => round(x, 2).cast("decimal(18,2)").cast("string")),
+            "|").as("top3"))
         .orderBy($"o_custkey")
     },
 
@@ -693,9 +710,10 @@ object Relational {
 
     "q34_array_agg" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
-        |  list_transform(
+        |  array_to_string(list_transform(
         |    (list(o_totalprice ORDER BY o_totalprice DESC))[1:3],
-        |    x -> ROUND(x, 2)) AS top3
+        |    x -> CAST(CAST(ROUND(x, 2) AS DECIMAL(18,2)) AS VARCHAR)),
+        |    '|') AS top3
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q35_lead_nth" ->

@@ -79,6 +79,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "global-order window over orders is back")
   }
 
+  test("q32 rank/cume come from a broadcast count table, not a per-row window") {
+    val df = graft.queries.Relational.queries("q32_dense_cume")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // every window must sit above the (priority, status) count aggregate
+    // — a window directly over the orders rows is the 5-partition
+    // parallelism ceiling this plan exists to avoid
+    windows.foreach { w =>
+      val overAgg = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+      assert(overAgg, "window runs over raw orders rows, not the count table")
+    }
+    assert(plan(df).contains("BroadcastHashJoin"),
+      "rank table is not broadcast back onto orders")
+  }
+
   test("ts29 interval join is an equi-join, never a nested loop") {
     val p = plan(graft.queries.TimeSeries.queries("ts29_range_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
