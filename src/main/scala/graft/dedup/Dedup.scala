@@ -201,10 +201,29 @@ object Dedup {
       maxHamming: Int = 6, nGram: Int = 3): DataFrame =
     simhashPairsFromShingles(shingleBase(df, idCol, textCol, nGram), maxHamming)
 
-  /** simhashPairs over a pre-computed (id, hs) shingle table. */
+  /** Smallest comboWidth whose packed key width
+    * comboWidth*60/(maxHamming+comboWidth) reaches log2(n) — the
+    * documented scale rule that keeps expected candidate-bucket size
+    * O(1). Floor 2 (the small-corpus default); capped where segments
+    * hit 1 bit, past which the 60-bit fingerprint budget, not the
+    * banding, is the binding constraint.
+    */
+  private[graft] def autoComboWidth(n: Long, maxHamming: Int): Int = {
+    val need = math.log(math.max(2L, n).toDouble) / math.log(2.0)
+    val maxC = SimhashBits - maxHamming
+    (2 to maxC)
+      .find(c => c.toDouble * SimhashBits / (maxHamming + c) >= need)
+      .getOrElse(maxC)
+  }
+
+  /** simhashPairs over a pre-computed (id, hs) shingle table.
+    * comboWidth <= 0 (the default) self-sizes from the corpus count per
+    * the scale rule above — the count is a cache read of the persisted
+    * fingerprint table the self-join needs materialized anyway.
+    */
   def simhashPairsFromShingles(base: DataFrame, maxHamming: Int = 6,
-      comboWidth: Int = 2): DataFrame = {
-    require(comboWidth >= 1 && maxHamming + comboWidth <= SimhashBits,
+      comboWidth: Int = 0): DataFrame = {
+    require(maxHamming + math.max(1, comboWidth) <= SimhashBits,
       s"invalid comboWidth $comboWidth for radius $maxHamming")
     val voteCols = (0 until SimhashBits).map { i =>
       sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"v$i")
@@ -219,10 +238,12 @@ object Dedup {
     // cover broadcast self-joins — measured in round 1).
     val fp = votes.select(col("id"), fpExpr.as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bounds = segmentBounds(SimhashBits, maxHamming + comboWidth)
+    val cw = if (comboWidth >= 1) comboWidth
+      else autoComboWidth(fp.count(), maxHamming)
+    val bounds = segmentBounds(SimhashBits, maxHamming + cw)
     // Any comboWidth segment widths sum to <= 60 bits, so a packed
     // combo key always fits one long.
-    val segCols = bounds.indices.combinations(comboWidth).toSeq.zipWithIndex.map {
+    val segCols = bounds.indices.combinations(cw).toSeq.zipWithIndex.map {
       case (idxs, ci) =>
         val packed = idxs.map { i =>
           val (off, w) = bounds(i)
@@ -359,8 +380,32 @@ object Dedup {
     labels.select(col("id"), col("label").as("rep"))
   }
 
+  /** Embedding near-duplicate pairs by cosine, blocked by IVF cells —
+    * the scale-default candidate provider. The k-means quantizer bounds
+    * every block to ~corpus/k rows regardless of metadata quality, and
+    * identical vectors always co-assign (argmin over the same centroid
+    * distances), so exact/near-exact duplicate recall does not depend on
+    * a metadata column existing, being populated, or being unskewed at
+    * 100 TB. Prefer this; `embeddingPairs(blockCols)` is the explicit
+    * opt-in for corpora with a known-good, known-bounded blocking key.
+    */
+  def embeddingPairsIvf(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 256, iters: Int = 1, threshold: Double = 0.995): DataFrame = {
+    val v = df.select(col(idCol).as(idCol),
+      col(vecCol).cast("array<double>").as("vec"))
+    // one Lloyd step by default: dedup blocking only needs cells that
+    // co-assign identical vectors and keep sizes ~corpus/k — quantizer
+    // quality beyond that buys recall (ANN's concern), not completeness
+    val m = graft.ann.IvfIndex.fit(v, idCol, "vec", k = k, iters = iters)
+    embeddingPairs(graft.ann.IvfIndex.transform(v, "vec", m),
+      idCol, "vec", Seq("cell"), threshold)
+  }
+
   /** Embedding near-duplicate pairs by cosine within `blockCols` cells
-    * (IVF-style candidate restriction).
+    * (candidate restriction by a caller-supplied metadata key). At
+    * corpus scale prefer [[embeddingPairsIvf]]: a metadata block is only
+    * safe when the caller can bound its size and trust its population.
     */
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String,

@@ -187,12 +187,18 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // The library's scale-default embedding near-dup path: IVF cells as
+    // the candidate blocks (bounded at ~corpus/k rows with no reliance
+    // on a metadata column). The oracle is the blocking-free all-pairs
+    // spec — the cells must lose nothing at this threshold. Metadata
+    // blocking (embeddingPairs with blockCols) stays as an explicit
+    // opt-in, unit-tested equal to this path in DedupSpec.
     "dd05_embed_cosine" -> { (s, dir) =>
       val e = graft.engine.Graft.widen(table(s, dir, "embeddings"))
-      val planted = e.select(col("vec_id"), col("embedding"), col("label")).unionAll(
+      val planted = e.select(col("vec_id"), col("embedding")).unionAll(
         e.where(col("vec_id") % 50 === 0)
-          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label")))
-      Dedup.embeddingPairs(planted, "vec_id", "embedding", Seq("label"))
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      Dedup.embeddingPairsIvf(planted, "vec_id", "embedding", k = 16)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     },
@@ -672,16 +678,15 @@ object Pipeline {
 
     "dd05_embed_cosine" ->
       """WITH corpus AS (
-        |  SELECT vec_id, embedding, label FROM embeddings
+        |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id, embedding, label
+        |  SELECT vec_id + 1000000 AS vec_id, embedding
         |  FROM embeddings WHERE vec_id % 50 = 0),
-        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM corpus)
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM corpus)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cos
-        |FROM v a JOIN v b ON a.label = b.label
-        |WHERE a.vec_id < b.vec_id
-        |  AND list_cosine_similarity(a.vec, b.vec) >= 0.995
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.995
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dd07_dup_groups" ->

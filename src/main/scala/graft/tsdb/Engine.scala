@@ -297,10 +297,14 @@ final class TsdbEngine(
         // the global-window exact path): all per-row windows are keyed on a
         // time bucket, so the align parallelizes; only the per-bucket
         // boundary summary (one row per bucket) sees a global-order window.
-        // ~64 buckets across the query range ≈ 2x local[32] parallelism and
-        // stays proportional on a larger cluster via the same knob.
+        // The bucket count follows spark.sql.shuffle.partitions (2x, so
+        // buckets out-number cores even with skewed bucket sizes): a fixed
+        // constant would cap the align's parallelism on a larger cluster.
+        val buckets = math.max(1L,
+          2L * scala.util.Try(l.df.sparkSession.conf
+            .get("spark.sql.shuffle.partitions").toLong).getOrElse(32L))
         val span = math.max(1L, end - start)
-        val bucketMs = math.max(1L, span / 64L)
+        val bucketMs = math.max(1L, span / buckets)
         // The align interpolates in f64 — exactly the reference's own
         // lossy path (vector_to_vector.rs casts every operand to f64);
         // integer inputs are cast here and TsdbResult.output rounds back.

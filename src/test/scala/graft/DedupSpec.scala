@@ -88,6 +88,38 @@ class DedupSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val one = pairs(1)
     assert(one == pairs(2) && one == pairs(3))
+    // comboWidth <= 0 self-sizes from the corpus count; the generator is
+    // complete at every width, so the pair set must be identical too
+    assert(one == pairs(0))
+  }
+
+  test("autoComboWidth follows the key-width >= log2(n) scale rule") {
+    // small corpora keep the floor default
+    assert(Dedup.autoComboWidth(500L, 6) == 2)
+    // n=1e9 needs ~30-bit keys: comboWidth*60/(6+comboWidth) >= 29.9
+    val c = Dedup.autoComboWidth(1000000000L, 6)
+    assert(c >= 3, s"n=1e9 picked comboWidth=$c")
+    assert(c.toDouble * Dedup.SimhashBits / (6 + c) >=
+      math.log(1e9) / math.log(2.0))
+    // the cap binds when even 1-bit segments cannot reach log2(n)
+    assert(Dedup.autoComboWidth(Long.MaxValue, 6) == Dedup.SimhashBits - 6)
+  }
+
+  test("embedding near-dup: metadata opt-in equals the IVF default path") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionAll(e.where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          col("embedding"), col("label")))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIvf = pairSet(
+      Dedup.embeddingPairsIvf(planted, "vec_id", "embedding", k = 16))
+    val viaLabel = pairSet(
+      Dedup.embeddingPairs(planted, "vec_id", "embedding", Seq("label")))
+    assert(viaIvf.nonEmpty, "planted copies not found")
+    assert(viaIvf == viaLabel)
   }
 
   test("components: ids keep their type (string corpus)") {
