@@ -80,8 +80,16 @@ object Bench {
       rps.toLong
     } catch { case _: Throwable => -1L }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""ingest_rows_per_sec":$ingest,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ingest_rows_per_sec":$ingest,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the full JSON as a file artifact: the driver's
+    // stdout tail-capture has truncated the per-query map before
+    // (BENCH_r03 lost the first 27 timings), and a file survives that.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.writeString(out, json + "\n")
+    System.err.println(s"[bench] full JSON written to ${out.toAbsolutePath}")
     spark.stop()
   }
 }

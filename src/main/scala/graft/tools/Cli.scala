@@ -9,9 +9,10 @@ import graft.tsdb.{GraftDb, VType}
 /** Command-line surface — parity with the reference CLI
   * (tachyon_cli/src/main.rs:66-82 Commands enum, main.rs:298-329 repl,
   * main.rs:330-419 dispatch): subcommands over a GraftDb root plus a
-  * REPL that treats every input line as a query. Differences, both
-  * deliberate: results print as plain rows instead of a terminal
-  * line-chart, and `parse-headers` reports per-(stream, time-bucket)
+  * REPL that treats every input line as a query. `query` prints plain
+  * rows (scriptable); `chart` renders the reference's terminal
+  * line-chart surface (main.rs:236-240) via [[Chart]]. One deliberate
+  * divergence: `parse-headers` reports per-(stream, time-bucket)
   * Parquet stats — the engine's analogue of the reference's `.ty` file
   * headers (main.rs:105-151).
   *
@@ -20,6 +21,7 @@ import graft.tsdb.{GraftDb, VType}
   *   list-all-streams
   *   parse-headers
   *   query <promql> [start] [end] [export_csv_path]
+  *   chart <promql> [start] [end]
   *   create-stream <selector> <i64|u64|f64>
   *   insert <selector> <timestamp> <value>
   *   import-csv <selector> <csv_file>
@@ -85,6 +87,25 @@ object Cli {
               else
                 res.output.orderBy("timestamp").collect()
                   .foreach(r => out(s"${r.getLong(0)} ${fmt(r.get(1))}"))
+          }
+          0
+        case "chart" +: promql +: rest if rest.size <= 2 =>
+          val start = rest.headOption.map(_.toLong).getOrElse(HackTimeStart)
+          val end = rest.lift(1).map(_.toLong).getOrElse(HackTimeEnd)
+          val res = db.query(promql, start, end)
+          if (res.isScalar)
+            res.output.collect().foreach(r => out(fmt(r.get(0))))
+          else {
+            // the terminal chart is a display surface: like the
+            // reference (which hands its Vec to textplots), collecting
+            // the rendered range to the driver is the operation itself
+            val pts = res.output.orderBy("timestamp").collect()
+              .map(r => (r.getLong(0), r.get(1) match {
+                case d: java.lang.Double => d.doubleValue()
+                case l: java.lang.Long => l.doubleValue()
+                case other => other.toString.toDouble
+              })).toSeq
+            out(Chart.render(pts))
           }
           0
         case Seq("create-stream", selector, vt) =>

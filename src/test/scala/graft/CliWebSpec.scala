@@ -9,7 +9,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.tools.{Cli, Web}
+import graft.tools.{Chart, Cli, Web}
 import graft.tsdb.TsdbFixtures.spark
 
 /** E2E over the user surfaces: the CLI subcommands + REPL and the HTTP
@@ -48,6 +48,31 @@ class CliWebSpec extends AnyFunSuite {
     // vector query prints (timestamp, value) rows in time order
     val (c3, vec) = cli(db, "query", sel, "23", "51")
     assert(c3 == 0 && vec == Seq("23 45", "29 47", "40 23", "51 48"))
+  }
+
+  test("cli: chart renders the vector as an ascii line plot") {
+    val db = freshDb()
+    seed(db)
+    val (code, lines) = cli(db, "chart", sel, "23", "51")
+    assert(code == 0)
+    val body = lines.mkString("\n")
+    // value extremes label the y-axis; all four samples are plotted
+    assert(body.contains("48 |") && body.contains("23 |"), body)
+    assert(body.count(_ == '*') == 4, body)
+    assert(body.contains("23 .. 51  n=4"), body)
+    // scalar queries fall back to the plain value print
+    val (c2, scalar) = cli(db, "chart", s"sum($sel)", "23", "51")
+    assert(c2 == 0 && scalar == Seq("163"))
+  }
+
+  test("chart: degenerate series render without dividing by zero") {
+    assert(Chart.render(Nil) == "(no data)")
+    val one = Chart.render(Seq((100L, 5.0)))
+    assert(one.contains("*") && one.contains("100 .. 100  n=1"))
+    val flat = Chart.render(Seq((0L, 7.0), (10L, 7.0), (20L, 7.0)))
+    assert(flat.count(_ == '*') == 3)
+    val nan = Chart.render(Seq((0L, Double.NaN)))
+    assert(nan == "(no data)")
   }
 
   test("cli: compact merges the four insert deltas, sums unchanged") {
