@@ -126,6 +126,65 @@ object RangeRank {
       .drop("_pid", "_w", "_lcum", "_off")
   }
 
+  /** Returns `df` plus `gcum` — the EXCLUSIVE prefix sum of `weightCol`
+    * within each `groupCols` group, rows ordered by `sortCols` inside
+    * the group. The naive formulation — `Window.partitionBy(groupCols)`
+    * — caps parallelism at the GROUP CARDINALITY and sorts n/groups rows
+    * per task: with a handful of groups (sources, languages, priorities)
+    * that is the same cliff q32 had. This shape never groups a group
+    * into one task: range-partition on (group, sort) — a group freely
+    * SPANS partitions — run one sequential pass per partition resetting
+    * the accumulator at group boundaries, then prefix-sum the
+    * per-(partition, group) totals (≤ #partitions + #groups rows,
+    * because the range clustering gives each partition at most two
+    * boundary groups... conservatively #partitions × resident groups,
+    * still metadata-sized) and broadcast the offsets back.
+    */
+  def groupedCumSum(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], weightCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val reserved = Set("_w", "_pid", "_lcum", "_off", "gcum")
+    require(!df.columns.exists(reserved),
+      s"input must not carry the reserved columns ${reserved.mkString(", ")}")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val order = groupCols.map(col) ++ sortCols
+    val base = df.withColumn("_w", coalesce(col(weightCol).cast("long"), lit(0L)))
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val schema = base.schema.add("_lcum", org.apache.spark.sql.types.LongType)
+    val wIdx = base.schema.fieldIndex("_w")
+    val gIdx = groupCols.map(base.schema.fieldIndex)
+    // local exclusive prefix sum, resetting at group boundaries — the
+    // rows arrive clustered by group key within the partition
+    val local = base.mapPartitions { it =>
+      var acc = 0L
+      var prev: Seq[Any] = null
+      it.map { r =>
+        val key = gIdx.map(r.get)
+        if (prev == null || key != prev) { acc = 0L; prev = key }
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+        acc += r.getLong(wIdx)
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-(partition, group) totals; exclusive prefix over partition ids
+    // WITHIN each group — a window over a metadata-sized table
+    val prefW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("_pid") +: groupCols.map(col): _*)
+      .agg(sum(col("_w")).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(prefW), lit(0L)))
+      .select(col("_pid") +: groupCols.map(col) :+ col("_off"): _*)
+    local.join(broadcast(offsets), "_pid" +: groupCols)
+      .withColumn("gcum", col("_off") + col("_lcum"))
+      .drop("_pid", "_w", "_lcum", "_off")
+  }
+
   /** SQL NTILE(buckets) derived from a 1-based total-order rank and the
     * total count: the first n%k buckets hold floor(n/k)+1 rows, the rest
     * floor(n/k) — pure integer column math, no window.

@@ -475,6 +475,52 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Per-source token-budget capping: each source contributes documents
+    // in doc_id order until its token budget is exhausted (the corpus
+    // mixture-control step before packing). The per-group prefix sum is
+    // RangeRank.groupedCumSum — a Window.partitionBy(source) here would
+    // cap parallelism at the SOURCE CARDINALITY (the q32 cliff, and
+    // sources are a handful at any corpus size); the grouped two-pass
+    // lets one source span many partitions. PlanAuditSpec pins the shape.
+    "pp02_token_budget" -> { (s, dir) =>
+      val t = docs(s, dir).select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.RangeRank
+        .groupedCumSum(t, Seq("source"), Seq(col("doc_id")), "n_tokens")
+        .where(col("gcum") + col("n_tokens") <= 800)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("gcum"))
+        .orderBy("doc_id")
+    },
+
+    // PII scrubbing: emails / IPv4s / phone numbers planted into every
+    // 10th doc (deterministically, mirrored in the oracle) are redacted
+    // by RE2-safe regex replacement — row-local column math, no shuffle.
+    // Scrubbed text compared by md5; redaction counts are the audit
+    // signal a pipeline logs.
+    "tx11_pii_scrub" -> { (s, dir) =>
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10.0.0."), (col("doc_id") % 256).cast("string"),
+        lit(" or 555-867-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val corpus = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, planted)
+          .otherwise(col("text")).as("text"))
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+      val scrubbed = regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit(email), lit("<EMAIL>")),
+          lit(ip), lit("<IP>")),
+        lit(phone), lit("<PHONE>"))
+      corpus.select(col("doc_id"),
+        (regexp_count(col("text"), lit(email)) +
+          regexp_count(col("text"), lit(ip)) +
+          regexp_count(col("text"), lit(phone))).cast("int").as("n_redacted"),
+        md5(scrubbed).as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+
     // BPE-style subword-boundary token counting: a GPT-2-like pretoken
     // pattern (contraction suffixes, space-prefixed letter/digit/symbol
     // runs, whitespace runs) simplified to drop the trailing-whitespace
@@ -963,6 +1009,39 @@ object Pipeline {
          |  FROM samp)
          |SELECT doc_id, n_tokens, gcum, gcum // 2048 AS bin
          |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "pp02_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len($ToksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS gcum
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, gcum FROM c
+         |WHERE gcum + n_tokens <= 800 ORDER BY doc_id""".stripMargin,
+
+    "tx11_pii_scrub" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com via 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |    ' or 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |  ELSE text END AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |    len(regexp_extract_all(text,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) +
+        |    len(regexp_extract_all(text,
+        |      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_redacted,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS scrub_md5
+        |FROM corpus ORDER BY doc_id""".stripMargin,
 
     "tx10_bpe_tokens" -> {
       val pat = BpeIshPattern.replace("'", "''")

@@ -98,6 +98,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "rank table is not broadcast back onto orders")
   }
 
+  test("pp02 budget cumsum never windows the data by source") {
+    val p = plan(graft.queries.Pipeline.queries("pp02_token_budget")(spark, sf))
+    // a per-source window over the documents rows would cap parallelism
+    // at the source cardinality; the only window allowed is the one over
+    // the per-(partition, source) offsets table, whose ORDER key is _pid
+    assert(!p.matches("(?s).*windowspecdefinition\\(source#\\d+, doc_id#\\d+L? ASC.*"),
+      "per-source window over document rows is back")
+    assert(p.contains("windowspecdefinition(source#") && p.contains("_pid#"),
+      "expected the offsets-table window keyed by _pid")
+  }
+
   test("ts29 interval join is an equi-join, never a nested loop") {
     val p = plan(graft.queries.TimeSeries.queries("ts29_range_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))

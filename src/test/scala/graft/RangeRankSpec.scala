@@ -51,6 +51,35 @@ class RangeRankSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedCumSum equals the per-group window exclusive prefix sum") {
+    // few groups + many partitions is the exact low-cardinality regime
+    // the operator exists for: a group MUST span partitions and still
+    // accumulate correctly across them
+    for (n <- Seq(1, 7, 100); parts <- Seq(1, 4, 13)) {
+      val df = fixture(n)
+        .withColumn("g", $"id" % 3) // 3 groups
+        .withColumn("w", ($"id" % 5) + 1)
+      val expect = df.withColumn("c",
+        coalesce(sum($"w").over(Window.partitionBy($"g").orderBy($"v", $"id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"id", $"c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = RangeRank.groupedCumSum(df, Seq("g"), Seq($"v", $"id"), "w", parts)
+        .select($"id", $"gcum").collect()
+      assert(got.length == n)
+      got.foreach(r => assert(r.getLong(1) == expect(r.getLong(0)),
+        s"n=$n parts=$parts id=${r.getLong(0)}"))
+    }
+  }
+
+  test("groupedCumSum: null weights count as zero, single group works") {
+    val df = Seq((1L, "a", Some(3L)), (2L, "a", None), (3L, "a", Some(4L)))
+      .toDF("id", "g", "w")
+    val got = RangeRank.groupedCumSum(df, Seq("g"), Seq($"id"), "w", 4)
+      .select($"id", $"gcum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (2L, 3L), (3L, 3L)))
+  }
+
   test("Packing.pack: bins cut at capacity, straddling docs keep start bin") {
     val df = Seq((1L, 3L), (2L, 4L), (3L, 6L), (4L, 2L))
       .toDF("id", "w") // prefix sums: 0, 3, 7, 13
