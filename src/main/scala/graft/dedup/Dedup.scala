@@ -402,6 +402,46 @@ object Dedup {
       idCol, "vec", Seq("cell"), threshold)
   }
 
+  /** Corpus-level LINE deduplication (the boilerplate-removal pass of
+    * CCNet/RefinedWeb-style curation): drop every line that appears in
+    * at least `minDocs` DISTINCT documents, and reassemble each document
+    * from its surviving lines in original order.
+    *
+    * Returns (idCol, n_lines, n_kept, textCol) — textCol is the rebuilt
+    * text ('' when every line was boilerplate).
+    *
+    * Scale shape: two shuffles, both on high-cardinality keys — the
+    * line-frequency aggregate keyed on a 128-bit line hash (the shuffle
+    * carries the hash, never the line text) and the per-document
+    * reassembly keyed on the doc id. The boilerplate set is consumed as
+    * the build side of an anti-join, never collected; per-doc
+    * reassembly state is bounded by the document's own line count.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    // read three times (frequency agg, anti-join probe, per-doc totals)
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = lines.groupBy(col("lh"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("lh")
+    val rebuilt = lines.join(boiler, Seq("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as(textCol))
+    lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Embedding near-duplicate pairs by cosine within `blockCols` cells
     * (candidate restriction by a caller-supplied metadata key). At
     * corpus scale prefer [[embeddingPairsIvf]]: a metadata block is only

@@ -147,6 +147,10 @@ object Pipeline {
   private val BpeIshPattern =
     "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+"
 
+  /** Gopher's stopword-presence rule set (Rae et al. 2021 §A1.1). */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   private val EnMarkers = Seq("the", "a", "and", "of", "to")
   private val DeMarkers = Seq("der", "die", "das", "und", "ist")
   private val FrMarkers = Seq("le", "la", "les", "et", "est")
@@ -251,6 +255,25 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // Corpus-level line dedup (boilerplate removal): lines shared by
+    // >= 10 distinct docs are dropped, documents rebuilt from the
+    // survivors in original order. The corpus plants a footer on every
+    // doc and a promo line on every 3rd (both removed) plus a per-doc
+    // ref line (kept); the original single-line text is unique per doc.
+    // Rebuilt text compared by md5 to keep gate rows compact.
+    "dd11_line_dedup" -> { (s, dir) =>
+      val corpus = docs(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        lit("\ngraft boilerplate footer"),
+        when(col("doc_id") % 3 === 0, lit("\nsubscribe to graft updates"))
+          .otherwise(lit("")),
+        lit("\nref "), col("doc_id").cast("string")).as("text"))
+      Dedup.dedupLines(corpus, "doc_id", "text", minDocs = 10)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+
     // ---- similarity search ----
     "ann01_brute_topk" -> { (s, dir) =>
       val e = table(s, dir, "embeddings")
@@ -269,6 +292,28 @@ object Pipeline {
       Knn.ivfTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", "label",
           q, Seq(cell), 5)
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    },
+
+    // Per-label embedding centroids (the cluster-statistics primitive
+    // IVF training and mixture audits share): element-wise mean via
+    // posexplode + (label, dim) aggregate — shuffle volume is rows×dim
+    // scalars with map-side partial combine, never a per-label vector
+    // collect; the norm then reduces dims per label. Doubles throughout
+    // (float partial sums drift between engines).
+    "ann03_centroids" -> { (s, dir) =>
+      val e = graft.engine.Graft.widen(table(s, dir, "embeddings"))
+      val dims = e.select(col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+      val cent = dims.groupBy(col("label"), col("dim"))
+        .agg(avg(col("v")).as("a"))
+      val norms = cent.groupBy("label")
+        .agg(round(sqrt(sum(col("a") * col("a"))), 6).as("centroid_norm"))
+      val counts = table(s, dir, "embeddings").groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"))
+      norms.join(counts, Seq("label"))
+        .select(col("label"), col("n_vecs"), col("centroid_norm"))
+        .orderBy("label")
     },
 
     // ---- deterministic sampling (corpus curation) ----
@@ -492,6 +537,36 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Temperature-weighted domain mixing: each source's take count is
+    // ∝ sqrt(its char mass) — the α=0.5 dampening that keeps big
+    // sources from drowning small ones — applied to a 40%-of-corpus
+    // target. The allocation math runs on the metadata-sized source
+    // table and broadcasts back; the per-source rank is groupedCumSum
+    // with weight 1 (gcum = rank-1), ordered by content hash — so the
+    // selection is layout-independent AND parallelism is independent of
+    // source cardinality (sources are a handful at any corpus size; a
+    // Window.partitionBy(source) here is the q32 cliff).
+    "pp03_domain_mix" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val w = d.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .select(col("source"), col("n"),
+          sqrt(col("chars").cast("double")).as("sw"))
+      val tot = w.agg(sum("n").as("tn"), sum("sw").as("tsw"))
+      val take = w.crossJoin(broadcast(tot))
+        .select(col("source"),
+          floor(floor(col("tn") * 0.4) * col("sw") / col("tsw"))
+            .cast("long").as("n_take"))
+      val ranked = graft.operators.RangeRank.groupedCumSum(
+        d.select(col("doc_id"), col("source"), lit(1L).as("one"),
+          graft.operators.Sampling.keyHash(col("doc_id")).as("h")),
+        Seq("source"), Seq(col("h"), col("doc_id")), "one")
+      ranked.join(broadcast(take), Seq("source"))
+        .where(col("gcum") < col("n_take"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
     // PII scrubbing: emails / IPv4s / phone numbers planted into every
     // 10th doc (deterministically, mirrored in the oracle) are redacted
     // by RE2-safe regex replacement — row-local column math, no shuffle.
@@ -518,6 +593,41 @@ object Pipeline {
           regexp_count(col("text"), lit(ip)) +
           regexp_count(col("text"), lit(phone))).cast("int").as("n_redacted"),
         md5(scrubbed).as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style quality rules (Rae et al. 2021 §A1.1): word-count
+    // bounds, mean word length, symbol-to-word ratio, alphabetic-word
+    // fraction, stopword presence — each rule a flag plus the combined
+    // pass bit. Pure row-local column math over one tokenize pass; the
+    // flags are what a curation pipeline filters and audits on.
+    "tx12_gopher_quality" -> { (s, dir) =>
+      val t = tokens(col("text"))
+      val nw = size(t)
+      val meanLen = aggregate(transform(t, x => length(x)), lit(0),
+        (a, v) => a + v).cast("double") / nw.cast("double")
+      val alphaFrac = size(filter(t, x => x.rlike("[A-Za-z]")))
+        .cast("double") / nw.cast("double")
+      val symRatio = (regexp_count(col("text"), lit("#")) +
+        regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") /
+        nw.cast("double")
+      val stops = size(array_intersect(
+        array_distinct(transform(t, x => lower(x))),
+        array(GopherStops.map(lit): _*)))
+      val fWords = nw >= 50 && nw <= 100000
+      val fMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+      val fSym = symRatio < 0.1
+      val fAlpha = alphaFrac > 0.8
+      val fStop = stops >= 2
+      docs(s, dir).where(nw > 0).select(col("doc_id"),
+        nw.cast("int").as("n_words"),
+        fWords.cast("int").as("f_words"),
+        fMeanLen.cast("int").as("f_mean_len"),
+        fSym.cast("int").as("f_symbols"),
+        fAlpha.cast("int").as("f_alpha"),
+        fStop.cast("int").as("f_stopwords"),
+        (fWords && fMeanLen && fSym && fAlpha && fStop).cast("int")
+          .as("pass"))
         .orderBy("doc_id")
     },
 
@@ -811,6 +921,17 @@ object Pipeline {
         |         vec_id
         |LIMIT 5""".stripMargin,
 
+    "ann03_centroids" ->
+      """WITH x AS (SELECT label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |m AS (SELECT label, dim, AVG(v) AS a FROM x GROUP BY label, dim),
+        |n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT label, n_vecs, ROUND(sqrt(SUM(a * a)), 6) AS centroid_norm
+        |FROM m JOIN n USING (label)
+        |GROUP BY label, n_vecs ORDER BY label""".stripMargin,
+
     "sp01_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -968,6 +1089,32 @@ object Pipeline {
          |SELECT probe_id, corpus_id, ROUND(jac, 6) AS jac FROM pairs
          |WHERE jac >= 0.6 ORDER BY probe_id, corpus_id""".stripMargin,
 
+    "dd11_line_dedup" ->
+      """WITH corpus AS (SELECT doc_id,
+        |    text || chr(10) || 'graft boilerplate footer' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || 'subscribe to graft updates' ELSE '' END ||
+        |    chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |lines AS (SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM corpus),
+        |boiler AS (SELECT line FROM lines
+        |  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 10),
+        |kept AS (SELECT doc_id, line, pos FROM lines
+        |  WHERE line NOT IN (SELECT line FROM boiler)),
+        |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+        |  FROM lines GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines,
+        |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(r.text, '')) AS text_md5
+        |FROM tot t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "pp01_curation" ->
       s"""WITH RECURSIVE $CorpusNearSql,
          |t AS (SELECT doc_id, text, $ToksSql AS toks FROM corpus),
@@ -1023,6 +1170,23 @@ object Pipeline {
          |SELECT doc_id, source, n_tokens, gcum FROM c
          |WHERE gcum + n_tokens <= 800 ORDER BY doc_id""".stripMargin,
 
+    "pp03_domain_mix" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n, sqrt(CAST(chars AS DOUBLE)) AS sw FROM s),
+        |t AS (SELECT SUM(n) AS tn, SUM(sw) AS tsw FROM w),
+        |tk AS (SELECT source,
+        |    CAST(floor(floor(tn * 0.4) * sw / tsw) AS BIGINT) AS n_take
+        |  FROM w CROSS JOIN t),
+        |r AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |           AS BIGINT),
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r JOIN tk USING (source)
+        |WHERE rn <= n_take ORDER BY doc_id""".stripMargin,
+
     "tx11_pii_scrub" ->
       """WITH corpus AS (SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN
@@ -1042,6 +1206,38 @@ object Pipeline {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS scrub_md5
         |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    "tx12_gopher_quality" -> {
+      val stops = GopherStops.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, len(toks) AS nw,
+         |    list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+         |      / len(toks) AS mean_len,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+         |      / len(toks) AS alpha_frac,
+         |    (len(regexp_extract_all(text, '#')) +
+         |     len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE
+         |      / len(toks) AS sym_ratio,
+         |    len(list_intersect(list_distinct(list_transform(toks,
+         |        x -> lower(x))), [$stops])) AS stops
+         |  FROM t WHERE len(toks) > 0),
+         |f AS (SELECT doc_id, nw,
+         |    (nw >= 50 AND nw <= 100000) AS f_words,
+         |    (mean_len >= 3.0 AND mean_len <= 10.0) AS f_mean_len,
+         |    (sym_ratio < 0.1) AS f_symbols,
+         |    (alpha_frac > 0.8) AS f_alpha,
+         |    (stops >= 2) AS f_stopwords
+         |  FROM m)
+         |SELECT doc_id, CAST(nw AS INT) AS n_words,
+         |  CAST(f_words AS INT) AS f_words,
+         |  CAST(f_mean_len AS INT) AS f_mean_len,
+         |  CAST(f_symbols AS INT) AS f_symbols,
+         |  CAST(f_alpha AS INT) AS f_alpha,
+         |  CAST(f_stopwords AS INT) AS f_stopwords,
+         |  CAST(f_words AND f_mean_len AND f_symbols AND f_alpha
+         |       AND f_stopwords AS INT) AS pass
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     "tx10_bpe_tokens" -> {
       val pat = BpeIshPattern.replace("'", "''")

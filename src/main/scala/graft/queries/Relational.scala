@@ -464,6 +464,73 @@ object Relational {
         .orderBy($"o_orderkey")
     },
 
+    // PIVOT (long→wide): order-status counts as columns per priority,
+    // with EXPLICIT pivot values — the values-less pivot() overload runs
+    // an extra driver-side distinct job to discover them (a scale hazard
+    // on a high-cardinality pivot column); the explicit list keeps the
+    // whole thing one partial+final aggregate.
+    "q36_pivot" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("n_f"),
+          coalesce($"O", lit(0L)).as("n_o"),
+          coalesce($"P", lit(0L)).as("n_p"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // LISTAGG / string_agg: '|'-joined distinct market segments per
+    // nation. collect_set order is partition-dependent, so the array is
+    // sorted before joining — the same contract as the oracle's ORDER BY
+    // inside string_agg. The per-group state is bounded by the distinct
+    // segment count, not the row count.
+    "q37_listagg" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          array_join(array_sort(collect_set($"c_mktsegment")), "|")
+            .as("segments"))
+        .orderBy($"n_name")
+    },
+
+    // RANGE frame (value-based window): per-customer trailing-7-day
+    // revenue. RANGE vs ROWS matters under same-day ties — every peer
+    // day joins the frame, so the result is tie-order-independent.
+    // o_custkey is high-cardinality: parallelism scales with the data
+    // (not the q32 low-cardinality cliff).
+    "q38_range_frame" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"day")
+        .rangeBetween(-6, 0)
+      table(s, dir, "orders")
+        .withColumn("day",
+          datediff($"o_orderdate".cast("date"), to_date(lit("1970-01-01")))
+            .cast("long"))
+        .select($"o_orderkey", $"o_custkey", $"day",
+          r2(sum($"o_totalprice").over(w)).as("rev_7d"))
+        .orderBy($"o_orderkey")
+    },
+
+    // UNPIVOT (wide→long melt): numeric part attributes to (attr, val)
+    // rows — the inverse of q36. Row-local generation, no shuffle; the
+    // value columns are cast to one type up front (unpivot requires it).
+    "q39_unpivot" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "part")
+        .unpivot(
+          Array($"p_partkey"),
+          Array($"p_retailprice", $"p_size".cast("double").as("p_size")),
+          "attr", "val")
+        .select($"p_partkey", $"attr", r2($"val").as("val"))
+        .orderBy($"p_partkey", $"attr")
+    },
+
     // Join + window combined: each order's price rank within its customer.
     "q19_join_window" -> { (s, dir) =>
       import s.implicits._
@@ -725,6 +792,45 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |    AS second_key
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q36_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
+        |       AS BIGINT) AS n_f,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)
+        |       AS BIGINT) AS n_o,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)
+        |       AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q37_listagg" ->
+      """WITH j AS (SELECT n_name, c_mktsegment
+        |           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |d AS (SELECT DISTINCT n_name, c_mktsegment FROM j),
+        |c AS (SELECT n_name, COUNT(*) AS n_cust FROM j GROUP BY n_name)
+        |SELECT n_name, n_cust,
+        |  string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segments
+        |FROM d JOIN c USING (n_name)
+        |GROUP BY n_name, n_cust ORDER BY n_name""".stripMargin,
+
+    "q38_range_frame" ->
+      """SELECT o_orderkey, o_custkey, day,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |        date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |          AS day
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q39_unpivot" ->
+      """SELECT p_partkey, attr, ROUND(val, 2) AS val FROM (
+        |  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin,
 
     "q19_join_window" ->
       """SELECT c_custkey, c_name, o_orderkey, best_price FROM (

@@ -184,6 +184,25 @@ class DedupSpec extends AnyFunSuite {
     assert(across == self)
   }
 
+  test("dedupLines drops shared lines, keeps order, survives empty docs") {
+    // 12 docs share "common"; doc 50 is ONLY boilerplate; doc 51 has a
+    // repeated line within one doc (distinct-doc count must treat that
+    // as one doc, so it survives minDocs=12)
+    val docs = (0 until 12).map(i => (i.toLong, s"common\nuniq $i\ncommon2")) ++
+      Seq((50L, "common\ncommon2"), (51L, "twice\ntwice\nuniq 51"))
+    val out = Dedup.dedupLines(docs.toDF("doc_id", "text"), "doc_id", "text",
+        minDocs = 12)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    for (i <- 0 until 12)
+      assert(out(i.toLong) == ((3L, 1L, s"uniq $i")), s"doc $i")
+    // doc 50 loses everything: zero kept lines, empty rebuilt text
+    assert(out(50L) == ((2L, 0L, "")))
+    // doc 51's duplicate-within-one-doc line is NOT corpus boilerplate,
+    // and reassembly preserves original line order
+    assert(out(51L) == ((3L, 3L, "twice\ntwice\nuniq 51")))
+  }
+
   test("jaccard prefix filter finds exactly the all-pairs matches") {
     val t = 0.5
     val got = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = t)

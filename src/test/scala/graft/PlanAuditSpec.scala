@@ -109,6 +109,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the offsets-table window keyed by _pid")
   }
 
+  test("pp03 mixing rank never windows the data by source") {
+    val p = plan(graft.queries.Pipeline.queries("pp03_domain_mix")(spark, sf))
+    // the per-source selection rank must come from groupedCumSum (data
+    // windows keyed by source cap parallelism at source cardinality);
+    // the one allowed source-keyed window orders the offsets table by _pid
+    assert(!p.matches("(?s).*windowspecdefinition\\(source#\\d+, h#\\d+L? ASC.*"),
+      "per-source window over document rows is back")
+    assert(p.contains("windowspecdefinition(source#") && p.contains("_pid#"),
+      "expected the offsets-table window keyed by _pid")
+  }
+
   test("ts29 interval join is an equi-join, never a nested loop") {
     val p = plan(graft.queries.TimeSeries.queries("ts29_range_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
