@@ -402,6 +402,46 @@ object Dedup {
       idCol, "vec", Seq("cell"), threshold)
   }
 
+  /** Winnowing fingerprints (Schleimer et al., MOSS) — the scalable
+    * stand-in for exact-substring dedup (Lee et al. 2021 use suffix
+    * arrays; a distributed corpus can't): hash every k-token shingle at
+    * every position, then keep the MINIMUM hash of each w-wide window of
+    * consecutive shingle hashes. Any shared span of at least w + k - 1
+    * tokens between two documents is GUARANTEED to share a fingerprint;
+    * document pairs sharing no span that long almost never collide.
+    *
+    * Returns (idCol, fp) exploded — one row per distinct fingerprint per
+    * document, ready for a frequency aggregate or pair join.
+    *
+    * Scale shape: fingerprinting is row-local column math (~|tokens|×w
+    * comparisons per doc); the output is |tokens|/w-ish rows per doc
+    * (winnowing's density bound), hashed 60-bit — the shuffle carries
+    * (id, long) pairs only. All hashes are the md5-prefix basis shared
+    * with the DuckDB oracles.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // Spark's sequence(1, n) steps BACKWARD when n < 1 — guard short docs
+    // to an empty array instead
+    def safeSeq(n: Column): Column =
+      when(n >= 1, sequence(lit(1), n)).otherwise(array())
+    val grams = transform(
+      safeSeq(size(toks) - (k - 1)),
+      i => conv(substring(md5(concat_ws(" ", slice(toks, i, lit(k)))), 1, 15),
+        16, 10).cast("long"))
+    val fps = array_distinct(transform(
+      safeSeq(size(grams) - (w - 1)),
+      i => array_min(slice(grams, i, lit(w)))))
+    df.select(col(idCol), explode(
+      when(size(fps) > 0, fps)
+        // a doc shorter than k+w-1 tokens still fingerprints: its single
+        // window is the min over whatever grams exist (MOSS's tail rule)
+        .otherwise(when(size(grams) > 0, array(array_min(grams)))
+          .otherwise(array()))).as("fp"))
+  }
+
   /** Corpus-level LINE deduplication (the boilerplate-removal pass of
     * CCNet/RefinedWeb-style curation): drop every line that appears in
     * at least `minDocs` DISTINCT documents, and reassemble each document

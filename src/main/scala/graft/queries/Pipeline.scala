@@ -147,6 +147,10 @@ object Pipeline {
   private val BpeIshPattern =
     "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+"
 
+  /** 16-token span planted for dd12's shared-substring detection. */
+  private val Quote = "the quick brown fox jumps over the lazy dog " +
+    "while the band plays on and on"
+
   /** Gopher's stopword-presence rule set (Rae et al. 2021 §A1.1). */
   private val GopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -271,6 +275,32 @@ object Pipeline {
       Dedup.dedupLines(corpus, "doc_id", "text", minDocs = 10)
         .select(col("doc_id"), col("n_lines"), col("n_kept"),
           md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Shared-span detection via winnowing fingerprints — the scalable
+    // analogue of exact-substring dedup: every span of >= w + k - 1 =
+    // 11 shared tokens across documents is guaranteed to surface as a
+    // shared fingerprint. A 16-token quote planted on every 7th doc is
+    // what the gate must find; per-doc shared-fingerprint counts are
+    // the dedup/provenance signal. Fingerprinting is row-local; the
+    // frequency pass shuffles (id, 60-bit hash) pairs only.
+    "dd12_substring_fps" -> { (s, dir) =>
+      val corpus = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + Quote)))
+          .otherwise(col("text")).as("text"))
+      val fp = Dedup.winnowFingerprints(corpus, "doc_id", "text", k = 8, w = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shared = fp.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 2).select("fp")
+      val perDoc = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+      val sharedPerDoc = fp.join(shared, Seq("fp"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      perDoc.join(sharedPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_fps"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("has_shared"))
         .orderBy("doc_id")
     },
 
@@ -1114,6 +1144,38 @@ object Pipeline {
         |  md5(COALESCE(r.text, '')) AS text_md5
         |FROM tot t LEFT JOIN reb r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "dd12_substring_fps" ->
+      s"""WITH corpus AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' $Quote'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, $ToksSql AS toks FROM corpus),
+         |g AS (SELECT doc_id,
+         |    list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+         |      i -> CAST(('0x' || substr(md5(
+         |             array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT))
+         |      AS grams
+         |  FROM tk),
+         |f AS (SELECT doc_id, CASE
+         |    WHEN len(grams) >= 4 THEN list_distinct(
+         |      list_transform(range(1, len(grams) - 2),
+         |        i -> list_min(grams[i:i+3])))
+         |    WHEN len(grams) > 0 THEN [list_min(grams)]
+         |    ELSE [] END AS fps
+         |  FROM g),
+         |x AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         |sh AS (SELECT fp FROM x GROUP BY fp
+         |       HAVING COUNT(DISTINCT doc_id) >= 2),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps
+         |       FROM x GROUP BY doc_id),
+         |sd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |       FROM x WHERE fp IN (SELECT fp FROM sh) GROUP BY doc_id)
+         |SELECT pd.doc_id, pd.n_fps,
+         |  CAST(COALESCE(sd.n_shared, 0) AS BIGINT) AS n_shared,
+         |  CAST(COALESCE(sd.n_shared, 0) > 0 AS INT) AS has_shared
+         |FROM pd LEFT JOIN sd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "pp01_curation" ->
       s"""WITH RECURSIVE $CorpusNearSql,

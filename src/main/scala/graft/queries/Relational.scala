@@ -531,6 +531,20 @@ object Relational {
         .orderBy($"p_partkey", $"attr")
     },
 
+    // GROUPING SETS: two independent marginals + grand total in ONE pass (an
+    // Expand node feeding one aggregate) — rollup/cube's general form;
+    // the dimension values are never null so coalesce tags the
+    // super-aggregate rows unambiguously.
+    "q40_grouping_sets" -> { (s, dir) =>
+      table(s, dir, "orders").createOrReplaceTempView("graft_q40_orders")
+      s.sql("""SELECT COALESCE(o_orderpriority, '(all)') AS pri,
+              |  COALESCE(o_orderstatus, '(all)') AS status,
+              |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+              |FROM graft_q40_orders
+              |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+              |ORDER BY pri, status""".stripMargin)
+    },
+
     // Join + window combined: each order's price rank within its customer.
     "q19_join_window" -> { (s, dir) =>
       import s.implicits._
@@ -831,6 +845,15 @@ object Relational {
         |  UNION ALL
         |  SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part)
         |ORDER BY p_partkey, attr""".stripMargin,
+
+    "q40_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, '(all)') AS pri,
+        |  COALESCE(o_orderstatus, '(all)') AS status,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY pri, status""".stripMargin,
 
     "q19_join_window" ->
       """SELECT c_custkey, c_name, o_orderkey, best_price FROM (

@@ -203,6 +203,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out(51L) == ((3L, 3L, "twice\ntwice\nuniq 51")))
   }
 
+  test("winnowing guarantees a shared fingerprint for spans >= w+k-1") {
+    val k = 8; val w = 4
+    // a shared span of exactly w+k-1 = 11 tokens embedded at different
+    // offsets inside otherwise-disjoint documents
+    val span = (0 until 11).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, (0 until 30).map(i => s"a$i").mkString(" ") + " " + span),
+      (2L, span + " " + (0 until 25).map(i => s"b$i").mkString(" ")),
+      // no shared span: must share nothing
+      (3L, (0 until 40).map(i => s"c$i").mkString(" ")),
+      // 9 tokens: >= k but fewer than w grams — the tail rule emits the
+      // single min-gram fingerprint (a doc under k tokens emits none)
+      (4L, (0 until 9).map(i => s"d$i").mkString(" ")))
+    val fp = Dedup.winnowFingerprints(docs.toDF("doc_id", "text"),
+      "doc_id", "text", k, w)
+    val byDoc = fp.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "guaranteed shared span produced no shared fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty)
+    assert(byDoc(4L).size == 1, "tail rule should emit exactly one fp")
+  }
+
   test("jaccard prefix filter finds exactly the all-pairs matches") {
     val t = 0.5
     val got = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = t)
