@@ -78,8 +78,15 @@ object Dedup {
   /** (id, band_idx, band_key) LSH table for a shingle base: signatures
     * via the explode+agg shape (see minhashPairs), band keys as md5 of
     * each rowsPerBand signature slice.
+    *
+    * Public because banding is per-row: callers running SEVERAL minhash
+    * queries over one corpus (self-join + cross-corpus probes) should
+    * compute this once, persist it, and pass row-filtered views to the
+    * `FromBanded` variants — `bandedKeys(sh.where(p))` ≡
+    * `bandedKeys(sh).where(p)`, and the signature aggregate is the
+    * dominant cost of every minhash query.
     */
-  private def bandedKeys(base: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def bandedKeys(base: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
     val exploded = base.select(col("id"), explode(col("hs")).as("h"))
     val sigCols = (0 until k).map { j =>
@@ -101,8 +108,15 @@ object Dedup {
     */
   def minhashPairsFromShingles(
       base: DataFrame, bands: Int = 4, rowsPerBand: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
-    val banded = bandedKeys(base, bands, rowsPerBand)
+      threshold: Double = 0.6): DataFrame =
+    minhashPairsFromBanded(bandedKeys(base, bands, rowsPerBand), base, threshold)
+
+  /** [[minhashPairsFromShingles]] over a pre-computed (and typically
+    * persisted) [[bandedKeys]] table — the variant that shares ONE
+    * signature pass across several minhash queries.
+    */
+  def minhashPairsFromBanded(
+      banded: DataFrame, base: DataFrame, threshold: Double = 0.6): DataFrame = {
     val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
       .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
         Seq("band_idx", "band_key"))
@@ -129,10 +143,22 @@ object Dedup {
     */
   def minhashPairsAcrossFromShingles(
       probe: DataFrame, corpus: DataFrame, bands: Int = 4,
-      rowsPerBand: Int = 4, threshold: Double = 0.6): DataFrame = {
-    val cand = bandedKeys(probe, bands, rowsPerBand)
+      rowsPerBand: Int = 4, threshold: Double = 0.6): DataFrame =
+    minhashPairsAcrossFromBanded(
+      bandedKeys(probe, bands, rowsPerBand),
+      bandedKeys(corpus, bands, rowsPerBand), probe, corpus, threshold)
+
+  /** [[minhashPairsAcrossFromShingles]] over pre-computed banded tables
+    * — when probe and corpus are row-filters of ONE dataset, band the
+    * whole dataset once and pass filtered views of it here.
+    */
+  def minhashPairsAcrossFromBanded(
+      bandedProbe: DataFrame, bandedCorpus: DataFrame,
+      probe: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.6): DataFrame = {
+    val cand = bandedProbe
       .select(col("band_idx"), col("band_key"), col("id").as("probe_id"))
-      .join(bandedKeys(corpus, bands, rowsPerBand)
+      .join(bandedCorpus
           .select(col("band_idx"), col("band_key"), col("id").as("corpus_id")),
         Seq("band_idx", "band_key"))
       .select("probe_id", "corpus_id")

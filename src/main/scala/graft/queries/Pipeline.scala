@@ -76,6 +76,17 @@ object Pipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** The MinHash signature+banding pass over [[nearShingles]], likewise
+    * computed once per (session, sf dir): dd02's self-join and dd10's
+    * cross-corpus probe both read it (banding is per-row, so dd10's two
+    * sides are row-filters of this one table).
+    */
+  private def nearBanded(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(System.identityHashCode(s) + "|b|" + dir, {
+      Dedup.bandedKeys(nearShingles(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   private val Marker2 = " graft dup marker two"
 
   /** corpusNear plus a SECOND near-copy (ids +2e6) of every 20th doc —
@@ -173,7 +184,7 @@ object Pipeline {
     },
 
     "dd02_minhash_lsh" -> { (s, dir) =>
-      Dedup.minhashPairsFromShingles(nearShingles(s, dir))
+      Dedup.minhashPairsFromBanded(nearBanded(s, dir), nearShingles(s, dir))
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
         .orderBy("id_a", "id_b")
     },
@@ -505,7 +516,10 @@ object Pipeline {
     // sides read the one shared shingle pass.
     "dd10_cross_neardup" -> { (s, dir) =>
       val sh = nearShingles(s, dir)
-      Dedup.minhashPairsAcrossFromShingles(
+      val banded = nearBanded(s, dir)
+      Dedup.minhashPairsAcrossFromBanded(
+          banded.where(col("id") >= 1000000),
+          banded.where(col("id") < 1000000),
           sh.where(col("id") >= 1000000), sh.where(col("id") < 1000000))
         .select(col("probe_id"), col("corpus_id"),
           round(col("jac"), 6).as("jac"))

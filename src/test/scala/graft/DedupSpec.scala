@@ -203,6 +203,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out(51L) == ((3L, 3L, "twice\ntwice\nuniq 51")))
   }
 
+  test("banding commutes with row filters (the shared-pass contract)") {
+    // bandedKeys(sh.where(p)) must equal bandedKeys(sh).where(p) — the
+    // property that lets one persisted banded table serve self-join and
+    // cross-corpus queries via filtered views
+    val sh = Dedup.shingleBase(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val filteredFirst = rows(Dedup.bandedKeys(sh.where(col("id") >= 1000L)))
+    val bandedFirst = rows(Dedup.bandedKeys(sh).where(col("id") >= 1000L))
+    sh.unpersist()
+    assert(filteredFirst.nonEmpty)
+    assert(filteredFirst == bandedFirst)
+  }
+
   test("winnowing guarantees a shared fingerprint for spans >= w+k-1") {
     val k = 8; val w = 4
     // a shared span of exactly w+k-1 = 11 tokens embedded at different
