@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, ShingleHash60, SortedLongIntersectCount}
+import graft.functions.{DotProduct, ShingleHash60, SortedLongIntersectCount, WinnowHash60}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Enable with
@@ -15,6 +15,7 @@ import graft.functions.{DotProduct, ShingleHash60, SortedLongIntersectCount}
   *   SELECT graft_dot(a.embedding, b.embedding) ...
   *   SELECT graft_shingle_hash60(text, 3) ...
   *   SELECT graft_sorted_intersect_count(a.hs, b.hs) ...
+  *   SELECT graft_winnow_hash60(text, 8, 4) ...
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -38,5 +39,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_shingle_hash60 n must be an integer literal, got $other")
         }).getOrElse(3))))
+    def intLit(name: String)(expr: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      expr.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$name arguments must be integer literals, got $other")
+      }
+    e.injectFunction((
+      FunctionIdentifier("graft_winnow_hash60"),
+      new ExpressionInfo(classOf[WinnowHash60].getName, "graft_winnow_hash60"),
+      (exprs: Exprs) => WinnowHash60(exprs(0),
+        exprs.lift(1).map(intLit("graft_winnow_hash60")).getOrElse(8),
+        exprs.lift(2).map(intLit("graft_winnow_hash60")).getOrElse(4))))
   }
 }

@@ -448,24 +448,17 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
-    // Spark's sequence(1, n) steps BACKWARD when n < 1 — guard short docs
-    // to an empty array instead
-    def safeSeq(n: Column): Column =
-      when(n >= 1, sequence(lit(1), n)).otherwise(array())
-    val grams = transform(
-      safeSeq(size(toks) - (k - 1)),
-      i => conv(substring(md5(concat_ws(" ", slice(toks, i, lit(k)))), 1, 15),
-        16, 10).cast("long"))
-    val fps = array_distinct(transform(
-      safeSeq(size(grams) - (w - 1)),
-      i => array_min(slice(grams, i, lit(w)))))
-    df.select(col(idCol), explode(
-      when(size(fps) > 0, fps)
-        // a doc shorter than k+w-1 tokens still fingerprints: its single
-        // window is the min over whatever grams exist (MOSS's tail rule)
-        .otherwise(when(size(grams) > 0, array(array_min(grams)))
-          .otherwise(array()))).as("fp"))
+    // One compiled pass (WinnowHash60): tokenize → positional k-gram
+    // hashes → sliding-window min → distinct. The declarative
+    // formulation (transform over slice + array_min) evaluates its
+    // nested lambdas interpreted with O(n·k) array copies — measured
+    // 25s vs sub-second at sf0.1. Docs under k tokens emit nothing; a
+    // doc with fewer than w grams emits its single min-gram
+    // fingerprint (MOSS's tail rule). Hash basis is the md5-60 one the
+    // DuckDB oracles reproduce.
+    df.select(col(idCol),
+      explode(graft.functions.ShingleHash
+        .winnowHashes60(col(textCol), k, w)).as("fp"))
   }
 
   /** Corpus-level LINE deduplication (the boilerplate-removal pass of

@@ -33,11 +33,11 @@ object ShingleHashUtil {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  /** Sorted distinct 60-bit hashes (first 15 md5 hex digits) of the
-    * space-joined word n-gram shingles of `text`. Empty array when the
-    * text has fewer than n tokens.
+  /** POSITIONAL 60-bit hashes (first 15 md5 hex digits) of the
+    * space-joined word n-gram shingles of `text`, one per gram start —
+    * no dedup, no sort. Empty when the text has fewer than n tokens.
     */
-  def shingleHashes60(text: UTF8String, n: Int): ArrayData = {
+  private[functions] def gramHashes60(text: UTF8String, n: Int): Array[Long] = {
     val s = text.toString
     val len = s.length
     val toks = new java.util.ArrayList[Array[Byte]](len / 6 + 1)
@@ -49,7 +49,7 @@ object ShingleHashUtil {
       if (i > st) toks.add(s.substring(st, i).getBytes(StandardCharsets.UTF_8))
     }
     val m = toks.size - (n - 1)
-    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    if (m <= 0) return Array.empty[Long]
     val out = new Array[Long](m)
     val md = Digest.get()
     var k = 0
@@ -69,6 +69,17 @@ object ShingleHashUtil {
         ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
       k += 1
     }
+    out
+  }
+
+  /** Sorted distinct 60-bit hashes (first 15 md5 hex digits) of the
+    * space-joined word n-gram shingles of `text`. Empty array when the
+    * text has fewer than n tokens.
+    */
+  def shingleHashes60(text: UTF8String, n: Int): ArrayData = {
+    val out = gramHashes60(text, n)
+    val m = out.length
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
     java.util.Arrays.sort(out)
     var w = 1
     var r = 1
@@ -78,6 +89,63 @@ object ShingleHashUtil {
     }
     new GenericArrayData(if (w == m) out else java.util.Arrays.copyOf(out, w))
   }
+}
+
+object WinnowHashUtil {
+  import ShingleHashUtil.gramHashes60
+
+  /** Distinct winnowing fingerprints (Schleimer et al.): positional
+    * k-gram 60-bit hashes, minimum per w-wide window, deduplicated.
+    * Tail rule: k <= tokens < k+w-1 emits the single min-gram
+    * fingerprint; under k tokens emits nothing. One compiled pass —
+    * the declarative formulation (nested `transform` over `slice` +
+    * `array_min`) is interpreted per element with O(n·k) array copies,
+    * measured 25s at sf0.1 vs sub-second for this kernel.
+    */
+  def winnowHashes60(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val grams = gramHashes60(text, k)
+    val m = grams.length
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    if (m < w) {
+      var mn = grams(0)
+      var i = 1
+      while (i < m) { if (grams(i) < mn) mn = grams(i); i += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long](m / w * 2 + 4)
+    var i = 0
+    while (i + w <= m) {
+      var mn = grams(i)
+      var j = 1
+      while (j < w) { if (grams(i + j) < mn) mn = grams(i + j); j += 1 }
+      seen.add(mn)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Winnowing-fingerprint kernel wrapper — see [[WinnowHashUtil]]. */
+case class WinnowHash60(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_winnow_hash60"
+
+  override def nullSafeEval(t: Any): Any =
+    WinnowHashUtil.winnowHashes60(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WinnowHashUtil.winnowHashes60($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Catalyst expression wrapper for [[ShingleHashUtil.shingleHashes60]]:
@@ -105,4 +173,10 @@ object ShingleHash {
   /** Column wrapper: sorted distinct 60-bit word-n-gram shingle hashes. */
   def shingleHashes60(text: Column, n: Int): Column =
     ColumnShim.column(ShingleHash60(ColumnShim.expression(text), n))
+
+  /** Column wrapper: distinct winnowing fingerprints (k-gram hashes,
+    * min per w-window) — see [[WinnowHashUtil.winnowHashes60]].
+    */
+  def winnowHashes60(text: Column, k: Int, w: Int): Column =
+    ColumnShim.column(WinnowHash60(ColumnShim.expression(text), k, w))
 }

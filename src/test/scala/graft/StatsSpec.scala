@@ -77,4 +77,17 @@ class StatsSpec extends AnyFunSuite {
     // shingles: {a b c, b c d} vs {a b c, b c e} share exactly one
     assert(n == 1)
   }
+
+  test("winnow kernel reaches SQL and matches its tail rule") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow_hash60",
+      exprs => graft.functions.WinnowHash60(exprs(0), 2, 2),
+      "built-in")
+    // 'a b': one 2-gram < w -> tail rule emits its single fingerprint;
+    // 'a b c': two grams = exactly one w-window -> one fingerprint
+    val r = spark.sql(
+      "SELECT graft_winnow_hash60('a b'), graft_winnow_hash60('a b c')")
+      .head()
+    assert(r.getSeq[Long](0).size == 1 && r.getSeq[Long](1).size == 1)
+  }
 }
