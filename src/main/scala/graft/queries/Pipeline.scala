@@ -335,6 +335,22 @@ object Pipeline {
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
     },
 
+    // Multi-probe IVF: scanning the 2 most promising cells instead of 1
+    // trades a bounded extra scan for recall — the standard lever when
+    // the quantizer splits a query's true neighbors across a cell
+    // boundary. Probing stays a pruned scan (isin on the cell column =
+    // partition pruning on a cell-partitioned table).
+    "ann04_ivf_multiprobe" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val row = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"), col("label")).head()
+      val q = row.getSeq[Double](0)
+      val cell = row.getInt(1)
+      Knn.ivfTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", "label",
+          q, Seq(cell, (cell + 1) % 10), 5)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    },
+
     // Per-label embedding centroids (the cluster-statistics primitive
     // IVF training and mixture audits share): element-wise mean via
     // posexplode + (label, dim) aggregate — shuffle volume is rows×dim
@@ -637,6 +653,26 @@ object Pipeline {
           regexp_count(col("text"), lit(ip)) +
           regexp_count(col("text"), lit(phone))).cast("int").as("n_redacted"),
         md5(scrubbed).as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Token-distribution Shannon entropy per document — the
+    // compressibility / repetition signal (low entropy = degenerate or
+    // templated text). Two map-side-combined aggregates: (doc, token)
+    // counts then the per-doc -Σ p·log2 p reduction; the shuffle
+    // carries token counts, never text.
+    "tx13_token_entropy" -> { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val counts = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val tot = counts.groupBy("doc_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+      counts.join(tot, Seq("doc_id"))
+        .groupBy(col("doc_id"), col("n"), col("n_distinct"))
+        .agg(round(-sum((col("c") / col("n")) * log2(col("c") / col("n"))), 6)
+          .as("entropy_bits"))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+          col("entropy_bits"))
         .orderBy("doc_id")
     },
 
@@ -965,6 +1001,17 @@ object Pipeline {
         |         vec_id
         |LIMIT 5""".stripMargin,
 
+    "ann04_ivf_multiprobe" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS sim
+        |FROM embeddings CROSS JOIN q
+        |WHERE vec_id != 0 AND label IN (qlabel, (qlabel + 1) % 10)
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC,
+        |         vec_id
+        |LIMIT 5""".stripMargin,
+
     "ann03_centroids" ->
       """WITH x AS (SELECT label,
         |    unnest(CAST(embedding AS DOUBLE[])) AS v,
@@ -1282,6 +1329,19 @@ object Pipeline {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS scrub_md5
         |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    "tx13_token_entropy" ->
+      s"""WITH x AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM x GROUP BY doc_id, tok),
+         |t AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         |        CAST(COUNT(*) AS BIGINT) AS n_distinct
+         |      FROM c GROUP BY doc_id)
+         |SELECT c.doc_id, t.n AS n_tokens, t.n_distinct,
+         |  ROUND(-SUM((c::DOUBLE / n) * log2(c::DOUBLE / n)), 6)
+         |    AS entropy_bits
+         |FROM c JOIN t USING (doc_id)
+         |GROUP BY c.doc_id, t.n, t.n_distinct
+         |ORDER BY doc_id""".stripMargin,
 
     "tx12_gopher_quality" -> {
       val stops = GopherStops.map(w => s"'$w'").mkString(", ")

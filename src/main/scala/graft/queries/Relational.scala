@@ -545,6 +545,27 @@ object Relational {
               |ORDER BY pri, status""".stripMargin)
     },
 
+    // Correlated-subquery shape, decorrelated: "orders 50% above their
+    // own customer's average" — the per-group threshold becomes one
+    // aggregate + an equi-join back, which is exactly the plan Catalyst
+    // rewrites the correlated form into (and the only shape that scales:
+    // a per-row subquery re-scan would be O(n) scans).
+    "q41_above_avg" -> { (s, dir) =>
+      import s.implicits._
+      val avgs = table(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(avg($"o_totalprice").as("cavg"))
+      table(s, dir, "orders")
+        .join(avgs, Seq("o_custkey"))
+        .where($"o_totalprice" > $"cavg" * 1.5)
+        // cavg itself is NOT emitted: averages of 2-decimal money values
+        // land exactly on .xx5 boundaries where double ROUND diverges
+        // between engines (measured 20/3178 rows at sf0.01); membership
+        // (the strict > comparison) is boundary-safe
+        .select($"o_orderkey", $"o_custkey", r2($"o_totalprice").as("totalprice"))
+        .orderBy($"o_orderkey")
+    },
+
     // Join + window combined: each order's price rank within its customer.
     "q19_join_window" -> { (s, dir) =>
       import s.implicits._
@@ -854,6 +875,14 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         |ORDER BY pri, status""".stripMargin,
+
+    "q41_above_avg" ->
+      """WITH a AS (SELECT o_custkey, AVG(o_totalprice) AS cavg
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+        |FROM orders JOIN a USING (o_custkey)
+        |WHERE o_totalprice > cavg * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q19_join_window" ->
       """SELECT c_custkey, c_name, o_orderkey, best_price FROM (
