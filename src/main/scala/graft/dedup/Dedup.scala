@@ -461,6 +461,36 @@ object Dedup {
         .winnowHashes60(col(textCol), k, w)).as("fp"))
   }
 
+  /** Document pairs ranked by shared winnowing fingerprints — the
+    * decision surface of shared-span dedup: (id_a, id_b, n_shared_fps)
+    * for every pair sharing at least one KEPT fingerprint.
+    *
+    * The scale-critical policy is `maxDocFreq`: a fingerprint shared by
+    * f documents generates C(f,2) pairs, so corpus-wide boilerplate
+    * (footers, license headers) would blow the pair join up
+    * quadratically. Fingerprints with document frequency above the cap
+    * are dropped BEFORE pairing — bounding every fingerprint bucket to
+    * C(maxDocFreq,2) pairs — on the grounds that corpus-frequent spans
+    * are [[dedupLines]]' job, not pairwise dedup's. The frequency table
+    * is an aggregate over (id, fp) rows, consumed as a join side, never
+    * collected.
+    */
+  def spanPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDocFreq: Int = 10): DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept = fp.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDocFreq)
+      .select("fp")
+    val f = fp.join(kept, Seq("fp"), "left_semi")
+    f.select(col("fp"), col(idCol).as("id_a"))
+      .join(f.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
   /** Corpus-level LINE deduplication (the boilerplate-removal pass of
     * CCNet/RefinedWeb-style curation): drop every line that appears in
     * at least `minDocs` DISTINCT documents, and reassemble each document

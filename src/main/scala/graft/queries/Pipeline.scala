@@ -162,6 +162,27 @@ object Pipeline {
   private val Quote = "the quick brown fox jumps over the lazy dog " +
     "while the band plays on and on"
 
+  /** Winnowing (k=8, w=4) in DuckDB, mirroring WinnowHash60 incl. the
+    * tail rule — assumes a `corpus(doc_id, text)` CTE; yields
+    * `x(doc_id, fp)`.
+    */
+  private val WinnowSql =
+    s"""tk AS (SELECT doc_id, $ToksSql AS toks FROM corpus),
+       |g AS (SELECT doc_id,
+       |    list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+       |      i -> CAST(('0x' || substr(md5(
+       |             array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT))
+       |      AS grams
+       |  FROM tk),
+       |f AS (SELECT doc_id, CASE
+       |    WHEN len(grams) >= 4 THEN list_distinct(
+       |      list_transform(range(1, len(grams) - 2),
+       |        i -> list_min(grams[i:i+3])))
+       |    WHEN len(grams) > 0 THEN [list_min(grams)]
+       |    ELSE [] END AS fps
+       |  FROM g),
+       |x AS (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
+
   /** Gopher's stopword-presence rule set (Rae et al. 2021 §A1.1). */
   private val GopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -313,6 +334,25 @@ object Pipeline {
           coalesce(col("n_shared"), lit(0L)).as("n_shared"),
           (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("has_shared"))
         .orderBy("doc_id")
+    },
+
+    // The shared-span PAIR surface over winnow fingerprints, with the
+    // doc-frequency cap that keeps boilerplate from exploding the pair
+    // join quadratically. The planting makes the cap load-bearing:
+    // every 50th doc gets a 16-token quote whose EVERY token carries
+    // the doc's cluster id (doc_id div 250 → five planted docs per
+    // cluster), so quote fingerprints have doc-frequency 5 — kept,
+    // yielding C(5,2) pairs per cluster — while anything
+    // corpus-frequent would be dropped as dedupLines' job.
+    "dd13_span_pairs" -> { (s, dir) =>
+      val cid = expr("doc_id div 250").cast("string")
+      val quote = array_join(transform(sequence(lit(0), lit(15)),
+        i => concat(lit("sq"), i.cast("string"), lit("c"), cid)), " ")
+      val corpus = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, concat(col("text"), lit(" "), quote))
+          .otherwise(col("text")).as("text"))
+      Dedup.spanPairs(corpus, "doc_id", "text", k = 8, w = 4, maxDocFreq = 10)
+        .orderBy("id_a", "id_b")
     },
 
     // ---- similarity search ----
@@ -1001,6 +1041,24 @@ object Pipeline {
         |         vec_id
         |LIMIT 5""".stripMargin,
 
+    "dd13_span_pairs" ->
+      s"""WITH corpus AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 50 = 0 THEN text || ' ' ||
+         |      array_to_string(list_transform(range(0, 16),
+         |        i -> 'sq' || i || 'c' || (doc_id // 250)), ' ')
+         |    ELSE text END AS text
+         |  FROM documents),
+         |$WinnowSql,
+         |kept AS (SELECT fp FROM x GROUP BY fp
+         |         HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 10),
+         |xf AS (SELECT doc_id, fp FROM x
+         |       WHERE fp IN (SELECT fp FROM kept))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+         |FROM xf a JOIN xf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY id_a, id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "ann04_ivf_multiprobe" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
         |           FROM embeddings WHERE vec_id = 0)
@@ -1211,21 +1269,7 @@ object Pipeline {
          |    CASE WHEN doc_id % 7 = 0 THEN text || ' $Quote'
          |         ELSE text END AS text
          |  FROM documents),
-         |tk AS (SELECT doc_id, $ToksSql AS toks FROM corpus),
-         |g AS (SELECT doc_id,
-         |    list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
-         |      i -> CAST(('0x' || substr(md5(
-         |             array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT))
-         |      AS grams
-         |  FROM tk),
-         |f AS (SELECT doc_id, CASE
-         |    WHEN len(grams) >= 4 THEN list_distinct(
-         |      list_transform(range(1, len(grams) - 2),
-         |        i -> list_min(grams[i:i+3])))
-         |    WHEN len(grams) > 0 THEN [list_min(grams)]
-         |    ELSE [] END AS fps
-         |  FROM g),
-         |x AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         |$WinnowSql,
          |sh AS (SELECT fp FROM x GROUP BY fp
          |       HAVING COUNT(DISTINCT doc_id) >= 2),
          |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps

@@ -120,6 +120,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the offsets-table window keyed by _pid")
   }
 
+  test("q38 RANGE frame windows partition on the high-cardinality key") {
+    val df = graft.queries.Relational.queries("q38_range_frame")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "RANGE frame fell into a global window")
+  }
+
   test("ts29 interval join is an equi-join, never a nested loop") {
     val p = plan(graft.queries.TimeSeries.queries("ts29_range_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
