@@ -26,6 +26,7 @@ import graft.tsdb.{GraftDb, VType}
   *   insert <selector> <timestamp> <value>
   *   import-csv <selector> <csv_file>
   *   compact [max_files_per_partition]
+  *   expire <before_epoch_ms>
   */
 object Cli {
 
@@ -125,6 +126,10 @@ object Cli {
           val n = rest.headOption.map(_.toInt)
             .map(db.compact(_)).getOrElse(db.compact())
           out(s"compacted $n partitions"); 0
+        case Seq("expire", beforeMs) =>
+          // maintenance (beyond the reference CLI): retention enforcement
+          val n = db.expire(beforeMs.toLong)
+          out(s"expired $n partitions"); 0
         case other =>
           out(s"unknown command: ${other.mkString(" ")}"); 2
       }

@@ -258,6 +258,49 @@ final class GraftDb(
     compacted
   }
 
+  /** Retention enforcement: drop every (name, bucket) partition whose
+    * WHOLE interval [bucket, bucket + bucketMs) ends at or before
+    * `beforeMs`, and the stats-table rows that summarized it — the
+    * partition-pruned data-lifecycle operation (only directory names
+    * are examined; no data file is ever read, which is what makes this
+    * O(partitions) at 100 TB). A bucket holding ANY live sample is
+    * never dropped. Idempotent: a crash mid-delete leaves only expired
+    * partitions partially removed and a re-run completes the delete;
+    * the stats filter runs after the data delete, so a crash between
+    * the two can only leave stats rows for missing buckets — which the
+    * filter removes on the next expire (stale stats would otherwise
+    * keep answering covered-bucket aggregates with deleted data).
+    * Returns the number of partitions removed.
+    */
+  def expire(beforeMs: Long): Long = synchronized {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dataDir)
+    if (!Files.exists(root)) return 0L
+    val nameDirs = scala.util.Using.resource(Files.list(root))(
+      _.iterator().asScala.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("name=")).toList)
+    var removed = 0L
+    nameDirs.foreach { n =>
+      scala.util.Using.resource(Files.list(n))(_.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("bucket=")).toList)
+        .foreach { b =>
+          val start = b.getFileName.toString.stripPrefix("bucket=").toLong
+          if (start + bucketMs <= beforeMs) {
+            scala.util.Using.resource(Files.walk(b))(
+              _.sorted(java.util.Comparator.reverseOrder())
+                .iterator().asScala.toList).foreach(Files.deleteIfExists(_))
+            removed += 1
+          }
+        }
+      if (scala.util.Using.resource(Files.list(n))(!_.iterator().hasNext()))
+        Files.deleteIfExists(n)
+    }
+    if (removed > 0 && statsDir().isDefined)
+      writeStats(statsTable().where(col("bucket") + bucketMs > beforeMs))
+    removed
+  }
+
   /** Delete a delta file and the Hadoop checksum sibling Spark's local
     * committer writes beside it (`.NAME.crc`) — leaving the latter would
     * re-accumulate hidden files under the very regime compaction exists

@@ -75,6 +75,32 @@ class CompactSpec extends AnyFunSuite {
     assert(db.query("sum(m)", 0, 10000000L).output.head().getLong(0) == before)
   }
 
+  test("expire drops whole expired partitions and their stats rows") {
+    val root = Files.createTempDirectory("graft_expire").toString
+    val db = new GraftDb(spark, root)
+    db.createStream("m", VType.U64)
+    val hour = 3600 * 1000L
+    // samples in three hourly buckets: 0, 1h, 2h
+    val ins = db.inserter("m")
+    Seq(0L, hour, 2 * hour).zipWithIndex.foreach { case (ts, i) =>
+      ins.insert(ts + 1, (i + 1).toLong)
+    }
+    ins.flush()
+    db.refreshStats()
+    // cutoff inside bucket 1: only bucket 0 is WHOLLY before it
+    assert(db.expire(hour + 1) == 1L)
+    assert(!Files.exists(Paths.get(root, "data", "name=m", "bucket=0")))
+    assert(Files.exists(Paths.get(root, "data", s"name=m", s"bucket=$hour")))
+    assert(db.query("sum(m)", 0, 10 * hour).output.head().getLong(0) == 5L)
+    // the stats-served path must not resurrect the deleted bucket
+    assert(db.statsTable().where(s"bucket < $hour").count() == 0L)
+    assert(db.fastAggregate("m", 0, 10 * hour - 1).head().getAs[Double]("value_sum") == 5.0)
+    // idempotent; cutoff past everything removes the rest + name dir
+    assert(db.expire(hour + 1) == 0L)
+    assert(db.expire(10 * hour) == 2L)
+    assert(!Files.exists(Paths.get(root, "data", "name=m")))
+  }
+
   test("pre-journal orphan hidden file is discarded, data intact") {
     val (db, part, before) = setup()
     Files.writeString(part.resolve(".compact-7.parquet"), "not a real parquet")
