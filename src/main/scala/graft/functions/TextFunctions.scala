@@ -16,6 +16,23 @@ object TextFunctions {
   def tokens(text: Column): Column =
     regexp_extract_all(text, lit("[^\\s]+"), lit(0))
 
+  /** The heuristic quality score in [0, 1] that tx03 reports, sp03
+    * weights its sample by, and the curation pipeline gates on — length,
+    * digit density, and mean token length mixed 50/30/20. One shared
+    * column expression so the three stay bit-identical (the DuckDB
+    * oracles mirror the same formula).
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t).cast("double")
+    val avgLen = aggregate(transform(t, x => length(x)), lit(0),
+      (acc, v) => acc + v).cast("double") / nTok
+    val digits = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+      .cast("double") / length(text).cast("double")
+    least(lit(1.0), nTok / 200.0) * 0.5 +
+      (lit(1.0) - digits) * 0.3 + least(lit(1.0), avgLen / 8.0) * 0.2
+  }
+
   /** Sliding word n-gram shingles, space-joined. Empty when the document
     * has fewer than n tokens.
     */

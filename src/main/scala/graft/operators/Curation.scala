@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+
+/** The end-to-end corpus-curation pipeline as ONE public call:
+  * quality gate → near-dup keep-one (complete prefix-filter candidates +
+  * connected components) → deterministic hash sample → sequence packing.
+  * This is the composition the pp01 gate verifies against a
+  * recursive-CTE DuckDB oracle; every stage is an operator verified
+  * alone elsewhere.
+  *
+  * Scale shape: inherits each stage's invariants — the quality gate is
+  * row-local, dedup candidates are prefix-filter-bound (never corpus²),
+  * components moves only the edge list, sampling is a row-local hash
+  * decision, and packing's global prefix sum is the two-pass
+  * `RangeRank.globalCumSum` (global-order work touches #partitions
+  * rows). Nothing in the composition adds a driver-side loop or a
+  * data-global window.
+  */
+object Curation {
+
+  /** Pipeline knobs. `qualityMin` gates on
+    * [[TextFunctions.qualityScore]]; `jaccardThreshold` is the near-dup
+    * pair cutoff; `sampleFraction` the deterministic hash-sample rate;
+    * `binTokens` the packing bin size; `nGram` the shingle width.
+    */
+  case class Opts(
+      qualityMin: Double = 0.55,
+      jaccardThreshold: Double = 0.5,
+      sampleFraction: Double = 0.5,
+      binTokens: Long = 2048L,
+      nGram: Int = 3)
+
+  /** Returns the packed training manifest: (idCol, n_tokens, gcum, bin,
+    * bin_offset) for every document that survives quality → keep-one →
+    * sample, laid end-to-end in idCol order.
+    *
+    * `shingles`: callers that already paid the corpus shingle pass
+    * (see [[Dedup.shingleBase]]) pass it here and the pipeline
+    * semi-joins it down to the quality survivors instead of recomputing
+    * — shingling is the dominant cost and Spark cannot share it across
+    * separately-planned queries.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      opts: Opts = Opts(), shingles: Option[DataFrame] = None): DataFrame = {
+    val kept = docs
+      .where(TextFunctions.qualityScore(col(textCol)) >= opts.qualityMin)
+      .select(col(idCol), col(textCol))
+    val sh = shingles match {
+      case Some(pre) => pre
+        .join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      case None => Dedup.shingleBase(kept, idCol, textCol, opts.nGram)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val reps = Dedup.components(
+      Dedup.jaccardPairsFromShingles(sh, opts.jaccardThreshold))
+    val keepOne = kept
+      .join(reps, col(idCol) === col("id"), "left")
+      .where(col("rep").isNull || col("rep") === col(idCol))
+      .select(col(idCol))
+    val sampled = Sampling.hashSample(keepOne, col(idCol), opts.sampleFraction)
+    val withTokens = sampled.join(
+      docs.select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens")),
+      Seq(idCol))
+    Packing.pack(withTokens, Seq(col(idCol)), "n_tokens", opts.binTokens)
+  }
+}

@@ -435,17 +435,9 @@ object Pipeline {
     // probability = the tx03 quality score, decided by hash bucket —
     // same layout-independence contract as sp01, row-local, no shuffle.
     "sp03_weighted" -> { (s, dir) =>
-      val t = tokens(col("text"))
-      val nTok = size(t).cast("double")
-      val avgLen = aggregate(transform(t, x => length(x)), lit(0),
-        (acc, v) => acc + v).cast("double") / nTok
-      val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
-        .cast("double") / length(col("text")).cast("double")
-      val score = least(lit(1.0), nTok / 200.0) * 0.5 +
-        (lit(1.0) - digits) * 0.3 + least(lit(1.0), avgLen / 8.0) * 0.2
       graft.operators.Sampling.weightedSample(
           docs(s, dir).select(col("doc_id"), col("text")),
-          col("doc_id"), score)
+          col("doc_id"), qualityScore(col("text")))
         .select("doc_id")
         .orderBy("doc_id")
     },
@@ -484,8 +476,7 @@ object Pipeline {
       val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
         .cast("double") / length(col("text")).cast("double")
       val stop = markerHits(t, EnMarkers).cast("double") / nTok
-      val score = least(lit(1.0), nTok / 200.0) * 0.5 +
-        (lit(1.0) - digits) * 0.3 + least(lit(1.0), avgLen / 8.0) * 0.2
+      val score = qualityScore(col("text"))
       docs(s, dir).select(
         col("doc_id"),
         size(t).as("n_tokens"),
@@ -590,32 +581,10 @@ object Pipeline {
     // elsewhere; this gate proves they compose, against one SQL oracle
     // that rebuilds the whole pipeline with a recursive CTE.
     "pp01_curation" -> { (s, dir) =>
-      val c = corpusNear(s, dir)
-      val t = tokens(col("text"))
-      val nTok = size(t).cast("double")
-      val avgLen = aggregate(transform(t, x => length(x)), lit(0),
-        (acc, v) => acc + v).cast("double") / nTok
-      val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
-        .cast("double") / length(col("text")).cast("double")
-      val score = least(lit(1.0), nTok / 200.0) * 0.5 +
-        (lit(1.0) - digits) * 0.3 + least(lit(1.0), avgLen / 8.0) * 0.2
-      val kept = c.where(score >= 0.55).select(col("doc_id"))
-      val sh = nearShingles(s, dir)
-        .join(kept.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val reps = Dedup.components(
-        Dedup.jaccardPairsFromShingles(sh, threshold = 0.5))
-      val keepOne = kept
-        .join(reps, col("doc_id") === col("id"), "left")
-        .where(col("rep").isNull || col("rep") === col("doc_id"))
-        .select("doc_id")
-      val sampled = graft.operators.Sampling.hashSample(
-        keepOne, col("doc_id"), 0.5)
-      val withTokens = sampled.join(
-        c.select(col("doc_id"), size(tokens(col("text"))).cast("long")
-          .as("n_tokens")), Seq("doc_id"))
-      graft.operators.Packing.pack(
-          withTokens, Seq(col("doc_id")), "n_tokens", 2048L)
+      graft.operators.Curation.curate(
+          corpusNear(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          shingles = Some(nearShingles(s, dir)))
         .select(col("doc_id"), col("n_tokens"), col("gcum"), col("bin"))
         .orderBy("doc_id")
     },
