@@ -391,6 +391,27 @@ object Pipeline {
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
     },
 
+    // Symmetric int8 quantization of the embedding column — the 4x
+    // storage/bandwidth reduction a 100 TB embedding store runs on:
+    // per-vector scale = max |v| / 127, codes = floor(v * 127 / amax).
+    // Row-local transform, no rounding-mode hazards (floor is exact and
+    // engine-identical; the gate compares integer code aggregates).
+    "ann05_quantize_int8" -> { (s, dir) =>
+      val vec = col("embedding").cast("array<double>")
+      val amax = array_max(transform(vec, v => abs(v)))
+      val codes = when(amax === 0.0,
+        transform(vec, _ => lit(0L)))
+        .otherwise(transform(vec,
+          v => floor(v * 127.0 / amax).cast("long")))
+      graft.engine.Graft.widen(table(s, dir, "embeddings"))
+        .select(col("vec_id"), round(amax, 6).as("scale"),
+          size(codes).as("n_dims"),
+          aggregate(codes, lit(0L), (a, v) => a + v).as("code_sum"),
+          array_min(codes).as("code_min"),
+          array_max(codes).as("code_max"))
+        .orderBy("vec_id")
+    },
+
     // Per-label embedding centroids (the cluster-statistics primitive
     // IVF training and mixture audits share): element-wise mean via
     // posexplode + (label, dim) aggregate — shuffle volume is rows×dim
@@ -682,6 +703,27 @@ object Pipeline {
           .as("entropy_bits"))
         .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
           col("entropy_bits"))
+        .orderBy("doc_id")
+    },
+
+    // Model-based quality filtering as column math: a logistic
+    // classifier over row-local text features (the fastText/CCNet-style
+    // filtering step), scored entirely inside codegen — weights are
+    // fixed literals standing in for trained ones; inference at 100 TB
+    // is then a pure scan, no UDF, no model server. The keep decision
+    // compares z against 0 (continuous), never a rounded probability.
+    "tx14_quality_logreg" -> { (s, dir) =>
+      val t = tokens(col("text"))
+      val n = size(t).cast("double")
+      val f1 = least(lit(1.0), n / 200.0)
+      val f2 = size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") / n
+      val f3 = markerHits(t, EnMarkers).cast("double") / n
+      val f4 = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+        .cast("double") / length(col("text")).cast("double")
+      val z = f1 * 2.0 + f2 * 1.5 + f3 * 3.0 + f4 * -4.0 - 1.2
+      docs(s, dir).where(n > 0).select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p_keep"),
+        (z >= 0).cast("int").as("keep"))
         .orderBy("doc_id")
     },
 
@@ -1028,6 +1070,23 @@ object Pipeline {
          |GROUP BY id_a, id_b
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "ann05_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, vec,
+        |    list_max(list_transform(vec, x -> abs(x))) AS amax FROM v),
+        |c AS (SELECT vec_id, amax,
+        |    CASE WHEN amax = 0 THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(vec,
+        |      x -> CAST(floor(x * 127.0 / amax) AS BIGINT)) END AS codes
+        |  FROM m)
+        |SELECT vec_id, ROUND(amax, 6) AS scale,
+        |  CAST(len(codes) AS INT) AS n_dims,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  CAST(list_min(codes) AS BIGINT) AS code_min,
+        |  CAST(list_max(codes) AS BIGINT) AS code_max
+        |FROM c ORDER BY vec_id""".stripMargin,
+
     "ann04_ivf_multiprobe" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
         |           FROM embeddings WHERE vec_id = 0)
@@ -1342,6 +1401,25 @@ object Pipeline {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS scrub_md5
         |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    "tx14_quality_logreg" -> {
+      val stops = EnMarkers.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |    least(1.0, len(toks) / 200.0) AS f1,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+         |      / len(toks) AS f2,
+         |    len(list_filter(toks, x -> x IN ($stops)))::DOUBLE
+         |      / len(toks) AS f3,
+         |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+         |      / length(text) AS f4
+         |  FROM t WHERE len(toks) > 0),
+         |z AS (SELECT doc_id,
+         |    f1 * 2.0 + f2 * 1.5 + f3 * 3.0 + f4 * -4.0 - 1.2 AS z FROM m)
+         |SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS p_keep,
+         |  CAST(z >= 0 AS INT) AS keep
+         |FROM z ORDER BY doc_id""".stripMargin
+    },
 
     "tx13_token_entropy" ->
       s"""WITH x AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
