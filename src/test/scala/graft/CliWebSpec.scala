@@ -86,6 +86,17 @@ class CliWebSpec extends AnyFunSuite {
     assert(c3 == 0 && again == Seq("compacted 0 partitions"))
   }
 
+  test("cli: expire drops the old bucket, later data remains") {
+    val db = freshDb()
+    seed(db) // four samples, all in hourly bucket 0
+    val hour = 3600L * 1000
+    assert(cli(db, "insert", sel, (hour + 5).toString, "7")._1 == 0)
+    val (c1, msg) = cli(db, "expire", hour.toString)
+    assert(c1 == 0 && msg == Seq("expired 1 partitions"))
+    val (c2, sum) = cli(db, "query", s"sum($sel)", "0", (2 * hour).toString)
+    assert(c2 == 0 && sum == Seq("7"))
+  }
+
   test("cli: list-all-streams and parse-headers see the stream") {
     val db = freshDb()
     seed(db)

@@ -120,6 +120,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the offsets-table window keyed by _pid")
   }
 
+  test("row-local pipeline ops (ann05, tx14) never hash-shuffle") {
+    // quantization and classifier inference are pure scans: the only
+    // exchanges allowed are widen's round-robin and the final orderBy's
+    // range partitioning — a hash exchange means a group-by/join crept in
+    for (q <- Seq("ann05_quantize_int8", "tx14_quality_logreg")) {
+      val p = plan(graft.queries.Pipeline.queries(q)(spark, sf))
+      assert(!p.contains("Exchange hashpartitioning"), s"$q: ${p.take(1500)}")
+    }
+  }
+
   test("q38 RANGE frame windows partition on the high-cardinality key") {
     val df = graft.queries.Relational.queries("q38_range_frame")(spark, sf)
     val windows = df.queryExecution.optimizedPlan.collect {
