@@ -463,6 +463,42 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Deterministic train/val/test assignment: each doc's split is a
+    // pure function of its content hash (80/10/10) — layout- and
+    // engine-independent like every sampler here, so re-running the
+    // pipeline never migrates a doc across splits (the leakage hazard
+    // seed-based splitting has). Row-local, no shuffle.
+    "sp04_splits" -> { (s, dir) =>
+      val b = pmod(graft.operators.Sampling.keyHash(col("doc_id")), lit(10))
+      docs(s, dir).select(col("doc_id"),
+        when(b < 8, "train").when(b < 9, "val").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Epoch upsampling: sources with less material repeat more (epochs
+    // = 1 + floor(20 * deficit vs the largest source), capped at 3) —
+    // the mixture lever that pairs with pp03's downsampling. The policy
+    // inputs are exact integer char masses, so both engines derive
+    // bit-identical factors. Repeat factors come from the
+    // metadata-sized source table and broadcast back; the copies are a
+    // row-local explode(sequence), so output volume is exactly the
+    // epoch-weighted budget and nothing shuffles by source.
+    "pp04_epochs" -> { (s, dir) =>
+      val counts = docs(s, dir).groupBy("source")
+        .agg(sum("n_chars").as("chars"))
+      val tot = counts.agg(max("chars").as("maxc"))
+      val reps = counts.crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(lit(3L), lit(1L) +
+            floor((col("maxc") - col("chars")) * 20.0 / col("maxc"))
+              .cast("long")).as("epochs"))
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .join(broadcast(reps), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+        .orderBy("doc_id", "epoch")
+    },
+
     "tx01_tokens" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
@@ -1140,6 +1176,29 @@ object Pipeline {
          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
          |      % 10000 < round(greatest(0.0, least(score, 1.0)) * 10000)
          |ORDER BY doc_id""".stripMargin,
+
+    "sp04_splits" ->
+      """SELECT doc_id,
+        |  CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |             AS BIGINT) % 10 AS h
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "pp04_epochs" ->
+      """WITH c AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT MAX(chars) AS maxc FROM c),
+        |r AS (SELECT source,
+        |    least(3, 1 + CAST(floor((maxc - chars) * 20.0 / maxc) AS BIGINT))
+        |      AS epochs
+        |  FROM c CROSS JOIN t)
+        |SELECT doc_id, d.source,
+        |  CAST(unnest(range(1, epochs + 1)) AS BIGINT) AS epoch
+        |FROM documents d JOIN r ON d.source = r.source
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "tx01_tokens" ->
       s"""SELECT doc_id, CAST(len($ToksSql) AS INT) AS n_tokens
