@@ -291,6 +291,26 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // SEMANTIC keep-one: the dd08 composition over embedding-cosine
+    // pairs instead of shingle-Jaccard — IVF-cell candidates →
+    // connected components → anti keep-one, the end-to-end semantic
+    // dedup surface. The oracle recomputes reachability from the
+    // blocking-free all-pairs cosine spec with a recursive CTE, so the
+    // cells must lose nothing at this threshold.
+    "dd14_semantic_keep_one" -> { (s, dir) =>
+      val e = graft.engine.Graft.widen(table(s, dir, "embeddings"))
+      val planted = e.select(col("vec_id"), col("embedding")).unionAll(
+        e.where(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      val pairs = Dedup.embeddingPairsIvf(planted, "vec_id", "embedding", k = 16)
+      val reps = Dedup.components(pairs.select("id_a", "id_b"))
+      planted.select(col("vec_id"))
+        .join(reps, col("vec_id") === col("id"), "left")
+        .where(col("rep").isNull || col("rep") === col("vec_id"))
+        .select("vec_id")
+        .orderBy("vec_id")
+    },
+
     // Corpus-level line dedup (boilerplate removal): lines shared by
     // >= 10 distinct docs are dropped, documents rebuilt from the
     // survivors in original order. The corpus plants a footer on every
@@ -1350,6 +1370,28 @@ object Pipeline {
         |  md5(COALESCE(r.text, '')) AS text_md5
         |FROM tot t LEFT JOIN reb r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "dd14_semantic_keep_one" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.995),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |nonrep AS (SELECT id FROM (
+        |  SELECT id, MIN(label) AS rep FROM reach GROUP BY id)
+        |  WHERE rep != id)
+        |SELECT vec_id FROM v
+        |WHERE vec_id NOT IN (SELECT id FROM nonrep)
+        |ORDER BY vec_id""".stripMargin,
 
     "dd12_substring_fps" ->
       s"""WITH corpus AS (SELECT doc_id,
