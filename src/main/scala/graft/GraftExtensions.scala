@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, ShingleHash60, SortedLongIntersectCount, WinnowHash60}
+import graft.functions.{DotProduct, ShingleHash60, Simhash60, SortedLongIntersectCount, WinnowHash60}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Enable with
@@ -16,6 +16,7 @@ import graft.functions.{DotProduct, ShingleHash60, SortedLongIntersectCount, Win
   *   SELECT graft_shingle_hash60(text, 3) ...
   *   SELECT graft_sorted_intersect_count(a.hs, b.hs) ...
   *   SELECT graft_winnow_hash60(text, 8, 4) ...
+  *   SELECT graft_simhash60(graft_shingle_hash60(text, 3)) ...
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -46,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"$name arguments must be integer literals, got $other")
       }
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[Simhash60].getName, "graft_simhash60"),
+      (exprs: Exprs) => Simhash60(exprs(0))))
     e.injectFunction((
       FunctionIdentifier("graft_winnow_hash60"),
       new ExpressionInfo(classOf[WinnowHash60].getName, "graft_winnow_hash60"),

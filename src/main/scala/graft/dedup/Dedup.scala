@@ -251,18 +251,14 @@ object Dedup {
       comboWidth: Int = 0): DataFrame = {
     require(maxHamming + math.max(1, comboWidth) <= SimhashBits,
       s"invalid comboWidth $comboWidth for radius $maxHamming")
-    val voteCols = (0 until SimhashBits).map { i =>
-      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"v$i")
-    }
-    val votes = base.select(col("id"), explode(col("hs")).as("h"))
-      .groupBy("id").agg(voteCols.head, voteCols.tail: _*)
-    val fpExpr = (0 until SimhashBits)
-      .map(i => when(col(s"v$i") >= 0, lit(1L << i)).otherwise(0L))
-      .reduce(_ + _)
-    // The banded table self-joins: persist the fingerprints so the vote
+    // Fingerprints are the row-local Simhash60 kernel — the former
+    // explode + 60-sum vote aggregate shuffled every (id, hash) pair
+    // to compute what is a pure function of the row's own array.
+    // The banded table self-joins: persist the fingerprints so the
     // pass runs once, not once per join side (exchange reuse does not
     // cover broadcast self-joins — measured in round 1).
-    val fp = votes.select(col("id"), fpExpr.as("fp"))
+    val fp = base.select(col("id"),
+        graft.functions.ShingleHash.simhash60(col("hs")).as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cw = if (comboWidth >= 1) comboWidth
       else autoComboWidth(fp.count(), maxHamming)

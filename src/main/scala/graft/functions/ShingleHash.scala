@@ -129,6 +129,58 @@ object WinnowHashUtil {
   }
 }
 
+object SimhashUtil {
+  /** 60-bit SimHash of an array of 60-bit shingle hashes: per-bit ±1
+    * votes over the array, bit set iff votes >= 0 — bit-identical to
+    * the explode + `sum(shiftright(h, i) & 1) * 2 - 1) >= 0` aggregate
+    * formulation it replaces, but row-local: the aggregate shape
+    * shuffles every (id, hash) pair and runs 60 sums per group, where
+    * this is one compiled pass over the row's own hashes with NO
+    * exchange at all. Callers exclude empty arrays (shingleBase does);
+    * an empty input returns 0L.
+    */
+  def simhash60(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    if (n == 0) return 0L
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) >= 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+}
+
+/** SimHash kernel wrapper — see [[SimhashUtil.simhash60]]. */
+case class Simhash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_simhash60"
+
+  override def nullSafeEval(t: Any): Any =
+    SimhashUtil.simhash60(t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimhashUtil.simhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing-fingerprint kernel wrapper — see [[WinnowHashUtil]]. */
 case class WinnowHash60(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -179,4 +231,8 @@ object ShingleHash {
     */
   def winnowHashes60(text: Column, k: Int, w: Int): Column =
     ColumnShim.column(WinnowHash60(ColumnShim.expression(text), k, w))
+
+  /** Column wrapper: 60-bit SimHash of a shingle-hash array. */
+  def simhash60(hs: Column): Column =
+    ColumnShim.column(Simhash60(ColumnShim.expression(hs)))
 }
