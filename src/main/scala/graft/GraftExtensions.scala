@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, ShingleHash60, Simhash60, SortedLongIntersectCount, WinnowHash60}
+import graft.functions.{DotProduct, MinhashSig60, ShingleHash60, Simhash60, SortedLongIntersectCount, WinnowHash60}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Enable with
@@ -51,6 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash60"),
       new ExpressionInfo(classOf[Simhash60].getName, "graft_simhash60"),
       (exprs: Exprs) => Simhash60(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash_sig60"),
+      new ExpressionInfo(classOf[MinhashSig60].getName, "graft_minhash_sig60"),
+      (exprs: Exprs) => MinhashSig60(exprs(0),
+        exprs.lift(1).map(intLit("graft_minhash_sig60")).getOrElse(16))))
     e.injectFunction((
       FunctionIdentifier("graft_winnow_hash60"),
       new ExpressionInfo(classOf[WinnowHash60].getName, "graft_winnow_hash60"),

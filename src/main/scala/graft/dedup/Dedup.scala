@@ -88,15 +88,17 @@ object Dedup {
     */
   def bandedKeys(base: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val exploded = base.select(col("id"), explode(col("hs")).as("h"))
-    val sigCols = (0 until k).map { j =>
-      min((col("h").bitwiseAND(Mask28) * minhashA(j) + minhashB(j)) % MinhashPrime)
-        .as(s"mh$j")
-    }
-    val sigs = exploded.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    // Signatures are the row-local MinhashSig60 kernel: the former
+    // explode + k-min aggregate shuffled every (id, hash) pair; the
+    // per-row lambda alternative fell out of whole-stage codegen
+    // (measured 25x slower in round 1). The compiled kernel is
+    // row-local AND codegen-resident — no exchange before banding.
+    val sigs = base.select(col("id"),
+      graft.functions.ShingleHash.minhashSig60(col("hs"), k).as("sig"))
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|",
-        (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}").cast("string")): _*))
+        (0 until rowsPerBand).map(i =>
+          element_at(col("sig"), b * rowsPerBand + i + 1).cast("string")): _*))
     }
     sigs.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
