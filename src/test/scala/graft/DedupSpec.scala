@@ -203,6 +203,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out(51L) == ((3L, 3L, "twice\ntwice\nuniq 51")))
   }
 
+  test("minhash/simhash kernels equal their declarative formulations") {
+    val sh = Dedup.shingleBase(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kSig = sh.select(col("id"),
+        graft.functions.ShingleHash.minhashSig60(col("hs"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val dSig = sh.select(col("id"),
+        graft.functions.TextFunctions.minhashSig(col("hs"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kSig == dSig)
+    val kFp = sh.select(col("id"),
+        graft.functions.ShingleHash.simhash60(col("hs")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh.unpersist()
+    assert(kFp == fingerprints(corpus))
+  }
+
   test("banding commutes with row filters (the shared-pass contract)") {
     // bandedKeys(sh.where(p)) must equal bandedKeys(sh).where(p) — the
     // property that lets one persisted banded table serve self-join and

@@ -120,6 +120,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the offsets-table window keyed by _pid")
   }
 
+  test("sketch kernels actually execute in the dd02/dd03 plans") {
+    // a revert to the explode+agg signature shape would re-shuffle every
+    // (id, hash) pair; the kernel names in the physical plan are the pin
+    val p02 = plan(graft.queries.Pipeline.queries("dd02_minhash_lsh")(spark, sf))
+    assert(p02.contains("graft_minhash_sig60"), p02.take(1500))
+    val p03 = plan(graft.queries.Pipeline.queries("dd03_simhash")(spark, sf))
+    assert(p03.contains("graft_simhash60"), p03.take(1500))
+  }
+
   test("row-local pipeline ops (ann05, tx14) never hash-shuffle") {
     // quantization and classifier inference are pure scans: the only
     // exchanges allowed are widen's round-robin and the final orderBy's
