@@ -50,7 +50,7 @@ object StreamNearDedup {
   def minhashMatches(raw: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, minAgree: Int = 10,
       nGram: Int = 3): DataFrame = {
-    import graft.functions.TextFunctions.{bandKeys, minhashSig}
+    import graft.functions.TextFunctions.bandKeys
     val k = bands * rowsPerBand
     val spark = raw.sparkSession
     import spark.implicits._
@@ -58,7 +58,10 @@ object StreamNearDedup {
       col(idCol).cast("long").as("id"),
       graft.functions.ShingleHash.shingleHashes60(col(textCol), nGram).as("hs"))
       .where(size(col("hs")) > 0) // shingle-less docs can't be compared
-      .select(col("id"), minhashSig(col("hs"), k).as("sig"))
+      // compiled signature kernel (equal to TextFunctions.minhashSig —
+      // DedupSpec pins it; the empty-array case is filtered above)
+      .select(col("id"),
+        graft.functions.ShingleHash.minhashSig60(col("hs"), k).as("sig"))
       .select(col("id"), col("sig"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band_idx", "band_key")))
