@@ -87,6 +87,14 @@ object Web {
           "compaction disabled: server started without a db root allowlist")
       handleCompact(spark, body, dbRoot)
     }
+    // retention: POST {"path", "before_ms"} -> {"expired_partitions": n}.
+    // Same delete-gated allowlist rule as /compact.
+    jsonContext("/expire") { body =>
+      if (dbRoot.isEmpty)
+        throw new IllegalArgumentException(
+          "retention disabled: server started without a db root allowlist")
+      handleExpire(spark, body, dbRoot)
+    }
     server.setExecutor(null)
     server.start()
     server
@@ -102,6 +110,20 @@ object Web {
     val n = new GraftDb(spark, path).compact(maxFiles)
     val root = mapper.createObjectNode()
     root.put("compacted_partitions", n)
+    mapper.writeValueAsString(root)
+  }
+
+  private[tools] def handleExpire(spark: SparkSession, requestJson: String,
+      dbRoot: Option[String]): String = {
+    val mapper = new ObjectMapper()
+    val req = mapper.readTree(requestJson)
+    val path = allowedPath(req, dbRoot)
+    val beforeMs = Option(req.get("before_ms")).filterNot(_.isNull)
+      .map(_.asLong())
+      .getOrElse(throw new IllegalArgumentException("missing field: before_ms"))
+    val n = new GraftDb(spark, path).expire(beforeMs)
+    val root = mapper.createObjectNode()
+    root.put("expired_partitions", n)
     mapper.writeValueAsString(root)
   }
 

@@ -182,6 +182,32 @@ class CliWebSpec extends AnyFunSuite {
     } finally open.stop(0)
   }
 
+  test("http: /expire enforces retention under the same allowlist") {
+    val db = freshDb()
+    seed(db) // bucket 0
+    val hour = 3600L * 1000
+    assert(cli(db, "insert", sel, (hour + 5).toString, "9")._1 == 0)
+    val server = Web.start(spark, 0, dbRoot = Some(db))
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      def post(json: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/expire"))
+          .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val ok = post(s"""{"path": "$db", "before_ms": $hour}""")
+      assert(ok.statusCode() == 200)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(ok.body())
+      assert(node.get("expired_partitions").asLong() == 1L)
+      val (c, out) = cli(db, "query", s"sum($sel)", "0", (2 * hour).toString)
+      assert(c == 0 && out == Seq("9"))
+      // missing cutoff and out-of-allowlist paths both 400
+      assert(post(s"""{"path": "$db"}""").statusCode() == 400)
+      assert(post(s"""{"path": "/tmp/elsewhere", "before_ms": 1}""")
+        .statusCode() == 400)
+    } finally server.stop(0)
+  }
+
   test("http: /health and /query parity with the reference shapes") {
     val db = freshDb()
     seed(db)
