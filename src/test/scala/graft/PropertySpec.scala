@@ -120,6 +120,69 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- sketch kernels vs independent plain-Scala references (pure ----
+  // ---- JVM: the Util objects run directly, no Spark plan involved) ----
+
+  import graft.functions.TextFunctions.{minhashA, minhashB, Mask28, MinhashPrime}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val hashesGen: Gen[List[Long]] = for {
+    n <- Gen.choose(1, 40)
+    hs <- Gen.listOfN(n, Gen.choose(0L, (1L << 60) - 1))
+  } yield hs
+
+  test("minhash kernel equals the affine-min reference on random arrays") {
+    for (hs <- samples(hashesGen, 60); k <- Seq(1, 4, 16)) {
+      val got = graft.functions.MinhashUtil
+        .minhashSig(new GenericArrayData(hs.toArray), k).toLongArray().toSeq
+      val want = (0 until k).map(j =>
+        hs.map(h => ((h & Mask28) * minhashA(j) + minhashB(j)) % MinhashPrime).min)
+      assert(got == want, s"k=$k hs=$hs")
+    }
+  }
+
+  test("simhash kernel equals the bit-vote reference on random arrays") {
+    for (hs <- samples(hashesGen, 60)) {
+      val got = graft.functions.SimhashUtil
+        .simhash60(new GenericArrayData(hs.toArray))
+      val want = (0 until 60).map { b =>
+        val votes = hs.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+        if (votes >= 0) 1L << b else 0L
+      }.sum
+      assert(got == want, s"hs=$hs")
+    }
+  }
+
+  private val tokGen: Gen[List[String]] = for {
+    n <- Gen.choose(0, 50)
+    ts <- Gen.listOfN(n, Gen.choose(0, 999).map(i => s"w$i"))
+  } yield ts
+
+  test("winnowing guarantee holds for random docs sharing a k+w-1 span") {
+    val k = 8; val w = 4
+    def fps(toks: Seq[String]): Set[Long] =
+      graft.functions.WinnowHashUtil.winnowHashes60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(toks.mkString(" ")),
+        k, w).toLongArray().toSet
+    val span = (0 until k + w - 1).map(i => s"shared$i")
+    for ((a, b) <- samples(Gen.zip(tokGen, tokGen), 40)) {
+      // insert the span at a position derived from each doc's own length
+      val da = a.take(a.size / 2) ++ span ++ a.drop(a.size / 2)
+      val db = b.take(b.size / 3) ++ span ++ b.drop(b.size / 3)
+      assert((fps(da) & fps(db)).nonEmpty, s"a=$a b=$b")
+    }
+  }
+
+  test("winnowing tail rule: under k tokens none, under k+w-1 exactly one") {
+    def fps(n: Int): Seq[Long] =
+      graft.functions.WinnowHashUtil.winnowHashes60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          (0 until n).map(i => s"t$i").mkString(" ")), 8, 4).toLongArray().toSeq
+    for (n <- 0 until 8) assert(fps(n).isEmpty, s"n=$n")
+    for (n <- 8 until 11) assert(fps(n).size == 1, s"n=$n")
+    assert(fps(11).nonEmpty)
+  }
+
   // ---- minhash determinism under repartitioning ----
 
   test("minhash pairs stable under input partitioning") {
