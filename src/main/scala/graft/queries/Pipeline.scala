@@ -755,7 +755,12 @@ object Pipeline {
         .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
       counts.join(tot, Seq("doc_id"))
         .groupBy(col("doc_id"), col("n"), col("n_distinct"))
-        .agg(round(-sum((col("c") / col("n")) * log2(col("c") / col("n"))), 6)
+        // + 0.0 normalizes the IEEE -0.0 a single-distinct-token doc
+        // would produce (entropy = -sum(0)) — both engines' ROUND
+        // preserve the sign bit, and the driver's hash compare would
+        // see -0.0 vs 0.0 as different values
+        .agg(round(-sum((col("c") / col("n")) * log2(col("c") / col("n")))
+            + 0.0, 6)
           .as("entropy_bits"))
         .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
           col("entropy_bits"))
@@ -1529,7 +1534,7 @@ object Pipeline {
          |        CAST(COUNT(*) AS BIGINT) AS n_distinct
          |      FROM c GROUP BY doc_id)
          |SELECT c.doc_id, t.n AS n_tokens, t.n_distinct,
-         |  ROUND(-SUM((c::DOUBLE / n) * log2(c::DOUBLE / n)), 6)
+         |  ROUND(-SUM((c::DOUBLE / n) * log2(c::DOUBLE / n)) + 0.0, 6)
          |    AS entropy_bits
          |FROM c JOIN t USING (doc_id)
          |GROUP BY c.doc_id, t.n, t.n_distinct
