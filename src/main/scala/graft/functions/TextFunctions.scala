@@ -16,6 +16,13 @@ object TextFunctions {
   def tokens(text: Column): Column =
     regexp_extract_all(text, lit("[^\\s]+"), lit(0))
 
+  /** Token COUNT without materializing the token substrings — use this
+    * when only the count is needed (regexp_count vs size(extract_all)
+    * skips building every matched string; the tx10 principle).
+    */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("[^\\s]+"))
+
   /** The heuristic quality score in [0, 1] that tx03 reports, sp03
     * weights its sample by, and the curation pipeline gates on — length,
     * digit density, and mean token length mixed 50/30/20. One shared

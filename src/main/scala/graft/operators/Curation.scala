@@ -67,7 +67,7 @@ object Curation {
     val sampled = Sampling.hashSample(keepOne, col(idCol), opts.sampleFraction)
     val withTokens = sampled.join(
       docs.select(col(idCol),
-        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens")),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens")),
       Seq(idCol))
     Packing.pack(withTokens, Seq(col(idCol)), "n_tokens", opts.binTokens)
   }

@@ -521,7 +521,7 @@ object Pipeline {
 
     "tx01_tokens" -> { (s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")
     },
 
@@ -675,7 +675,7 @@ object Pipeline {
     // lets one source span many partitions. PlanAuditSpec pins the shape.
     "pp02_token_budget" -> { (s, dir) =>
       val t = docs(s, dir).select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.operators.RangeRank
         .groupedCumSum(t, Seq("source"), Seq(col("doc_id")), "n_tokens")
         .where(col("gcum") + col("n_tokens") <= 800)
@@ -833,7 +833,7 @@ object Pipeline {
       // regexp_count, not size(regexp_extract_all): the count is the
       // answer, materializing every matched substring is pure overhead
       val n = regexp_count(col("text"), lit(BpeIshPattern)).cast("int")
-      val w = size(tokens(col("text")))
+      val w = tokenCount(col("text"))
       docs(s, dir).select(
         col("doc_id"), n.as("n_bpe_tokens"), w.as("n_ws_tokens"),
         when(w > 0, round(n.cast("double") / w, 6)).otherwise(0.0)
@@ -867,7 +867,7 @@ object Pipeline {
     // window; the oracle recomputes it with a plain SQL window.
     "sq01_packing" -> { (s, dir) =>
       val t = docs(s, dir).select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.operators.Packing.pack(t, Seq(col("doc_id")), "n_tokens", 2048L)
         .select(col("doc_id"), col("n_tokens"), col("gcum"),
           col("bin"), col("bin_offset"))
@@ -900,7 +900,7 @@ object Pipeline {
     // are pure column math (the distinct count reuses the ShingleHash60
     // kernel), no explode, no shuffle.
     "tx06_repetition" -> { (s, dir) =>
-      val total = greatest(size(tokens(col("text"))) - 2, lit(0))
+      val total = greatest(tokenCount(col("text")) - 2, lit(0))
       val distinctSh =
         size(graft.functions.ShingleHash.shingleHashes60(col("text"), 3))
       docs(s, dir).select(
