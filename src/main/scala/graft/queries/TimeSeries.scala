@@ -153,6 +153,25 @@ object TimeSeries {
         .orderBy("bucket")
     },
 
+    // Linear-interpolation gap filling over the same dense grid as
+    // ts28: synthesized buckets take the line between their nearest
+    // present neighbors (no extrapolation past the edges). Inputs are
+    // the exact integer micros of ts28, so only the interpolation
+    // itself is floating — and its operation order is mirrored
+    // verbatim in the oracle.
+    "ts30_gapfill_linear" -> { (s, dir) =>
+      val hour = 3600 * 1000L
+      val d = graft.operators.Downsample(
+          eventsLong(s, dir).where(col("name") === "purchase"), hour,
+          exact = true)
+        .select(col("name"), col("bucket"),
+          round(col("sum_value") * 1e6).cast("long").as("value"))
+      graft.operators.GapFill.linearFill(d, hour)
+        .select(col("name"), col("bucket"),
+          round(col("value"), 6).as("sum_micros"), col("filled"))
+        .orderBy("bucket")
+    },
+
     // Interval join through the bucket-grid equi-join (RangeJoin): each
     // event matched to the deterministic 90-minute campaign windows that
     // contain it, aggregated per window. The oracle is the semantic spec
@@ -451,6 +470,34 @@ object TimeSeries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_micros,
          |  sm IS NULL AS filled
          |FROM j ORDER BY bucket""".stripMargin,
+
+    "ts30_gapfill_linear" ->
+      s"""WITH d AS (SELECT t - (t % 3600000) AS bucket,
+         |    CAST(SUM(CAST(v AS DECIMAL(28,8))) * 1000000 AS BIGINT) AS sm
+         |  FROM ${ev("event_type = 'purchase'")} GROUP BY 1),
+         |r AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM d),
+         |g AS (SELECT unnest(range(b0, b1 + 1, 3600000)) AS bucket FROM r),
+         |j AS (SELECT g.bucket, d.sm FROM g LEFT JOIN d ON g.bucket = d.bucket),
+         |p AS (SELECT bucket, sm,
+         |    last_value(sm IGNORE NULLS) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN sm IS NOT NULL THEN bucket END IGNORE NULLS)
+         |      OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         |    last_value(sm IGNORE NULLS) OVER (ORDER BY bucket DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+         |    last_value(CASE WHEN sm IS NOT NULL THEN bucket END IGNORE NULLS)
+         |      OVER (ORDER BY bucket DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nb
+         |  FROM j)
+         |SELECT 'purchase' AS name, bucket,
+         |  ROUND(CASE WHEN sm IS NOT NULL THEN CAST(sm AS DOUBLE)
+         |    WHEN pb IS NOT NULL AND nb IS NOT NULL THEN
+         |      CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+         |        CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)
+         |    ELSE NULL END, 6) AS sum_micros,
+         |  sm IS NULL AS filled
+         |FROM p ORDER BY bucket""".stripMargin,
 
     "ts26_scalar_left" ->
       s"""SELECT t AS timestamp, ROUND(1000 - v, 6) AS value
