@@ -566,6 +566,25 @@ object Relational {
         .orderBy($"o_orderkey")
     },
 
+    // Salted skew-resistant join: the lineitem side spreads each join
+    // key over 8 salt subkeys, orders replicate across them — the
+    // explicit-salting tool for keys too hot even for AQE's skew split
+    // (the "celebrity key" case; here the salting must simply be
+    // RESULT-INVISIBLE, which is exactly what the plain-join oracle
+    // checks). Aggregated per priority so the gate is compact.
+    "q42_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.SaltedJoin.inner(
+          table(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice"),
+          table(s, dir, "orders").select($"o_orderkey".as("l_orderkey"),
+            $"o_orderpriority"),
+          "l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(r2(sum($"l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+
     // Join + window combined: each order's price rank within its customer.
     "q19_join_window" -> { (s, dir) =>
       import s.implicits._
@@ -883,6 +902,13 @@ object Relational {
         |FROM orders JOIN a USING (o_custkey)
         |WHERE o_totalprice > cavg * 1.5
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q42_salted_join" ->
+      """SELECT o_orderpriority,
+        |  ROUND(SUM(l_extendedprice), 2) AS revenue, COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q19_join_window" ->
       """SELECT c_custkey, c_name, o_orderkey, best_price FROM (
