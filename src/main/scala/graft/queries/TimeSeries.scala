@@ -153,6 +153,26 @@ object TimeSeries {
         .orderBy("bucket")
     },
 
+    // As-of join with a staleness bound (pandas merge_asof tolerance):
+    // matches older than 1h are rejected. The bound rides the same
+    // union+window pass as ts19 — the matched right timestamp is
+    // carried beside its value, no extra shuffle or join.
+    "ts31_asof_tolerance" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000").as("t"),
+          col("value"), col("event_type"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "t").agg(avg("value").as("click_value"))
+      graft.operators.AsOfJoin
+        .backward(purchases, clicks, "user_id", "t", "click_value",
+          toleranceMs = 3600 * 1000L)
+        .select(col("user_id"), col("t").as("timestamp"), col("value"),
+          col("asof_click_value").as("recent_click"))
+        .orderBy("user_id", "timestamp")
+    },
+
     // Linear-interpolation gap filling over the same dense grid as
     // ts28: synthesized buckets take the line between their nearest
     // present neighbors (no extrapolation past the edges). Inputs are
@@ -389,6 +409,18 @@ object TimeSeries {
          |c AS (SELECT user_id, epoch_ns(ts)//1000000 AS t, AVG(value) AS click_value
          |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
          |SELECT p.user_id, p.t AS timestamp, p.value, c.click_value AS last_click
+         |FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND p.t >= c.t
+         |ORDER BY p.user_id, timestamp""".stripMargin,
+
+    "ts31_asof_tolerance" ->
+      s"""WITH p AS (SELECT user_id, epoch_ns(ts)//1000000 AS t, value
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, epoch_ns(ts)//1000000 AS t, AVG(value) AS click_value
+         |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT p.user_id, p.t AS timestamp, p.value,
+         |  CASE WHEN p.t - c.t <= ${3600 * 1000L} THEN c.click_value END
+         |    AS recent_click
          |FROM p ASOF LEFT JOIN c
          |  ON p.user_id = c.user_id AND p.t >= c.t
          |ORDER BY p.user_id, timestamp""".stripMargin,
