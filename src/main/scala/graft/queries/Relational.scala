@@ -585,6 +585,21 @@ object Relational {
         .orderBy($"o_orderpriority")
     },
 
+    // ratio_to_report (share of partition total): the partition key has
+    // 5 distinct values, so a per-row window would cap parallelism at 5
+    // (the q32 cliff) — the totals aggregate to a 5-row table instead
+    // and broadcast back; the ratio itself is row-local division.
+    "q43_ratio_report" -> { (s, dir) =>
+      import s.implicits._
+      val totals = table(s, dir, "orders")
+        .groupBy($"o_orderpriority").agg(sum($"o_totalprice").as("tot"))
+      table(s, dir, "orders")
+        .join(broadcast(totals), Seq("o_orderpriority"))
+        .select($"o_orderkey", $"o_orderpriority",
+          round($"o_totalprice" / $"tot", 9).as("share"))
+        .orderBy($"o_orderkey")
+    },
+
     // Join + window combined: each order's price rank within its customer.
     "q19_join_window" -> { (s, dir) =>
       import s.implicits._
@@ -909,6 +924,12 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q43_ratio_report" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ROUND(o_totalprice / SUM(o_totalprice)
+        |    OVER (PARTITION BY o_orderpriority), 9) AS share
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q19_join_window" ->
       """SELECT c_custkey, c_name, o_orderkey, best_price FROM (

@@ -139,6 +139,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q43 ratio-to-report has no window at all (broadcast totals)") {
+    val df = graft.queries.Relational.queries("q43_ratio_report")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      "a per-row window over the 5-value partition key crept back in")
+    assert(plan(df).contains("BroadcastHashJoin"),
+      "totals are not broadcast back onto orders")
+  }
+
   test("q38 RANGE frame windows partition on the high-cardinality key") {
     val df = graft.queries.Relational.queries("q38_range_frame")(spark, sf)
     val windows = df.queryExecution.optimizedPlan.collect {
