@@ -87,6 +87,28 @@ object Pipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** The planted embedding corpus (originals + exact copies of every
+    * 50th vector) ASSIGNED to IVF cells, computed once per (session,
+    * sf dir): dd05's pair search, dd06's explicit-fit variant, and
+    * dd14's keep-one all quantize the same corpus with the same k — a
+    * shared fit is the same principle as the shingle/banding caches.
+    * Columns: (vec_id, vec double[], cell).
+    */
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(System.identityHashCode(s) + "|ivf|" + dir, {
+      val e = graft.engine.Graft.widen(table(s, dir, "embeddings"))
+      val planted = e.select(col("vec_id"), col("embedding")).unionAll(
+        e.where(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      // one Lloyd step: dedup blocking only needs cells that co-assign
+      // identical vectors and keep sizes ~corpus/k — quantizer quality
+      // beyond that buys recall (ANN's concern), not completeness here
+      val m = graft.ann.IvfIndex.fit(planted, "vec_id", "vec", k = 16, iters = 1)
+      graft.ann.IvfIndex.transform(planted, "vec", m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   private val Marker2 = " graft dup marker two"
 
   /** corpusNear plus a SECOND near-copy (ids +2e6) of every 20th doc —
@@ -234,11 +256,7 @@ object Pipeline {
     // blocking (embeddingPairs with blockCols) stays as an explicit
     // opt-in, unit-tested equal to this path in DedupSpec.
     "dd05_embed_cosine" -> { (s, dir) =>
-      val e = graft.engine.Graft.widen(table(s, dir, "embeddings"))
-      val planted = e.select(col("vec_id"), col("embedding")).unionAll(
-        e.where(col("vec_id") % 50 === 0)
-          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
-      Dedup.embeddingPairsIvf(planted, "vec_id", "embedding", k = 16)
+      Dedup.embeddingPairs(ivfAssigned(s, dir), "vec_id", "vec", Seq("cell"))
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     },
@@ -275,6 +293,9 @@ object Pipeline {
     // at this threshold only exact copies match (max non-copy cosine in
     // the testdata is ~0.51), so the complete blocking-free all-pairs
     // oracle still verifies the blocked result exactly.
+    // dd06 deliberately does NOT read the shared ivfAssigned cache:
+    // its contract is the explicit user-facing fit -> transform ->
+    // pairs composition, paying its own quantizer fit.
     "dd06_embed_ivf" -> { (s, dir) =>
       val e = graft.engine.Graft.widen(table(s, dir, "embeddings"))
       val planted = e.select(col("vec_id"), col("embedding")).unionAll(
@@ -298,13 +319,10 @@ object Pipeline {
     // blocking-free all-pairs cosine spec with a recursive CTE, so the
     // cells must lose nothing at this threshold.
     "dd14_semantic_keep_one" -> { (s, dir) =>
-      val e = graft.engine.Graft.widen(table(s, dir, "embeddings"))
-      val planted = e.select(col("vec_id"), col("embedding")).unionAll(
-        e.where(col("vec_id") % 50 === 0)
-          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
-      val pairs = Dedup.embeddingPairsIvf(planted, "vec_id", "embedding", k = 16)
+      val assigned = ivfAssigned(s, dir)
+      val pairs = Dedup.embeddingPairs(assigned, "vec_id", "vec", Seq("cell"))
       val reps = Dedup.components(pairs.select("id_a", "id_b"))
-      planted.select(col("vec_id"))
+      assigned.select(col("vec_id"))
         .join(reps, col("vec_id") === col("id"), "left")
         .where(col("rep").isNull || col("rep") === col("vec_id"))
         .select("vec_id")
