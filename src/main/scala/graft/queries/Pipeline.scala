@@ -501,6 +501,24 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Cross-modal curation join: documents linked to their embedding
+    // rows (doc_id = vec_id at this corpus' layout), kept only when
+    // BOTH modalities pass — text quality above threshold AND embedding
+    // norm inside the healthy band (degenerate/exploding vectors are a
+    // pipeline smell). One equi-join on the shared id; both filters are
+    // row-local and push to their own scans.
+    "pp05_joint_modality" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        round(qualityScore(col("text")), 6).as("quality"))
+      val e = table(s, dir, "embeddings").select(col("vec_id"),
+        round(graft.ann.Vectors.norm(col("embedding").cast("array<double>")), 6)
+          .as("vnorm"))
+      d.join(e, d("doc_id") === e("vec_id"))
+        .where(col("quality") >= 0.5 && col("vnorm").between(0.5, 20.0))
+        .select(col("doc_id"), col("quality"), col("vnorm"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic train/val/test assignment: each doc's split is a
     // pure function of its content hash (80/10/10) — layout- and
     // engine-independent like every sampler here, so re-running the
@@ -1218,6 +1236,26 @@ object Pipeline {
          |SELECT doc_id FROM w
          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
          |      % 10000 < round(greatest(0.0, least(score, 1.0)) * 10000)
+         |ORDER BY doc_id""".stripMargin,
+
+    "pp05_joint_modality" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |    len(toks)::DOUBLE AS n_tokens,
+         |    list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+         |      / len(toks)::DOUBLE AS avg_len,
+         |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+         |      / length(text)::DOUBLE AS digits
+         |  FROM t),
+         |q AS (SELECT doc_id, ROUND(
+         |    least(1.0, n_tokens / 200.0) * 0.5 + (1.0 - digits) * 0.3 +
+         |    least(1.0, avg_len / 8.0) * 0.2, 6) AS quality FROM m),
+         |v AS (SELECT vec_id, ROUND(sqrt(list_sum(list_transform(
+         |    CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS vnorm
+         |  FROM embeddings)
+         |SELECT doc_id, quality, vnorm
+         |FROM q JOIN v ON doc_id = vec_id
+         |WHERE quality >= 0.5 AND vnorm BETWEEN 0.5 AND 20.0
          |ORDER BY doc_id""".stripMargin,
 
     "sp04_splits" ->
