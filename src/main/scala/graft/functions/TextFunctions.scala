@@ -30,10 +30,11 @@ object TextFunctions {
     * oracles mirror the same formula).
     */
   def qualityScore(text: Column): Column = {
-    val t = tokens(text)
-    val nTok = size(t).cast("double")
-    val avgLen = aggregate(transform(t, x => length(x)), lit(0),
-      (acc, v) => acc + v).cast("double") / nTok
+    // token stats from the compiled kernel (PropertySpec pins it equal
+    // to the aggregate/transform lambda formulation, unicode included)
+    val st = TextKernels.tokenStats(text)
+    val nTok = st.getField("n_tokens").cast("double")
+    val avgLen = st.getField("sum_token_len").cast("double") / nTok
     val digits = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
       .cast("double") / length(text).cast("double")
     least(lit(1.0), nTok / 200.0) * 0.5 +

@@ -562,12 +562,12 @@ object Pipeline {
     },
 
     "tx02_langid" -> { (s, dir) =>
-      val t = tokens(col("text"))
-      val sEn = markerHits(t, EnMarkers)
-      val sDe = markerHits(t, DeMarkers)
-      val sFr = markerHits(t, FrMarkers)
-      val sEs = markerHits(t, EsMarkers)
-      val sZh = markerHits(t, ZhMarkers)
+      // ONE compiled tokenize pass scores all five marker sets
+      // (PropertySpec pins the kernel equal to the per-set filters)
+      val h = graft.functions.TextKernels.markerHits(col("text"),
+        Seq(EnMarkers, DeMarkers, FrMarkers, EsMarkers, ZhMarkers))
+      val Seq(sEn, sDe, sFr, sEs, sZh) =
+        (0 until 5).map(i => element_at(h, i + 1))
       // argmax with fixed preference order on ties — mirrors the oracle's
       // CASE chain exactly
       val pred =
@@ -582,17 +582,17 @@ object Pipeline {
     },
 
     "tx03_quality" -> { (s, dir) =>
-      val t = tokens(col("text"))
-      val nTok = size(t).cast("double")
-      val avgLen = aggregate(transform(t, x => length(x)), lit(0),
-        (acc, v) => acc + v).cast("double") / nTok
+      val st = graft.functions.TextKernels.tokenStats(col("text"))
+      val nTok = st.getField("n_tokens").cast("double")
+      val avgLen = st.getField("sum_token_len").cast("double") / nTok
       val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
         .cast("double") / length(col("text")).cast("double")
-      val stop = markerHits(t, EnMarkers).cast("double") / nTok
+      val stop = element_at(graft.functions.TextKernels.markerHits(
+        col("text"), Seq(EnMarkers)), 1).cast("double") / nTok
       val score = qualityScore(col("text"))
       docs(s, dir).select(
         col("doc_id"),
-        size(t).as("n_tokens"),
+        st.getField("n_tokens").as("n_tokens"),
         round(avgLen, 6).as("avg_token_len"),
         round(stop, 6).as("stopword_ratio"),
         round(digits, 6).as("digit_ratio"),
@@ -810,11 +810,12 @@ object Pipeline {
     // is then a pure scan, no UDF, no model server. The keep decision
     // compares z against 0 (continuous), never a rounded probability.
     "tx14_quality_logreg" -> { (s, dir) =>
-      val t = tokens(col("text"))
-      val n = size(t).cast("double")
+      val st = graft.functions.TextKernels.tokenStats(col("text"))
+      val n = st.getField("n_tokens").cast("double")
       val f1 = least(lit(1.0), n / 200.0)
-      val f2 = size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") / n
-      val f3 = markerHits(t, EnMarkers).cast("double") / n
+      val f2 = st.getField("n_alpha_tokens").cast("double") / n
+      val f3 = element_at(graft.functions.TextKernels.markerHits(
+        col("text"), Seq(EnMarkers)), 1).cast("double") / n
       val f4 = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
         .cast("double") / length(col("text")).cast("double")
       val z = f1 * 2.0 + f2 * 1.5 + f3 * 3.0 + f4 * -4.0 - 1.2
@@ -831,11 +832,12 @@ object Pipeline {
     // flags are what a curation pipeline filters and audits on.
     "tx12_gopher_quality" -> { (s, dir) =>
       val t = tokens(col("text"))
-      val nw = size(t)
-      val meanLen = aggregate(transform(t, x => length(x)), lit(0),
-        (a, v) => a + v).cast("double") / nw.cast("double")
-      val alphaFrac = size(filter(t, x => x.rlike("[A-Za-z]")))
-        .cast("double") / nw.cast("double")
+      val st = graft.functions.TextKernels.tokenStats(col("text"))
+      val nw = st.getField("n_tokens")
+      val meanLen = st.getField("sum_token_len").cast("double") /
+        nw.cast("double")
+      val alphaFrac = st.getField("n_alpha_tokens").cast("double") /
+        nw.cast("double")
       val symRatio = (regexp_count(col("text"), lit("#")) +
         regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") /
         nw.cast("double")

@@ -183,6 +183,54 @@ class PropertySpec extends AnyFunSuite {
     assert(fps(11).nonEmpty)
   }
 
+  test("token-stats kernel equals the declarative lambdas (incl. unicode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar),
+      (3, Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r')),
+      (1, Gen.oneOf('的', 'é', 'ß', '!', '#', '.')))
+    val textGen = Gen.choose(0, 80)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val texts = samples(textGen, 120) :+ "" :+ "  \f  " :+
+      "plain words here" :+ "𝄞clef 音楽 mix3d"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val t = tokens(col("text"))
+    val got = df.select(col("id"),
+        graft.functions.TextKernels.tokenStats(col("text")).as("st"))
+      .select(col("id"), col("st.n_tokens"), col("st.sum_token_len"),
+        col("st.n_alpha_tokens"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    val want = df.select(col("id"), size(t).as("n"),
+        aggregate(transform(t, x => length(x)), lit(0L), (a, v) => a + v).as("sl"),
+        size(filter(t, x => x.rlike("[A-Za-z]"))).as("na"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got == want)
+  }
+
+  test("marker-hits kernel equals the per-set declarative filters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.{markerHits, tokens}
+    val sets = Seq(Seq("the", "a", "of"), Seq("der", "die"), Seq("的", "是"))
+    val texts = Seq("the cat of a hat", "der die das die", "的 是 的 words",
+      "", "none here", "the the the 的")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.functions.TextKernels.markerHits(col("text"), sets).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val t = tokens(col("text"))
+    val want = df.select(col("id"),
+        array(sets.map(ws => markerHits(t, ws)): _*).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got == want)
+  }
+
   // ---- minhash determinism under repartitioning ----
 
   test("minhash pairs stable under input partitioning") {
