@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, MinhashSig60, ShingleHash60, Simhash60, SortedLongIntersectCount, WinnowHash60}
+import graft.functions.{DotProduct, MinhashSig60, ShingleHash60, Simhash60, SortedLongIntersectCount, TokenStats, WinnowHash60}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Enable with
@@ -17,6 +17,7 @@ import graft.functions.{DotProduct, MinhashSig60, ShingleHash60, Simhash60, Sort
   *   SELECT graft_sorted_intersect_count(a.hs, b.hs) ...
   *   SELECT graft_winnow_hash60(text, 8, 4) ...
   *   SELECT graft_simhash60(graft_shingle_hash60(text, 3)) ...
+  *   SELECT graft_token_stats(text).n_tokens ...
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -47,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"$name arguments must be integer literals, got $other")
       }
+    e.injectFunction((
+      FunctionIdentifier("graft_token_stats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "graft_token_stats"),
+      (exprs: Exprs) => TokenStats(exprs(0))))
     e.injectFunction((
       FunctionIdentifier("graft_simhash60"),
       new ExpressionInfo(classOf[Simhash60].getName, "graft_simhash60"),
