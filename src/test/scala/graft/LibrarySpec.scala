@@ -41,6 +41,39 @@ class LibrarySpec extends AnyFunSuite {
     assert(desc.map(_.getAs[Long]("n_samples")).sum == 5)
   }
 
+  test("GraftDb full lifecycle: flushes -> compact -> stats -> expire -> export") {
+    val dir = Files.createTempDirectory("graftdb_life").toString
+    val db = new GraftDb(spark, dir)
+    db.createStream("m", VType.U64)
+    val hour = 3600 * 1000L
+    // three flushes across two hourly buckets -> multiple delta files
+    for (batch <- 0 until 3) {
+      val ins = db.inserter("m")
+      ins.insert(batch * 10L, (batch + 1).toLong)          // bucket 0
+      ins.insert(hour + batch * 10L, (batch + 11).toLong)  // bucket 1
+      ins.flush()
+    }
+    assert(db.query("sum(m)", 0, 10 * hour).output.head().getLong(0) == 42L)
+    // compact the small files, then build stats over the compacted store
+    assert(db.compact(maxFilesPerPartition = 1) == 2L)
+    db.refreshStats()
+    assert(db.fastAggregate("m", 0, 10 * hour - 1)
+      .head().getAs[Double]("value_sum") == 42.0)
+    // retention drops bucket 0 (data AND its stats rows)
+    assert(db.expire(hour) == 1L)
+    assert(db.query("sum(m)", 0, 10 * hour).output.head().getLong(0) == 36L)
+    assert(db.fastAggregate("m", 0, 10 * hour - 1)
+      .head().getAs[Double]("value_sum") == 36.0)
+    // export what survived
+    val csv = Files.createTempDirectory("graftdb_life_csv").toString + "/out"
+    db.exportCsv("m", 0, 10 * hour, csv)
+    val rows = spark.read.option("header", "true").csv(csv).count()
+    assert(rows == 3L)
+    // a second expire is a no-op; the remaining bucket stays compact
+    assert(db.expire(hour) == 0L)
+    assert(db.compact(maxFilesPerPartition = 1) == 0L)
+  }
+
   test("GraftDb 100k-row roundtrip (lib.rs:654-699 scenario)") {
     val root = java.nio.file.Files.createTempDirectory("graft_100k").toString
     val db = new graft.tsdb.GraftDb(spark, root)
