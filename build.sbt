@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers tail-capture stdout and parse the last line
+// as JSON; sbt's "[success] Total time ..." epilogue would land after
+// the artifact line and break the parse, and the default LoggedOutput
+// strategy prefixes every forked-run line with "[info] ".
+Global / showSuccess := false
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

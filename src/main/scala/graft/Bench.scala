@@ -45,7 +45,12 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal times (0.1 ms resolution): the driver keeps only a
+    // bounded stdout tail, and 121 queries at full double precision
+    // overflow it — the whole line must stay comfortably under ~4 KB.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
@@ -80,16 +85,21 @@ object Bench {
       rps.toLong
     } catch { case _: Throwable => -1L }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""ingest_rows_per_sec":$ingest,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist the full JSON as a file artifact: the driver's
-    // stdout tail-capture has truncated the per-query map before
-    // (BENCH_r03 lost the first 27 timings), and a file survives that.
+    // Persist the full JSON as a committed file artifact too: the
+    // driver's stdout tail-capture has truncated the per-query map
+    // before (BENCH_r03 lost the first 27 timings), and a file
+    // survives that.
     val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json"))
     java.nio.file.Files.writeString(out, json + "\n")
     System.err.println(s"[bench] full JSON written to ${out.toAbsolutePath}")
     spark.stop()
+    // LAST stdout line, after spark.stop(), so nothing can print after
+    // it — the driver parses the tail of stdout (build.sbt suppresses
+    // sbt's own "[success]" epilogue via showSuccess := false).
+    println(json)
+    Console.out.flush()
   }
 }

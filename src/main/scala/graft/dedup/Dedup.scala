@@ -93,7 +93,14 @@ object Dedup {
     // per-row lambda alternative fell out of whole-stage codegen
     // (measured 25x slower in round 1). The compiled kernel is
     // row-local AND codegen-resident — no exchange before banding.
-    val sigs = base.select(col("id"),
+    //
+    // Empty-shingle rows are dropped here, not just in shingleBase:
+    // MinhashSig60 gives every empty `hs` the identical MaxValue-filled
+    // signature, so ALL such rows would collide in EVERY band — C(n,2)
+    // candidate pairs from rows that can never be near-duplicates. The
+    // filter is row-local and keeps the no-blowup invariant for callers
+    // that build `base` themselves.
+    val sigs = base.where(size(col("hs")) > 0).select(col("id"),
       graft.functions.ShingleHash.minhashSig60(col("hs"), k).as("sig"))
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|",

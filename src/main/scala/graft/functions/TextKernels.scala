@@ -120,9 +120,9 @@ case class MarkerHitsKernel(child: Expression, sets: Seq[Seq[String]])
   override def nullSafeEval(t: Any): Any =
     TokenStatsUtil.markerHits(t.asInstanceOf[UTF8String], lookup)
 
-  // Interpreted-eval only: the lambda-free hot loop lives in the
-  // kernel either way, and threading the set literals through codegen
-  // buys nothing measurable for a per-row call.
+  // Whole-stage codegen: the marker sets ride along as a referenced
+  // driver object (addReferenceObj), so the generated code calls the
+  // same lambda-free hot loop as the interpreted path.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("markerSets", lookup,
       "java.util.HashSet[]")

@@ -24,38 +24,47 @@ object AsOfJoin {
     *
     * `toleranceMs` bounds staleness: a match older than `ts -
     * toleranceMs` is rejected (null), the pandas merge_asof / kdb wj
-    * contract. The bound rides the SAME window pass — the matched
-    * right row's timestamp is carried beside its value — so tolerance
-    * costs no extra shuffle or join.
+    * contract. The bound rides the SAME window pass — each right row's
+    * (ts, value) travels as ONE struct through a single
+    * last(ignoreNulls) window, so the staleness check always pairs a
+    * value with the timestamp of the row it came from (two independent
+    * last() windows would desynchronize when the right value column
+    * holds nulls) and tolerance costs no extra shuffle or join. A
+    * null-VALUED right row still counts as the most recent match
+    * (merge_asof semantics: the match is the row; its value may be
+    * null).
     */
   def backward(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, rightValCol: String,
       toleranceMs: Long = Long.MaxValue): DataFrame = {
+    val rStruct = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        right.schema(rightValCol).dataType)))
     val leftTagged = left
       .withColumn("_is_left", lit(1))
-      .withColumn("_rv", lit(null).cast(right.schema(rightValCol).dataType))
-      .withColumn("_rts", lit(null).cast("long"))
+      .withColumn("_r", lit(null).cast(rStruct))
     val rightTagged = right
-      .select(col(keyCol), col(tsCol), col(rightValCol))
+      .select(col(keyCol), col(tsCol),
+        struct(col(tsCol).cast("long").as("ts"),
+          col(rightValCol).as("v")).as("_r"))
       .withColumn("_is_left", lit(0))
-      .withColumnRenamed(rightValCol, "_rv")
-      .withColumn("_rts", col(tsCol).cast("long"))
 
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
-      .withColumn("_arv", last(col("_rv"), ignoreNulls = true).over(w))
-      .withColumn("_arts", last(col("_rts"), ignoreNulls = true).over(w))
+      .withColumn("_ar", last(col("_r"), ignoreNulls = true).over(w))
     val value =
-      if (toleranceMs == Long.MaxValue) col("_arv")
-      else when(col(tsCol).cast("long") - col("_arts") <= toleranceMs,
-        col("_arv"))
+      if (toleranceMs == Long.MaxValue) col("_ar").getField("v")
+      else when(col(tsCol).cast("long") - col("_ar").getField("ts") <= toleranceMs,
+        col("_ar").getField("v"))
     carried
       .withColumn(s"asof_$rightValCol", value)
       .where(col("_is_left") === 1)
-      .drop("_is_left", "_rv", "_rts", "_arv", "_arts")
+      .drop("_is_left", "_r", "_ar")
   }
 }

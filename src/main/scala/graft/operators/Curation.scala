@@ -58,11 +58,16 @@ object Curation {
       case None => Dedup.shingleBase(kept, idCol, textCol, opts.nGram)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
+    // components() returns (id, rep); rename both before the join so a
+    // caller whose idCol is literally "id" (or "rep") doesn't hit an
+    // ambiguous-reference AnalysisException
     val reps = Dedup.components(
       Dedup.jaccardPairsFromShingles(sh, opts.jaccardThreshold))
+      .withColumnRenamed("id", "_cc_id")
+      .withColumnRenamed("rep", "_cc_rep")
     val keepOne = kept
-      .join(reps, col(idCol) === col("id"), "left")
-      .where(col("rep").isNull || col("rep") === col(idCol))
+      .join(reps, col(idCol) === col("_cc_id"), "left")
+      .where(col("_cc_rep").isNull || col("_cc_rep") === col(idCol))
       .select(col(idCol))
     val sampled = Sampling.hashSample(keepOne, col(idCol), opts.sampleFraction)
     val withTokens = sampled.join(

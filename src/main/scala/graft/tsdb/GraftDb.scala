@@ -266,11 +266,13 @@ final class GraftDb(
     * O(partitions) at 100 TB). A bucket holding ANY live sample is
     * never dropped. Idempotent: a crash mid-delete leaves only expired
     * partitions partially removed and a re-run completes the delete;
-    * the stats filter runs after the data delete, so a crash between
-    * the two can only leave stats rows for missing buckets — which the
-    * filter removes on the next expire (stale stats would otherwise
-    * keep answering covered-bucket aggregates with deleted data).
-    * Returns the number of partitions removed.
+    * the stats filter runs after the data delete and UNCONDITIONALLY
+    * (not only when this run removed partitions), so a crash between
+    * the data delete and the stats rewrite is healed by any re-run —
+    * a re-run that finds nothing left to delete still drops the stale
+    * stats rows, which would otherwise keep answering covered-bucket
+    * aggregates with deleted data. Returns the number of partitions
+    * removed.
     */
   def expire(beforeMs: Long): Long = synchronized {
     import scala.jdk.CollectionConverters._
@@ -296,8 +298,16 @@ final class GraftDb(
       if (scala.util.Using.resource(Files.list(n))(!_.iterator().hasNext()))
         Files.deleteIfExists(n)
     }
-    if (removed > 0 && statsDir().isDefined)
-      writeStats(statsTable().where(col("bucket") + bucketMs > beforeMs))
+    if (statsDir().isDefined) {
+      // Unconditional (even when removed == 0): heals stale stats rows
+      // left by a crash between a previous run's data delete and its
+      // stats rewrite. Skip the rewrite only when nothing is stale, so
+      // routine no-op expires don't churn stats versions.
+      val live = statsTable()
+      if (removed > 0 ||
+          !live.where(col("bucket") + bucketMs <= beforeMs).isEmpty)
+        writeStats(live.where(col("bucket") + bucketMs > beforeMs))
+    }
     removed
   }
 

@@ -101,6 +101,31 @@ class CompactSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(root, "data", "name=m")))
   }
 
+  test("expire re-run heals stats orphaned by a crash before the stats rewrite") {
+    val root = Files.createTempDirectory("graft_expire_crash").toString
+    val db = new GraftDb(spark, root)
+    db.createStream("m", VType.U64)
+    val hour = 3600 * 1000L
+    val ins = db.inserter("m")
+    Seq(0L, hour).zipWithIndex.foreach { case (ts, i) => ins.insert(ts + 1, (i + 1).toLong) }
+    ins.flush()
+    db.refreshStats()
+    // simulate a crash between expire()'s data delete and its stats
+    // rewrite: remove the bucket-0 partition directly, leaving its
+    // stats rows behind
+    val part = Paths.get(root, "data", "name=m", "bucket=0")
+    scala.util.Using.resource(Files.walk(part))(
+      _.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.toList).foreach(Files.deleteIfExists(_))
+    assert(db.statsTable().where("bucket < " + hour).count() > 0L)
+    // the re-run removes 0 partitions but must still drop the stale
+    // stats rows — otherwise stats-served aggregates answer with
+    // deleted data forever
+    assert(db.expire(hour) == 0L)
+    assert(db.statsTable().where("bucket < " + hour).count() == 0L)
+    assert(db.fastAggregate("m", 0, 10 * hour - 1).head().getAs[Double]("value_sum") == 2.0)
+  }
+
   test("pre-journal orphan hidden file is discarded, data intact") {
     val (db, part, before) = setup()
     Files.writeString(part.resolve(".compact-7.parquet"), "not a real parquet")

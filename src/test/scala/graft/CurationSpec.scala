@@ -50,6 +50,14 @@ class CurationSpec extends AnyFunSuite {
     assert(all == corpus.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("idCol literally named \"id\" does not collide with components' output") {
+    val byId = corpus.withColumnRenamed("doc_id", "id")
+    val kept = Curation.curate(byId, "id", "text",
+        Curation.Opts(sampleFraction = 1.0))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == ids(Curation.Opts(sampleFraction = 1.0)))
+  }
+
   test("sampleFraction subsets the full-sample result deterministically") {
     val full = ids(Curation.Opts(sampleFraction = 1.0))
     val half = ids(Curation.Opts(sampleFraction = 0.5))

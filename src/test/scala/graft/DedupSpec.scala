@@ -235,6 +235,19 @@ class DedupSpec extends AnyFunSuite {
     assert(filteredFirst == bandedFirst)
   }
 
+  test("bandedKeys drops empty-shingle rows (no universal-collision blowup)") {
+    // MinhashSig60 gives every empty `hs` the identical MaxValue-filled
+    // signature — without the row-local filter all such rows collide in
+    // EVERY band, C(n,2) candidate pairs from rows that can never match
+    val base = Seq(
+      (1L, Seq(11L, 22L, 33L)),
+      (2L, Seq.empty[Long]),
+      (3L, Seq.empty[Long])).toDF("id", "hs")
+    val banded = Dedup.bandedKeys(base)
+    assert(banded.select("id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L))
+  }
+
   test("winnowing guarantees a shared fingerprint for spans >= w+k-1") {
     val k = 8; val w = 4
     // a shared span of exactly w+k-1 = 11 tokens embedded at different

@@ -100,6 +100,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asof tolerance pairs each value with its OWN row's timestamp under null right values") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    // most recent right ROW (ts=95, inside tolerance) carries a null
+    // value; an older non-null value sits at ts=10 (stale). Two
+    // independent last(ignoreNulls) windows would pair v=5.0 with
+    // ts=95 and wrongly accept the stale value — the single-struct
+    // window must return null (merge_asof: the match is the row).
+    val right = Seq((1L, 10L, Some(5.0)), (1L, 95L, None)).toDF("k", "ts", "rv")
+    val got = graft.operators.AsOfJoin.backward(
+      left, right, "k", "ts", "rv", toleranceMs = 20L)
+    assert(got.select("asof_rv").head().isNullAt(0))
+    // and without tolerance the row-match semantics are the same
+    val unbounded = graft.operators.AsOfJoin.backward(left, right, "k", "ts", "rv")
+    assert(unbounded.select("asof_rv").head().isNullAt(0))
+  }
+
   // ---- bucketed align ≡ exact align on random series ----
 
   test("interpolatedBucketed equals global interpolated") {
