@@ -59,7 +59,8 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 4, nGram: Int = 3,
       threshold: Double = 0.6): DataFrame =
     minhashPairsFromShingles(
-      shingleBase(df, idCol, textCol, nGram).persist(StorageLevel.MEMORY_AND_DISK),
+      graft.engine.Caches.track(
+        shingleBase(df, idCol, textCol, nGram).persist(StorageLevel.MEMORY_AND_DISK)),
       bands, rowsPerBand, threshold)
 
   /** The corpus-wide tokenize → shingle → hash pass every text-similarity
@@ -266,9 +267,9 @@ object Dedup {
     // The banded table self-joins: persist the fingerprints so the
     // pass runs once, not once per join side (exchange reuse does not
     // cover broadcast self-joins — measured in round 1).
-    val fp = base.select(col("id"),
+    val fp = graft.engine.Caches.track(base.select(col("id"),
         graft.functions.ShingleHash.simhash60(col("hs")).as("fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val cw = if (comboWidth >= 1) comboWidth
       else autoComboWidth(fp.count(), maxHamming)
     val bounds = segmentBounds(SimhashBits, maxHamming + cw)
@@ -309,7 +310,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       nGram: Int = 3, threshold: Double = 0.5): DataFrame =
     jaccardPairsFromShingles(
-      shingleBase(df, idCol, textCol, nGram).persist(StorageLevel.MEMORY_AND_DISK),
+      graft.engine.Caches.track(
+        shingleBase(df, idCol, textCol, nGram).persist(StorageLevel.MEMORY_AND_DISK)),
       threshold)
 
   /** jaccardPairs over a pre-computed (id, hs) shingle table (sorted
@@ -357,14 +359,23 @@ object Dedup {
     * O(cluster diameter) rounds — near-dup clusters are shallow, and
     * `maxIters` bounds the worst case. Each round is one equi-join plus
     * one map-side-combined min-aggregate, shuffling only the (data-bound)
-    * edge list. Labels are localCheckpoint'ed per round: iterative plans
-    * otherwise grow lineage exponentially (a cluster job would use a
-    * reliable checkpoint dir instead).
+    * edge list. Labels are checkpointed per round — iterative plans
+    * otherwise grow lineage exponentially. By default the checkpoint is
+    * `localCheckpoint` (executor-local blocks: fast, but an executor
+    * loss kills the job); cluster jobs pass `checkpointDir` to switch
+    * every round to a RELIABLE `checkpoint()` on shared storage, so a
+    * 20-round propagation survives executor failure instead of
+    * restarting from scratch.
     *
     * Returns (id, rep) for every id that appears in `pairs`.
     */
   def components(pairs: DataFrame, maxIters: Int = 20,
-      failOnNonConvergence: Boolean = true): DataFrame = {
+      failOnNonConvergence: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     // Ids keep their original type: min/least propagation only needs an
     // ordering, which every Spark atomic type has (a long cast here
     // would silently null out string-id corpora).
@@ -377,9 +388,8 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -388,14 +398,13 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
       // `changed` rides along instead of a second labels join; the
-      // eager localCheckpoint both truncates the iterative lineage and
+      // eager checkpoint both truncates the iterative lineage and
       // makes the isEmpty convergence probe a cache read. Superseded
       // label RDDs lose their last reference here and the
       // ContextCleaner reclaims their blocks.
-      val next = labels.join(neighborMin, "id" :: Nil)
+      val next = ckpt(labels.join(neighborMin, "id" :: Nil)
         .select(col("id"), least(col("label"), col("nlabel")).as("label"),
-          (col("nlabel") < col("label")).as("changed"))
-        .localCheckpoint(true)
+          (col("nlabel") < col("label")).as("changed")))
       converged = next.where(col("changed")).isEmpty
       labels = next.drop("changed")
       iter += 1
@@ -482,8 +491,9 @@ object Dedup {
     */
   def spanPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDocFreq: Int = 10): DataFrame = {
-    val fp = winnowFingerprints(df, idCol, textCol, k, w)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fp = graft.engine.Caches.track(
+      winnowFingerprints(df, idCol, textCol, k, w)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val kept = fp.groupBy("fp")
       .agg(countDistinct(col(idCol)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDocFreq)
@@ -514,11 +524,11 @@ object Dedup {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       minDocs: Long): DataFrame = {
     // read three times (frequency agg, anti-join probe, per-doc totals)
-    val lines = df
+    val lines = graft.engine.Caches.track(df
       .select(col(idCol), posexplode(split(col(textCol), "\n"))
         .as(Seq("pos", "line")))
       .withColumn("lh", md5(col("line")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val boiler = lines.groupBy(col("lh"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") >= minDocs)

@@ -40,6 +40,11 @@ object Curation {
     * bin_offset) for every document that survives quality → keep-one →
     * sample, laid end-to-end in idCol order.
     *
+    * The shingle persist releases itself before this returns; the
+    * packing stage's plan-internal persists release via
+    * [[graft.engine.Caches.release]] — long-lived sessions call it
+    * after the terminal action on the returned frame.
+    *
     * `shingles`: callers that already paid the corpus shingle pass
     * (see [[Dedup.shingleBase]]) pass it here and the pipeline
     * semi-joins it down to the quality survivors instead of recomputing
@@ -65,6 +70,11 @@ object Curation {
       Dedup.jaccardPairsFromShingles(sh, opts.jaccardThreshold))
       .withColumnRenamed("id", "_cc_id")
       .withColumnRenamed("rep", "_cc_rep")
+    // components() is eager (it label-propagates through per-round
+    // localCheckpoints), so by here `reps` is materialized and nothing
+    // downstream reads the shingle table again — release it now rather
+    // than leak a session-lifetime cache entry per curate() call
+    sh.unpersist(blocking = false)
     val keepOne = kept
       .join(reps, col(idCol) === col("_cc_id"), "left")
       .where(col("_cc_rep").isNull || col("_cc_rep") === col(idCol))

@@ -53,13 +53,13 @@ object RangeRank {
     // in round 1): without the persist the scan + range shuffle would run
     // twice. Spilling the sorted table to executor disk is strictly
     // cheaper than a second full shuffle.
-    val local = df.repartitionByRange(parts, sortCols: _*)
+    val local = graft.engine.Caches.track(df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftrightunsigned(col("_mid"), 33).cast("int"))
       .withColumn("_lrn", col("_mid").bitwiseAND((1L << 33) - 1) + 1)
       .drop("_mid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // one row per partition; prefix-sum + total over #partitions rows
     val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
@@ -107,7 +107,7 @@ object RangeRank {
     val wIdx = base.schema.fieldIndex("_w")
     // local exclusive prefix sum: one sequential pass per partition, no
     // window, no extra exchange
-    val local = base.mapPartitions { it =>
+    val local = graft.engine.Caches.track(base.mapPartitions { it =>
       var acc = 0L
       it.map { r =>
         val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
@@ -115,7 +115,7 @@ object RangeRank {
         out
       }
     }(org.apache.spark.sql.Encoders.row(schema))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val prefW = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("_pid")).agg(sum(col("_w")).as("_n"))
@@ -159,7 +159,7 @@ object RangeRank {
     val gIdx = groupCols.map(base.schema.fieldIndex)
     // local exclusive prefix sum, resetting at group boundaries — the
     // rows arrive clustered by group key within the partition
-    val local = base.mapPartitions { it =>
+    val local = graft.engine.Caches.track(base.mapPartitions { it =>
       var acc = 0L
       var prev: Seq[Any] = null
       it.map { r =>
@@ -170,7 +170,7 @@ object RangeRank {
         out
       }
     }(org.apache.spark.sql.Encoders.row(schema))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // per-(partition, group) totals; exclusive prefix over partition ids
     // WITHIN each group — a window over a metadata-sized table
     val prefW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_pid"))

@@ -70,6 +70,22 @@ object Pipeline {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Release every cache the library holds: the shared-pass tables
+    * here (shingles, banded keys, IVF assignments) and the
+    * plan-internal persists operators registered with
+    * [[graft.engine.Caches]] (RangeRank/Dedup intermediates). Blocks
+    * unpersist and entries are forgotten, so the next query recomputes.
+    * The caches are session-lifetime by design — right for a
+    * bench/driver process, a leak for a long-lived session — so
+    * long-lived callers pair bursts of pipeline queries with a
+    * `clearCaches()` after their terminal action.
+    */
+  def clearCaches(): Unit = {
+    shingleCache.values.foreach(_.unpersist(blocking = false))
+    shingleCache.clear()
+    graft.engine.Caches.release()
+  }
+
   private def nearShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(System.identityHashCode(s) + "|" + dir, {
       Dedup.shingleBase(corpusNear(s, dir), "doc_id", "text", nGram = 3)

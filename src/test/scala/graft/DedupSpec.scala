@@ -165,6 +165,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got == (1 to n).map(i => i.toLong -> 1L).toMap)
   }
 
+  test("components: reliable checkpointDir mode equals localCheckpoint mode") {
+    // chain + separate cluster, enough rounds to checkpoint repeatedly
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val expected = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_ccp").toString
+    val reliable = Dedup.components(pairs, checkpointDir = Some(ckptDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == expected)
+    // the reliable mode actually wrote checkpoint data to shared storage
+    import scala.jdk.CollectionConverters._
+    val wrote = scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir)))(
+      _.iterator().asScala.count(java.nio.file.Files.isRegularFile(_)))
+    assert(wrote > 0, "reliable mode should write to the checkpoint dir")
+  }
+
   test("cross-corpus minhash equals the self-join restricted to cross pairs") {
     val sh = Dedup.shingleBase(corpus, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -219,4 +219,27 @@ class LibrarySpec extends AnyFunSuite {
     // partition pruning works on (name, bucket)
     assert(back.where(col("name") === "m" && col("bucket") === 0L).count() == 1)
   }
+
+  test("shared-pass caches and curate's persists have a release path") {
+    import graft.queries.Pipeline
+    // suites share one session: start from a clean cache slate
+    Pipeline.clearCaches()
+    spark.catalog.clearCache()
+    val cm = spark.sharedState.cacheManager
+    assert(cm.isEmpty)
+    val sf = "/root/testdata/sf0.001"
+    // a pipeline query populates the shared shingle/banded caches...
+    assert(SparkEntry.queries("dd02_minhash_lsh")(spark, sf).count() > 0)
+    assert(!cm.isEmpty, "expected the shared shingle pass to be cached")
+    // ...curate's INTERNAL persist must already be released when it
+    // returns (components() is eager, nothing downstream rereads it)...
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.operators.Curation.curate(docs, "doc_id", "text",
+      graft.operators.Curation.Opts(sampleFraction = 1.0)).collect()
+    // ...and clearCaches() releases the shared passes: nothing left
+    Pipeline.clearCaches()
+    assert(cm.isEmpty,
+      "cache manager should be empty after a curate -> collect -> release cycle")
+  }
 }
