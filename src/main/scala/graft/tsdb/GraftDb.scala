@@ -115,9 +115,18 @@ final class GraftDb(
       * rounded into the exact sidecar, like the reference's typed
       * inserters reject/convert (lib.rs:519-554).
       */
-    def insert(timestampMs: Long, value: Double): Unit =
+    def insert(timestampMs: Long, value: Double): Unit = {
+      // i64 boundary: the lvalue sidecar is i64 (the reference stores
+      // native u64 — documented divergence, SURVEY §7 risk register), so
+      // a double outside i64 range is REJECTED rather than silently
+      // clamped by math.round. Long.MaxValue.toDouble is 2^63 exactly,
+      // so `< that` admits every double that round-trips into i64.
+      if (isInt) require(
+        value >= Long.MinValue.toDouble && value < Long.MaxValue.toDouble,
+        s"integer-stream value out of i64 range: $value")
       buf += ((timestampMs, value,
         if (isInt) java.lang.Long.valueOf(math.round(value)) else null))
+    }
 
     /** Exact integer insert (insert_integer64 / insert_uinteger64):
       * `lvalue` keeps all 64 bits; the double view is the nearest f64.
@@ -159,7 +168,10 @@ final class GraftDb(
       d.vtype != VType.F64)
     val valueField =
       if (isInt) StructField("Value", LongType) else StructField("Value", DoubleType)
-    spark.read.option("header", "true")
+    // FAILFAST: a u64 above 2^63 (or any malformed row) must fail the
+    // import loudly — the default PERMISSIVE mode would null it out and
+    // silently lose data the reference's native u64 can hold.
+    spark.read.option("header", "true").option("mode", "FAILFAST")
       .schema(StructType(Seq(StructField("Timestamp", LongType), valueField)))
       .csv(csvPath)
       .select(lit(name).as("name"),

@@ -220,6 +220,41 @@ class LibrarySpec extends AnyFunSuite {
     assert(back.where(col("name") === "m" && col("bucket") === 0L).count() == 1)
   }
 
+  test("mm05: StubDecoder golden vector (decode-seam pin, not DuckDB-expressible)") {
+    // the wrapping 64-bit rolling-hash arithmetic cannot be expressed
+    // in the DuckDB oracle (BIGINT overflow throws), so the seam is
+    // pinned Spark-side: golden values independently derived from a
+    // bit-exact reference simulation of the spec'd algorithm
+    val got = Multimodal.StubDecoder.features(
+      "multimodal golden".getBytes("UTF-8"),
+      Multimodal.MediaMeta("jpeg", 0, 0, 17L), dim = 8)
+    val want = Array(2.333984375f, -0.115234375f, 0.0f, -0.423828125f,
+      0.9990234375f, 2.4140625f, -0.779296875f, 1.185546875f)
+    assert(got.toSeq == want.toSeq)
+    assert(Multimodal.StubDecoder.features(
+        "graft".getBytes("UTF-8"),
+        Multimodal.MediaMeta("wav", 0, 0, 5L), dim = 4).toSeq
+      == Seq(0.9990234375f, 0.998046875f, 0.9990234375f, 0.9990234375f))
+  }
+
+  test("mm05: decoder initializes once per task, features invariant to partitioning") {
+    import spark.implicits._
+    val rows = (1L to 64L)
+      .map(i => Multimodal.MediaRow(i, s"payload-$i".getBytes("UTF-8"),
+        Multimodal.MediaMeta("jpeg", 0, 0, 10L)))
+    CountingDecoder.inits.set(0)
+    val ds8 = spark.createDataset(rows).repartition(8)
+    val feats8 = Multimodal.extractFeatures(ds8, dim = 4, new CountingDecoder)
+      .collect().map(f => f.id -> f.features.toSeq).toMap
+    // one init per TASK (8 partitions), never per row (64)
+    assert(CountingDecoder.inits.get == 8,
+      s"decoder inits = ${CountingDecoder.inits.get}, expected one per partition")
+    val ds1 = spark.createDataset(rows).coalesce(1)
+    val feats1 = Multimodal.extractFeatures(ds1, dim = 4)
+      .collect().map(f => f.id -> f.features.toSeq).toMap
+    assert(feats8 == feats1, "features must not depend on partitioning")
+  }
+
   test("shared-pass caches and curate's persists have a release path") {
     import graft.queries.Pipeline
     // suites share one session: start from a clean cache slate
@@ -242,4 +277,25 @@ class LibrarySpec extends AnyFunSuite {
     assert(cm.isEmpty,
       "cache manager should be empty after a curate -> collect -> release cycle")
   }
+}
+
+/** Decoder that counts per-task initializations: the `@transient lazy`
+  * init fires once per DESERIALIZED copy — i.e. once per task — so the
+  * companion counter proves extractFeatures keeps the codec-init seam
+  * per-partition, never per-row (local mode shares the JVM, so the
+  * executor-side increments land on this counter).
+  */
+class CountingDecoder extends Multimodal.Decoder {
+  @transient private lazy val init: Unit = {
+    CountingDecoder.inits.incrementAndGet(); ()
+  }
+  def features(payload: Array[Byte], meta: Multimodal.MediaMeta,
+      dim: Int): Array[Float] = {
+    init
+    Multimodal.StubDecoder.features(payload, meta, dim)
+  }
+}
+
+object CountingDecoder {
+  val inits = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -88,6 +88,28 @@ class FidelitySpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(A + B))
   }
 
+  test("i64 boundary: Long.MaxValue exact; above-i64 inputs rejected loudly") {
+    val db = freshDb()
+    db.createStream("edge", VType.U64)
+    val ins = db.inserter("edge")
+    ins.insert(1L, Long.MaxValue) // the last representable lvalue
+    ins.flush()
+    assert(db.query("max(edge)", 0, 10).output.head().getLong(0)
+      == Long.MaxValue)
+    // the lvalue sidecar is i64 (the reference stores native u64 —
+    // documented divergence): a too-big double is rejected, never
+    // silently clamped...
+    intercept[IllegalArgumentException](db.inserter("edge").insert(2L, 9.3e18))
+    // ...and a CSV u64 above 2^63 fails the import, never nulls out
+    val dir = Files.createTempDirectory("graft_u64").toString
+    val f = java.nio.file.Paths.get(dir, "big.csv")
+    java.nio.file.Files.writeString(f,
+      "Timestamp,Value\n3,9223372036854775808\n")
+    intercept[Exception](db.importCsv("edge", f.toString))
+    // nothing from the failed paths reached storage
+    assert(db.query("count(edge)", 0, 10).output.head().getLong(0) == 1L)
+  }
+
   test("division still goes through f64, as the reference does") {
     val db = freshDb()
     db.createStream("d", VType.U64)
