@@ -30,7 +30,14 @@ object Bench {
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").write
         .mode("overwrite").format("noop").save())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1_agg,dd02_... restricts the pack — the
+    // SCALE_CHECK loop times the slowest queries at several SFs without
+    // paying for all 121 each round
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = picked.map { case (name, fn) =>
       // settle the heap between queries so a collection triggered by the
       // previous query's garbage doesn't land inside this one's window
       // (standard microbenchmark hygiene; untimed)
@@ -57,7 +64,7 @@ object Bench {
     // Ingest throughput (BASELINE.md bench plan, mirror of the
     // reference's write.rs): events -> time-partitioned series store
     // layout (same (name, bucket) partitioning as GraftDb/Ingest).
-    val ingest = try {
+    val ingest = if (only.isDefined) -1L else try {
       // day buckets: the (name, bucket) layout scales with data volume,
       // so the bench picks a bucket size that gives non-degenerate
       // partition sizes at this SF (hourly buckets here would measure

@@ -49,6 +49,18 @@ object IvfIndex {
   private def assignCells(df: DataFrame, vecCol: String, m: Model): DataFrame =
     df.withColumn("cell", nearestCell(vecCol, m))
 
+  /** Corpus-driven cell count: enough cells that the EXPECTED cell size
+    * stays ~`targetCellSize` rows regardless of corpus size. A fixed k
+    * is a scale trap for dedup blocking — cell size grows linearly with
+    * the corpus, so the within-cell pair join grows QUADRATICALLY. With
+    * k ∝ n the per-cell candidate volume is bounded and total candidate
+    * work stays O(n · targetCellSize) — the same self-sizing principle
+    * as SimHash's autoComboWidth. (ANN search is different: there k
+    * trades recall vs probe cost and stays an explicit knob.)
+    */
+  def autoK(n: Long, targetCellSize: Int = 128, kMin: Int = 16): Int =
+    math.max(kMin, ((n + targetCellSize - 1) / targetCellSize).toInt)
+
   /** Deterministic training: init = the k vectors with smallest ids,
     * `iters` Lloyd steps. Input vectors must be array<double> (cast
     * upstream).

@@ -431,13 +431,17 @@ object Dedup {
     */
   def embeddingPairsIvf(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 256, iters: Int = 1, threshold: Double = 0.995): DataFrame = {
+      k: Int = 0, iters: Int = 1, threshold: Double = 0.995): DataFrame = {
     val v = df.select(col(idCol).as(idCol),
       col(vecCol).cast("array<double>").as("vec"))
     // one Lloyd step by default: dedup blocking only needs cells that
-    // co-assign identical vectors and keep sizes ~corpus/k — quantizer
-    // quality beyond that buys recall (ANN's concern), not completeness
-    val m = graft.ann.IvfIndex.fit(v, idCol, "vec", k = k, iters = iters)
+    // co-assign identical vectors and keep sizes ~targetCellSize —
+    // quantizer quality beyond that buys recall (ANN's concern), not
+    // completeness. k <= 0 (the default) self-sizes the cell count from
+    // the corpus so the within-cell pair join stays LINEAR in corpus
+    // size; a fixed k would make it quadratic at scale.
+    val kk = if (k > 0) k else graft.ann.IvfIndex.autoK(v.count())
+    val m = graft.ann.IvfIndex.fit(v, idCol, "vec", k = kk, iters = iters)
     embeddingPairs(graft.ann.IvfIndex.transform(v, "vec", m),
       idCol, "vec", Seq("cell"), threshold)
   }

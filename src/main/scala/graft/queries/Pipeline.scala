@@ -118,9 +118,13 @@ object Pipeline {
           .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
       // one Lloyd step: dedup blocking only needs cells that co-assign
-      // identical vectors and keep sizes ~corpus/k — quantizer quality
-      // beyond that buys recall (ANN's concern), not completeness here
-      val m = graft.ann.IvfIndex.fit(planted, "vec_id", "vec", k = 16, iters = 1)
+      // identical vectors and keep sizes ~targetCellSize — quantizer
+      // quality beyond that buys recall (ANN's concern), not
+      // completeness here. k self-sizes from the corpus count so the
+      // within-cell pair join stays linear as the corpus grows (at
+      // sf0.01/sf0.1 autoK resolves to the historical k=16).
+      val m = graft.ann.IvfIndex.fit(planted, "vec_id", "vec",
+        k = graft.ann.IvfIndex.autoK(planted.count()), iters = 1)
       graft.ann.IvfIndex.transform(planted, "vec", m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
@@ -319,9 +323,13 @@ object Pipeline {
           .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
       // one Lloyd step: dedup blocking only needs cells that co-assign
-      // identical vectors and keep sizes ~corpus/k — quantizer quality
-      // beyond that buys recall (ANN's concern), not completeness here
-      val m = graft.ann.IvfIndex.fit(planted, "vec_id", "vec", k = 16, iters = 1)
+      // identical vectors and keep sizes ~targetCellSize — quantizer
+      // quality beyond that buys recall (ANN's concern), not
+      // completeness here. k self-sizes from the corpus count so the
+      // within-cell pair join stays linear as the corpus grows (at
+      // sf0.01/sf0.1 autoK resolves to the historical k=16).
+      val m = graft.ann.IvfIndex.fit(planted, "vec_id", "vec",
+        k = graft.ann.IvfIndex.autoK(planted.count()), iters = 1)
       val assigned = graft.ann.IvfIndex.transform(planted, "vec", m)
       Dedup.embeddingPairs(assigned, "vec_id", "vec", Seq("cell"))
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
