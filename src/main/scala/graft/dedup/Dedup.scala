@@ -328,24 +328,48 @@ object Dedup {
     * prefilter (jac >= t implies t <= min/max size ratio) then drops
     * mismatched pairs before the exact sorted-merge intersect.
     */
-  def jaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val prefLen = (size(col("hs")) -
-      ceil(size(col("hs")).cast("double") * threshold) + 1).cast("int")
-    val pref = sh.select(col("id"),
-      explode(slice(col("hs"), lit(1), prefLen)).as("h"))
-    val cand = pref.select(col("h"), col("id").as("id_a"))
-      .join(pref.select(col("h"), col("id").as("id_b")), "h" :: Nil)
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    cand
+  def jaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame =
+    jaccardCandidates(sh, threshold)
       .join(sh.select(col("id").as("id_a"), col("hs").as("shs_a")), "id_a" :: Nil)
       .join(sh.select(col("id").as("id_b"), col("hs").as("shs_b")), "id_b" :: Nil)
-      .where(size(col("shs_a")).cast("double") >= size(col("shs_b")) * threshold &&
-        size(col("shs_b")).cast("double") >= size(col("shs_a")) * threshold)
       .select(col("id_a"), col("id_b"),
         jaccardSorted(col("shs_a"), col("shs_b")).as("jac"))
       .where(col("jac") >= threshold)
+
+  /** The complete PPJoin candidate set for `jaccardPairsFromShingles`:
+    * prefix filter + POSITION filter + size-ratio filter, all row-local
+    * on the joined prefix rows before the dedup.
+    *
+    * Position filter (Xiao et al. 2008): a shared prefix element at
+    * 0-based positions (pa, pb) bounds the overlap by
+    * 1 + min(|A|-pa-1, |B|-pb-1); jac >= t requires overlap >=
+    * t/(1+t) · (|A|+|B|), so rows whose bound falls short are dropped.
+    * Completeness: for the FIRST shared element of a truly-matching
+    * pair the bound >= the true overlap, so at least one row survives
+    * (later shared elements may be over-filtered; the distinct ORs
+    * survivors). The size-ratio filter (t <= min/max size) rides the
+    * same rows, so the verify join no longer needs it.
+    */
+  private[graft] def jaccardCandidates(
+      sh: DataFrame, threshold: Double): DataFrame = {
+    val prefLen = (size(col("hs")) -
+      ceil(size(col("hs")).cast("double") * threshold) + 1).cast("int")
+    val pref = sh.select(col("id"), size(col("hs")).as("sz"),
+      posexplode(slice(col("hs"), lit(1), prefLen)).as(Seq("p", "h")))
+    pref.select(col("h"), col("id").as("id_a"),
+        col("sz").as("sz_a"), col("p").as("p_a"))
+      .join(pref.select(col("h"), col("id").as("id_b"),
+        col("sz").as("sz_b"), col("p").as("p_b")), "h" :: Nil)
+      .where(col("id_a") < col("id_b"))
+      .where(col("sz_a").cast("double") >= col("sz_b") * threshold &&
+        col("sz_b").cast("double") >= col("sz_a") * threshold)
+      // the bound 1 + min(|A|-pa-1, |B|-pb-1) simplifies to
+      // min(sz_a - p_a, sz_b - p_b) with 0-based positions
+      .where(least(col("sz_a") - col("p_a"), col("sz_b") - col("p_b"))
+        .cast("double") >=
+        (col("sz_a") + col("sz_b")) * (threshold / (1.0 + threshold)))
+      .select("id_a", "id_b")
+      .distinct()
   }
 
   /** Connected components over the near-dup pair graph: every node gets

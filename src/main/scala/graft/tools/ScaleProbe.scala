@@ -46,14 +46,15 @@ object ScaleProbe {
         Seq("band_idx", "band_key"))
       .where(col("a") < col("b")).select("a", "b").distinct().count()
 
-    // PPJoin: prefix-bucket candidate pairs BEFORE the verify join
-    // (mirrors jaccardPairsFromShingles' candidate subplan, t = 0.5)
+    // PPJoin: prefix-only candidate pairs (the pre-round-5 generator)
+    // vs the full prefix+position+size-ratio generator actually used
     val prefLen = (size(col("hs")) -
       ceil(size(col("hs")).cast("double") * 0.5) + 1).cast("int")
     val pref = sh.select(col("id"), explode(slice(col("hs"), lit(1), prefLen)).as("h"))
-    val ppCand = pref.select(col("h"), col("id").as("a"))
+    val ppPrefixOnly = pref.select(col("h"), col("id").as("a"))
       .join(pref.select(col("h"), col("id").as("b")), "h" :: Nil)
       .where(col("a") < col("b")).select("a", "b").distinct().count()
+    val ppCand = Dedup.jaccardCandidates(sh, 0.5).count()
 
     // verified near-dup pairs (the components edge list)
     val pairs = Dedup.jaccardPairsFromShingles(sh, 0.5).count()
@@ -73,7 +74,8 @@ object ScaleProbe {
       .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")).head().getLong(0)
 
     println(s"""{"sf":"$sfDir","n_docs":$nDocs,"lsh_cand":$lshCand,""" +
-      s""""pp_cand":$ppCand,"jaccard_pairs":$pairs,""" +
+      s""""pp_prefix_only":$ppPrefixOnly,"pp_cand":$ppCand,""" +
+      s""""jaccard_pairs":$pairs,""" +
       s""""ivf_k":$k,"ivf_cand":$ivfCand}""")
     spark.stop()
   }
