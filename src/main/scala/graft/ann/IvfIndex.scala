@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * cell per row with a fold — no join, no shuffle, no row amplification
   * (the earlier crossJoin+groupBy shape amplified every row k times
   * through a shuffle per Lloyd iteration). The mean recompute is a
-  * posexplode + groupBy(cell, dim) aggregate — map-side combined, k x dim
-  * output rows. Only the k x dim centroid matrix ever reaches the driver.
+  * per-cell `VectorSum` typed aggregate — one input row per vector
+  * (no dim-factor explode), map-side combined into one array per cell,
+  * k output rows. Only the k x dim centroid matrix ever reaches the
+  * driver.
   *
   * At 100 TB: persist the assignment as a partition column and the
   * centroid table alongside; a query then prunes to nProbe cells before
@@ -74,17 +76,16 @@ object IvfIndex {
     for (_ <- 0 until iters) {
       val assigned = assignCells(
         df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", model)
-      val means = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg("x").as("m"))
+      val sums = assigned
+        .groupBy("cell")
+        .agg(graft.functions.VectorAggregates.vecSum(col("vec")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
-      val byCell = means.groupBy(_.getAs[Int]("cell"))
+      val byCell = sums.map(r => r.getAs[Int]("cell") ->
+        (r.getSeq[Double](1).toArray, r.getAs[Long]("n"))).toMap
       model = Model(model.centroids.map { case (c, old) =>
         byCell.get(c) match {
-          case Some(rows) =>
-            val arr = new Array[Double](old.length)
-            rows.foreach(r => arr(r.getAs[Int]("dim")) = r.getAs[Double]("m"))
-            (c, arr)
+          case Some((s, n)) => (c, s.map(_ / n))
           case None => (c, old) // empty cell keeps its centroid
         }
       })

@@ -475,24 +475,23 @@ object Pipeline {
     },
 
     // Per-label embedding centroids (the cluster-statistics primitive
-    // IVF training and mixture audits share): element-wise mean via
-    // posexplode + (label, dim) aggregate — shuffle volume is rows×dim
-    // scalars with map-side partial combine, never a per-label vector
-    // collect; the norm then reduces dims per label. Doubles throughout
-    // (float partial sums drift between engines).
+    // IVF training and mixture audits share): element-wise sum via the
+    // native `VectorSum` typed aggregate — ONE aggregate input row per
+    // vector (the former posexplode shape multiplied input by dim),
+    // map-side combined into one array per label per partition, never a
+    // per-label vector collect; the mean + norm then fold dims row-
+    // locally per label. Doubles throughout (float partial sums drift
+    // between engines).
     "ann03_centroids" -> { (s, dir) =>
       val e = graft.engine.Graft.widen(table(s, dir, "embeddings"))
-      val dims = e.select(col("label"),
-        posexplode(col("embedding").cast("array<double>"))
-          .as(Seq("dim", "v")))
-      val cent = dims.groupBy(col("label"), col("dim"))
-        .agg(avg(col("v")).as("a"))
-      val norms = cent.groupBy("label")
-        .agg(round(sqrt(sum(col("a") * col("a"))), 6).as("centroid_norm"))
-      val counts = table(s, dir, "embeddings").groupBy("label")
-        .agg(count(lit(1)).as("n_vecs"))
-      norms.join(counts, Seq("label"))
-        .select(col("label"), col("n_vecs"), col("centroid_norm"))
+      val agg = e.groupBy("label")
+        .agg(graft.functions.VectorAggregates.vecSum(
+            col("embedding").cast("array<double>")).as("vsum"),
+          count(lit(1)).as("n_vecs"))
+      agg.select(col("label"), col("n_vecs"),
+          round(sqrt(aggregate(col("vsum"), lit(0.0),
+            (acc, x) => acc + (x / col("n_vecs")) * (x / col("n_vecs")))), 6)
+            .as("centroid_norm"))
         .orderBy("label")
     },
 

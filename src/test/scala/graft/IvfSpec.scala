@@ -87,4 +87,36 @@ class IvfSpec extends AnyFunSuite {
     assert(r2 >= 0.45, s"nProbe=2 recall regressed: $r2")
     assert(r4 >= 0.75, s"nProbe=4 recall regressed: $r4")
   }
+
+  test("VectorSum typed aggregate equals the posexplode sum shape") {
+    import graft.functions.VectorAggregates.vecSum
+    val byAgg = emb.withColumn("g", (col("vec_id") % 7).cast("int"))
+      .groupBy("g").agg(vecSum(col("vec")).as("s"))
+      .collect().map(r => r.getAs[Int]("g") -> r.getSeq[Double](1)).toMap
+    val byExplode = emb.withColumn("g", (col("vec_id") % 7).cast("int"))
+      .select(col("g"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .groupBy("g", "dim").agg(sum("x").as("s"))
+      .collect().groupBy(_.getAs[Int]("g"))
+      .map { case (g, rows) =>
+        g -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("s")).toSeq
+      }
+    assert(byAgg.keySet == byExplode.keySet)
+    for (g <- byAgg.keySet; (a, b) <- byAgg(g).zip(byExplode(g)))
+      assert(math.abs(a - b) < 1e-9, s"group $g: $a vs $b")
+    // null/empty handling: all-null group -> null, mixed group skips nulls
+    val df = spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(1, Seq(1.0, 2.0)),
+        org.apache.spark.sql.Row(1, null),
+        org.apache.spark.sql.Row(2, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val out = df.groupBy("g").agg(vecSum(col("v")).as("s"))
+      .collect().map(r => r.getAs[Int]("g") -> r.get(1)).toMap
+    assert(out(1) == Seq(1.0, 2.0))
+    assert(out(2) == null)
+  }
 }
