@@ -307,4 +307,34 @@ class DedupSpec extends AnyFunSuite {
     assert(expect.exists { case (a, b) => b - a == 1000 },
       "fixture should contain at least one planted near-dup pair")
   }
+
+  // The position filter's bound (min(|A|-pa, |B|-pb) >= t/(1+t)·(|A|+|B|))
+  // sits on floating-point arithmetic: exercise it across thresholds on
+  // random small-vocab corpora (dense overlap, many boundary pairs) and
+  // require exact equality with the all-pairs answer every time.
+  test("full PPJoin (prefix+position+size) equals all-pairs across thresholds") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 3) {
+      val docs = (0 until 24).map { i =>
+        val len = 5 + rnd.nextInt(12)
+        (i.toLong, (0 until len).map(_ => s"t${rnd.nextInt(7)}").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val sets = Dedup.shingleBase(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val ids = sets.keys.toSeq.sorted
+      for (t <- Seq(0.3, 0.5, 0.7, 0.8)) {
+        val got = Dedup.jaccardPairs(df, "doc_id", "text", threshold = t)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expect = (for {
+          a <- ids; b <- ids if a < b
+          u = sets(a).union(sets(b)).size if u > 0
+          jac = sets(a).intersect(sets(b)).size.toDouble / u
+          if jac >= t
+        } yield (a, b)).toSet
+        assert(got == expect, s"trial $trial t=$t")
+      }
+    }
+  }
 }
