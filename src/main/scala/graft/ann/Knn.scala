@@ -47,4 +47,35 @@ object Knn {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
       query: Seq[Double], queryCells: Seq[Any], k: Int): DataFrame =
     bruteTopK(df.where(col(cellCol).isin(queryCells: _*)), idCol, vecCol, query, k)
+
+  /** Exact top-k for a BATCH of query vectors — the retrieval-eval /
+    * hard-negative-mining primitive. One scan of the corpus joined
+    * against the BROADCAST query table (the batch is small by contract),
+    * cosine per (row, query) via the codegen dot product with both norms
+    * precomputed once per side, then per-query top-k through the
+    * bounded-heap `TopKByScore` aggregate: each partition reduces to at
+    * most k pairs per query BEFORE the exchange, so the shuffle carries
+    * #queries x #partitions x k rows — never the n x q similarity
+    * matrix (a `row_number()` window partitioned by query id would
+    * serialize that whole matrix through #queries reducers).
+    *
+    * Returns (qidCol, rank, idCol, sim) sorted by (qid, rank); ties
+    * break to the smaller corpus id, so results are deterministic.
+    */
+  def bruteTopKBatch(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_vn", Vectors.norm(col("_v")))
+    val q = queries.select(col(qidCol), col(qvecCol).cast("array<double>").as("_qv"))
+      .withColumn("_qn", Vectors.norm(col("_qv")))
+    val sim = Vectors.dot(col("_v"), col("_qv")) / (col("_vn") * col("_qn"))
+    val top = c.join(broadcast(q))
+      .select(col(qidCol),
+        struct(sim.as("score"), col(idCol).cast("long").as("id")).as("_p"))
+      .groupBy(qidCol)
+      .agg(graft.functions.VectorAggregates.topKByScore(col("_p"), k).as("_top"))
+    top.select(col(qidCol), posexplode(col("_top")).as(Seq("_r", "_e")))
+      .select(col(qidCol), (col("_r") + 1).cast("int").as("rank"),
+        col("_e.id").as(idCol), col("_e.score").as("sim"))
+  }
 }

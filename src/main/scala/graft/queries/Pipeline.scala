@@ -453,6 +453,24 @@ object Pipeline {
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
     },
 
+    // Batch exact top-k: a whole batch of query vectors against the
+    // corpus in ONE pass — the retrieval-eval / hard-negative-mining
+    // primitive. The query batch broadcasts; per-query top-k runs
+    // through the bounded-heap TopKByScore aggregate, so each partition
+    // reduces to k pairs per query before the exchange and the n x q
+    // similarity matrix never shuffles (a row_number window partitioned
+    // by qid would serialize it through #queries reducers).
+    "ann06_batch_topk" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Knn.bruteTopKBatch(e.where(col("vec_id") >= 8), "vec_id", "embedding",
+          queries, "qid", "qv", 5)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // Symmetric int8 quantization of the embedding column — the 4x
     // storage/bandwidth reduction a 100 TB embedding store runs on:
     // per-vector scale = max |v| / 127, codes = floor(v * 127 / amax).
@@ -1191,6 +1209,20 @@ object Pipeline {
          |FROM xf a JOIN xf b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY id_a, id_b
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann06_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id >= 8),
+        |s AS (SELECT qid, vec_id,
+        |        list_cosine_similarity(v, qv) AS sim FROM c CROSS JOIN q),
+        |r AS (SELECT qid, vec_id, sim,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY sim DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT qid, CAST(rank AS INT) AS rank, vec_id, ROUND(sim, 6) AS sim
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "ann05_quantize_int8" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec

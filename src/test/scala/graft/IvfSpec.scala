@@ -88,6 +88,40 @@ class IvfSpec extends AnyFunSuite {
     assert(r4 >= 0.75, s"nProbe=4 recall regressed: $r4")
   }
 
+  test("TopKByScore equals the row_number window; batch equals per-query brute") {
+    import graft.functions.VectorAggregates.topKByScore
+    // ties on score MUST break to the smaller id in both shapes
+    val rows = Seq(
+      (1, 0.9, 10L), (1, 0.9, 3L), (1, 0.5, 7L), (1, 0.99, 8L),
+      (2, 0.1, 1L), (2, 0.1, 2L), (2, 0.1, 3L),
+      (3, 0.4, 5L)) // k > group size
+    val df = spark.createDataFrame(rows).toDF("g", "s", "id")
+    val byAgg = df.select(col("g"),
+        struct(col("s").as("score"), col("id").as("id")).as("p"))
+      .groupBy("g").agg(topKByScore(col("p"), 2).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("r", "e")))
+      .select(col("g"), col("r"), col("e.id"), col("e.score"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("s").desc, col("id"))
+    val byWin = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .select(col("g"), (col("rn") - 1).as("r"), col("id"), col("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1).toLong.toInt, r.getLong(2), r.getDouble(3))).toSet
+    assert(byAgg == byWin)
+    // batch KNN equals per-query single-vector brute force
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("vec").as("qv"))
+    val corpus = emb.where(col("vec_id") >= 3)
+    val batch = Knn.bruteTopKBatch(corpus, "vec_id", "vec", queries, "qid", "qv", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val single = (0L until 3L).flatMap { qid =>
+      val q = emb.where(col("vec_id") === qid).head().getSeq[Double](1)
+      Knn.bruteTopK(corpus, "vec_id", "vec", q, 4).collect()
+        .zipWithIndex.map { case (r, i) => (qid, i + 1, r.getLong(0)) }
+    }.toSet
+    assert(batch == single)
+  }
+
   test("VectorSum typed aggregate equals the posexplode sum shape") {
     import graft.functions.VectorAggregates.vecSum
     val byAgg = emb.withColumn("g", (col("vec_id") % 7).cast("int"))
