@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -15,9 +14,10 @@ import org.apache.spark.sql.functions._
   * TextFunctions.shingleHashes).
   *
   * Scale shape: hashSample is a pure row-local filter (no shuffle, fully
-  * pushdown-friendly for the surviving columns); stratifiedTopN shuffles
-  * once on the stratum key and ranks inside each stratum — no global
-  * ordering anywhere.
+  * pushdown-friendly for the surviving columns); stratifiedTopN
+  * range-partitions on (stratum, hash) and ranks via the grouped prefix
+  * sum — parallelism never caps at the stratum count, and there is no
+  * global ordering anywhere.
   */
 object Sampling {
 
@@ -53,13 +53,29 @@ object Sampling {
 
   /** Deterministic n-per-stratum sample: rows ranked inside each stratum
     * by (key hash, key) — a reproducible shuffle order — and the first n
-    * kept. One hash shuffle on the stratum column; rank windows are
-    * per-stratum, never global.
+    * kept.
+    *
+    * Ranks come from `RangeRank.groupedCumSum`, NOT a
+    * `Window.partitionBy(stratum)` — a stratum-keyed window hashes the
+    * ENTIRE corpus onto at most #strata reducer tasks, and strata are
+    * few by nature (languages, sources), so at scale that window
+    * serializes the table through a handful of tasks. The grouped
+    * prefix sum range-partitions on (stratum, hash, key) instead — every
+    * core ranks a slice, the only stratum-wide work is a window over
+    * the #partitions x #strata count table.
     */
   def stratifiedTopN(df: DataFrame, stratum: Column, key: Column, n: Int): DataFrame = {
-    val w = Window.partitionBy(stratum).orderBy(keyHash(key), key)
-    df.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= n)
-      .drop("_rn")
+    val cols = df.columns
+    val ranked = RangeRank.groupedCumSum(
+      df.withColumn("_st", stratum).withColumn("_one", lit(1L)),
+      groupCols = Seq("_st"),
+      sortCols = Seq(keyHash(key), key),
+      weightCol = "_one")
+    // gcum is the EXCLUSIVE prefix of the 1-weights = the 0-based rank.
+    // The prefix pass persists plan-internal state tracked by
+    // graft.engine.Caches — long-lived sessions call Caches.release()
+    // after the terminal action (same contract as sequence packing).
+    ranked.where(col("gcum") < n)
+      .select(cols.head, cols.tail: _*)
   }
 }
