@@ -112,15 +112,23 @@ object Relational {
         .orderBy($"o_orderkey")
     },
 
-    // Ranking window: top-3 customers per market segment by acctbal.
+    // Ranking: top-3 customers per market segment by acctbal. NOT a
+    // segment-partitioned row_number window — mktsegment has 5 distinct
+    // values, so that window would sort ALL customers through 5 reducer
+    // tasks. The bounded-heap TopKByScore aggregate keeps 3 pairs per
+    // (segment, partition) map-side; the exchange carries 5 x
+    // #partitions x 3 rows at any table size, and the heap's
+    // (score desc, id asc) order reproduces the window's tie-break.
     "q7_window_rank" -> { (s, dir) =>
       import s.implicits._
-      val w = Window.partitionBy($"c_mktsegment")
-        .orderBy($"c_acctbal".desc, $"c_custkey")
       table(s, dir, "customer")
-        .withColumn("rn", row_number().over(w))
-        .where($"rn" <= 3)
-        .select($"c_mktsegment", $"rn", $"c_custkey", r2($"c_acctbal").as("acctbal"))
+        .select($"c_mktsegment",
+          struct($"c_acctbal".as("score"), $"c_custkey".as("id")).as("p"))
+        .groupBy($"c_mktsegment")
+        .agg(graft.functions.VectorAggregates.topKByScore($"p", 3).as("top"))
+        .select($"c_mktsegment", posexplode($"top").as(Seq("r", "e")))
+        .select($"c_mktsegment", ($"r" + 1).cast("int").as("rn"),
+          $"e.id".as("c_custkey"), r2($"e.score").as("acctbal"))
         .orderBy($"c_mktsegment", $"rn")
     },
 

@@ -201,4 +201,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(bucket#"),
       "expected bucket-partitioned neighbor windows")
   }
+
+  test("q7 per-segment top-k is a bounded-heap aggregate, not a 5-key window") {
+    val p = plan(graft.queries.Relational.queries("q7_window_rank")(spark, sf))
+    assert(!p.contains("windowspecdefinition"),
+      "a window partitioned by the 5-value segment column serializes " +
+        "the customer table through 5 tasks")
+    assert(p.contains("graft_top_k_by_score"),
+      "expected the TopKByScore partial/final aggregate pair")
+  }
+
+  test("ann06 batch KNN broadcasts the query batch and never windows") {
+    val p = plan(graft.queries.Pipeline.queries("ann06_batch_topk")(spark, sf))
+    assert(!p.contains("windowspecdefinition"),
+      "per-qid window would shuffle the n x q similarity matrix")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query batch must broadcast")
+    assert(p.contains("graft_top_k_by_score"))
+  }
 }
