@@ -400,6 +400,14 @@ object Dedup {
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
+    // Lazy variant for the loop body: the convergence count() below is
+    // the materializing action (count touches EVERY partition, so the
+    // checkpoint is fully realized — an isEmpty/take(1) probe would
+    // not be enough), collapsing each round from two jobs (eager
+    // checkpoint + probe) to one.
+    def ckptLazy(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     // Ids keep their original type: min/least propagation only needs an
     // ordering, which every Spark atomic type has (a long cast here
     // would silently null out string-id corpora).
@@ -422,14 +430,14 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
       // `changed` rides along instead of a second labels join; the
-      // eager checkpoint both truncates the iterative lineage and
-      // makes the isEmpty convergence probe a cache read. Superseded
-      // label RDDs lose their last reference here and the
-      // ContextCleaner reclaims their blocks.
-      val next = ckpt(labels.join(neighborMin, "id" :: Nil)
+      // lazy checkpoint truncates the iterative lineage and the
+      // convergence count is the action that materializes it — one job
+      // per round. Superseded label RDDs lose their last reference
+      // here and the ContextCleaner reclaims their blocks.
+      val next = ckptLazy(labels.join(neighborMin, "id" :: Nil)
         .select(col("id"), least(col("label"), col("nlabel")).as("label"),
           (col("nlabel") < col("label")).as("changed")))
-      converged = next.where(col("changed")).isEmpty
+      converged = next.where(col("changed")).count() == 0L
       labels = next.drop("changed")
       iter += 1
     }
