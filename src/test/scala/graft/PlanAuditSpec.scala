@@ -211,6 +211,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the TopKByScore partial/final aggregate pair")
   }
 
+  test("dd15 index probe reads the stored tables, never re-shingles the corpus") {
+    val p = formatted(graft.queries.Pipeline.queries("dd15_index_probe")(spark, sf))
+    // the incremental claim: both corpus-side inputs (bands + shingles)
+    // are FileScans of the persisted index, so probe cost is bound by
+    // the delta, not by re-running the corpus shingle pass
+    assert("graft_ndindex\\w*/bands".r.findFirstIn(p).isDefined,
+      "corpus band keys must come from the stored bands/ parquet")
+    assert("graft_ndindex\\w*/shingles".r.findFirstIn(p).isDefined,
+      "corpus shingles must come from the stored shingles/ parquet")
+    // candidate generation stays an equi-join on band keys
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "index probe must never degrade to an all-pairs join")
+  }
+
   test("ann06 batch KNN broadcasts the query batch and never windows") {
     val p = plan(graft.queries.Pipeline.queries("ann06_batch_topk")(spark, sf))
     assert(!p.contains("windowspecdefinition"),
