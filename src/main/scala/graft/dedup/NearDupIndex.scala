@@ -73,13 +73,16 @@ object NearDupIndex {
 
   private def writeTables(shingles: DataFrame, path: String, m: Meta,
       mode: String): Unit = {
-    // Read twice (own write + banding) — persist for the duration.
-    val sh = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+    // Read twice (own write + banding) — persist for the duration,
+    // unless the caller already holds a persist (then it owns release).
+    val callerPersisted = shingles.storageLevel != StorageLevel.NONE
+    val sh = if (callerPersisted) shingles
+      else shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sh.write.mode(mode).parquet(shinglesPath(path))
     Dedup.bandedKeys(sh, m.bands, m.rowsPerBand)
       .sortWithinPartitions("band_key")
       .write.mode(mode).parquet(bandsPath(path))
-    sh.unpersist(blocking = false)
+    if (!callerPersisted) sh.unpersist(blocking = false)
   }
 
   /** The parameters an index at `path` was built with. */
@@ -116,5 +119,70 @@ object NearDupIndex {
     val matched = probePairs(probeDocs, idCol, textCol, path, threshold)
       .select(col("probe_id").as(idCol)).distinct()
     probeDocs.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /** Start an EMPTY index at `path` — the day-zero form of [[build]]
+    * for pipelines that grow an index purely by [[ingestBatch]] /
+    * [[append]]. Pins the band scheme and (id BIGINT, hs ARRAY<BIGINT>)
+    * table schemas; callers' id column must be long-valued.
+    */
+  def init(spark: SparkSession, path: String, bands: Int = 4,
+      rowsPerBand: Int = 4, nGram: Int = 3): Unit = {
+    import spark.implicits._
+    buildFromShingles(Seq.empty[(Long, Seq[Long])].toDF("id", "hs"),
+      path, bands, rowsPerBand, nGram)
+  }
+
+  /** The full ingest step for one batch: keep-one within the batch
+    * (min id per [[Dedup.components]] near-dup cluster), drop what the
+    * index already holds, APPEND the survivors, and return the kept
+    * rows of `batch` (full schema). First-seen-wins across batches —
+    * the index is the memory — and the batch's shingle pass is paid
+    * once (persisted through pairing, probing, and the append, then
+    * released). Shingle-less documents (text shorter than the index's
+    * n-gram) are uncomparable: they pass through kept but un-indexed,
+    * the same contract as [[dedupAgainst]].
+    *
+    * `beforeAppend` runs on the settled result AFTER the dedup but
+    * BEFORE the index append — a downstream delivery hooked there is
+    * at-least-once under batch replay (a crash between delivery and
+    * append re-delivers; a crash after the append makes the replayed
+    * batch self-match the index and contribute nothing twice). This is
+    * the per-micro-batch body of [[graft.streaming.StreamIndexDedup]],
+    * and equally the daily-batch entry point for a scheduled pipeline.
+    */
+  def ingestBatch(batch: DataFrame, idCol: String, textCol: String,
+      path: String, threshold: Double = 0.6,
+      beforeAppend: DataFrame => Unit = _ => ()): DataFrame = {
+    val m = meta(batch.sparkSession, path)
+    val sh = Dedup.shingleBase(batch, idCol, textCol, m.nGram)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // within-batch keep-one: cluster representatives stay
+      val reps = Dedup.components(
+        Dedup.minhashPairsFromShingles(sh, m.bands, m.rowsPerBand, threshold))
+      val kept = sh.join(
+        reps.where(col("rep") =!= col("id")).select("id"), Seq("id"), "left_anti")
+      // drop what the corpus already holds
+      val matched = Dedup.minhashPairsAcrossFromBanded(
+          Dedup.bandedKeys(kept, m.bands, m.rowsPerBand),
+          batch.sparkSession.read.parquet(bandsPath(path)),
+          kept, batch.sparkSession.read.parquet(shinglesPath(path)), threshold)
+        .select(col("probe_id").as("id")).distinct()
+      val survivors = kept.join(matched, Seq("id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Settle the result BEFORE appending: survivors' plan probes the
+      // index parquet, so a post-append recompute would self-match the
+      // rows it just wrote and come back empty.
+      val out = batch
+        .join(sh.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+        .unionByName(batch.join(
+          survivors.select(col("id").as(idCol)), Seq(idCol), "left_semi"))
+        .localCheckpoint(eager = true)
+      beforeAppend(out)
+      writeTables(survivors, path, m, "append")
+      survivors.unpersist(blocking = false)
+      out
+    } finally sh.unpersist(blocking = false)
   }
 }
