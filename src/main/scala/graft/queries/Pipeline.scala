@@ -164,6 +164,21 @@ object Pipeline {
       path
     })
 
+  /** A [[graft.ann.EmbedIndex]] of the ORIGINAL embeddings (no planted
+    * copies) persisted once per (session, sf dir) — dd17's probe and
+    * dd18's incremental filter read the stored quantizer + vectors.
+    */
+  private def embedIndex(s: SparkSession, dir: String): String =
+    indexPaths.getOrElseUpdate(System.identityHashCode(s) + "|edx|" + dir, {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_embindex").toString
+      graft.ann.EmbedIndex.build(
+        graft.engine.Graft.widen(table(s, dir, "embeddings"))
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", path)
+      path
+    })
+
   private val CorpusTripleSql =
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents
@@ -781,6 +796,44 @@ object Pipeline {
         .dedupAgainst(delta, "doc_id", "text", corpusIndex(s, dir))
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
+    },
+
+    // The embedding-side persisted index (EmbedIndex): quantizer +
+    // cell-assigned vectors stored once; a probe batch assigns itself
+    // row-locally with the STORED centroids and equi-joins the stored
+    // table on cell. Persistence AND the IVF blocking must both be
+    // invisible at this threshold, so the oracle is the blocking-free
+    // probe x corpus all-pairs cosine spec (dd05's contract,
+    // incremental form).
+    "dd17_embed_index_probe" -> { (s, dir) =>
+      val probe = graft.engine.Graft.widen(table(s, dir, "embeddings"))
+        .where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      graft.ann.EmbedIndex
+        .probePairs(probe, "vec_id", "embedding", embedIndex(s, dir))
+        .select(col("probe_id"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("probe_id", "corpus_id")
+    },
+
+    // The incremental semantic-ingest filter over the same stored
+    // index: a delta of exact copies (+1e6, all of which duplicate
+    // indexed vectors) plus novel vectors (+3e6, negations — cosine -1
+    // to their source, far from everything) reduces to what it
+    // contributes: the novel rows survive, the copies drop.
+    "dd18_embed_index_dedup" -> { (s, dir) =>
+      val e = graft.engine.Graft.widen(table(s, dir, "embeddings"))
+      val probe = e.where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .unionAll(e.where(col("vec_id") % 50 === 10)
+          .select((col("vec_id") + 3000000).as("vec_id"),
+            transform(col("embedding").cast("array<double>"), x => -x)
+              .as("embedding")))
+      graft.ann.EmbedIndex
+        .dedupAgainst(probe, "vec_id", "embedding", embedIndex(s, dir))
+        .select(col("vec_id"))
+        .orderBy("vec_id")
     },
 
     // The end-to-end curation pipeline in ONE composed query — quality
@@ -1574,6 +1627,39 @@ object Pipeline {
          |WHERE doc_id >= 1000000
          |  AND doc_id NOT IN (SELECT probe_id FROM matched)
          |ORDER BY doc_id""".stripMargin,
+
+    // The stored embed index must equal the blocking-free probe x
+    // corpus all-pairs cosine spec (cells and persistence invisible).
+    "dd17_embed_index_probe" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        |probe AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+        |  ROUND(list_cosine_similarity(p.vec, c.vec), 6) AS cos
+        |FROM probe p JOIN corpus c
+        |  ON list_cosine_similarity(p.vec, c.vec) >= 0.995
+        |ORDER BY probe_id, corpus_id""".stripMargin,
+
+    "dd18_embed_index_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        |probe AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings WHERE vec_id % 50 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 3000000 AS vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> -x) AS vec
+        |  FROM embeddings WHERE vec_id % 50 = 10)
+        |SELECT p.vec_id AS vec_id FROM probe p
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c
+        |  WHERE list_cosine_similarity(p.vec, c.vec) >= 0.995)
+        |ORDER BY vec_id""".stripMargin,
 
     "dd11_line_dedup" ->
       """WITH corpus AS (SELECT doc_id,

@@ -53,4 +53,29 @@ object StreamIndexDedup {
     writer(docs, idCol, textCol, indexPath, threshold) { (kept, _) =>
       kept.write.mode("append").parquet(outPath)
     }
+
+  /** [[writer]]'s semantic twin over a [[graft.ann.EmbedIndex]]: each
+    * micro-batch of (idCol, vecCol) rows is cosine-deduped within the
+    * batch and against the stored embedding corpus, survivors delivered
+    * then appended. Same replay contract; build the index (at least its
+    * quantizer) before streaming — cells come from the STORED model.
+    */
+  def embedWriter(docs: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, threshold: Double = 0.995)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      if (!batch.isEmpty) {
+        graft.ann.EmbedIndex.ingestBatch(batch.toDF(), idCol, vecCol,
+          indexPath, threshold, beforeAppend = kept => sink(kept, batchId))
+        ()
+      }
+    }
+
+  /** [[embedWriter]] delivering survivors as parquet appends. */
+  def embedToParquet(docs: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, outPath: String,
+      threshold: Double = 0.995): DataStreamWriter[Row] =
+    embedWriter(docs, idCol, vecCol, indexPath, threshold) { (kept, _) =>
+      kept.write.mode("append").parquet(outPath)
+    }
 }

@@ -53,10 +53,34 @@ object IndexScale {
       .probePairs(delta, "doc_id", "text", path, threshold = 0.5).count()
     graft.engine.Caches.release()
 
+    // Same protocol for the embedding index: fixed 200-vector delta of
+    // exact copies; probe time growth is pure stored-vectors-scan cost.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val eDelta = emb.where(col("vec_id") < 200)
+      .select((col("vec_id") + 5000000).as("vec_id"), col("embedding"))
+    val nEmb = emb.count()
+
+    val ePath = java.nio.file.Files.createTempDirectory("graft_eidxscale").toString
+    val t2 = System.nanoTime()
+    graft.ann.EmbedIndex.build(emb, "vec_id", "embedding", ePath)
+    val eBuildS = (System.nanoTime() - t2) / 1e9
+
+    val t3 = System.nanoTime()
+    graft.ann.EmbedIndex.probePairs(eDelta, "vec_id", "embedding", ePath)
+      .write.mode("overwrite").format("noop").save()
+    val eProbeS = (System.nanoTime() - t3) / 1e9
+    val ePairs = graft.ann.EmbedIndex
+      .probePairs(eDelta, "vec_id", "embedding", ePath).count()
+
     println(s"""{"sf_dir":"$sfDir","n_corpus":$nCorpus,""" +
       s""""build_s":${"%.2f".formatLocal(java.util.Locale.ROOT, buildS)},""" +
       s""""probe_s":${"%.2f".formatLocal(java.util.Locale.ROOT, probeS)},""" +
-      s""""n_pairs":$nPairs}""")
+      s""""n_pairs":$nPairs,""" +
+      s""""n_emb":$nEmb,""" +
+      s""""e_build_s":${"%.2f".formatLocal(java.util.Locale.ROOT, eBuildS)},""" +
+      s""""e_probe_s":${"%.2f".formatLocal(java.util.Locale.ROOT, eProbeS)},""" +
+      s""""e_pairs":$ePairs}""")
     spark.stop()
   }
 }

@@ -225,6 +225,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "index probe must never degrade to an all-pairs join")
   }
 
+  test("dd17 embed probe scans the stored vectors and assigns without a join") {
+    val df = graft.queries.Pipeline.queries("dd17_embed_index_probe")(spark, sf)
+    // the corpus side is a FileScan of the persisted vectors/ table —
+    // never re-assigned, never re-fit
+    val f = formatted(df)
+    assert("graft_embindex\\w*/vectors".r.findFirstIn(f).isDefined,
+      "corpus vectors must come from the stored vectors/ parquet")
+    // cell assignment of the probe is a row-local fold over the centroid
+    // literal: exactly ONE join in the whole plan (the cell equi-join) —
+    // counted on the tree string, where each node appears once
+    val p = plan(df)
+    val joins = "(?i)(sortmergejoin|broadcasthashjoin|shuffledhashjoin)".r
+      .findAllIn(p).size
+    assert(joins == 1, s"expected only the cell equi-join, saw $joins joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "embed probe must never degrade to an all-pairs join")
+  }
+
   test("ann06 batch KNN broadcasts the query batch and never windows") {
     val p = plan(graft.queries.Pipeline.queries("ann06_batch_topk")(spark, sf))
     assert(!p.contains("windowspecdefinition"),
