@@ -975,6 +975,41 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // The FIT side of tx14's scorer: full-batch logistic-regression
+    // gradient descent where each iteration evaluates the current
+    // weights as plan literals (row-local sigmoid, whole-stage
+    // codegen) and reduces to a (dim+2)-scalar map-side-combined
+    // aggregate — at 100 TB training is `iters` scans, nothing
+    // collected but the weight vector. Features are tx14's, the label
+    // a deterministic length rule; the gate pins the entire
+    // 3-iteration trajectory (weights + pre-update log-loss) against
+    // a chained-CTE oracle.
+    "tx15_logreg_fit" -> { (s, dir) =>
+      import s.implicits._
+      val st = graft.functions.TextKernels.tokenStats(col("text"))
+      val n = st.getField("n_tokens").cast("double")
+      val f1 = least(lit(1.0), n / 200.0)
+      val f2 = st.getField("n_alpha_tokens").cast("double") / n
+      val f3 = element_at(graft.functions.TextKernels.markerHits(
+        col("text"), Seq(EnMarkers)), 1).cast("double") / n
+      val f4 = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+        .cast("double") / length(col("text")).cast("double")
+      val feats = graft.engine.Caches.track(docs(s, dir).where(n > 0)
+        .select(f1.as("f1"), f2.as("f2"), f3.as("f3"), f4.as("f4"),
+          (length(col("text")) > 300).cast("double").as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val steps = graft.operators.Train.fitLogreg(
+        feats, Seq("f1", "f2", "f3", "f4"), "y", iters = 3, lr = 1.0)
+      steps.map(x => (x.iter, x.bias, x.weights(0), x.weights(1),
+          x.weights(2), x.weights(3), x.lossPre))
+        .toDF("iter", "bias", "w1", "w2", "w3", "w4", "loss_pre")
+        .select(col("iter"), round(col("bias"), 6).as("bias"),
+          round(col("w1"), 6).as("w1"), round(col("w2"), 6).as("w2"),
+          round(col("w3"), 6).as("w3"), round(col("w4"), 6).as("w4"),
+          round(col("loss_pre"), 6).as("loss_pre"))
+        .orderBy("iter")
+    },
+
     // Gopher-style quality rules (Rae et al. 2021 §A1.1): word-count
     // bounds, mean word length, symbol-to-word ratio, alphabetic-word
     // fraction, stopword presence — each rule a flag plus the combined
@@ -1836,6 +1871,43 @@ object Pipeline {
          |SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS p_keep,
          |  CAST(z >= 0 AS INT) AS keep
          |FROM z ORDER BY doc_id""".stripMargin
+    },
+
+    // Chained-CTE gradient descent: i0 = zero weights; g_t = the
+    // gradient/loss aggregate at i_{t-1}; i_t = the update. The
+    // trajectory row for iter t pairs i_t's weights with g_t's loss.
+    "tx15_logreg_fit" -> {
+      val stops = EnMarkers.map(w => s"'$w'").mkString(", ")
+      def g(i: Int) =
+        s"""g$i AS (SELECT AVG(p - y) AS gb, AVG((p - y) * f1) AS g1,
+           |    AVG((p - y) * f2) AS g2, AVG((p - y) * f3) AS g3,
+           |    AVG((p - y) * f4) AS g4,
+           |    AVG(-(y * ln(p) + (1 - y) * ln(1 - p))) AS loss
+           |  FROM (SELECT m.*,
+           |      1.0 / (1.0 + exp(-(b + w1*f1 + w2*f2 + w3*f3 + w4*f4))) AS p
+           |    FROM m, i${i - 1}))""".stripMargin
+      def it(i: Int) =
+        s"""i$i AS (SELECT b - gb AS b, w1 - g1 AS w1, w2 - g2 AS w2,
+           |    w3 - g3 AS w3, w4 - g4 AS w4 FROM i${i - 1}, g$i)""".stripMargin
+      def row(i: Int) =
+        s"""SELECT $i AS iter, ROUND(b, 6) AS bias, ROUND(w1, 6) AS w1,
+           |  ROUND(w2, 6) AS w2, ROUND(w3, 6) AS w3, ROUND(w4, 6) AS w4,
+           |  ROUND((SELECT loss FROM g$i), 6) AS loss_pre FROM i$i""".stripMargin
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+         |m AS (SELECT
+         |    least(1.0, len(toks) / 200.0) AS f1,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+         |      / len(toks) AS f2,
+         |    len(list_filter(toks, x -> x IN ($stops)))::DOUBLE
+         |      / len(toks) AS f3,
+         |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+         |      / length(text) AS f4,
+         |    CAST(length(text) > 300 AS DOUBLE) AS y
+         |  FROM t WHERE len(toks) > 0),
+         |i0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4),
+         |${g(1)}, ${it(1)}, ${g(2)}, ${it(2)}, ${g(3)}, ${it(3)}
+         |${row(1)} UNION ALL ${row(2)} UNION ALL ${row(3)}
+         |ORDER BY iter""".stripMargin
     },
 
     "tx13_token_entropy" ->
