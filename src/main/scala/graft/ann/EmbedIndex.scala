@@ -100,6 +100,30 @@ object EmbedIndex {
     probeDocs.join(matched, Seq(idCol), "left_anti")
   }
 
+  /** Cell-occupancy stats for the stored index: (cells, rows, max cell
+    * rows, mean cell rows). Appends assign with the FROZEN quantizer,
+    * so a drifting corpus concentrates rows in few cells and the
+    * within-cell candidate volume creeps back toward quadratic — the
+    * exact trap [[IvfIndex.autoK]] exists to prevent. Monitor this;
+    * when [[needsRebuild]] trips, re-[[build]].
+    */
+  def cellStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(vectorsPath(path))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("cells"), sum(col("n")).as("rows"),
+        max(col("n")).as("max_cell"),
+        (sum(col("n")).cast("double") / count(lit(1))).as("mean_cell"))
+
+  /** True when the largest cell exceeds `slack` × the autoK target —
+    * the stored quantizer no longer bounds candidate volume and the
+    * index should be rebuilt (one corpus pass, same as day one).
+    */
+  def needsRebuild(spark: SparkSession, path: String,
+      targetCellSize: Int = 128, slack: Double = 8.0): Boolean = {
+    val r = cellStats(spark, path).head()
+    r.getLong(2) > targetCellSize * slack
+  }
+
   /** Top-k cosine search over the stored corpus, probing the nProbe
     * nearest cells — [[IvfIndex.search]] against the scan, which prunes
     * to the probed cells via the cell-sorted parquet layout.

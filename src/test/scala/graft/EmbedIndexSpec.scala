@@ -75,6 +75,24 @@ class EmbedIndexSpec extends AnyFunSuite {
     assert(stored == brute)
   }
 
+  test("cellStats counts occupancy and needsRebuild trips on a swollen cell") {
+    val path = tmp()
+    EmbedIndex.build(emb, "vec_id", "vec", path)
+    val r0 = EmbedIndex.cellStats(spark, path).head()
+    assert(r0.getLong(1) == emb.count(), "rows must cover the corpus")
+    assert(!EmbedIndex.needsRebuild(spark, path),
+      "a freshly autoK-built index must not need rebuilding")
+    // a drifted delta: 1200 near-identical vectors pile into one cell
+    val one = emb.where(col("vec_id") === 0).select("vec").head()
+      .getSeq[Double](0)
+    val drift = spark.range(1200).select(
+      (col("id") + 7000000).as("vec_id"),
+      typedLit(one).as("vec"))
+    EmbedIndex.append(drift, "vec_id", "vec", path)
+    assert(EmbedIndex.needsRebuild(spark, path),
+      "1200 co-assigned rows exceed 8x the 128-row target")
+  }
+
   test("ingestBatch: keep-one, index drop, append, replay contributes nothing") {
     val path = tmp()
     EmbedIndex.build(emb, "vec_id", "vec", path)
