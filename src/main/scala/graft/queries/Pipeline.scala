@@ -1010,6 +1010,25 @@ object Pipeline {
         .orderBy("iter")
     },
 
+    // LM-based filtering, the third classic quality filter (CCNet
+    // trains a small LM and drops perplexity outliers): an in-engine
+    // bigram model with add-1 smoothing, trained on the corpus by one
+    // map-side-combined count and applied by a bigram-keyed join +
+    // per-doc average. The model is vocabulary-bound, the corpus is
+    // never collected; V rides the plan as a literal.
+    "tx16_bigram_ppl" -> { (s, dir) =>
+      val d = graft.engine.Caches.track(docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val m = graft.operators.NgramLm.fit(d, "toks")
+      graft.operators.NgramLm.perplexity(d, "doc_id", "toks", m)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("ppl"), 6).as("ppl"))
+        .orderBy("doc_id")
+    },
+
     // Gopher-style quality rules (Rae et al. 2021 §A1.1): word-count
     // bounds, mean word length, symbol-to-word ratio, alphabetic-word
     // fraction, stopword presence — each rule a flag plus the combined
@@ -1909,6 +1928,26 @@ object Pipeline {
          |${row(1)} UNION ALL ${row(2)} UNION ALL ${row(3)}
          |ORDER BY iter""".stripMargin
     },
+
+    // Trained and scored on the same corpus, so every scored bigram is
+    // in the counts (the engine still LEFT-joins for generality).
+    "tx16_bigram_ppl" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents
+         |           WHERE len($ToksSql) >= 2),
+         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, len(toks) - 1)) AS i
+         |             FROM t)),
+         |cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+         |ctx AS (SELECT w1, SUM(c) AS c1 FROM cnt GROUP BY w1),
+         |v AS (SELECT COUNT(DISTINCT tok) AS v
+         |      FROM (SELECT unnest(toks) AS tok FROM t)),
+         |sc AS (SELECT bg.doc_id,
+         |    ln((cnt.c + 1.0) / (ctx.c1 + 1.0 * (SELECT v FROM v))) AS lp
+         |  FROM bg JOIN cnt USING (w1, w2) JOIN ctx USING (w1))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  ROUND(exp(-AVG(lp)), 6) AS ppl
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "tx13_token_entropy" ->
       s"""WITH x AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
