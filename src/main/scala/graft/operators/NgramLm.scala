@@ -59,7 +59,10 @@ object NgramLm {
   /** Per-document bigram perplexity under the model with add-k
     * smoothing: ppl = exp(-mean ln P(w2|w1)), P = (c + k)/(c1 + kV).
     * Unseen bigrams/contexts get c = 0 / c1 = 0 via the smoothing.
-    * Output: (idCol, n_bigrams, ppl) for documents with >= 2 tokens.
+    * Output: (idCol, n_bigrams, mean_lp, ppl) for documents with >= 2
+    * tokens — `mean_lp` is the ln-space mean importance weighting
+    * composes on ([[https://arxiv.org/abs/2302.03169 DSIR]]-style
+    * selection is mean_lp_target - mean_lp_raw).
     */
   def perplexity(docs: DataFrame, idCol: String, toksCol: String,
       m: Model, k: Double = 1.0): DataFrame = {
@@ -71,6 +74,7 @@ object NgramLm {
       .join(m.contexts, Seq("w1"), "left")
       .select(col(idCol), lp.as("lp"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), exp(-avg(col("lp"))).as("ppl"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("mean_lp"),
+        exp(-avg(col("lp"))).as("ppl"))
   }
 }

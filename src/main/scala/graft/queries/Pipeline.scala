@@ -1029,6 +1029,33 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // DSIR-style data selection (Xie et al. 2023) reduced to engine
+    // primitives: importance log-weight = mean ln P_target - mean ln
+    // P_raw under two bigram LMs — the target model trained on a
+    // 2-source slice, the raw model on the whole corpus. Both models
+    // are vocab-bound; every per-doc number is a map-side-combined
+    // average; the actual resampling step is sp03's weighted sampler
+    // on exp(logw). Non-target documents exercise the OOV smoothing
+    // paths for real.
+    "pp06_dsir_logratio" -> { (s, dir) =>
+      val d = graft.engine.Caches.track(docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val mT = graft.operators.NgramLm.fit(
+        d.where(col("source").isin("src0", "src1")), "toks")
+      val mR = graft.operators.NgramLm.fit(d, "toks")
+      val lpT = graft.operators.NgramLm.perplexity(d, "doc_id", "toks", mT)
+        .select(col("doc_id"), col("mean_lp").as("lp_t"))
+      val lpR = graft.operators.NgramLm.perplexity(d, "doc_id", "toks", mR)
+        .select(col("doc_id"), col("mean_lp").as("lp_r"))
+      lpT.join(lpR, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(col("lp_t") - col("lp_r"), 6).as("dsir_logw"))
+        .orderBy("doc_id")
+    },
+
     // Gopher-style quality rules (Rae et al. 2021 §A1.1): word-count
     // bounds, mean word length, symbol-to-word ratio, alphabetic-word
     // fraction, stopword presence — each rule a flag plus the combined
@@ -1948,6 +1975,36 @@ object Pipeline {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          |  ROUND(exp(-AVG(lp)), 6) AS ppl
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Two LMs over the same bigram table: raw (all docs, inner joins —
+    // self-trained, everything seen) and target (2-source slice, LEFT
+    // joins + COALESCE mirroring the engine's smoothing of unseen
+    // bigrams/contexts).
+    "pp06_dsir_logratio" ->
+      s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents
+         |           WHERE len($ToksSql) >= 2),
+         |bg AS (SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
+         |       FROM (SELECT doc_id, source, toks,
+         |               unnest(generate_series(1, len(toks) - 1)) AS i
+         |             FROM t)),
+         |cr AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+         |xr AS (SELECT w1, SUM(c) AS c1 FROM cr GROUP BY w1),
+         |vr AS (SELECT COUNT(DISTINCT tok) AS v
+         |       FROM (SELECT unnest(toks) AS tok FROM t)),
+         |ct AS (SELECT w1, w2, COUNT(*) AS c FROM bg
+         |       WHERE source IN ('src0', 'src1') GROUP BY w1, w2),
+         |xt AS (SELECT w1, SUM(c) AS c1 FROM ct GROUP BY w1),
+         |vt AS (SELECT COUNT(DISTINCT tok) AS v
+         |       FROM (SELECT unnest(toks) AS tok FROM t
+         |             WHERE source IN ('src0', 'src1'))),
+         |s AS (SELECT bg.doc_id,
+         |    ln((cr.c + 1.0) / (xr.c1 + 1.0 * (SELECT v FROM vr))) AS lpr,
+         |    ln((COALESCE(ct.c, 0) + 1.0) /
+         |       (COALESCE(xt.c1, 0) + 1.0 * (SELECT v FROM vt))) AS lpt
+         |  FROM bg JOIN cr USING (w1, w2) JOIN xr USING (w1)
+         |    LEFT JOIN ct USING (w1, w2) LEFT JOIN xt USING (w1))
+         |SELECT doc_id, ROUND(AVG(lpt) - AVG(lpr), 6) AS dsir_logw
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "tx13_token_entropy" ->
       s"""WITH x AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),

@@ -27,7 +27,8 @@ class NgramLmSpec extends AnyFunSuite {
       (11L, Seq("x", "a"))       // wholly unseen context
     ).toDF("doc_id", "toks")
     val got = NgramLm.perplexity(score, "doc_id", "toks", m)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("ppl"))).toMap
     // doc 10: P(b|a) = (3+1)/(4+3) = 4/7; P(x|b) = (0+1)/(1+3) = 1/4
     val ppl10 = math.exp(-(math.log(4.0 / 7) + math.log(1.0 / 4)) / 2)
     // doc 11: P(a|x) = (0+1)/(0+3) = 1/3
@@ -48,7 +49,7 @@ class NgramLmSpec extends AnyFunSuite {
       (101L, "dog quick the jumps brown".split(" ").toSeq))
       .toDF("doc_id", "toks")
     val p = NgramLm.perplexity(probe, "doc_id", "toks", m)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("ppl")).toMap
     assert(p(100L) < p(101L),
       s"fluent order must beat shuffled order: $p")
     graft.engine.Caches.release()
