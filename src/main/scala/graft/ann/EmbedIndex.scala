@@ -74,13 +74,21 @@ object EmbedIndex {
 
   /** Every (probe_id, corpus_id, cos) pair between `probeDocs` and the
     * indexed corpus with cosine >= threshold, candidates = co-assigned
-    * cells of the stored quantizer.
+    * cells of the stored quantizer. `nProbe` > 1 probes each row's
+    * nProbe nearest cells (row-local, still no join for assignment) to
+    * reach near-pairs straddling a cell boundary; each corpus row
+    * lives in exactly one cell, so pairs never duplicate.
     */
   def probePairs(probeDocs: DataFrame, idCol: String, vecCol: String,
-      path: String, threshold: Double = 0.995): DataFrame = {
+      path: String, threshold: Double = 0.995, nProbe: Int = 1): DataFrame = {
     val spark = probeDocs.sparkSession
-    val p = IvfIndex.transform(vecs(probeDocs, idCol, vecCol),
-        "vec", model(spark, path))
+    val m = model(spark, path)
+    val v = vecs(probeDocs, idCol, vecCol)
+    val assigned =
+      if (nProbe <= 1) IvfIndex.transform(v, "vec", m)
+      else v.withColumn("cell",
+        explode(IvfIndex.nearestCells("vec", m, nProbe)))
+    val p = assigned
       .select(col("cell"), col("id").as("probe_id"), col("vec").as("pvec"),
         Vectors.norm(col("vec")).as("pnrm"))
     p.join(spark.read.parquet(vectorsPath(path)), Seq("cell"))
@@ -94,8 +102,8 @@ object EmbedIndex {
     * corpus — the incremental filter: what a delta actually contributes.
     */
   def dedupAgainst(probeDocs: DataFrame, idCol: String, vecCol: String,
-      path: String, threshold: Double = 0.995): DataFrame = {
-    val matched = probePairs(probeDocs, idCol, vecCol, path, threshold)
+      path: String, threshold: Double = 0.995, nProbe: Int = 1): DataFrame = {
+    val matched = probePairs(probeDocs, idCol, vecCol, path, threshold, nProbe)
       .select(col("probe_id").as(idCol)).distinct()
     probeDocs.join(matched, Seq(idCol), "left_anti")
   }

@@ -51,6 +51,30 @@ object IvfIndex {
   private def assignCells(df: DataFrame, vecCol: String, m: Model): DataFrame =
     df.withColumn("cell", nearestCell(vecCol, m))
 
+  /** The `nProbe` nearest cell ids per row, nearest first — row-local
+    * like [[nearestCell]] (same centroid-literal scores, then an
+    * array sort on (score, cell), so ties break to the smaller id
+    * exactly as the argmin fold does). Probing several cells is how a
+    * query or dedup probe reaches near-pairs that straddle a cell
+    * boundary; cost is the same k score computations plus a k-element
+    * sort per row.
+    */
+  def nearestCells(vecCol: String, m: Model, nProbe: Int): Column = {
+    val cents = array(m.centroids.sortBy(_._1).map { case (c, v) =>
+      struct(lit(c).as("cell"),
+        array(v.map(lit): _*).as("centroid"),
+        lit(v.map(x => x * x).sum).as("norm2"))
+    }: _*)
+    // functions.transform spelled out: bare `transform` resolves to
+    // this object's DataFrame method
+    val scored = org.apache.spark.sql.functions.transform(cents, e => struct(
+      (lit(-2.0) * Vectors.dot(col(vecCol), e.getField("centroid")) +
+        e.getField("norm2")).as("score"),
+      e.getField("cell").as("cell")))
+    org.apache.spark.sql.functions.transform(
+      slice(array_sort(scored), 1, nProbe), e => e.getField("cell"))
+  }
+
   /** Corpus-driven cell count: enough cells that the EXPECTED cell size
     * stays ~`targetCellSize` rows regardless of corpus size. A fixed k
     * is a scale trap for dedup blocking — cell size grows linearly with

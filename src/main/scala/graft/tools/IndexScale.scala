@@ -21,6 +21,7 @@ object IndexScale {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nProbe = args.lift(1).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -67,11 +68,13 @@ object IndexScale {
     val eBuildS = (System.nanoTime() - t2) / 1e9
 
     val t3 = System.nanoTime()
-    graft.ann.EmbedIndex.probePairs(eDelta, "vec_id", "embedding", ePath)
+    graft.ann.EmbedIndex.probePairs(eDelta, "vec_id", "embedding", ePath,
+        nProbe = nProbe)
       .write.mode("overwrite").format("noop").save()
     val eProbeS = (System.nanoTime() - t3) / 1e9
     val ePairs = graft.ann.EmbedIndex
-      .probePairs(eDelta, "vec_id", "embedding", ePath).count()
+      .probePairs(eDelta, "vec_id", "embedding", ePath, nProbe = nProbe)
+      .count()
 
     println(s"""{"sf_dir":"$sfDir","n_corpus":$nCorpus,""" +
       s""""build_s":${"%.2f".formatLocal(java.util.Locale.ROOT, buildS)},""" +

@@ -75,6 +75,34 @@ class EmbedIndexSpec extends AnyFunSuite {
     assert(stored == brute)
   }
 
+  test("multi-probe widens recall monotonically to brute force at full width") {
+    val path = tmp()
+    EmbedIndex.build(emb, "vec_id", "vec", path, k = 8, iters = 2)
+    val probe = emb.select((col("vec_id") + 1000000).as("vec_id"), col("vec"))
+    def pairsAt(nProbe: Int): Set[(Long, Long)] =
+      EmbedIndex.probePairs(probe, "vec_id", "vec", path,
+          threshold = 0.2, nProbe = nProbe)
+        .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val p1 = pairsAt(1); val p2 = pairsAt(2); val p8 = pairsAt(8)
+    assert(p1.subsetOf(p2) && p2.subsetOf(p8), "recall must be monotone")
+    // full width == local brute force over the collected vectors
+    val vs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val brute = (for {
+      (pi, pv) <- vs.toSeq; (ci, cv) <- vs.toSeq
+      if cos(pv, cv) >= 0.2
+    } yield (pi + 1000000, ci)).toSet
+    assert(p8 == brute, s"full-width probe must equal brute force " +
+      s"(missing ${(brute -- p8).size}, extra ${(p8 -- brute).size})")
+    // at this blocky threshold, single-probe genuinely misses some
+    assert(p1.size < p8.size, "the widened threshold should straddle cells")
+  }
+
   test("cellStats counts occupancy and needsRebuild trips on a swollen cell") {
     val path = tmp()
     EmbedIndex.build(emb, "vec_id", "vec", path)
