@@ -155,4 +155,33 @@ object TextFunctions {
     */
   def fingerprint(shingles: Column): Column =
     array_min(transform(shingles, s => md5(s)))
+
+  /** WITHIN-document repeated-line removal (the C4/Gopher boilerplate
+    * rule; cross-document frequency is `Dedup.dedupLines`' job): keep
+    * each line's FIRST occurrence, preserving order. Row-local fold —
+    * no shuffle, no state beyond the document's own lines; the
+    * interpreted HOF is fine because the per-row work is lines², with
+    * lines small by construction.
+    */
+  def dedupLinesWithin(text: Column): Column =
+    array_join(
+      aggregate(split(text, "\n"), array().cast("array<string>"),
+        (acc, l) => when(array_contains(acc, l), acc)
+          .otherwise(concat(acc, array(l)))),
+      "\n")
+
+  /** Tag-stripping text extraction for HTML-ish payloads: drop tags,
+    * decode the five predefined entities (amp last, so double-encoded
+    * text decodes one level only), collapse runs of whitespace. All
+    * row-local regexp/replace column math — format extraction at
+    * 100 TB is a pure scan.
+    */
+  def stripHtml(html: Column): Column = {
+    val noTags = regexp_replace(html, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
+      case (c, (e, ch)) => replace(c, lit(e), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -1029,6 +1029,39 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // WITHIN-document repeated-line removal (C4/Gopher boilerplate
+    // rule) — first occurrence kept, order preserved, as a row-local
+    // fold (no shuffle; cross-document frequency is dd11's job). The
+    // corpus plants a line twice plus a doc-unique line.
+    "tx17_line_dedup_within" -> { (s, dir) =>
+      val withDups = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\ngraft dup line\nunique "),
+          col("doc_id").cast("string"),
+          lit("\ngraft dup line\ngraft dup line")).as("text"))
+      val cleaned = graft.functions.TextFunctions.dedupLinesWithin(col("text"))
+      withDups.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        size(split(cleaned, "\n")).cast("long").as("n_kept"),
+        md5(cleaned).as("text_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Tag-stripping text extraction (the format-extraction step of an
+    // HTML crawl pipeline): drop tags, decode the five predefined
+    // entities one level (amp last), collapse whitespace — pure
+    // row-local column math, so extraction at 100 TB is a scan.
+    "tx18_html_strip" -> { (s, dir) =>
+      val page = concat(lit("<html><head><title>d"),
+        col("doc_id").cast("string"),
+        lit("</title></head><body><h1>T&amp;C</h1><p>"), col("text"),
+        lit("</p><a href=\"x?a=1&amp;b=2\">link &lt;here&gt;</a>" +
+          "&#39;q&quot; </body></html>"))
+      val t = graft.functions.TextFunctions.stripHtml(page)
+      docs(s, dir).select(col("doc_id"), md5(t).as("text_md5"),
+        length(t).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // DSIR-style data selection (Xie et al. 2023) reduced to engine
     // primitives: importance log-weight = mean ln P_target - mean ln
     // P_raw under two bigram LMs — the target model trained on a
@@ -1975,6 +2008,44 @@ object Pipeline {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          |  ROUND(exp(-AVG(lp)), 6) AS ppl
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Relational formulation of keep-first-occurrence: min position
+    // per (doc, line), re-aggregated in position order. The engine's
+    // row-local fold must agree exactly.
+    "tx17_line_dedup_within" ->
+      """WITH corpus AS (SELECT doc_id,
+        |    text || chr(10) || 'graft dup line' || chr(10) || 'unique ' ||
+        |    CAST(doc_id AS VARCHAR) || chr(10) || 'graft dup line' ||
+        |    chr(10) || 'graft dup line' AS text FROM documents),
+        |ls AS (SELECT doc_id, lns[i] AS l, i
+        |       FROM (SELECT doc_id, string_split(text, chr(10)) AS lns,
+        |               unnest(generate_series(1,
+        |                 len(string_split(text, chr(10))))) AS i
+        |             FROM corpus)),
+        |f AS (SELECT doc_id, l, MIN(i) AS fi FROM ls GROUP BY doc_id, l),
+        |k AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY fi) AS cleaned,
+        |        CAST(COUNT(*) AS BIGINT) AS n_kept FROM f GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines,
+        |  k.n_kept, md5(k.cleaned) AS text_md5
+        |FROM corpus c JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "tx18_html_strip" ->
+      """WITH page AS (SELECT doc_id,
+        |    '<html><head><title>d' || CAST(doc_id AS VARCHAR) ||
+        |    '</title></head><body><h1>T&amp;C</h1><p>' || text ||
+        |    '</p><a href="x?a=1&amp;b=2">link &lt;here&gt;</a>' ||
+        |    '&#39;q&quot; </body></html>' AS h
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(h, '<[^>]*>', ' ', 'g') AS t
+        |       FROM page),
+        |s2 AS (SELECT doc_id, replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s1),
+        |s3 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t
+        |       FROM s2)
+        |SELECT doc_id, md5(t) AS text_md5, CAST(length(t) AS BIGINT) AS n_chars
+        |FROM s3 ORDER BY doc_id""".stripMargin,
 
     // Two LMs over the same bigram table: raw (all docs, inner joins —
     // self-trained, everything seen) and target (2-source slice, LEFT

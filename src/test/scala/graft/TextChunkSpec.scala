@@ -42,4 +42,26 @@ class TextChunkSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(empty.isEmpty)
   }
+
+  private def one(in: String, f: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column): String =
+    Seq(in).toDF("t").select(f(col("t"))).head().getString(0)
+
+  test("dedupLinesWithin keeps first occurrences; idempotent; empty-line aware") {
+    import graft.functions.TextFunctions.dedupLinesWithin
+    assert(one("a\nb\na\nc\nb", dedupLinesWithin) == "a\nb\nc")
+    assert(one("a\nb\nc", dedupLinesWithin) == "a\nb\nc") // idempotent form
+    assert(one("x\n\ny\n\nx", dedupLinesWithin) == "x\n\ny") // "" is a line
+    assert(one("", dedupLinesWithin) == "")
+  }
+
+  test("stripHtml drops tags, decodes entities one level, collapses space") {
+    import graft.functions.TextFunctions.stripHtml
+    assert(one("<p>a  b</p>\n<div>c</div>", stripHtml) == "a b c")
+    assert(one("x &amp; y &lt;z&gt; &quot;w&quot; &#39;v&#39;", stripHtml)
+      == "x & y <z> \"w\" 'v'")
+    // double-encoded decodes ONE level (amp applied last)
+    assert(one("&amp;lt;", stripHtml) == "&lt;")
+    assert(one("<br/>", stripHtml) == "")
+  }
 }
