@@ -243,6 +243,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "embed probe must never degrade to an all-pairs join")
   }
 
+  test("tx18 html extraction is row-local: no joins, no windows, one sort exchange") {
+    val p = plan(graft.queries.Pipeline.queries("tx18_html_strip")(spark, sf))
+    assert(!p.toLowerCase.contains("join") &&
+      !p.contains("windowspecdefinition"),
+      "format extraction must stay pure column math")
+    // permitted exchanges: widen()'s round-robin spread of the small
+    // unsplittable scan, and the final output sort — but never a hash
+    // exchange (that would mean a join/aggregate shuffle crept in)
+    assert(!p.contains("hashpartitioning"),
+      "row-local extraction must not hash-shuffle")
+  }
+
+  test("tx16 LM scoring: equi-joins only, map-side partial aggregation") {
+    val p = plan(graft.queries.Pipeline.queries("tx16_bigram_ppl")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "model joins must stay keyed on the bigram")
+    assert(p.contains("partial_"),
+      "counts and per-doc averages must map-side combine")
+  }
+
   test("ann06 batch KNN broadcasts the query batch and never windows") {
     val p = plan(graft.queries.Pipeline.queries("ann06_batch_topk")(spark, sf))
     assert(!p.contains("windowspecdefinition"),
