@@ -36,9 +36,10 @@ object NgramLm {
   private def bigramPairs(df: DataFrame, cols: Seq[Column],
       toksCol: String): DataFrame = {
     val t = col(toksCol)
+    val len = greatest(size(t) - 1, lit(0)) // slice throws on negatives
     df.select(cols :+ explode(arrays_zip(
-      slice(t, lit(1), size(t) - 1).as("w1"),
-      slice(t, lit(2), size(t) - 1).as("w2"))).as("bg"): _*)
+      slice(t, lit(1), len).as("w1"),
+      slice(t, lit(2), len).as("w2"))).as("bg"): _*)
       .select(cols :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
   }
 
@@ -54,6 +55,83 @@ object NgramLm {
     val ctx = bg.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
     val v = docs.select(explode(col(toksCol)).as("w")).distinct().count()
     Model(bg, ctx, v)
+  }
+
+  /** Counts for Stupid Backoff (Brants et al. 2007 — the smoothing
+    * DESIGNED for distributed counting: no discounting state, just
+    * raw counts at three orders). All three tables are
+    * map-side-combined aggregates; `n` is the corpus token total.
+    */
+  final case class Model3(trigrams: DataFrame, bigrams: DataFrame,
+      unigrams: DataFrame, n: Long)
+
+  private def trigramTriples(df: DataFrame, cols: Seq[Column],
+      toksCol: String): DataFrame = {
+    val t = col(toksCol)
+    val len = greatest(size(t) - 2, lit(0)) // slice throws on negatives
+    df.select(cols :+ explode(arrays_zip(
+      slice(t, lit(1), len).as("w1"),
+      slice(t, lit(2), len).as("w2"),
+      slice(t, lit(3), len).as("w3"))).as("tg"): _*)
+      .select(cols :+ col("tg.w1").as("w1") :+ col("tg.w2").as("w2") :+
+        col("tg.w3").as("w3"): _*)
+  }
+
+  /** Train the three count tables; trigram and bigram tables are
+    * persisted (the score plan reads each once, the bigram table
+    * twice: as numerator and as trigram denominator).
+    */
+  def fitTrigram(docs: DataFrame, toksCol: String): Model3 = {
+    val tri = graft.engine.Caches.track(
+      trigramTriples(docs, Seq.empty, toksCol)
+        .groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val bi = graft.engine.Caches.track(
+      bigramPairs(docs, Seq.empty, toksCol)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val uni = docs.select(explode(col(toksCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = docs.select(sum(size(col(toksCol)))).head().getLong(0)
+    Model3(tri, bi, uni, n)
+  }
+
+  /** Per-document mean log Stupid-Backoff score over trigram
+    * positions: S(w3|w1 w2) = c(w1w2w3)/c(w1w2) when the trigram was
+    * seen, else alpha * S(w3|w2); S(w3|w2) = c(w2w3)/c(w2) when seen,
+    * else alpha * S(w3); S(w3) = max(c(w3), 1)/N (the floor keeps
+    * unseen words finite — Stupid Backoff scores are not normalized
+    * probabilities to begin with). Five model-sized equi-joins, one
+    * map-side-combined average; documents need >= 3 tokens.
+    * Output: (idCol, n_trigrams, mean_log_s).
+    */
+  def stupidBackoff(docs: DataFrame, idCol: String, toksCol: String,
+      m: Model3, alpha: Double = 0.4): DataFrame = {
+    val triples = trigramTriples(docs, Seq(col(idCol)), toksCol)
+    val joined = triples
+      .join(m.trigrams.select(col("w1"), col("w2"), col("w3"),
+        col("c").as("c3")), Seq("w1", "w2", "w3"), "left")
+      .join(m.bigrams.select(col("w1"), col("w2"), col("c").as("c12")),
+        Seq("w1", "w2"), "left")
+      .join(m.bigrams.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c").as("c23")), Seq("w2", "w3"), "left")
+      .join(m.unigrams.select(col("w").as("w2"), col("c").as("c2")),
+        Seq("w2"), "left")
+      .join(m.unigrams.select(col("w").as("w3"), col("c").as("c3u")),
+        Seq("w3"), "left")
+    val s1 = greatest(coalesce(col("c3u"), lit(0L)), lit(1L))
+      .cast("double") / lit(m.n.toDouble)
+    val s2 = when(coalesce(col("c23"), lit(0L)) > 0,
+      col("c23").cast("double") / col("c2").cast("double"))
+      .otherwise(lit(alpha) * s1)
+    val s3 = when(coalesce(col("c3"), lit(0L)) > 0,
+      col("c3").cast("double") / col("c12").cast("double"))
+      .otherwise(lit(alpha) * s2)
+    joined
+      .select(col(idCol), log(s3).as("ls"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), avg(col("ls")).as("mean_log_s"))
   }
 
   /** Per-document bigram perplexity under the model with add-k

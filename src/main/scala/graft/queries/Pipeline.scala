@@ -1029,6 +1029,30 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Stupid Backoff trigram scoring (Brants et al. 2007) — the LM
+    // smoothing DESIGNED for distributed counting: three raw count
+    // tables, no discounting state. The probe appends each doc's
+    // opening bigram plus a novel token, so the gate exercises all
+    // three branches deterministically: seen trigram (original
+    // positions), unseen-trigram -> seen-bigram (the (last, t1, t2)
+    // position: (t1, t2) is the doc's opening bigram), and the
+    // unigram floor (the novel token).
+    "tx19_stupid_backoff" -> { (s, dir) =>
+      val d = graft.engine.Caches.track(docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val m = graft.operators.NgramLm.fitTrigram(d, "toks")
+      val probe = d.select(col("doc_id"),
+        concat(col("toks"), slice(col("toks"), 1, 2),
+          array(lit("graftzz"))).as("toks"))
+      graft.operators.NgramLm.stupidBackoff(probe, "doc_id", "toks", m)
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("mean_log_s"), 6).as("mean_log_s"))
+        .orderBy("doc_id")
+    },
+
     // WITHIN-document repeated-line removal (C4/Gopher boilerplate
     // rule) — first occurrence kept, order preserved, as a row-local
     // fold (no shuffle; cross-document frequency is dd11's job). The
@@ -2008,6 +2032,45 @@ object Pipeline {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          |  ROUND(exp(-AVG(lp)), 6) AS ppl
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tx19_stupid_backoff" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents
+         |           WHERE len($ToksSql) >= 3),
+         |tg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+         |       FROM (SELECT toks,
+         |               unnest(generate_series(1, len(toks) - 2)) AS i
+         |             FROM t)),
+         |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tg GROUP BY w1, w2, w3),
+         |bgp AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |        FROM (SELECT toks,
+         |                unnest(generate_series(1, len(toks) - 1)) AS i
+         |              FROM t)),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bgp GROUP BY w1, w2),
+         |c1 AS (SELECT w, COUNT(*) AS c
+         |       FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |nn AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n FROM t),
+         |probe AS (SELECT doc_id,
+         |    toks || toks[1:2] || ['graftzz'] AS toks FROM t),
+         |ptg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+         |          toks[i + 2] AS w3
+         |        FROM (SELECT doc_id, toks,
+         |                unnest(generate_series(1, len(toks) - 2)) AS i
+         |              FROM probe)),
+         |j AS (SELECT ptg.doc_id, t3.c AS c3v, b12.c AS c12, b23.c AS c23,
+         |        u2.c AS c2v, u3.c AS c3u
+         |  FROM ptg LEFT JOIN c3 t3 USING (w1, w2, w3)
+         |    LEFT JOIN c2 b12 ON ptg.w1 = b12.w1 AND ptg.w2 = b12.w2
+         |    LEFT JOIN c2 b23 ON ptg.w2 = b23.w1 AND ptg.w3 = b23.w2
+         |    LEFT JOIN c1 u2 ON ptg.w2 = u2.w
+         |    LEFT JOIN c1 u3 ON ptg.w3 = u3.w),
+         |s AS (SELECT doc_id, ln(CASE
+         |    WHEN COALESCE(c3v, 0) > 0 THEN c3v::DOUBLE / c12
+         |    WHEN COALESCE(c23, 0) > 0 THEN 0.4 * (c23::DOUBLE / c2v)
+         |    ELSE 0.4 * 0.4 * (GREATEST(COALESCE(c3u, 0), 1)::DOUBLE /
+         |      (SELECT n FROM nn)) END) AS ls FROM j)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         |  ROUND(AVG(ls), 6) AS mean_log_s
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Relational formulation of keep-first-occurrence: min position
     // per (doc, line), re-aggregated in position order. The engine's

@@ -38,6 +38,31 @@ class NgramLmSpec extends AnyFunSuite {
     graft.engine.Caches.release()
   }
 
+  test("stupid backoff takes all three branches with hand-computed scores") {
+    // training: "a b c" x2, "b c d" x1
+    // trigram counts: (a,b,c)=2, (b,c,d)=1; bigrams: (a,b)=2 (b,c)=3 (c,d)=1
+    // unigrams: a=2 b=3 c=3 d=1; N = 9
+    val train = Seq(
+      (1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "c")),
+      (3L, Seq("b", "c", "d"))).toDF("doc_id", "toks")
+    val m = NgramLm.fitTrigram(train, "toks")
+    assert(m.n == 9)
+    val probe = Seq(
+      (10L, Seq("a", "b", "c")), // seen trigram: 2 / c(a,b)=2 -> 1.0
+      (11L, Seq("a", "b", "d")), // unseen tri, seen bigram? (b,d) unseen
+                                 //  -> 0.4 * 0.4 * (c(d)=1)/9
+      (12L, Seq("c", "a", "b")), // unseen tri, (a,b) seen -> 0.4 * 2/2
+      (13L, Seq("a", "b", "zz")) // OOV -> 0.4 * 0.4 * max(0,1)/9
+    ).toDF("doc_id", "toks")
+    val got = NgramLm.stupidBackoff(probe, "doc_id", "toks", m)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("mean_log_s")).toMap
+    assert(math.abs(got(10L) - math.log(1.0)) < 1e-12)
+    assert(math.abs(got(11L) - math.log(0.16 * 1.0 / 9)) < 1e-12)
+    assert(math.abs(got(12L) - math.log(0.4 * 1.0)) < 1e-12)
+    assert(math.abs(got(13L) - math.log(0.16 * 1.0 / 9)) < 1e-12)
+    graft.engine.Caches.release()
+  }
+
   test("an in-distribution doc scores lower perplexity than a shuffled one") {
     val docs = (0 until 60).map { i =>
       (i.toLong, ("the quick brown fox jumps over the lazy dog and " * 3).trim
