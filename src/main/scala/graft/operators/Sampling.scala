@@ -51,6 +51,59 @@ object Sampling {
     df.where(pmod(keyHash(key), lit(buckets)) < cut)
   }
 
+  /** Deterministic seeded global shuffle: returns `df` plus `pos` — the
+    * row's 1-based position in a pseudorandom permutation keyed by
+    * (seed, key). Training pipelines need a reproducible corpus order
+    * (same seed → same order on any layout, any cluster, any engine);
+    * changing the seed re-deals the whole permutation because the seed
+    * is hashed WITH the key, not used as an offset.
+    *
+    * Scale shape: the permutation rank comes from
+    * `RangeRank.globalRowNumber` — range-partition on (hash, key), rank
+    * locally, broadcast per-partition offsets back. The only
+    * global-order work touches #partitions rows; a
+    * `Window.orderBy(hash)` formulation would funnel the corpus
+    * through one task.
+    */
+  def shuffleOrder(df: DataFrame, key: Column, seed: Long): DataFrame = {
+    val h = keyHash(concat(lit(seed.toString), lit(":"), key.cast("string")))
+    RangeRank.globalRowNumber(df.withColumn("_h", h), Seq(col("_h"), key))
+      .withColumnRenamed("grank", "pos")
+      .drop("_h", "gcount")
+  }
+
+  /** Temperature-flattened domain mixture (the multilingual-pretraining
+    * rebalance): domain d is sampled toward share `n_d^tau / sum n^tau`,
+    * so tau = 1 keeps the natural distribution and tau < 1 upweights
+    * small domains at the expense of large ones. Per-domain retention
+    * rate `r_d = min(1, targetFraction * N * n_d^tau / (sum n^tau * n_d))`
+    * — the clamp means oversubscribed small domains keep everything
+    * (rates cannot exceed 1 without replication), the standard
+    * single-pass approximation. Row decisions are [[hashSample]]'s
+    * stable hash-bucket test against the broadcast per-domain rate
+    * table: one metadata-sized aggregate, then a row-local filter.
+    */
+  def temperatureMix(df: DataFrame, domain: Column, key: Column,
+      tau: Double, targetFraction: Double, buckets: Int = 10000): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    require(targetFraction >= 0 && targetFraction <= 1,
+      s"targetFraction out of range: $targetFraction")
+    val cols = df.columns
+    val counts = df.groupBy(domain.as("_dom")).agg(count(lit(1)).as("_n"))
+    val tot = counts.agg(sum(col("_n")).cast("double").as("_tn"),
+      sum(pow(col("_n").cast("double"), tau)).as("_tp"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("_dom"),
+        least(lit(1.0), lit(targetFraction) * col("_tn") *
+          pow(col("_n").cast("double"), tau) /
+          (col("_tp") * col("_n").cast("double"))).as("_rate"))
+    df.withColumn("_dom", domain)
+      .join(broadcast(rates), "_dom" :: Nil)
+      .where(pmod(keyHash(key), lit(buckets)) <
+        floor(col("_rate") * buckets))
+      .select(cols.head, cols.tail: _*)
+  }
+
   /** Deterministic n-per-stratum sample: rows ranked inside each stratum
     * by (key hash, key) — a reproducible shuffle order — and the first n
     * kept.

@@ -1113,6 +1113,29 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Deterministic seeded corpus shuffle — the training-order
+    // permutation every run needs to reproduce. Position comes from the
+    // two-pass RangeRank (global-order work touches #partitions rows);
+    // the oracle's ROW_NUMBER over the same (seed:key) hash must agree
+    // rank-for-rank, which also pins that the permutation is a pure
+    // function of (seed, key), never of layout.
+    "pp07_shuffle_order" -> { (s, dir) =>
+      graft.operators.Sampling.shuffleOrder(
+          docs(s, dir).select(col("doc_id")), col("doc_id"), seed = 42L)
+        .orderBy("doc_id")
+    },
+
+    // Temperature-flattened domain mixture (tau = 0.5): small sources
+    // upweighted toward n^tau shares, rates clamped at 1, membership
+    // decided by the stable hash bucket — one metadata-sized rate
+    // table, then a row-local filter.
+    "pp08_temperature_mix" -> { (s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+          docs(s, dir).select(col("doc_id"), col("source")),
+          col("source"), col("doc_id"), tau = 0.5, targetFraction = 0.3)
+        .orderBy("doc_id")
+    },
+
     // Gopher-style quality rules (Rae et al. 2021 §A1.1): word-count
     // bounds, mean word length, symbol-to-word ratio, alphabetic-word
     // fraction, stopword presence — each rule a flag plus the combined
@@ -2139,6 +2162,26 @@ object Pipeline {
          |    LEFT JOIN ct USING (w1, w2) LEFT JOIN xt USING (w1))
          |SELECT doc_id, ROUND(AVG(lpt) - AVG(lpr), 6) AS dsir_logw
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pp07_shuffle_order" ->
+      """SELECT doc_id, ROW_NUMBER() OVER (ORDER BY
+        |    CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT),
+        |    doc_id) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pp08_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tn,
+        |        SUM(pow(CAST(n AS DOUBLE), 0.5)) AS tp FROM c),
+        |r AS (SELECT source,
+        |    LEAST(1.0, 0.3 * tn * pow(CAST(n AS DOUBLE), 0.5) /
+        |      (tp * CAST(n AS DOUBLE))) AS rate
+        |  FROM c CROSS JOIN t)
+        |SELECT doc_id, source FROM documents JOIN r USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 10000 < floor(rate * 10000)
+        |ORDER BY doc_id""".stripMargin,
 
     "tx13_token_entropy" ->
       s"""WITH x AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),

@@ -120,6 +120,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the offsets-table window keyed by _pid")
   }
 
+  test("pp07 shuffle order never windows the data by its hash") {
+    val p = plan(graft.queries.Pipeline.queries("pp07_shuffle_order")(spark, sf))
+    // the permutation rank must come from the two-pass RangeRank; a
+    // ROW_NUMBER window ordered by the per-row hash would funnel the
+    // corpus through one task
+    assert(!p.matches("(?s).*windowspecdefinition\\(_h#\\d+L? ASC.*"),
+      "global-order window over the data hash is back")
+    assert(p.contains("_pid#"),
+      "expected the offsets-table window keyed by _pid")
+  }
+
+  test("pp08 temperature mix: broadcast rate table, no windows") {
+    val p = plan(graft.queries.Pipeline.queries("pp08_temperature_mix")(spark, sf))
+    // the per-domain rates are metadata-sized and must come back as a
+    // broadcast; a sort-merge join here would shuffle the corpus on the
+    // domain key — the handful-of-reducers cliff
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "rate join shuffles the corpus")
+    assert(!p.contains("windowspecdefinition"),
+      "temperature mix should be window-free")
+  }
+
   test("sketch kernels actually execute in the dd02/dd03 plans") {
     // a revert to the explode+agg signature shape would re-shuffle every
     // (id, hash) pair; the kernel names in the physical plan are the pin

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+import graft.tsdb.TsdbFixtures.spark
+
+/** The deterministic-sampling contracts the gates can't pin directly:
+  * layout independence (same result on any partition count) and the
+  * statistical shape of the temperature mix.
+  */
+class SamplingSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("shuffleOrder is a permutation, reproducible across layouts") {
+    val ids = (0 until 500).map(_.toLong)
+    val a = Sampling.shuffleOrder(ids.toDF("id").repartition(3), $"id", 7L)
+      .select($"id", $"pos").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val b = Sampling.shuffleOrder(ids.toDF("id").repartition(17), $"id", 7L)
+      .select($"id", $"pos").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.map(_._2).sorted.toSeq == (1L to 500L)) // a true permutation
+    assert(a.toMap == b.toMap) // layout-independent
+    // not the identity order (the hash actually shuffles)
+    assert(a.toMap.toSeq.sortBy(_._1).map(_._2) != (1L to 500L))
+    graft.engine.Caches.release()
+  }
+
+  test("shuffleOrder re-deals under a different seed") {
+    val ids = (0 until 500).map(_.toLong).toDF("id")
+    val a = Sampling.shuffleOrder(ids, $"id", 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.shuffleOrder(ids, $"id", 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a != b)
+    graft.engine.Caches.release()
+  }
+
+  test("temperatureMix: tau=1 keeps the natural shares, tau<1 flattens") {
+    // 1800 rows in dom "big", 200 in dom "small"
+    val df = ((0 until 1800).map(i => (i.toLong, "big")) ++
+      (1800 until 2000).map(i => (i.toLong, "small"))).toDF("id", "dom")
+    def shares(tau: Double) = Sampling
+      .temperatureMix(df, $"dom", $"id", tau, targetFraction = 0.4)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nat = shares(1.0)
+    // tau=1: every domain keeps ~ the target fraction (hash-bucket noise)
+    assert(math.abs(nat("big") / 1800.0 - 0.4) < 0.05)
+    assert(math.abs(nat("small") / 200.0 - 0.4) < 0.08)
+    val flat = shares(0.5)
+    // tau=0.5: the small domain's retention RATE must exceed the big
+    // one's — that is the whole point of the temperature
+    assert(flat("small") / 200.0 > flat("big") / 1800.0)
+    // and the small domain keeps more than its natural-share sample
+    assert(flat("small") > nat("small"))
+  }
+
+  test("temperatureMix clamps oversubscribed domains at keep-everything") {
+    // tiny domain + strong flattening: its raw rate exceeds 1
+    val df = ((0 until 1990).map(i => (i.toLong, "big")) ++
+      (1990 until 2000).map(i => (i.toLong, "tiny"))).toDF("id", "dom")
+    val kept = Sampling.temperatureMix(df, $"dom", $"id", tau = 0.1,
+        targetFraction = 0.5)
+      .where($"dom" === "tiny").count()
+    assert(kept == 10L) // every tiny-domain row survives
+  }
+}
