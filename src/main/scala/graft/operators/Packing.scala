@@ -32,4 +32,35 @@ object Packing {
       .withColumn("bin", expr(s"gcum div ${capacity}L"))
       .withColumn("bin_offset", pmod(col("gcum"), lit(capacity)))
   }
+
+  /** The writer-side decomposition of [[pack]]: one row per (document,
+    * context block) the document OVERLAPS — `bin` plus the half-open
+    * token range [span_start, span_start + span_len) the document
+    * contributes to it. A doc straddling block boundaries emits one row
+    * per covered block, exactly the spans a training-sequence writer
+    * materializes; concatenating every block's spans in (gcum) order
+    * reconstructs the token stream. Zero-weight rows contribute nothing
+    * and are dropped.
+    *
+    * Scale: after the two-pass prefix sum the block explode is
+    * row-local, and each document emits at most weight/capacity + 1
+    * rows — output is corpus-token-bound, never quadratic.
+    */
+  def packSpans(df: DataFrame, sortCols: Seq[Column], weightCol: String,
+      capacity: Long, numPartitions: Int = 0): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val n = col(weightCol).cast("long")
+    val packed = pack(df.where(n >= 1), sortCols, weightCol, capacity,
+        numPartitions)
+      .withColumn("_last",
+        expr(s"(gcum + cast($weightCol as bigint) - 1) div ${capacity}L"))
+    packed
+      .withColumn("bin", explode(sequence(col("bin"), col("_last"))))
+      .withColumn("span_start",
+        greatest(lit(0L), col("bin") * capacity - col("gcum")))
+      .withColumn("span_len",
+        least(n, (col("bin") + 1) * capacity - col("gcum")) -
+          col("span_start"))
+      .drop("_last", "bin_offset")
+  }
 }

@@ -1223,6 +1223,19 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Concat-and-cut span decomposition: the (doc, block) rows a
+    // training-sequence writer materializes — docs straddling a block
+    // boundary emit one row per covered block with the token range
+    // contributed. Row-local explode after the two-pass prefix sum;
+    // per-doc output bounded by n_tokens/capacity + 1.
+    "sq02_pack_spans" -> { (s, dir) =>
+      val t = docs(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing.packSpans(t, Seq(col("doc_id")), "n_tokens", 512L)
+        .select(col("doc_id"), col("bin"), col("span_start"), col("span_len"))
+        .orderBy("doc_id", "bin")
+    },
+
     // ---- multimodal (opaque payload) plumbing ----
     "mm01_meta" -> { (s, dir) =>
       docs(s, dir).select(
@@ -2263,6 +2276,23 @@ object Pipeline {
          |SELECT doc_id, n_tokens, gcum, gcum // 2048 AS bin,
          |  gcum % 2048 AS bin_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "sq02_pack_spans" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n
+         |           FROM documents WHERE len($ToksSql) >= 1),
+         |c AS (SELECT doc_id, n,
+         |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS g
+         |  FROM t),
+         |b AS (SELECT doc_id, n, g,
+         |    unnest(generate_series(g // 512, (g + n - 1) // 512)) AS bin
+         |  FROM c)
+         |SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+         |  CAST(GREATEST(0, bin * 512 - g) AS BIGINT) AS span_start,
+         |  CAST(LEAST(n, (bin + 1) * 512 - g) -
+         |    GREATEST(0, bin * 512 - g) AS BIGINT) AS span_len
+         |FROM b ORDER BY doc_id, bin""".stripMargin,
 
     "mm01_meta" ->
       """SELECT doc_id,

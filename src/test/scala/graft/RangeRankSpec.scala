@@ -93,6 +93,27 @@ class RangeRankSpec extends AnyFunSuite {
       (4L, 13L, 2L, 3L)))
   }
 
+  test("Packing.packSpans: straddling docs emit one span per covered block") {
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 6L), (4L, 2L), (5L, 0L))
+      .toDF("id", "w") // prefix sums: 0, 3, 7, 13; zero-weight doc dropped
+    val got = graft.operators.Packing
+      .packSpans(df, Seq($"id"), "w", capacity = 5L)
+      .select($"id", $"bin", $"span_start", $"span_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 3L),            // tokens 0..2 of bin 0
+      (2L, 0L, 0L, 2L), (2L, 1L, 2L, 2L), // straddles 0|1 at token 5
+      (3L, 1L, 0L, 3L), (3L, 2L, 3L, 3L), // straddles 1|2 at token 10
+      (4L, 2L, 0L, 2L)))           // fits inside bin 2
+    // reconstruction invariants: per-doc spans cover the doc exactly,
+    // and every block except the last holds exactly `capacity` tokens
+    val byDoc = got.groupBy(_._1).view.mapValues(_.toList.map(_._4).sum).toMap
+    assert(byDoc == Map(1L -> 3L, 2L -> 4L, 3L -> 6L, 4L -> 2L))
+    val byBin = got.groupBy(_._2).view.mapValues(_.toList.map(_._4).sum).toMap
+    assert(byBin == Map(0L -> 5L, 1L -> 5L, 2L -> 5L))
+    graft.engine.Caches.release()
+  }
+
   test("ntileFromRank + percentRankFromRank equal the window functions") {
     for (n <- Seq(1, 7, 10, 23); k <- Seq(1, 3, 4, 30)) {
       val df = fixture(n)
