@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -259,5 +260,116 @@ class PropertySpec extends AnyFunSuite {
       graft.dedup.Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.3)
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(df1) == pairs(df8))
+  }
+
+  // ---- Stupid Backoff vs a plain-Scala reference ----
+
+  private val sbCorpusGen: Gen[List[List[String]]] = for {
+    nDocs <- Gen.choose(3, 6)
+    docs <- Gen.listOfN(nDocs, for {
+      n <- Gen.choose(1, 8) // sub-trigram docs still feed bigrams/unigrams/N
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield ts)
+  } yield docs
+
+  test("stupid backoff equals the counting reference on random corpora") {
+    import spark.implicits._
+    for (corpus <- samples(sbCorpusGen, 12)) {
+      val train = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "toks")
+      val m = graft.operators.NgramLm.fitTrigram(train, "toks")
+      // probes mix in-vocab docs with an OOV token so every branch runs
+      val probes = corpus.zipWithIndex.map { case (t, i) =>
+        (100L + i, t :+ "oov") }.filter(_._2.size >= 3)
+      if (probes.nonEmpty) {
+        val got = graft.operators.NgramLm
+          .stupidBackoff(probes.toDF("doc_id", "toks"), "doc_id", "toks", m)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getAs[Long]("n_trigrams"), r.getAs[Double]("mean_log_s")))).toMap
+        // plain-Scala reference over the same raw counts
+        val tri = corpus.flatMap(_.sliding(3).filter(_.size == 3))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val bi = corpus.flatMap(_.sliding(2).filter(_.size == 2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val uni = corpus.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val bigN = corpus.map(_.size).sum.toDouble
+        probes.foreach { case (id, toks) =>
+          val ls = toks.sliding(3).filter(_.size == 3).map { w =>
+            val s1 = math.max(uni.getOrElse(w(2), 0L), 1L) / bigN
+            val s2 =
+              if (bi.getOrElse(List(w(1), w(2)), 0L) > 0)
+                bi(List(w(1), w(2))).toDouble / uni(w(1)) // c(w2 w3)/c(w2)
+              else 0.4 * s1
+            val s3 =
+              if (tri.getOrElse(w, 0L) > 0)
+                tri(w).toDouble / bi(List(w(0), w(1)))
+              else 0.4 * s2
+            math.log(s3)
+          }.toList
+          val (n, mean) = got(id)
+          assert(n == ls.size.toLong, s"doc $id trigram count")
+          assert(math.abs(mean - ls.sum / ls.size) < 1e-9,
+            s"doc $id: got $mean want ${ls.sum / ls.size}")
+        }
+      }
+      graft.engine.Caches.release()
+    }
+  }
+
+  // ---- packSpans reconstruction invariants on random weights ----
+
+  private val weightsGen: Gen[List[Long]] = for {
+    n <- Gen.choose(1, 20)
+    ws <- Gen.listOfN(n, Gen.choose(0L, 13L)) // zeros must drop out
+  } yield ws
+
+  test("packSpans partitions the token stream exactly, any weights") {
+    import spark.implicits._
+    for (ws <- samples(weightsGen, 12); cap <- Seq(1L, 5L, 64L)) {
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+      val spans = graft.operators.Packing.packSpans(df, Seq($"id"), "w", cap)
+        .select($"id", $"bin", $"span_start", $"span_len").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val total = ws.sum
+      // per-doc: spans cover [0, w) exactly, in consecutive bins
+      val byDoc = spans.groupBy(_._1)
+      ws.zipWithIndex.foreach { case (w, i) =>
+        val mine = byDoc.getOrElse(i.toLong, Array.empty).sortBy(_._2)
+        if (w == 0) assert(mine.isEmpty, s"zero-weight doc $i emitted spans")
+        else {
+          assert(mine.map(_._4).sum == w, s"doc $i coverage")
+          assert(mine.head._3 == 0L && mine.forall(_._4 > 0), s"doc $i spans")
+          assert(mine.map(_._2).toSeq == (mine.head._2 to mine.last._2).toSeq,
+            s"doc $i bins not consecutive")
+        }
+      }
+      // per-bin: every bin but the last holds exactly `cap` tokens
+      if (total > 0) {
+        val byBin = spans.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+        val lastBin = (total - 1) / cap
+        byBin.foreach { case (b, t) =>
+          if (b < lastBin) assert(t == cap, s"bin $b underfull: $t")
+        }
+        assert(byBin.getOrElse(lastBin, 0L) == total - lastBin * cap)
+      }
+      graft.engine.Caches.release()
+    }
+  }
+
+  test("shuffleOrder equals the window row_number over the same hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 13, 200)) {
+      val df = (0 until n).map(_.toLong).toDF("id")
+      val h = graft.operators.Sampling.keyHash(
+        concat(lit("9:"), $"id".cast("string")))
+      val want = df.withColumn("rn",
+          row_number().over(Window.orderBy(h, $"id")))
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      val got = graft.operators.Sampling.shuffleOrder(df, $"id", 9L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n")
+      graft.engine.Caches.release()
+    }
   }
 }
