@@ -1053,6 +1053,60 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Vocabulary coverage / OOV-rate audit — what a tokenizer change is
+    // judged by. The vocab is the corpus top-k tokens (count desc,
+    // token asc — deterministic under ties, both engines); per-doc OOV
+    // counts come from a broadcast anti-membership join, so the corpus
+    // shuffles once on doc_id and the vocab is plan-literal-sized.
+    // k = 16 of the synthetic corpus's 31 token types, so the gate has
+    // real OOV mass to check (a production call passes k = 32000).
+    "tx20_vocab_coverage" -> { (s, dir) =>
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(16)
+        .select(col("tok"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("in_v").isNull, 1)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .orderBy("doc_id")
+    },
+
+    // Good-Turing count-of-counts over the TRIGRAM type table (the
+    // sparse-count regime GT smoothing exists for — this corpus's 16k
+    // trigram types are mostly singletons): N_r = how many types occur
+    // exactly r times, and the adjusted count r* = (r+1) N_{r+1} / N_r
+    // — the foundation of GT/Katz smoothing and the standard
+    // singleton-mass health check. Two type-bound aggregates; the lead
+    // window orders a table of at most max-frequency rows
+    // (metadata-sized).
+    "tx21_count_of_counts" -> { (s, dir) =>
+      val t = graft.functions.TextFunctions.tokens(col("text"))
+      val len = greatest(size(t) - 2, lit(0))
+      val freqs = docs(s, dir)
+        .select(explode(arrays_zip(
+          slice(t, lit(1), len).as("w1"),
+          slice(t, lit(2), len).as("w2"),
+          slice(t, lit(3), len).as("w3"))).as("tg"))
+        .select(concat_ws(" ", col("tg.w1"), col("tg.w2"), col("tg.w3"))
+          .as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val nr = freqs.groupBy(col("c").as("r"))
+        .agg(count(lit(1)).as("n_r"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("r"))
+      nr.withColumn("_next",
+          when(lead(col("r"), 1).over(w) === col("r") + 1,
+            lead(col("n_r"), 1).over(w)))
+        .where(col("r") <= 5)
+        .select(col("r"), col("n_r"),
+          round((col("r") + 1) * col("_next").cast("double") / col("n_r"), 6)
+            .as("r_star"))
+        .orderBy("r")
+    },
+
     // WITHIN-document repeated-line removal (C4/Gopher boilerplate
     // rule) — first occurrence kept, order preserved, as a row-local
     // fold (no shuffle; cross-document frequency is dd11's job). The
@@ -2107,6 +2161,36 @@ object Pipeline {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
          |  ROUND(AVG(ls), 6) AS mean_log_s
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tx20_vocab_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM toks
+         |            GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 16)),
+         |j AS (SELECT t.doc_id, v.tok AS vt FROM toks t
+         |      LEFT JOIN vocab v ON t.tok = v.tok)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(CASE WHEN vt IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+         |  ROUND(COUNT(CASE WHEN vt IS NULL THEN 1 END)::DOUBLE / COUNT(*), 6)
+         |    AS oov_rate
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tx21_count_of_counts" ->
+      s"""WITH t AS (SELECT $ToksSql AS toks FROM documents),
+         |tg AS (SELECT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+         |         AS tok
+         |       FROM (SELECT toks,
+         |               unnest(generate_series(1, len(toks) - 2)) AS i
+         |             FROM t)),
+         |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM tg GROUP BY tok),
+         |nr AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+         |       FROM f GROUP BY c),
+         |x AS (SELECT r, n_r,
+         |        CASE WHEN lead(r, 1) OVER (ORDER BY r) = r + 1
+         |             THEN lead(n_r, 1) OVER (ORDER BY r) END AS nxt
+         |      FROM nr)
+         |SELECT r, n_r, ROUND((r + 1) * nxt::DOUBLE / n_r, 6) AS r_star
+         |FROM x WHERE r <= 5 ORDER BY r""".stripMargin,
 
     // Relational formulation of keep-first-occurrence: min position
     // per (doc, line), re-aggregated in position order. The engine's
