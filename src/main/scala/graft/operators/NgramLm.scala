@@ -77,9 +77,9 @@ object NgramLm {
         col("tg.w3").as("w3"): _*)
   }
 
-  /** Train the three count tables; trigram and bigram tables are
-    * persisted (the score plan reads each once, the bigram table
-    * twice: as numerator and as trigram denominator).
+  /** Train the three count tables; all three are persisted — the score
+    * plan reads the trigram table once, and the bigram AND unigram
+    * tables twice each (numerator + lower-order denominator).
     */
   def fitTrigram(docs: DataFrame, toksCol: String): Model3 = {
     val tri = graft.engine.Caches.track(
@@ -91,9 +91,13 @@ object NgramLm {
       bigramPairs(docs, Seq.empty, toksCol)
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val uni = docs.select(explode(col(toksCol)).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val n = docs.select(sum(size(col(toksCol)))).head().getLong(0)
+    val uni = graft.engine.Caches.track(
+      docs.select(explode(col(toksCol)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // coalesce: SUM over zero rows (empty or all-null corpus) is null
+    val n = docs.select(coalesce(sum(size(col(toksCol))), lit(0L)))
+      .head().getLong(0)
     Model3(tri, bi, uni, n)
   }
 
@@ -108,6 +112,7 @@ object NgramLm {
     */
   def stupidBackoff(docs: DataFrame, idCol: String, toksCol: String,
       m: Model3, alpha: Double = 0.4): DataFrame = {
+    require(m.n > 0, "model was fit on an empty corpus (n = 0)")
     val triples = trigramTriples(docs, Seq(col(idCol)), toksCol)
     val joined = triples
       .join(m.trigrams.select(col("w1"), col("w2"), col("w3"),

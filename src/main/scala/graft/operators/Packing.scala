@@ -39,8 +39,9 @@ object Packing {
     * contributes to it. A doc straddling block boundaries emits one row
     * per covered block, exactly the spans a training-sequence writer
     * materializes; concatenating every block's spans in (gcum) order
-    * reconstructs the token stream. Zero-weight rows contribute nothing
-    * and are dropped.
+    * reconstructs the token stream. Rows with weight < 1 — zero, null,
+    * or (upstream-bug) negative — contribute nothing and are dropped;
+    * plain [[pack]] is the variant that surfaces them.
     *
     * Scale: after the two-pass prefix sum the block explode is
     * row-local, and each document emits at most weight/capacity + 1

@@ -58,6 +58,11 @@ object Sampling {
     * changing the seed re-deals the whole permutation because the seed
     * is hashed WITH the key, not used as an offset.
     *
+    * `key` MUST be unique per row: the permutation order is the total
+    * order (hash, key), and duplicate keys tie — tied rows would rank
+    * in partition-arrival order, which is exactly the layout dependence
+    * this operator exists to prevent.
+    *
     * Scale shape: the permutation rank comes from
     * `RangeRank.globalRowNumber` — range-partition on (hash, key), rank
     * locally, broadcast per-partition offsets back. The only
@@ -66,6 +71,9 @@ object Sampling {
     * through one task.
     */
   def shuffleOrder(df: DataFrame, key: Column, seed: Long): DataFrame = {
+    val reserved = Set("_h", "pos", "grank", "gcount")
+    require(!df.columns.exists(reserved),
+      s"input must not carry the reserved columns ${reserved.mkString(", ")}")
     val h = keyHash(concat(lit(seed.toString), lit(":"), key.cast("string")))
     RangeRank.globalRowNumber(df.withColumn("_h", h), Seq(col("_h"), key))
       .withColumnRenamed("grank", "pos")
@@ -79,9 +87,10 @@ object Sampling {
     * rate `r_d = min(1, targetFraction * N * n_d^tau / (sum n^tau * n_d))`
     * — the clamp means oversubscribed small domains keep everything
     * (rates cannot exceed 1 without replication), the standard
-    * single-pass approximation. Row decisions are [[hashSample]]'s
-    * stable hash-bucket test against the broadcast per-domain rate
-    * table: one metadata-sized aggregate, then a row-local filter.
+    * single-pass approximation. Row decisions are the same stable
+    * hash-bucket test as [[hashSample]], with a FLOOR cutoff (never
+    * keeps more than the rate, where the fixed-fraction samplers
+    * round): one metadata-sized aggregate, then a row-local filter.
     */
   def temperatureMix(df: DataFrame, domain: Column, key: Column,
       tau: Double, targetFraction: Double, buckets: Int = 10000): DataFrame = {
@@ -89,7 +98,12 @@ object Sampling {
     require(targetFraction >= 0 && targetFraction <= 1,
       s"targetFraction out of range: $targetFraction")
     val cols = df.columns
-    val counts = df.groupBy(domain.as("_dom")).agg(count(lit(1)).as("_n"))
+    // persisted: the totals aggregate below re-evaluates this subtree
+    // otherwise (exchange reuse does not kick in — the RangeRank trap),
+    // and each evaluation is a full corpus scan
+    val counts = graft.engine.Caches.track(
+      df.groupBy(domain.as("_dom")).agg(count(lit(1)).as("_n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val tot = counts.agg(sum(col("_n")).cast("double").as("_tn"),
       sum(pow(col("_n").cast("double"), tau)).as("_tp"))
     val rates = counts.crossJoin(broadcast(tot))

@@ -1032,11 +1032,12 @@ object Pipeline {
     // Stupid Backoff trigram scoring (Brants et al. 2007) — the LM
     // smoothing DESIGNED for distributed counting: three raw count
     // tables, no discounting state. The probe appends each doc's
-    // opening bigram plus a novel token, so the gate exercises all
-    // three branches deterministically: seen trigram (original
-    // positions), unseen-trigram -> seen-bigram (the (last, t1, t2)
-    // position: (t1, t2) is the doc's opening bigram), and the
-    // unigram floor (the novel token).
+    // opening bigram plus a novel token: the original positions hit
+    // the seen-trigram branch, the appended (last, t1, t2) position
+    // usually backs off to the seen (t1, t2) bigram (it can be a real
+    // corpus trigram for periodic text — the oracle agrees either
+    // way; NgramLmSpec pins each branch by hand), and the novel token
+    // always lands on the unigram floor.
     "tx19_stupid_backoff" -> { (s, dir) =>
       val d = graft.engine.Caches.track(docs(s, dir)
         .select(col("doc_id"),
@@ -1182,7 +1183,11 @@ object Pipeline {
     // Temperature-flattened domain mixture (tau = 0.5): small sources
     // upweighted toward n^tau shares, rates clamped at 1, membership
     // decided by the stable hash bucket — one metadata-sized rate
-    // table, then a row-local filter.
+    // table, then a row-local filter. The floor(rate*buckets) cutoff
+    // sits on a double derived from a cross-domain SUM(pow), the same
+    // engine-order boundary class pp03 accepts (flip probability
+    // ~2^-40 per domain; the decimal-cast hardening in the gotchas
+    // note applies if it ever fires).
     "pp08_temperature_mix" -> { (s, dir) =>
       graft.operators.Sampling.temperatureMix(
           docs(s, dir).select(col("doc_id"), col("source")),

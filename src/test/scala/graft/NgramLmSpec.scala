@@ -63,6 +63,16 @@ class NgramLmSpec extends AnyFunSuite {
     graft.engine.Caches.release()
   }
 
+  test("fitTrigram on an empty corpus yields n = 0 and scoring refuses") {
+    val empty = Seq.empty[(Long, Seq[String])].toDF("doc_id", "toks")
+    val m = NgramLm.fitTrigram(empty, "toks") // must not NPE on SUM-of-nothing
+    assert(m.n == 0)
+    intercept[IllegalArgumentException] {
+      NgramLm.stupidBackoff(empty, "doc_id", "toks", m)
+    }
+    graft.engine.Caches.release()
+  }
+
   test("an in-distribution doc scores lower perplexity than a shuffled one") {
     val docs = (0 until 60).map { i =>
       (i.toLong, ("the quick brown fox jumps over the lazy dog and " * 3).trim
