@@ -324,6 +324,19 @@ object Pipeline {
       Dedup.components(pairs).orderBy("id")
     },
 
+    // The report every dedup run ships: the duplicate-cluster size
+    // histogram (how many clusters of 2, of 3, ...) over the same
+    // components output as dd07. Two shrinking aggregates on top of
+    // the edge-list components — the histogram is at most
+    // max-cluster-size rows.
+    "dd19_cluster_sizes" -> { (s, dir) =>
+      val pairs = Dedup.jaccardPairsFromShingles(tripleShingles(s, dir), threshold = 0.5)
+      Dedup.components(pairs)
+        .groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+
     // The end-to-end dedup surface: the corpus AFTER keep-one-per-cluster
     // — every doc whose cluster representative is another doc is dropped,
     // singletons (no near-dup) survive untouched. One anti-join over the
@@ -1476,6 +1489,28 @@ object Pipeline {
          |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id, MIN(label) AS rep FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
+
+    "dd19_cluster_sizes" ->
+      s"""WITH RECURSIVE $CorpusTripleSql,
+         |tk AS (SELECT doc_id AS id, $ToksSql AS toks FROM corpus),
+         |sh AS (SELECT id, ${hashesSql(shinglesSql("toks"))} AS shs FROM tk),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM sh a JOIN sh b ON a.id < b.id
+         |  WHERE len(a.shs) > 0 AND len(b.shs) > 0
+         |    AND len(a.shs) >= len(b.shs) * 0.5 AND len(b.shs) >= len(a.shs) * 0.5
+         |    AND len(list_intersect(a.shs, b.shs))::DOUBLE /
+         |        len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+         |comp AS (SELECT id, MIN(label) AS rep FROM reach GROUP BY id),
+         |cs AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM comp GROUP BY rep)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "dd08_keep_one" ->
       s"""WITH RECURSIVE $CorpusNearSql,
