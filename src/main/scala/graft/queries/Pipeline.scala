@@ -865,6 +865,27 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // The capstone composition: curated keep-one corpus -> seeded
+    // training-order shuffle -> writer-ready packed spans. One gate
+    // pins the whole "corpus in, ordered context blocks out" path:
+    // curate's kept/sampled set (pp01's machinery, shared shingle
+    // pass), a deterministic permutation of it (pp07's two-pass rank),
+    // and the (doc, block) span rows in THAT order (sq02's explode).
+    "pp09_training_order" -> { (s, dir) =>
+      val curated = graft.operators.Curation.curate(
+          corpusNear(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          shingles = Some(nearShingles(s, dir)))
+        .select(col("doc_id"), col("n_tokens"))
+      val ordered = graft.operators.Sampling.shuffleOrder(
+        curated, col("doc_id"), seed = 7L)
+      graft.operators.Packing.packSpans(
+          ordered, Seq(col("pos")), "n_tokens", 256L)
+        .select(col("doc_id"), col("pos"), col("bin"),
+          col("span_start"), col("span_len"))
+        .orderBy("doc_id", "bin")
+    },
+
     // Per-source token-budget capping: each source contributes documents
     // in doc_id order until its token budget is exhausted (the corpus
     // mixture-control step before packing). The per-group prefix sum is
@@ -2036,6 +2057,60 @@ object Pipeline {
          |  FROM samp)
          |SELECT doc_id, n_tokens, gcum, gcum // 2048 AS bin
          |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "pp09_training_order" ->
+      s"""WITH RECURSIVE $CorpusNearSql,
+         |t AS (SELECT doc_id, text, $ToksSql AS toks FROM corpus),
+         |m AS (SELECT doc_id, toks,
+         |  len(toks)::DOUBLE AS n_tokens,
+         |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)::DOUBLE AS avg_len,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)::DOUBLE AS digits
+         |  FROM t),
+         |kept AS (SELECT doc_id, toks FROM m
+         |  WHERE least(1.0, n_tokens / 200.0) * 0.5 + (1.0 - digits) * 0.3 +
+         |        least(1.0, avg_len / 8.0) * 0.2 >= 0.55),
+         |sh AS (SELECT doc_id AS id, ${hashesSql(shinglesSql("toks"))} AS shs
+         |       FROM kept),
+         |shn AS (SELECT id, shs FROM sh WHERE len(shs) > 0),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM shn a JOIN shn b ON a.id < b.id
+         |  WHERE len(a.shs) >= len(b.shs) * 0.5 AND len(b.shs) >= len(a.shs) * 0.5
+         |    AND len(list_intersect(a.shs, b.shs))::DOUBLE /
+         |        len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+         |nonrep AS (SELECT id FROM (
+         |  SELECT id, MIN(label) AS rep FROM reach GROUP BY id)
+         |  WHERE rep != id),
+         |keep1 AS (SELECT doc_id, toks FROM kept
+         |  WHERE doc_id NOT IN (SELECT id FROM nonrep)),
+         |samp AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |  FROM keep1
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |        % 10000 < 5000),
+         |ord AS (SELECT doc_id, n_tokens,
+         |  ROW_NUMBER() OVER (ORDER BY
+         |    CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |         AS BIGINT),
+         |    doc_id) AS pos
+         |  FROM samp),
+         |c AS (SELECT doc_id, pos, n_tokens AS n,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS g
+         |  FROM ord WHERE n_tokens >= 1),
+         |b AS (SELECT doc_id, pos, n, g,
+         |    unnest(generate_series(g // 256, (g + n - 1) // 256)) AS bin
+         |  FROM c)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(bin AS BIGINT) AS bin,
+         |  CAST(GREATEST(0, bin * 256 - g) AS BIGINT) AS span_start,
+         |  CAST(LEAST(n, (bin + 1) * 256 - g) -
+         |    GREATEST(0, bin * 256 - g) AS BIGINT) AS span_len
+         |FROM b ORDER BY doc_id, bin""".stripMargin,
 
     "pp02_token_budget" ->
       s"""WITH t AS (SELECT doc_id, source,
