@@ -142,6 +142,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "temperature mix should be window-free")
   }
 
+  test("dd19 cluster histogram is window-free shrinking aggregation") {
+    val p = plan(graft.queries.Pipeline.queries("dd19_cluster_sizes")(spark, sf))
+    // components is iterative equi-joins; the two histogram aggregates
+    // shrink — nothing here should ever order data through a window
+    assert(!p.contains("windowspecdefinition"), "unexpected window in dd19")
+  }
+
+  test("pp09 training order: every window orders an offsets table") {
+    val df = graft.queries.Pipeline.queries("pp09_training_order")(spark, sf)
+    val p = plan(df)
+    // the composition runs shuffleOrder + packSpans, each of which is
+    // allowed exactly the metadata-sized per-partition offsets window
+    // (ordered by _pid); any other window means a data-order regression
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty, "expected the RangeRank offsets windows")
+    specs.foreach { w =>
+      assert(w.contains("_pid#") || w.contains("1 ASC"),
+        s"window over data columns: $w")
+    }
+  }
+
   test("sketch kernels actually execute in the dd02/dd03 plans") {
     // a revert to the explode+agg signature shape would re-shuffle every
     // (id, hash) pair; the kernel names in the physical plan are the pin
