@@ -103,6 +103,22 @@ object Pipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** The full curate() output (doc_id, n_tokens, gcum, bin, bin_offset),
+    * computed once per (session, sf dir): pp01 reports it directly and
+    * pp09 re-orders its (doc_id, n_tokens) — curate is deterministic,
+    * so sharing the materialized result is semantics-preserving, and
+    * the quality + keep-one + sample chain is the dominant cost of
+    * both gates (same principle as the shingle/banding caches).
+    */
+  private def curated(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(System.identityHashCode(s) + "|cur|" + dir, {
+      graft.operators.Curation.curate(
+          corpusNear(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          shingles = Some(nearShingles(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** The planted embedding corpus (originals + exact copies of every
     * 50th vector) ASSIGNED to IVF cells, computed once per (session,
     * sf dir): dd05's pair search, dd06's explicit-fit variant, and
@@ -857,10 +873,7 @@ object Pipeline {
     // elsewhere; this gate proves they compose, against one SQL oracle
     // that rebuilds the whole pipeline with a recursive CTE.
     "pp01_curation" -> { (s, dir) =>
-      graft.operators.Curation.curate(
-          corpusNear(s, dir).select(col("doc_id"), col("text")),
-          "doc_id", "text",
-          shingles = Some(nearShingles(s, dir)))
+      curated(s, dir)
         .select(col("doc_id"), col("n_tokens"), col("gcum"), col("bin"))
         .orderBy("doc_id")
     },
@@ -872,13 +885,9 @@ object Pipeline {
     // pass), a deterministic permutation of it (pp07's two-pass rank),
     // and the (doc, block) span rows in THAT order (sq02's explode).
     "pp09_training_order" -> { (s, dir) =>
-      val curated = graft.operators.Curation.curate(
-          corpusNear(s, dir).select(col("doc_id"), col("text")),
-          "doc_id", "text",
-          shingles = Some(nearShingles(s, dir)))
-        .select(col("doc_id"), col("n_tokens"))
       val ordered = graft.operators.Sampling.shuffleOrder(
-        curated, col("doc_id"), seed = 7L)
+        curated(s, dir).select(col("doc_id"), col("n_tokens")),
+        col("doc_id"), seed = 7L)
       graft.operators.Packing.packSpans(
           ordered, Seq(col("pos")), "n_tokens", 256L)
         .select(col("doc_id"), col("pos"), col("bin"),
