@@ -210,6 +210,47 @@ object Pipeline {
   private val ToksSql = "regexp_extract_all(text, '[^\\s]+')"
 
   /** word 3-gram shingles of a token list column named `toks`. */
+  /** The quality -> keep-one -> sample CTE chain shared by the pp01 and
+    * pp09 oracles (mirrors `Curation.curate` with default Opts; defined
+    * ONCE so a curation-semantics change cannot silently update one
+    * oracle and not the other). Expects a `corpus` CTE in scope; ends
+    * at `samp (doc_id, n_tokens)`. Pre-stripped — safe to interpolate
+    * into a stripMargin string.
+    */
+  private def curateSampSql: String =
+    s"""t AS (SELECT doc_id, text, $ToksSql AS toks FROM corpus),
+       |m AS (SELECT doc_id, toks,
+       |  len(toks)::DOUBLE AS n_tokens,
+       |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)::DOUBLE AS avg_len,
+       |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)::DOUBLE AS digits
+       |  FROM t),
+       |kept AS (SELECT doc_id, toks FROM m
+       |  WHERE least(1.0, n_tokens / 200.0) * 0.5 + (1.0 - digits) * 0.3 +
+       |        least(1.0, avg_len / 8.0) * 0.2 >= 0.55),
+       |sh AS (SELECT doc_id AS id, ${hashesSql(shinglesSql("toks"))} AS shs
+       |       FROM kept),
+       |shn AS (SELECT id, shs FROM sh WHERE len(shs) > 0),
+       |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM shn a JOIN shn b ON a.id < b.id
+       |  WHERE len(a.shs) >= len(b.shs) * 0.5 AND len(b.shs) >= len(a.shs) * 0.5
+       |    AND len(list_intersect(a.shs, b.shs))::DOUBLE /
+       |        len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |nonrep AS (SELECT id FROM (
+       |  SELECT id, MIN(label) AS rep FROM reach GROUP BY id)
+       |  WHERE rep != id),
+       |keep1 AS (SELECT doc_id, toks FROM kept
+       |  WHERE doc_id NOT IN (SELECT id FROM nonrep)),
+       |samp AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM keep1
+       |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |        % 10000 < 5000)""".stripMargin
+
   private def shinglesSql(toks: String): String =
     s"list_distinct(list_transform(range(1, greatest(len($toks) - 1, 1)), " +
       s"i -> array_to_string($toks[i:i+2], ' ')))"
@@ -2027,38 +2068,7 @@ object Pipeline {
 
     "pp01_curation" ->
       s"""WITH RECURSIVE $CorpusNearSql,
-         |t AS (SELECT doc_id, text, $ToksSql AS toks FROM corpus),
-         |m AS (SELECT doc_id, toks,
-         |  len(toks)::DOUBLE AS n_tokens,
-         |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)::DOUBLE AS avg_len,
-         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)::DOUBLE AS digits
-         |  FROM t),
-         |kept AS (SELECT doc_id, toks FROM m
-         |  WHERE least(1.0, n_tokens / 200.0) * 0.5 + (1.0 - digits) * 0.3 +
-         |        least(1.0, avg_len / 8.0) * 0.2 >= 0.55),
-         |sh AS (SELECT doc_id AS id, ${hashesSql(shinglesSql("toks"))} AS shs
-         |       FROM kept),
-         |shn AS (SELECT id, shs FROM sh WHERE len(shs) > 0),
-         |pairs AS (SELECT a.id AS id_a, b.id AS id_b
-         |  FROM shn a JOIN shn b ON a.id < b.id
-         |  WHERE len(a.shs) >= len(b.shs) * 0.5 AND len(b.shs) >= len(a.shs) * 0.5
-         |    AND len(list_intersect(a.shs, b.shs))::DOUBLE /
-         |        len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-         |nonrep AS (SELECT id FROM (
-         |  SELECT id, MIN(label) AS rep FROM reach GROUP BY id)
-         |  WHERE rep != id),
-         |keep1 AS (SELECT doc_id, toks FROM kept
-         |  WHERE doc_id NOT IN (SELECT id FROM nonrep)),
-         |samp AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
-         |  FROM keep1
-         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-         |        % 10000 < 5000),
+         |$curateSampSql,
          |cum AS (SELECT doc_id, n_tokens,
          |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -2069,38 +2079,7 @@ object Pipeline {
 
     "pp09_training_order" ->
       s"""WITH RECURSIVE $CorpusNearSql,
-         |t AS (SELECT doc_id, text, $ToksSql AS toks FROM corpus),
-         |m AS (SELECT doc_id, toks,
-         |  len(toks)::DOUBLE AS n_tokens,
-         |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)::DOUBLE AS avg_len,
-         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)::DOUBLE AS digits
-         |  FROM t),
-         |kept AS (SELECT doc_id, toks FROM m
-         |  WHERE least(1.0, n_tokens / 200.0) * 0.5 + (1.0 - digits) * 0.3 +
-         |        least(1.0, avg_len / 8.0) * 0.2 >= 0.55),
-         |sh AS (SELECT doc_id AS id, ${hashesSql(shinglesSql("toks"))} AS shs
-         |       FROM kept),
-         |shn AS (SELECT id, shs FROM sh WHERE len(shs) > 0),
-         |pairs AS (SELECT a.id AS id_a, b.id AS id_b
-         |  FROM shn a JOIN shn b ON a.id < b.id
-         |  WHERE len(a.shs) >= len(b.shs) * 0.5 AND len(b.shs) >= len(a.shs) * 0.5
-         |    AND len(list_intersect(a.shs, b.shs))::DOUBLE /
-         |        len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-         |nonrep AS (SELECT id FROM (
-         |  SELECT id, MIN(label) AS rep FROM reach GROUP BY id)
-         |  WHERE rep != id),
-         |keep1 AS (SELECT doc_id, toks FROM kept
-         |  WHERE doc_id NOT IN (SELECT id FROM nonrep)),
-         |samp AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
-         |  FROM keep1
-         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-         |        % 10000 < 5000),
+         |$curateSampSql,
          |ord AS (SELECT doc_id, n_tokens,
          |  ROW_NUMBER() OVER (ORDER BY
          |    CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))

@@ -158,7 +158,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
     assert(specs.nonEmpty, "expected the RangeRank offsets windows")
     specs.foreach { w =>
-      assert(w.contains("_pid#") || w.contains("1 ASC"),
+      // exact-prefix match for RangeRank's literal Window.orderBy(lit(1));
+      // a bare contains("1 ASC") would also match any data column whose
+      // expression id happens to end in 1
+      assert(w.contains("_pid#") || w.startsWith("windowspecdefinition(1 ASC"),
         s"window over data columns: $w")
     }
   }
