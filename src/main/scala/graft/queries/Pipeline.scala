@@ -1279,6 +1279,19 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Training-objective prep: T5-style span corruption, re-designed
+    // block-deterministic — one content-hash-offset 3-token span masked
+    // per 16-token block (~19% density), sentinel-numbered input/target
+    // pair per doc. Row-local end to end; bit-identical on any layout.
+    "pp10_span_corrupt" -> { (s, dir) =>
+      val t = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+      graft.operators.Masking.spanCorrupt(t, "doc_id", "toks",
+          block = 16, span = 3, seed = "span")
+        .select(col("doc_id"), col("n_masked"), col("masked_input"),
+          col("targets"))
+        .orderBy("doc_id")
+    },
+
     // Gopher-style quality rules (Rae et al. 2021 §A1.1): word-count
     // bounds, mean word length, symbol-to-word ratio, alphabetic-word
     // fraction, stopword presence — each rule a flag plus the combined
@@ -2382,6 +2395,38 @@ object Pipeline {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |        AS BIGINT) % 10000 < floor(rate * 10000)
         |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Masking.spanCorrupt(block=16, span=3, seed="span"):
+    // offs[k+1] is the masked-span offset in block k, NULL for a tail
+    // block shorter than the span (which passes through unmasked).
+    "pp10_span_corrupt" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, len(toks) AS n,
+         |      (len(toks) + 15) // 16 AS nb FROM t),
+         |m AS (SELECT doc_id, toks, n,
+         |    list_transform(range(0, nb), k ->
+         |      CASE WHEN least(16, n - k * 16) >= 3 THEN
+         |        CAST(('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR)
+         |          || ':' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+         |        % (least(16, n - k * 16) - 2)
+         |      ELSE NULL END) AS offs
+         |  FROM c)
+         |SELECT doc_id,
+         |  CAST(3 * len(list_filter(offs, o -> o IS NOT NULL)) AS INT)
+         |    AS n_masked,
+         |  array_to_string(flatten(list_transform(range(0, len(offs)), k ->
+         |    CASE WHEN offs[k + 1] IS NULL
+         |    THEN toks[k * 16 + 1 : k * 16 + least(16, n - k * 16)]
+         |    ELSE toks[k * 16 + 1 : k * 16 + offs[k + 1]]
+         |      || ['<extra_id_' || CAST(k AS VARCHAR) || '>']
+         |      || toks[k * 16 + offs[k + 1] + 4 : k * 16 + least(16, n - k * 16)]
+         |    END)), ' ') AS masked_input,
+         |  array_to_string(flatten(list_transform(range(0, len(offs)), k ->
+         |    CASE WHEN offs[k + 1] IS NULL THEN []
+         |    ELSE ['<extra_id_' || CAST(k AS VARCHAR) || '>']
+         |      || toks[k * 16 + offs[k + 1] + 1 : k * 16 + offs[k + 1] + 3]
+         |    END)), ' ') AS targets
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "tx13_token_entropy" ->
       s"""WITH x AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),

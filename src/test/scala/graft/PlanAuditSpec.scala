@@ -301,6 +301,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "row-local extraction must not hash-shuffle")
   }
 
+  test("pp10 span corruption is row-local: no joins, windows, or shuffles") {
+    val p = plan(graft.queries.Pipeline.queries("pp10_span_corrupt")(spark, sf))
+    // match join OPERATORS, not the substring "join" (array_join is fine)
+    Seq("sortmergejoin", "broadcasthashjoin", "shuffledhashjoin",
+        "cartesianproduct", "nestedloop").foreach(op =>
+      assert(!p.contains(op), s"objective prep must not $op"))
+    assert(!p.contains("windowspecdefinition"),
+      "objective prep must stay pure column math")
+    assert(!p.contains("hashpartitioning"),
+      "row-local masking must not hash-shuffle")
+  }
+
   test("tx16 LM scoring: equi-joins only, map-side partial aggregation") {
     val p = plan(graft.queries.Pipeline.queries("tx16_bigram_ppl")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
