@@ -52,11 +52,10 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // 4-decimal times (0.1 ms resolution): the driver keeps only a
-    // bounded stdout tail, and 121 queries at full double precision
-    // overflow it — the whole line must stay comfortably under ~4 KB.
+    // 3-decimal times (1 ms resolution): the driver keeps only a
+    // 2000-char stdout tail, so precision buys nothing past the window.
     def fmt(v: Double): String =
-      if (v < 0) "-1" else "%.4f".formatLocal(java.util.Locale.ROOT, v)
+      if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -94,19 +93,44 @@ object Bench {
 
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""ingest_rows_per_sec":$ingest,"sf":"$sfDir"}"""
-    // Persist the full JSON as a committed file artifact too: the
-    // driver's stdout tail-capture has truncated the per-query map
-    // before (BENCH_r03 lost the first 27 timings), and a file
-    // survives that.
+    // Persist the FULL JSON as a committed file artifact: the driver's
+    // stdout capture keeps only the LAST 2000 chars, and the full
+    // 140-query map (query names alone sum to ~2 KB) can never fit it.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json"))
     java.nio.file.Files.writeString(out, json + "\n")
     System.err.println(s"[bench] full JSON written to ${out.toAbsolutePath}")
+
+    // Compact stdout line, budgeted to fit the driver's 2000-char tail
+    // window so BENCH_r{N}.json finally parses: total + ingest +
+    // per-family subtotals always; then individual queries slowest-first
+    // until the budget is reached. The committed BENCH.json above keeps
+    // every per-query time.
+    val fams = results.filter(_._2 >= 0)
+      .groupBy { case (n, _) => n.takeWhile(!_.isDigit) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => "\"" + f + "\":" + fmt(rs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
+      s""""families":$fams,"full":"BENCH.json","ingest_rows_per_sec":$ingest,""" +
+      s""""sf":"$sfDir","queries":{"""
+    val tailStr = "}}"
+    val budget = 1900 - head.length - tailStr.length
+    val entries = results.sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val kept = new StringBuilder
+    entries.foreach { e =>
+      val add = e.length + (if (kept.nonEmpty) 1 else 0)
+      if (kept.length + add <= budget) {
+        if (kept.nonEmpty) kept.append(','); kept.append(e)
+      }
+    }
+    val compact = head + kept.result() + tailStr
     spark.stop()
     // LAST stdout line, after spark.stop(), so nothing can print after
     // it — the driver parses the tail of stdout (build.sbt suppresses
     // sbt's own "[success]" epilogue via showSuccess := false).
-    println(json)
+    println(compact)
     Console.out.flush()
   }
 }
