@@ -1,6 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_millis}
+import org.apache.spark.sql.types.LongType
 
 /** Session + table helpers shared by SparkEntry / Verify / Bench / tests.
   *
@@ -24,8 +26,9 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
-      // type for; read it as a Long of epoch-nanos and convert explicitly.
+      // Older testdata generations carried TIMESTAMP(NANOS), which Spark
+      // has no native type for; keep the flag so those read as an
+      // epoch-nanos Long (Graft.tsMillis handles either physical type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -48,6 +51,21 @@ object Graft {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Epoch-millis projection of the events `ts` column, robust to the
+    * physical parquet type the generator happened to use:
+    *  - TIMESTAMP(NANOS) has no native Spark type and reads as an
+    *    epoch-nanos Long under `nanosAsLong` → divide to ms;
+    *  - TIMESTAMP(MICROS/MILLIS) reads as a native timestamp
+    *    (NTZ or LTZ) → `unix_millis` after a cast that is exact because
+    *    every session here pins UTC.
+    * Stays a plain codegen'd projection either way, so pushdown and
+    * pruning through it are unaffected.
+    */
+  def tsMillis(events: DataFrame): Column = events.schema("ts").dataType match {
+    case LongType => expr("ts div 1000000")
+    case _ => unix_millis(col("ts").cast("timestamp"))
+  }
 
   /** Restore scan parallelism for CPU-heavy per-row passes when the
     * source is a handful of unsplittable files (single-row-group parquet

@@ -1404,11 +1404,19 @@ object Pipeline {
     },
 
     // Corpus-wide bigram frequency (raw counts — shingles NOT deduped).
+    // The shuffle key is the 64-bit hash of the bigram, not the bigram
+    // string: map-side combine then ships (hash, exemplar, partial count)
+    // once per distinct bigram per partition, and the sort/exchange
+    // compares 8-byte keys instead of full text bigrams — same trick the
+    // shingle passes use. min() (not first()) keeps the exemplar
+    // deterministic; a 64-bit collision would need ~4B distinct bigrams
+    // (birthday bound) to reach even 50% likelihood corpus-wide.
     "tx05_top_bigrams" -> { (s, dir) =>
       docs(s, dir)
         .select(explode(wordShingles(tokens(col("text")), 2)).as("bigram"))
-        .groupBy("bigram")
-        .agg(count(lit(1)).as("n"))
+        .groupBy(xxhash64(col("bigram")).as("h"))
+        .agg(min(col("bigram")).as("bigram"), count(lit(1)).as("n"))
+        .select(col("bigram"), col("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
     },

@@ -322,8 +322,9 @@ object Relational {
     // user over the events stream — lag + cumulative flag sum.
     "q25_sessionize" -> { (s, dir) =>
       import s.implicits._
-      val ev = table(s, dir, "events")
-        .select($"user_id", expr("ts div 1000000").as("t"))
+      val raw = table(s, dir, "events")
+      val ev = raw
+        .select($"user_id", graft.engine.Graft.tsMillis(raw).as("t"))
       val byUser = Window.partitionBy($"user_id").orderBy($"t")
       val sess = ev
         .withColumn("gap",

@@ -14,8 +14,9 @@ import graft.tsdb.{StreamCatalog, StreamDef, TsdbEngine, VType}
   * name=event_type, labels={user: user_id}, timestamp=epoch-ms.
   *
   * The oracles re-derive the same semantics in portable SQL (DuckDB):
-  * epoch_ns(ts)//1000000 mirrors the Spark-side `ts div 1000000` (the
-  * parquet column is TIMESTAMP(NANOS), read as a nanos Long — see Graft).
+  * epoch_ns(ts)//1000000 mirrors the Spark-side epoch-ms projection
+  * (Graft.tsMillis — robust to either physical ts type the generator
+  * has used: TIMESTAMP(NANOS)-as-Long or a native timestamp).
   */
 object TimeSeries {
 
@@ -31,12 +32,14 @@ object TimeSeries {
       .map(n => StreamDef(n, Map.empty, VType.F64)))
 
   /** events → long-format series table. */
-  def eventsLong(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events").select(
+  def eventsLong(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    ev.select(
       col("event_type").as("name"),
       map(lit("user"), col("user_id").cast("string")).as("labels"),
-      expr("ts div 1000000").as("timestamp"),
+      graft.engine.Graft.tsMillis(ev).as("timestamp"),
       col("value"))
+  }
 
   def engine(s: SparkSession, dir: String): TsdbEngine =
     new TsdbEngine(s, eventsLong(s, dir), catalog)
@@ -158,8 +161,9 @@ object TimeSeries {
     // union+window pass as ts19 — the matched right timestamp is
     // carried beside its value, no extra shuffle or join.
     "ts31_asof_tolerance" -> { (s, dir) =>
-      val ev = table(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000000").as("t"),
+      val raw = table(s, dir, "events")
+      val ev = raw
+        .select(col("user_id"), graft.engine.Graft.tsMillis(raw).as("t"),
           col("value"), col("event_type"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("t"), col("value"))
@@ -237,8 +241,9 @@ object TimeSeries {
     // As-of join: each purchase paired with the user's most recent click
     // at or before it (union + ordered window, not a range join).
     "ts19_asof_join" -> { (s, dir) =>
-      val ev = table(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000000").as("t"),
+      val raw = table(s, dir, "events")
+      val ev = raw
+        .select(col("user_id"), graft.engine.Graft.tsMillis(raw).as("t"),
           col("value"), col("event_type"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("t"), col("value"))
@@ -292,8 +297,10 @@ object TimeSeries {
 
     // Funnel: users with a signup whose first purchase follows it.
     "ts23_funnel" -> { (s, dir) =>
-      val ev = table(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000000").as("t"), col("event_type"))
+      val raw = table(s, dir, "events")
+      val ev = raw
+        .select(col("user_id"), graft.engine.Graft.tsMillis(raw).as("t"),
+          col("event_type"))
       val signups = ev.where(col("event_type") === "signup")
         .groupBy("user_id").agg(min("t").as("s"))
       val purchases = ev.where(col("event_type") === "purchase")

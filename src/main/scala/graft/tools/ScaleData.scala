@@ -70,15 +70,19 @@ object ScaleData {
         .withColumn("l_suppkey", col("l_suppkey") + r * KeyOffset)), 32)
 
     // events: shift each replica by the whole span (rounded to the ms
-    // unit the engine derives via `ts div 1e6`), so every series gets
-    // R x the distinct timestamps
-    val ev = read("events")
-    val Array(tsMin, tsMax) = ev.agg(min("ts"), max("ts")).head()
+    // unit the engine derives — Graft.tsMillis), so every series gets
+    // R x the distinct timestamps. Work in the engine's epoch-ms frame
+    // so the shift is physical-type-agnostic (nanos Long vs timestamp),
+    // and write ts back as a timestamp — the shape current testdata has.
+    val evRaw = read("events")
+    val ev = evRaw.withColumn("ts_ms", graft.engine.Graft.tsMillis(evRaw))
+    val Array(tsMin, tsMax) = ev.agg(min("ts_ms"), max("ts_ms")).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
-    val span = ((tsMax - tsMin) / 1000000L + 1L) * 1000000L
+    val span = tsMax - tsMin + 1L
     write("events", replicate(ev, replicas)((d, r) =>
       d.withColumn("event_id", col("event_id") + r * 1000000000L)
-        .withColumn("ts", col("ts") + lit(r * span))), 32)
+        .withColumn("ts", timestamp_millis(col("ts_ms") + lit(r * span)))
+        .drop("ts_ms")), 32)
 
     // documents: disjoint shingle space per replica (every token gets a
     // replica suffix); n_chars tracks the rewritten text
