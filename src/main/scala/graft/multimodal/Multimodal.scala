@@ -41,6 +41,79 @@ object Multimodal {
       ??? // real codec (libjpeg/ffmpeg/...) not available in this environment
   }
 
+  /** The EXECUTABLE contract a real codec must satisfy, provable without
+    * any codec library: uncompressed formats (BI_RGB BMP, PCM16 WAV)
+    * are parseable with plain byte arithmetic, so this decoder extracts
+    * the actual samples and folds them into `dim` buckets —
+    * `acc(i % dim) += normalized sample i` (pixel luminance in [0,1],
+    * audio amplitude in [-1,1)). A JNI/FFI `RealDecoder` wired to
+    * libjpeg/ffmpeg must reproduce these features bit-for-bit on the
+    * same uncompressed inputs — that is the seam's contract, and
+    * MultimodalContractSpec pins it against hand-computed goldens.
+    */
+  object UncompressedDecoder extends Decoder {
+    private def u16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], i: Int): Int =
+      u16(b, i) | (u16(b, i + 2) << 16)
+
+    def features(payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float] = {
+      val acc = new Array[Float](dim)
+      meta.format match {
+        case "bmp" =>
+          // BITMAPFILEHEADER (14B) + BITMAPINFOHEADER: pixel-array
+          // offset at 10, width at 18, height at 22 (positive =
+          // bottom-up), bpp at 28; rows padded to 4-byte multiples.
+          require(payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M',
+            "not a BMP payload")
+          require(u16(payload, 28) == 24, "contract covers 24bpp BI_RGB only")
+          val off = u32(payload, 10)
+          val w = u32(payload, 18)
+          val h = u32(payload, 22)
+          val rowBytes = ((w * 3 + 3) / 4) * 4
+          var y = 0
+          while (y < h) {
+            // row y counted from the TOP; stored bottom-up
+            val base = off + (h - 1 - y) * rowBytes
+            var x = 0
+            while (x < w) {
+              val b = payload(base + x * 3) & 0xff
+              val g = payload(base + x * 3 + 1) & 0xff
+              val r = payload(base + x * 3 + 2) & 0xff
+              acc((y * w + x) % dim) += (r + g + b) / (3.0f * 255.0f)
+              x += 1
+            }
+            y += 1
+          }
+        case "wav" =>
+          // RIFF/WAVE with PCM16 samples: walk the chunk list to "data".
+          require(payload.length >= 12 && payload(0) == 'R' && payload(8) == 'W',
+            "not a RIFF/WAVE payload")
+          var p = 12
+          var done = false
+          while (!done && p + 8 <= payload.length) {
+            val id = new String(payload, p, 4, "US-ASCII")
+            val sz = u32(payload, p + 4)
+            if (id == "data") {
+              var i = 0
+              val n = sz / 2
+              while (i < n) {
+                val s = u16(payload, p + 8 + i * 2).toShort
+                acc(i % dim) += s / 32768.0f
+                i += 1
+              }
+              done = true
+            } else p += 8 + sz + (sz & 1)
+          }
+          require(done, "no data chunk in WAV payload")
+        case f =>
+          throw new IllegalArgumentException(
+            s"UncompressedDecoder covers bmp/wav, got '$f' — wire RealDecoder")
+      }
+      acc
+    }
+  }
+
   /** Deterministic fake: a rolling-hash projection of the bytes into
     * `dim` float buckets — stable across runs/partitionings.
     */

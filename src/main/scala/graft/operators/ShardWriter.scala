@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sharded training-file writer — the last step of
+  * "corpus in, training files out". Takes the writer-ready span rows
+  * (Packing.packSpans output in training order) and materializes them
+  * as N shard directories whose boundaries and internal order are a
+  * pure function of the DATA, never of the write configuration:
+  *
+  *   - `offset` — the row's global position in training order, from the
+  *     two-pass RangeRank (no single-partition sort ever exists);
+  *   - `shard`  — `offset * N div total`: N contiguous, balanced
+  *     (±1 row) ranges of the training stream. Reading shard 0..N-1,
+  *     each in `offset` order, IS the training order.
+  *
+  * Both columns are persisted with the rows, so read-back order is
+  * recovered by `ORDER BY (shard, offset)` regardless of how the writer
+  * split files (`maxRecordsPerFile`, AQE coalescing, task count — none
+  * of them can change the result, only the file layout). Reference
+  * capability analogue: the CSV export sink (tachyon_cli/src/main.rs:
+  * 177-186), scaled from "dump one table" to "emit a pinned-order
+  * training corpus".
+  *
+  * Scale: the shard math is a row-local projection on top of the
+  * two-pass rank (offset*N stays far under Long overflow until
+  * ~10^14 rows x 10^4 shards); the write itself is rebalanced by
+  * `shard`, so each shard directory is written by one task instead of
+  * a sliver from every task, while AQE may still split a skewed shard.
+  */
+object ShardWriter {
+
+  /** Returns `df` plus (`offset`, `shard`): global training-order
+    * position (0-based, in `order` — which must be a total order) and
+    * the contiguous shard range it falls in.
+    */
+  def shardAssign(df: DataFrame, order: Seq[Column], nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    RangeRank.globalRowNumber(df, order)
+      .withColumn("offset", col("grank") - 1)
+      .withColumn("shard",
+        expr(s"(offset * ${nShards}L) div gcount").cast("int"))
+      .drop("grank", "gcount")
+  }
+
+  /** Writes `df` to `outDir` as one parquet directory per shard
+    * (`shard=K/`), rows carrying (`offset`, `shard`), and returns the
+    * READ-BACK DataFrame in (shard, offset) order — the caller's proof
+    * obligation ("what a trainer reads equals what packing produced")
+    * reduces to comparing this against the pre-write rows.
+    */
+  def writeSharded(df: DataFrame, order: Seq[Column], nShards: Int,
+      outDir: String): DataFrame = {
+    val spark = df.sparkSession
+    val assigned = shardAssign(df, order, nShards)
+    assigned
+      .hint("rebalance", col("shard"))
+      // local sort only: file order inside a shard is a nicety for
+      // sequential readers; correctness rides the offset column
+      .sortWithinPartitions(col("shard"), col("offset"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+      .withColumn("shard", col("shard").cast("int"))
+      .orderBy(col("shard"), col("offset"))
+  }
+}

@@ -936,6 +936,33 @@ object Pipeline {
         .orderBy("doc_id", "bin")
     },
 
+    // The training-file writer round trip: pp09's span rows are
+    // actually WRITTEN to N=8 shard directories (deterministic
+    // contiguous ranges of the training stream — ShardWriter, shard
+    // boundaries a pure function of the data) and READ BACK; the gate
+    // compares the read-back rows + their (shard, offset) addresses
+    // against the oracle's re-derivation. Equality proves the
+    // round-trip reproduces the training order row-for-row,
+    // independent of file-split configuration (maxRecordsPerFile, AQE
+    // coalescing) — the "corpus in, training files out" last mile.
+    "pp11_shard_writeback" -> { (s, dir) =>
+      val ordered = graft.operators.Sampling.shuffleOrder(
+        curated(s, dir).select(col("doc_id"), col("n_tokens")),
+        col("doc_id"), seed = 7L)
+      val spans = graft.operators.Packing.packSpans(
+          ordered, Seq(col("pos")), "n_tokens", 256L)
+        .select(col("doc_id"), col("pos"), col("bin"),
+          col("span_start"), col("span_len"))
+      val out = s"${sys.props("java.io.tmpdir")}/graft_pp11_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.operators.ShardWriter
+        .writeSharded(spans, Seq(col("bin"), col("pos")), 8, out)
+        .select(col("doc_id"), col("pos"), col("bin"), col("span_start"),
+          col("span_len"), col("shard").cast("long").as("shard"),
+          col("offset"))
+        .orderBy("offset")
+    },
+
     // Per-source token-budget capping: each source contributes documents
     // in doc_id order until its token budget is exhausted (the corpus
     // mixture-control step before packing). The per-group prefix sum is
@@ -2120,6 +2147,36 @@ object Pipeline {
          |  CAST(LEAST(n, (bin + 1) * 256 - g) -
          |    GREATEST(0, bin * 256 - g) AS BIGINT) AS span_len
          |FROM b ORDER BY doc_id, bin""".stripMargin,
+
+    "pp11_shard_writeback" ->
+      s"""WITH RECURSIVE $CorpusNearSql,
+         |$curateSampSql,
+         |ord AS (SELECT doc_id, n_tokens,
+         |  ROW_NUMBER() OVER (ORDER BY
+         |    CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |         AS BIGINT),
+         |    doc_id) AS pos
+         |  FROM samp),
+         |c AS (SELECT doc_id, pos, n_tokens AS n,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS g
+         |  FROM ord WHERE n_tokens >= 1),
+         |b AS (SELECT doc_id, pos, n, g,
+         |    unnest(generate_series(g // 256, (g + n - 1) // 256)) AS bin
+         |  FROM c),
+         |sp AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(bin AS BIGINT) AS bin,
+         |  CAST(GREATEST(0, bin * 256 - g) AS BIGINT) AS span_start,
+         |  CAST(LEAST(n, (bin + 1) * 256 - g) -
+         |    GREATEST(0, bin * 256 - g) AS BIGINT) AS span_len
+         |  FROM b),
+         |o AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bin, pos) - 1 AS rk,
+         |    COUNT(*) OVER () AS total FROM sp)
+         |SELECT doc_id, pos, bin, span_start, span_len,
+         |  CAST((rk * 8) // total AS BIGINT) AS shard,
+         |  CAST(rk AS BIGINT) AS "offset"
+         |FROM o ORDER BY rk""".stripMargin,
 
     "pp02_token_budget" ->
       s"""WITH t AS (SELECT doc_id, source,

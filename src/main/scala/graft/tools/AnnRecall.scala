@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ann.{IvfIndex, Knn}
+
+/** Recall measurement for the IVF quantizer at PRODUCTION cell geometry
+  * (`autoK`) — the SCALE_CHECK harness behind the "recall holds at 10x"
+  * row. IvfSpec pins recall floors on a tiny fixed-k fixture; this tool
+  * re-proves them where autoK actually changes the geometry: k grows
+  * with corpus size, so nothing in the spec's k=8 run guarantees the
+  * 10x corpus's k≈400 run still recovers neighbors.
+  *
+  * Usage: runMain graft.tools.AnnRecall <sfDir> [nQueries]
+  * Prints one JSON line: corpus size, autoK cell count, mean recall@10
+  * for nProbe in {1, 2, 4}.
+  */
+object AnnRecall {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nQueries = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.engine.Graft.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = emb.count()
+    val k = IvfIndex.autoK(n)
+    val m = IvfIndex.fit(emb, "vec_id", "vec", k = k, iters = 2)
+    val assigned = IvfIndex.transform(emb, "vec", m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // deterministic spread of query ids across the corpus
+    val step = math.max(1L, n / nQueries)
+    val queries = (0 until nQueries).map(i => i * step)
+    val qVecs = emb.where(col("vec_id").isin(queries: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+    def recallAt(nProbe: Int): Double = {
+      val hits = qVecs.toSeq.sortBy(_._1).map { case (_, q) =>
+        val exact = Knn.bruteTopK(emb, "vec_id", "vec", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val approx = IvfIndex.search(assigned, "vec_id", "vec", m, q,
+          nProbe = nProbe, topK = 10).collect().map(_.getLong(0)).toSet
+        (exact intersect approx).size / 10.0
+      }
+      hits.sum / hits.size
+    }
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val (r1, r2, r4) = (recallAt(1), recallAt(2), recallAt(4))
+    println(s"""{"sf_dir":"$sfDir","n_vectors":$n,"auto_k":$k,""" +
+      s""""recall_at_10":{"nprobe1":${f(r1)},"nprobe2":${f(r2)},""" +
+      s""""nprobe4":${f(r4)}},"n_queries":${qVecs.size}}""")
+    spark.stop()
+  }
+}

@@ -184,6 +184,41 @@ class DedupSpec extends AnyFunSuite {
     assert(wrote > 0, "reliable mode should write to the checkpoint dir")
   }
 
+  test("components: reliable checkpoint survives block loss, local cannot") {
+    // Simulated executor restart: drop EVERY persisted block in the
+    // block manager. localCheckpoint truncates lineage, so its result
+    // is unrecoverable by design once the blocks are gone — while the
+    // reliable checkpointDir mode re-reads shared storage. This is the
+    // operational difference the `checkpointDir` knob buys on a real
+    // cluster, demonstrated rather than asserted-by-comment.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    def dropAllBlocks(): Unit = spark.sparkContext.getPersistentRDDs
+      .values.foreach(_.unpersist(blocking = true))
+
+    val local = Dedup.components(pairs)
+    assert(local.count() == 6)
+    dropAllBlocks()
+    val e = intercept[Exception] { local.collect() }
+    val trace = {
+      val sw = new java.io.StringWriter()
+      e.printStackTrace(new java.io.PrintWriter(sw))
+      sw.toString.toLowerCase
+    }
+    assert(trace.contains("checkpoint"),
+      s"expected a lost-checkpoint-block failure, got: ${e.getMessage}")
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ccp_reliable").toString
+    val reliable = Dedup.components(pairs, checkpointDir = Some(dir))
+    assert(reliable.count() == 6)
+    dropAllBlocks()
+    val got = reliable.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("cross-corpus minhash equals the self-join restricted to cross pairs") {
     val sh = Dedup.shingleBase(corpus, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -277,6 +277,27 @@ class LibrarySpec extends AnyFunSuite {
     assert(cm.isEmpty,
       "cache manager should be empty after a curate -> collect -> release cycle")
   }
+
+  test("every shared-cache population path drains to an empty cache manager") {
+    import graft.queries.Pipeline
+    Pipeline.clearCaches()
+    spark.catalog.clearCache()
+    val cm = spark.sharedState.cacheManager
+    assert(cm.isEmpty)
+    val sf = "/root/testdata/sf0.001"
+    // one query per distinct shared-cache entry (shingles+banded,
+    // curated, ivf-assigned, triple-corpus shingles) plus one that only
+    // registers plan-internal persists via Caches.track (RangeRank) —
+    // the cache-policy surface a full pack run exercises. If a future
+    // operator adds a persist without a release path, this goes red.
+    for (q <- Seq("dd02_minhash_lsh", "pp01_curation", "dd05_embed_cosine",
+        "dd07_dup_groups", "pp07_shuffle_order"))
+      assert(SparkEntry.queries(q)(spark, sf).count() > 0, q)
+    assert(!cm.isEmpty, "expected shared passes cached mid-burst")
+    Pipeline.clearCaches()
+    assert(cm.isEmpty,
+      "live cache entries survived clearCaches() — a release path rotted")
+  }
 }
 
 /** Decoder that counts per-task initializations: the `@transient lazy`

@@ -1,0 +1,116 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaMeta, MediaRow, UncompressedDecoder}
+import graft.tsdb.TsdbFixtures.spark
+
+/** The decoder seam's executable contract: for UNCOMPRESSED payloads
+  * (24bpp BI_RGB BMP, PCM16 WAV — both parseable with plain byte
+  * arithmetic, no codec library) the features are pinned against
+  * hand-computed goldens from files the test writes byte-for-byte
+  * itself. A production RealDecoder wired to an actual codec must
+  * reproduce exactly these numbers on the same inputs.
+  */
+class MultimodalContractSpec extends AnyFunSuite {
+
+  private def le16(o: ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+  }
+  private def le32(o: ByteArrayOutputStream, v: Int): Unit = {
+    le16(o, v & 0xffff); le16(o, (v >>> 16) & 0xffff)
+  }
+
+  /** 24bpp BI_RGB BMP, pixels given top-down as (r,g,b) rows. */
+  private def bmp(rows: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+    val h = rows.length
+    val w = rows.head.length
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val o = new ByteArrayOutputStream()
+    o.write('B'); o.write('M')
+    le32(o, 54 + rowBytes * h) // file size
+    le32(o, 0)                 // reserved
+    le32(o, 54)                // pixel-array offset
+    le32(o, 40)                // BITMAPINFOHEADER size
+    le32(o, w); le32(o, h)
+    le16(o, 1); le16(o, 24)    // planes, bpp
+    le32(o, 0)                 // BI_RGB
+    le32(o, rowBytes * h); le32(o, 2835); le32(o, 2835)
+    le32(o, 0); le32(o, 0)
+    rows.reverse.foreach { row => // stored bottom-up
+      row.foreach { case (r, g, b) => o.write(b); o.write(g); o.write(r) }
+      (w * 3 until rowBytes).foreach(_ => o.write(0))
+    }
+    o.toByteArray
+  }
+
+  /** Minimal RIFF/WAVE, PCM16 mono, with the given s16 samples. */
+  private def wav(samples: Seq[Int]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write("RIFF".getBytes); le32(o, 36 + samples.length * 2)
+    o.write("WAVE".getBytes)
+    o.write("fmt ".getBytes); le32(o, 16)
+    le16(o, 1); le16(o, 1)         // PCM, mono
+    le32(o, 8000); le32(o, 16000)  // sample rate, byte rate
+    le16(o, 2); le16(o, 16)        // block align, bits
+    o.write("data".getBytes); le32(o, samples.length * 2)
+    samples.foreach(s => le16(o, s & 0xffff))
+    o.toByteArray
+  }
+
+  private def meta(fmt: String, bytes: Array[Byte]) =
+    MediaMeta(fmt, 0, 0, bytes.length.toLong)
+
+  test("BMP golden: per-pixel luminance lands in the right buckets") {
+    // top row: red, green; bottom row: blue, white
+    val img = bmp(Seq(
+      Seq((255, 0, 0), (0, 255, 0)),
+      Seq((0, 0, 255), (255, 255, 255))))
+    val third = 255.0f / (3.0f * 255.0f)
+    val f4 = UncompressedDecoder.features(img, meta("bmp", img), 4)
+    assert(f4.length == 4)
+    // pixel index y*w+x: (red, green, blue, white) luminances
+    val expect = Array(third, third, third, 1.0f)
+    f4.zip(expect).zipWithIndex.foreach { case ((a, e), i) =>
+      assert(math.abs(a - e) < 1e-6, s"bucket $i: $a vs $e")
+    }
+    // folding: dim=2 sums pixels 0+2 and 1+3
+    val f2 = UncompressedDecoder.features(img, meta("bmp", img), 2)
+    assert(math.abs(f2(0) - 2 * third) < 1e-6)
+    assert(math.abs(f2(1) - (third + 1.0f)) < 1e-6)
+  }
+
+  test("WAV golden: PCM16 samples normalized and folded") {
+    val audio = wav(Seq(16384, -16384, 32767, -32768))
+    val f2 = UncompressedDecoder.features(audio, meta("wav", audio), 2)
+    assert(math.abs(f2(0) - (0.5f + 32767.0f / 32768.0f)) < 1e-6)
+    assert(math.abs(f2(1) - (-0.5f + -1.0f)) < 1e-6)
+  }
+
+  test("the contract runs through the distributed seam end-to-end") {
+    import spark.implicits._
+    val img = bmp(Seq(Seq((255, 0, 0), (0, 255, 0)),
+      Seq((0, 0, 255), (255, 255, 255))))
+    val audio = wav(Seq(16384, -16384, 32767, -32768))
+    val media = Seq(
+      MediaRow(1L, img, meta("bmp", img)),
+      MediaRow(2L, audio, meta("wav", audio))).toDS().repartition(2)
+    val out = Multimodal.extractFeatures(media, dim = 2, UncompressedDecoder)
+      .collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(1L, 2L))
+    val direct1 = UncompressedDecoder.features(img, meta("bmp", img), 2)
+    val direct2 = UncompressedDecoder.features(audio, meta("wav", audio), 2)
+    assert(out(0).features.toSeq == direct1.toSeq)
+    assert(out(1).features.toSeq == direct2.toSeq)
+  }
+
+  test("unsupported format points at the RealDecoder seam") {
+    val e = intercept[IllegalArgumentException] {
+      UncompressedDecoder.features(Array[Byte](1, 2), meta("jpeg", Array(1, 2)), 2)
+    }
+    assert(e.getMessage.contains("RealDecoder"))
+  }
+}

@@ -166,6 +166,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pp11 shard assignment: no global sort task, offsets windows only") {
+    // the writer's (offset, shard) addressing must come from the
+    // two-pass RangeRank — a global Window.orderBy (or an explicit
+    // single-partition sort) here would funnel the whole training
+    // stream through one task right before the write
+    import org.apache.spark.sql.functions.col
+    val spans = graft.operators.Packing.packSpans(
+      graft.operators.Sampling.shuffleOrder(
+        graft.queries.Pipeline.queries("pp02_token_budget")(spark, sf)
+          .select(col("doc_id"), col("n_tokens")),
+        col("doc_id"), seed = 7L),
+      Seq(col("pos")), "n_tokens", 256L)
+    val p = plan(graft.operators.ShardWriter.shardAssign(
+      spans, Seq(col("bin"), col("pos")), 8))
+    // every window must be over a RangeRank offsets table (keyed by
+    // _pid or the literal orderBy(lit(1))): those run on the
+    // #partitions-row counts tables — the only place a
+    // single-partition exchange is allowed to exist. A window over
+    // data columns would be the global-sort cliff.
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty, "expected the RangeRank offsets windows")
+    specs.foreach { w =>
+      assert(w.contains("_pid#") || w.startsWith("windowspecdefinition(1 ASC"),
+        s"window over data columns: $w")
+    }
+  }
+
   test("sketch kernels actually execute in the dd02/dd03 plans") {
     // a revert to the explode+agg signature shape would re-shuffle every
     // (id, hash) pair; the kernel names in the physical plan are the pin
