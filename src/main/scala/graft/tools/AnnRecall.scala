@@ -39,10 +39,10 @@ object AnnRecall {
     val assigned = IvfIndex.transform(emb, "vec", m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // deterministic spread of query ids across the corpus
-    val step = math.max(1L, n / nQueries)
-    val queries = (0 until nQueries).map(i => i * step)
-    val qVecs = emb.where(col("vec_id").isin(queries: _*))
+    // deterministic hash-spread query sample taken from the DATA (id
+    // ranges are generator-dependent — ScaleData offsets replica ids)
+    val qVecs = emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nQueries)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
 
     def recallAt(nProbe: Int): Double = {
@@ -56,10 +56,15 @@ object AnnRecall {
       hits.sum / hits.size
     }
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val (r1, r2, r4) = (recallAt(1), recallAt(2), recallAt(4))
+    // sweep absolute probe counts AND the constant-fraction point
+    // (k/16 cells ≈ the 1x fixture's nProbe=1 coverage): recall at
+    // fixed nProbe falls as autoK grows the cell count, so the knob
+    // that transfers across scale is the probed FRACTION, not the count
+    val probes = (Seq(1, 2, 4, 8, 16) :+ math.max(1, k / 16))
+      .distinct.sorted.filter(_ <= k)
+    val rs = probes.map(p => s""""nprobe$p":${f(recallAt(p))}""")
     println(s"""{"sf_dir":"$sfDir","n_vectors":$n,"auto_k":$k,""" +
-      s""""recall_at_10":{"nprobe1":${f(r1)},"nprobe2":${f(r2)},""" +
-      s""""nprobe4":${f(r4)}},"n_queries":${qVecs.size}}""")
+      s""""recall_at_10":{${rs.mkString(",")}},"n_queries":${qVecs.size}}""")
     spark.stop()
   }
 }
