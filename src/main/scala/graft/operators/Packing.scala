@@ -47,6 +47,31 @@ object Packing {
     * row-local, and each document emits at most weight/capacity + 1
     * rows — output is corpus-token-bound, never quadratic.
     */
+  /** Materialize the token text each span actually contributes — the
+    * step that turns [[packSpans]]'s (doc, block, range) METADATA into
+    * writable training content. Joins the span rows to the corpus on
+    * the id and slices the span's token range back out of the
+    * document; concatenating every block's `content` in stream order
+    * reconstructs the packed token stream exactly (PackingSpec pins
+    * this round trip).
+    *
+    * Scale: one equi-join on the id — both sides hash-partition, no
+    * broadcast assumption (the corpus is the big side), AQE splits
+    * skew. The corpus side tokenizes BEFORE the join, so each document
+    * pays its tokenizer regex once, not once per straddled block; the
+    * shuffle then carries token arrays instead of raw text — byte-wise
+    * a wash, CPU-wise once-per-doc. The slice itself is row-local.
+    */
+  def spanContent(spans: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, tokenizer: Column => Column): DataFrame =
+    spans.join(
+        docs.select(col(idCol), tokenizer(col(textCol)).as("_toks")),
+        idCol :: Nil)
+      .withColumn("content",
+        concat_ws(" ", slice(col("_toks"),
+          (col("span_start") + 1).cast("int"), col("span_len").cast("int"))))
+      .drop("_toks")
+
   def packSpans(df: DataFrame, sortCols: Seq[Column], weightCol: String,
       capacity: Long, numPartitions: Int = 0): DataFrame = {
     require(capacity > 0, "capacity must be positive")

@@ -963,6 +963,33 @@ object Pipeline {
         .orderBy("offset")
     },
 
+    // The CONTENT-carrying writer round trip: pp11 proves the span
+    // ADDRESSES survive the shard write; pp12 proves the span TEXT
+    // does — `Packing.spanContent` slices each block's token range
+    // back out of the source documents, the shards carry the actual
+    // training text, and the oracle re-derives every block's content
+    // with DuckDB list slicing. Concatenating content in (shard,
+    // offset) order IS the packed token stream.
+    "pp12_span_content" -> { (s, dir) =>
+      val ordered = graft.operators.Sampling.shuffleOrder(
+        curated(s, dir).select(col("doc_id"), col("n_tokens")),
+        col("doc_id"), seed = 7L)
+      val spans = graft.operators.Packing.packSpans(
+          ordered, Seq(col("pos")), "n_tokens", 256L)
+      val content = graft.operators.Packing.spanContent(
+        spans, corpusNear(s, dir), "doc_id", "text", tokens)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_pp12_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.operators.ShardWriter
+        .writeSharded(
+          content.select(col("doc_id"), col("pos"), col("bin"),
+            col("span_start"), col("span_len"), col("content")),
+          Seq(col("bin"), col("pos")), 8, out)
+        .select(col("doc_id"), col("bin"), col("content"),
+          col("shard").cast("long").as("shard"), col("offset"))
+        .orderBy("offset")
+    },
+
     // Per-source token-budget capping: each source contributes documents
     // in doc_id order until its token budget is exhausted (the corpus
     // mixture-control step before packing). The per-group prefix sum is
@@ -2174,6 +2201,39 @@ object Pipeline {
          |o AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bin, pos) - 1 AS rk,
          |    COUNT(*) OVER () AS total FROM sp)
          |SELECT doc_id, pos, bin, span_start, span_len,
+         |  CAST((rk * 8) // total AS BIGINT) AS shard,
+         |  CAST(rk AS BIGINT) AS "offset"
+         |FROM o ORDER BY rk""".stripMargin,
+
+    "pp12_span_content" ->
+      s"""WITH RECURSIVE $CorpusNearSql,
+         |$curateSampSql,
+         |ord AS (SELECT doc_id, n_tokens,
+         |  ROW_NUMBER() OVER (ORDER BY
+         |    CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |         AS BIGINT),
+         |    doc_id) AS pos
+         |  FROM samp),
+         |c AS (SELECT doc_id, pos, n_tokens AS n,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS g
+         |  FROM ord WHERE n_tokens >= 1),
+         |b AS (SELECT doc_id, pos, n, g,
+         |    unnest(generate_series(g // 256, (g + n - 1) // 256)) AS bin
+         |  FROM c),
+         |sp AS (SELECT doc_id, pos, CAST(bin AS BIGINT) AS bin,
+         |  CAST(GREATEST(0, bin * 256 - g) AS BIGINT) AS span_start,
+         |  CAST(LEAST(n, (bin + 1) * 256 - g) -
+         |    GREATEST(0, bin * 256 - g) AS BIGINT) AS span_len
+         |  FROM b),
+         |sc AS (SELECT sp.doc_id, sp.pos, sp.bin,
+         |  array_to_string(list_slice(t.toks, sp.span_start + 1,
+         |    sp.span_start + sp.span_len), ' ') AS content
+         |  FROM sp JOIN t USING (doc_id)),
+         |o AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bin, pos) - 1 AS rk,
+         |    COUNT(*) OVER () AS total FROM sc)
+         |SELECT doc_id, bin, content,
          |  CAST((rk * 8) // total AS BIGINT) AS shard,
          |  CAST(rk AS BIGINT) AS "offset"
          |FROM o ORDER BY rk""".stripMargin,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+import graft.tsdb.TsdbFixtures.spark
+
+/** The content-materialization invariant: slicing every span's token
+  * range back out of its document and concatenating the slices in
+  * stream order reconstructs the packed token stream EXACTLY — the
+  * whole point of a training-file writer.
+  */
+class PackingSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val toksFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    t => split(t, " ")
+
+  test("span content concatenated in stream order rebuilds the token stream") {
+    // ragged docs, capacity 5 → plenty of straddling spans
+    val docs = (0 until 30)
+      .map(i => (i.toLong, (0 until (i % 7 + 1)).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .repartition(4)
+    val spans = Packing.packSpans(
+      docs.select(col("doc_id"), col("n_tokens")),
+      Seq(col("doc_id")), "n_tokens", capacity = 5L)
+    val content = Packing.spanContent(spans, docs, "doc_id", "text", toksFn)
+      .orderBy(col("bin"), col("doc_id"))
+      .select(col("bin"), col("span_len"), col("content"))
+      .collect()
+    // every span's content has exactly span_len tokens...
+    content.foreach { r =>
+      assert(r.getString(2).split(" ").length.toLong == r.getLong(1),
+        s"span ${r.toSeq}")
+    }
+    // ...bins fill to capacity except the last...
+    val byBin = content.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).sum).toMap
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (bin, tot) =>
+      if (bin < lastBin) assert(tot == 5L, s"bin $bin holds $tot tokens")
+      else assert(tot >= 1L && tot <= 5L)
+    }
+    // ...and the concatenation IS the stream: docs laid end-to-end in
+    // pack order
+    val stream = content.map(_.getString(2)).mkString(" ")
+    val expected = docs.orderBy("doc_id").select("text")
+      .as[String].collect().mkString(" ")
+    assert(stream == expected)
+  }
+
+  test("a document spanning many blocks is sliced without loss or overlap") {
+    val docs = Seq((1L, (0 until 23).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_tokens", lit(23L))
+    val spans = Packing.packSpans(
+      docs.select(col("doc_id"), col("n_tokens")),
+      Seq(col("doc_id")), "n_tokens", capacity = 5L)
+    val content = Packing.spanContent(spans, docs, "doc_id", "text", toksFn)
+      .orderBy("bin").select(col("content")).as[String].collect()
+    assert(content.length == 5) // 23 tokens over capacity-5 blocks
+    assert(content.mkString(" ") == (0 until 23).map(i => s"t$i").mkString(" "))
+  }
+}
