@@ -193,6 +193,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pp12 span content: equi-join on the id, no nested loop, offsets windows only") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.Pipeline.queries("pp02_token_budget")(spark, sf)
+      .select(col("doc_id"), col("n_tokens"))
+    val spans = graft.operators.Packing.packSpans(
+      docs, Seq(col("doc_id")), "n_tokens", 256L)
+    val corpus = graft.engine.Graft.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val p = plan(graft.operators.Packing.spanContent(
+      spans, corpus, "doc_id", "text",
+      graft.functions.TextFunctions.tokens))
+    // the spans<->corpus join must stay a keyed equi-join (both sides
+    // data-sized — a BroadcastNestedLoopJoin or CartesianProduct here
+    // would be the quadratic cliff at corpus scale)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    specs.foreach { w =>
+      assert(w.contains("_pid#") || w.startsWith("windowspecdefinition(1 ASC"),
+        s"window over data columns: $w")
+    }
+  }
+
   test("sketch kernels actually execute in the dd02/dd03 plans") {
     // a revert to the explode+agg signature shape would re-shuffle every
     // (id, hash) pair; the kernel names in the physical plan are the pin
