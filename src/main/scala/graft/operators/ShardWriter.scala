@@ -44,14 +44,21 @@ object ShardWriter {
       .drop("grank", "gcount")
   }
 
-  /** Writes `df` to `outDir` as one parquet directory per shard
-    * (`shard=K/`), rows carrying (`offset`, `shard`), and returns the
-    * READ-BACK DataFrame in (shard, offset) order — the caller's proof
-    * obligation ("what a trainer reads equals what packing produced")
-    * reduces to comparing this against the pre-write rows.
+  /** Writes `df` to `outDir` as one directory per shard (`shard=K/`),
+    * rows carrying (`offset`, `shard`), and returns the READ-BACK
+    * DataFrame in (shard, offset) order — the caller's proof obligation
+    * ("what a trainer reads equals what packing produced") reduces to
+    * comparing this against the pre-write rows.
+    *
+    * `format` is "parquet" (default — columnar, self-describing schema)
+    * or "json" (JSON Lines, the interchange format most training
+    * loaders consume directly; read-back passes the writer's schema
+    * back in, so types round-trip without inference).
     */
   def writeSharded(df: DataFrame, order: Seq[Column], nShards: Int,
-      outDir: String): DataFrame = {
+      outDir: String, format: String = "parquet"): DataFrame = {
+    require(format == "parquet" || format == "json",
+      s"format must be parquet or json, got '$format'")
     val spark = df.sparkSession
     val assigned = shardAssign(df, order, nShards)
     assigned
@@ -59,8 +66,14 @@ object ShardWriter {
       // local sort only: file order inside a shard is a nicety for
       // sequential readers; correctness rides the offset column
       .sortWithinPartitions(col("shard"), col("offset"))
-      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
-    spark.read.parquet(outDir)
+      .write.partitionBy("shard").mode("overwrite").format(format).save(outDir)
+    // partitionBy drops `shard` from the data files; supply the
+    // remaining schema explicitly for json so read-back types match
+    // the written frame instead of being re-inferred from text
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      assigned.schema.filterNot(_.name == "shard"))
+    (if (format == "json") spark.read.schema(dataSchema).json(outDir)
+     else spark.read.parquet(outDir))
       .withColumn("shard", col("shard").cast("int"))
       .orderBy(col("shard"), col("offset"))
   }

@@ -75,6 +75,30 @@ class ShardWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("jsonl shards round-trip identically to parquet shards") {
+    val df = corpus(40)
+    val viaParquet = ShardWriter
+      .writeSharded(df, Seq(col("doc_id")), 4, tmp())
+      .select($"doc_id", $"n_tokens", $"shard", $"offset")
+      .collect().map(_.toSeq).toSeq
+    val dir = tmp()
+    val viaJson = ShardWriter
+      .writeSharded(df, Seq(col("doc_id")), 4, dir, format = "json")
+      .select($"doc_id", $"n_tokens", $"shard", $"offset")
+      .collect().map(_.toSeq).toSeq
+    assert(viaParquet == viaJson)
+    // and the payload really is JSON Lines a non-Spark loader can read
+    import scala.jdk.CollectionConverters._
+    val part = scala.util.Using.resource(
+      Files.walk(java.nio.file.Paths.get(dir)))(
+      _.iterator().asScala.filter(p =>
+        p.toString.contains("shard=") && p.toString.endsWith(".json")).toList)
+    assert(part.nonEmpty, "expected json data files under shard dirs")
+    val firstLine = Files.readAllLines(part.head).get(0)
+    assert(firstLine.startsWith("{") && firstLine.contains("\"doc_id\""),
+      firstLine)
+  }
+
   test("single shard and more-shards-than-rows edge cases") {
     val df = corpus(3)
     val one = ShardWriter.writeSharded(df, Seq(col("doc_id")), 1, tmp())
