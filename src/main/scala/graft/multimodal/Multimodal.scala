@@ -69,12 +69,19 @@ object Multimodal {
           require(u16(payload, 28) == 24, "contract covers 24bpp BI_RGB only")
           val off = u32(payload, 10)
           val w = u32(payload, 18)
-          val h = u32(payload, 22)
+          // biHeight is SIGNED: positive = rows stored bottom-up,
+          // negative = top-down (common from Windows tooling) — both
+          // are valid files and must yield identical features
+          val hRaw = u32(payload, 22)
+          val topDown = hRaw < 0
+          val h = math.abs(hRaw)
           val rowBytes = ((w * 3 + 3) / 4) * 4
+          require(off + h.toLong * rowBytes <= payload.length,
+            "truncated BMP payload")
           var y = 0
           while (y < h) {
-            // row y counted from the TOP; stored bottom-up
-            val base = off + (h - 1 - y) * rowBytes
+            // row y counted from the TOP of the image
+            val base = off + (if (topDown) y else h - 1 - y) * rowBytes
             var x = 0
             while (x < w) {
               val b = payload(base + x * 3) & 0xff
@@ -94,6 +101,11 @@ object Multimodal {
           while (!done && p + 8 <= payload.length) {
             val id = new String(payload, p, 4, "US-ASCII")
             val sz = u32(payload, p + 4)
+            // a corrupt size field must fail loudly, not spin the
+            // executor (sz <= -8 would make the skip a no-op) or read
+            // past the buffer
+            require(sz >= 0 && p + 8 + sz.toLong <= payload.length,
+              s"corrupt or truncated WAV chunk '$id' (size $sz)")
             if (id == "data") {
               var i = 0
               val n = sz / 2

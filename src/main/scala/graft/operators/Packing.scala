@@ -33,20 +33,6 @@ object Packing {
       .withColumn("bin_offset", pmod(col("gcum"), lit(capacity)))
   }
 
-  /** The writer-side decomposition of [[pack]]: one row per (document,
-    * context block) the document OVERLAPS — `bin` plus the half-open
-    * token range [span_start, span_start + span_len) the document
-    * contributes to it. A doc straddling block boundaries emits one row
-    * per covered block, exactly the spans a training-sequence writer
-    * materializes; concatenating every block's spans in (gcum) order
-    * reconstructs the token stream. Rows with weight < 1 — zero, null,
-    * or (upstream-bug) negative — contribute nothing and are dropped;
-    * plain [[pack]] is the variant that surfaces them.
-    *
-    * Scale: after the two-pass prefix sum the block explode is
-    * row-local, and each document emits at most weight/capacity + 1
-    * rows — output is corpus-token-bound, never quadratic.
-    */
   /** Materialize the token text each span actually contributes — the
     * step that turns [[packSpans]]'s (doc, block, range) METADATA into
     * writable training content. Joins the span rows to the corpus on
@@ -72,6 +58,20 @@ object Packing {
           (col("span_start") + 1).cast("int"), col("span_len").cast("int"))))
       .drop("_toks")
 
+  /** The writer-side decomposition of [[pack]]: one row per (document,
+    * context block) the document OVERLAPS — `bin` plus the half-open
+    * token range [span_start, span_start + span_len) the document
+    * contributes to it. A doc straddling block boundaries emits one row
+    * per covered block, exactly the spans a training-sequence writer
+    * materializes; concatenating every block's spans in (gcum) order
+    * reconstructs the token stream. Rows with weight < 1 — zero, null,
+    * or (upstream-bug) negative — contribute nothing and are dropped;
+    * plain [[pack]] is the variant that surfaces them.
+    *
+    * Scale: after the two-pass prefix sum the block explode is
+    * row-local, and each document emits at most weight/capacity + 1
+    * rows — output is corpus-token-bound, never quadratic.
+    */
   def packSpans(df: DataFrame, sortCols: Seq[Column], weightCol: String,
       capacity: Long, numPartitions: Int = 0): DataFrame = {
     require(capacity > 0, "capacity must be positive")

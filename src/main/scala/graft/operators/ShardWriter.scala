@@ -37,6 +37,14 @@ object ShardWriter {
     */
   def shardAssign(df: DataFrame, order: Seq[Column], nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    // reject rather than clobber: these are the writer's address
+    // columns, and silently overwriting a caller's same-named data
+    // column would write corrupted shards with no error (same guard
+    // principle as RangeRank's reserved columns)
+    Seq("offset", "shard", "grank", "gcount").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before shardAssign")
+    }
     RangeRank.globalRowNumber(df, order)
       .withColumn("offset", col("grank") - 1)
       .withColumn("shard",
@@ -72,9 +80,25 @@ object ShardWriter {
     // the written frame instead of being re-inferred from text
     val dataSchema = org.apache.spark.sql.types.StructType(
       assigned.schema.filterNot(_.name == "shard"))
-    (if (format == "json") spark.read.schema(dataSchema).json(outDir)
-     else spark.read.parquet(outDir))
-      .withColumn("shard", col("shard").cast("int"))
-      .orderBy(col("shard"), col("offset"))
+    // an empty input writes only _SUCCESS (no shard dirs): parquet
+    // read-back would fail schema inference and json would miss the
+    // partition column — return the empty frame with the full schema
+    // instead of crashing (checked on the filesystem, no extra job)
+    val hasShards = {
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("shard="))
+    }
+    if (!hasShards) {
+      val outSchema = org.apache.spark.sql.types.StructType(
+        dataSchema :+ org.apache.spark.sql.types.StructField(
+          "shard", org.apache.spark.sql.types.IntegerType))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    } else
+      (if (format == "json") spark.read.schema(dataSchema).json(outDir)
+       else spark.read.parquet(outDir))
+        .withColumn("shard", col("shard").cast("int"))
+        .orderBy(col("shard"), col("offset"))
   }
 }

@@ -45,13 +45,18 @@ object AnnRecall {
       .limit(nQueries)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
 
+    // exact ground truth once per query — it does not depend on nProbe,
+    // and the brute scans are the tool's dominant cost
+    val sorted = qVecs.toSeq.sortBy(_._1)
+    val exactSets = sorted.map { case (qid, q) =>
+      qid -> Knn.bruteTopK(emb, "vec_id", "vec", q, 10)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
     def recallAt(nProbe: Int): Double = {
-      val hits = qVecs.toSeq.sortBy(_._1).map { case (_, q) =>
-        val exact = Knn.bruteTopK(emb, "vec_id", "vec", q, 10)
-          .collect().map(_.getLong(0)).toSet
+      val hits = sorted.map { case (qid, q) =>
         val approx = IvfIndex.search(assigned, "vec_id", "vec", m, q,
           nProbe = nProbe, topK = 10).collect().map(_.getLong(0)).toSet
-        (exact intersect approx).size / 10.0
+        (exactSets(qid) intersect approx).size / 10.0
       }
       hits.sum / hits.size
     }

@@ -74,6 +74,9 @@ object ScaleData {
     // R x the distinct timestamps. Work in the engine's epoch-ms frame
     // so the shift is physical-type-agnostic (nanos Long vs timestamp),
     // and write ts back as a timestamp — the shape current testdata has.
+    // NOTE: this quantizes EVERY replica (r=0 included) to ms; fine
+    // here because all engine consumers quotient to ms anyway, but a
+    // raw-ts comparison of scaled vs source data would see the drop.
     val evRaw = read("events")
     val ev = evRaw.withColumn("ts_ms", graft.engine.Graft.tsMillis(evRaw))
     val Array(tsMin, tsMax) = ev.agg(min("ts_ms"), max("ts_ms")).head()

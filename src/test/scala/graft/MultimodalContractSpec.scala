@@ -83,6 +83,53 @@ class MultimodalContractSpec extends AnyFunSuite {
     assert(math.abs(f2(1) - (third + 1.0f)) < 1e-6)
   }
 
+  test("top-down BMP (negative height) yields identical features") {
+    val px = Seq(Seq((255, 0, 0), (0, 255, 0)),
+      Seq((0, 0, 255), (255, 255, 255)))
+    val bottomUp = bmp(px)
+    // same image, negative biHeight, rows stored top-down
+    val topDown = {
+      val o = new ByteArrayOutputStream()
+      val rowBytes = 8
+      o.write('B'); o.write('M')
+      le32(o, 54 + rowBytes * 2); le32(o, 0); le32(o, 54)
+      le32(o, 40); le32(o, 2); le32(o, -2) // negative height
+      le16(o, 1); le16(o, 24); le32(o, 0)
+      le32(o, rowBytes * 2); le32(o, 2835); le32(o, 2835)
+      le32(o, 0); le32(o, 0)
+      px.foreach { row => // stored in TOP-DOWN order
+        row.foreach { case (r, g, b) => o.write(b); o.write(g); o.write(r) }
+        (6 until rowBytes).foreach(_ => o.write(0))
+      }
+      o.toByteArray
+    }
+    val a = UncompressedDecoder.features(bottomUp, meta("bmp", bottomUp), 4)
+    val b = UncompressedDecoder.features(topDown, meta("bmp", topDown), 4)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("corrupt WAV chunk sizes fail loudly instead of spinning") {
+    // a chunk whose size field is negative (F8 FF FF FF) previously
+    // made the skip a no-op — an infinite loop inside an executor
+    val o = new ByteArrayOutputStream()
+    o.write("RIFF".getBytes); le32(o, 20); o.write("WAVE".getBytes)
+    o.write("junk".getBytes); le32(o, -8)
+    val bad = o.toByteArray
+    val e = intercept[IllegalArgumentException] {
+      UncompressedDecoder.features(bad, meta("wav", bad), 2)
+    }
+    assert(e.getMessage.contains("corrupt"), e.getMessage)
+    // truncated data chunk: declared size exceeds the buffer
+    val t = new ByteArrayOutputStream()
+    t.write("RIFF".getBytes); le32(t, 20); t.write("WAVE".getBytes)
+    t.write("data".getBytes); le32(t, 100); le16(t, 1)
+    val trunc = t.toByteArray
+    val e2 = intercept[IllegalArgumentException] {
+      UncompressedDecoder.features(trunc, meta("wav", trunc), 2)
+    }
+    assert(e2.getMessage.contains("truncated") || e2.getMessage.contains("corrupt"))
+  }
+
   test("WAV golden: PCM16 samples normalized and folded") {
     val audio = wav(Seq(16384, -16384, 32767, -32768))
     val f2 = UncompressedDecoder.features(audio, meta("wav", audio), 2)

@@ -99,6 +99,25 @@ class ShardWriterSpec extends AnyFunSuite {
       firstLine)
   }
 
+  test("empty input returns an empty read-back, not a crash") {
+    val empty = corpus(10).where(col("doc_id") < 0)
+    for (fmt <- Seq("parquet", "json")) {
+      val back = ShardWriter
+        .writeSharded(empty, Seq(col("doc_id")), 4, tmp(), format = fmt)
+      assert(back.count() == 0L, fmt)
+      assert(back.columns.toSet ==
+        Set("doc_id", "n_tokens", "offset", "shard"), fmt)
+    }
+  }
+
+  test("reserved address columns are rejected, not clobbered") {
+    val withOffset = corpus(5).withColumn("offset", lit(99L))
+    val e = intercept[IllegalArgumentException] {
+      ShardWriter.shardAssign(withOffset, Seq(col("doc_id")), 2)
+    }
+    assert(e.getMessage.contains("offset"), e.getMessage)
+  }
+
   test("single shard and more-shards-than-rows edge cases") {
     val df = corpus(3)
     val one = ShardWriter.writeSharded(df, Seq(col("doc_id")), 1, tmp())
