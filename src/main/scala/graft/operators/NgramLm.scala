@@ -160,4 +160,55 @@ object NgramLm {
       .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("mean_lp"),
         exp(-avg(col("lp"))).as("ppl"))
   }
+
+  /** DSIR importance log-weight (mean_lp_target − mean_lp_reference,
+    * Xie et al.) in ONE corpus pass instead of four. The naive
+    * composition — fit target, fit reference, score under each —
+    * explodes the corpus into bigram pairs four times; here the pairs
+    * explode ONCE carrying a per-doc target flag, one aggregate yields
+    * BOTH models' counts (`c_t` is a conditional sum over the same
+    * groups as `c_r`), one countDistinct pass yields both vocabularies,
+    * and one model-sized join scores both log-probabilities per pair.
+    * The per-pair difference averages to exactly
+    * mean_lp_t − mean_lp_r because both means run over the same pairs.
+    *
+    * `targetCol` is a boolean expression over `docs`' columns selecting
+    * the target distribution. Smoothing matches [[perplexity]]:
+    * add-k with each model's own vocabulary size.
+    */
+  def dsirLogRatio(docs: DataFrame, idCol: String, toksCol: String,
+      targetCol: Column, k: Double = 1.0): DataFrame = {
+    val flagged = docs.withColumn("_tgt", targetCol)
+    val pairs = graft.engine.Caches.track(
+      bigramPairs(flagged, Seq(col(idCol), col("_tgt")), toksCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val counts = pairs
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("c_t"))
+    val ctx = counts.groupBy(col("w1"))
+      .agg(sum(col("c_r")).as("c1_r"), sum(col("c_t")).as("c1_t"))
+    val vRow = flagged
+      .select(explode(col(toksCol)).as("w"), col("_tgt"))
+      .agg(countDistinct(col("w")).as("vr"),
+        countDistinct(when(col("_tgt"), col("w"))).as("vt"))
+      .head()
+    val (vR, vT) = (vRow.getLong(0), vRow.getLong(1))
+    def lp(c: Column, c1: Column, v: Long) =
+      log((coalesce(c, lit(0L)).cast("double") + lit(k)) /
+        (coalesce(c1, lit(0L)).cast("double") + lit(k * v)))
+    pairs
+      .join(counts, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .select(col(idCol),
+        lp(col("c_t"), col("c1_t"), vT).as("lp_t"),
+        lp(col("c_r"), col("c1_r"), vR).as("lp_r"))
+      .groupBy(col(idCol))
+      // two means over the SAME pairs in one aggregate, subtracted
+      // after — structurally identical to the two-model composition
+      // (and to the oracle), so no float-order drift is introduced
+      .agg(avg(col("lp_t")).as("mean_lp_t"), avg(col("lp_r")).as("mean_lp_r"))
+      .select(col(idCol),
+        (col("mean_lp_t") - col("mean_lp_r")).as("dsir_logw"))
+  }
 }

@@ -1288,21 +1288,13 @@ object Pipeline {
     // on exp(logw). Non-target documents exercise the OOV smoothing
     // paths for real.
     "pp06_dsir_logratio" -> { (s, dir) =>
-      val d = graft.engine.Caches.track(docs(s, dir)
+      val d = docs(s, dir)
         .select(col("doc_id"), col("source"),
           graft.functions.TextFunctions.tokens(col("text")).as("toks"))
         .where(size(col("toks")) >= 2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val mT = graft.operators.NgramLm.fit(
-        d.where(col("source").isin("src0", "src1")), "toks")
-      val mR = graft.operators.NgramLm.fit(d, "toks")
-      val lpT = graft.operators.NgramLm.perplexity(d, "doc_id", "toks", mT)
-        .select(col("doc_id"), col("mean_lp").as("lp_t"))
-      val lpR = graft.operators.NgramLm.perplexity(d, "doc_id", "toks", mR)
-        .select(col("doc_id"), col("mean_lp").as("lp_r"))
-      lpT.join(lpR, Seq("doc_id"))
-        .select(col("doc_id"),
-          round(col("lp_t") - col("lp_r"), 6).as("dsir_logw"))
+      graft.operators.NgramLm.dsirLogRatio(d, "doc_id", "toks",
+          col("source").isin("src0", "src1"))
+        .select(col("doc_id"), round(col("dsir_logw"), 6).as("dsir_logw"))
         .orderBy("doc_id")
     },
 
