@@ -161,6 +161,32 @@ object NgramLm {
         exp(-avg(col("lp"))).as("ppl"))
   }
 
+  /** [[fit]] + [[perplexity]] over the SAME corpus in one bigram
+    * explode instead of two: the id-carrying pair table is persisted,
+    * the model counts aggregate FROM it (dropping the id), and the
+    * scoring joins the same table back — the self-perplexity shape
+    * every CCNet-style filter runs. Output matches
+    * `perplexity(docs, ..., fit(docs, ...))` exactly.
+    */
+  def fitScorePerplexity(docs: DataFrame, idCol: String, toksCol: String,
+      k: Double = 1.0): DataFrame = {
+    val pairs = graft.engine.Caches.track(
+      bigramPairs(docs, Seq(col(idCol)), toksCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val ctx = bg.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    val v = docs.select(explode(col(toksCol)).as("w")).distinct().count()
+    val lp = log((coalesce(col("c"), lit(0L)).cast("double") + lit(k)) /
+      (coalesce(col("c1"), lit(0L)).cast("double") + lit(k * v)))
+    pairs
+      .join(bg, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .select(col(idCol), lp.as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("mean_lp"),
+        exp(-avg(col("lp"))).as("ppl"))
+  }
+
   /** DSIR importance log-weight (mean_lp_target − mean_lp_reference,
     * Xie et al.) in ONE corpus pass instead of four. The naive
     * composition — fit target, fit reference, score under each —

@@ -1155,13 +1155,11 @@ object Pipeline {
     // per-doc average. The model is vocabulary-bound, the corpus is
     // never collected; V rides the plan as a literal.
     "tx16_bigram_ppl" -> { (s, dir) =>
-      val d = graft.engine.Caches.track(docs(s, dir)
+      val d = docs(s, dir)
         .select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("toks"))
         .where(size(col("toks")) >= 2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val m = graft.operators.NgramLm.fit(d, "toks")
-      graft.operators.NgramLm.perplexity(d, "doc_id", "toks", m)
+      graft.operators.NgramLm.fitScorePerplexity(d, "doc_id", "toks")
         .select(col("doc_id"), col("n_bigrams"),
           round(col("ppl"), 6).as("ppl"))
         .orderBy("doc_id")
