@@ -52,6 +52,35 @@ class PackingSpec extends AnyFunSuite {
     assert(stream == expected)
   }
 
+  test("property: reconstruction holds for random corpora and capacities") {
+    // seeded random corpora: varying doc counts, ragged lengths
+    // (including 1-token docs), several capacities — the concrete
+    // tests' invariant must hold for all of them
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 5 + rng.nextInt(40)
+      val cap = 2L + rng.nextInt(9)
+      val docs = (0 until n)
+        .map { i =>
+          val len = 1 + rng.nextInt(12)
+          (i.toLong, (0 until len).map(j => s"x${trial}_${i}_$j").mkString(" "))
+        }
+        .toDF("doc_id", "text")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .repartition(3)
+      val spans = Packing.packSpans(
+        docs.select(col("doc_id"), col("n_tokens")),
+        Seq(col("doc_id")), "n_tokens", cap)
+      val content = Packing.spanContent(spans, docs, "doc_id", "text", toksFn)
+        .orderBy(col("bin"), col("doc_id"))
+        .select(col("content")).as[String].collect()
+      val expected = docs.orderBy("doc_id").select("text")
+        .as[String].collect().mkString(" ")
+      assert(content.mkString(" ") == expected,
+        s"trial $trial (n=$n cap=$cap)")
+    }
+  }
+
   test("a document spanning many blocks is sliced without loss or overlap") {
     val docs = Seq((1L, (0 until 23).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")
