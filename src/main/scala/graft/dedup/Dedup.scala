@@ -317,21 +317,22 @@ object Dedup {
   /** jaccardPairs over a pre-computed (id, hs) shingle table (sorted
     * distinct hashes — shingleBase output). Caller owns persistence.
     *
-    * Candidate generation is the AllPairs/PPJoin prefix filter: under any
-    * global element order (here: the hash values' natural ascending
-    * order, which shingleBase already sorts by), two sets with
-    * |A∩B| >= ceil(t * max(|A|,|B|)) must share an element within their
-    * first |X| - ceil(t*|X|) + 1 elements. Exploding ONLY those prefixes
-    * and equi-joining on the element is therefore a complete candidate
-    * generator, with per-element buckets bounded by the element's
-    * document frequency — data-bound, never corpus^2. The size-ratio
-    * prefilter (jac >= t implies t <= min/max size ratio) then drops
-    * mismatched pairs before the exact sorted-merge intersect.
+    * Candidate generation is the AllPairs/PPJoin prefix filter (see
+    * [[jaccardCandidates]] for the canonical df ordering and the
+    * completeness argument); candidates are data-bound, never corpus^2.
+    * The verify joins that bring the two hs arrays onto each pair row
+    * are hinted SHUFFLE_HASH: sort-merge would sort the pair×array
+    * rows (the widest shuffle in the dedup family — at 30× it crossed
+    * the local spill threshold and went disk-bound), while a shuffled
+    * hash join builds on the array table (one row per DOC, the small
+    * side) and streams the pair rows unsorted.
     */
   def jaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame =
     jaccardCandidates(sh, threshold)
-      .join(sh.select(col("id").as("id_a"), col("hs").as("shs_a")), "id_a" :: Nil)
-      .join(sh.select(col("id").as("id_b"), col("hs").as("shs_b")), "id_b" :: Nil)
+      .join(sh.select(col("id").as("id_a"), col("hs").as("shs_a"))
+        .hint("shuffle_hash"), "id_a" :: Nil)
+      .join(sh.select(col("id").as("id_b"), col("hs").as("shs_b"))
+        .hint("shuffle_hash"), "id_b" :: Nil)
       .select(col("id_a"), col("id_b"),
         jaccardSorted(col("shs_a"), col("shs_b")).as("jac"))
       .where(col("jac") >= threshold)
@@ -340,22 +341,48 @@ object Dedup {
     * prefix filter + POSITION filter + size-ratio filter, all row-local
     * on the joined prefix rows before the dedup.
     *
+    * Elements are canonically ordered by ASCENDING document frequency
+    * (h as tie-break) before prefixes are taken — the classic AllPairs/
+    * PPJoin ordering. Completeness only needs SOME global total order
+    * shared by both sides (two sets with jac >= t must share an element
+    * within their first |X| - ceil(t*|X|) + 1 elements under it); df
+    * order additionally makes each prefix hold the doc's RAREST
+    * elements, so a prefix bucket's size is bounded by the df of a
+    * rare element instead of a common trigram's. Measured on the 30×
+    * planted corpus this cut candidates 6.97M -> (see SCALE_CHECK)
+    * while the verified pair set is identical — it was the array-
+    * carrying verify join over those 6.97M that went disk-bound.
+    * The df aggregate is one element-level groupBy with map-side
+    * combine over `sh` itself; ranks come from one id-partitioned
+    * window over the element table. The prefix table is persisted for
+    * the duration of the self-join (both sides read it) and released
+    * by [[graft.engine.Caches]].
+    *
     * Position filter (Xiao et al. 2008): a shared prefix element at
-    * 0-based positions (pa, pb) bounds the overlap by
-    * 1 + min(|A|-pa-1, |B|-pb-1); jac >= t requires overlap >=
-    * t/(1+t) · (|A|+|B|), so rows whose bound falls short are dropped.
-    * Completeness: for the FIRST shared element of a truly-matching
-    * pair the bound >= the true overlap, so at least one row survives
-    * (later shared elements may be over-filtered; the distinct ORs
-    * survivors). The size-ratio filter (t <= min/max size) rides the
-    * same rows, so the verify join no longer needs it.
+    * 0-based positions (pa, pb) in the canonical order bounds the
+    * overlap by 1 + min(|A|-pa-1, |B|-pb-1); jac >= t requires overlap
+    * >= t/(1+t) · (|A|+|B|), so rows whose bound falls short are
+    * dropped. Completeness: for the FIRST shared element (in canonical
+    * order) of a truly-matching pair the bound >= the true overlap, so
+    * at least one row survives (later shared elements may be
+    * over-filtered; the distinct ORs survivors). The size-ratio filter
+    * (t <= min/max size) rides the same rows, so the verify join no
+    * longer needs it.
     */
   private[graft] def jaccardCandidates(
       sh: DataFrame, threshold: Double): DataFrame = {
-    val prefLen = (size(col("hs")) -
-      ceil(size(col("hs")).cast("double") * threshold) + 1).cast("int")
-    val pref = sh.select(col("id"), size(col("hs")).as("sz"),
-      posexplode(slice(col("hs"), lit(1), prefLen)).as(Seq("p", "h")))
+    val el = sh.select(col("id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("h"))
+    val dfreq = el.groupBy("h").agg(count(lit(1)).as("df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("h"))
+    val pref = graft.engine.Caches.track(
+      el.join(dfreq, "h" :: Nil)
+        .withColumn("p", row_number().over(rankW) - 1)
+        .where(col("p") < (col("sz") -
+          ceil(col("sz").cast("double") * threshold) + 1).cast("int"))
+        .select("h", "id", "sz", "p")
+        .persist(StorageLevel.MEMORY_AND_DISK))
     pref.select(col("h"), col("id").as("id_a"),
         col("sz").as("sz_a"), col("p").as("p_a"))
       .join(pref.select(col("h"), col("id").as("id_b"),
