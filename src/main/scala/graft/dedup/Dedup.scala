@@ -318,17 +318,60 @@ object Dedup {
     * distinct hashes — shingleBase output). Caller owns persistence.
     *
     * Candidate generation is the AllPairs/PPJoin prefix filter (see
-    * [[jaccardCandidates]] for the canonical df ordering and the
+    * [[jaccardPrefixes]] for the canonical df ordering and the
     * completeness argument); candidates are data-bound, never corpus^2.
-    * The verify joins that bring the two hs arrays onto each pair row
-    * are hinted SHUFFLE_HASH: sort-merge would sort the pair×array
-    * rows (the widest shuffle in the dedup family — at 30× it crossed
-    * the local spill threshold and went disk-bound), while a shuffled
-    * hash join builds on the array table (one row per DOC, the small
-    * side) and streams the pair rows unsorted.
+    * Verification is INLINE in the prefix self-join — see the body
+    * comment for the shuffle model and the measured 30x comparison
+    * against the former pair-keyed array-attach shape.
     */
-  def jaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame =
-    jaccardCandidates(sh, threshold)
+  def jaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // Inline PPJoin verify (the paper's shape): the hs array rides the
+    // prefix rows, so the one prefix self-join produces candidate rows
+    // WITH both arrays already in place — the exact-Jaccard merge runs
+    // row-local on the join output, and the only distinct is over
+    // SURVIVORS (0.4% of candidates on the 30x planted corpus). The
+    // previous shape (narrow candidates -> distinct over millions ->
+    // two array-attach joins keyed by pair ids) moved one full array
+    // per pair through an extra exchange and shuffled the candidate
+    // table twice more (distinct + first join); measured at 30x that
+    // stack was 16-21s of the 25-31s wall. Here the arrays cross ONE
+    // exchange (the h-keyed self-join), position/size filters drop rows
+    // before the merge-count evaluates, and no pair-keyed shuffle ever
+    // carries an array. The self-join is left to sort-merge: a
+    // shuffle-hash build of the array-bearing side needs the whole
+    // partition resident (measured OOM at 30x under the 8g bench heap
+    // with 32 concurrent builds), while SMJ spills gracefully at any
+    // partition size — the same property that keeps it safe when a
+    // cluster-side partition count misjudges the data.
+    val prefH = graft.engine.Caches.track(
+      jaccardPrefixes(sh, threshold)
+        .join(sh, "id" :: Nil)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    prefH.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"),
+        col("p").as("p_a"), col("hs").as("shs_a"))
+      .join(prefH.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"),
+        col("p").as("p_b"), col("hs").as("shs_b")), "h" :: Nil)
+      .where(col("id_a") < col("id_b"))
+      .where(col("sz_a").cast("double") >= col("sz_b") * threshold &&
+        col("sz_b").cast("double") >= col("sz_a") * threshold)
+      .where(least(col("sz_a") - col("p_a"), col("sz_b") - col("p_b"))
+        .cast("double") >=
+        (col("sz_a") + col("sz_b")) * (threshold / (1.0 + threshold)))
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("shs_a"), col("shs_b")).as("jac"))
+      .where(col("jac") >= threshold)
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of a (id_a, id_b) candidate table
+    * against the shingle table: brings each side's hs array onto the
+    * pair row and keeps pairs at/above the threshold. Split out so the
+    * phase probe (graft.tools.Dd04Probe) can time it against a
+    * materialized candidate table.
+    */
+  private[graft] def jaccardVerify(
+      cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    cand
       .join(sh.select(col("id").as("id_a"), col("hs").as("shs_a"))
         .hint("shuffle_hash"), "id_a" :: Nil)
       .join(sh.select(col("id").as("id_b"), col("hs").as("shs_b"))
@@ -370,19 +413,40 @@ object Dedup {
     * longer needs it.
     */
   private[graft] def jaccardCandidates(
+      sh: DataFrame, threshold: Double): DataFrame =
+    jaccardCandidatesFromPrefixes(
+      graft.engine.Caches.track(
+        jaccardPrefixes(sh, threshold).persist(StorageLevel.MEMORY_AND_DISK)),
+      threshold)
+
+  /** The PPJoin prefix table (h, id, sz, p): each doc's first
+    * |X| - ceil(t*|X|) + 1 elements under the canonical ascending-df
+    * order, with 0-based canonical position p. Both sides of the
+    * candidate self-join read this table — callers persist it.
+    */
+  private[graft] def jaccardPrefixes(
       sh: DataFrame, threshold: Double): DataFrame = {
     val el = sh.select(col("id"), size(col("hs")).as("sz"),
       explode(col("hs")).as("h"))
     val dfreq = el.groupBy("h").agg(count(lit(1)).as("df"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("h"))
-    val pref = graft.engine.Caches.track(
-      el.join(dfreq, "h" :: Nil)
-        .withColumn("p", row_number().over(rankW) - 1)
-        .where(col("p") < (col("sz") -
-          ceil(col("sz").cast("double") * threshold) + 1).cast("int"))
-        .select("h", "id", "sz", "p")
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    // df side is 16B/row — a shuffle-hash build is a few MB per
+    // partition at any corpus size (distinct-shingle count scales with
+    // the corpus but so does the partition count), while sort-merge
+    // would sort the full element table a second time
+    el.join(dfreq.hint("shuffle_hash"), "h" :: Nil)
+      .withColumn("p", row_number().over(rankW) - 1)
+      .where(col("p") < (col("sz") -
+        ceil(col("sz").cast("double") * threshold) + 1).cast("int"))
+      .select("h", "id", "sz", "p")
+  }
+
+  /** The prefix self-join + position/size-ratio filters + distinct over
+    * a (persisted) prefix table — see [[jaccardPrefixes]].
+    */
+  private[graft] def jaccardCandidatesFromPrefixes(
+      pref: DataFrame, threshold: Double): DataFrame = {
     pref.select(col("h"), col("id").as("id_a"),
         col("sz").as("sz_a"), col("p").as("p_a"))
       .join(pref.select(col("h"), col("id").as("id_b"),

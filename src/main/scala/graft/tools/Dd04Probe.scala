@@ -40,18 +40,32 @@ object Dd04Probe {
     }
 
     val (nDocs, tShingle) = time(sh.count())
-    val cand = Dedup.jaccardCandidates(sh, 0.5)
+    // sub-phase: the prefix table alone (explode + df aggregate + df
+    // join + per-id window rank + prefix filter)
+    val pref = Dedup.jaccardPrefixes(sh, 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nPref, tPref) = time(pref.count())
+    // sub-phase: the prefix self-join + position/size filters + distinct,
+    // on top of the now-materialized prefix table
+    val cand = Dedup.jaccardCandidatesFromPrefixes(pref, 0.5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (nCand, tCand) = time(cand.count())
-    // verify phase alone: candidates are materialized, so this times
+    // old-shape verify, over the MATERIALIZED candidate table: times
     // only the arrays-onto-pairs joins + intersect
-    val verified = Dedup.jaccardPairsFromShingles(sh, 0.5)
-    val (nPairs, tFull) = time(verified.count())
-    if (sys.env.contains("GRAFT_PROBE_EXPLAIN")) verified.explain("formatted")
+    val verified = Dedup.jaccardVerify(cand, sh, 0.5)
+    val (nPairs, tVerifyOld) = time(verified.count())
+    // the production path: inline PPJoin verify (arrays on prefix rows,
+    // single self-join, distinct over survivors only) — end to end on
+    // top of the cached shingle table
+    val inline = Dedup.jaccardPairsFromShingles(sh, 0.5)
+    val (nPairsInline, tInline) = time(inline.count())
+    if (sys.env.contains("GRAFT_PROBE_EXPLAIN")) inline.explain("formatted")
 
     println(s"""{"sf":"$sfDir","n_docs":$nDocs,"t_shingle":$tShingle,""" +
+      s""""n_pref":$nPref,"t_pref":$tPref,""" +
       s""""n_cand":$nCand,"t_cand":$tCand,""" +
-      s""""n_pairs":$nPairs,"t_full_with_cand_cached":$tFull}""")
+      s""""n_pairs":$nPairs,"t_verify_old":$tVerifyOld,""" +
+      s""""n_pairs_inline":$nPairsInline,"t_inline_end_to_end":$tInline}""")
     spark.stop()
   }
 }

@@ -371,6 +371,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "counts and per-doc averages must map-side combine")
   }
 
+  test("dd04 jaccard verify is inline: no pair-keyed array-carrying exchange") {
+    graft.queries.Pipeline.clearCaches()
+    val sh = graft.dedup.Dedup.shingleBase(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val p = plan(graft.dedup.Dedup.jaccardPairsFromShingles(sh))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+    // The former shape attached each side's hs array via an exchange
+    // keyed by ONE pair id (hashpartitioning(id_a) then (id_b)) — the
+    // array-carrying pair shuffle that went disk-bound at 30x. Inline
+    // verify's only exchanges are h (prefix self-join), id (prefix
+    // build), and the survivors' distinct (a compound key, no arrays).
+    assert("hashpartitioning\\((id_a|id_b)#\\d+, \\d+\\)".r
+      .findFirstIn(p).isEmpty, p.take(3000))
+    graft.queries.Pipeline.clearCaches()
+  }
+
   test("ann06 batch KNN broadcasts the query batch and never windows") {
     val p = plan(graft.queries.Pipeline.queries("ann06_batch_topk")(spark, sf))
     assert(!p.contains("windowspecdefinition"),
