@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.StatsAggregate
+
+/** The hint-vs-no-hint comparison BASELINE.md's bench plan promises:
+  * `StatsAggregate` covered-bucket answers vs a plain aggregate over
+  * raw rows — the Spark analogue of the reference's headline pushdown
+  * benchmark (tachyon_core/benches/sum.rs:39-66, sum with ScanHint
+  * from file headers vs full decompression).
+  *
+  * Models the production layout: raw events in parquet, the stats
+  * sidecar maintained at ingest time and ALSO in parquet (GraftDb
+  * keeps it under <root>/stats) — so the stats path pays a real read,
+  * not a warm cache. Three range shapes, because coverage decides the
+  * win: the whole span (all buckets covered), a half-span interior
+  * window, and a ~2-bucket window (boundary-dominated, the stats
+  * table cannot help — measures the overhead floor). Bounds are
+  * deliberately bucket-unaligned so both boundary paths run. Each
+  * variant is timed as min over `runs` (default 3); results are
+  * asserted EQUAL between the two paths before timings are reported.
+  *
+  * Dense mode (`StatsBench dense <millionPoints> [runs]`) is the
+  * geometry the reference bench actually runs at — a store-dense
+  * series (1 point/sec), written in GraftDb's partitioned
+  * (name, bucket) layout so the PLAIN path gets full partition
+  * pruning (the fair fight: Spark's layout already skips files the
+  * way ScanHint's header check does; the stats win on top is not
+  * re-decompressing covered buckets). Events mode measures the same
+  * comparison at the testdata's sparse density, where the honest
+  * result is that the plain pruned scan wins.
+  *
+  * Usage: runMain graft.tools.StatsBench <sfDir> [runs]
+  *        runMain graft.tools.StatsBench dense <millionPoints> [runs]
+  */
+object StatsBench {
+
+  private def time[A](runs: Int)(f: => A): Double =
+    (1 to runs).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val dense = args.headOption.contains("dense")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs =
+      (if (dense) args.lift(2) else args.lift(1)).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.engine.Graft.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // dense store: 24h buckets keep the dir count filesystem-friendly
+    // (86,400 rows per covered bucket — the decompression the stats
+    // row replaces); events mode keeps ts18's 1h buckets
+    val bucketMs = if (dense) 86400 * 1000L else 3600 * 1000L
+    val data =
+      if (dense) {
+        val mp = args.lift(1).map(_.toInt).getOrElse(10)
+        val n = mp * 1000000L
+        val store = s"/tmp/graft_statsbench_dense_$mp"
+        if (!new java.io.File(s"$store/_SUCCESS").exists()) {
+          // 1 pt/sec from a fixed epoch; value is a deterministic pure
+          // function of the timestamp, so any range's aggregates are
+          // reproducible across runs
+          spark.range(n).select(
+              lit("purchase").as("name"),
+              (lit(1704067200000L) + col("id") * 1000L).as("timestamp"),
+              (sin(col("id").cast("double") / 997.0) * 50.0 + 100.0).as("value"))
+            .withColumn("bucket",
+              col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("name", "bucket")
+            .parquet(store)
+        }
+        spark.read.parquet(store)
+          .select(col("name"), col("timestamp"), col("value"))
+      } else {
+        val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+        evRaw.select(
+          col("event_type").as("name"),
+          graft.engine.Graft.tsMillis(evRaw).as("timestamp"),
+          col("value"))
+      }
+
+    // the stats sidecar: built once (ingest-time cost, reported), then
+    // read back from parquet like the raw data
+    val statsDir = s"/tmp/graft_statsbench_${sys.process.Process("hostname").!!.trim}_${ProcessHandle.current().pid()}"
+    val tBuild = time(1) {
+      StatsAggregate.buildStats(data, bucketMs)
+        .write.mode("overwrite").parquet(statsDir)
+    }
+    val stats = spark.read.parquet(statsDir)
+
+    val Array(t0, t1) = data.where(col("name") === "purchase")
+      .agg(min("timestamp"), max("timestamp")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = t1 - t0
+    val offset = 1800000L // half a bucket: forces both boundary paths
+    val shapes = Seq(
+      ("full", t0 + offset, t1 - offset - 1),
+      ("half", t0 + span / 4 + offset, t1 - span / 4 - offset - 1),
+      ("2bucket", t0 + span / 2 + offset, t0 + span / 2 + offset + 2 * bucketMs - 1))
+
+    def plain(lo: Long, hi: Long): Seq[Any] =
+      data.where(col("name") === "purchase" &&
+          col("timestamp") >= lo && col("timestamp") <= hi)
+        .agg(count(lit(1)).as("n"), sum("value").as("value_sum"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .head().toSeq
+
+    def hinted(lo: Long, hi: Long): Seq[Any] =
+      StatsAggregate.aggregate(data, stats, "purchase", lo, hi, bucketMs)
+        .select(col("n"), col("value_sum"), col("min_value"), col("max_value"))
+        .head().toSeq
+
+    val results = shapes.map { case (label, lo, hi) =>
+      val p = plain(lo, hi)
+      val h = hinted(lo, hi)
+      require(p.head == h.head, s"$label: row counts differ: $p vs $h")
+      require(math.abs(p(1).asInstanceOf[Double] - h(1).asInstanceOf[Double])
+        <= 1e-6 * math.abs(p(1).asInstanceOf[Double]),
+        s"$label: sums differ: $p vs $h")
+      val tPlain = time(runs)(plain(lo, hi))
+      val tHint = time(runs)(hinted(lo, hi))
+      (label, tPlain, tHint)
+    }
+
+    val nRows = data.count()
+    val nStats = stats.count()
+    val body = results.map { case (l, tp, th) =>
+      f""""$l":{"plain":$tp%.3f,"stats":$th%.3f,"speedup":${tp / th}%.2f}"""
+    }.mkString(",")
+    println(s"""{"sf":"$sfDir","rows":$nRows,"stats_rows":$nStats,""" +
+      f""""t_build_stats":$tBuild%.3f,$body}""")
+    spark.stop()
+  }
+}
