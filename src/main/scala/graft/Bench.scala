@@ -66,17 +66,28 @@ object Bench {
     // that outlive clearCaches, so a re-run cannot reproduce the
     // build-inclusive accounting. Bounded extra cost (~the tail's own
     // duration); disable with SPARK_GRAFT_BENCH_RERUNS=0.
-    val reruns = sys.env.get("SPARK_GRAFT_BENCH_RERUNS").map(_.toInt).getOrElse(8)
+    val reruns = sys.env.get("SPARK_GRAFT_BENCH_RERUNS").map { v =>
+      v.toIntOption.getOrElse {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_BENCH_RERUNS='$v' is not an int; using 8")
+        8
+      }
+    }.getOrElse(8)
     val rerunExcluded = Set("dd15_index_probe", "dd16_index_dedup",
       "dd17_embed_index_probe", "dd18_embed_index_dedup")
     val slowest = firstPass
       .filter { case (n, t) => t > 1.0 && !rerunExcluded(n) }
       .sortBy(-_._2).take(reruns).map(_._1).toSet
     val byName = picked.toMap
+    // both samples of every re-measured query are recorded in the full
+    // JSON ("reruns"), so readers can see which numbers came from a
+    // re-measure and compare medians/firsts across rounds if they want
+    val rerunSamples = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = firstPass.map { case (name, t) =>
       if (slowest(name)) {
         graft.queries.Pipeline.clearCaches()
         val t2 = timeOne(name, byName(name))
+        rerunSamples(name) = (t, t2)
         name -> (if (t2 >= 0) math.min(t, t2) else t)
       } else name -> t
     }
@@ -119,8 +130,11 @@ object Bench {
       rps.toLong
     } catch { case _: Throwable => -1L }
 
+    val rr = rerunSamples.map { case (k, (a, b)) =>
+      "\"" + k + "\":{\"first\":" + fmt(a) + ",\"rerun\":" + fmt(b) + "}"
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""ingest_rows_per_sec":$ingest,"sf":"$sfDir"}"""
+      s""""reruns":$rr,"ingest_rows_per_sec":$ingest,"sf":"$sfDir"}"""
     // Persist the FULL JSON as a committed file artifact: the driver's
     // stdout capture keeps only the LAST 2000 chars, and the full
     // 140-query map (query names alone sum to ~2 KB) can never fit it.

@@ -47,15 +47,26 @@ object Packing {
     * pays its tokenizer regex once, not once per straddled block; the
     * shuffle then carries token arrays instead of raw text — byte-wise
     * a wash, CPU-wise once-per-doc. The slice itself is row-local.
+    *
+    * Contract: `docs` must cover every span id and hold it ONCE. A
+    * missing id fails LOUDLY (left join + raise_error — an inner join
+    * would silently drop the span and corrupt the reconstructed
+    * stream); a duplicate id is the caller's to prevent (detecting it
+    * would cost an extra aggregation over the corpus — it duplicates
+    * content rows, which the PackingSpec round-trip equality would
+    * catch downstream).
     */
   def spanContent(spans: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, tokenizer: Column => Column): DataFrame =
     spans.join(
         docs.select(col(idCol), tokenizer(col(textCol)).as("_toks")),
-        idCol :: Nil)
+        idCol :: Nil, "left")
       .withColumn("content",
-        concat_ws(" ", slice(col("_toks"),
-          (col("span_start") + 1).cast("int"), col("span_len").cast("int"))))
+        when(col("_toks").isNull, raise_error(concat(
+          lit("spanContent: span references a document id absent from docs: "),
+          col(idCol).cast("string"))))
+        .otherwise(concat_ws(" ", slice(col("_toks"),
+          (col("span_start") + 1).cast("int"), col("span_len").cast("int")))))
       .drop("_toks")
 
   /** The writer-side decomposition of [[pack]]: one row per (document,

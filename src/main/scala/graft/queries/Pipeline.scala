@@ -70,6 +70,13 @@ object Pipeline {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Process-unique tag for the writer gates' scratch dirs: two
+    * concurrent bench/verify processes over the same dataset would
+    * otherwise overwrite each other's shard output mid-read-back
+    * (mode=overwrite deletes the dir first).
+    */
+  private val ProcTag = java.lang.Long.toHexString(ProcessHandle.current().pid())
+
   /** Release every cache the library holds: the shared-pass tables
     * here (shingles, banded keys, IVF assignments) and the
     * plan-internal persists operators registered with
@@ -954,7 +961,7 @@ object Pipeline {
         .select(col("doc_id"), col("pos"), col("bin"),
           col("span_start"), col("span_len"))
       val out = s"${sys.props("java.io.tmpdir")}/graft_pp11_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Integer.toHexString(dir.hashCode) + s"_$ProcTag"
       graft.operators.ShardWriter
         .writeSharded(spans, Seq(col("bin"), col("pos")), 8, out)
         .select(col("doc_id"), col("pos"), col("bin"), col("span_start"),
@@ -979,7 +986,7 @@ object Pipeline {
       val content = graft.operators.Packing.spanContent(
         spans, corpusNear(s, dir), "doc_id", "text", tokens)
       val out = s"${sys.props("java.io.tmpdir")}/graft_pp12_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Integer.toHexString(dir.hashCode) + s"_$ProcTag"
       graft.operators.ShardWriter
         .writeSharded(
           content.select(col("doc_id"), col("pos"), col("bin"),
@@ -1456,10 +1463,13 @@ object Pipeline {
     // deterministic; a 64-bit collision would need ~4B distinct bigrams
     // (birthday bound) to reach even 50% likelihood corpus-wide.
     "tx05_top_bigrams" -> { (s, dir) =>
+      // grouping by (hash, bigram) keeps the cheap 8-byte shuffle sort
+      // key while making a 64-bit hash collision harmless (two distinct
+      // bigrams colliding would otherwise silently merge their counts)
       docs(s, dir)
         .select(explode(wordShingles(tokens(col("text")), 2)).as("bigram"))
-        .groupBy(xxhash64(col("bigram")).as("h"))
-        .agg(min(col("bigram")).as("bigram"), count(lit(1)).as("n"))
+        .groupBy(xxhash64(col("bigram")).as("h"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
         .select(col("bigram"), col("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)

@@ -52,6 +52,22 @@ class PackingSpec extends AnyFunSuite {
     assert(stream == expected)
   }
 
+  test("a span id absent from docs fails loudly instead of vanishing") {
+    val docs = Seq((0L, "a b c"), (1L, "d e"))
+      .toDF("doc_id", "text")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val spans = Packing.packSpans(
+      docs.select(col("doc_id"), col("n_tokens")),
+      Seq(col("doc_id")), "n_tokens", capacity = 4L)
+    val holey = docs.where(col("doc_id") =!= 1L)
+    val e = intercept[Exception] {
+      Packing.spanContent(spans, holey, "doc_id", "text", toksFn).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("absent from docs")), e.toString)
+  }
+
   test("property: reconstruction holds for random corpora and capacities") {
     // seeded random corpora: varying doc counts, ragged lengths
     // (including 1-token docs), several capacities — the concrete
