@@ -74,7 +74,10 @@ object Bench {
       }
     }.getOrElse(8)
     val rerunExcluded = Set("dd15_index_probe", "dd16_index_dedup",
-      "dd17_embed_index_probe", "dd18_embed_index_dedup")
+      "dd17_embed_index_probe", "dd18_embed_index_dedup",
+      // ts32's one-time store build is memoized in tmp like the index
+      // gates' — a re-run cannot reproduce build-inclusive accounting
+      "ts32_dsv2_scan")
     val slowest = firstPass
       .filter { case (n, t) => t > 1.0 && !rerunExcluded(n) }
       .sortBy(-_._2).take(reruns).map(_._1).toSet

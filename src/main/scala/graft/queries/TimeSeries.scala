@@ -106,7 +106,43 @@ object TimeSeries {
        |  FROM ${p}_w)""".stripMargin
   }
 
+  /** A GraftDb-layout series store (name=/bucket= day partitions) built
+    * from the events table once per (session, sf dir) — ts32 reads it
+    * back through the DSv2 `graft` format, so the gate covers the whole
+    * store→SQL surface: layout, dir pruning, reader, residual filters.
+    */
+  private val storePaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val Day = 86400 * 1000L
+  private def dsv2Store(s: SparkSession, dir: String): String =
+    storePaths.getOrElseUpdate(System.identityHashCode(s) + "|" + dir, {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_dsv2store").toString
+      eventsLong(s, dir)
+        .withColumn("lvalue", lit(null).cast("long"))
+        .withColumn("bucket",
+          col("timestamp") - pmod(col("timestamp"), lit(Day)))
+        .hint("rebalance", col("name"), col("bucket"))
+        .write.partitionBy("name", "bucket").parquet(s"$root/data")
+      root
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Plain-SQL access to the series store through the DSv2 `graft`
+    // format: one series over the standard window, daily rollup. The
+    // name filter + range bounds prune to the matching (name, bucket)
+    // dirs at Scan.build (GraftSourceSpec pins files=N); the aggregate
+    // runs on Spark's side like any other table.
+    "ts32_dsv2_scan" -> { (s, dir) =>
+      val t = s.read.format("graft").option("bucketMs", Day.toString)
+        .load(dsv2Store(s, dir))
+      t.where(col("name") === "purchase" &&
+          col("timestamp") >= SubStart && col("timestamp") <= SubEnd)
+        .groupBy((col("timestamp") - pmod(col("timestamp"), lit(Day))).as("day"))
+        .agg(round(sum(col("value")), 6).as("sum_value"),
+          count(lit(1)).as("n"))
+        .orderBy("day")
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -332,6 +368,11 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts32_dsv2_scan" ->
+      s"""SELECT t - t % 86400000 AS day, ROUND(SUM(v), 6) AS sum_value,
+         |COUNT(*) AS n FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} GROUP BY 1 ORDER BY day""".stripMargin,
+
     "ts01_select_range" ->
       s"""SELECT t AS timestamp, v AS value FROM ${ev("event_type = 'purchase'")}
          |WHERE ${sub()} ORDER BY timestamp""".stripMargin,
