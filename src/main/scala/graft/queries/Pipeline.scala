@@ -77,6 +77,14 @@ object Pipeline {
     */
   private val ProcTag = java.lang.Long.toHexString(ProcessHandle.current().pid())
 
+  /** Shard format for the pp11/pp12 writer gates — "parquet" (default,
+    * what the driver verifies) or "json"; the env override exists so the
+    * SCALE_CHECK loop can time the JSON Lines path at scale without a
+    * code fork. ShardWriterSpec pins jsonl/parquet result equality.
+    */
+  private val ShardFormat =
+    sys.env.getOrElse("SPARK_GRAFT_SHARD_FORMAT", "parquet")
+
   /** Release every cache the library holds: the shared-pass tables
     * here (shingles, banded keys, IVF assignments) and the
     * plan-internal persists operators registered with
@@ -963,7 +971,8 @@ object Pipeline {
       val out = s"${sys.props("java.io.tmpdir")}/graft_pp11_" +
         java.lang.Integer.toHexString(dir.hashCode) + s"_$ProcTag"
       graft.operators.ShardWriter
-        .writeSharded(spans, Seq(col("bin"), col("pos")), 8, out)
+        .writeSharded(spans, Seq(col("bin"), col("pos")), 8, out,
+          format = ShardFormat)
         .select(col("doc_id"), col("pos"), col("bin"), col("span_start"),
           col("span_len"), col("shard").cast("long").as("shard"),
           col("offset"))
@@ -991,7 +1000,7 @@ object Pipeline {
         .writeSharded(
           content.select(col("doc_id"), col("pos"), col("bin"),
             col("span_start"), col("span_len"), col("content")),
-          Seq(col("bin"), col("pos")), 8, out)
+          Seq(col("bin"), col("pos")), 8, out, format = ShardFormat)
         .select(col("doc_id"), col("bin"), col("content"),
           col("shard").cast("long").as("shard"), col("offset"))
         .orderBy("offset")
