@@ -117,12 +117,17 @@ object TimeSeries {
     storePaths.getOrElseUpdate(System.identityHashCode(s) + "|" + dir, {
       val root =
         java.nio.file.Files.createTempDirectory("graft_dsv2store").toString
-      eventsLong(s, dir)
+      val series = eventsLong(s, dir)
         .withColumn("lvalue", lit(null).cast("long"))
+      series
         .withColumn("bucket",
           col("timestamp") - pmod(col("timestamp"), lit(Day)))
         .hint("rebalance", col("name"), col("bucket"))
         .write.partitionBy("name", "bucket").parquet(s"$root/data")
+      // stats sidecar (legacy fixed dir — GraftDb.statsDir resolves it):
+      // ts33 answers aligned-window aggregates from these rows alone
+      graft.tsdb.StatsAggregate.buildStats(series, Day)
+        .write.parquet(s"$root/stats")
       root
     })
 
@@ -141,6 +146,27 @@ object TimeSeries {
         .agg(round(sum(col("value")), 6).as("sum_value"),
           count(lit(1)).as("n"))
         .orderBy("day")
+    },
+
+    // The ScanHint analogue through PLAIN SQL: with option("stats"),
+    // a bucket-aligned window aggregate pushes down to the stats
+    // sidecar (GraftStatsScan — the reader folds per-(name,bucket)
+    // summary rows; raw data is never opened). SubStart/SubEnd are
+    // day-aligned, so the whole window is covered buckets.
+    // GraftSourceSpec pins pushdown-vs-raw equality and the fallback
+    // cases; this gate pins the end-to-end answer against DuckDB
+    // computing from raw events.
+    "ts33_dsv2_stats_agg" -> { (s, dir) =>
+      val t = s.read.format("graft").option("bucketMs", Day.toString)
+        .option("stats", "true").load(dsv2Store(s, dir))
+      t.where(col("timestamp") >= SubStart && col("timestamp") < SubEnd)
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"),
+          round(min(col("value")), 6).as("min_value"),
+          round(max(col("value")), 6).as("max_value"),
+          min(col("timestamp")).as("first_ts"))
+        .orderBy("name")
     },
 
     "ts01_select_range" -> q("purchase") _,
@@ -372,6 +398,14 @@ object TimeSeries {
       s"""SELECT t - t % 86400000 AS day, ROUND(SUM(v), 6) AS sum_value,
          |COUNT(*) AS n FROM ${ev("event_type = 'purchase'")}
          |WHERE ${sub()} GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "ts33_dsv2_stats_agg" ->
+      s"""SELECT event_type AS name, COUNT(*) AS n,
+         |ROUND(SUM(v), 4) AS sum_value, ROUND(MIN(v), 6) AS min_value,
+         |ROUND(MAX(v), 6) AS max_value, MIN(t) AS first_ts
+         |FROM (SELECT event_type, epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events)
+         |WHERE t >= $SubStart AND t < $SubEnd GROUP BY 1 ORDER BY name""".stripMargin,
 
     "ts01_select_range" ->
       s"""SELECT t AS timestamp, v AS value FROM ${ev("event_type = 'purchase'")}

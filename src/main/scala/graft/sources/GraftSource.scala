@@ -86,7 +86,8 @@ class GraftSource extends TableProvider
         "graft source requires a path: spark.read.format(\"graft\").load(rootDir)"))
     val bucketMs = Option(properties.get("bucketMs")).map(_.toLong)
       .getOrElse(3600 * 1000L)
-    new GraftTable(path, bucketMs)
+    val stats = Option(properties.get("stats")).exists(_.toBoolean)
+    new GraftTable(path, bucketMs, stats)
   }
 }
 
@@ -146,7 +147,14 @@ object GraftSource {
       name = unescapePathName(nameDir.getPath.getName.stripPrefix("name="))
       bucketDir <- fs.listStatus(nameDir.getPath).toSeq
       if bucketDir.isDirectory && bucketDir.getPath.getName.startsWith("bucket=")
-      bucket = bucketDir.getPath.getName.stripPrefix("bucket=").toLong
+      bucket = {
+        val raw = bucketDir.getPath.getName.stripPrefix("bucket=")
+        // a non-numeric bucket dir (e.g. Hive's null-partition marker)
+        // means a row was stored without a timestamp — out of the store
+        // contract; fail loudly rather than silently hide its rows
+        raw.toLongOption.getOrElse(throw new IllegalStateException(
+          s"unparsable bucket partition dir: ${bucketDir.getPath}"))
+      }
       f <- fs.listStatus(bucketDir.getPath).toSeq
       if f.isFile && visible(f) && f.getLen > 0
     } yield GraftFile(f.getPath.toString, name, bucket, f.getLen)
@@ -160,6 +168,25 @@ object GraftSource {
     */
   private[graft] def prune(files: Seq[GraftFile], filters: Seq[Filter],
       bucketMs: Long): Seq[GraftFile] = {
+    val b = bounds(filters)
+    files.filter { f =>
+      // saturating end keeps a file whose bucket arithmetic would
+      // overflow instead of mis-pruning it
+      val bucketEnd =
+        if (f.bucket > Long.MaxValue - bucketMs) Long.MaxValue
+        else f.bucket + bucketMs
+      b.names.forall(_.contains(f.name)) && f.bucket <= b.hi && bucketEnd > b.lo
+    }
+  }
+
+  /** The (name set, inclusive timestamp bounds) a filter conjunction
+    * implies — the shared extraction behind directory pruning, the
+    * claimed-filter row check, and the stats-aggregate coverage test.
+    */
+  private[graft] final case class Bounds(names: Option[Set[String]],
+      lo: Long, hi: Long)
+
+  private[graft] def bounds(filters: Seq[Filter]): Bounds = {
     var names: Option[Set[String]] = None
     var lo = Long.MinValue
     var hi = Long.MaxValue
@@ -187,14 +214,80 @@ object GraftSource {
       case LessThanOrEqual("timestamp", v) => num(v).foreach(t => hi = math.min(hi, t))
       case _ => ()
     }
-    files.filter { f =>
-      // saturating end keeps a file whose bucket arithmetic would
-      // overflow instead of mis-pruning it
-      val bucketEnd =
-        if (f.bucket > Long.MaxValue - bucketMs) Long.MaxValue
-        else f.bucket + bucketMs
-      names.forall(_.contains(f.name)) && f.bucket <= hi && bucketEnd > lo
+    Bounds(names, lo, hi)
+  }
+
+  /** Stats-sidecar parquet files of a GraftDb root: resolve the
+    * atomically-swapped `stats_current` pointer (or the legacy fixed
+    * `stats` dir) exactly like `GraftDb.statsDir`. None when the root
+    * has no sidecar (including when `rootDir` is a bare data dir).
+    */
+  private[graft] def statsFiles(rootDir: String,
+      conf: Configuration): Option[Seq[GraftFile]] = {
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(conf)
+    val pointer = new Path(root, "stats_current")
+    val dir =
+      if (fs.exists(pointer)) {
+        val in = fs.open(pointer)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        Some(new Path(root, v))
+      } else {
+        val legacy = new Path(root, "stats")
+        if (fs.exists(legacy)) Some(legacy) else None
+      }
+    dir.filter(fs.exists(_)).map { d =>
+      fs.listStatus(d).toSeq
+        .filter(f => f.isFile && f.getLen > 0 && {
+          val n = f.getPath.getName
+          !n.startsWith(".") && !n.startsWith("_")
+        })
+        .map(f => GraftFile(f.getPath.toString, "", 0L, f.getLen))
     }
+  }
+
+  /** The stats-answerable rendering of one pushed aggregate function:
+    * which sidecar column (or combination) serves it. None → the
+    * aggregation cannot be pushed and the scan falls back to raw rows.
+    */
+  private[graft] def statsFuncOf(
+      f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+      : Option[String] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def field(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    f match {
+      case _: CountStar => Some("count")
+      case c: Count if !c.isDistinct => c.column match {
+        // count(<literal>) ≡ count(*); count(name) too — the partition
+        // value is never null. count(value/timestamp/lvalue) is NOT
+        // served: the sidecar's n counts rows, not non-null values.
+        case _: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Some("count")
+        case nr: NamedReference if nr.fieldNames.sameElements(Array("name")) =>
+          Some("count")
+        case _ => None
+      }
+      case s: Sum if !s.isDistinct => field(s.column).collect {
+        case "value" => "sum" }
+      case m: Min => field(m.column).collect {
+        case "value" => "min_value"; case "timestamp" => "min_ts" }
+      case m: Max => field(m.column).collect {
+        case "value" => "max_value"; case "timestamp" => "max_ts" }
+      case _ => None
+    }
+  }
+
+  /** Spark-side type of each pushed partial-aggregate column. */
+  private[graft] def statsFuncType(func: String): DataType = func match {
+    case "count" | "min_ts" | "max_ts" => LongType
+    case _ => DoubleType
   }
 
   /** The filters [[prune]] can act on — reported as pushed in explain. */
@@ -208,44 +301,264 @@ object GraftSource {
   }
 }
 
-private[sources] class GraftTable(rootDir: String, bucketMs: Long)
+private[sources] class GraftTable(rootDir: String, bucketMs: Long,
+    statsMode: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft:$rootDir"
   override def schema(): StructType = GraftSource.tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(rootDir, bucketMs)
+    new GraftScanBuilder(rootDir, bucketMs, statsMode)
 }
 
-private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long)
+/** Filter / column / aggregate pushdown.
+  *
+  * Default mode: filters are used for directory pruning only and ALL of
+  * them stay residual — Spark re-evaluates everything row-level, so
+  * pruning can never change results.
+  *
+  * `option("stats", "true")` additionally turns on aggregate pushdown
+  * against the store's stats sidecar (the DSv2 rendering of the
+  * reference's ScanHint): a bucket-aligned
+  * `SELECT sum(value)/count(*)/min/max ... [GROUP BY name]` answers
+  * from the per-(name, bucket) summary table without touching a single
+  * raw row. For the aggregate to be pushable the framework requires
+  * every filter to be FULLY handled by the source, so in stats mode the
+  * supported shapes (name equality/IN, timestamp bounds, the matching
+  * IsNotNulls) are claimed and enforced exactly — name by the dir
+  * layout, timestamp bounds row-level in the raw reader (for queries
+  * where the aggregate is NOT pushed) — and anything else stays
+  * residual, which makes the framework fall back to the raw scan.
+  * Freshness contract = `GraftDb.statsTable`'s: answers are as of the
+  * last `refreshStats`/streaming stats merge, the same opt-in contract
+  * as the engine's `StatsAggregate` path (ts18).
+  */
+private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
+    statsMode: Boolean)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = GraftSource.tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggFuncs: Seq[String] = Nil
+  private var aggGroupByName = false
+  private var aggPushed = false
+
+  /** Filters the source can enforce EXACTLY (so they need no residual):
+    * the prunable name/timestamp shapes plus their IsNotNull guards —
+    * name is a non-null partition value; claimed timestamp bounds are
+    * re-checked row-level in the reader, which also drops null
+    * timestamps.
+    */
+  private def claimable(f: Filter): Boolean = f match {
+    case org.apache.spark.sql.sources.IsNotNull("name" | "timestamp") => true
+    case other => GraftSource.usable(other)
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(GraftSource.usable)
-    // everything stays residual: pruning is conservative, Spark keeps
-    // exact row-level evaluation
-    filters
+    if (statsMode) {
+      pushed = filters.filter(claimable)
+      filters.filterNot(claimable)
+    } else {
+      pushed = filters.filter(GraftSource.usable)
+      // everything stays residual: pruning is conservative, Spark keeps
+      // exact row-level evaluation
+      filters
+    }
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (!statsMode) return false
+    val groupOk = agg.groupByExpressions.toSeq match {
+      case Seq() => { aggGroupByName = false; true }
+      case Seq(nr: NamedReference)
+          if nr.fieldNames.sameElements(Array("name")) =>
+        aggGroupByName = true; true
+      case _ => false
+    }
+    if (!groupOk) return false
+    val funcs = agg.aggregateExpressions.toSeq.map(GraftSource.statsFuncOf)
+    if (funcs.exists(_.isEmpty)) return false
+    // the pushed timestamp window must cover whole buckets, or the
+    // sidecar rows would over-count the boundary buckets
+    val b = GraftSource.bounds(pushed.toSeq)
+    val loAligned = b.lo == Long.MinValue || Math.floorMod(b.lo, bucketMs) == 0L
+    val hiAligned = b.hi == Long.MaxValue ||
+      Math.floorMod(b.hi + 1, bucketMs) == 0L
+    if (!loAligned || !hiAligned) return false
+    if (GraftSource.statsFiles(rootDir, new Configuration()).isEmpty)
+      return false
+    aggFuncs = funcs.flatten
+    aggPushed = true
+    true
+  }
+
   override def build(): Scan = {
-    val files = GraftSource.prune(
-      GraftSource.listFiles(rootDir, new Configuration()),
-      pushed.toSeq, bucketMs)
-    new GraftScan(files, required, pushed)
+    val conf = new Configuration()
+    if (aggPushed) {
+      val b = GraftSource.bounds(pushed.toSeq)
+      new GraftStatsScan(GraftSource.statsFiles(rootDir, conf).get,
+        aggGroupByName, aggFuncs, b, bucketMs, pushed)
+    } else {
+      val files = GraftSource.prune(
+        GraftSource.listFiles(rootDir, conf), pushed.toSeq, bucketMs)
+      // claimed timestamp bounds must be enforced row-level by the
+      // reader; in default mode everything is residual and the bounds
+      // passed are the full range (no-op)
+      val b = if (statsMode) GraftSource.bounds(pushed.toSeq)
+        else GraftSource.Bounds(None, Long.MinValue, Long.MaxValue)
+      new GraftScan(files, required, pushed, b.lo, b.hi, bucketMs)
+    }
   }
 }
 
+/** The aggregate-pushdown scan: partitions are the STATS SIDECAR's
+  * parquet files; each reader filters sidecar rows to the pushed
+  * (names, aligned window) and partially aggregates them per group, so
+  * a whole-store rollup moves one row per (file, group) — raw data is
+  * never opened. Spark plans the final merge aggregation on top
+  * (supportCompletePushDown stays false), which also gives exact SQL
+  * semantics on an empty selection (count=0, sum/min/max=null).
+  */
+private[sources] class GraftStatsScan(statsFiles: Seq[GraftSource.GraftFile],
+    groupByName: Boolean, funcs: Seq[String], bounds: GraftSource.Bounds,
+    bucketMs: Long, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = {
+    val group =
+      if (groupByName) Seq(StructField("name", StringType, nullable = false))
+      else Nil
+    StructType(group ++ funcs.zipWithIndex.map { case (f, i) =>
+      StructField(s"agg_$i", GraftSource.statsFuncType(f))
+    })
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftStatsScan files=${statsFiles.size} " +
+      s"PushedAggregates=[${funcs.mkString(", ")}] " +
+      s"GroupBy=[${if (groupByName) "name" else ""}] " +
+      s"PushedFilters=[${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    statsFiles.map(f => GraftStatsPartition(f.path, groupByName, funcs,
+      bounds.names, bounds.lo, bounds.hi, bucketMs): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new GraftStatsPartitionReader(p.asInstanceOf[GraftStatsPartition])
+    }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(statsFiles.map(_.length).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+private[sources] final case class GraftStatsPartition(path: String,
+    groupByName: Boolean, funcs: Seq[String], names: Option[Set[String]],
+    tsLo: Long, tsHi: Long, bucketMs: Long) extends InputPartition
+
+/** Reads one stats-sidecar parquet file and emits one partial row per
+  * group: sidecar rows are filtered to the pushed names and to buckets
+  * FULLY inside the aligned window (the builder verified alignment, so
+  * covered == selected), then n/value_sum/min/max/min_ts/max_ts fold
+  * into the pushed aggregate columns.
+  */
+private[sources] class GraftStatsPartitionReader(part: GraftStatsPartition)
+    extends PartitionReader[InternalRow] {
+
+  private final class Acc {
+    var n = 0L
+    var sum = 0.0; var hasSum = false
+    var minV = Double.MaxValue; var maxV = Double.MinValue; var hasV = false
+    var minTs = Long.MaxValue; var maxTs = Long.MinValue; var hasTs = false
+  }
+
+  private val reader = ParquetFileReader.open(
+    HadoopInputFile.fromPath(new Path(part.path), new Configuration()))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
+  private def idx(col: String): Int = fileSchema.getFieldIndex(col)
+
+  private val groups = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
+    var pages = reader.readNextRowGroup()
+    while (pages != null) {
+      val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+      var left = pages.getRowCount
+      while (left > 0) {
+        val g = rr.read()
+        left -= 1
+        if (g != null) {
+          val name = g.getString(idx("name"), 0)
+          val bucket = g.getLong(idx("bucket"), 0)
+          val bucketLast =
+            if (bucket > Long.MaxValue - part.bucketMs) Long.MaxValue
+            else bucket + part.bucketMs - 1
+          if (part.names.forall(_.contains(name)) &&
+              bucket >= part.tsLo && bucketLast <= part.tsHi) {
+            val a = acc.getOrElseUpdate(if (part.groupByName) name else "", new Acc)
+            a.n += g.getLong(idx("n"), 0)
+            if (g.getFieldRepetitionCount(idx("value_sum")) > 0) {
+              a.sum += g.getDouble(idx("value_sum"), 0); a.hasSum = true
+            }
+            if (g.getFieldRepetitionCount(idx("min_value")) > 0) {
+              a.minV = math.min(a.minV, g.getDouble(idx("min_value"), 0))
+              a.maxV = math.max(a.maxV, g.getDouble(idx("max_value"), 0))
+              a.hasV = true
+            }
+            if (g.getFieldRepetitionCount(idx("min_ts")) > 0) {
+              a.minTs = math.min(a.minTs, g.getLong(idx("min_ts"), 0))
+              a.maxTs = math.max(a.maxTs, g.getLong(idx("max_ts"), 0))
+              a.hasTs = true
+            }
+          }
+        }
+      }
+      pages = reader.readNextRowGroup()
+    }
+    acc.iterator
+  }
+
+  private var current: InternalRow = null
+
+  override def next(): Boolean = {
+    if (!groups.hasNext) return false
+    val (name, a) = groups.next()
+    val group: Seq[Any] =
+      if (part.groupByName) Seq(UTF8String.fromString(name)) else Nil
+    val aggs: Seq[Any] = part.funcs.map {
+      case "count" => a.n
+      case "sum" => if (a.hasSum) a.sum else null
+      case "min_value" => if (a.hasV) a.minV else null
+      case "max_value" => if (a.hasV) a.maxV else null
+      case "min_ts" => if (a.hasTs) a.minTs else null
+      case "max_ts" => if (a.hasTs) a.maxTs else null
+    }
+    current = new GenericInternalRow((group ++ aggs).toArray)
+    true
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = reader.close()
+}
+
 private[sources] class GraftScan(files: Seq[GraftSource.GraftFile],
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter], tsLo: Long, tsHi: Long,
+    bucketMs: Long)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -256,7 +569,17 @@ private[sources] class GraftScan(files: Seq[GraftSource.GraftFile],
       s"ReadSchema=${required.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => GraftInputPartition(f.path, f.name): InputPartition).toArray
+    files.map { f =>
+      // a file whose whole bucket interval sits inside the claimed
+      // window needs no row-level bound check (and keeps the footer
+      // count fast path); boundary buckets carry the bounds
+      val bucketLast =
+        if (f.bucket > Long.MaxValue - bucketMs) Long.MaxValue
+        else f.bucket + bucketMs - 1
+      val covered = tsLo <= f.bucket && bucketLast <= tsHi
+      (if (covered) GraftInputPartition(f.path, f.name, Long.MinValue, Long.MaxValue)
+       else GraftInputPartition(f.path, f.name, tsLo, tsHi)): InputPartition
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required)
@@ -269,7 +592,7 @@ private[sources] class GraftScan(files: Seq[GraftSource.GraftFile],
 }
 
 private[sources] final case class GraftInputPartition(path: String,
-    name: String) extends InputPartition
+    name: String, tsLo: Long, tsHi: Long) extends InputPartition
 
 private[sources] class GraftReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -292,10 +615,17 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
   private val reader = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(part.path), new Configuration()))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  // claimed timestamp bounds (stats mode, boundary buckets only) are
+  // enforced here row-level; fully-covered buckets arrive with the
+  // full range and skip the check entirely
+  private val tsActive =
+    part.tsLo != Long.MinValue || part.tsHi != Long.MaxValue
   // file columns actually needed ("name" is a partition value; columns
-  // absent from an older file's schema read as null)
-  private val wanted: Array[String] = required.fieldNames
-    .filter(n => n != "name" && fileSchema.containsField(n))
+  // absent from an older file's schema read as null); an active bound
+  // check needs the timestamp column even when the projection doesn't
+  private val wanted: Array[String] = (required.fieldNames
+    .filter(_ != "name") ++ (if (tsActive) Seq("timestamp") else Nil))
+    .distinct.filter(fileSchema.containsField)
   private val countOnly = wanted.isEmpty
   private val projSchema: MessageType =
     if (countOnly) null
@@ -325,10 +655,23 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
 
   override def next(): Boolean = {
     if (countOnly) { if (rowsLeft <= 0) return false; rowsLeft -= 1; return true }
-    while (rowsLeft <= 0) if (!nextRowGroup()) return false
-    current = recordReader.read()
-    rowsLeft -= 1
-    current != null
+    while (true) {
+      while (rowsLeft <= 0) if (!nextRowGroup()) return false
+      current = recordReader.read()
+      rowsLeft -= 1
+      if (current == null) return false
+      if (!tsActive) return true
+      // claimed-bound check; a stored row can never lack a timestamp
+      // (the bucket dir it sits in was derived from it) — fail loudly
+      // rather than guess if one does
+      val tIdx = projSchema.getFieldIndex("timestamp")
+      if (current.getFieldRepetitionCount(tIdx) == 0)
+        throw new IllegalStateException(
+          s"null timestamp in ${part.path}: store contract violated")
+      val t = current.getLong(tIdx, 0)
+      if (t >= part.tsLo && t <= part.tsHi) return true
+    }
+    false // unreachable
   }
 
   override def get(): InternalRow = {

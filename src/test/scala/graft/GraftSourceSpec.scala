@@ -119,6 +119,97 @@ class GraftSourceSpec extends AnyFunSuite {
       Set("cpu" -> 3L, "reqs" -> 2L))
   }
 
+  // ---- stats-sidecar aggregate pushdown ----
+
+  /** Same store with its stats sidecar built (legacy fixed dir). */
+  private lazy val statsRoot: String = {
+    val r = root // force the store fixture first
+    graft.tsdb.StatsAggregate
+      .buildStats(spark.read.parquet(s"$r/data").drop("bucket"), H)
+      .write.mode("overwrite").parquet(s"$r/stats")
+    r
+  }
+
+  private def statsDf = spark.read.format("graft")
+    .option("stats", "true").load(statsRoot)
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("aligned-window aggregate pushes down to the stats sidecar") {
+    val q = statsDf
+      .where(col("timestamp") >= 0L && col("timestamp") < 3 * H)
+      .agg(count(lit(1)).as("n"), sum("value").as("s"),
+        min("value").as("mn"), max("value").as("mx"),
+        min("timestamp").as("t0"), max("timestamp").as("t1"))
+    assert(planOf(q).contains("GraftStatsScan"), planOf(q))
+    val r = q.collect().head
+    assert(r.getLong(0) == 5L)
+    assert(math.abs(r.getDouble(1) - (1.5 + 2.5 + 3.5 + 10.0 +
+      ((1L << 60) + 7L).toDouble)) < 1e-3)
+    assert(r.getDouble(2) == 1.5)
+    assert(r.getDouble(3) == ((1L << 60) + 7L).toDouble)
+    assert(r.getLong(4) == 0L && r.getLong(5) == 2 * H + 2000L)
+  }
+
+  test("group-by name pushes down and matches the raw computation") {
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("name")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("s"),
+        min("timestamp").as("t0"))
+      .orderBy("name")
+    val pushed = agg(statsDf)
+    assert(planOf(pushed).contains("GraftStatsScan"), planOf(pushed))
+    val raw = agg(graftDf)
+    assert(planOf(raw).contains("GraftScan"), planOf(raw))
+    assert(pushed.collect().toSeq == raw.collect().toSeq)
+  }
+
+  test("avg falls back to the raw scan (no partial decomposition) — exact") {
+    // Spark only rewrites AVG into pushable sum/count for sources that
+    // support COMPLETE pushdown; with partial-only pushdown it arrives
+    // as Avg, which statsFuncOf declines — documented fallback. Callers
+    // wanting sidecar-served averages aggregate sum(value)/count(*)
+    // explicitly (as the engine's own avg decomposition does).
+    val q = statsDf.where(col("name") === "cpu").agg(avg("value").as("a"))
+    assert(!planOf(q).contains("GraftStatsScan"), planOf(q))
+    assert(q.collect().head.getDouble(0) == 2.5)
+  }
+
+  test("unaligned window falls back to the raw scan — and stays exact") {
+    val q = statsDf
+      .where(col("timestamp") >= 500L && col("timestamp") <= 2 * H)
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+    assert(!planOf(q).contains("GraftStatsScan"), planOf(q))
+    val r = q.collect().head
+    // rows at 500 (reqs 10), H+1000 (cpu 2.5): the claimed bounds are
+    // enforced row-level in the reader even though no Filter node runs
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 12.5)
+  }
+
+  test("unsupported shapes fall back: other group key, distinct, lvalue") {
+    val byLabel = statsDf.groupBy(col("labels")("host")).count()
+    assert(!planOf(byLabel).contains("GraftStatsScan"))
+    assert(byLabel.collect().length == 2)
+    val dist = statsDf.agg(countDistinct(col("value")))
+    assert(!planOf(dist).contains("GraftStatsScan"))
+    assert(dist.collect().head.getLong(0) == 5L)
+    val lsum = statsDf.agg(sum("lvalue"))
+    assert(!planOf(lsum).contains("GraftStatsScan"))
+    assert(lsum.collect().head.getLong(0) == (1L << 60) + 7L + 10L)
+  }
+
+  test("stats mode without a pushed aggregate still returns exact rows") {
+    // point probe: bounds claimed (no residual Filter), reader enforces
+    val q = statsDf.where(col("name") === "reqs" && col("timestamp") === 500L)
+      .select("lvalue")
+    assert(q.as[Long].collect().toSeq == Seq(10L))
+    // full row parity with the default mode
+    val a = statsDf.select("name", "timestamp", "value", "lvalue")
+    val b = graftDf.select("name", "timestamp", "value", "lvalue")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("aggregates through SQL over the registered view") {
     graftDf.createOrReplaceTempView("graft_store")
     val r = spark.sql(
