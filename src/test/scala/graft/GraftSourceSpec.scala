@@ -210,6 +210,31 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("an empty root reads as an empty table, not an error") {
+    val empty = Files.createTempDirectory("graft_dsv2_empty").toString
+    assert(spark.read.format("graft").load(empty).count() == 0L)
+  }
+
+  test("partition-escaped names round-trip through the dir layout") {
+    // GraftDb's own names are PromQL identifiers, but the layout is
+    // plain partitionBy(name, ...) — a store written by other tooling
+    // can carry characters Spark/Hive %-escape in the dir name. The
+    // reader must unescape what the writer escaped.
+    val dir = Files.createTempDirectory("graft_dsv2_esc").toString
+    Seq(("api/latency:p99", 42L, 9.9, 0L))
+      .toDF("name", "timestamp", "value", "bucket")
+      .write.partitionBy("name", "bucket").parquet(s"$dir/data")
+    import scala.jdk.CollectionConverters._
+    val escaped = Files.list(java.nio.file.Paths.get(s"$dir/data"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("name=")).toSeq
+    assert(escaped.exists(_.contains("%")), escaped) // writer did escape
+    val rows = spark.read.format("graft").load(dir)
+      .select("name", "timestamp", "value").as[(String, Long, Double)]
+      .collect().toSeq
+    assert(rows == Seq(("api/latency:p99", 42L, 9.9)))
+  }
+
   test("aggregates through SQL over the registered view") {
     graftDf.createOrReplaceTempView("graft_store")
     val r = spark.sql(
