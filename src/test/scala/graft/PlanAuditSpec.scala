@@ -33,6 +33,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "no range predicate reached the scan")
   }
 
+  test("ts33's aggregate actually pushes to the stats sidecar (no raw scan)") {
+    val p = plan(graft.queries.TimeSeries.queries("ts33_dsv2_stats_agg")(spark, sf))
+    assert(p.contains("GraftStatsScan"), p)
+    assert(!p.contains("GraftScan "), p) // raw data never opens
+  }
+
+  test("ts32's DSv2 scan reports its pushed filters") {
+    val p = plan(graft.queries.TimeSeries.queries("ts32_dsv2_scan")(spark, sf))
+    assert(p.contains("GraftScan"), p)
+    assert(p.contains("PushedFilters=[EqualTo(name,purchase)"), p)
+  }
+
   test("column pruning keeps the tx01 documents scan narrow") {
     val p = formatted(graft.queries.Pipeline.queries("tx01_tokens")(spark, sf))
     val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
