@@ -356,6 +356,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- DSv2 directory pruning: completeness under random filters ----
+
+  private val pruneCase: Gen[(Seq[graft.sources.GraftSource.GraftFile],
+      Seq[org.apache.spark.sql.sources.Filter], Long)] = {
+    import org.apache.spark.sql.sources._
+    val nameGen = Gen.oneOf("a", "b", "c")
+    val w = 100L
+    val fileGen = for {
+      n <- nameGen; b <- Gen.choose(0L, 9L)
+    } yield graft.sources.GraftSource.GraftFile(s"/$n/$b", n, b * w, 1L)
+    val filterGen: Gen[Filter] = Gen.oneOf(
+      nameGen.map(EqualTo("name", _)),
+      Gen.listOfN(2, nameGen).map(ns => In("name", ns.toArray[Any])),
+      Gen.choose(-50L, 1050L).map(GreaterThan("timestamp", _)),
+      Gen.choose(-50L, 1050L).map(GreaterThanOrEqual("timestamp", _)),
+      Gen.choose(-50L, 1050L).map(LessThan("timestamp", _)),
+      Gen.choose(-50L, 1050L).map(LessThanOrEqual("timestamp", _)),
+      Gen.choose(-50L, 1050L).map(EqualTo("timestamp", _)),
+      Gen.const(IsNotNull("timestamp")))
+    for {
+      files <- Gen.listOfN(12, fileGen)
+      filters <- Gen.listOfN(3, filterGen)
+    } yield (files.distinct, filters, w)
+  }
+
+  test("DSv2 prune never loses a file that can hold a matching row") {
+    import org.apache.spark.sql.sources._
+    def rowMatches(name: String, ts: Long, f: Filter): Boolean = f match {
+      case EqualTo("name", v) => name == v
+      case In("name", vs) => vs.contains(name)
+      case EqualTo("timestamp", v: Long) => ts == v
+      case GreaterThan("timestamp", v: Long) => ts > v
+      case GreaterThanOrEqual("timestamp", v: Long) => ts >= v
+      case LessThan("timestamp", v: Long) => ts < v
+      case LessThanOrEqual("timestamp", v: Long) => ts <= v
+      case IsNotNull(_) => true
+      case other => fail(s"unexpected filter $other")
+    }
+    samples(pruneCase, 300).foreach { case (files, filters, w) =>
+      val kept = graft.sources.GraftSource.prune(files, filters, w).toSet
+      // completeness: every (file, in-bucket ts) row satisfying ALL
+      // filters must come from a kept file
+      for (f <- files; ts <- f.bucket until (f.bucket + w)) {
+        if (filters.forall(rowMatches(f.name, ts, _)))
+          assert(kept.contains(f),
+            s"pruned $f though ts=$ts matches $filters")
+      }
+      // sanity: prune only ever drops, never invents
+      assert(kept.subsetOf(files.toSet))
+    }
+  }
+
   test("shuffleOrder equals the window row_number over the same hash") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
