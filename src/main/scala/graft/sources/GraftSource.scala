@@ -556,10 +556,26 @@ private[sources] class GraftStatsPartitionReader(part: GraftStatsPartition)
   override def close(): Unit = reader.close()
 }
 
-private[sources] class GraftScan(files: Seq[GraftSource.GraftFile],
+private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
     required: StructType, pushed: Array[Filter], tsLo: Long, tsHi: Long,
     bucketMs: Long)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  // runtime (DPP-style) pruning: a join against a small dimension on
+  // name or timestamp hands the scan IN/range filters at execution
+  // time; prune() re-applies them to the already-planned file set —
+  // lossless (the same completeness property as the static prune), so
+  // a "names of interest" broadcast join opens only those series' dirs
+  private var files: Seq[GraftSource.GraftFile] = initialFiles
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("name"),
+      org.apache.spark.sql.connector.expressions.Expressions.column("timestamp"))
+
+  override def filter(runtimeFilters: Array[Filter]): Unit =
+    files = GraftSource.prune(files, runtimeFilters.toSeq, bucketMs)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

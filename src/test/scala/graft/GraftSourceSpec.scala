@@ -210,6 +210,33 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("runtime filters re-prune the planned file set (DPP contract)") {
+    // Spark injects DynamicPruning into a SupportsRuntimeFiltering scan
+    // only when its benefit heuristic fires (it declines on KB-sized
+    // fixtures), so the scan's side of the contract is pinned directly:
+    // filter() must shrink planInputPartitions losslessly.
+    val files = Seq(
+      GraftFile("/d/name=cpu/bucket=0/p0", "cpu", 0L, 10L),
+      GraftFile("/d/name=cpu/bucket=3600000/p1", "cpu", H, 10L),
+      GraftFile("/d/name=reqs/bucket=0/p2", "reqs", 0L, 10L))
+    val scan = new graft.sources.GraftScan(files, GraftSource.tableSchema,
+      Array.empty, Long.MinValue, Long.MaxValue, H)
+    assert(scan.filterAttributes().map(_.describe()).toSet ==
+      Set("name", "timestamp"))
+    assert(scan.planInputPartitions().length == 3)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("name", Array("cpu"))))
+    assert(scan.planInputPartitions().length == 2)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      LessThan("timestamp", H)))
+    assert(scan.planInputPartitions().length == 1)
+    // end-to-end: the dim join itself stays correct either way
+    val dims = Seq("cpu").toDF("name")
+    val rows = graftDf.join(broadcast(dims), "name")
+      .select("name", "timestamp", "value").collect()
+    assert(rows.length == 3 && rows.forall(_.getString(0) == "cpu"))
+  }
+
   test("an empty root reads as an empty table, not an error") {
     val empty = Files.createTempDirectory("graft_dsv2_empty").toString
     assert(spark.read.format("graft").load(empty).count() == 0L)
