@@ -237,6 +237,29 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(rows.length == 3 && rows.forall(_.getString(0) == "cpu"))
   }
 
+  test("stats pushdown resolves the versioned pointer and sees refreshes") {
+    val dir = Files.createTempDirectory("graft_dsv2_ptr").toString
+    val db = new GraftDb(spark, dir)
+    db.createStream("m", VType.F64)
+    val ins = db.inserter("m")
+    ins.insert(100L, 1.0); ins.insert(H + 5L, 2.0); ins.flush()
+    db.refreshStats() // writes stats_v<N> + the stats_current pointer
+    def agg() = {
+      val q = spark.read.format("graft").option("stats", "true").load(dir)
+        .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      assert(planOf(q).contains("GraftStatsScan"), planOf(q))
+      val r = q.collect().head
+      (r.getLong(0), r.getDouble(1))
+    }
+    assert(agg() == ((2L, 3.0)))
+    // append a bucket and refresh: a NEW version dir is published via
+    // atomic pointer swap — the next scan must read the new version
+    val ins2 = db.inserter("m")
+    ins2.insert(2 * H + 5L, 4.0); ins2.flush()
+    db.refreshStats()
+    assert(agg() == ((3L, 7.0)))
+  }
+
   test("an empty root reads as an empty table, not an error") {
     val empty = Files.createTempDirectory("graft_dsv2_empty").toString
     assert(spark.read.format("graft").load(empty).count() == 0L)
