@@ -128,6 +128,10 @@ object TimeSeries {
       // ts33 answers aligned-window aggregates from these rows alone
       graft.tsdb.StatsAggregate.buildStats(series, Day)
         .write.parquet(s"$root/stats")
+      // persist the bucket width like GraftDb does — the authoritative
+      // value for the DSv2 stats coverage math
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(root, "bucket_ms"), Day.toString)
       root
     })
 

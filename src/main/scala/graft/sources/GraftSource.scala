@@ -84,8 +84,19 @@ class GraftSource extends TableProvider
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft source requires a path: spark.read.format(\"graft\").load(rootDir)"))
-    val bucketMs = Option(properties.get("bucketMs")).map(_.toLong)
-      .getOrElse(3600 * 1000L)
+    val declared = Option(properties.get("bucketMs")).map(_.toLong)
+    // the width GraftDb persisted with the store wins; a conflicting
+    // option is a caller bug and must fail loudly, not mis-scope the
+    // stats coverage math
+    val stored = GraftSource.storedBucketMs(path, new Configuration())
+    val bucketMs = (stored, declared) match {
+      case (Some(s), Some(d)) if s != d => throw new IllegalArgumentException(
+        s"store at $path was written with bucketMs=$s but the read " +
+          s"declared bucketMs=$d")
+      case (Some(s), _) => s
+      case (None, Some(d)) => d
+      case (None, None) => 3600 * 1000L
+    }
     val stats = Option(properties.get("stats")).exists(_.toBoolean)
     new GraftTable(path, bucketMs, stats)
   }
@@ -215,6 +226,22 @@ object GraftSource {
       case _ => ()
     }
     Bounds(names, lo, hi)
+  }
+
+  /** The bucket width GraftDb persisted with the store (`bucket_ms`),
+    * if the root carries one — the authoritative value for coverage math.
+    */
+  private[graft] def storedBucketMs(rootDir: String,
+      conf: Configuration): Option[Long] = {
+    val p = new Path(new Path(rootDir), "bucket_ms")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(v.toLong)
+    }
   }
 
   /** Stats-sidecar parquet files of a GraftDb root: resolve the
@@ -509,6 +536,18 @@ private[sources] class GraftStatsPartitionReader(part: GraftStatsPartition)
             else bucket + part.bucketMs - 1
           if (part.names.forall(_.contains(name)) &&
               bucket >= part.tsLo && bucketLast <= part.tsHi) {
+            // belt-and-braces exactness guard: a covered row's own
+            // min_ts/max_ts must sit inside the pushed window — if not,
+            // the width used for coverage math disagrees with the width
+            // the sidecar was built with; corrupting the aggregate
+            // silently is never acceptable
+            if (g.getFieldRepetitionCount(idx("min_ts")) > 0 &&
+                (g.getLong(idx("min_ts"), 0) < part.tsLo ||
+                 g.getLong(idx("max_ts"), 0) > part.tsHi))
+              throw new IllegalStateException(
+                s"stats row (name=$name bucket=$bucket) extends past the " +
+                  s"pushed window [${part.tsLo}, ${part.tsHi}] — bucketMs " +
+                  s"mismatch between the sidecar and the scan?")
             val a = acc.getOrElseUpdate(if (part.groupByName) name else "", new Acc)
             a.n += g.getLong(idx("n"), 0)
             if (g.getFieldRepetitionCount(idx("value_sum")) > 0) {

@@ -37,6 +37,18 @@ final class GraftDb(
   private val catalogFile = Paths.get(rootDir, "catalog.jsonl")
   Files.createDirectories(Paths.get(rootDir))
 
+  // Persist the bucket width with the store: readers (the DSv2 `graft`
+  // format's stats-aggregate coverage math in particular) must use the
+  // TRUE width — a mis-declared one silently mis-scopes covered-bucket
+  // answers — and a re-open with a different width would interleave
+  // incompatible bucket dirs. First open writes it; later opens verify.
+  private val bucketMsFile = Paths.get(rootDir, "bucket_ms")
+  if (Files.exists(bucketMsFile)) {
+    val stored = Files.readString(bucketMsFile).trim.toLong
+    require(stored == bucketMs,
+      s"store at $rootDir was written with bucketMs=$stored, got $bucketMs")
+  } else Files.writeString(bucketMsFile, bucketMs.toString)
+
   /** `value` is the f64 view; `lvalue` is the exact i64/u64 sidecar for
     * integer-typed streams (null for f64 streams) — the two views of the
     * reference's 8-byte Value union (lib.rs:126-132). Doubles lose

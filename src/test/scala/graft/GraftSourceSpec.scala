@@ -260,6 +260,17 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(agg() == ((3L, 7.0)))
   }
 
+  test("a bucketMs option conflicting with the store's width fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("bucketMs", "60000").load(root)
+        .count()
+    }
+    assert(e.getMessage.contains("bucketMs"), e.getMessage)
+    // the matching option (and no option) both work
+    assert(spark.read.format("graft").option("bucketMs", H.toString)
+      .load(root).count() == 5L)
+  }
+
   test("an empty root reads as an empty table, not an error") {
     val empty = Files.createTempDirectory("graft_dsv2_empty").toString
     assert(spark.read.format("graft").load(empty).count() == 0L)
