@@ -113,6 +113,19 @@ object TimeSeries {
     */
   private val storePaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private val Day = 86400 * 1000L
+
+  /** Build (or reuse) the DSv2 store fixture for `dir` outside any timed
+    * window and return the seconds spent (≈0 when already memoized).
+    * Bench calls this in its untimed warm phase so the ts32-ts34 gates
+    * time the DSv2 scan they exist to cover, not `partitionBy` write
+    * throughput; the build cost is reported as its own line like ingest.
+    */
+  def prepareDsv2Store(s: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    dsv2Store(s, dir)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def dsv2Store(s: SparkSession, dir: String): String =
     storePaths.getOrElseUpdate(System.identityHashCode(s) + "|" + dir, {
       val root =
@@ -170,6 +183,29 @@ object TimeSeries {
           round(min(col("value")), 6).as("min_value"),
           round(max(col("value")), 6).as("max_value"),
           min(col("timestamp")).as("first_ts"))
+        .orderBy("name")
+    },
+
+    // Unaligned-window ScanHint through PLAIN SQL: the pushed window is
+    // deliberately NOT day-aligned (±30 min off both edges), so the
+    // GraftStatsScan decomposes it into covered sidecar buckets ∪
+    // boundary raw rows (the SQL-surface analogue of the engine's ts18
+    // StatsAggregate decomposition and of the reference degrading
+    // partially-covered files to row scan, file.rs:280-289). The oracle
+    // recomputes everything from raw events — equality proves the
+    // decomposition drops and double-counts nothing.
+    "ts34_dsv2_stats_unaligned" -> { (s, dir) =>
+      val t = s.read.format("graft").option("bucketMs", Day.toString)
+        .option("stats", "true").load(dsv2Store(s, dir))
+      t.where(col("timestamp") >= (SubStart + 1800000L) &&
+          col("timestamp") <= (SubEnd - 1800001L))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"),
+          round(min(col("value")), 6).as("min_value"),
+          round(max(col("value")), 6).as("max_value"),
+          min(col("timestamp")).as("first_ts"),
+          max(col("timestamp")).as("last_ts"))
         .orderBy("name")
     },
 
@@ -410,6 +446,15 @@ object TimeSeries {
          |FROM (SELECT event_type, epoch_ns(ts)//1000000 AS t, value AS v
          |      FROM events)
          |WHERE t >= $SubStart AND t < $SubEnd GROUP BY 1 ORDER BY name""".stripMargin,
+
+    "ts34_dsv2_stats_unaligned" ->
+      s"""SELECT event_type AS name, COUNT(*) AS n,
+         |ROUND(SUM(v), 4) AS sum_value, ROUND(MIN(v), 6) AS min_value,
+         |ROUND(MAX(v), 6) AS max_value, MIN(t) AS first_ts, MAX(t) AS last_ts
+         |FROM (SELECT event_type, epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events)
+         |WHERE t >= ${SubStart + 1800000L} AND t <= ${SubEnd - 1800001L}
+         |GROUP BY 1 ORDER BY name""".stripMargin,
 
     "ts01_select_range" ->
       s"""SELECT t AS timestamp, v AS value FROM ${ev("event_type = 'purchase'")}

@@ -81,14 +81,23 @@ class GraftSource extends TableProvider
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
+    // reader options are case-insensitive by DSv2 convention —
+    // .option("bucketms", ...) must not be silently ignored
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft source requires a path: spark.read.format(\"graft\").load(rootDir)"))
-    val declared = Option(properties.get("bucketMs")).map(_.toLong)
+    val declared = Option(opts.get("bucketMs")).map(_.toLong)
+    // the session's Hadoop configuration (spark.hadoop.* — S3A
+    // credentials, HDFS nameservices) must reach every filesystem
+    // access, driver and executor alike; a bare `new Configuration()`
+    // would resolve only the local defaults
+    val conf = new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     // the width GraftDb persisted with the store wins; a conflicting
     // option is a caller bug and must fail loudly, not mis-scope the
     // stats coverage math
-    val stored = GraftSource.storedBucketMs(path, new Configuration())
+    val stored = GraftSource.storedBucketMs(path, conf.value)
     val bucketMs = (stored, declared) match {
       case (Some(s), Some(d)) if s != d => throw new IllegalArgumentException(
         s"store at $path was written with bucketMs=$s but the read " +
@@ -97,8 +106,28 @@ class GraftSource extends TableProvider
       case (None, Some(d)) => d
       case (None, None) => 3600 * 1000L
     }
-    val stats = Option(properties.get("stats")).exists(_.toBoolean)
-    new GraftTable(path, bucketMs, stats)
+    val stats = Option(opts.get("stats")).exists(_.toBoolean)
+    new GraftTable(path, bucketMs, stats, conf)
+  }
+}
+
+/** Minimal serializable wrapper for a Hadoop `Configuration` (which is
+  * not `Serializable` itself): the session's resolved configuration is
+  * captured once on the driver and shipped inside the reader factories
+  * so executor-side file/parquet opens see the same spark.hadoop.*
+  * settings as the driver's listing did.
+  */
+private[sources] final class SerializableHadoopConf(
+    @transient private var conf: Configuration) extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
   }
 }
 
@@ -201,6 +230,10 @@ object GraftSource {
     var names: Option[Set[String]] = None
     var lo = Long.MinValue
     var hi = Long.MaxValue
+    // GreaterThan at Long.MaxValue / LessThan at Long.MinValue admit no
+    // long at all — saturating to an inclusive bound would wrongly keep
+    // the extreme value itself where the bounds are CLAIMED (stats mode)
+    var impossible = false
     def num(v: Any): Option[Long] = v match {
       case n: java.lang.Number => Some(n.longValue)
       case _ => None
@@ -217,15 +250,49 @@ object GraftSource {
         lo = math.max(lo, t); hi = math.min(hi, t) }
       // strict bounds tighten by one ms (timestamps are integral): a
       // bucket starting exactly at a LessThan bound holds no match
-      case GreaterThan("timestamp", v) => num(v).foreach(t =>
-        lo = math.max(lo, if (t == Long.MaxValue) t else t + 1))
+      case GreaterThan("timestamp", v) => num(v).foreach { t =>
+        if (t == Long.MaxValue) impossible = true else lo = math.max(lo, t + 1) }
       case GreaterThanOrEqual("timestamp", v) => num(v).foreach(t => lo = math.max(lo, t))
-      case LessThan("timestamp", v) => num(v).foreach(t =>
-        hi = math.min(hi, if (t == Long.MinValue) t else t - 1))
+      case LessThan("timestamp", v) => num(v).foreach { t =>
+        if (t == Long.MinValue) impossible = true else hi = math.min(hi, t - 1) }
       case LessThanOrEqual("timestamp", v) => num(v).foreach(t => hi = math.min(hi, t))
       case _ => ()
     }
-    Bounds(names, lo, hi)
+    // empty range: lo > hi with both at their own extremes, so neither
+    // the bucket-overlap test nor the row-level [lo, hi] check can admit
+    // anything (Long.MaxValue ≤ hi and lo ≤ Long.MinValue both fail)
+    if (impossible) Bounds(names, Long.MaxValue, Long.MinValue)
+    else Bounds(names, lo, hi)
+  }
+
+  /** Covered-bucket interval of an inclusive timestamp window [lo, hi]:
+    * (covLo, covHi) such that a bucket is FULLY inside the window iff
+    * bucket >= covLo && bucket + bucketMs - 1 <= covHi. covLo > covHi
+    * means no bucket is covered (the whole window is boundary rows).
+    * Overflow near the long extremes degrades to "not covered" — the
+    * conservative direction (rows move to the exact raw-scan side).
+    */
+  private[graft] def coveredRange(lo: Long, hi: Long,
+      bucketMs: Long): (Long, Long) = {
+    val none = (Long.MaxValue, Long.MinValue)
+    val covLo =
+      if (lo == Long.MinValue) Long.MinValue
+      else {
+        val r = Math.floorMod(lo, bucketMs)
+        if (r == 0L) lo
+        else if (lo > Long.MaxValue - (bucketMs - r)) return none
+        else lo + (bucketMs - r)
+      }
+    val covHi =
+      if (hi == Long.MaxValue) Long.MaxValue
+      else {
+        // largest aligned exclusive end ≤ hi+1, minus one (hi < MaxValue
+        // here so hi+1 cannot overflow)
+        val m = Math.floorMod(hi + 1, bucketMs)
+        if (hi < Long.MinValue + m) return none
+        hi - m
+      }
+    if (covLo > covHi) none else (covLo, covHi)
   }
 
   /** The bucket width GraftDb persisted with the store (`bucket_ms`),
@@ -292,10 +359,12 @@ object GraftSource {
     f match {
       case _: CountStar => Some("count")
       case c: Count if !c.isDistinct => c.column match {
-        // count(<literal>) ≡ count(*); count(name) too — the partition
-        // value is never null. count(value/timestamp/lvalue) is NOT
-        // served: the sidecar's n counts rows, not non-null values.
-        case _: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        // count(<non-null literal>) ≡ count(*); count(name) too — the
+        // partition value is never null. count(NULL) must return 0, and
+        // count(value/timestamp/lvalue) is NOT served: the sidecar's n
+        // counts rows, not non-null values.
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value != null =>
           Some("count")
         case nr: NamedReference if nr.fieldNames.sameElements(Array("name")) =>
           Some("count")
@@ -329,14 +398,15 @@ object GraftSource {
 }
 
 private[sources] class GraftTable(rootDir: String, bucketMs: Long,
-    statsMode: Boolean = false)
+    statsMode: Boolean = false,
+    conf: SerializableHadoopConf = new SerializableHadoopConf(new Configuration()))
     extends Table with SupportsRead {
   override def name(): String = s"graft:$rootDir"
   override def schema(): StructType = GraftSource.tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(rootDir, bucketMs, statsMode)
+    new GraftScanBuilder(rootDir, bucketMs, statsMode, conf)
 }
 
 /** Filter / column / aggregate pushdown.
@@ -362,7 +432,7 @@ private[sources] class GraftTable(rootDir: String, bucketMs: Long,
   * as the engine's `StatsAggregate` path (ts18).
   */
 private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
-    statsMode: Boolean)
+    statsMode: Boolean, conf: SerializableHadoopConf)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -414,15 +484,16 @@ private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
     }
     if (!groupOk) return false
     val funcs = agg.aggregateExpressions.toSeq.map(GraftSource.statsFuncOf)
-    if (funcs.exists(_.isEmpty)) return false
-    // the pushed timestamp window must cover whole buckets, or the
-    // sidecar rows would over-count the boundary buckets
-    val b = GraftSource.bounds(pushed.toSeq)
-    val loAligned = b.lo == Long.MinValue || Math.floorMod(b.lo, bucketMs) == 0L
-    val hiAligned = b.hi == Long.MaxValue ||
-      Math.floorMod(b.hi + 1, bucketMs) == 0L
-    if (!loAligned || !hiAligned) return false
-    if (GraftSource.statsFiles(rootDir, new Configuration()).isEmpty)
+    // an empty aggregation list (e.g. count(NULL) constant-folded away
+    // by Catalyst) has nothing to serve from the sidecar
+    if (funcs.isEmpty || funcs.exists(_.isEmpty)) return false
+    // No alignment requirement: an unaligned window decomposes into
+    // covered buckets (answered from the sidecar) ∪ boundary rows
+    // (partially aggregated from the raw files) — see build(). The
+    // engine's StatsAggregate proves the same decomposition (ts18); the
+    // reference analogously degrades partially-covered files to row
+    // scan (tachyon_core/src/storage/file.rs:280-289).
+    if (GraftSource.statsFiles(rootDir, conf.value).isEmpty)
       return false
     aggFuncs = funcs.flatten
     aggPushed = true
@@ -430,35 +501,86 @@ private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
   }
 
   override def build(): Scan = {
-    val conf = new Configuration()
     if (aggPushed) {
       val b = GraftSource.bounds(pushed.toSeq)
-      new GraftStatsScan(GraftSource.statsFiles(rootDir, conf).get,
-        aggGroupByName, aggFuncs, b, bucketMs, pushed)
+      val (covLo, covHi) = GraftSource.coveredRange(b.lo, b.hi, bucketMs)
+      // raw boundary files: inside the pushed (names, window) but NOT
+      // fully covered — empty when the window is bucket-aligned, so the
+      // aligned path never even lists the data dirs
+      val boundary =
+        if (covLo <= b.lo && b.hi <= covHi) Nil
+        else GraftSource.prune(
+            GraftSource.listFiles(rootDir, conf.value), pushed.toSeq, bucketMs)
+          .filterNot { f =>
+            val bucketLast =
+              if (f.bucket > Long.MaxValue - bucketMs) Long.MaxValue
+              else f.bucket + bucketMs - 1
+            f.bucket >= covLo && bucketLast <= covHi
+          }
+      new GraftStatsScan(GraftSource.statsFiles(rootDir, conf.value).get,
+        boundary, aggGroupByName, aggFuncs, b, covLo, covHi, bucketMs,
+        pushed, conf)
     } else {
       val files = GraftSource.prune(
-        GraftSource.listFiles(rootDir, conf), pushed.toSeq, bucketMs)
+        GraftSource.listFiles(rootDir, conf.value), pushed.toSeq, bucketMs)
       // claimed timestamp bounds must be enforced row-level by the
       // reader; in default mode everything is residual and the bounds
       // passed are the full range (no-op)
       val b = if (statsMode) GraftSource.bounds(pushed.toSeq)
         else GraftSource.Bounds(None, Long.MinValue, Long.MaxValue)
-      new GraftScan(files, required, pushed, b.lo, b.hi, bucketMs)
+      new GraftScan(files, required, pushed, b.lo, b.hi, bucketMs, conf)
     }
   }
 }
 
-/** The aggregate-pushdown scan: partitions are the STATS SIDECAR's
-  * parquet files; each reader filters sidecar rows to the pushed
-  * (names, aligned window) and partially aggregates them per group, so
-  * a whole-store rollup moves one row per (file, group) — raw data is
-  * never opened. Spark plans the final merge aggregation on top
+/** Partial-aggregate accumulator shared by the sidecar and raw-boundary
+  * readers: both emit rows of the same partial schema, which Spark's
+  * final merge aggregation combines (count→sum, sum→sum, min→min,
+  * max→max).
+  */
+private[sources] final class GraftAggAcc {
+  var n = 0L
+  var sum = 0.0; var hasSum = false
+  var minV = Double.MaxValue; var maxV = Double.MinValue; var hasV = false
+  var minTs = Long.MaxValue; var maxTs = Long.MinValue; var hasTs = false
+
+  def render(groupByName: Boolean, name: String,
+      funcs: Seq[String]): InternalRow = {
+    val group: Seq[Any] =
+      if (groupByName) Seq(UTF8String.fromString(name)) else Nil
+    val aggs: Seq[Any] = funcs.map {
+      case "count" => n
+      case "sum" => if (hasSum) sum else null
+      case "min_value" => if (hasV) minV else null
+      case "max_value" => if (hasV) maxV else null
+      case "min_ts" => if (hasTs) minTs else null
+      case "max_ts" => if (hasTs) maxTs else null
+    }
+    new GenericInternalRow((group ++ aggs).toArray)
+  }
+}
+
+/** The aggregate-pushdown scan, covered ∪ boundary: partitions are the
+  * STATS SIDECAR's parquet files (each reader filters sidecar rows to
+  * the pushed names and the buckets FULLY inside the window, partially
+  * aggregating one row per group) plus, when the window is NOT
+  * bucket-aligned, the raw data files of the boundary buckets (each
+  * reader partially aggregates the raw rows inside the window but
+  * outside the covered interval). The two partition kinds emit the same
+  * partial schema and Spark plans the final merge aggregation on top
   * (supportCompletePushDown stays false), which also gives exact SQL
-  * semantics on an empty selection (count=0, sum/min/max=null).
+  * semantics on an empty selection (count=0, sum/min/max=null). This is
+  * the SQL-surface analogue of the engine's StatsAggregate
+  * decomposition (ts18) and of the reference degrading
+  * partially-covered files to row scan
+  * (tachyon_core/src/storage/file.rs:280-289). An aligned window keeps
+  * the round-7 behavior exactly: boundary is empty and raw data is
+  * never listed or opened.
   */
 private[sources] class GraftStatsScan(statsFiles: Seq[GraftSource.GraftFile],
-    groupByName: Boolean, funcs: Seq[String], bounds: GraftSource.Bounds,
-    bucketMs: Long, pushed: Array[Filter])
+    boundaryFiles: Seq[GraftSource.GraftFile], groupByName: Boolean,
+    funcs: Seq[String], bounds: GraftSource.Bounds, covLo: Long, covHi: Long,
+    bucketMs: Long, pushed: Array[Filter], conf: SerializableHadoopConf)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = {
@@ -472,121 +594,135 @@ private[sources] class GraftStatsScan(statsFiles: Seq[GraftSource.GraftFile],
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftStatsScan files=${statsFiles.size} " +
+      s"boundaryFiles=${boundaryFiles.size} " +
       s"PushedAggregates=[${funcs.mkString(", ")}] " +
       s"GroupBy=[${if (groupByName) "name" else ""}] " +
       s"PushedFilters=[${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    statsFiles.map(f => GraftStatsPartition(f.path, groupByName, funcs,
-      bounds.names, bounds.lo, bounds.hi, bucketMs): InputPartition).toArray
+    (statsFiles.map(f => GraftStatsPartition(f.path, groupByName, funcs,
+      bounds.names, covLo, covHi, bucketMs): InputPartition) ++
+     boundaryFiles.map(f => GraftAggRawPartition(f.path, f.name, groupByName,
+       funcs, bounds.lo, bounds.hi, covLo, covHi): InputPartition)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new GraftStatsPartitionReader(p.asInstanceOf[GraftStatsPartition])
-    }
+    new GraftAggReaderFactory(conf)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(statsFiles.map(_.length).sum)
+      OptionalLong.of((statsFiles ++ boundaryFiles).map(_.length).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
+}
+
+private[sources] class GraftAggReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case sp: GraftStatsPartition =>
+        new GraftStatsPartitionReader(sp, conf.value)
+      case rp: GraftAggRawPartition =>
+        new GraftAggRawReader(rp, conf.value)
+      case other => throw new IllegalStateException(
+        s"unexpected partition type: $other")
+    }
 }
 
 private[sources] final case class GraftStatsPartition(path: String,
     groupByName: Boolean, funcs: Seq[String], names: Option[Set[String]],
     tsLo: Long, tsHi: Long, bucketMs: Long) extends InputPartition
 
+/** One raw data file of a boundary bucket: rows inside the pushed
+  * window [tsLo, tsHi] but OUTSIDE the covered interval [covLo, covHi]
+  * partially aggregate into one row (the file's series is its `name`
+  * partition value, so group-by-name needs no per-row grouping).
+  */
+private[sources] final case class GraftAggRawPartition(path: String,
+    name: String, groupByName: Boolean, funcs: Seq[String],
+    tsLo: Long, tsHi: Long, covLo: Long, covHi: Long) extends InputPartition
+
 /** Reads one stats-sidecar parquet file and emits one partial row per
   * group: sidecar rows are filtered to the pushed names and to buckets
-  * FULLY inside the aligned window (the builder verified alignment, so
-  * covered == selected), then n/value_sum/min/max/min_ts/max_ts fold
-  * into the pushed aggregate columns.
+  * FULLY inside the covered interval, then n/value_sum/min/max/
+  * min_ts/max_ts fold into the pushed aggregate columns.
   */
-private[sources] class GraftStatsPartitionReader(part: GraftStatsPartition)
+private[sources] class GraftStatsPartitionReader(part: GraftStatsPartition,
+    hconf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  private final class Acc {
-    var n = 0L
-    var sum = 0.0; var hasSum = false
-    var minV = Double.MaxValue; var maxV = Double.MinValue; var hasV = false
-    var minTs = Long.MaxValue; var maxTs = Long.MinValue; var hasTs = false
-  }
-
   private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new Path(part.path), new Configuration()))
-  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
-  private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
-  private def idx(col: String): Int = fileSchema.getFieldIndex(col)
+    HadoopInputFile.fromPath(new Path(part.path), hconf))
 
-  private val groups = {
-    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
-    var pages = reader.readNextRowGroup()
-    while (pages != null) {
-      val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
-      var left = pages.getRowCount
-      while (left > 0) {
-        val g = rr.read()
-        left -= 1
-        if (g != null) {
-          val name = g.getString(idx("name"), 0)
-          val bucket = g.getLong(idx("bucket"), 0)
-          val bucketLast =
-            if (bucket > Long.MaxValue - part.bucketMs) Long.MaxValue
-            else bucket + part.bucketMs - 1
-          if (part.names.forall(_.contains(name)) &&
-              bucket >= part.tsLo && bucketLast <= part.tsHi) {
-            // belt-and-braces exactness guard: a covered row's own
-            // min_ts/max_ts must sit inside the pushed window — if not,
-            // the width used for coverage math disagrees with the width
-            // the sidecar was built with; corrupting the aggregate
-            // silently is never acceptable
-            if (g.getFieldRepetitionCount(idx("min_ts")) > 0 &&
-                (g.getLong(idx("min_ts"), 0) < part.tsLo ||
-                 g.getLong(idx("max_ts"), 0) > part.tsHi))
-              throw new IllegalStateException(
-                s"stats row (name=$name bucket=$bucket) extends past the " +
-                  s"pushed window [${part.tsLo}, ${part.tsHi}] — bucketMs " +
-                  s"mismatch between the sidecar and the scan?")
-            val a = acc.getOrElseUpdate(if (part.groupByName) name else "", new Acc)
-            a.n += g.getLong(idx("n"), 0)
-            if (g.getFieldRepetitionCount(idx("value_sum")) > 0) {
-              a.sum += g.getDouble(idx("value_sum"), 0); a.hasSum = true
-            }
-            if (g.getFieldRepetitionCount(idx("min_value")) > 0) {
-              a.minV = math.min(a.minV, g.getDouble(idx("min_value"), 0))
-              a.maxV = math.max(a.maxV, g.getDouble(idx("max_value"), 0))
-              a.hasV = true
-            }
-            if (g.getFieldRepetitionCount(idx("min_ts")) > 0) {
-              a.minTs = math.min(a.minTs, g.getLong(idx("min_ts"), 0))
-              a.maxTs = math.max(a.maxTs, g.getLong(idx("max_ts"), 0))
-              a.hasTs = true
+  // all reading is eager; anything thrown here (the bucketMs-mismatch
+  // guard in particular) must close the already-opened file first —
+  // Spark only calls close() on a successfully constructed reader
+  private val groups =
+    try {
+      val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
+      def idx(col: String): Int = fileSchema.getFieldIndex(col)
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, GraftAggAcc]
+      var pages = reader.readNextRowGroup()
+      while (pages != null) {
+        val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+        var left = pages.getRowCount
+        while (left > 0) {
+          val g = rr.read()
+          left -= 1
+          if (g != null) {
+            val name = g.getString(idx("name"), 0)
+            val bucket = g.getLong(idx("bucket"), 0)
+            val bucketLast =
+              if (bucket > Long.MaxValue - part.bucketMs) Long.MaxValue
+              else bucket + part.bucketMs - 1
+            if (part.names.forall(_.contains(name)) &&
+                bucket >= part.tsLo && bucketLast <= part.tsHi) {
+              // belt-and-braces exactness guard: a covered row's own
+              // min_ts/max_ts must sit inside the covered interval — if
+              // not, the width used for coverage math disagrees with the
+              // width the sidecar was built with; corrupting the
+              // aggregate silently is never acceptable
+              if (g.getFieldRepetitionCount(idx("min_ts")) > 0 &&
+                  (g.getLong(idx("min_ts"), 0) < part.tsLo ||
+                   g.getLong(idx("max_ts"), 0) > part.tsHi))
+                throw new IllegalStateException(
+                  s"stats row (name=$name bucket=$bucket) extends past the " +
+                    s"covered interval [${part.tsLo}, ${part.tsHi}] — bucketMs " +
+                    s"mismatch between the sidecar and the scan?")
+              val a = acc.getOrElseUpdate(
+                if (part.groupByName) name else "", new GraftAggAcc)
+              a.n += g.getLong(idx("n"), 0)
+              if (g.getFieldRepetitionCount(idx("value_sum")) > 0) {
+                a.sum += g.getDouble(idx("value_sum"), 0); a.hasSum = true
+              }
+              if (g.getFieldRepetitionCount(idx("min_value")) > 0) {
+                a.minV = math.min(a.minV, g.getDouble(idx("min_value"), 0))
+                a.maxV = math.max(a.maxV, g.getDouble(idx("max_value"), 0))
+                a.hasV = true
+              }
+              if (g.getFieldRepetitionCount(idx("min_ts")) > 0) {
+                a.minTs = math.min(a.minTs, g.getLong(idx("min_ts"), 0))
+                a.maxTs = math.max(a.maxTs, g.getLong(idx("max_ts"), 0))
+                a.hasTs = true
+              }
             }
           }
         }
+        pages = reader.readNextRowGroup()
       }
-      pages = reader.readNextRowGroup()
+      acc.iterator
+    } catch {
+      case t: Throwable =>
+        try reader.close() catch { case _: Throwable => () }
+        throw t
     }
-    acc.iterator
-  }
 
   private var current: InternalRow = null
 
   override def next(): Boolean = {
     if (!groups.hasNext) return false
     val (name, a) = groups.next()
-    val group: Seq[Any] =
-      if (part.groupByName) Seq(UTF8String.fromString(name)) else Nil
-    val aggs: Seq[Any] = part.funcs.map {
-      case "count" => a.n
-      case "sum" => if (a.hasSum) a.sum else null
-      case "min_value" => if (a.hasV) a.minV else null
-      case "max_value" => if (a.hasV) a.maxV else null
-      case "min_ts" => if (a.hasTs) a.minTs else null
-      case "max_ts" => if (a.hasTs) a.maxTs else null
-    }
-    current = new GenericInternalRow((group ++ aggs).toArray)
+    current = a.render(part.groupByName, name, part.funcs)
     true
   }
 
@@ -595,9 +731,90 @@ private[sources] class GraftStatsPartitionReader(part: GraftStatsPartition)
   override def close(): Unit = reader.close()
 }
 
+/** Partially aggregates the boundary rows of one raw data file: only
+  * the columns the pushed functions need are decompressed (timestamp
+  * always — it carries the window check; value only when a value
+  * aggregate was pushed), and one partial row is emitted unless no row
+  * matched.
+  */
+private[sources] class GraftAggRawReader(part: GraftAggRawPartition,
+    hconf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val reader = ParquetFileReader.open(
+    HadoopInputFile.fromPath(new Path(part.path), hconf))
+
+  private val acc =
+    try {
+      val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      val needValue = part.funcs.exists(f =>
+        f == "sum" || f == "min_value" || f == "max_value")
+      val cols = Seq("timestamp") ++
+        (if (needValue && fileSchema.containsField("value")) Seq("value") else Nil)
+      val proj = new MessageType(fileSchema.getName,
+        cols.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))): _*)
+      reader.setRequestedSchema(proj)
+      val columnIO = new ColumnIOFactory().getColumnIO(proj)
+      val tIdx = proj.getFieldIndex("timestamp")
+      val vIdx = if (proj.containsField("value")) proj.getFieldIndex("value") else -1
+      val a = new GraftAggAcc
+      var pages = reader.readNextRowGroup()
+      while (pages != null) {
+        val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(proj))
+        var left = pages.getRowCount
+        while (left > 0) {
+          val g = rr.read()
+          left -= 1
+          if (g != null) {
+            if (g.getFieldRepetitionCount(tIdx) == 0)
+              throw new IllegalStateException(
+                s"null timestamp in ${part.path}: store contract violated")
+            val t = g.getLong(tIdx, 0)
+            if (t >= part.tsLo && t <= part.tsHi &&
+                !(t >= part.covLo && t <= part.covHi)) {
+              a.n += 1
+              if (t < a.minTs) a.minTs = t
+              if (t > a.maxTs) a.maxTs = t
+              a.hasTs = true
+              if (vIdx >= 0 && g.getFieldRepetitionCount(vIdx) > 0) {
+                val v = g.getDouble(vIdx, 0)
+                a.sum += v; a.hasSum = true
+                if (v < a.minV) a.minV = v
+                if (v > a.maxV) a.maxV = v
+                a.hasV = true
+              }
+            }
+          }
+        }
+        pages = reader.readNextRowGroup()
+      }
+      a
+    } catch {
+      case t: Throwable =>
+        try reader.close() catch { case _: Throwable => () }
+        throw t
+    }
+
+  private var emitted = false
+
+  // a file with no matching boundary row contributes nothing (emitting
+  // an n=0 partial would be harmless for count but would pollute the
+  // group set under group-by-name)
+  override def next(): Boolean = {
+    if (emitted || acc.n == 0L) false
+    else { emitted = true; true }
+  }
+
+  override def get(): InternalRow =
+    acc.render(part.groupByName, part.name, part.funcs)
+
+  override def close(): Unit = reader.close()
+}
+
 private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
     required: StructType, pushed: Array[Filter], tsLo: Long, tsHi: Long,
-    bucketMs: Long)
+    bucketMs: Long,
+    conf: SerializableHadoopConf = new SerializableHadoopConf(new Configuration()))
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -637,7 +854,7 @@ private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    new GraftReaderFactory(required, conf)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -649,10 +866,12 @@ private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
 private[sources] final case class GraftInputPartition(path: String,
     name: String, tsLo: Long, tsHi: Long) extends InputPartition
 
-private[sources] class GraftReaderFactory(required: StructType)
+private[sources] class GraftReaderFactory(required: StructType,
+    conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition], required)
+    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition], required,
+      conf.value)
 }
 
 /** Per-file reader over parquet-mr's public Group API. Requested-schema
@@ -665,30 +884,42 @@ private[sources] class GraftReaderFactory(required: StructType)
   * engine's plain parquet scans which keep Spark's vectorized reader.
   */
 private[sources] class GraftPartitionReader(part: GraftInputPartition,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, hconf: Configuration)
+    extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new Path(part.path), new Configuration()))
-  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
-  // claimed timestamp bounds (stats mode, boundary buckets only) are
-  // enforced here row-level; fully-covered buckets arrive with the
-  // full range and skip the check entirely
-  private val tsActive =
-    part.tsLo != Long.MinValue || part.tsHi != Long.MaxValue
-  // file columns actually needed ("name" is a partition value; columns
-  // absent from an older file's schema read as null); an active bound
-  // check needs the timestamp column even when the projection doesn't
-  private val wanted: Array[String] = (required.fieldNames
-    .filter(_ != "name") ++ (if (tsActive) Seq("timestamp") else Nil))
-    .distinct.filter(fileSchema.containsField)
-  private val countOnly = wanted.isEmpty
-  private val projSchema: MessageType =
-    if (countOnly) null
-    else new MessageType(fileSchema.getName,
-      wanted.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
-  if (!countOnly) reader.setRequestedSchema(projSchema)
-  private val columnIO =
-    if (countOnly) null else new ColumnIOFactory().getColumnIO(projSchema)
+    HadoopInputFile.fromPath(new Path(part.path), hconf))
+  // anything thrown during setup must close the already-opened file —
+  // Spark only calls close() on a successfully constructed reader
+  private val (fileSchema, projSchema, columnIO, countOnly, tsActive) =
+    try {
+      val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      // claimed timestamp bounds (stats mode, boundary buckets only) are
+      // enforced here row-level; fully-covered buckets arrive with the
+      // full range and skip the check entirely
+      val tsActive =
+        part.tsLo != Long.MinValue || part.tsHi != Long.MaxValue
+      // file columns actually needed ("name" is a partition value;
+      // columns absent from an older file's schema read as null); an
+      // active bound check needs the timestamp column even when the
+      // projection doesn't
+      val wanted: Array[String] = (required.fieldNames
+        .filter(_ != "name") ++ (if (tsActive) Seq("timestamp") else Nil))
+        .distinct.filter(fileSchema.containsField)
+      val countOnly = wanted.isEmpty
+      val projSchema: MessageType =
+        if (countOnly) null
+        else new MessageType(fileSchema.getName,
+          wanted.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+      if (!countOnly) reader.setRequestedSchema(projSchema)
+      val columnIO =
+        if (countOnly) null else new ColumnIOFactory().getColumnIO(projSchema)
+      (fileSchema, projSchema, columnIO, countOnly, tsActive)
+    } catch {
+      case t: Throwable =>
+        try reader.close() catch { case _: Throwable => () }
+        throw t
+    }
 
   private val nameValue = UTF8String.fromString(part.name)
   private var recordReader: RecordReader[Group] = null

@@ -176,15 +176,90 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(q.collect().head.getDouble(0) == 2.5)
   }
 
-  test("unaligned window falls back to the raw scan — and stays exact") {
+  test("unaligned window pushes down as covered ∪ boundary — and stays exact") {
+    // [500, 2H]: bucket H is covered (sidecar row), buckets 0 and 2H are
+    // boundary (raw partial agg). Rows in range: reqs@500 (10.0, raw),
+    // cpu@H+1000 (2.5, sidecar). cpu@0, cpu@2H+2000, reqs@2H+500 are out.
     val q = statsDf
       .where(col("timestamp") >= 500L && col("timestamp") <= 2 * H)
-      .agg(count(lit(1)).as("n"), sum("value").as("s"))
-    assert(!planOf(q).contains("GraftStatsScan"), planOf(q))
+      .agg(count(lit(1)).as("n"), sum("value").as("s"),
+        min("value").as("mn"), max("value").as("mx"),
+        min("timestamp").as("t0"), max("timestamp").as("t1"))
+    val plan = planOf(q)
+    assert(plan.contains("GraftStatsScan"), plan)
+    // bucket H files must NOT be re-opened raw: cpu bucket=0 + bucket=7200000
+    // and reqs bucket=0 + bucket=7200000 are the only boundary candidates
+    assert(plan.contains("boundaryFiles=4"), plan)
     val r = q.collect().head
-    // rows at 500 (reqs 10), H+1000 (cpu 2.5): the claimed bounds are
-    // enforced row-level in the reader even though no Filter node runs
     assert(r.getLong(0) == 2L && r.getDouble(1) == 12.5)
+    assert(r.getDouble(2) == 2.5 && r.getDouble(3) == 10.0)
+    assert(r.getLong(4) == 500L && r.getLong(5) == H + 1000L)
+  }
+
+  test("hybrid decomposition ≡ raw for random windows (property)") {
+    val rnd = new scala.util.Random(42)
+    val tsMax = 3 * H + 3000L
+    for (_ <- 1 to 40) {
+      val a = math.abs(rnd.nextLong()) % tsMax - 1000L
+      val b = math.abs(rnd.nextLong()) % tsMax
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .where(col("timestamp") >= lo && col("timestamp") <= hi)
+        .groupBy("name")
+        .agg(count(lit(1)).as("n"), sum("value").as("s"),
+          min("timestamp").as("t0"), max("timestamp").as("t1"))
+        .orderBy("name")
+      val pushed = agg(statsDf)
+      assert(planOf(pushed).contains("GraftStatsScan"),
+        s"[$lo,$hi]: ${planOf(pushed)}")
+      assert(pushed.collect().toSeq == agg(graftDf).collect().toSeq,
+        s"window [$lo,$hi]")
+    }
+  }
+
+  test("covered-range math: alignment, sub-bucket windows, extremes") {
+    import GraftSource.coveredRange
+    assert(coveredRange(0L, 3 * H - 1, H) == ((0L, 3 * H - 1)))   // aligned
+    assert(coveredRange(500L, 2 * H, H) == ((H, 2 * H - 1)))      // unaligned
+    assert(coveredRange(Long.MinValue, Long.MaxValue, H) ==
+      ((Long.MinValue, Long.MaxValue)))                            // unbounded
+    val (nl, nh) = coveredRange(100L, H - 2, H)                    // sub-bucket
+    assert(nl > nh)
+    val (el, eh) = coveredRange(Long.MaxValue, Long.MinValue, H)   // empty
+    assert(el > eh)
+    val (ol, oh) = coveredRange(Long.MaxValue - 10, Long.MaxValue - 5, H)
+    assert(ol > oh)                                                // overflow-safe
+  }
+
+  test("count(NULL) is not claimed by the sidecar count") {
+    // Catalyst constant-folds count(NULL) before pushdown, leaving an
+    // EMPTY aggregation list — which must be declined (nothing to serve
+    // from the sidecar), and the answer must be 0, not the row count
+    val q = statsDf.agg(count(lit(null).cast("int")).as("n"))
+    assert(!planOf(q).contains("PushedAggregates=[]"), planOf(q))
+    assert(q.collect().head.getLong(0) == 0L)
+  }
+
+  test("reader options are case-insensitive (bucketms / STATS)") {
+    // a mis-cased bucketMs must still hit the conflict guard, not be
+    // silently ignored
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("bucketms", "60000").load(root).count()
+    }
+    assert(e.getMessage.contains("bucketMs"), e.getMessage)
+    val q = spark.read.format("graft").option("STATS", "true").load(statsRoot)
+      .agg(sum("value").as("s"))
+    assert(planOf(q).contains("GraftStatsScan"), planOf(q))
+  }
+
+  test("strict bounds at the long extremes admit nothing") {
+    import org.apache.spark.sql.sources.GreaterThan
+    val b = GraftSource.bounds(Seq(GreaterThan("timestamp", Long.MaxValue)))
+    assert(b.lo > b.hi)
+    val b2 = GraftSource.bounds(Seq(LessThan("timestamp", Long.MinValue)))
+    assert(b2.lo > b2.hi)
+    // end-to-end: claimed in stats mode, still zero rows
+    assert(statsDf.where(col("timestamp") > Long.MaxValue).count() == 0L)
   }
 
   test("unsupported shapes fall back: other group key, distinct, lvalue") {
