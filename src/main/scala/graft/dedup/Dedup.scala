@@ -272,23 +272,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK))
     val cw = if (comboWidth >= 1) comboWidth
       else autoComboWidth(fp.count(), maxHamming)
-    val bounds = segmentBounds(SimhashBits, maxHamming + cw)
-    // Any comboWidth segment widths sum to <= 60 bits, so a packed
-    // combo key always fits one long.
-    val segCols = bounds.indices.combinations(cw).toSeq.zipWithIndex.map {
-      case (idxs, ci) =>
-        val packed = idxs.map { i =>
-          val (off, w) = bounds(i)
-          (shiftrightunsigned(col("fp"), off).bitwiseAND((1L << w) - 1), w)
-        }.reduceLeft[(Column, Int)] { case ((acc, aw), (v, w)) =>
-          (shiftleft(acc, w).bitwiseOR(v), aw + w)
-        }._1
-        struct(lit(ci).as("seg_idx"), packed.as("seg_val"))
-    }
-    val banded = fp.select(col("id"), col("fp"),
-        explode(array(segCols: _*)).as("seg"))
-      .select(col("id"), col("fp"),
-        col("seg.seg_idx").as("seg_idx"), col("seg.seg_val").as("seg_val"))
+    val banded = simhashBanded(fp, maxHamming, cw)
     val l = banded.select(col("seg_idx"), col("seg_val"),
       col("id").as("id_a"), col("fp").as("fp_a"))
     val r = banded.select(col("seg_idx"), col("seg_val"),
@@ -300,6 +284,32 @@ object Dedup {
       // a pair within radius can agree on several segments
       .select("id_a", "id_b", "hamming")
       .distinct()
+  }
+
+  /** The banded combo-key table of a fingerprint frame (id, fp) —
+    * C(maxHamming + comboWidth, comboWidth) rows per doc, each carrying
+    * a packed combo key. Split out so the phase probe
+    * (graft.tools.Dd03Probe) can measure the explode volume alone.
+    * Any comboWidth segment widths sum to <= 60 bits, so a packed
+    * combo key always fits one long.
+    */
+  private[graft] def simhashBanded(fp: DataFrame, maxHamming: Int,
+      cw: Int): DataFrame = {
+    val bounds = segmentBounds(SimhashBits, maxHamming + cw)
+    val segCols = bounds.indices.combinations(cw).toSeq.zipWithIndex.map {
+      case (idxs, ci) =>
+        val packed = idxs.map { i =>
+          val (off, w) = bounds(i)
+          (shiftrightunsigned(col("fp"), off).bitwiseAND((1L << w) - 1), w)
+        }.reduceLeft[(Column, Int)] { case ((acc, aw), (v, w)) =>
+          (shiftleft(acc, w).bitwiseOR(v), aw + w)
+        }._1
+        struct(lit(ci).as("seg_idx"), packed.as("seg_val"))
+    }
+    fp.select(col("id"), col("fp"),
+        explode(array(segCols: _*)).as("seg"))
+      .select(col("id"), col("fp"),
+        col("seg.seg_idx").as("seg_idx"), col("seg.seg_val").as("seg_val"))
   }
 
   /** Exact n-gram-set Jaccard pairs: ALL pairs with jac >= threshold,

@@ -26,19 +26,78 @@ object Multimodal {
 
   case class MediaFeatures(id: Long, dim: Int, features: Array[Float])
 
-  /** Decoder seam. `real` is the production hook — wire an actual codec
-    * (JNI/FFI) here; it is deliberately unimplemented in this container.
-    * `stub` produces deterministic features from the payload bytes so the
-    * distributed plumbing is testable end-to-end.
+  /** Decoder seam. `RealDecoder` is the production hook (JDK-native
+    * codecs; extend with JNI/FFI for formats beyond them); `stub`
+    * produces deterministic features from the payload bytes so the
+    * distributed plumbing is testable without any codec at all.
     */
   trait Decoder extends Serializable {
     def features(payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float]
   }
 
-  /** Production decoder — intentionally unimplemented here. */
+  /** Production decoder over the JDK's own codecs — no native deps:
+    * `javax.imageio.ImageIO` for bmp/png/jpeg/gif (every JRE ships
+    * these plugins) and `javax.sound.sampled.AudioSystem` for PCM16
+    * WAV. Satisfies [[UncompressedDecoder]]'s contract bit-for-bit on
+    * its BMP/WAV goldens (MultimodalContractSpec pins it): identical
+    * per-pixel luminance fold `acc((y*w+x) % dim) += (r+g+b)/(3*255)`
+    * in identical top-down row order, identical sample normalization
+    * `s/32768`. Lossless formats (bmp, png, gif) of the same pixel
+    * content therefore produce identical features; lossy jpeg produces
+    * whatever pixels its decode yields. Formats past the JDK's reach
+    * (mp4, webp, flac...) still throw toward a JNI/FFI extension.
+    */
   object RealDecoder extends Decoder {
-    def features(payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float] =
-      ??? // real codec (libjpeg/ffmpeg/...) not available in this environment
+    def features(payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float] = {
+      val acc = new Array[Float](dim)
+      meta.format match {
+        case "bmp" | "png" | "jpeg" | "jpg" | "gif" =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"undecodable ${meta.format} payload")
+          val w = img.getWidth
+          val h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y) // ARGB, alpha ignored
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              acc((y * w + x) % dim) += (r + g + b) / (3.0f * 255.0f)
+              x += 1
+            }
+            y += 1
+          }
+        case "wav" =>
+          import javax.sound.sampled.{AudioFormat, AudioSystem}
+          val in = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = in.getFormat
+            require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16,
+              s"contract covers PCM16 WAV, got $fmt")
+            val bytes = in.readAllBytes()
+            val be = fmt.isBigEndian
+            val n = bytes.length / 2
+            var i = 0
+            while (i < n) {
+              val s =
+                if (be) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+                else ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+              acc(i % dim) += s / 32768.0f
+              i += 1
+            }
+          } finally in.close()
+        case f =>
+          throw new IllegalArgumentException(
+            s"RealDecoder covers bmp/png/jpeg/jpg/gif/wav via JDK codecs, " +
+              s"got '$f' — extend the seam with a JNI/FFI codec")
+      }
+      acc
+    }
   }
 
   /** The EXECUTABLE contract a real codec must satisfy, provable without

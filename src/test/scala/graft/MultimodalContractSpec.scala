@@ -160,4 +160,68 @@ class MultimodalContractSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("RealDecoder"))
   }
+
+  // ---- RealDecoder: the JDK-codec production decoder must satisfy ----
+  // ---- the contract BIT-FOR-BIT on the uncompressed goldens       ----
+
+  test("RealDecoder reproduces the BMP goldens bit-for-bit") {
+    val img = bmp(Seq(Seq((255, 0, 0), (0, 255, 0)),
+      Seq((0, 0, 255), (255, 255, 255))))
+    for (dim <- Seq(2, 4, 7)) {
+      val contract = UncompressedDecoder.features(img, meta("bmp", img), dim)
+      val real = Multimodal.RealDecoder.features(img, meta("bmp", img), dim)
+      assert(real.toSeq == contract.toSeq, s"dim=$dim") // exact, not approx
+    }
+  }
+
+  test("RealDecoder reproduces the WAV golden bit-for-bit") {
+    val audio = wav(Seq(16384, -16384, 32767, -32768, 1, -1))
+    for (dim <- Seq(2, 4)) {
+      val contract = UncompressedDecoder.features(audio, meta("wav", audio), dim)
+      val real = Multimodal.RealDecoder.features(audio, meta("wav", audio), dim)
+      assert(real.toSeq == contract.toSeq, s"dim=$dim")
+    }
+  }
+
+  test("RealDecoder: PNG of the same pixels matches the BMP features") {
+    // lossless round trip: encode the golden image's pixel content as
+    // PNG with ImageIO and decode through the seam — features must
+    // equal the BMP-derived contract goldens exactly
+    val px = Seq(Seq((255, 0, 0), (0, 255, 0)),
+      Seq((0, 0, 255), (255, 255, 255)))
+    val bi = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val (r, g, b) = px(y)(x)
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val o = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", o))
+    val png = o.toByteArray
+    val bmpBytes = bmp(px)
+    val contract = UncompressedDecoder.features(bmpBytes, meta("bmp", bmpBytes), 3)
+    val real = Multimodal.RealDecoder.features(png, meta("png", png), 3)
+    assert(real.toSeq == contract.toSeq)
+  }
+
+  test("RealDecoder runs through the distributed seam") {
+    import spark.implicits._
+    val img = bmp(Seq(Seq((10, 20, 30), (40, 50, 60))))
+    val media = Seq(MediaRow(1L, img, meta("bmp", img))).toDS()
+    val out = Multimodal.extractFeatures(media, dim = 2, Multimodal.RealDecoder)
+      .collect()
+    assert(out.head.features.toSeq ==
+      UncompressedDecoder.features(img, meta("bmp", img), 2).toSeq)
+  }
+
+  test("RealDecoder fails loudly on undecodable bytes and unknown formats") {
+    val junk = Array[Byte](1, 2, 3, 4)
+    intercept[Exception] {
+      Multimodal.RealDecoder.features(junk, meta("png", junk), 2)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.RealDecoder.features(junk, meta("mp4", junk), 2)
+    }
+    assert(e.getMessage.contains("JNI/FFI"), e.getMessage)
+  }
 }
