@@ -373,6 +373,14 @@ object Dedup {
       jaccardPrefixes(sh, threshold)
         .join(sh, "id" :: Nil)
         .persist(StorageLevel.MEMORY_AND_DISK))
+    // materialize BEFORE the self-join: with a lazy persist, the first
+    // job computes the table inside BOTH sides' scan stages and only
+    // the block-manager race dedupes the work (the UNpersisted variant
+    // of this pattern measured a full 2x in the dd03 banded join —
+    // Dd03AB). A/B at 30x showed parity for this already-persisted
+    // table, so the count is insurance that the single pass is
+    // guaranteed by construction, not by cache-population timing.
+    prefH.count()
     prefH.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"),
         col("p").as("p_a"), col("hs").as("shs_a"))
       .join(prefH.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"),
