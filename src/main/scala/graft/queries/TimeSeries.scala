@@ -145,6 +145,13 @@ object TimeSeries {
       // value for the DSv2 stats coverage math
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(root, "bucket_ms"), Day.toString)
+      // catalog (GraftDb.streams format): one stream per event type
+      // with a per-STREAM label et=<name> — the label authority the
+      // DSv2 labelEq option prunes on (ts35)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(root, "catalog.jsonl"),
+        Seq("click", "view", "purchase", "signup", "error")
+          .map(n => s"f64\t$n\tet=$n").mkString("", "\n", "\n"))
       root
     })
 
@@ -207,6 +214,23 @@ object TimeSeries {
           min(col("timestamp")).as("first_ts"),
           max(col("timestamp")).as("last_ts"))
         .orderBy("name")
+    },
+
+    // Label-matcher pruning through PLAIN SQL: option("labelEq",
+    // "et=purchase") resolves the store's catalog (the per-stream label
+    // authority, always fresh — the reference's inverted label index,
+    // indexer.rs:493-516) to a name set at Scan.build, so only the
+    // matching series' directories are even listed. The row-level
+    // labels['user'] predicate stays an ordinary residual filter —
+    // per-stream selection and per-row label predicates compose. The
+    // oracle recomputes from raw events with both conditions.
+    "ts35_dsv2_label_prune" -> { (s, dir) =>
+      val t = s.read.format("graft").option("bucketMs", Day.toString)
+        .option("labelEq", "et=purchase").load(dsv2Store(s, dir))
+      t.where(col("timestamp") >= SubStart && col("timestamp") <= SubEnd &&
+          element_at(col("labels"), "user") === "12")
+        .select(col("timestamp"), col("value"))
+        .orderBy("timestamp")
     },
 
     "ts01_select_range" -> q("purchase") _,
@@ -455,6 +479,11 @@ object TimeSeries {
          |      FROM events)
          |WHERE t >= ${SubStart + 1800000L} AND t <= ${SubEnd - 1800001L}
          |GROUP BY 1 ORDER BY name""".stripMargin,
+
+    "ts35_dsv2_label_prune" ->
+      s"""SELECT t AS timestamp, v AS value
+         |FROM ${ev("event_type = 'purchase' AND user_id = 12")}
+         |WHERE ${sub()} ORDER BY timestamp""".stripMargin,
 
     "ts01_select_range" ->
       s"""SELECT t AS timestamp, v AS value FROM ${ev("event_type = 'purchase'")}

@@ -107,7 +107,24 @@ class GraftSource extends TableProvider
       case (None, None) => 3600 * 1000L
     }
     val stats = Option(opts.get("stats")).exists(_.toBoolean)
-    new GraftTable(path, bucketMs, stats, conf)
+    // labelEq = "k=v": per-STREAM label selection via the store's
+    // catalog — the SQL-surface rendering of the reference's inverted
+    // label index (tachyon_core/src/query/indexer.rs:136-149,493-516),
+    // where a label matcher selects streams, not rows. Series whose
+    // catalog entry carries labels[k]=v keep their directories; all
+    // others are pruned at Scan.build. Stores without a catalog
+    // (written by external tooling) ignore the option (conservative:
+    // nothing pruned). Row-level label predicates (`labels['k']='v'`)
+    // remain ordinary residual filters Spark evaluates — the option
+    // composes with them for stores whose labels vary within a series.
+    val labelEq = Option(opts.get("labelEq")).map { s =>
+      s.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => (k, v)
+        case _ => throw new IllegalArgumentException(
+          s"labelEq must be 'key=value', got '$s'")
+      }
+    }
+    new GraftTable(path, bucketMs, stats, conf, labelEq)
   }
 }
 
@@ -295,6 +312,37 @@ object GraftSource {
     if (covLo > covHi) none else (covLo, covHi)
   }
 
+  /** The names of the catalogued streams whose labels carry `k = v` —
+    * the label → series resolution behind `labelEq` pruning. Parses the
+    * same `catalog.jsonl` GraftDb maintains (vtype \t name \t k=v,k=v —
+    * see GraftDb.streams); the catalog is written synchronously at
+    * `createStream`, so unlike the stats sidecar it is always fresh.
+    * None when the store has no catalog (external writer) — callers
+    * must then skip pruning entirely, not prune to the empty set.
+    */
+  private[graft] def labelNames(rootDir: String, conf: Configuration,
+      key: String, value: String): Option[Set[String]] = {
+    val p = new Path(new Path(rootDir), "catalog.jsonl")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    Some(lines.filter(_.nonEmpty).flatMap { line =>
+      line.split("\t", -1) match {
+        case Array(_, name, labelStr) =>
+          val labels =
+            if (labelStr.isEmpty) Map.empty[String, String]
+            else labelStr.split(",").map { kv =>
+              val Array(k, v) = kv.split("=", 2); k -> v
+            }.toMap
+          if (labels.get(key).contains(value)) Some(name) else None
+        case _ => None
+      }
+    }.toSet)
+  }
+
   /** The bucket width GraftDb persisted with the store (`bucket_ms`),
     * if the root carries one — the authoritative value for coverage math.
     */
@@ -399,14 +447,15 @@ object GraftSource {
 
 private[sources] class GraftTable(rootDir: String, bucketMs: Long,
     statsMode: Boolean = false,
-    conf: SerializableHadoopConf = new SerializableHadoopConf(new Configuration()))
+    conf: SerializableHadoopConf = new SerializableHadoopConf(new Configuration()),
+    labelEq: Option[(String, String)] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft:$rootDir"
   override def schema(): StructType = GraftSource.tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(rootDir, bucketMs, statsMode, conf)
+    new GraftScanBuilder(rootDir, bucketMs, statsMode, conf, labelEq)
 }
 
 /** Filter / column / aggregate pushdown.
@@ -432,7 +481,8 @@ private[sources] class GraftTable(rootDir: String, bucketMs: Long,
   * as the engine's `StatsAggregate` path (ts18).
   */
 private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
-    statsMode: Boolean, conf: SerializableHadoopConf)
+    statsMode: Boolean, conf: SerializableHadoopConf,
+    labelEq: Option[(String, String)] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -500,9 +550,25 @@ private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
     true
   }
 
+  /** The label-selected stream names (None = no selection active or no
+    * catalog — prune nothing), resolved once per build.
+    */
+  private def labelSet: Option[Set[String]] =
+    labelEq.flatMap { case (k, v) =>
+      GraftSource.labelNames(rootDir, conf.value, k, v)
+    }
+
+  /** Restrict pushed bounds / a file list to the label-selected names. */
+  private def withLabels(b: GraftSource.Bounds,
+      ls: Option[Set[String]]): GraftSource.Bounds = ls match {
+    case Some(s) => b.copy(names = Some(b.names.fold(s)(_ intersect s)))
+    case None => b
+  }
+
   override def build(): Scan = {
+    val ls = labelSet
     if (aggPushed) {
-      val b = GraftSource.bounds(pushed.toSeq)
+      val b = withLabels(GraftSource.bounds(pushed.toSeq), ls)
       val (covLo, covHi) = GraftSource.coveredRange(b.lo, b.hi, bucketMs)
       // raw boundary files: inside the pushed (names, window) but NOT
       // fully covered — empty when the window is bucket-aligned, so the
@@ -511,6 +577,7 @@ private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
         if (covLo <= b.lo && b.hi <= covHi) Nil
         else GraftSource.prune(
             GraftSource.listFiles(rootDir, conf.value), pushed.toSeq, bucketMs)
+          .filter(f => b.names.forall(_.contains(f.name)))
           .filterNot { f =>
             val bucketLast =
               if (f.bucket > Long.MaxValue - bucketMs) Long.MaxValue
@@ -522,7 +589,8 @@ private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
         pushed, conf)
     } else {
       val files = GraftSource.prune(
-        GraftSource.listFiles(rootDir, conf.value), pushed.toSeq, bucketMs)
+          GraftSource.listFiles(rootDir, conf.value), pushed.toSeq, bucketMs)
+        .filter(f => ls.forall(_.contains(f.name)))
       // claimed timestamp bounds must be enforced row-level by the
       // reader; in default mode everything is residual and the bounds
       // passed are the full range (no-op)

@@ -371,6 +371,47 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(rows == Seq(("api/latency:p99", 42L, 9.9)))
   }
 
+  test("labelEq prunes to the catalogued streams carrying the label") {
+    // catalog: cpu{host=a}, reqs{} — host=a selects exactly cpu
+    val q = spark.read.format("graft").option("labelEq", "host=a").load(root)
+      .select("name", "timestamp", "value")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("files=3"), plan) // cpu's 3 bucket dirs, not reqs' 2
+    assert(q.collect().map(_.getString(0)).forall(_ == "cpu"))
+    assert(q.count() == 3L)
+    // a label no stream carries selects nothing (catalog is authoritative)
+    assert(spark.read.format("graft").option("labelEq", "host=zzz")
+      .load(root).count() == 0L)
+    // composes with name/timestamp pruning and residual filters
+    val q2 = spark.read.format("graft").option("labelEq", "host=a").load(root)
+      .where(col("timestamp") >= H)
+    assert(q2.count() == 2L)
+  }
+
+  test("labelEq on a store with no catalog prunes nothing") {
+    val dir = Files.createTempDirectory("graft_dsv2_nocat").toString
+    Seq(("m", 42L, 1.0, 0L)).toDF("name", "timestamp", "value", "bucket")
+      .write.partitionBy("name", "bucket").parquet(s"$dir/data")
+    assert(spark.read.format("graft").option("labelEq", "k=v")
+      .load(dir).count() == 1L)
+  }
+
+  test("labelEq restricts the stats-pushdown path too") {
+    val q = spark.read.format("graft").option("stats", "true")
+      .option("labelEq", "host=a").load(statsRoot)
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+    assert(planOf(q).contains("GraftStatsScan"), planOf(q))
+    val r = q.collect().head
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 1.5 + 2.5 + 3.5)
+  }
+
+  test("malformed labelEq fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("labelEq", "novalue").load(root).count()
+    }
+    assert(e.getMessage.contains("labelEq"), e.getMessage)
+  }
+
   test("aggregates through SQL over the registered view") {
     graftDf.createOrReplaceTempView("graft_store")
     val r = spark.sql(
