@@ -60,11 +60,17 @@ object StatsBench {
     // (86,400 rows per covered bucket — the decompression the stats
     // row replaces); events mode keeps ts18's 1h buckets
     val bucketMs = if (dense) 86400 * 1000L else 3600 * 1000L
+    // dense mode lays the store out as a full GraftDb root
+    // (<root>/data + <root>/stats + bucket_ms) so the DSV2 `graft`
+    // format can read the SAME store the engine path reads — the
+    // third timed variant below drives option("stats") through it
+    var dsv2Root: String = null
     val data =
       if (dense) {
         val mp = args.lift(1).map(_.toInt).getOrElse(10)
         val n = mp * 1000000L
-        val store = s"/tmp/graft_statsbench_dense_$mp"
+        dsv2Root = s"/tmp/graft_statsbench_dense_$mp"
+        val store = s"$dsv2Root/data"
         if (!new java.io.File(s"$store/_SUCCESS").exists()) {
           // 1 pt/sec from a fixed epoch; value is a deterministic pure
           // function of the timestamp, so any range's aggregates are
@@ -78,6 +84,8 @@ object StatsBench {
             .repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("name", "bucket")
             .parquet(store)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dsv2Root, "bucket_ms"), bucketMs.toString)
         }
         spark.read.parquet(store)
           .select(col("name"), col("timestamp"), col("value"))
@@ -90,8 +98,11 @@ object StatsBench {
       }
 
     // the stats sidecar: built once (ingest-time cost, reported), then
-    // read back from parquet like the raw data
-    val statsDir = s"/tmp/graft_statsbench_${sys.process.Process("hostname").!!.trim}_${ProcessHandle.current().pid()}"
+    // read back from parquet like the raw data; in dense mode it lives
+    // inside the store root so the DSv2 reader resolves it
+    val statsDir =
+      if (dense) s"$dsv2Root/stats"
+      else s"/tmp/graft_statsbench_${sys.process.Process("hostname").!!.trim}_${ProcessHandle.current().pid()}"
     val tBuild = time(1) {
       StatsAggregate.buildStats(data, bucketMs)
         .write.mode("overwrite").parquet(statsDir)
@@ -120,6 +131,16 @@ object StatsBench {
         .select(col("n"), col("value_sum"), col("min_value"), col("max_value"))
         .head().toSeq
 
+    // the SQL-surface path: the SAME unaligned window pushed through
+    // the DSv2 reader's hybrid covered∪boundary aggregate scan
+    def dsv2(lo: Long, hi: Long): Seq[Any] =
+      spark.read.format("graft").option("stats", "true").load(dsv2Root)
+        .where(col("name") === "purchase" &&
+          col("timestamp") >= lo && col("timestamp") <= hi)
+        .agg(count(lit(1)).as("n"), sum("value").as("value_sum"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .head().toSeq
+
     val results = shapes.map { case (label, lo, hi) =>
       val p = plain(lo, hi)
       val h = hinted(lo, hi)
@@ -129,13 +150,24 @@ object StatsBench {
         s"$label: sums differ: $p vs $h")
       val tPlain = time(runs)(plain(lo, hi))
       val tHint = time(runs)(hinted(lo, hi))
-      (label, tPlain, tHint)
+      val tDsv2 =
+        if (dense) {
+          val d = dsv2(lo, hi)
+          require(p.head == d.head, s"$label dsv2: row counts differ: $p vs $d")
+          require(math.abs(p(1).asInstanceOf[Double] - d(1).asInstanceOf[Double])
+            <= 1e-6 * math.abs(p(1).asInstanceOf[Double]),
+            s"$label dsv2: sums differ: $p vs $d")
+          time(runs)(dsv2(lo, hi))
+        } else -1.0
+      (label, tPlain, tHint, tDsv2)
     }
 
     val nRows = data.count()
     val nStats = stats.count()
-    val body = results.map { case (l, tp, th) =>
-      f""""$l":{"plain":$tp%.3f,"stats":$th%.3f,"speedup":${tp / th}%.2f}"""
+    val body = results.map { case (l, tp, th, td) =>
+      f""""$l":{"plain":$tp%.3f,"stats":$th%.3f,"speedup":${tp / th}%.2f""" +
+        (if (td >= 0) f""","dsv2":$td%.3f,"dsv2_speedup":${tp / td}%.2f}"""
+         else "}")
     }.mkString(",")
     println(s"""{"sf":"$sfDir","rows":$nRows,"stats_rows":$nStats,""" +
       f""""t_build_stats":$tBuild%.3f,$body}""")
