@@ -66,10 +66,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * and the stats sidecar — the table is read-only by design, like a
   * catalog view.
   *
-  * Options: `bucketMs` (default 3600000) must match the GraftDb that
-  * wrote the store; a LARGER value only widens pruning windows (safe),
-  * a smaller one could prune a bucket whose rows extend past the
-  * claimed width — same contract as GraftDb's own constructor.
+  * Options (case-insensitive): `bucketMs` (default 3600000) must match
+  * the GraftDb that wrote the store (the persisted `bucket_ms` wins; a
+  * conflicting option fails loudly); `stats` enables aggregate
+  * pushdown; `labelEq` = "k=v" prunes to the catalogued streams whose
+  * labels carry k=v (see getTable).
   */
 class GraftSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -466,10 +467,11 @@ private[sources] class GraftTable(rootDir: String, bucketMs: Long,
   *
   * `option("stats", "true")` additionally turns on aggregate pushdown
   * against the store's stats sidecar (the DSv2 rendering of the
-  * reference's ScanHint): a bucket-aligned
-  * `SELECT sum(value)/count(*)/min/max ... [GROUP BY name]` answers
-  * from the per-(name, bucket) summary table without touching a single
-  * raw row. For the aggregate to be pushable the framework requires
+  * reference's ScanHint): `SELECT sum(value)/count(*)/min/max ...
+  * [GROUP BY name]` answers from the per-(name, bucket) summary table.
+  * A bucket-aligned window touches no raw row at all; an UNALIGNED
+  * window decomposes into covered sidecar buckets ∪ boundary raw files
+  * (see [[GraftStatsScan]]). For the aggregate to be pushable the framework requires
   * every filter to be FULLY handled by the source, so in stats mode the
   * supported shapes (name equality/IN, timestamp bounds, the matching
   * IsNotNulls) are claimed and enforced exactly — name by the dir
