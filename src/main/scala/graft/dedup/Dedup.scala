@@ -127,6 +127,12 @@ object Dedup {
     */
   def minhashPairsFromBanded(
       banded: DataFrame, base: DataFrame, threshold: Double = 0.6): DataFrame = {
+    // a caller-persisted banded table must be MATERIALIZED before the
+    // self-join — a lazy persist gets computed inside both sides' scan
+    // stages on first use (the dd03 double-compute class, Dd03AB);
+    // an unpersisted one is left alone (a count would add a full pass
+    // without caching anything)
+    if (banded.storageLevel != StorageLevel.NONE) banded.count()
     val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
       .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
         Seq("band_idx", "band_key"))
@@ -599,6 +605,8 @@ object Dedup {
     // size; a fixed k would make it quadratic at scale.
     val kk = if (k > 0) k else graft.ann.IvfIndex.autoK(v.count())
     val m = graft.ann.IvfIndex.fit(v, idCol, "vec", k = kk, iters = iters)
+    // embeddingPairs persists + materializes the (unpersisted) cell
+    // assignment before its self-join — see the policy there
     embeddingPairs(graft.ann.IvfIndex.transform(v, "vec", m),
       idCol, "vec", Seq("cell"), threshold)
   }
@@ -659,7 +667,13 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDocFreq)
       .select("fp")
-    val f = fp.join(kept, Seq("fp"), "left_semi")
+    // persist + materialize the kept-fingerprint rows before the
+    // self-join: unpersisted, the df-cap semi-join (one shuffle agg
+    // over fp) would run once per join side (the dd03 class, Dd03AB)
+    val f = graft.engine.Caches.track(
+      fp.join(kept, Seq("fp"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    f.count()
     f.select(col("fp"), col(idCol).as("id_a"))
       .join(f.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
       .where(col("id_a") < col("id_b"))
@@ -715,9 +729,19 @@ object Dedup {
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String,
       blockCols: Seq[String], threshold: Double = 0.995): DataFrame = {
+    // Both join sides read `df`; an unpersisted input (e.g. an IVF
+    // transform — k distance computations per row) would run once per
+    // side, and even a lazily-persisted one races its cache population
+    // (the dd03 double-compute class, Dd03AB). Persist if the caller
+    // didn't, and materialize either way.
+    val src =
+      if (df.storageLevel == StorageLevel.NONE)
+        graft.engine.Caches.track(df.persist(StorageLevel.MEMORY_AND_DISK))
+      else df
+    src.count()
     // Norms are computed once per row before the pair join — recomputing
     // them inside cosine would triple the per-pair flops.
-    val v = df.select(col(idCol).as("id"),
+    val v = src.select(col(idCol).as("id"),
       struct(blockCols.map(col): _*).as("blk"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", graft.ann.Vectors.norm(col("vec")))
