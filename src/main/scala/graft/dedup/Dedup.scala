@@ -375,6 +375,11 @@ object Dedup {
     // with 32 concurrent builds), while SMJ spills gracefully at any
     // partition size — the same property that keeps it safe when a
     // cluster-side partition count misjudges the data.
+    // `sh` feeds BOTH the prefix subplan and the array-attach join
+    // below, inside prefH's first materialization job — a lazily
+    // persisted shingle table would be computed twice there (the dd03
+    // class); materialize it first when the caller persisted it
+    if (sh.storageLevel != StorageLevel.NONE) sh.count()
     val prefH = graft.engine.Caches.track(
       jaccardPrefixes(sh, threshold)
         .join(sh, "id" :: Nil)
