@@ -101,10 +101,17 @@ object Pipeline {
     graft.engine.Caches.release()
   }
 
+  // Every shared cache is MATERIALIZED at creation (mat): several
+  // gates consume row-filtered views of these frames on both sides of
+  // a join, where a lazy persist gets computed once per side on first
+  // use (the dd03 double-compute class, Dd03AB) — and a filtered view's
+  // storageLevel is NONE, so downstream guards cannot see the persist.
+  private def mat(df: DataFrame): DataFrame = { df.count(); df }
+
   private def nearShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(System.identityHashCode(s) + "|" + dir, {
-      Dedup.shingleBase(corpusNear(s, dir), "doc_id", "text", nGram = 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mat(Dedup.shingleBase(corpusNear(s, dir), "doc_id", "text", nGram = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
   /** The MinHash signature+banding pass over [[nearShingles]], likewise
@@ -114,8 +121,8 @@ object Pipeline {
     */
   private def nearBanded(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(System.identityHashCode(s) + "|b|" + dir, {
-      Dedup.bandedKeys(nearShingles(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mat(Dedup.bandedKeys(nearShingles(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
   /** The full curate() output (doc_id, n_tokens, gcum, bin, bin_offset),
@@ -132,6 +139,7 @@ object Pipeline {
           "doc_id", "text",
           shingles = Some(nearShingles(s, dir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(mat)
     })
 
   /** The planted embedding corpus (originals + exact copies of every
@@ -158,6 +166,7 @@ object Pipeline {
         k = graft.ann.IvfIndex.autoK(planted.count()), iters = 1)
       graft.ann.IvfIndex.transform(planted, "vec", m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(mat)
     })
 
   private val Marker2 = " graft dup marker two"
@@ -175,6 +184,7 @@ object Pipeline {
       nearShingles(s, dir)
         .unionAll(Dedup.shingleBase(extra, "doc_id", "text", nGram = 3))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(mat)
     })
 
   /** A [[graft.dedup.NearDupIndex]] of the corpus side (originals,
