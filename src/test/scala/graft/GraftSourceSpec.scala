@@ -231,6 +231,35 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(ol > oh)                                                // overflow-safe
   }
 
+  test("covered-range invariants over random windows (property)") {
+    // for any window and bucket width: a bucket is inside [covLo, covHi]
+    // iff it is FULLY inside the window — so covered ∪ boundary rows
+    // partition the window with nothing dropped or double-counted
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val bucketMs = 1L + rnd.nextInt(1000)
+      val a = rnd.nextLong() % (1L << 40)
+      val b = rnd.nextLong() % (1L << 40)
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val (covLo, covHi) = GraftSource.coveredRange(lo, hi, bucketMs)
+      // the edge-adjacent buckets are where the math can be wrong;
+      // interior/exterior behavior is monotone from them
+      val edges = Seq(Math.floorDiv(lo, bucketMs) - 1, Math.floorDiv(lo, bucketMs),
+        Math.floorDiv(lo, bucketMs) + 1, Math.floorDiv(hi, bucketMs) - 1,
+        Math.floorDiv(hi, bucketMs), Math.floorDiv(hi, bucketMs) + 1,
+        Math.floorDiv(lo + (hi - lo) / 2, bucketMs)).distinct
+      edges.foreach { bk =>
+        val bStart = bk * bucketMs
+        val bEnd = bStart + bucketMs - 1
+        val fullyInside = bStart >= lo && bEnd <= hi
+        val claimed = bStart >= covLo && bEnd <= covHi
+        assert(claimed == fullyInside,
+          s"bucketMs=$bucketMs window=[$lo,$hi] cov=[$covLo,$covHi] " +
+            s"bucket=[$bStart,$bEnd]: claimed=$claimed fullyInside=$fullyInside")
+      }
+    }
+  }
+
   test("count(NULL) is not claimed by the sidecar count") {
     // Catalyst constant-folds count(NULL) before pushdown, leaving an
     // EMPTY aggregation list — which must be declined (nothing to serve
