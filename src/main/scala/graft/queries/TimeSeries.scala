@@ -233,6 +233,22 @@ object TimeSeries {
         .orderBy("timestamp")
     },
 
+    // The full DSv2 composition in one query: catalog label pruning
+    // (labelEq → name set), aggregate pushdown to the stats sidecar,
+    // AND an unaligned window (covered buckets ∪ boundary raw rows) —
+    // the three round-7/8 surfaces must compose, not just work alone.
+    "ts36_dsv2_label_stats" -> { (s, dir) =>
+      val t = s.read.format("graft").option("bucketMs", Day.toString)
+        .option("stats", "true").option("labelEq", "et=purchase")
+        .load(dsv2Store(s, dir))
+      t.where(col("timestamp") >= (SubStart + 1800000L) &&
+          col("timestamp") <= (SubEnd - 1800001L))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"),
+          min(col("timestamp")).as("first_ts"),
+          max(col("timestamp")).as("last_ts"))
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -484,6 +500,12 @@ object TimeSeries {
       s"""SELECT t AS timestamp, v AS value
          |FROM ${ev("event_type = 'purchase' AND user_id = 12")}
          |WHERE ${sub()} ORDER BY timestamp""".stripMargin,
+
+    "ts36_dsv2_label_stats" ->
+      s"""SELECT COUNT(*) AS n, ROUND(SUM(v), 4) AS sum_value,
+         |MIN(t) AS first_ts, MAX(t) AS last_ts
+         |FROM ${ev("event_type = 'purchase'")}
+         |WHERE t >= ${SubStart + 1800000L} AND t <= ${SubEnd - 1800001L}""".stripMargin,
 
     "ts01_select_range" ->
       s"""SELECT t AS timestamp, v AS value FROM ${ev("event_type = 'purchase'")}
