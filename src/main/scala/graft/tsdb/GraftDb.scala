@@ -104,12 +104,67 @@ final class GraftDb(
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
-  /** Stream deletion — unimplemented in the reference too
-    * (lib.rs:458-473 is an explicit todo stub); kept for API parity.
+  /** Stream deletion. The reference leaves this as an explicit todo
+    * stub (lib.rs:458-473); here it is implemented for the common case
+    * — the stream is the only one under its name — because the store
+    * layout partitions by NAME: the catalog entry is removed, the
+    * `name=<name>` data directory is deleted (O(partitions), no file
+    * read — same property as [[expire]]), and the stats table drops
+    * the name's rows. When several catalogued streams share a name,
+    * their rows interleave inside the same files (separable only by
+    * the labels column), so deleting one of them would need a data
+    * rewrite — that case throws rather than silently dropping
+    * neighbors' data; compact-then-retry after an explicit rewrite is
+    * the operational path. Idempotent on crash: a re-run finds the
+    * remaining pieces and completes (catalog first, so a half-deleted
+    * stream can no longer match queries' catalogs mid-way).
     */
-  def deleteStream(selector: String): Unit =
-    throw new UnsupportedOperationException(
-      "deleteStream is a stub, mirroring the reference (lib.rs:458-473)")
+  def deleteStream(selector: String): Unit = synchronized {
+    import scala.jdk.CollectionConverters._
+    val (name, labels) = parseSelector(selector)
+    val all = streams()
+    val hits = all.filter(d => d.name == name && d.labels == labels)
+    require(hits.size == 1, s"selector must match exactly 1 stream, got ${hits.size}")
+    val sharers = all.count(_.name == name)
+    if (sharers > 1)
+      throw new UnsupportedOperationException(
+        s"$sharers catalogued streams share name '$name'; their rows " +
+          "interleave in the same files — deleting one requires a data " +
+          "rewrite, which deleteStream will not do implicitly")
+    // 1. catalog: drop the stream's line (atomic replace)
+    val vt = hits.head.vtype match {
+      case VType.I64 => "i64"; case VType.U64 => "u64"; case VType.F64 => "f64"
+    }
+    val labelStr = labels.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+    val line = s"$vt\t$name\t$labelStr"
+    val kept = Files.readAllLines(catalogFile).asScala.filterNot(_ == line)
+    val tmp = catalogFile.resolveSibling(".catalog.jsonl.tmp")
+    Files.write(tmp, kept.asJava)
+    Files.move(tmp, catalogFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // 2. data: remove the name's partition dir (dir names only, like
+    // expire). The dir is located by UNescaping each name= dir with the
+    // same routine the DSv2 reader uses, rather than re-deriving
+    // Spark's escape set — robust to any escape-set drift.
+    val root = Paths.get(dataDir)
+    if (Files.exists(root)) {
+      scala.util.Using.resource(Files.list(root))(_.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("name=") && graft.sources.GraftSource
+            .unescapePathName(n.stripPrefix("name=")) == name
+        }.toList)
+        .foreach { dir =>
+          scala.util.Using.resource(Files.walk(dir))(
+            _.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.toList).foreach(Files.deleteIfExists(_))
+        }
+    }
+    // 3. stats: drop the name's summary rows (new version + pointer swap)
+    if (statsDir().isDefined)
+      writeStats(statsTable().where(col("name") =!= name))
+  }
 
   // ---- ingestion ----
 

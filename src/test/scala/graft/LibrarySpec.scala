@@ -298,6 +298,45 @@ class LibrarySpec extends AnyFunSuite {
     assert(cm.isEmpty,
       "live cache entries survived clearCaches() — a release path rotted")
   }
+
+  test("deleteStream removes the stream's data, stats rows, and catalog entry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString
+    val db = new GraftDb(spark, dir)
+    db.createStream("cpu", VType.F64)
+    db.createStream("mem", VType.F64)
+    val cpu = db.inserter("cpu"); cpu.insert(1000L, 1.0); cpu.insert(3700000L, 2.0); cpu.flush()
+    val mem = db.inserter("mem"); mem.insert(2000L, 5.0); mem.flush()
+    db.refreshStats()
+    assert(db.query("cpu", 0L, 4102444800000L).output.count() == 2L)
+
+    db.deleteStream("cpu")
+    // catalog: only mem remains; data: cpu gone, mem intact
+    assert(db.streams().map(_.name) == Seq("mem"))
+    assert(db.query("cpu", 0L, 4102444800000L).output.count() == 0L)
+    assert(db.query("mem", 0L, 4102444800000L).output.count() == 1L)
+    // stats: cpu's summary rows dropped (fresh version via pointer swap)
+    assert(db.statsTable().where(org.apache.spark.sql.functions
+      .col("name") === "cpu").count() == 0L)
+    assert(db.statsTable().where(org.apache.spark.sql.functions
+      .col("name") === "mem").count() == 1L)
+    // deleting again: no longer catalogued
+    val e = intercept[IllegalArgumentException](db.deleteStream("cpu"))
+    assert(e.getMessage.contains("exactly 1"), e.getMessage)
+  }
+
+  test("deleteStream refuses when several streams share the name") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del2").toString
+    val db = new GraftDb(spark, dir)
+    db.createStream("""disk{host="a"}""", VType.F64)
+    db.createStream("""disk{host="b"}""", VType.F64)
+    val a = db.inserter("""disk{host="a"}"""); a.insert(1L, 1.0); a.flush()
+    val e = intercept[UnsupportedOperationException](
+      db.deleteStream("""disk{host="a"}"""))
+    assert(e.getMessage.contains("share name"), e.getMessage)
+    // nothing was deleted
+    assert(db.streams().size == 2)
+    assert(db.query("disk", 0L, 4102444800000L).output.count() == 1L)
+  }
 }
 
 /** Decoder that counts per-task initializations: the `@transient lazy`
