@@ -598,7 +598,12 @@ private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
       // passed are the full range (no-op)
       val b = if (statsMode) GraftSource.bounds(pushed.toSeq)
         else GraftSource.Bounds(None, Long.MinValue, Long.MaxValue)
-      new GraftScan(files, required, pushed, b.lo, b.hi, bucketMs, conf)
+      // a big compacted file must not become one straggler task: split
+      // at the session's files.maxPartitionBytes like Spark's own scans
+      val maxSplit = org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.filesMaxPartitionBytes
+      new GraftScan(files, required, pushed, b.lo, b.hi, bucketMs, conf,
+        maxSplit)
     }
   }
 }
@@ -884,7 +889,8 @@ private[sources] class GraftAggRawReader(part: GraftAggRawPartition,
 private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
     required: StructType, pushed: Array[Filter], tsLo: Long, tsHi: Long,
     bucketMs: Long,
-    conf: SerializableHadoopConf = new SerializableHadoopConf(new Configuration()))
+    conf: SerializableHadoopConf = new SerializableHadoopConf(new Configuration()),
+    maxSplitBytes: Long = Long.MaxValue)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -911,7 +917,7 @@ private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
       s"ReadSchema=${required.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map { f =>
+    files.flatMap { f =>
       // a file whose whole bucket interval sits inside the claimed
       // window needs no row-level bound check (and keeps the footer
       // count fast path); boundary buckets carry the bounds
@@ -919,8 +925,18 @@ private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
         if (f.bucket > Long.MaxValue - bucketMs) Long.MaxValue
         else f.bucket + bucketMs - 1
       val covered = tsLo <= f.bucket && bucketLast <= tsHi
-      (if (covered) GraftInputPartition(f.path, f.name, Long.MinValue, Long.MaxValue)
-       else GraftInputPartition(f.path, f.name, tsLo, tsHi)): InputPartition
+      val (lo, hi) =
+        if (covered) (Long.MinValue, Long.MaxValue) else (tsLo, tsHi)
+      // byte-range splits so one big compacted file schedules as many
+      // tasks (parquet-mr assigns a row group to the split holding its
+      // midpoint, so splits partition the row groups exactly)
+      val nSplits = math.max(1L,
+        (f.length + maxSplitBytes - 1) / math.max(1L, maxSplitBytes))
+      (0L until nSplits).map { i =>
+        val start = i * maxSplitBytes
+        val end = if (i == nSplits - 1) f.length else (i + 1) * maxSplitBytes
+        GraftInputPartition(f.path, f.name, lo, hi, start, end): InputPartition
+      }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -934,7 +950,9 @@ private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
 }
 
 private[sources] final case class GraftInputPartition(path: String,
-    name: String, tsLo: Long, tsHi: Long) extends InputPartition
+    name: String, tsLo: Long, tsHi: Long,
+    rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue)
+    extends InputPartition
 
 private[sources] class GraftReaderFactory(required: StructType,
     conf: SerializableHadoopConf)
@@ -957,8 +975,13 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
     required: StructType, hconf: Configuration)
     extends PartitionReader[InternalRow] {
 
+  // the byte range scopes this task to the row groups whose midpoint
+  // falls inside it (parquet-mr's split convention — ranges partition
+  // the row groups exactly across a file's splits)
   private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new Path(part.path), hconf))
+    HadoopInputFile.fromPath(new Path(part.path), hconf),
+    org.apache.parquet.HadoopReadOptions.builder(hconf)
+      .withRange(part.rangeStart, part.rangeEnd).build())
   // anything thrown during setup must close the already-opened file —
   // Spark only calls close() on a successfully constructed reader
   private val (fileSchema, projSchema, columnIO, countOnly, tsActive) =
@@ -993,8 +1016,10 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
 
   private val nameValue = UTF8String.fromString(part.name)
   private var recordReader: RecordReader[Group] = null
+  // getRowGroups (not getFooter.getBlocks): only the row groups inside
+  // this task's byte range count
   private var rowsLeft: Long =
-    if (countOnly) reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    if (countOnly) reader.getRowGroups.asScala.map(_.getRowCount).sum
     else 0L
   private var current: Group = null
 

@@ -441,6 +441,36 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("labelEq"), e.getMessage)
   }
 
+  test("byte-range splits partition a multi-row-group file losslessly") {
+    val dir = Files.createTempDirectory("graft_dsv2_split").toString
+    val n = 50000L
+    spark.range(n).select(lit("m").as("name"), col("id").as("timestamp"),
+        col("id").cast("double").as("value"), lit(0L).as("bucket"))
+      .coalesce(1)
+      .write.option("parquet.block.size", (64 * 1024).toString)
+      .partitionBy("name", "bucket").parquet(s"$dir/data")
+    val files = GraftSource.listFiles(dir,
+      new org.apache.hadoop.conf.Configuration())
+    assert(files.size == 1 && files.head.length > 256 * 1024, files)
+    // direct: a small split size yields several partitions whose union
+    // is exactly the file (count fast path + row reads both exercised)
+    val scan = new graft.sources.GraftScan(files, GraftSource.tableSchema,
+      Array.empty, Long.MinValue, Long.MaxValue, H,
+      maxSplitBytes = 128 * 1024)
+    assert(scan.planInputPartitions().length > 1,
+      s"expected >1 splits for ${files.head.length} bytes")
+    // end-to-end through the session conf Spark's own scans use
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (128 * 1024).toString)
+    try {
+      val df = spark.read.format("graft").load(dir)
+      assert(df.count() == n) // footer fast path per range
+      assert(df.agg(sum("value")).head.getDouble(0) ==
+        (n * (n - 1) / 2).toDouble)
+      assert(df.where(col("timestamp") === 12345L)
+        .select("value").as[Double].head() == 12345.0)
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("aggregates through SQL over the registered view") {
     graftDf.createOrReplaceTempView("graft_store")
     val r = spark.sql(
