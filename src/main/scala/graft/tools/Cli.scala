@@ -111,6 +111,11 @@ object Cli {
           0
         case Seq("create-stream", selector, vt) =>
           db.createStream(selector, parseVType(vt)); 0
+        case Seq("delete-stream", selector) =>
+          // the reference CLI has no delete (core stubs it); ours is
+          // real for single-name streams — see GraftDb.deleteStream
+          db.deleteStream(selector)
+          out(s"deleted $selector"); 0
         case Seq("insert", selector, ts, value) =>
           // typed parse per the stream's value type, as the reference CLI
           // does (main.rs:374-410): integer streams take exact i64 input

@@ -430,11 +430,18 @@ final class GraftDb(
 
   // ---- query ----
 
-  private def dataset(): DataFrame =
-    if (Files.exists(Paths.get(dataDir)))
-      spark.read.parquet(dataDir).drop("bucket")
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+  private def dataset(): DataFrame = {
+    // an existing-but-partitionless data dir (every stream deleted /
+    // expired) must read as empty, not fail schema inference
+    val p = Paths.get(dataDir)
+    val hasData = Files.exists(p) && {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.list(p))(_.iterator().asScala
+        .exists(_.getFileName.toString.startsWith("name=")))
+    }
+    if (hasData) spark.read.parquet(dataDir).drop("bucket")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+  }
 
   def engine(): TsdbEngine =
     new TsdbEngine(spark, dataset(), new StreamCatalog(streams()))

@@ -138,6 +138,18 @@ class CliWebSpec extends AnyFunSuite {
     assert(body.last == "exiting")
   }
 
+  test("cli: delete-stream removes the stream; deleted queries read empty") {
+    val db = freshDb()
+    seed(db)
+    assert(cli(db, "query", s"count($sel)", "0", "100")._2 == Seq("4"))
+    val (code, out) = cli(db, "delete-stream", sel)
+    assert(code == 0 && out.exists(_.contains("deleted")), out)
+    assert(cli(db, "list-all-streams")._2.isEmpty)
+    assert(cli(db, "query", s"count($sel)", "0", "100")._2 == Seq("0"))
+    // deleting a stream that no longer exists fails non-zero
+    assert(cli(db, "delete-stream", sel)._1 == 1)
+  }
+
   test("cli: unknown command and bad value type fail non-zero") {
     val db = freshDb()
     assert(cli(db, "frobnicate")._1 == 2)
