@@ -95,6 +95,14 @@ object Web {
           "retention disabled: server started without a db root allowlist")
       handleExpire(spark, body, dbRoot)
     }
+    // stream deletion: POST {"path", "selector"} -> {"deleted": selector}.
+    // Same delete-gated allowlist rule as /compact and /expire.
+    jsonContext("/delete-stream") { body =>
+      if (dbRoot.isEmpty)
+        throw new IllegalArgumentException(
+          "deletion disabled: server started without a db root allowlist")
+      handleDeleteStream(spark, body, dbRoot)
+    }
     server.setExecutor(null)
     server.start()
     server
@@ -110,6 +118,20 @@ object Web {
     val n = new GraftDb(spark, path).compact(maxFiles)
     val root = mapper.createObjectNode()
     root.put("compacted_partitions", n)
+    mapper.writeValueAsString(root)
+  }
+
+  private[tools] def handleDeleteStream(spark: SparkSession,
+      requestJson: String, dbRoot: Option[String]): String = {
+    val mapper = new ObjectMapper()
+    val req = mapper.readTree(requestJson)
+    val path = allowedPath(req, dbRoot)
+    val selector = Option(req.get("selector")).filterNot(_.isNull)
+      .map(_.asText())
+      .getOrElse(throw new IllegalArgumentException("missing field: selector"))
+    new GraftDb(spark, path).deleteStream(selector)
+    val root = mapper.createObjectNode()
+    root.put("deleted", selector)
     mapper.writeValueAsString(root)
   }
 

@@ -220,6 +220,28 @@ class CliWebSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("http: /delete-stream removes a stream under the same allowlist") {
+    val db = freshDb()
+    seed(db)
+    val server = Web.start(spark, 0, dbRoot = Some(db))
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      def post(json: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/delete-stream"))
+          .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val escSel = sel.replace("\"", "\\\"")
+      val ok = post(s"""{"path": "$db", "selector": "$escSel"}""")
+      assert(ok.statusCode() == 200, ok.body())
+      assert(cli(db, "list-all-streams")._2.isEmpty)
+      // missing selector and out-of-allowlist paths both 400
+      assert(post(s"""{"path": "$db"}""").statusCode() == 400)
+      assert(post(s"""{"path": "/tmp/elsewhere", "selector": "x"}""")
+        .statusCode() == 400)
+    } finally server.stop(0)
+  }
+
   test("http: /health and /query parity with the reference shapes") {
     val db = freshDb()
     seed(db)
