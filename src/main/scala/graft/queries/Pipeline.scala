@@ -187,6 +187,18 @@ object Pipeline {
         .transform(mat)
     })
 
+  /** The exact-Jaccard near-dup pair set over [[nearShingles]],
+    * computed once per (session, sf dir): dd04 reports it and dd08
+    * runs keep-one over it — identical PPJoin searches (same sharing
+    * principle as [[tripleComponents]]). One small row per pair.
+    */
+  private def nearPairs(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(System.identityHashCode(s) + "|jp|" + dir, {
+      Dedup.jaccardPairsFromShingles(nearShingles(s, dir), threshold = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(mat)
+    })
+
   /** Connected components over the triple-corpus near-dup pair graph,
     * computed once per (session, sf dir): dd07 reports the labeling and
     * dd19 histograms it — byte-identical pair search + label
@@ -394,7 +406,7 @@ object Pipeline {
     // Candidates from PPJoin prefix filtering — same contract: the oracle
     // is the complete all-pairs spec, the prefix join must lose nothing.
     "dd04_ngram_jaccard" -> { (s, dir) =>
-      Dedup.jaccardPairsFromShingles(nearShingles(s, dir), threshold = 0.5)
+      nearPairs(s, dir)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
         .orderBy("id_a", "id_b")
     },
@@ -438,8 +450,7 @@ object Pipeline {
     // components output; the oracle recomputes the kept set from the
     // complete all-pairs spec + recursive reachability.
     "dd08_keep_one" -> { (s, dir) =>
-      val pairs = Dedup.jaccardPairsFromShingles(nearShingles(s, dir), threshold = 0.5)
-      val reps = Dedup.components(pairs)
+      val reps = Dedup.components(nearPairs(s, dir))
       corpusNear(s, dir).select(col("doc_id"))
         .join(reps, col("doc_id") === col("id"), "left")
         .where(col("rep").isNull || col("rep") === col("doc_id"))
