@@ -187,6 +187,22 @@ object Pipeline {
         .transform(mat)
     })
 
+  /** The seeded-shuffle packed training spans over [[curated]],
+    * computed once per (session, sf dir): pp09 reports them, pp11
+    * writes them to shards, pp12 materializes their content — three
+    * gates, one identical shuffleOrder + packSpans chain (same sharing
+    * principle as [[curated]]).
+    */
+  private def packedSpans(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(System.identityHashCode(s) + "|spans|" + dir, {
+      val ordered = graft.operators.Sampling.shuffleOrder(
+        curated(s, dir).select(col("doc_id"), col("n_tokens")),
+        col("doc_id"), seed = 7L)
+      graft.operators.Packing.packSpans(ordered, Seq(col("pos")), "n_tokens", 256L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(mat)
+    })
+
   /** The exact-Jaccard near-dup pair set over [[nearShingles]],
     * computed once per (session, sf dir): dd04 reports it and dd08
     * runs keep-one over it — identical PPJoin searches (same sharing
@@ -985,11 +1001,7 @@ object Pipeline {
     // pass), a deterministic permutation of it (pp07's two-pass rank),
     // and the (doc, block) span rows in THAT order (sq02's explode).
     "pp09_training_order" -> { (s, dir) =>
-      val ordered = graft.operators.Sampling.shuffleOrder(
-        curated(s, dir).select(col("doc_id"), col("n_tokens")),
-        col("doc_id"), seed = 7L)
-      graft.operators.Packing.packSpans(
-          ordered, Seq(col("pos")), "n_tokens", 256L)
+      packedSpans(s, dir)
         .select(col("doc_id"), col("pos"), col("bin"),
           col("span_start"), col("span_len"))
         .orderBy("doc_id", "bin")
@@ -1005,11 +1017,7 @@ object Pipeline {
     // independent of file-split configuration (maxRecordsPerFile, AQE
     // coalescing) — the "corpus in, training files out" last mile.
     "pp11_shard_writeback" -> { (s, dir) =>
-      val ordered = graft.operators.Sampling.shuffleOrder(
-        curated(s, dir).select(col("doc_id"), col("n_tokens")),
-        col("doc_id"), seed = 7L)
-      val spans = graft.operators.Packing.packSpans(
-          ordered, Seq(col("pos")), "n_tokens", 256L)
+      val spans = packedSpans(s, dir)
         .select(col("doc_id"), col("pos"), col("bin"),
           col("span_start"), col("span_len"))
       val out = s"${sys.props("java.io.tmpdir")}/graft_pp11_" +
@@ -1031,11 +1039,7 @@ object Pipeline {
     // with DuckDB list slicing. Concatenating content in (shard,
     // offset) order IS the packed token stream.
     "pp12_span_content" -> { (s, dir) =>
-      val ordered = graft.operators.Sampling.shuffleOrder(
-        curated(s, dir).select(col("doc_id"), col("n_tokens")),
-        col("doc_id"), seed = 7L)
-      val spans = graft.operators.Packing.packSpans(
-          ordered, Seq(col("pos")), "n_tokens", 256L)
+      val spans = packedSpans(s, dir)
       val content = graft.operators.Packing.spanContent(
         spans, corpusNear(s, dir), "doc_id", "text", tokens)
       val out = s"${sys.props("java.io.tmpdir")}/graft_pp12_" +
