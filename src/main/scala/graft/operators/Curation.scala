@@ -50,31 +50,53 @@ object Curation {
     * semi-joins it down to the quality survivors instead of recomputing
     * — shingling is the dominant cost and Spark cannot share it across
     * separately-planned queries.
+    *
+    * `pairs`: callers that already paid the WHOLE-corpus pair search
+    * (Dedup.jaccardPairsFromShingles at the same threshold) pass it
+    * here and the pipeline restricts it to quality survivors instead of
+    * re-running PPJoin. Exact Jaccard depends only on the two documents,
+    * so pairs(survivors) ≡ pairs(corpus) ∩ survivors², edge for edge —
+    * including bridge docs dropped by the quality gate correctly
+    * splitting their clusters. Takes precedence over `shingles`.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-      opts: Opts = Opts(), shingles: Option[DataFrame] = None): DataFrame = {
+      opts: Opts = Opts(), shingles: Option[DataFrame] = None,
+      pairs: Option[DataFrame] = None): DataFrame = {
     val kept = docs
       .where(TextFunctions.qualityScore(col(textCol)) >= opts.qualityMin)
       .select(col(idCol), col(textCol))
-    val sh = shingles match {
-      case Some(pre) => pre
-        .join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      case None => Dedup.shingleBase(kept, idCol, textCol, opts.nGram)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    }
     // components() returns (id, rep); rename both before the join so a
     // caller whose idCol is literally "id" (or "rep") doesn't hit an
     // ambiguous-reference AnalysisException
-    val reps = Dedup.components(
-      Dedup.jaccardPairsFromShingles(sh, opts.jaccardThreshold))
+    val reps = (pairs match {
+      case Some(pre) =>
+        val keptIds = kept.select(col(idCol).as("_kept_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val restricted = pre
+          .join(keptIds, col("id_a") === col("_kept_id"), "left_semi")
+          .join(keptIds, col("id_b") === col("_kept_id"), "left_semi")
+        val cc = Dedup.components(restricted)
+        keptIds.unpersist(blocking = false) // components() is eager
+        cc
+      case None =>
+        val sh = shingles match {
+          case Some(pre) => pre
+            .join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          case None => Dedup.shingleBase(kept, idCol, textCol, opts.nGram)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        }
+        val cc = Dedup.components(
+          Dedup.jaccardPairsFromShingles(sh, opts.jaccardThreshold))
+        // components() is eager (it label-propagates through per-round
+        // localCheckpoints), so by here the labeling is materialized and
+        // nothing downstream reads the shingle table again — release it
+        // now rather than leak a session-lifetime cache entry per call
+        sh.unpersist(blocking = false)
+        cc
+    })
       .withColumnRenamed("id", "_cc_id")
       .withColumnRenamed("rep", "_cc_rep")
-    // components() is eager (it label-propagates through per-round
-    // localCheckpoints), so by here `reps` is materialized and nothing
-    // downstream reads the shingle table again — release it now rather
-    // than leak a session-lifetime cache entry per curate() call
-    sh.unpersist(blocking = false)
     val keepOne = kept
       .join(reps, col(idCol) === col("_cc_id"), "left")
       .where(col("_cc_rep").isNull || col("_cc_rep") === col(idCol))

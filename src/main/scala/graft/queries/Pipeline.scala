@@ -137,7 +137,8 @@ object Pipeline {
       graft.operators.Curation.curate(
           corpusNear(s, dir).select(col("doc_id"), col("text")),
           "doc_id", "text",
-          shingles = Some(nearShingles(s, dir)))
+          shingles = Some(nearShingles(s, dir)),
+          pairs = Some(nearPairs(s, dir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .transform(mat)
     })

@@ -79,4 +79,37 @@ class CurationSpec extends AnyFunSuite {
       acc += n
     }
   }
+
+  test("pre-paid whole-corpus pairs ≡ recomputing them on survivors") {
+    // bridge doc: A(0) ~ B(300) ~ C(301) chain where only B fails the
+    // (raised) quality gate — the restricted pair graph must SPLIT the
+    // cluster so A and C BOTH survive keep-one, exactly as a PPJoin
+    // over the survivors alone would conclude. Geometry: B = A's first
+    // 111 tokens (109 of A's 218 shingles -> jac(A,B) = 109/218 = 0.5
+    // exactly); C = those same 111 tokens + 109 fresh ones
+    // (jac(B,C) = 0.5; jac(A,C) = 109/327 ≈ 0.33 — no direct edge).
+    // Quality: 220-token docs score 1.0, the 111-token bridge 0.7775,
+    // so qualityMin = 0.9 gates exactly B.
+    def tok(tag: String, j: Int) = s"tok$tag" + "abcdef" + (100 + j)
+    val shared = (0 until 111).map(tok("s", _))
+    val a = (shared ++ (0 until 109).map(tok("a", _))).mkString(" ")
+    val b = shared.mkString(" ")
+    val c = (shared ++ (0 until 109).map(tok("c", _))).mkString(" ")
+    val docs = Seq((0L, a), (300L, b), (301L, c)).toDF("doc_id", "text")
+    val opts = Curation.Opts(qualityMin = 0.9, sampleFraction = 1.0)
+    val fullPairs = graft.dedup.Dedup.jaccardPairs(
+      docs, "doc_id", "text", nGram = opts.nGram,
+      threshold = opts.jaccardThreshold)
+    // the premise: with B present the full graph is one A-B-C chain
+    assert(fullPairs.count() == 2L,
+      s"expected the two bridge edges, got ${fullPairs.collect().toSeq}")
+    def keptIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaPairs = keptIds(Curation.curate(docs, "doc_id", "text", opts,
+      pairs = Some(fullPairs)))
+    val recomputed = keptIds(Curation.curate(docs, "doc_id", "text", opts))
+    assert(viaPairs == recomputed)
+    assert(viaPairs == Set(0L, 301L),
+      "bridge removal must split the cluster: A and C both survive")
+  }
 }
