@@ -45,6 +45,26 @@ object Bench {
     // paying for all 121 each round
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // Full-pack runs build every SHARED pass up front, TIMED, each
+    // reported as its own "shared" line — so per-query numbers measure
+    // only incremental work and stop being pack-order-dependent
+    // (whichever gate ran first used to front the shared subplan, and
+    // a cold rerun re-paid everything: pp11's 28s artifact). The
+    // shared sum is added to "value", keeping the total comparable
+    // with earlier rounds. Subset runs (SPARK_GRAFT_BENCH_ONLY, the
+    // SCALE_CHECK loop) keep standalone pay-your-own-way accounting —
+    // there the point is the query's full standalone cost.
+    // SPARK_GRAFT_BENCH_SHARED=0 forces the old behavior.
+    val prewarm = only.isEmpty &&
+      sys.env.get("SPARK_GRAFT_BENCH_SHARED").forall(_ != "0")
+    val sharedTimes: Seq[(String, Double)] =
+      if (!prewarm) Nil
+      else try graft.queries.Pipeline.prewarmShared(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] shared prewarm failed: ${e.getMessage}")
+        Nil
+      }
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     def timeOne(name: String,
@@ -83,8 +103,12 @@ object Bench {
         8
       }
     }.getOrElse(8)
-    val rerunExcluded = Set("dd15_index_probe", "dd16_index_dedup",
-      "dd17_embed_index_probe", "dd18_embed_index_dedup")
+    // In prewarm mode the index builds are shared lines too, so the
+    // index gates time probe-only on BOTH passes — no exclusion needed.
+    val rerunExcluded =
+      if (prewarm) Set.empty[String]
+      else Set("dd15_index_probe", "dd16_index_dedup",
+        "dd17_embed_index_probe", "dd18_embed_index_dedup")
     val slowest = firstPass
       .filter { case (n, t) => t > 1.0 && !rerunExcluded(n) }
       .sortBy(-_._2).take(reruns).map(_._1).toSet
@@ -95,7 +119,13 @@ object Bench {
     val rerunSamples = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = firstPass.map { case (name, t) =>
       if (slowest(name)) {
-        graft.queries.Pipeline.clearCaches()
+        // prewarm mode: keep the shared passes warm (their cost is its
+        // own line; both samples then measure the same incremental
+        // work) but drop the query's OWN plan-internal persists so the
+        // rerun recomputes rather than reads its first pass's cache.
+        // Standalone mode: clear everything, as before.
+        if (prewarm) graft.engine.Caches.release()
+        else graft.queries.Pipeline.clearCaches()
         val t2 = timeOne(name, byName(name))
         rerunSamples(name) = (t, t2)
         name -> (if (t2 >= 0) math.min(t, t2) else t)
@@ -107,7 +137,11 @@ object Bench {
       if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // "value" stays the whole pack's cost (shared passes + queries) so
+    // totals remain comparable with pre-prewarm rounds, where the
+    // shared work hid inside first-toucher query times.
+    val sharedSum = sharedTimes.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum + sharedSum
 
     // Ingest throughput (BASELINE.md bench plan, mirror of the
     // reference's write.rs): events -> time-partitioned series store
@@ -143,8 +177,11 @@ object Bench {
     val rr = rerunSamples.map { case (k, (a, b)) =>
       "\"" + k + "\":{\"first\":" + fmt(a) + ",\"rerun\":" + fmt(b) + "}"
     }.mkString("{", ",", "}")
+    val sharedJson = sharedTimes.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""reruns":$rr,"ingest_rows_per_sec":$ingest,""" +
+      s""""shared":$sharedJson,"reruns":$rr,"ingest_rows_per_sec":$ingest,""" +
       s""""dsv2_store_build_sec":${fmt(dsv2BuildSec)},"sf":"$sfDir"}"""
     // Persist the FULL JSON as a committed file artifact: the driver's
     // stdout capture keeps only the LAST 2000 chars, and the full
@@ -165,7 +202,8 @@ object Bench {
       .map { case (f, rs) => "\"" + f + "\":" + fmt(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
-      s""""families":$fams,"full":"BENCH.json","ingest_rows_per_sec":$ingest,""" +
+      s""""families":$fams,"shared_sec":${fmt(sharedSum)},"full":"BENCH.json",""" +
+      s""""ingest_rows_per_sec":$ingest,""" +
       s""""dsv2_store_build_sec":${fmt(dsv2BuildSec)},"sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val budget = 1900 - head.length - tailStr.length

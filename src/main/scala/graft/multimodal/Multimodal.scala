@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * struct; decode / feature-extraction runs per-partition so one decoder
   * instance is initialized per task, never per row.
   *
-  * The actual codec call is STUBBED (no image/audio libraries in this
-  * environment) behind `Decoder`; the Spark-side plumbing — schema,
-  * batched per-partition iteration, partitioning advice, deterministic
-  * fake features for tests — is real.
+  * The codec seam is the `Decoder` trait: `RealDecoder` decodes for
+  * real through the JDK's own codecs (ImageIO bmp/png/jpeg/gif,
+  * AudioSystem PCM16 WAV — no native deps), throwing for formats past
+  * the JDK's reach (mp4/webp/flac → a JNI/FFI extension point with a
+  * bit-for-bit contract, MultimodalContractSpec); `stub` produces
+  * deterministic features from the payload bytes so the distributed
+  * plumbing — schema, batched per-partition iteration, partitioning
+  * advice — is testable without any codec at all.
   */
 object Multimodal {
 

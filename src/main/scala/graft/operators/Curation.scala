@@ -36,6 +36,17 @@ object Curation {
       binTokens: Long = 2048L,
       nGram: Int = 3)
 
+  /** A pre-paid whole-corpus near-dup pair table plus the parameters it
+    * was computed under. Exact Jaccard depends on BOTH the threshold
+    * and the shingle width, so [[curate]] requires them to equal the
+    * run's `opts` — a pair table computed under different parameters
+    * would silently produce different dedup clusters than the
+    * recompute path, and that mismatch must fail loudly, not skew
+    * results.
+    */
+  case class PrepaidPairs(pairs: DataFrame,
+      jaccardThreshold: Double, nGram: Int)
+
   /** Returns the packed training manifest: (idCol, n_tokens, gcum, bin,
     * bin_offset) for every document that survives quality → keep-one →
     * sample, laid end-to-end in idCol order.
@@ -52,16 +63,26 @@ object Curation {
     * separately-planned queries.
     *
     * `pairs`: callers that already paid the WHOLE-corpus pair search
-    * (Dedup.jaccardPairsFromShingles at the same threshold) pass it
-    * here and the pipeline restricts it to quality survivors instead of
-    * re-running PPJoin. Exact Jaccard depends only on the two documents,
-    * so pairs(survivors) ≡ pairs(corpus) ∩ survivors², edge for edge —
+    * (Dedup.jaccardPairsFromShingles) pass it here — tagged with the
+    * threshold and shingle width it was computed under, which MUST
+    * equal this run's `opts` (checked, loud) — and the pipeline
+    * restricts it to quality survivors instead of re-running PPJoin.
+    * Exact Jaccard depends only on the two documents, so
+    * pairs(survivors) ≡ pairs(corpus) ∩ survivors², edge for edge —
     * including bridge docs dropped by the quality gate correctly
     * splitting their clusters. Takes precedence over `shingles`.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       opts: Opts = Opts(), shingles: Option[DataFrame] = None,
-      pairs: Option[DataFrame] = None): DataFrame = {
+      pairs: Option[PrepaidPairs] = None): DataFrame = {
+    pairs.foreach { pp =>
+      require(pp.jaccardThreshold == opts.jaccardThreshold &&
+          pp.nGram == opts.nGram,
+        s"pre-paid pair table was computed at threshold=" +
+          s"${pp.jaccardThreshold}, nGram=${pp.nGram} but opts ask for " +
+          s"threshold=${opts.jaccardThreshold}, nGram=${opts.nGram} — " +
+          "mismatched parameters would silently change dedup clusters")
+    }
     val kept = docs
       .where(TextFunctions.qualityScore(col(textCol)) >= opts.qualityMin)
       .select(col(idCol), col(textCol))
@@ -69,10 +90,10 @@ object Curation {
     // caller whose idCol is literally "id" (or "rep") doesn't hit an
     // ambiguous-reference AnalysisException
     val reps = (pairs match {
-      case Some(pre) =>
+      case Some(pp) =>
         val keptIds = kept.select(col(idCol).as("_kept_id"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val restricted = pre
+        val restricted = pp.pairs
           .join(keptIds, col("id_a") === col("_kept_id"), "left_semi")
           .join(keptIds, col("id_b") === col("_kept_id"), "left_semi")
         val cc = Dedup.components(restricted)

@@ -101,6 +101,33 @@ object Pipeline {
     graft.engine.Caches.release()
   }
 
+  /** Explicitly build — and time — every shared pass for (s, dir), in
+    * dependency order, returning (passName, seconds) per pass. Bench
+    * calls this up front so each shared cost appears as its OWN line
+    * in BENCH.json and the per-query numbers measure only incremental
+    * work — without it, whichever gate happens to run first fronts the
+    * shared subplan and per-query times become pack-order-dependent
+    * (the r8 accounting finding: dd04 fronting dd08's pair set, pp11's
+    * 28s cold rerun). Idempotent: a pass already built times ~0.
+    */
+  def prewarmShared(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def t(name: String)(f: => Any): (String, Double) = {
+      val t0 = System.nanoTime(); f
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      t("near_shingles")(nearShingles(s, dir)),
+      t("near_banded")(nearBanded(s, dir)),
+      t("near_pairs")(nearPairs(s, dir)),
+      t("triple_shingles")(tripleShingles(s, dir)),
+      t("triple_components")(tripleComponents(s, dir)),
+      t("curated")(curated(s, dir)),
+      t("packed_spans")(packedSpans(s, dir)),
+      t("ivf_assigned")(ivfAssigned(s, dir)),
+      t("near_dup_index_build")(corpusIndex(s, dir)),
+      t("embed_index_build")(embedIndex(s, dir)))
+  }
+
   // Every shared cache is MATERIALIZED at creation (mat): several
   // gates consume row-filtered views of these frames on both sides of
   // a join, where a lazy persist gets computed once per side on first
@@ -138,7 +165,12 @@ object Pipeline {
           corpusNear(s, dir).select(col("doc_id"), col("text")),
           "doc_id", "text",
           shingles = Some(nearShingles(s, dir)),
-          pairs = Some(nearPairs(s, dir)))
+          // nearPairs is computed at threshold=0.5, nGram=3 — the
+          // PrepaidPairs tag makes curate() verify that against its
+          // Opts (which default to exactly these) instead of trusting
+          // the comment
+          pairs = Some(graft.operators.Curation.PrepaidPairs(
+            nearPairs(s, dir), jaccardThreshold = 0.5, nGram = 3)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .transform(mat)
     })

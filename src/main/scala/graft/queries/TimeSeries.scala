@@ -146,12 +146,19 @@ object TimeSeries {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(root, "bucket_ms"), Day.toString)
       // catalog (GraftDb.streams format): one stream per event type
-      // with a per-STREAM label et=<name> — the label authority the
-      // DSv2 labelEq option prunes on (ts35)
+      // with TWO per-STREAM labels — et=<name> (unique) and a tier
+      // shared by several streams — the label authority the DSv2
+      // labelEq option prunes on. ts35 matches one label; ts37 matches
+      // both, so the name-set INTERSECTION is observable: tier=gold
+      // alone admits {purchase, signup}, et=purchase cuts it to
+      // {purchase} — a union-instead-of-intersection bug would leak
+      // signup rows into the result.
+      val tier = Map("purchase" -> "gold", "signup" -> "gold",
+        "click" -> "std", "view" -> "std", "error" -> "std")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(root, "catalog.jsonl"),
         Seq("click", "view", "purchase", "signup", "error")
-          .map(n => s"f64\t$n\tet=$n").mkString("", "\n", "\n"))
+          .map(n => s"f64\t$n\tet=$n,tier=${tier(n)}").mkString("", "\n", "\n"))
       root
     })
 
@@ -247,6 +254,22 @@ object TimeSeries {
           round(sum(col("value")), 4).as("sum_value"),
           min(col("timestamp")).as("first_ts"),
           max(col("timestamp")).as("last_ts"))
+    },
+
+    // Multi-matcher labelEq: the reference intersects the ID sets of
+    // EVERY matcher pair (indexer.rs:493-516); here two pairs resolve
+    // against the catalog at Scan.build — tier=gold admits {purchase,
+    // signup}, et=purchase cuts the set to {purchase}, and only that
+    // series' directories are listed (GraftSourceSpec pins the file
+    // count). The oracle recomputes from raw events; a
+    // union-instead-of-intersection bug would leak signup rows in.
+    "ts37_dsv2_label_multi" -> { (s, dir) =>
+      val t = s.read.format("graft").option("bucketMs", Day.toString)
+        .option("labelEq", "tier=gold,et=purchase").load(dsv2Store(s, dir))
+      t.where(col("timestamp") >= SubStart && col("timestamp") <= SubEnd)
+        .groupBy((col("timestamp") - pmod(col("timestamp"), lit(Day))).as("day"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .orderBy("day")
     },
 
     "ts01_select_range" -> q("purchase") _,
@@ -506,6 +529,11 @@ object TimeSeries {
          |MIN(t) AS first_ts, MAX(t) AS last_ts
          |FROM ${ev("event_type = 'purchase'")}
          |WHERE t >= ${SubStart + 1800000L} AND t <= ${SubEnd - 1800001L}""".stripMargin,
+
+    "ts37_dsv2_label_multi" ->
+      s"""SELECT t - t % 86400000 AS day, COUNT(*) AS n,
+         |ROUND(SUM(v), 6) AS sum_value FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} GROUP BY 1 ORDER BY day""".stripMargin,
 
     "ts01_select_range" ->
       s"""SELECT t AS timestamp, v AS value FROM ${ev("event_type = 'purchase'")}

@@ -69,8 +69,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Options (case-insensitive): `bucketMs` (default 3600000) must match
   * the GraftDb that wrote the store (the persisted `bucket_ms` wins; a
   * conflicting option fails loudly); `stats` enables aggregate
-  * pushdown; `labelEq` = "k=v" prunes to the catalogued streams whose
-  * labels carry k=v (see getTable).
+  * pushdown; `labelEq` = "k1=v1[,k2=v2...]" prunes to the catalogued
+  * streams whose labels carry EVERY listed pair (see getTable).
   */
 class GraftSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -108,23 +108,32 @@ class GraftSource extends TableProvider
       case (None, None) => 3600 * 1000L
     }
     val stats = Option(opts.get("stats")).exists(_.toBoolean)
-    // labelEq = "k=v": per-STREAM label selection via the store's
-    // catalog — the SQL-surface rendering of the reference's inverted
-    // label index (tachyon_core/src/query/indexer.rs:136-149,493-516),
-    // where a label matcher selects streams, not rows. Series whose
-    // catalog entry carries labels[k]=v keep their directories; all
-    // others are pruned at Scan.build. Stores without a catalog
+    // labelEq = "k1=v1,k2=v2,...": per-STREAM label selection via the
+    // store's catalog — the SQL-surface rendering of the reference's
+    // inverted label index (tachyon_core/src/query/indexer.rs:136-149),
+    // including its multi-matcher ID-set INTERSECTION
+    // (indexer.rs:493-516): only streams whose catalog entry carries
+    // EVERY requested pair keep their directories; all others are
+    // pruned at Scan.build. A literal `,`, `=`, or `%` inside a key or
+    // value is written %XX-escaped — the same LabelCodec escaping the
+    // catalog itself uses, so the option grammar is unambiguous for
+    // every label the store can hold. Stores without a catalog
     // (written by external tooling) ignore the option (conservative:
     // nothing pruned). Row-level label predicates (`labels['k']='v'`)
     // remain ordinary residual filters Spark evaluates — the option
     // composes with them for stores whose labels vary within a series.
-    val labelEq = Option(opts.get("labelEq")).map { s =>
-      s.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => (k, v)
-        case _ => throw new IllegalArgumentException(
-          s"labelEq must be 'key=value', got '$s'")
-      }
-    }
+    val labelEq: Seq[(String, String)] =
+      Option(opts.get("labelEq")).map { s =>
+        s.split(",", -1).toSeq.map { pair =>
+          pair.split("=", 2) match {
+            case Array(k, v) if k.nonEmpty =>
+              (graft.tsdb.LabelCodec.unescape(k),
+                graft.tsdb.LabelCodec.unescape(v))
+            case _ => throw new IllegalArgumentException(
+              s"labelEq must be 'key=value[,key=value...]', got '$s'")
+          }
+        }
+      }.getOrElse(Nil)
     new GraftTable(path, bucketMs, stats, conf, labelEq)
   }
 }
@@ -313,16 +322,24 @@ object GraftSource {
     if (covLo > covHi) none else (covLo, covHi)
   }
 
-  /** The names of the catalogued streams whose labels carry `k = v` —
-    * the label → series resolution behind `labelEq` pruning. Parses the
-    * same `catalog.jsonl` GraftDb maintains (vtype \t name \t k=v,k=v —
-    * see GraftDb.streams); the catalog is written synchronously at
-    * `createStream`, so unlike the stats sidecar it is always fresh.
-    * None when the store has no catalog (external writer) — callers
-    * must then skip pruning entirely, not prune to the empty set.
+  /** The names of the catalogued streams whose labels carry EVERY
+    * `k = v` in `pairs` — the label → series resolution behind
+    * `labelEq` pruning, the set-intersection semantics of the
+    * reference's multi-matcher index probe (indexer.rs:493-516; one
+    * catalog pass here computes what its smallest-set-first
+    * intersection loop does file-by-file). Parses the same
+    * `catalog.jsonl` GraftDb maintains (vtype \t name \t k=v,k=v with
+    * LabelCodec-escaped labels — see GraftDb.streams); the catalog is
+    * written synchronously at `createStream`, so unlike the stats
+    * sidecar it is always fresh. None when the store has no catalog
+    * (external writer) — callers must then skip pruning entirely, not
+    * prune to the empty set. LOUD (IllegalStateException naming the
+    * line) on a malformed catalog line: skipping one would silently
+    * prune out a stream that should match — wrong results, not a
+    * degraded scan.
     */
   private[graft] def labelNames(rootDir: String, conf: Configuration,
-      key: String, value: String): Option[Set[String]] = {
+      pairs: Seq[(String, String)]): Option[Set[String]] = {
     val p = new Path(new Path(rootDir), "catalog.jsonl")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return None
@@ -333,13 +350,12 @@ object GraftSource {
     Some(lines.filter(_.nonEmpty).flatMap { line =>
       line.split("\t", -1) match {
         case Array(_, name, labelStr) =>
-          val labels =
-            if (labelStr.isEmpty) Map.empty[String, String]
-            else labelStr.split(",").map { kv =>
-              val Array(k, v) = kv.split("=", 2); k -> v
-            }.toMap
-          if (labels.get(key).contains(value)) Some(name) else None
-        case _ => None
+          val labels = graft.tsdb.LabelCodec.decodeLabels(labelStr, line)
+          if (pairs.forall { case (k, v) => labels.get(k).contains(v) })
+            Some(name)
+          else None
+        case _ => throw new IllegalStateException(
+          s"malformed catalog line (expected vtype\\tname\\tlabels): $line")
       }
     }.toSet)
   }
@@ -449,7 +465,7 @@ object GraftSource {
 private[sources] class GraftTable(rootDir: String, bucketMs: Long,
     statsMode: Boolean = false,
     conf: SerializableHadoopConf = new SerializableHadoopConf(new Configuration()),
-    labelEq: Option[(String, String)] = None)
+    labelEq: Seq[(String, String)] = Nil)
     extends Table with SupportsRead {
   override def name(): String = s"graft:$rootDir"
   override def schema(): StructType = GraftSource.tableSchema
@@ -484,7 +500,7 @@ private[sources] class GraftTable(rootDir: String, bucketMs: Long,
   */
 private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
     statsMode: Boolean, conf: SerializableHadoopConf,
-    labelEq: Option[(String, String)] = None)
+    labelEq: Seq[(String, String)] = Nil)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -556,9 +572,8 @@ private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
     * catalog — prune nothing), resolved once per build.
     */
   private def labelSet: Option[Set[String]] =
-    labelEq.flatMap { case (k, v) =>
-      GraftSource.labelNames(rootDir, conf.value, k, v)
-    }
+    if (labelEq.isEmpty) None
+    else GraftSource.labelNames(rootDir, conf.value, labelEq)
 
   /** Restrict pushed bounds / a file list to the label-selected names. */
   private def withLabels(b: GraftSource.Bounds,

@@ -141,6 +141,19 @@ object StatsBench {
           min("value").as("min_value"), max("value").as("max_value"))
         .head().toSeq
 
+    // the DSv2 RAW path (no stats option): every surviving row comes
+    // up through the record-at-a-time PartitionReader — this times the
+    // documented boundary (GraftSource scaladoc) between the catalog
+    // surface and the engine's vectorized parquet scans on a
+    // full-corpus aggregate, the worst case for a row-wise reader
+    def dsv2Raw(lo: Long, hi: Long): Seq[Any] =
+      spark.read.format("graft").load(dsv2Root)
+        .where(col("name") === "purchase" &&
+          col("timestamp") >= lo && col("timestamp") <= hi)
+        .agg(count(lit(1)).as("n"), sum("value").as("value_sum"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .head().toSeq
+
     val results = shapes.map { case (label, lo, hi) =>
       val p = plain(lo, hi)
       val h = hinted(lo, hi)
@@ -159,14 +172,23 @@ object StatsBench {
             s"$label dsv2: sums differ: $p vs $d")
           time(runs)(dsv2(lo, hi))
         } else -1.0
-      (label, tPlain, tHint, tDsv2)
+      val tRaw =
+        if (dense) {
+          val r = dsv2Raw(lo, hi)
+          require(p.head == r.head,
+            s"$label dsv2_raw: row counts differ: $p vs $r")
+          time(runs)(dsv2Raw(lo, hi))
+        } else -1.0
+      (label, tPlain, tHint, tDsv2, tRaw)
     }
 
     val nRows = data.count()
     val nStats = stats.count()
-    val body = results.map { case (l, tp, th, td) =>
+    val body = results.map { case (l, tp, th, td, tr) =>
       f""""$l":{"plain":$tp%.3f,"stats":$th%.3f,"speedup":${tp / th}%.2f""" +
-        (if (td >= 0) f""","dsv2":$td%.3f,"dsv2_speedup":${tp / td}%.2f}"""
+        (if (td >= 0) f""","dsv2":$td%.3f,"dsv2_speedup":${tp / td}%.2f"""
+         else "") +
+        (if (tr >= 0) f""","dsv2_raw":$tr%.3f,"raw_vs_plain":${tr / tp}%.2f}"""
          else "}")
     }.mkString(",")
     println(s"""{"sf":"$sfDir","rows":$nRows,"stats_rows":$nStats,""" +

@@ -77,93 +77,198 @@ final class GraftDb(
     else {
       import scala.jdk.CollectionConverters._
       Files.readAllLines(catalogFile).asScala.toSeq.filter(_.nonEmpty).map { line =>
-        // line format: vtype \t name \t k=v,k=v
+        // line format: vtype \t name \t k=v,k=v (labels LabelCodec-escaped).
+        // Loud on malformed lines: silently skipping one would make the
+        // stream invisible to selectors while its data keeps matching
+        // scans — fail with the line in hand instead.
         val parts = line.split("\t", -1)
+        if (parts.length != 3) throw new IllegalStateException(
+          s"malformed catalog line (expected vtype\\tname\\tlabels): $line")
         val vt = parts(0) match {
           case "i64" => VType.I64; case "u64" => VType.U64; case _ => VType.F64
         }
-        val labels =
-          if (parts(2).isEmpty) Map.empty[String, String]
-          else parts(2).split(",").map { kv =>
-            val Array(k, v) = kv.split("=", 2); k -> v
-          }.toMap
-        StreamDef(parts(1), labels, vt)
+        StreamDef(parts(1), LabelCodec.decodeLabels(parts(2), line), vt)
       }
     }
 
-  /** Fixed-type stream creation (lib.rs:429-456); rejects duplicates. */
+  /** Fixed-type stream creation (lib.rs:429-456); rejects duplicates.
+    * Label keys/values are opaque text like the reference's
+    * (indexer.rs:136-149): structural characters (`=`, `,`, tab,
+    * newline, `%`) round-trip through [[LabelCodec]] escaping. The
+    * stream NAME becomes a `name=` partition directory, so control
+    * characters that no filesystem path can carry are rejected here
+    * rather than corrupting the store layout.
+    */
   def createStream(selector: String, vtype: VType): Unit = {
     val (name, labels) = parseSelector(selector)
+    require(!name.exists(c => c == '\n' || c == '\r' || c == '\u0000' || c == '\t'),
+      s"stream name must not contain newline/NUL: ${name.replace("\n", "\\n")}")
     require(!streams().exists(d => d.name == name && d.labels == labels),
       s"stream already exists: $selector")
     val vt = vtype match {
       case VType.I64 => "i64"; case VType.U64 => "u64"; case VType.F64 => "f64"
     }
-    val labelStr = labels.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
-    Files.writeString(catalogFile, s"$vt\t$name\t$labelStr\n",
+    Files.writeString(catalogFile,
+      s"$vt\t$name\t${LabelCodec.encodeLabels(labels)}\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
   /** Stream deletion. The reference leaves this as an explicit todo
-    * stub (lib.rs:458-473); here it is implemented for the common case
-    * — the stream is the only one under its name — because the store
-    * layout partitions by NAME: the catalog entry is removed, the
-    * `name=<name>` data directory is deleted (O(partitions), no file
-    * read — same property as [[expire]]), and the stats table drops
-    * the name's rows. When several catalogued streams share a name,
-    * their rows interleave inside the same files (separable only by
-    * the labels column), so deleting one of them would need a data
-    * rewrite — that case throws rather than silently dropping
-    * neighbors' data; compact-then-retry after an explicit rewrite is
-    * the operational path. Idempotent on crash: a re-run finds the
-    * remaining pieces and completes (catalog first, so a half-deleted
-    * stream can no longer match queries' catalogs mid-way).
+    * stub (lib.rs:458-473); here it is implemented for real. Two
+    * shapes, because the store layout partitions by NAME:
+    *
+    *  - The stream is the only one under its name (common case): the
+    *    catalog entry is removed, the `name=<name>` data directory is
+    *    deleted (O(partitions), no file read — same property as
+    *    [[expire]]), and the stats table drops the name's rows.
+    *  - Several catalogued streams share the name: their rows
+    *    interleave inside the same files (separable only by the labels
+    *    column), so deleting one needs a data REWRITE. Without
+    *    `rewrite = true` this throws rather than silently dropping
+    *    neighbors' data; with it, every bucket of the name is
+    *    rewritten minus the target's rows through the same hidden-file
+    *    + journal + promote protocol [[compact]] uses, the name's
+    *    stats rows are rebuilt from the survivors, and the catalog
+    *    line is removed LAST — so a crash at any step lets a plain
+    *    re-run redo the remaining steps (re-filtering already-filtered
+    *    files is a value-identical rewrite).
+    *
+    * Idempotent on crash in the single-name shape too (catalog first,
+    * so a half-deleted stream can no longer match queries' catalogs
+    * mid-way): a re-run whose selector matches nothing — and whose
+    * name has no other catalogued stream — sweeps any LEFTOVER data
+    * dir and stats rows instead of failing, completing the earlier
+    * partial delete. When there are no leftovers either, the selector
+    * names a stream that simply does not exist, and that stays an
+    * error (the CLI/HTTP "delete a nonexistent stream fails" contract).
     */
-  def deleteStream(selector: String): Unit = synchronized {
-    import scala.jdk.CollectionConverters._
+  def deleteStream(selector: String, rewrite: Boolean = false): Unit = synchronized {
     val (name, labels) = parseSelector(selector)
     val all = streams()
     val hits = all.filter(d => d.name == name && d.labels == labels)
+    if (hits.isEmpty) {
+      // Completion half of a crashed earlier delete (its catalog line
+      // went first) — but only when no OTHER catalogued stream holds
+      // the name; otherwise sweeping would destroy a neighbor's data,
+      // so a 0-match selector there is a caller bug.
+      require(!all.exists(_.name == name),
+        "selector must match exactly 1 stream, got 0")
+      require(sweepName(name),
+        "selector must match exactly 1 stream, got 0")
+      return
+    }
     require(hits.size == 1, s"selector must match exactly 1 stream, got ${hits.size}")
     val sharers = all.count(_.name == name)
-    if (sharers > 1)
+    if (sharers > 1 && !rewrite)
       throw new UnsupportedOperationException(
         s"$sharers catalogued streams share name '$name'; their rows " +
           "interleave in the same files — deleting one requires a data " +
-          "rewrite, which deleteStream will not do implicitly")
-    // 1. catalog: drop the stream's line (atomic replace)
-    val vt = hits.head.vtype match {
+          "rewrite: call deleteStream(selector, rewrite = true)")
+    if (sharers > 1) {
+      rewriteOutStream(name, labels)
+      if (statsDir().isDefined)
+        writeStats(statsTable().where(col("name") =!= name)
+          .unionByName(StatsAggregate.buildStats(
+            dataset().where(col("name") === name), bucketMs)))
+      removeCatalogLine(hits.head)
+    } else {
+      removeCatalogLine(hits.head)
+      sweepName(name)
+    }
+  }
+
+  /** Drop `d`'s catalog line (atomic replace). */
+  private def removeCatalogLine(d: StreamDef): Unit = {
+    import scala.jdk.CollectionConverters._
+    val vt = d.vtype match {
       case VType.I64 => "i64"; case VType.U64 => "u64"; case VType.F64 => "f64"
     }
-    val labelStr = labels.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
-    val line = s"$vt\t$name\t$labelStr"
+    val line = s"$vt\t${d.name}\t${LabelCodec.encodeLabels(d.labels)}"
     val kept = Files.readAllLines(catalogFile).asScala.filterNot(_ == line)
     val tmp = catalogFile.resolveSibling(".catalog.jsonl.tmp")
     Files.write(tmp, kept.asJava)
     Files.move(tmp, catalogFile,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // 2. data: remove the name's partition dir (dir names only, like
-    // expire). The dir is located by UNescaping each name= dir with the
-    // same routine the DSv2 reader uses, rather than re-deriving
-    // Spark's escape set — robust to any escape-set drift.
+  }
+
+  /** Remove `name`'s data partition dirs (dir names only, like expire —
+    * located by UNescaping each name= dir with the same routine the
+    * DSv2 reader uses, robust to escape-set drift) and its stats rows.
+    * Returns whether anything was actually swept — false means the
+    * name left no trace (no data dir, no stats rows).
+    */
+  private def sweepName(name: String): Boolean = {
+    import scala.jdk.CollectionConverters._
     val root = Paths.get(dataDir)
+    var sweptData = false
     if (Files.exists(root)) {
-      scala.util.Using.resource(Files.list(root))(_.iterator().asScala
+      val dirs = scala.util.Using.resource(Files.list(root))(_.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
           n.startsWith("name=") && graft.sources.GraftSource
             .unescapePathName(n.stripPrefix("name=")) == name
         }.toList)
-        .foreach { dir =>
-          scala.util.Using.resource(Files.walk(dir))(
-            _.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.toList).foreach(Files.deleteIfExists(_))
-        }
+      sweptData = dirs.nonEmpty
+      dirs.foreach { dir =>
+        scala.util.Using.resource(Files.walk(dir))(
+          _.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.toList).foreach(Files.deleteIfExists(_))
+      }
     }
-    // 3. stats: drop the name's summary rows (new version + pointer swap)
-    if (statsDir().isDefined)
+    // stats: drop the name's summary rows (new version + pointer swap).
+    // Skipped only when there was nothing to sweep at all — a
+    // completion re-run with no data dir AND no stale stats must not
+    // churn a new stats version.
+    val hadStats = statsDir().isDefined &&
+      (sweptData || !statsTable().where(col("name") === name).isEmpty)
+    if (hadStats)
       writeStats(statsTable().where(col("name") =!= name))
+    sweptData || hadStats
+  }
+
+  /** Rewrite every bucket of `name` minus the rows of the stream whose
+    * labels equal `labels` exactly — the data half of a shared-name
+    * [[deleteStream]]. Crash-safe via the same per-partition journal
+    * protocol as [[compact]] (roll-forward first, hidden write,
+    * journal, delete, promote); value-preserving for survivors (a
+    * parquet rewrite of the same rows and types).
+    */
+  private def rewriteOutStream(name: String, labels: Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dataDir)
+    if (!Files.exists(root)) return
+    // labels equality as a row predicate: same size and every target
+    // pair present (null-safe — element_at yields null for absent keys)
+    val sizeMatch = coalesce(size(col("labels")), lit(-1)) === labels.size
+    val isTarget = labels.foldLeft(sizeMatch) { case (acc, (k, v)) =>
+      acc && (element_at(col("labels"), lit(k)) <=> lit(v))
+    }
+    val bucketDirs = scala.util.Using.resource(Files.list(root))(
+      _.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          Files.isDirectory(p) && n.startsWith("name=") &&
+            graft.sources.GraftSource
+              .unescapePathName(n.stripPrefix("name=")) == name
+        }
+        .flatMap(n => scala.util.Using.resource(Files.list(n))(
+          _.iterator().asScala.filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("bucket=")).toList))
+        .toList)
+    bucketDirs.foreach(rollForward)
+    bucketDirs.foreach { dir =>
+      val files = scala.util.Using.resource(Files.list(dir))(
+        _.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+        }.toList).sortBy(_.getFileName.toString)
+      if (files.nonEmpty) {
+        val survivors = spark.read.parquet(files.map(_.toString): _*)
+          .where(!isTarget)
+        swapIntoPartition(dir, files, survivors)
+      }
+    }
   }
 
   // ---- ingestion ----
@@ -302,39 +407,50 @@ final class GraftDb(
     partitionDirs().foreach { dir =>
       val files = visibleParquet(dir)
       if (files.size > maxFilesPerPartition) {
-        val v = System.nanoTime()
         // Read exactly the listed files (not the dir): the schema is the
         // in-file one (partition cols are dir-encoded) and a concurrent
         // flush's new delta is never deleted unseen.
-        val df = spark.read.parquet(files.map(_.toString): _*)
-        val tmp = Files.createTempDirectory(s"graft_compact_$v")
-        df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        val part = scala.util.Using.resource(Files.list(tmp))(
-          _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException("no compacted part file")))
-        val hidden = dir.resolve(s".compact-$v.parquet")
-        Files.move(part, hidden)
-        scala.util.Using.resource(Files.walk(tmp))(
-          _.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.toList).foreach(Files.deleteIfExists(_))
-        // journal BEFORE the first delete: crash at any later point
-        // rolls forward (re-delete listed, promote hidden). The journal
-        // itself is temp-written + ATOMIC_MOVEd so it is all-or-nothing
-        // — a truncated journal would delete files the hidden copy
-        // doesn't fully replace (same pattern as writeStats' pointer).
-        val jTmp = dir.resolve(".compact-journal.tmp")
-        Files.write(jTmp,
-          (v.toString +: files.map(_.getFileName.toString)).asJava)
-        Files.move(jTmp, dir.resolve(".compact-journal"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        files.foreach(deleteWithCrc)
-        Files.move(hidden, dir.resolve(s"compact-$v.parquet"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        Files.deleteIfExists(dir.resolve(".compact-journal"))
+        swapIntoPartition(dir, files,
+          spark.read.parquet(files.map(_.toString): _*))
         compacted += 1
       }
     }
     compacted
+  }
+
+  /** Replace `olds` in a (name, bucket) partition dir with one file
+    * holding `df` (the in-file schema — no partition columns), through
+    * the crash-safe protocol [[compact]] and [[deleteStream]]'s rewrite
+    * share: hidden write, journal BEFORE the first delete (crash at any
+    * later point rolls forward: re-delete listed, promote hidden),
+    * delete olds, promote. The journal itself is temp-written +
+    * ATOMIC_MOVEd so it is all-or-nothing — a truncated journal would
+    * delete files the hidden copy doesn't fully replace (same pattern
+    * as writeStats' pointer).
+    */
+  private def swapIntoPartition(dir: java.nio.file.Path,
+      olds: Seq[java.nio.file.Path], df: DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    val v = System.nanoTime()
+    val tmp = Files.createTempDirectory(s"graft_compact_$v")
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val part = scala.util.Using.resource(Files.list(tmp))(
+      _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("no compacted part file")))
+    val hidden = dir.resolve(s".compact-$v.parquet")
+    Files.move(part, hidden)
+    scala.util.Using.resource(Files.walk(tmp))(
+      _.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.toList).foreach(Files.deleteIfExists(_))
+    val jTmp = dir.resolve(".compact-journal.tmp")
+    Files.write(jTmp,
+      (v.toString +: olds.map(_.getFileName.toString)).asJava)
+    Files.move(jTmp, dir.resolve(".compact-journal"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    olds.foreach(deleteWithCrc)
+    Files.move(hidden, dir.resolve(s"compact-$v.parquet"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.deleteIfExists(dir.resolve(".compact-journal"))
   }
 
   /** Retention enforcement: drop every (name, bucket) partition whose

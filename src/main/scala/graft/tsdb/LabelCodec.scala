@@ -1,0 +1,62 @@
+package graft.tsdb
+
+/** Catalog label (de)serialization. The catalog stores one stream per
+  * line as `vtype \t name \t k=v,k=v`, so a PromQL-legal label key or
+  * value containing one of the structural characters (`=`, `,`, tab,
+  * newline) would corrupt the line format — the reference treats label
+  * values as opaque TEXT end-to-end
+  * (tachyon_core/src/query/indexer.rs:136-149), so this codec must too.
+  * Structural characters (plus `%`, the escape lead-in) are
+  * percent-encoded exactly like Hive partition-dir escaping
+  * ([[graft.sources.GraftSource.unescapePathName]]); every other
+  * character passes through, so existing catalogs (which contain none
+  * of the escaped set) parse unchanged.
+  *
+  * Decoding is LOUD on malformed input: a catalog token without `=`
+  * means the file was hand-edited or written by incompatible tooling,
+  * and silently skipping it would mis-resolve label matchers — the
+  * labelEq DSv2 prune would then drop series that should match
+  * (silently wrong query results), which is strictly worse than
+  * failing the scan with the offending line in hand.
+  */
+object LabelCodec {
+
+  private val Escaped = "%=,\t\n\r"
+
+  /** Percent-encode the structural characters of the catalog line. */
+  def escape(s: String): String = {
+    if (!s.exists(Escaped.contains(_))) return s
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach { c =>
+      if (Escaped.contains(c)) sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.result()
+  }
+
+  /** Inverse of [[escape]] — the same `%XX` decode as Hive partition
+    * values (any `%XX` is decoded, not just the escaped set).
+    */
+  def unescape(s: String): String =
+    graft.sources.GraftSource.unescapePathName(s)
+
+  /** Labels → the catalog's `k=v,k=v` field (sorted by key, escaped). */
+  def encodeLabels(labels: Map[String, String]): String =
+    labels.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${escape(k)}=${escape(v)}" }
+      .mkString(",")
+
+  /** The catalog's `k=v,k=v` field → labels. Loud on malformed tokens:
+    * `context` names the offending line in the error.
+    */
+  def decodeLabels(field: String, context: => String): Map[String, String] = {
+    if (field.isEmpty) return Map.empty
+    field.split(",", -1).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => unescape(k) -> unescape(v)
+        case _ => throw new IllegalStateException(
+          s"malformed catalog label token '$kv' in: $context")
+      }
+    }.toMap
+  }
+}

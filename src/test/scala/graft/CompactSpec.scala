@@ -75,6 +75,52 @@ class CompactSpec extends AnyFunSuite {
     assert(db.query("sum(m)", 0, 10000000L).output.head().getLong(0) == before)
   }
 
+  test("deleteStream(rewrite=true) deletes one of two same-name streams") {
+    val root = Files.createTempDirectory("graft_delrw").toString
+    val db = new GraftDb(spark, root)
+    db.createStream("""disk{host="a"}""", VType.F64)
+    db.createStream("""disk{host="b"}""", VType.F64)
+    // interleave both streams' rows in the same two buckets, multiple
+    // delta files per bucket
+    (0 until 3).foreach { i =>
+      val a = db.inserter("""disk{host="a"}""")
+      a.insert(i * 1000L, i + 0.25); a.insert(3600000L + i * 1000L, i + 10.25)
+      a.flush()
+      val b = db.inserter("""disk{host="b"}""")
+      b.insert(i * 1000L + 500L, i + 0.75); b.flush()
+    }
+    db.refreshStats()
+    val survivorBefore = db.query("""disk{host="b"}""", 0L, 10000000L)
+      .output.orderBy("timestamp").collect().toSeq
+    assert(survivorBefore.size == 3)
+
+    db.deleteStream("""disk{host="a"}""", rewrite = true)
+    // catalog: only host=b remains
+    assert(db.streams().map(_.labels) == Seq(Map("host" -> "b")))
+    // the survivor's rows are EXACTLY what they were before the rewrite
+    val survivorAfter = db.query("""disk{host="b"}""", 0L, 10000000L)
+      .output.orderBy("timestamp").collect().toSeq
+    assert(survivorAfter == survivorBefore)
+    // the deleted stream's rows are gone from the raw store itself
+    val raw = spark.read.parquet(s"$root/data")
+    assert(raw.count() == 3L)
+    import org.apache.spark.sql.functions.{col, element_at}
+    assert(raw.where(element_at(col("labels"), "host") === "a").count() == 0L)
+    // stats rebuilt from the survivors: totals match the remaining rows
+    val st = db.statsTable().agg(
+      org.apache.spark.sql.functions.sum("n"),
+      org.apache.spark.sql.functions.sum("value_sum")).head()
+    assert(st.getLong(0) == 3L)
+    assert(math.abs(st.getDouble(1) - (0.75 + 1.75 + 2.75)) < 1e-9)
+    // re-running the selector now: 0-match with a live sharer name -> bug
+    val e = intercept[IllegalArgumentException](
+      db.deleteStream("""disk{host="a"}""", rewrite = true))
+    assert(e.getMessage.contains("got 0"), e.getMessage)
+    // deleting the survivor (now sole owner) takes the fast dir path
+    db.deleteStream("""disk{host="b"}""")
+    assert(db.streams().isEmpty)
+  }
+
   test("expire drops whole expired partitions and their stats rows") {
     val root = Files.createTempDirectory("graft_expire").toString
     val db = new GraftDb(spark, root)

@@ -106,10 +106,17 @@ class CurationSpec extends AnyFunSuite {
     def keptIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
     val viaPairs = keptIds(Curation.curate(docs, "doc_id", "text", opts,
-      pairs = Some(fullPairs)))
+      pairs = Some(Curation.PrepaidPairs(fullPairs,
+        opts.jaccardThreshold, opts.nGram))))
     val recomputed = keptIds(Curation.curate(docs, "doc_id", "text", opts))
     assert(viaPairs == recomputed)
     assert(viaPairs == Set(0L, 301L),
       "bridge removal must split the cluster: A and C both survive")
+    // a pair table tagged with DIFFERENT parameters fails loudly
+    // instead of silently skewing clusters
+    val e = intercept[IllegalArgumentException](
+      Curation.curate(docs, "doc_id", "text", opts,
+        pairs = Some(Curation.PrepaidPairs(fullPairs, 0.8, opts.nGram))))
+    assert(e.getMessage.contains("threshold"), e.getMessage)
   }
 }

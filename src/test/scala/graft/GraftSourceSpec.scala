@@ -441,6 +441,83 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("labelEq"), e.getMessage)
   }
 
+  /** Store whose catalog makes the multi-matcher INTERSECTION
+    * observable: host=a admits {cpu, mem}, dc=east admits {cpu, net} —
+    * both together must select exactly cpu (indexer.rs:493-516).
+    */
+  private lazy val multiRoot: String = {
+    val dir = Files.createTempDirectory("graft_dsv2_multi").toString
+    val db = new GraftDb(spark, dir)
+    db.createStream("cpu{host=\"a\", dc=\"east\"}", VType.F64)
+    db.createStream("mem{host=\"a\", dc=\"west\"}", VType.F64)
+    db.createStream("net{host=\"b\", dc=\"east\"}", VType.F64)
+    Seq("cpu", "mem", "net").zipWithIndex.foreach { case (n, i) =>
+      val ins = db.inserter(n)
+      ins.insert(1000L * i, i + 0.5); ins.insert(H + 1000L * i, i + 1.5)
+      ins.flush()
+    }
+    dir
+  }
+
+  test("multi-pair labelEq intersects the matchers' name sets") {
+    def q(sel: String) = spark.read.format("graft")
+      .option("labelEq", sel).load(multiRoot)
+    // single matchers: two streams each
+    assert(q("host=a").select("name").distinct().as[String].collect()
+      .toSet == Set("cpu", "mem"))
+    assert(q("dc=east").select("name").distinct().as[String].collect()
+      .toSet == Set("cpu", "net"))
+    // conjunction: the intersection, exactly one stream — and only its
+    // directories are listed (2 bucket dirs, one file each)
+    val both = q("host=a,dc=east").select("name", "value")
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("files=2"), plan)
+    assert(both.as[(String, Double)].collect().toSet ==
+      Set(("cpu", 0.5), ("cpu", 1.5)))
+    // contradictory conjunction: empty, no error
+    assert(q("host=a,dc=east,host=b").count() == 0L)
+  }
+
+  test("labels with structural characters round-trip and match labelEq") {
+    val dir = Files.createTempDirectory("graft_dsv2_escval").toString
+    val db = new GraftDb(spark, dir)
+    // a PromQL-legal value containing ',' '=' '%' and a tab — the
+    // catalog line must stay unambiguous (LabelCodec escaping)
+    val weird = "x,y=z%w\tq"
+    db.createStream("m{path=\"" + weird + "\"}", VType.F64)
+    db.createStream("m2{path=\"x\"}", VType.F64)
+    assert(db.streams().find(_.name == "m").get.labels ==
+      Map("path" -> weird))
+    val ins = db.inserter("m")
+    ins.insert(1L, 7.0); ins.flush()
+    val ins2 = db.inserter("m2")
+    ins2.insert(2L, 8.0); ins2.flush()
+    // the labelEq option carries the SAME escaping as the catalog
+    val sel = "path=" + graft.tsdb.LabelCodec.escape(weird)
+    val rows = spark.read.format("graft").option("labelEq", sel).load(dir)
+      .select("name", "value").as[(String, Double)].collect().toSeq
+    assert(rows == Seq(("m", 7.0)))
+    // and the stored labels column itself carries the raw value
+    assert(spark.read.format("graft").load(dir).where(col("name") === "m")
+      .select(element_at(col("labels"), "path")).as[String].collect()
+      .toSeq == Seq(weird))
+  }
+
+  test("a malformed catalog line fails the labelEq scan loudly") {
+    val dir = Files.createTempDirectory("graft_dsv2_badcat").toString
+    val db = new GraftDb(spark, dir)
+    db.createStream("m{k=\"v\"}", VType.F64)
+    val ins = db.inserter("m"); ins.insert(1L, 1.0); ins.flush()
+    // hand-corrupt the catalog: a label token without '='
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "catalog.jsonl"), "f64\tm\tk=v,orphan\n")
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("labelEq", "k=v").load(dir).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("orphan"),
+      e.getMessage)
+  }
+
   test("byte-range splits partition a multi-row-group file losslessly") {
     val dir = Files.createTempDirectory("graft_dsv2_split").toString
     val n = 50000L

@@ -319,9 +319,54 @@ class LibrarySpec extends AnyFunSuite {
       .col("name") === "cpu").count() == 0L)
     assert(db.statsTable().where(org.apache.spark.sql.functions
       .col("name") === "mem").count() == 1L)
-    // deleting again: no longer catalogued
-    val e = intercept[IllegalArgumentException](db.deleteStream("cpu"))
-    assert(e.getMessage.contains("exactly 1"), e.getMessage)
+    // deleting again: no longer catalogued, nothing shares the name,
+    // and no leftovers remain — a stream that simply does not exist
+    // stays an error (the completion path only fires on real leftovers)
+    val gone = intercept[IllegalArgumentException](db.deleteStream("cpu"))
+    assert(gone.getMessage.contains("got 0"), gone.getMessage)
+    assert(db.streams().map(_.name) == Seq("mem"))
+    assert(db.query("mem", 0L, 4102444800000L).output.count() == 1L)
+    // but a 0-match selector whose NAME another stream holds is a
+    // caller bug: sweeping would destroy the neighbor's data
+    val e = intercept[IllegalArgumentException](
+      db.deleteStream("""mem{host="nope"}"""))
+    assert(e.getMessage.contains("got 0"), e.getMessage)
+  }
+
+  test("deleteStream completes a crashed earlier delete (catalog line gone)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del3").toString
+    val db = new GraftDb(spark, dir)
+    db.createStream("cpu", VType.F64)
+    val cpu = db.inserter("cpu"); cpu.insert(1000L, 1.0); cpu.flush()
+    db.refreshStats()
+    // simulate the crash window: catalog line already removed, data dir
+    // and stats rows still present
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "catalog.jsonl"), "")
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir, "data"))
+      .count() > 0)
+    db.deleteStream("cpu") // completion re-run, not an error
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "data", "name=cpu")))
+    assert(db.statsTable().count() == 0L)
+  }
+
+  test("labels with structural characters round-trip the catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_esc").toString
+    val db = new GraftDb(spark, dir)
+    val weird = "x,y=z%w\tq" // ',' '=' '%' tab — every structural char
+    db.createStream("m{path=\"" + weird + "\", plain=\"ok\"}", VType.F64)
+    assert(db.streams() ==
+      Seq(graft.tsdb.StreamDef("m",
+        Map("path" -> weird, "plain" -> "ok"), VType.F64)))
+    // a second stream under another name parses alongside it
+    db.createStream("n", VType.I64)
+    assert(db.streams().size == 2)
+    val ins = db.inserter("m"); ins.insert(5L, 2.5); ins.flush()
+    assert(db.query("m", 0L, 100L).output.count() == 1L)
+    // and the selector round-trips for deletion too
+    db.deleteStream("m{path=\"" + weird + "\", plain=\"ok\"}")
+    assert(db.streams().map(_.name) == Seq("n"))
   }
 
   test("deleteStream refuses when several streams share the name") {
