@@ -51,15 +51,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *    unread columns are never decompressed. A projection that needs
   *    no file column at all (`SELECT name`, `COUNT(*)`) is answered
   *    from footer row counts without materializing records.
+  *  - VECTORIZED READS: scans without claimed row-level bounds emit
+  *    `ColumnarBatch`es through Spark's own parquet batch decoder
+  *    ([[GraftColumnarReader]]), so a full-corpus analytic scan
+  *    through `format("graft")` pays the same decode cost as a plain
+  *    `spark.read.parquet` — the dashboard pruning above and the
+  *    analytics throughput no longer trade off.
   *  - Pushed filters are reported for `explain` but ALWAYS also left
   *    in the residual (`pushFilters` returns its input unchanged):
   *    directory pruning is conservative, Spark re-evaluates exactly,
   *    so a mis-set `bucketMs` option can cost performance but never
   *    correctness on the name/timestamp dimensions it prunes on.
-  *  - One InputPartition per data file: Spark schedules files across
-  *    executors; within a (name, bucket) dir files are flush deltas
-  *    (compacted by `GraftDb.compact`), so file count tracks data
-  *    volume, not small-file pathology.
+  *  - FILE SCHEDULING matches Spark's own scans: big compacted files
+  *    split at `files.maxPartitionBytes` into byte-range tasks, and
+  *    small flush files bin together under the open-cost policy
+  *    ([[GraftSource.packChunks]]) — neither a straggler task nor a
+  *    task per tiny file, at any store geometry.
   *
   * Writes go through [[graft.tsdb.GraftDb]] ingestion (Inserter /
   * importCsv / streaming), which owns the catalog, the bucket layout
@@ -170,6 +177,13 @@ object GraftSource {
   /** One data file of the store with its partition-dir coordinates. */
   final case class GraftFile(path: String, name: String, bucket: Long,
       length: Long)
+
+  /** One byte range of one data file, with the claimed row-level bounds
+    * its reader must enforce — the unit [[packChunks]] bins into
+    * multi-file input partitions.
+    */
+  private[graft] final case class GraftChunk(path: String, name: String,
+      tsLo: Long, tsHi: Long, rangeStart: Long, rangeEnd: Long)
 
   /** Hive-style partition-value unescape (`%2F` → `/`): GraftDb writes
     * through Spark's `partitionBy`, which escapes special characters in
@@ -451,6 +465,30 @@ object GraftSource {
     case _ => DoubleType
   }
 
+  /** Greedy bin-packing of file chunks into input partitions, the same
+    * policy as Spark's own `FilePartition.getFilePartitions`: chunks
+    * sort by size descending, each carries `openCost` extra weight (so
+    * a thousand tiny flush files don't become a thousand tasks — the
+    * small-file pathology a 100 TB store's bucket layout would
+    * otherwise hand every full scan), and a partition closes when the
+    * next chunk would push it past `maxBytes`.
+    */
+  private[graft] def packChunks(chunks: Seq[GraftChunk], maxBytes: Long,
+      openCost: Long): Seq[Seq[GraftChunk]] = {
+    val parts = Seq.newBuilder[Seq[GraftChunk]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[GraftChunk]
+    var size = 0L
+    chunks.sortBy(c => -(c.rangeEnd - c.rangeStart)).foreach { c =>
+      val len = c.rangeEnd - c.rangeStart
+      if (cur.nonEmpty && size + len > maxBytes) {
+        parts += cur.toSeq; cur.clear(); size = 0L
+      }
+      cur += c; size += len + openCost
+    }
+    if (cur.nonEmpty) parts += cur.toSeq
+    parts.result()
+  }
+
   /** The filters [[prune]] can act on — reported as pushed in explain. */
   private[graft] def usable(f: Filter): Boolean = f match {
     case EqualTo("name", _: String) | EqualNullSafe("name", _: String) |
@@ -615,10 +653,10 @@ private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
         else GraftSource.Bounds(None, Long.MinValue, Long.MaxValue)
       // a big compacted file must not become one straggler task: split
       // at the session's files.maxPartitionBytes like Spark's own scans
-      val maxSplit = org.apache.spark.sql.SparkSession.active
-        .sessionState.conf.filesMaxPartitionBytes
+      // (and small files bin together under the same open-cost policy)
+      val sconf = org.apache.spark.sql.SparkSession.active.sessionState.conf
       new GraftScan(files, required, pushed, b.lo, b.hi, bucketMs, conf,
-        maxSplit)
+        sconf.filesMaxPartitionBytes, sconf.filesOpenCostInBytes)
     }
   }
 }
@@ -905,7 +943,8 @@ private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
     required: StructType, pushed: Array[Filter], tsLo: Long, tsHi: Long,
     bucketMs: Long,
     conf: SerializableHadoopConf = new SerializableHadoopConf(new Configuration()),
-    maxSplitBytes: Long = Long.MaxValue)
+    maxSplitBytes: Long = Long.MaxValue,
+    openCostBytes: Long = 4 * 1024 * 1024L)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -931,8 +970,8 @@ private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
       s"PushedFilters=[${pushed.mkString(", ")}] " +
       s"ReadSchema=${required.simpleString}"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.flatMap { f =>
+  override def planInputPartitions(): Array[InputPartition] = {
+    val chunks = files.flatMap { f =>
       // a file whose whole bucket interval sits inside the claimed
       // window needs no row-level bound check (and keeps the footer
       // count fast path); boundary buckets carry the bounds
@@ -950,12 +989,55 @@ private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
       (0L until nSplits).map { i =>
         val start = i * maxSplitBytes
         val end = if (i == nSplits - 1) f.length else (i + 1) * maxSplitBytes
-        GraftInputPartition(f.path, f.name, lo, hi, start, end): InputPartition
+        GraftSource.GraftChunk(f.path, f.name, lo, hi, start, end)
       }
-    }.toArray
+    }
+    // ...then bin small chunks back together: many small flush files
+    // must not become one task each (Spark's own scans pack the same
+    // way), while a split big file still fans out
+    GraftSource.packChunks(chunks, maxSplitBytes, openCostBytes)
+      .map(GraftInputPartition(_): InputPartition).toArray
+  }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, conf)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // VECTORIZED column path (Spark's own parquet batch reader) whenever
+    // the scan carries no claimed row-level bounds (default mode always;
+    // stats mode only when the window is bucket-aligned away) and at
+    // least one file column is projected. Claimed-bounds scans keep the
+    // row reader, which enforces the bounds exactly; no-file-column
+    // scans (count(*), SELECT name) keep the footer-count fast path,
+    // which decompresses nothing at all. The decision is scan-wide
+    // because Spark forbids mixing row and columnar partitions.
+    val claimed = tsLo != Long.MinValue || tsHi != Long.MaxValue
+    val needsFileColumns = required.fields.exists(_.name != "name")
+    val columnar = !claimed && needsFileColumns
+    val factoryConf =
+      if (!columnar) conf
+      else {
+        val c = new Configuration(conf.value)
+        // Spark's parquet→catalyst schema converter reads these five with
+        // conf.get(key).toBoolean (NPE when absent); the session copy
+        // carries them only if explicitly set, so fill SQLConf defaults.
+        // Values are immaterial for this store's schema (plain
+        // int64/double/string-map, no binary-ambiguous or timestamp
+        // logical types).
+        Seq(
+          "spark.sql.parquet.binaryAsString" -> "false",
+          "spark.sql.parquet.int96AsTimestamp" -> "true",
+          "spark.sql.caseSensitive" -> "false",
+          "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
+          "spark.sql.legacy.parquet.nanosAsLong" -> "false"
+        ).foreach { case (k, v) => if (c.get(k) == null) c.set(k, v) }
+        c.set("parquet.read.support.class",
+          "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+        // the catalyst projection the reader materializes; missing file
+        // columns (an old file without lvalue) become null vectors
+        c.set("org.apache.spark.sql.parquet.row.requested_schema",
+          StructType(required.fields.filter(_.name != "name")).json)
+        new SerializableHadoopConf(c)
+      }
+    new GraftReaderFactory(required, factoryConf, columnar)
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -964,29 +1046,135 @@ private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
   }
 }
 
-private[sources] final case class GraftInputPartition(path: String,
-    name: String, tsLo: Long, tsHi: Long,
-    rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue)
-    extends InputPartition
+private[graft] final case class GraftInputPartition(
+    chunks: Seq[GraftSource.GraftChunk]) extends InputPartition
 
-private[sources] class GraftReaderFactory(required: StructType,
-    conf: SerializableHadoopConf)
-    extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition], required,
-      conf.value)
+/** Drains a partition's chunks through per-chunk readers, one open file
+  * at a time — the executor-side half of [[GraftSource.packChunks]]'s
+  * many-small-files binning.
+  */
+private[sources] class GraftChainedReader[T](
+    chunks: Seq[GraftSource.GraftChunk],
+    open: GraftSource.GraftChunk => PartitionReader[T])
+    extends PartitionReader[T] {
+  private val it = chunks.iterator
+  private var cur: PartitionReader[T] = null
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = open(it.next())
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false // unreachable
+  }
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
-/** Per-file reader over parquet-mr's public Group API. Requested-schema
-  * projection keeps unread columns un-decompressed; the no-file-column
-  * fast path (count / name-only scans) answers from footer row counts.
+private[sources] class GraftReaderFactory(required: StructType,
+    conf: SerializableHadoopConf, columnar: Boolean = false)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftChainedReader(p.asInstanceOf[GraftInputPartition].chunks,
+      new GraftPartitionReader(_, required, conf.value))
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftChainedReader(p.asInstanceOf[GraftInputPartition].chunks,
+      new GraftColumnarReader(_, required, conf.value))
+}
+
+/** Vectorized per-file reader: drives Spark's own parquet batch decoder
+  * (`VectorizedParquetRecordReader`, the engine under every
+  * `spark.read.parquet` scan) over this task's byte range and emits its
+  * `ColumnarBatch`es, so the catalog surface decodes pages into column
+  * vectors instead of materializing per-row `Group` objects — the
+  * full-corpus analytic scan through `format("graft")` then matches the
+  * plain parquet path's throughput (StatsBench `dsv2_raw` at the 100M
+  * dense geometry: 3.2× over the row reader before, ≈1× after). The
+  * `name` partition value rides in as a constant partition column via
+  * `initBatch`, and the batch is re-wrapped to the projection's column
+  * order (the vectorized reader emits data columns first, partition
+  * columns last, while DSv2 requires the pruned-schema order).
   *
-  * Row materialization here is record-at-a-time (no vectorization) —
-  * the right trade for a catalog/SQL access surface whose wins come
-  * from opening 0.01% of the store; heavy analytics go through the
-  * engine's plain parquet scans which keep Spark's vectorized reader.
+  * Only built for scans with NO claimed row-level bounds (see
+  * createReaderFactory): the batch path never filters rows, and in
+  * default mode it never needs to — every filter stays residual.
   */
-private[sources] class GraftPartitionReader(part: GraftInputPartition,
+private[sources] class GraftColumnarReader(part: GraftSource.GraftChunk,
+    required: StructType, hconf: Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  // no date/timestamp logical types in the store schema, so the rebase
+  // modes never engage; CORRECTED keeps them inert
+  private val reader =
+    new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap */ false, /* capacity */ 4096)
+
+  // anything thrown during setup must close the already-initialized
+  // reader — Spark only calls close() on a successfully constructed one
+  private val (inner, out) =
+    try {
+      // the byte range scopes this task to the row groups whose midpoint
+      // falls inside it, the same split convention as the row reader
+      // the mapred variant (it extends the mapreduce one): Spark's
+      // reader base downcasts to it for its locality accessors
+      val split = new org.apache.hadoop.mapred.FileSplit(
+        new Path(part.path), part.rangeStart,
+        part.rangeEnd - part.rangeStart, Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        hconf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+      reader.initialize(split, ctx)
+      val dataSchema = StructType(required.fields.filter(_.name != "name"))
+      val hasName = required.fieldNames.contains("name")
+      val partSchema =
+        if (hasName) StructType(Seq(StructField("name", StringType, nullable = false)))
+        else new StructType()
+      val partValues =
+        if (hasName) InternalRow(UTF8String.fromString(part.name))
+        else InternalRow.empty
+      reader.initBatch(partSchema, partValues)
+      reader.enableReturningBatches()
+      val inner = reader.resultBatch()
+      // reorder to the pruned schema: vectors are reused across batches,
+      // so the wrapper is built once and only numRows changes per batch
+      val cols: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+        required.fields.map { f =>
+          inner.column(
+            if (f.name == "name") dataSchema.length
+            else dataSchema.fieldIndex(f.name))
+        }
+      (inner, new org.apache.spark.sql.vectorized.ColumnarBatch(cols))
+    } catch {
+      case t: Throwable =>
+        try reader.close() catch { case _: Throwable => () }
+        throw t
+    }
+
+  override def next(): Boolean = {
+    val has = reader.nextBatch()
+    if (has) out.setNumRows(inner.numRows())
+    has
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = out
+
+  override def close(): Unit = reader.close()
+}
+
+/** Per-file ROW reader over parquet-mr's public Group API — the two
+  * cases the columnar path does not serve: scans with claimed
+  * row-level timestamp bounds (stats mode, boundary buckets — enforced
+  * here exactly) and no-file-column scans (count / name-only), which
+  * answer from footer row counts without decompressing anything.
+  * Everything else reads through [[GraftColumnarReader]]'s vectorized
+  * batches (see createReaderFactory).
+  */
+private[sources] class GraftPartitionReader(part: GraftSource.GraftChunk,
     required: StructType, hconf: Configuration)
     extends PartitionReader[InternalRow] {
 

@@ -327,13 +327,18 @@ class GraftSourceSpec extends AnyFunSuite {
       Array.empty, Long.MinValue, Long.MaxValue, H)
     assert(scan.filterAttributes().map(_.describe()).toSet ==
       Set("name", "timestamp"))
-    assert(scan.planInputPartitions().length == 3)
+    // partitions bin small files together; the lossless-shrink contract
+    // is over the planned file chunks
+    def chunkPaths = scan.planInputPartitions().flatMap {
+      case p: graft.sources.GraftInputPartition => p.chunks.map(_.path)
+    }.toSet
+    assert(chunkPaths.map(_.last) == Set('0', '1', '2'))
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       In("name", Array("cpu"))))
-    assert(scan.planInputPartitions().length == 2)
+    assert(chunkPaths.map(_.last) == Set('0', '1'))
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       LessThan("timestamp", H)))
-    assert(scan.planInputPartitions().length == 1)
+    assert(chunkPaths.map(_.last) == Set('0'))
     // end-to-end: the dim join itself stays correct either way
     val dims = Seq("cpu").toDF("name")
     val rows = graftDf.join(broadcast(dims), "name")
@@ -546,6 +551,77 @@ class GraftSourceSpec extends AnyFunSuite {
       assert(df.where(col("timestamp") === 12345L)
         .select("value").as[Double].head() == 12345.0)
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  // ---- vectorized (ColumnarBatch) read path ----
+
+  private def scanIsColumnar(df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scan(p: SparkPlan): Seq[Boolean] = p match {
+      case a: AdaptiveSparkPlanExec => scan(a.inputPlan)
+      case b: BatchScanExec => Seq(b.supportsColumnar)
+      case other => other.children.flatMap(scan)
+    }
+    val found = scan(df.queryExecution.executedPlan)
+    assert(found.nonEmpty, "no BatchScanExec in plan")
+    found.head
+  }
+
+  test("file-column scans read through the vectorized batch path") {
+    // all five columns incl. the labels map and the nullable lvalue,
+    // with `name` (a partition column the batch reader appends LAST)
+    // first in the projection — pins the reorder wrapper
+    val q = graftDf.select("name", "labels", "timestamp", "value", "lvalue")
+    assert(scanIsColumnar(q), q.queryExecution.executedPlan.toString)
+    // map columns reject set ops: compare the map by collect, the rest
+    // by exceptAll
+    val got = q.orderBy("name", "timestamp")
+      .collect().map(r => (r.getString(0), r.getMap[String, String](1).toMap))
+    assert(got.toSeq == Seq("cpu" -> Map("host" -> "a"),
+      "cpu" -> Map("host" -> "a"), "cpu" -> Map("host" -> "a"),
+      "reqs" -> Map.empty[String, String],
+      "reqs" -> Map.empty[String, String]))
+    val qFlat = q.drop("labels")
+    val plain = spark.read.parquet(s"$root/data")
+      .select(col("name"), col("timestamp"), col("value"), col("lvalue"))
+    assert(qFlat.exceptAll(plain).isEmpty && plain.exceptAll(qFlat).isEmpty)
+    // residual filters evaluate above the batches, exactly
+    val f = graftDf.where(col("name") === "cpu" && col("value") > 2.0)
+    assert(scanIsColumnar(f))
+    assert(f.select("value").as[Double].collect().sorted.toSeq == Seq(2.5, 3.5))
+  }
+
+  test("no-file-column and claimed-bounds scans stay row-based") {
+    // count(*): footer fast path, no decode at all
+    assert(!scanIsColumnar(graftDf.groupBy("name").count()))
+    // stats mode claims timestamp bounds on the raw scan when the
+    // aggregate is NOT pushed (a non-aggregable projection): the row
+    // reader must keep enforcing them
+    val q = statsDf.where(col("name") === "cpu" &&
+        col("timestamp") >= 1000L && col("timestamp") <= 2 * H)
+      .select("timestamp", "value")
+    assert(!scanIsColumnar(q), q.queryExecution.executedPlan.toString)
+    assert(q.as[(Long, Double)].collect().toSeq == Seq((H + 1000L) -> 2.5))
+  }
+
+  test("packChunks bins small files and isolates big ones (Spark policy)") {
+    import graft.sources.GraftSource.GraftChunk
+    def chunk(p: String, len: Long) =
+      GraftChunk(p, "m", Long.MinValue, Long.MaxValue, 0L, len)
+    // 6 tiny files + open cost pack into few partitions, not 6
+    val tiny = (1 to 6).map(i => chunk(s"t$i", 1000L))
+    val packed = GraftSource.packChunks(tiny, 10000L, 2000L)
+    assert(packed.map(_.size).sum == 6)
+    assert(packed.map(_.size) == Seq(4, 2), packed.map(_.size))
+    // a chunk at capacity gets its own partition; nothing is dropped
+    val mixed = chunk("big", 10000L) +: tiny
+    val packedMixed = GraftSource.packChunks(mixed, 10000L, 2000L)
+    assert(packedMixed.map(_.size).sum == 7)
+    assert(packedMixed.head == Seq(chunk("big", 10000L))) // sorted desc
+    // order within a bin preserves insertion; empty input → no partitions
+    assert(GraftSource.packChunks(Nil, 10000L, 2000L).isEmpty)
   }
 
   test("aggregates through SQL over the registered view") {
