@@ -606,6 +606,25 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(q.as[(Long, Double)].collect().toSeq == Seq((H + 1000L) -> 2.5))
   }
 
+  test("old files missing columns read as nulls through the batch path") {
+    // schema evolution: a store written before the lvalue sidecar (and
+    // without labels) — the vectorized reader must surface the absent
+    // columns as null vectors, not fail or misalign the projection
+    val dir = Files.createTempDirectory("graft_dsv2_evo").toString
+    Seq((0L, 1.0), (1000L, 2.0)).toDF("timestamp", "value")
+      .select(lit("m").as("name"), lit(0L).as("bucket"),
+        col("timestamp"), col("value"))
+      .write.partitionBy("name", "bucket").parquet(s"$dir/data")
+    val df = spark.read.format("graft").load(dir)
+      .select("name", "labels", "timestamp", "value", "lvalue")
+    assert(scanIsColumnar(df))
+    val rows = df.orderBy("timestamp").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.isNullAt(1) && r.isNullAt(4)))
+    assert(rows(1).getString(0) == "m" && rows(1).getLong(2) == 1000L &&
+      rows(1).getDouble(3) == 2.0)
+  }
+
   test("packChunks bins small files and isolates big ones (Spark policy)") {
     import graft.sources.GraftSource.GraftChunk
     def chunk(p: String, len: Long) =
