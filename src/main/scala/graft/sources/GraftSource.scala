@@ -651,12 +651,20 @@ private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
       // passed are the full range (no-op)
       val b = if (statsMode) GraftSource.bounds(pushed.toSeq)
         else GraftSource.Bounds(None, Long.MinValue, Long.MaxValue)
-      // a big compacted file must not become one straggler task: split
-      // at the session's files.maxPartitionBytes like Spark's own scans
-      // (and small files bin together under the same open-cost policy)
-      val sconf = org.apache.spark.sql.SparkSession.active.sessionState.conf
+      // a big compacted file must not become one straggler task, and
+      // small flush files must not become one task each: split/bin at
+      // Spark's own target size — files.maxPartitionBytes capped down
+      // to totalBytes/defaultParallelism (floored at the open cost) so
+      // a store smaller than cores×maxPartitionBytes still fans out
+      // across every core (FilePartition.maxSplitBytes semantics)
+      val session = org.apache.spark.sql.SparkSession.active
+      val openCost = session.sessionState.conf.filesOpenCostInBytes
+      val totalBytes = files.map(_.length + openCost).sum
+      val parallelism = math.max(1, session.sparkContext.defaultParallelism)
+      val maxSplit = math.min(session.sessionState.conf.filesMaxPartitionBytes,
+        math.max(openCost, totalBytes / parallelism))
       new GraftScan(files, required, pushed, b.lo, b.hi, bucketMs, conf,
-        sconf.filesMaxPartitionBytes, sconf.filesOpenCostInBytes)
+        maxSplit, openCost)
     }
   }
 }
