@@ -17,11 +17,12 @@ object TextFunctions {
     regexp_extract_all(text, lit("[^\\s]+"), lit(0))
 
   /** Token COUNT without materializing the token substrings — use this
-    * when only the count is needed (regexp_count vs size(extract_all)
-    * skips building every matched string; the tx10 principle).
+    * when only the count is needed. Compiled one-pass kernel
+    * (PropertySpec pins it equal to `regexp_count(text, "[^\\s]+")`,
+    * the form it replaces).
     */
   def tokenCount(text: Column): Column =
-    regexp_count(text, lit("[^\\s]+"))
+    TextKernels.tokenCount(text)
 
   /** The heuristic quality score in [0, 1] that tx03 reports, sp03
     * weights its sample by, and the curation pipeline gates on — length,

@@ -54,6 +54,109 @@ object TokenStatsUtil {
     org.apache.spark.sql.catalyst.InternalRow(n, sumLen, nAlpha)
   }
 
+  /** `regexp_count(text, "[^\\s]+")` as a compiled loop: the number of
+    * maximal non-whitespace runs (Java `\s`, so `` IS whitespace
+    * — the same engine semantics the regex form had).
+    */
+  def tokenCount(text: UTF8String): Int = {
+    val s = text.toString
+    val len = s.length
+    var n = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) n += 1
+      while (i < len && !isWs(s.charAt(i))) i += 1
+    }
+    n
+  }
+
+  // ---- BPE-ish pretoken scanner (the tx10 pattern) ----
+  // Hand-compiled form of
+  //   '(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+
+  // (ASCII classes only, NO  in the whitespace class — it is
+  // deliberately a symbol there, see the BpeIshPattern scaladoc). The
+  // scanner reproduces the regex's leftmost-first alternation exactly:
+  // at `'` try the seven contraction suffixes first; at a literal
+  // space prefer the space-prefixed letter/digit/symbol run and fall
+  // back to the whitespace run; PropertySpec pins equality against the
+  // regex on adversarial and random inputs.
+
+  @inline private def isBpeAlpha(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  @inline private def isBpeDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  @inline private def isBpeWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+  @inline private def isBpeSym(c: Char): Boolean =
+    !isBpeAlpha(c) && !isBpeDigit(c) && !isBpeWs(c)
+
+  /** Length of the contraction suffix at `i` (the char after `'`), or
+    * 0 — alternation order s|t|re|ve|m|ll|d has no overlapping
+    * prefixes, so first-match equals any-match.
+    */
+  @inline private def contractionLen(s: String, i: Int, len: Int): Int = {
+    if (i >= len) return 0
+    s.charAt(i) match {
+      case 's' | 't' | 'm' | 'd' => 1
+      case 'r' => if (i + 1 < len && s.charAt(i + 1) == 'e') 2 else 0
+      case 'v' => if (i + 1 < len && s.charAt(i + 1) == 'e') 2 else 0
+      case 'l' => if (i + 1 < len && s.charAt(i + 1) == 'l') 2 else 0
+      case _ => 0
+    }
+  }
+
+  /** The number of BPE-ish pretokens of `text` — equal to
+    * `regexp_count(text, BpeIshPattern)` by PropertySpec.
+    */
+  def bpeTokenCount(text: UTF8String): Int = {
+    val s = text.toString
+    val len = s.length
+    var n = 0
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      n += 1
+      if (c == '\'') {
+        val cl = contractionLen(s, i + 1, len)
+        if (cl > 0) i += 1 + cl
+        else { // symbol run starting at the quote
+          i += 1
+          while (i < len && isBpeSym(s.charAt(i))) i += 1
+        }
+      } else if (c == ' ') {
+        // leftmost-first: " X" prefers the space-prefixed run; a space
+        // followed by whitespace (or end) is a whitespace-run token
+        val next = if (i + 1 < len) s.charAt(i + 1) else ' '
+        if (i + 1 < len && isBpeAlpha(next)) {
+          i += 2
+          while (i < len && isBpeAlpha(s.charAt(i))) i += 1
+        } else if (i + 1 < len && isBpeDigit(next)) {
+          i += 2
+          while (i < len && isBpeDigit(s.charAt(i))) i += 1
+        } else if (i + 1 < len && isBpeSym(next)) {
+          i += 2
+          while (i < len && isBpeSym(s.charAt(i))) i += 1
+        } else {
+          i += 1
+          while (i < len && isBpeWs(s.charAt(i))) i += 1
+        }
+      } else if (isBpeAlpha(c)) {
+        i += 1
+        while (i < len && isBpeAlpha(s.charAt(i))) i += 1
+      } else if (isBpeDigit(c)) {
+        i += 1
+        while (i < len && isBpeDigit(s.charAt(i))) i += 1
+      } else if (isBpeWs(c)) {
+        i += 1
+        while (i < len && isBpeWs(s.charAt(i))) i += 1
+      } else { // symbol (incl. non-ASCII and )
+        i += 1
+        while (i < len && isBpeSym(s.charAt(i))) i += 1
+      }
+    }
+    n
+  }
+
   /** Per-set counts of tokens that exactly equal a member of each word
     * set — `sets` is flattened as (offsets, words) for a serializable
     * literal; one tokenize pass serves every set.
@@ -134,6 +237,32 @@ case class MarkerHitsKernel(child: Expression, sets: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** INT count of `\s`-separated tokens (compiled regexp_count form). */
+case class TokenCountKernel(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_token_count"
+  override def nullSafeEval(t: Any): Any =
+    TokenStatsUtil.tokenCount(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenStatsUtil.tokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** INT count of BPE-ish pretokens (compiled BpeIshPattern scanner). */
+case class BpeTokenCountKernel(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_token_count"
+  override def nullSafeEval(t: Any): Any =
+    TokenStatsUtil.bpeTokenCount(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenStatsUtil.bpeTokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextKernels {
   /** Column wrapper: struct(n_tokens, sum_token_len, n_alpha_tokens). */
   def tokenStats(text: Column): Column =
@@ -142,4 +271,12 @@ object TextKernels {
   /** Column wrapper: per-set marker-word counts in one tokenize pass. */
   def markerHits(text: Column, sets: Seq[Seq[String]]): Column =
     ColumnShim.column(MarkerHitsKernel(ColumnShim.expression(text), sets))
+
+  /** Column wrapper: `regexp_count(text, "[^\\s]+")` as a kernel. */
+  def tokenCount(text: Column): Column =
+    ColumnShim.column(TokenCountKernel(ColumnShim.expression(text)))
+
+  /** Column wrapper: BPE-ish pretoken count (the tx10 pattern). */
+  def bpeTokenCount(text: Column): Column =
+    ColumnShim.column(BpeTokenCountKernel(ColumnShim.expression(text)))
 }

@@ -388,7 +388,9 @@ object Pipeline {
     * differs between Java regex (includes \x0B) and RE2 (excludes it) —
     * an engine divergence a vertical tab in the corpus would trigger.
     */
-  private val BpeIshPattern =
+  // private[graft]: PropertySpec pins TextKernels.bpeTokenCount equal
+  // to regexp_count over this exact pattern
+  private[graft] val BpeIshPattern =
     "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+"
 
   /** 16-token span planted for dd12's shared-substring detection. */
@@ -1476,9 +1478,11 @@ object Pipeline {
     // pattern is engine-identical. Row-local; the ratio to whitespace
     // tokens is the fertility signal curation uses.
     "tx10_bpe_tokens" -> { (s, dir) =>
-      // regexp_count, not size(regexp_extract_all): the count is the
-      // answer, materializing every matched substring is pure overhead
-      val n = regexp_count(col("text"), lit(BpeIshPattern)).cast("int")
+      // compiled scanner, not the regex engine: the alternation pattern
+      // costs java.util.regex a state machine per char; the kernel is
+      // pinned equal to regexp_count(BpeIshPattern) by PropertySpec
+      val n = graft.functions.TextKernels.bpeTokenCount(col("text"))
+        .cast("int")
       val w = tokenCount(col("text"))
       docs(s, dir).select(
         col("doc_id"), n.as("n_bpe_tokens"), w.as("n_ws_tokens"),

@@ -230,6 +230,36 @@ class PropertySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("token-count and bpe-count kernels equal their regexp_count forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial alphabet: contraction suffixes and near-misses,
+    // doubled spaces, every whitespace char (incl.  — a SYMBOL in
+    // the BPE class but WHITESPACE in Java \s), digits, unicode
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar),
+      (4, Gen.oneOf(' ', ' ', '\t', '\n', '', '\f', '\r')),
+      (3, Gen.oneOf('\'', 's', 't', 'r', 'e', 'v', 'm', 'l', 'd')),
+      (1, Gen.oneOf('的', 'é', '!', '.', '#')))
+    val textGen = Gen.choose(0, 80)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val texts = samples(textGen, 200) :+ "" :+ "  " :+ " a 1 ." :+
+      "don't it's we're I've he'll she'd 'l 're' x'll" :+
+      "𝄞 surrogate 音 mix" :+ "a'reb" :+ "' s 'S 'Ll" :+ "a b"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.functions.TextKernels.tokenCount(col("text")).as("w"),
+        graft.functions.TextKernels.bpeTokenCount(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val want = df.select(col("id"),
+        regexp_count(col("text"), lit("[^\\s]+")).as("w"),
+        regexp_count(col("text"),
+          lit(graft.queries.Pipeline.BpeIshPattern)).as("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got == want)
+  }
+
   test("marker-hits kernel equals the per-set declarative filters") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
