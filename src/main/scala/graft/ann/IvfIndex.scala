@@ -26,54 +26,31 @@ object IvfIndex {
 
   /** Per-row nearest-centroid id. |v|^2 is rank-invariant per row, so the
     * argmin only needs -2 v.c + |c|^2 (|c|^2 precomputed driver-side).
-    * Ties break to the smaller cell id: the fold visits cells in
-    * ascending id order with a strict less-than.
+    * Ties break to the smaller cell id: cells scan in ascending id
+    * order with a strict less-than. One compiled loop per row
+    * ([[graft.functions.IvfNearestKernel]] — the `aggregate` fold this
+    * replaced ran its lambda interpreted per centroid, which at autoK
+    * cell counts dominated assignment).
     */
-  private def nearestCell(vecCol: String, m: Model): Column = {
-    val cents = array(m.centroids.sortBy(_._1).map { case (c, v) =>
-      struct(lit(c).as("cell"),
-        array(v.map(lit): _*).as("centroid"),
-        lit(v.map(x => x * x).sum).as("norm2"))
-    }: _*)
-    aggregate(
-      cents,
-      struct(lit(-1).as("cell"), lit(Double.PositiveInfinity).as("score")),
-      (acc, e) => {
-        val score = lit(-2.0) * Vectors.dot(col(vecCol), e.getField("centroid")) +
-          e.getField("norm2")
-        when(score < acc.getField("score"),
-          struct(e.getField("cell").as("cell"), score.as("score")))
-          .otherwise(acc)
-      },
-      acc => acc.getField("cell"))
-  }
+  private def nearestCell(vecCol: String, m: Model): Column =
+    graft.functions.VectorExpressions.ivfNearest(col(vecCol),
+      m.centroids.sortBy(_._1).map { case (c, v) => (c, v.toSeq) }.toSeq, 1)
 
   private def assignCells(df: DataFrame, vecCol: String, m: Model): DataFrame =
     df.withColumn("cell", nearestCell(vecCol, m))
 
-  /** The `nProbe` nearest cell ids per row, nearest first — row-local
-    * like [[nearestCell]] (same centroid-literal scores, then an
-    * array sort on (score, cell), so ties break to the smaller id
-    * exactly as the argmin fold does). Probing several cells is how a
+  /** ARRAY of the min(nProbe, k) nearest cell ids per row, nearest
+    * first, ties to the smaller id — row-local like [[nearestCell]] and
+    * the same compiled kernel (one scan of the centroid matrix plus an
+    * nProbe-bounded insertion per row). Probing several cells is how a
     * query or dedup probe reaches near-pairs that straddle a cell
-    * boundary; cost is the same k score computations plus a k-element
-    * sort per row.
+    * boundary.
     */
-  def nearestCells(vecCol: String, m: Model, nProbe: Int): Column = {
-    val cents = array(m.centroids.sortBy(_._1).map { case (c, v) =>
-      struct(lit(c).as("cell"),
-        array(v.map(lit): _*).as("centroid"),
-        lit(v.map(x => x * x).sum).as("norm2"))
-    }: _*)
-    // functions.transform spelled out: bare `transform` resolves to
-    // this object's DataFrame method
-    val scored = org.apache.spark.sql.functions.transform(cents, e => struct(
-      (lit(-2.0) * Vectors.dot(col(vecCol), e.getField("centroid")) +
-        e.getField("norm2")).as("score"),
-      e.getField("cell").as("cell")))
-    org.apache.spark.sql.functions.transform(
-      slice(array_sort(scored), 1, nProbe), e => e.getField("cell"))
-  }
+  def nearestCells(vecCol: String, m: Model, nProbe: Int): Column =
+    if (nProbe == 1) array(nearestCell(vecCol, m))
+    else graft.functions.VectorExpressions.ivfNearest(col(vecCol),
+      m.centroids.sortBy(_._1).map { case (c, v) => (c, v.toSeq) }.toSeq,
+      nProbe)
 
   /** Corpus-driven cell count: enough cells that the EXPECTED cell size
     * stays ~`targetCellSize` rows regardless of corpus size. A fixed k

@@ -260,6 +260,45 @@ class PropertySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ivf nearest kernel equals the fold/sort reference (ties included)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = 4
+    val vecGen = Gen.listOfN(dim, Gen.choose(-4, 4).map(_.toDouble))
+    val vecs = samples(vecGen, 60).map(_.toSeq)
+    // duplicate centroids (cells 2 and 5) force score ties; ids are
+    // non-contiguous like a model whose empty cells were dropped
+    val base = samples(vecGen, 4).map(_.toSeq)
+    val cells: Seq[(Int, Seq[Double])] =
+      Seq(0 -> base(0), 2 -> base(1), 3 -> base(2), 5 -> base(1), 7 -> base(3))
+    def score(v: Seq[Double], c: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(v.size, c.size)
+      while (i < n) { acc += v(i) * c(i); i += 1 }
+      var n2 = 0.0; c.foreach(x => n2 += x * x)
+      -2.0 * acc + n2
+    }
+    // reference: strict-less argmin in ascending id order / stable
+    // (score, id) sort
+    def refTop(v: Seq[Double], n: Int): Seq[Int] =
+      cells.map { case (id, c) => (score(v, c), id) }.sortBy(identity).take(n)
+        .map(_._2)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "vec")
+    val got = df.select(col("id"),
+        graft.functions.VectorExpressions.ivfNearest(col("vec"), cells, 1).as("c1"),
+        graft.functions.VectorExpressions.ivfNearest(col("vec"), cells, 3).as("c3"),
+        graft.functions.VectorExpressions.ivfNearest(col("vec"), cells, 9).as("c9"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Int](2), r.getSeq[Int](3)))).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val (c1, c3, c9) = got(i.toLong)
+      assert(c1 == refTop(v, 1).head, s"argmin diverged for $v")
+      assert(c3 == refTop(v, 3), s"top-3 diverged for $v")
+      assert(c9 == refTop(v, 5), s"nProbe>k diverged for $v") // clamps to k
+    }
+  }
+
   test("marker-hits kernel equals the per-set declarative filters") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
