@@ -562,6 +562,37 @@ final class GraftDb(
   def engine(): TsdbEngine =
     new TsdbEngine(spark, dataset(), new StreamCatalog(streams()))
 
+  /** Live TAIL of the store as a Structured Stream: every new flush
+    * delta (Inserter.flush, importCsv, a streaming ingest's sink)
+    * arrives as a micro-batch with the table's five columns — the
+    * subscription surface a live dashboard or a downstream pipeline
+    * consumes, built on Spark's own FileStreamSource over the
+    * partitioned data layout (Spark-first: new-file discovery,
+    * checkpointing, and exactly-once file accounting are the file
+    * stream's, not bespoke machinery).
+    *
+    * Semantics are FILE-append semantics, stated plainly: the tail
+    * observes new files. `compact` and `expire` REWRITE files, so a
+    * tail running across a maintenance window re-observes compacted
+    * rows (same rows, new file) — pause maintenance while tailing, or
+    * dedupe downstream on (name, timestamp). `extraOptions` passes
+    * through to the reader (`maxFilesPerTrigger`, `maxFileAge` —
+    * note the file stream's default maxFileAge of 7d skips older
+    * files when a tail starts without a checkpoint).
+    */
+  def tailStream(extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    Files.createDirectories(Paths.get(dataDir))
+    val fileSchema = StructType(
+      dataSchema.fields.filter(_.name != "name") ++
+        Seq(StructField("name", StringType), StructField("bucket", LongType)))
+    extraOptions.foldLeft(
+        spark.readStream.schema(fileSchema).option("basePath", dataDir)) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      .parquet(s"$dataDir/name=*/bucket=*")
+      .select("name", "labels", "timestamp", "value", "lvalue")
+  }
+
   /** PromQL query over [startMs, endMs] — both required, as in the
     * reference (planner.rs:196-205).
     */
