@@ -260,6 +260,29 @@ class PropertySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("LabelCodec round-trips arbitrary label maps through the line format") {
+    import graft.tsdb.LabelCodec
+    // keys/values drawn from an alphabet biased toward the structural
+    // set (= , % tab newline CR) — the exact chars that corrupted the
+    // unescaped format
+    val charGen = Gen.frequency(
+      (6, Gen.alphaNumChar),
+      (4, Gen.oneOf('=', ',', '%', '\t', '\n', '\r', ' ')),
+      (1, Gen.oneOf('的', 'é', '"', '{')))
+    val strGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    val mapGen = Gen.choose(0, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(strGen, strGen)).map(_.toMap))
+    samples(mapGen, 200).foreach { labels =>
+      val field = LabelCodec.encodeLabels(labels)
+      // the encoded field must survive the catalog LINE format too:
+      // no structural char may leak through unescaped
+      assert(!field.exists(c => c == '\t' || c == '\n' || c == '\r'), field)
+      assert(LabelCodec.decodeLabels(field, "prop") == labels,
+        s"round-trip diverged for $labels via '$field'")
+    }
+  }
+
   test("ivf nearest kernel equals the fold/sort reference (ties included)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
