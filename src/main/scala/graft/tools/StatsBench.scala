@@ -142,10 +142,11 @@ object StatsBench {
         .head().toSeq
 
     // the DSv2 RAW path (no stats option): every surviving row comes
-    // up through the record-at-a-time PartitionReader — this times the
-    // documented boundary (GraftSource scaladoc) between the catalog
-    // surface and the engine's vectorized parquet scans on a
-    // full-corpus aggregate, the worst case for a row-wise reader
+    // up through the source's own readers — originally the
+    // record-at-a-time Group reader (measured 3.24x the plain path
+    // here), now the vectorized GraftColumnarReader + chunk binning
+    // (measured at parity, 0.9-1.0x) — kept as the regression guard
+    // for the catalog surface's full-corpus scan throughput
     def dsv2Raw(lo: Long, hi: Long): Seq[Any] =
       spark.read.format("graft").load(dsv2Root)
         .where(col("name") === "purchase" &&
