@@ -56,6 +56,40 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("the round-9 kernels run inside whole-stage codegen") {
+    // the kernels replaced interpreted hot paths (regex alternation,
+    // HOF argmin); a codegen fallback would silently re-open the gap
+    // AQE only materializes codegen stages in the FINAL plan — execute
+    // first, then read the plan string; codegen stages print as a
+    // `*(n)` prefix on the operator line
+    def executedPlanOf(df: DataFrame): String = {
+      df.collect(); plan(df)
+    }
+    def inCodegenProject(p: String, expr: String): Boolean =
+      p.matches(s"(?s).*\\*\\(\\d+\\) Project \\[[^\\n]*$expr.*")
+    val tx10 = executedPlanOf(
+      graft.queries.Pipeline.queries("tx10_bpe_tokens")(spark, sf))
+    assert(inCodegenProject(tx10, "graft_bpe_token_count"), tx10.take(2000))
+    val tx01 = executedPlanOf(
+      graft.queries.Pipeline.queries("tx01_tokens")(spark, sf))
+    assert(inCodegenProject(tx01, "graft_token_count"), tx01.take(2000))
+    // the IVF assign over a parquet-backed frame (a local relation
+    // would constant-fold the whole project into a LocalTableScan)
+    import spark.implicits._
+    val m = graft.ann.IvfIndex.Model(Array(
+      0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0)))
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        array(lit(1.0), col("doc_id").cast("double") * 0.0).as("vec"))
+      .select(col("doc_id"),
+        graft.ann.IvfIndex.nearestCells("vec", m, 2).as("cells"))
+    assert(df.select(element_at(col("cells"), 1)).as[Int].head() == 0)
+    df.collect()
+    val p = plan(df)
+    assert(inCodegenProject(p, "graft_ivf_nearest") ||
+      (p.contains("graft_ivf_nearest") && p.contains("WholeStageCodegen")), p)
+  }
+
   test("hash sampling is a row-local filter: zero exchanges") {
     val p = plan(graft.operators.Sampling.hashSample(
       spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id")),
