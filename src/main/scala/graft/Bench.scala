@@ -63,6 +63,11 @@ object Bench {
       else try graft.queries.Pipeline.prewarmShared(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] shared prewarm failed: ${e.getMessage}")
+        // passes built before the failure are warm but their cost was
+        // discarded — release them so the queries re-pay it, keeping
+        // "value" comparable (a warm cache with no shared line would
+        // silently under-report the pack)
+        graft.queries.Pipeline.clearCaches()
         Nil
       }
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -59,17 +59,23 @@ object TokenStatsUtil {
     * — the same engine semantics the regex form had).
     */
   def tokenCount(text: UTF8String): Int = {
-    val s = text.toString
-    val len = s.length
+    // scans the UTF-8 BYTES directly (no String copy per row): every
+    // Java-\s char is a single ASCII byte, and multi-byte code points
+    // consist of bytes >= 0x80 (negative as signed) which never equal
+    // a whitespace byte — run boundaries land identically
+    val len = text.numBytes()
     var n = 0
     var i = 0
     while (i < len) {
-      while (i < len && isWs(s.charAt(i))) i += 1
+      while (i < len && isWsByte(text.getByte(i))) i += 1
       if (i < len) n += 1
-      while (i < len && !isWs(s.charAt(i))) i += 1
+      while (i < len && !isWsByte(text.getByte(i))) i += 1
     }
     n
   }
+
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
   // ---- BPE-ish pretoken scanner (the tx10 pattern) ----
   // Hand-compiled form of
@@ -82,76 +88,80 @@ object TokenStatsUtil {
   // back to the whitespace run; PropertySpec pins equality against the
   // regex on adversarial and random inputs.
 
-  @inline private def isBpeAlpha(c: Char): Boolean =
-    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
-  @inline private def isBpeDigit(c: Char): Boolean = c >= '0' && c <= '9'
-  @inline private def isBpeWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
-  @inline private def isBpeSym(c: Char): Boolean =
-    !isBpeAlpha(c) && !isBpeDigit(c) && !isBpeWs(c)
+  // byte-level classes: every class char is ASCII, and multi-byte code
+  // points consist of bytes >= 0x80 (negative as signed) which land in
+  // the symbol class — exactly where the code-point classification put
+  // them, so run boundaries (and counts) are identical with zero
+  // String allocation per row
+  @inline private def isBpeAlpha(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+  @inline private def isBpeDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+  @inline private def isBpeWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+  @inline private def isBpeSym(b: Byte): Boolean =
+    !isBpeAlpha(b) && !isBpeDigit(b) && !isBpeWs(b)
 
-  /** Length of the contraction suffix at `i` (the char after `'`), or
-    * 0 — alternation order s|t|re|ve|m|ll|d has no overlapping
-    * prefixes, so first-match equals any-match.
+  /** Length of the contraction suffix at byte `i` (after `'`), or 0 —
+    * alternation order s|t|re|ve|m|ll|d has no overlapping prefixes,
+    * so first-match equals any-match.
     */
-  @inline private def contractionLen(s: String, i: Int, len: Int): Int = {
+  @inline private def contractionLen(s: UTF8String, i: Int, len: Int): Int = {
     if (i >= len) return 0
-    s.charAt(i) match {
-      case 's' | 't' | 'm' | 'd' => 1
-      case 'r' => if (i + 1 < len && s.charAt(i + 1) == 'e') 2 else 0
-      case 'v' => if (i + 1 < len && s.charAt(i + 1) == 'e') 2 else 0
-      case 'l' => if (i + 1 < len && s.charAt(i + 1) == 'l') 2 else 0
-      case _ => 0
-    }
+    val b = s.getByte(i)
+    if (b == 's' || b == 't' || b == 'm' || b == 'd') 1
+    else if ((b == 'r' || b == 'v') &&
+        i + 1 < len && s.getByte(i + 1) == 'e') 2
+    else if (b == 'l' && i + 1 < len && s.getByte(i + 1) == 'l') 2
+    else 0
   }
 
   /** The number of BPE-ish pretokens of `text` — equal to
     * `regexp_count(text, BpeIshPattern)` by PropertySpec.
     */
   def bpeTokenCount(text: UTF8String): Int = {
-    val s = text.toString
-    val len = s.length
+    val s = text
+    val len = s.numBytes()
     var n = 0
     var i = 0
     while (i < len) {
-      val c = s.charAt(i)
+      val c = s.getByte(i)
       n += 1
       if (c == '\'') {
         val cl = contractionLen(s, i + 1, len)
         if (cl > 0) i += 1 + cl
         else { // symbol run starting at the quote
           i += 1
-          while (i < len && isBpeSym(s.charAt(i))) i += 1
+          while (i < len && isBpeSym(s.getByte(i))) i += 1
         }
       } else if (c == ' ') {
         // leftmost-first: " X" prefers the space-prefixed run; a space
         // followed by whitespace (or end) is a whitespace-run token
-        val next = if (i + 1 < len) s.charAt(i + 1) else ' '
+        val next: Byte = if (i + 1 < len) s.getByte(i + 1) else ' '.toByte
         if (i + 1 < len && isBpeAlpha(next)) {
           i += 2
-          while (i < len && isBpeAlpha(s.charAt(i))) i += 1
+          while (i < len && isBpeAlpha(s.getByte(i))) i += 1
         } else if (i + 1 < len && isBpeDigit(next)) {
           i += 2
-          while (i < len && isBpeDigit(s.charAt(i))) i += 1
+          while (i < len && isBpeDigit(s.getByte(i))) i += 1
         } else if (i + 1 < len && isBpeSym(next)) {
           i += 2
-          while (i < len && isBpeSym(s.charAt(i))) i += 1
+          while (i < len && isBpeSym(s.getByte(i))) i += 1
         } else {
           i += 1
-          while (i < len && isBpeWs(s.charAt(i))) i += 1
+          while (i < len && isBpeWs(s.getByte(i))) i += 1
         }
       } else if (isBpeAlpha(c)) {
         i += 1
-        while (i < len && isBpeAlpha(s.charAt(i))) i += 1
+        while (i < len && isBpeAlpha(s.getByte(i))) i += 1
       } else if (isBpeDigit(c)) {
         i += 1
-        while (i < len && isBpeDigit(s.charAt(i))) i += 1
+        while (i < len && isBpeDigit(s.getByte(i))) i += 1
       } else if (isBpeWs(c)) {
         i += 1
-        while (i < len && isBpeWs(s.charAt(i))) i += 1
+        while (i < len && isBpeWs(s.getByte(i))) i += 1
       } else { // symbol (incl. non-ASCII and )
         i += 1
-        while (i < len && isBpeSym(s.charAt(i))) i += 1
+        while (i < len && isBpeSym(s.getByte(i))) i += 1
       }
     }
     n

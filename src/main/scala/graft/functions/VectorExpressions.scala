@@ -151,6 +151,10 @@ object IvfKernelUtil {
   def nearestCells(vec: ArrayData, ids: Array[Int],
       cents: Array[Array[Double]], norms: Array[Double],
       nProbe: Int): GenericArrayData = {
+    // nProbe <= 0 yields no cells (the slice(…, 1, 0) semantics of the
+    // declarative form), not an insertion at index -1
+    if (nProbe <= 0 || cents.isEmpty)
+      return new GenericArrayData(Array.emptyIntArray)
     val n = vec.numElements()
     val v = new Array[Double](n)
     var i = 0

@@ -361,17 +361,22 @@ object GraftSource {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    Some(lines.filter(_.nonEmpty).flatMap { line =>
-      line.split("\t", -1) match {
-        case Array(_, name, labelStr) =>
-          val labels = graft.tsdb.LabelCodec.decodeLabels(labelStr, line)
-          if (pairs.forall { case (k, v) => labels.get(k).contains(v) })
-            Some(name)
-          else None
-        case _ => throw new IllegalStateException(
-          s"malformed catalog line (expected vtype\\tname\\tlabels): $line")
-      }
-    }.toSet)
+    // headerless catalog = pre-escaping writer → labels parse RAW
+    // ('%' literal), exactly like GraftDb.streams
+    val v2 = lines.headOption.contains(graft.tsdb.LabelCodec.V2Header)
+    Some(lines.filter(l => l.nonEmpty && l != graft.tsdb.LabelCodec.V2Header)
+      .flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(_, name, labelStr) =>
+            val labels =
+              graft.tsdb.LabelCodec.decodeLabels(labelStr, line, v2)
+            if (pairs.forall { case (k, v) => labels.get(k).contains(v) })
+              Some(name)
+            else None
+          case _ => throw new IllegalStateException(
+            s"malformed catalog line (expected vtype\\tname\\tlabels): $line")
+        }
+      }.toSet)
   }
 
   /** The bucket width GraftDb persisted with the store (`bucket_ms`),

@@ -178,6 +178,9 @@ object StatsBench {
           val r = dsv2Raw(lo, hi)
           require(p.head == r.head,
             s"$label dsv2_raw: row counts differ: $p vs $r")
+          require(math.abs(p(1).asInstanceOf[Double] - r(1).asInstanceOf[Double])
+            <= 1e-6 * math.abs(p(1).asInstanceOf[Double]),
+            s"$label dsv2_raw: sums differ: $p vs $r")
           time(runs)(dsv2Raw(lo, hi))
         } else -1.0
       (label, tPlain, tHint, tDsv2, tRaw)

@@ -76,8 +76,13 @@ final class GraftDb(
     if (!Files.exists(catalogFile)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.readAllLines(catalogFile).asScala.toSeq.filter(_.nonEmpty).map { line =>
-        // line format: vtype \t name \t k=v,k=v (labels LabelCodec-escaped).
+      val all = Files.readAllLines(catalogFile).asScala.toSeq
+      // headerless catalog = written before escaping existed → labels
+      // parse RAW ('%' literal); the v2 header switches on %XX decode
+      val v2 = all.headOption.contains(LabelCodec.V2Header)
+      all.filter(l => l.nonEmpty && l != LabelCodec.V2Header).map { line =>
+        // line format: vtype \t name \t k=v,k=v (labels LabelCodec-escaped
+        // under the v2 header, raw otherwise).
         // Loud on malformed lines: silently skipping one would make the
         // stream invisible to selectors while its data keeps matching
         // scans — fail with the line in hand instead.
@@ -87,9 +92,40 @@ final class GraftDb(
         val vt = parts(0) match {
           case "i64" => VType.I64; case "u64" => VType.U64; case _ => VType.F64
         }
-        StreamDef(parts(1), LabelCodec.decodeLabels(parts(2), line), vt)
+        StreamDef(parts(1), LabelCodec.decodeLabels(parts(2), line, v2), vt)
       }
     }
+
+  /** One v2 catalog line for a stream definition. */
+  private def catalogLine(d: StreamDef): String = {
+    val vt = d.vtype match {
+      case VType.I64 => "i64"; case VType.U64 => "u64"; case VType.F64 => "f64"
+    }
+    s"$vt\t${d.name}\t${LabelCodec.encodeLabels(d.labels)}"
+  }
+
+  /** Every catalog WRITE goes through here first: a missing file gets
+    * the v2 header; a legacy (headerless) file is re-encoded in place —
+    * its raw labels (which a clean legacy parse proves hold no
+    * structural characters beyond literal `%`) re-write escaped under
+    * the header, atomically, so readers never see a mixed-mode file.
+    */
+  private def upgradeCatalog(): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(catalogFile)) {
+      Files.writeString(catalogFile, LabelCodec.V2Header + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      return
+    }
+    val first = Files.readAllLines(catalogFile).asScala.headOption
+    if (first.contains(LabelCodec.V2Header)) return
+    val upgraded = LabelCodec.V2Header +: streams().map(catalogLine)
+    val tmp = catalogFile.resolveSibling(".catalog.jsonl.tmp")
+    Files.write(tmp, upgraded.asJava)
+    Files.move(tmp, catalogFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Fixed-type stream creation (lib.rs:429-456); rejects duplicates.
     * Label keys/values are opaque text like the reference's
@@ -105,11 +141,9 @@ final class GraftDb(
       s"stream name must not contain newline/NUL: ${name.replace("\n", "\\n")}")
     require(!streams().exists(d => d.name == name && d.labels == labels),
       s"stream already exists: $selector")
-    val vt = vtype match {
-      case VType.I64 => "i64"; case VType.U64 => "u64"; case VType.F64 => "f64"
-    }
+    upgradeCatalog()
     Files.writeString(catalogFile,
-      s"$vt\t$name\t${LabelCodec.encodeLabels(labels)}\n",
+      catalogLine(StreamDef(name, labels, vtype)) + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
@@ -152,9 +186,12 @@ final class GraftDb(
       // the name; otherwise sweeping would destroy a neighbor's data,
       // so a 0-match selector there is a caller bug.
       require(!all.exists(_.name == name),
-        "selector must match exactly 1 stream, got 0")
-      require(sweepName(name),
-        "selector must match exactly 1 stream, got 0")
+        s"selector must match exactly 1 stream, got 0 (name '$name' is " +
+          "catalogued under other labels — not a crashed delete)")
+      val swept = sweepName(name)
+      require(swept,
+        s"selector must match exactly 1 stream, got 0 (and no leftover " +
+          s"data/stats for '$name' to complete a crashed delete)")
       return
     }
     require(hits.size == 1, s"selector must match exactly 1 stream, got ${hits.size}")
@@ -180,10 +217,9 @@ final class GraftDb(
   /** Drop `d`'s catalog line (atomic replace). */
   private def removeCatalogLine(d: StreamDef): Unit = {
     import scala.jdk.CollectionConverters._
-    val vt = d.vtype match {
-      case VType.I64 => "i64"; case VType.U64 => "u64"; case VType.F64 => "f64"
-    }
-    val line = s"$vt\t${d.name}\t${LabelCodec.encodeLabels(d.labels)}"
+    // a legacy catalog re-encodes first so the v2-encoded line matches
+    upgradeCatalog()
+    val line = catalogLine(d)
     val kept = Files.readAllLines(catalogFile).asScala.filterNot(_ == line)
     val tmp = catalogFile.resolveSibling(".catalog.jsonl.tmp")
     Files.write(tmp, kept.asJava)
@@ -239,8 +275,12 @@ final class GraftDb(
     val root = Paths.get(dataDir)
     if (!Files.exists(root)) return
     // labels equality as a row predicate: same size and every target
-    // pair present (null-safe — element_at yields null for absent keys)
-    val sizeMatch = coalesce(size(col("labels")), lit(-1)) === labels.size
+    // pair present (null-safe — element_at yields null for absent keys).
+    // A null labels map — a legacy file written without the column, the
+    // same case the DSv2 reader surfaces as null — attributes to the
+    // EMPTY-labels stream (coalesce to 0), matching how such rows read
+    // everywhere else; it must not silently survive every rewrite.
+    val sizeMatch = coalesce(size(col("labels")), lit(0)) === labels.size
     val isTarget = labels.foldLeft(sizeMatch) { case (acc, (k, v)) =>
       acc && (element_at(col("labels"), lit(k)) <=> lit(v))
     }
@@ -264,9 +304,14 @@ final class GraftDb(
           n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
         }.toList).sortBy(_.getFileName.toString)
       if (files.nonEmpty) {
-        val survivors = spark.read.parquet(files.map(_.toString): _*)
-          .where(!isTarget)
-        swapIntoPartition(dir, files, survivors)
+        val raw = spark.read.parquet(files.map(_.toString): _*)
+        // a legacy delta without the labels column would fail analysis
+        // on size(labels) — surface it as a null map (empty labels)
+        val df =
+          if (raw.columns.contains("labels")) raw
+          else raw.withColumn("labels",
+            lit(null).cast(MapType(StringType, StringType)))
+        swapIntoPartition(dir, files, df.where(!isTarget))
       }
     }
   }

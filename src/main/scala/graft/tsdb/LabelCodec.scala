@@ -8,9 +8,11 @@ package graft.tsdb
   * (tachyon_core/src/query/indexer.rs:136-149), so this codec must too.
   * Structural characters (plus `%`, the escape lead-in) are
   * percent-encoded exactly like Hive partition-dir escaping
-  * ([[graft.sources.GraftSource.unescapePathName]]); every other
-  * character passes through, so existing catalogs (which contain none
-  * of the escaped set) parse unchanged.
+  * ([[graft.sources.GraftSource.unescapePathName]]). Escaped catalogs
+  * carry the [[V2Header]] marker line; a headerless catalog predates
+  * escaping and parses RAW (a literal `%` there must never decode),
+  * and is upgraded in place by the first write — so existing catalogs
+  * keep their exact label values under either reader.
   *
   * Decoding is LOUD on malformed input: a catalog token without `=`
   * means the file was hand-edited or written by incompatible tooling,
@@ -20,6 +22,15 @@ package graft.tsdb
   * failing the scan with the offending line in hand.
   */
 object LabelCodec {
+
+  /** First line of an escaped catalog. A catalog WITHOUT it was written
+    * before escaping existed and holds labels raw (`%` literal, no
+    * structural chars possible) — decoding such a file with the v2
+    * rules would silently mutate any value containing `%XX`, so
+    * readers parse headerless catalogs raw and writers upgrade them
+    * in place before the first v2 append (GraftDb.upgradeCatalog).
+    */
+  val V2Header = "#graft-catalog-v2"
 
   private val Escaped = "%=,\t\n\r"
 
@@ -47,13 +58,17 @@ object LabelCodec {
       .mkString(",")
 
   /** The catalog's `k=v,k=v` field → labels. Loud on malformed tokens:
-    * `context` names the offending line in the error.
+    * `context` names the offending line in the error. `v2 = false`
+    * parses a pre-header catalog's field RAW (no `%XX` decode — the
+    * legacy writer never escaped, so `%` is a literal there).
     */
-  def decodeLabels(field: String, context: => String): Map[String, String] = {
+  def decodeLabels(field: String, context: => String,
+      v2: Boolean = true): Map[String, String] = {
     if (field.isEmpty) return Map.empty
     field.split(",", -1).map { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => unescape(k) -> unescape(v)
+        case Array(k, v) if k.nonEmpty =>
+          if (v2) unescape(k) -> unescape(v) else k -> v
         case _ => throw new IllegalStateException(
           s"malformed catalog label token '$kv' in: $context")
       }

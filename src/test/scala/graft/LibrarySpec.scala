@@ -369,6 +369,35 @@ class LibrarySpec extends AnyFunSuite {
     assert(db.streams().map(_.name) == Seq("n"))
   }
 
+  test("a legacy (headerless) catalog parses raw and upgrades on write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    // pre-escaping writer: labels raw, '%' literal, NO header line —
+    // a v2 decode would silently turn a%41 into aA
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "catalog.jsonl"),
+      "f64\tm\tp=a%41,q=b\nu64\tn\t\n")
+    val db = new GraftDb(spark, dir)
+    assert(db.streams() == Seq(
+      graft.tsdb.StreamDef("m", Map("p" -> "a%41", "q" -> "b"), VType.F64),
+      graft.tsdb.StreamDef("n", Map.empty, VType.U64)))
+    // the DSv2 catalog resolver reads the same raw values
+    assert(graft.sources.GraftSource.labelNames(dir,
+      new org.apache.hadoop.conf.Configuration(),
+      Seq("p" -> "a%41")) == Some(Set("m")))
+    // first write upgrades in place: header + escaped encoding, values
+    // byte-identical through the new reader
+    db.createStream("o", VType.F64)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "catalog.jsonl"))
+    assert(lines.get(0) == graft.tsdb.LabelCodec.V2Header, lines)
+    assert(lines.get(1).contains("a%2541"), lines) // '%' now escaped
+    assert(db.streams().map(_.name) == Seq("m", "n", "o"))
+    assert(db.streams().head.labels == Map("p" -> "a%41", "q" -> "b"))
+    // deletion reconstructs the v2 line correctly after the upgrade
+    db.deleteStream("m{p=\"a%41\", q=\"b\"}")
+    assert(db.streams().map(_.name) == Seq("n", "o"))
+  }
+
   test("deleteStream refuses when several streams share the name") {
     val dir = java.nio.file.Files.createTempDirectory("graft_del2").toString
     val db = new GraftDb(spark, dir)
