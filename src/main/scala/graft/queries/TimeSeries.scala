@@ -272,6 +272,62 @@ object TimeSeries {
         .orderBy("day")
     },
 
+    // ---- range functions (ts38-ts41): the engine's PromQL extension
+    // (RangeFns.scala contract — the reference rejects all Call exprs).
+    // Tumbling [range] windows aligned to the query start; rate/increase
+    // use Prometheus' counter-reset rule over per-window consecutive
+    // deltas, with the UN-extrapolated observed-span denominator, so the
+    // result is an exact function of the samples and the DuckDB oracle
+    // can recompute it with a lag window. ----
+
+    // rate over the dedup'd purchase stream: the counter primitive.
+    "ts38_range_rate" -> q("rate(purchase[1d])", roundTo = 6, dedup = true) _,
+
+    // per-window mean — the downsampling / recording-rule shape.
+    "ts39_range_avg" -> q("avg_over_time(click[12h])", roundTo = 3) _,
+
+    // a range fn is a normal vector: the existing Aggregate dispatch
+    // composes over it (max of the per-day increases).
+    "ts40_range_agg" -> q("max(increase(view[1d]))", roundTo = 6, dedup = true) _,
+
+    // ...and so does V2S comparison-as-filter (keep the days whose mean
+    // clears a mid-distribution bar - a non-trivial split either side).
+    "ts41_range_cmp" -> q("avg_over_time(purchase[1d]) > 46", roundTo = 3) _,
+
+    // PER-WINDOW aggregate-from-statistics (ScanHint applied to
+    // downsampling, StatsAggregate.downsample): 6h windows over hourly
+    // stats with deliberately unaligned query edges — interior windows
+    // fold sidecar rows, edge windows read raw, and StatsSpec's
+    // poisoned-raw case proves the interior never opens data. The
+    // oracle recomputes every window from raw events.
+    "ts42_stats_downsample" -> { (s, dir) =>
+      val data = eventsLong(s, dir)
+      val hour = 3600 * 1000L
+      val stats = graft.tsdb.StatsAggregate.buildStats(data, hour)
+      graft.tsdb.StatsAggregate
+        .downsample(data, stats, "purchase",
+          SubStart + 1800000L, SubEnd - 1800001L, hour, 6 * hour)
+        .select(col("window_start"), col("n"),
+          round(col("value_sum"), 4).as("value_sum"),
+          col("min_value"), col("max_value"),
+          round(col("avg_value"), 6).as("avg_value"))
+        .orderBy("window_start")
+    },
+
+    // The engine integration: a TsdbEngine carrying the stats sidecar
+    // serves avg_over_time from it (day windows, hourly buckets, aligned
+    // start → covered throughout; the inclusive end sample comes from
+    // raw). Must be indistinguishable from the raw-scan answer.
+    "ts43_range_stats" -> { (s, dir) =>
+      val data = eventsLong(s, dir)
+      val hour = 3600 * 1000L
+      val stats = graft.tsdb.StatsAggregate.buildStats(data, hour)
+      val e = new TsdbEngine(s, data, catalog, Some((stats, hour)))
+      e.query("avg_over_time(purchase[1d])", SubStart, SubEnd)
+        .output.withColumn("value", round(col("value"), 3))
+        .orderBy("timestamp")
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -534,6 +590,63 @@ object TimeSeries {
       s"""SELECT t - t % 86400000 AS day, COUNT(*) AS n,
          |ROUND(SUM(v), 6) AS sum_value FROM ${ev("event_type = 'purchase'")}
          |WHERE ${sub()} GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // Range functions: the oracle recomputes the tumbling-window
+    // semantics (RangeFns.scala contract) with a per-window lag pass.
+    "ts38_range_rate" ->
+      s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}
+         |           WHERE ${sub()} GROUP BY t),
+         |w AS (SELECT t - ((t - $SubStart) % 86400000) AS ws, t, v FROM d),
+         |l AS (SELECT ws, t, v,
+         |        lag(v) OVER (PARTITION BY ws ORDER BY t, v) AS pv FROM w),
+         |a AS (SELECT ws,
+         |        SUM(CASE WHEN pv IS NULL THEN 0
+         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |        MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+         |      FROM l GROUP BY ws)
+         |SELECT ws AS timestamp, ROUND(inc / ((t1 - t0) / 1000.0), 6) AS value
+         |FROM a WHERE n >= 2 AND t1 > t0 ORDER BY timestamp""".stripMargin,
+
+    "ts39_range_avg" ->
+      s"""WITH w AS (SELECT t - ((t - $SubStart) % 43200000) AS ws, v
+         |           FROM ${ev("event_type = 'click'")} WHERE ${sub()})
+         |SELECT ws AS timestamp, ROUND(AVG(v), 3) AS value
+         |FROM w GROUP BY ws ORDER BY timestamp""".stripMargin,
+
+    "ts40_range_agg" ->
+      s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'view'")}
+         |           WHERE ${sub()} GROUP BY t),
+         |w AS (SELECT t - ((t - $SubStart) % 86400000) AS ws, t, v FROM d),
+         |l AS (SELECT ws, v,
+         |        lag(v) OVER (PARTITION BY ws ORDER BY t, v) AS pv FROM w),
+         |a AS (SELECT ws,
+         |        SUM(CASE WHEN pv IS NULL THEN 0
+         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |        COUNT(*) AS n
+         |      FROM l GROUP BY ws)
+         |SELECT ROUND(MAX(inc), 6) AS value FROM a WHERE n >= 2""".stripMargin,
+
+    "ts41_range_cmp" ->
+      s"""WITH w AS (SELECT t - ((t - $SubStart) % 86400000) AS ws, v
+         |           FROM ${ev("event_type = 'purchase'")} WHERE ${sub()}),
+         |a AS (SELECT ws, AVG(v) AS value FROM w GROUP BY ws)
+         |SELECT ws AS timestamp, ROUND(value, 3) AS value
+         |FROM a WHERE value > 46 ORDER BY timestamp""".stripMargin,
+
+    "ts42_stats_downsample" ->
+      s"""WITH w AS (SELECT t - ((t - ${SubStart + 1800000L}) % ${6 * 3600 * 1000L}) AS ws, v
+         |           FROM ${ev("event_type = 'purchase'")}
+         |           WHERE t >= ${SubStart + 1800000L} AND t <= ${SubEnd - 1800001L})
+         |SELECT ws AS window_start, COUNT(*) AS n,
+         |  ROUND(SUM(v), 4) AS value_sum, MIN(v) AS min_value,
+         |  MAX(v) AS max_value, ROUND(SUM(v) / COUNT(*), 6) AS avg_value
+         |FROM w GROUP BY ws ORDER BY window_start""".stripMargin,
+
+    "ts43_range_stats" ->
+      s"""WITH w AS (SELECT t - ((t - $SubStart) % 86400000) AS ws, v
+         |           FROM ${ev("event_type = 'purchase'")} WHERE ${sub()})
+         |SELECT ws AS timestamp, ROUND(AVG(v), 3) AS value
+         |FROM w GROUP BY ws ORDER BY timestamp""".stripMargin,
 
     "ts01_select_range" ->
       s"""SELECT t AS timestamp, v AS value FROM ${ev("event_type = 'purchase'")}

@@ -4,8 +4,11 @@ package graft.tsdb
   * (tachyon_core/src/query/planner.rs:84-261): number literals, vector
   * selectors with equality matchers and @/offset modifiers, binary
   * arithmetic/comparison, sum/count/avg/min/max, topk/bottomk.
-  * Everything else (matrix selectors, subqueries, calls, strings) is a
-  * parse/plan error, as in the reference.
+  * Everything else (subqueries, calls, strings) is a parse/plan error,
+  * as in the reference — with ONE documented extension: matrix selectors
+  * inside range functions ([[Expr.RangeFn]]), which the reference has no
+  * analogue for. A matrix selector outside a range function (or a range
+  * function over anything else) stays an error.
   */
 sealed trait Expr
 
@@ -67,6 +70,32 @@ object Expr {
   final case class Aggregate(kind: AggKind, child: Expr) extends Expr
 
   final case class GetK(top: Boolean, k: Expr, child: Expr) extends Expr
+
+  /** A matrix selector `sel[range]` — valid ONLY as the immediate child
+    * of a range function. The reference rejects matrix selectors
+    * outright (planner.rs:84-261); this engine accepts them solely to
+    * feed [[RangeFn]], and evaluating one anywhere else is a plan error
+    * so the reference's rejection surface is preserved for bare use.
+    */
+  final case class MatrixSelector(sel: Selector, rangeMs: Long) extends Expr
+
+  /** Range functions over a matrix selector — an ENGINE EXTENSION (the
+    * reference rejects all Call exprs, planner.rs:118-123). Semantics are
+    * tumbling windows of `rangeMs` aligned to the query start; see
+    * [[graft.tsdb.RangeFns]] for the per-function contract.
+    */
+  sealed trait RangeFnKind
+  case object FnRate extends RangeFnKind
+  case object FnIncrease extends RangeFnKind
+  case object FnDelta extends RangeFnKind
+  case object FnAvgOverTime extends RangeFnKind
+  case object FnMinOverTime extends RangeFnKind
+  case object FnMaxOverTime extends RangeFnKind
+  case object FnSumOverTime extends RangeFnKind
+  case object FnCountOverTime extends RangeFnKind
+  case object FnLastOverTime extends RangeFnKind
+
+  final case class RangeFn(kind: RangeFnKind, child: Expr) extends Expr
 }
 
 /** The reference's value types and coercion lattice (lib.rs:54-73):

@@ -60,7 +60,14 @@ final case class TsdbResult(df: DataFrame, isScalar: Boolean, vtype: VType) {
 final class TsdbEngine(
     val spark: SparkSession,
     data: DataFrame,
-    catalog: StreamCatalog) {
+    catalog: StreamCatalog,
+    /** Optional (stats table, bucketMs) — the ScanHint sidecar. When
+      * present, eligible `*_over_time` range functions answer from it
+      * (StatsAggregate.downsample) instead of scanning raw rows; see the
+      * eligibility notes at the RangeFn eval case. GraftDb passes its
+      * stats dir here automatically.
+      */
+    stats: Option[(DataFrame, Long)] = None) {
 
   /** Queries require explicit [start, end], as in the reference
     * (planner.rs:196-205).
@@ -105,6 +112,52 @@ final class TsdbEngine(
       val l = eval(lhs, start, end)
       val r = eval(rhs, start, end)
       binary(kind, l, r, start, end)
+
+    case RangeFn(kind, MatrixSelector(sel, rangeMs)) =>
+      // Range-function extension (RangeFns.scala contract): tumbling
+      // rangeMs windows over the selector's scan, one row per window.
+      // Emits a normal vector, so aggregates / topk / binary ops compose
+      // over it through the existing dispatch unchanged.
+      //
+      // Stats pushdown: sum/count/min/max/avg_over_time are exactly the
+      // sidecar's summary set, so with a stats table at hand they answer
+      // from covered bucket rows + boundary raw rows
+      // (StatsAggregate.downsample) — the ScanHint optimization applied
+      // per window. Ineligible: label matchers (stats rows aggregate
+      // across a name's label sets) and @/offset (they move the scan
+      // start away from the window alignment start); rate/increase/
+      // delta/last need the raw samples by definition.
+      val statsServed = stats.collect {
+        case (st, bucketMs)
+            if sel.matchers.isEmpty && sel.at.isEmpty && sel.offsetMs == 0 =>
+          val pick = kind match {
+            case FnSumOverTime => Some(col("value_sum"))
+            case FnCountOverTime => Some(col("n").cast("double"))
+            case FnMinOverTime => Some(col("min_value"))
+            case FnMaxOverTime => Some(col("max_value"))
+            case FnAvgOverTime => Some(col("avg_value"))
+            case _ => None
+          }
+          pick.map { v =>
+            StatsAggregate
+              .downsample(data, st, sel.name, start, end, bucketMs, rangeMs)
+              .select(col("window_start").as("timestamp"), v.as("value"))
+          }
+      }.flatten
+      TsdbResult(
+        statsServed.getOrElse(
+          RangeFns(kind, select(sel, start, end), rangeMs, start)),
+        isScalar = false, VType.F64)
+
+    case RangeFn(_, other) =>
+      throw new IllegalArgumentException(
+        s"range function requires a matrix selector child, got: $other")
+
+    case _: MatrixSelector =>
+      // Preserve the reference's rejection for bare matrix selectors
+      // (planner.rs rejects them outright; only RangeFn may consume one).
+      throw new IllegalArgumentException(
+        "matrix selector is only valid inside a range function")
   }
 
   /** Grouped aggregates — the `sum by (label)` extension the reference

@@ -604,8 +604,14 @@ final class GraftDb(
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
   }
 
+  /** Engine over the store. When a stats table exists it rides along,
+    * so eligible `*_over_time` range functions answer from sidecar
+    * rows + boundary raw rows (StatsAggregate.downsample) instead of
+    * scanning the store — the ScanHint optimization, per window.
+    */
   def engine(): TsdbEngine =
-    new TsdbEngine(spark, dataset(), new StreamCatalog(streams()))
+    new TsdbEngine(spark, dataset(), new StreamCatalog(streams()),
+      statsDir().map(d => (spark.read.parquet(d), bucketMs)))
 
   /** Live TAIL of the store as a Structured Stream: every new flush
     * delta (Inserter.flush, importCsv, a streaming ingest's sink)

@@ -5,8 +5,10 @@ import scala.util.matching.Regex
 import Expr._
 
 /** Hand-written recursive-descent parser for the PromQL subset the
-  * reference engine accepts (see Ast.scala). Built from the public PromQL
-  * grammar (prometheus.io/docs/prometheus/latest/querying/basics); no
+  * reference engine accepts (see Ast.scala), plus this engine's range
+  * function extension (`rate(m[5m])` and friends — the reference rejects
+  * all Call exprs). Built from the public PromQL grammar
+  * (prometheus.io/docs/prometheus/latest/querying/basics); no
   * third-party parser.
   *
   * Precedence (low→high): comparison < +,- < *,/,% < unary- < atom.
@@ -86,7 +88,7 @@ object PromParser {
           val two = if (i + 1 < n) q.substring(i, i + 2) else ""
           if (Set("==", "!=", ">=", "<=", "=~", "!~").contains(two)) {
             toks += TOp(two); i += 2
-          } else if ("+-*/%(){},=@<>".indexOf(c) >= 0) {
+          } else if ("+-*/%(){}[],=@<>".indexOf(c) >= 0) {
             toks += TOp(c.toString); i += 1
           } else throw new PromParseException(s"unexpected character '$c' in query: $q")
       }
@@ -108,6 +110,13 @@ object PromParser {
     val aggNames = Map(
       "sum" -> AggSum, "count" -> AggCount, "avg" -> AggAvg,
       "min" -> AggMin, "max" -> AggMax)
+
+    // Range functions — the engine's documented extension (Ast.RangeFn).
+    val rangeFnNames = Map(
+      "rate" -> FnRate, "increase" -> FnIncrease, "delta" -> FnDelta,
+      "avg_over_time" -> FnAvgOverTime, "min_over_time" -> FnMinOverTime,
+      "max_over_time" -> FnMaxOverTime, "sum_over_time" -> FnSumOverTime,
+      "count_over_time" -> FnCountOverTime, "last_over_time" -> FnLastOverTime)
 
     def parseExpr(): Expr = parseComparison()
 
@@ -194,13 +203,22 @@ object PromParser {
         val child = parseExpr()
         expectOp(")")
         GetK(fn == "topk", k, child)
+      case TIdent(fn) if rangeFnNames.contains(fn) && peek == TOp("(") =>
+        next() // consume '('
+        val child = parseExpr()
+        expectOp(")")
+        child match {
+          case _: MatrixSelector => RangeFn(rangeFnNames(fn), child)
+          case _ => throw new PromParseException(
+            s"$fn requires a matrix selector argument (metric[duration]) in: $q")
+        }
       case TIdent(fn) if peek == TOp("(") =>
         throw new PromParseException(s"unsupported function call: $fn (reference rejects Call exprs)")
       case TIdent(name) => parseSelectorTail(name)
       case t => throw new PromParseException(s"unexpected token $t in: $q")
     }
 
-    def parseSelectorTail(name: String): Selector = {
+    def parseSelectorTail(name: String): Expr = {
       var matchers = List.newBuilder[Matcher]
       if (peek == TOp("{")) {
         next()
@@ -225,6 +243,17 @@ object PromParser {
           }
         }
         expectOp("}")
+      }
+      // optional matrix range `[5m]` — before the modifiers, as in PromQL
+      // (`metric{...}[5m] offset 1h`)
+      var rangeMs: Option[Long] = None
+      if (peek == TOp("[")) {
+        next()
+        rangeMs = Some(next() match {
+          case TDur(ms) if ms > 0 => ms
+          case t => throw new PromParseException(s"expected a duration in [...], got $t in: $q")
+        })
+        expectOp("]")
       }
       // modifiers, either order: `@ ...` and/or `offset <dur>`
       var at: Option[AtMod] = None
@@ -251,7 +280,11 @@ object PromParser {
           }
         case _ => scanning = false
       }
-      Selector(name, matchers.result(), at, offsetMs)
+      val sel = Selector(name, matchers.result(), at, offsetMs)
+      rangeMs match {
+        case Some(ms) => MatrixSelector(sel, ms)
+        case None => sel
+      }
     }
 
     val e = parseExpr()

@@ -1,6 +1,6 @@
 package graft.tsdb
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregate pushdown to precomputed partition statistics — the Spark
@@ -72,6 +72,69 @@ object StatsAggregate {
         col("value_sum"),
         col("min_value"),
         col("max_value"),
+        (col("value_sum") / col("n")).as("avg_value"))
+  }
+
+  /** PER-WINDOW aggregates from the stats sidecar — the ScanHint idea
+    * applied to downsampling (and to the engine's `*_over_time` range
+    * functions, RangeFns.scala): tumbling `windowMs` windows aligned to
+    * `startMs` over [startMs, endMs], each answered from stats rows for
+    * every bucket that sits WHOLLY inside both the query range and one
+    * window, and from raw rows for everything else. All three
+    * memberships are row-local predicates (no join):
+    *
+    *  - a stats bucket is usable iff it is fully inside [start, end+1)
+    *    AND does not straddle a window boundary (when windowMs is a
+    *    multiple of bucketMs and startMs is bucket-aligned, that is
+    *    every interior bucket — the common dashboard case reads NO raw
+    *    data except the two range edges);
+    *  - a raw row participates iff its bucket is NOT usable.
+    *
+    * Returns (window_start, n, value_sum, min_value, max_value,
+    * avg_value), one row per window with ≥1 sample. Windows and buckets
+    * may be mutually unaligned in every way; correctness never depends
+    * on alignment, only the raw-row volume does.
+    */
+  def downsample(
+      data: DataFrame, stats: DataFrame, name: String,
+      startMs: Long, endMs: Long, bucketMs: Long, windowMs: Long): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val coveredLo = startMs + (if (startMs % bucketMs == 0) 0 else bucketMs - startMs % bucketMs)
+    val coveredHiExcl = (endMs + 1) - ((endMs + 1) % bucketMs)
+
+    // window start of an instant t (t >= startMs): exact Long arithmetic
+    def wstartOf(t: Column): Column = t - pmod(t - startMs, lit(windowMs))
+
+    // bucket straddles a window boundary iff its first and last instants
+    // fall in different windows
+    val bkt = col("bucket")
+    val usable = bkt >= coveredLo && bkt + bucketMs <= coveredHiExcl &&
+      wstartOf(bkt) === wstartOf(bkt + bucketMs - 1)
+
+    val fromStats = stats
+      .where(col("name") === name && usable)
+      .select(wstartOf(bkt).as("window_start"),
+        col("n"), col("value_sum"), col("min_value"), col("max_value"))
+
+    val rawBucket = col("timestamp") - pmod(col("timestamp"), lit(bucketMs))
+    val rawUsable = rawBucket >= coveredLo && rawBucket + bucketMs <= coveredHiExcl &&
+      wstartOf(rawBucket) === wstartOf(rawBucket + bucketMs - 1)
+    val fromRaw = data
+      .where(col("name") === name &&
+        col("timestamp") >= startMs && col("timestamp") <= endMs && !rawUsable)
+      .select(wstartOf(col("timestamp")).as("window_start"),
+        lit(1L).as("n"), col("value").as("value_sum"),
+        col("value").as("min_value"), col("value").as("max_value"))
+
+    fromStats.unionAll(fromRaw)
+      .groupBy("window_start")
+      .agg(
+        sum("n").as("n"),
+        sum("value_sum").as("value_sum"),
+        min("min_value").as("min_value"),
+        max("max_value").as("max_value"))
+      .select(col("window_start"), col("n"), col("value_sum"),
+        col("min_value"), col("max_value"),
         (col("value_sum") / col("n")).as("avg_value"))
   }
 }

@@ -44,6 +44,70 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- per-window downsample from stats (StatsAggregate.downsample) ----
+
+  private def directWindows(startMs: Long, endMs: Long, w: Long)
+      : Map[Long, (Long, Double, Double, Double)] = {
+    (startMs to endMs).filter(t => t >= 0 && t < 30)
+      .groupBy(t => t - ((t - startMs) % w))
+      .map { case (ws, ts) =>
+        val vs = ts.map(_ * 2.0)
+        ws -> (vs.size.toLong, vs.sum, vs.min, vs.max)
+      }
+  }
+
+  private def viaDownsample(startMs: Long, endMs: Long, w: Long,
+      raw: org.apache.spark.sql.DataFrame = data): Map[Long, Row] =
+    StatsAggregate.downsample(raw, stats, "m", startMs, endMs, bucketMs, w)
+      .collect().map(r => r.getAs[Long]("window_start") -> r).toMap
+
+  // windows aligned (=bucket), multiple of bucket, straddling buckets
+  // (15 over 10), unaligned start, range edges past the data
+  for ((s, e, w) <- Seq((0L, 29L, 10L), (0L, 29L, 20L), (0L, 29L, 15L),
+      (3L, 27L, 10L), (3L, 28L, 7L), (0L, 100L, 30L), (5L, 9L, 10L))) {
+    test(s"stats downsample equals row scan on [$s,$e] w=$w") {
+      val want = directWindows(s, e, w)
+      val got = viaDownsample(s, e, w)
+      assert(got.keySet == want.keySet)
+      for ((ws, (n, sum, mn, mx)) <- want) {
+        val r = got(ws)
+        assert(r.getAs[Long]("n") == n, s"n at $ws")
+        assert(math.abs(r.getAs[Double]("value_sum") - sum) < 1e-9, s"sum at $ws")
+        assert(r.getAs[Double]("min_value") == mn, s"min at $ws")
+        assert(r.getAs[Double]("max_value") == mx, s"max at $ws")
+        assert(math.abs(r.getAs[Double]("avg_value") - sum / n) < 1e-9, s"avg at $ws")
+      }
+    }
+  }
+
+  test("covered aligned windows are answered WITHOUT reading raw rows") {
+    // poison every raw value; stats stay real — equality with the clean
+    // expectation proves no raw row participated
+    val poisoned = data.withColumn("value", lit(1e9))
+    val got = viaDownsample(0L, 29L, 10L, raw = poisoned)
+    val want = directWindows(0L, 29L, 10L)
+    for ((ws, (n, sum, _, _)) <- want)
+      assert(got(ws).getAs[Long]("n") == n &&
+        math.abs(got(ws).getAs[Double]("value_sum") - sum) < 1e-9)
+  }
+
+  test("engine serves eligible *_over_time from stats, falls back for matchers") {
+    import graft.tsdb.{StreamCatalog, StreamDef, TsdbEngine, VType}
+    val cat = new StreamCatalog(Seq(StreamDef("m", Map.empty, VType.F64),
+      StreamDef("other", Map.empty, VType.F64)))
+    val poisoned = data.withColumn("value", lit(1e9))
+    val e = new TsdbEngine(spark, poisoned, cat, Some((stats, bucketMs)))
+    // fully covered + aligned → answered from the (clean) stats sidecar
+    val fromStats = TsdbFixtures.vectorOf(e.query("sum_over_time(m[10ms])", 0, 29)).toMap
+    assert(fromStats === Map(0L -> 90.0, 10L -> 290.0, 20L -> 490.0))
+    // last_over_time is not stats-expressible → raw scan (sees the poison)
+    val lasts = TsdbFixtures.vectorOf(e.query("last_over_time(m[10ms])", 0, 29)).toMap
+    assert(lasts.values.forall(_ == 1e9))
+    // a label matcher disqualifies stats (per-name rows only) → raw scan
+    val matched = TsdbFixtures.vectorOf(e.query("sum_over_time(m{a=\"b\"}[10ms])", 0, 29))
+    assert(matched.isEmpty) // no stream carries that label → empty, not stats-served
+  }
+
   test("graft_dot reaches SQL through the function registry") {
     // getOrCreate would return the shared fixture session (extensions are
     // bound at session build), so register into the live registry the

@@ -253,8 +253,12 @@ class EngineSpec extends AnyFunSuite {
 
   test("unsupported forms are rejected") {
     val e = helperEngine()
-    intercept[PromParseException](e.query("rate(ints[5m])", 0, 100))
-    intercept[PromParseException](e.query("ints[5m]", 0, 100))
+    // range functions are the engine's documented extension (RangeFnSpec);
+    // everything the reference rejects BEYOND them still rejects here:
+    // a bare matrix selector parses but is illegal outside a range fn,
+    intercept[IllegalArgumentException](e.query("ints[5m]", 0, 100))
+    // non-range function calls stay parse errors like the reference,
+    intercept[PromParseException](e.query("abs(ints)", 0, 100))
     intercept[IllegalArgumentException](e.query("ints == uints", 0, 100))
     intercept[IllegalArgumentException](e.query("sum(ints) > count(ints)", 0, 100))
   }

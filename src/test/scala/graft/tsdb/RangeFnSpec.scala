@@ -1,0 +1,111 @@
+package graft.tsdb
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Range-function extension (RangeFns.scala contract): tumbling windows
+  * aligned to the query start, Prometheus' counter-reset rule, the
+  * un-extrapolated rate estimator, and composition with the existing
+  * aggregate / topk / binary dispatch. Expectations are hand-computed
+  * from the fixture below.
+  */
+class RangeFnSpec extends AnyFunSuite {
+  import TsdbFixtures._
+
+  /** Counter-ish series over query range [0,100], window 30ms:
+    *  w0 [0,30):   (5,10) (15,20) (25,5)   — reset at 25
+    *  w1 [30,60):  (35,7)                  — single sample
+    *  w2 [60,90):  (65,3) (80,9)
+    *  w3 [90,100]: (95,1) (99,1)           — flat pair
+    * plus "dup": two samples on the SAME timestamp 50 (values 2, 8).
+    */
+  private lazy val engine: TsdbEngine = {
+    val ctr = Seq(5L -> 10d, 15L -> 20d, 25L -> 5d, 35L -> 7d,
+      65L -> 3d, 80L -> 9d, 95L -> 1d, 99L -> 1d)
+    val rows =
+      ctr.map { case (t, v) => ("ctr", Map.empty[String, String], t, v) } ++
+        Seq(("dup", Map.empty[String, String], 50L, 2d),
+          ("dup", Map.empty[String, String], 50L, 8d))
+    val cat = new StreamCatalog(Seq(
+      StreamDef("ctr", Map.empty, VType.F64),
+      StreamDef("dup", Map.empty, VType.F64)))
+    new TsdbEngine(spark, longDf(rows), cat)
+  }
+
+  private def run(q: String, start: Long = 0L, end: Long = 100L): Map[Long, Double] =
+    vectorOf(engine.query(q, start, end)).toMap
+
+  test("rate: reset-corrected increase over the observed span, per window") {
+    // w0: +10, reset→+5 = 15 over 20ms → 750/s; w1 dropped (1 sample);
+    // w2: +6 over 15ms → 400/s; w3: 0 over 4ms → 0/s
+    assert(run("rate(ctr[30ms])") ===
+      Map(0L -> 750.0, 60L -> 400.0, 90L -> 0.0))
+  }
+
+  test("increase: reset adds the post-reset sample's full value") {
+    assert(run("increase(ctr[30ms])") ===
+      Map(0L -> 15.0, 60L -> 6.0, 90L -> 0.0))
+  }
+
+  test("delta: last - first, needs two samples") {
+    assert(run("delta(ctr[30ms])") ===
+      Map(0L -> -5.0, 60L -> 6.0, 90L -> 0.0))
+  }
+
+  test("*_over_time family, single-sample windows included") {
+    assert(run("sum_over_time(ctr[30ms])") ===
+      Map(0L -> 35.0, 30L -> 7.0, 60L -> 12.0, 90L -> 2.0))
+    assert(run("count_over_time(ctr[30ms])") ===
+      Map(0L -> 3.0, 30L -> 1.0, 60L -> 2.0, 90L -> 2.0))
+    assert(run("min_over_time(ctr[30ms])") ===
+      Map(0L -> 5.0, 30L -> 7.0, 60L -> 3.0, 90L -> 1.0))
+    assert(run("max_over_time(ctr[30ms])") ===
+      Map(0L -> 20.0, 30L -> 7.0, 60L -> 9.0, 90L -> 1.0))
+    val avg = run("avg_over_time(ctr[30ms])")
+    assert(math.abs(avg(0L) - 35.0 / 3) < 1e-12)
+    assert(avg(30L) === 7.0)
+    assert(run("last_over_time(ctr[30ms])") ===
+      Map(0L -> 5.0, 30L -> 7.0, 60L -> 9.0, 90L -> 1.0))
+  }
+
+  test("duplicate timestamps: last_over_time ties toward the larger value; rate needs a positive span") {
+    assert(run("last_over_time(dup[30ms])") === Map(30L -> 8.0))
+    // two samples but zero observed span → no rate row
+    assert(run("rate(dup[30ms])") === Map.empty[Long, Double])
+    // increase still defined (ordered (t,v): 2 then 8 → +6)
+    assert(run("increase(dup[30ms])") === Map(30L -> 6.0))
+  }
+
+  test("windows align to the query start, not the epoch") {
+    assert(run("count_over_time(ctr[30ms])", start = 5L).keySet ===
+      Set(5L, 35L, 65L, 95L))
+  }
+
+  test("composes with aggregates, topk, and binary ops as a normal vector") {
+    assert(scalarsOf(engine.query("max(rate(ctr[30ms]))", 0, 100)) === Seq(750.0))
+    assert(scalarsOf(engine.query("topk(2, increase(ctr[30ms]))", 0, 100)) ===
+      Seq(15.0, 6.0))
+    assert(run("increase(ctr[30ms]) * 2") ===
+      Map(0L -> 30.0, 60L -> 12.0, 90L -> 0.0))
+    // V2V between two range-fn vectors on identical window timestamps:
+    // the interpolation align is exact when the timestamp sets coincide
+    assert(run("sum_over_time(ctr[30ms]) - min_over_time(ctr[30ms])") ===
+      Map(0L -> 30.0, 30L -> 0.0, 60L -> 9.0, 90L -> 1.0))
+  }
+
+  test("integer streams come out Float64 (range functions are float-valued)") {
+    val e = helperEngine() // ints: 2,4,6,8 at ts 10..40, VType.I64
+    val r = e.query("rate(ints[100ms])", 0, 100)
+    assert(r.vtype === VType.F64)
+    assert(vectorOf(r) === Seq((0L, 200.0))) // +6 over 30ms
+  }
+
+  test("rejections: bare matrix selector, instant child, non-selector child") {
+    intercept[PromParseException] { PromParser.parse("rate(ctr)") }
+    intercept[PromParseException] { PromParser.parse("rate(1)") }
+    intercept[PromParseException] { PromParser.parse("abs(ctr)") }
+    intercept[PromParseException] { PromParser.parse("ctr[0ms]") }
+    // parses, but a matrix selector is only legal under a range function
+    intercept[IllegalArgumentException] { engine.query("ctr[30ms]", 0, 100) }
+    intercept[IllegalArgumentException] { engine.query("ctr[30ms] + 1", 0, 100) }
+  }
+}
