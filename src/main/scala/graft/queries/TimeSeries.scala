@@ -314,6 +314,23 @@ object TimeSeries {
         .orderBy("window_start")
     },
 
+    // Time-rollup GROUP BY pushed to the sidecar through PLAIN SQL:
+    // `bucket` is a queryable partition column, so the per-(series, day)
+    // rollup — the dashboard query — folds one sidecar row per group and
+    // never lists the raw data dirs (GraftSourceSpec pins
+    // boundaryFiles=0 and the unaligned grouped property). The oracle
+    // recomputes the same rollup from raw events.
+    "ts44_dsv2_rollup" -> { (s, dir) =>
+      val t = s.read.format("graft").option("bucketMs", Day.toString)
+        .option("stats", "true").load(dsv2Store(s, dir))
+      t.where(col("timestamp") >= SubStart && col("timestamp") < SubEnd)
+        .groupBy("name", "bucket")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"),
+          min(col("timestamp")).as("first_ts"))
+        .orderBy("name", "bucket")
+    },
+
     // The engine integration: a TsdbEngine carrying the stats sidecar
     // serves avg_over_time from it (day windows, hourly buckets, aligned
     // start → covered throughout; the inclusive end sample comes from
@@ -647,6 +664,14 @@ object TimeSeries {
          |           FROM ${ev("event_type = 'purchase'")} WHERE ${sub()})
          |SELECT ws AS timestamp, ROUND(AVG(v), 3) AS value
          |FROM w GROUP BY ws ORDER BY timestamp""".stripMargin,
+
+    "ts44_dsv2_rollup" ->
+      s"""SELECT event_type AS name, t - t % 86400000 AS bucket,
+         |  COUNT(*) AS n, ROUND(SUM(v), 4) AS sum_value, MIN(t) AS first_ts
+         |FROM (SELECT event_type, epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events)
+         |WHERE t >= $SubStart AND t < $SubEnd
+         |GROUP BY 1, 2 ORDER BY name, bucket""".stripMargin,
 
     "ts01_select_range" ->
       s"""SELECT t AS timestamp, v AS value FROM ${ev("event_type = 'purchase'")}

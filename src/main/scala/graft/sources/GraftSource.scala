@@ -167,12 +167,23 @@ private[sources] final class SerializableHadoopConf(
 
 object GraftSource {
 
+  /** `name` and `bucket` are PARTITION-DIR values (Hive-style exposure
+    * of the store layout, like Spark's own partition columns): the
+    * readers synthesize them per file without decoding anything, and
+    * `bucket` makes time-rollup group-bys pushable to the stats sidecar
+    * (`GROUP BY name, bucket` — see pushAggregation).
+    */
   val tableSchema: StructType = StructType(Seq(
     StructField("name", StringType),
     StructField("labels", MapType(StringType, StringType)),
     StructField("timestamp", LongType),
     StructField("value", DoubleType),
-    StructField("lvalue", LongType)))
+    StructField("lvalue", LongType),
+    StructField("bucket", LongType)))
+
+  /** The dir-derived columns every reader synthesizes per file. */
+  private[graft] def isPartitionCol(n: String): Boolean =
+    n == "name" || n == "bucket"
 
   /** One data file of the store with its partition-dir coordinates. */
   final case class GraftFile(path: String, name: String, bucket: Long,
@@ -183,7 +194,7 @@ object GraftSource {
     * multi-file input partitions.
     */
   private[graft] final case class GraftChunk(path: String, name: String,
-      tsLo: Long, tsHi: Long, rangeStart: Long, rangeEnd: Long)
+      bucket: Long, tsLo: Long, tsHi: Long, rangeStart: Long, rangeEnd: Long)
 
   /** Hive-style partition-value unescape (`%2F` → `/`): GraftDb writes
     * through Spark's `partitionBy`, which escapes special characters in
@@ -551,7 +562,7 @@ private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
   private var required: StructType = GraftSource.tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggFuncs: Seq[String] = Nil
-  private var aggGroupByName = false
+  private var aggGroup: Seq[String] = Nil // ⊆ {name, bucket}, pushed order
   private var aggPushed = false
 
   /** Filters the source can enforce EXACTLY (so they need no residual):
@@ -586,14 +597,21 @@ private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (!statsMode) return false
-    val groupOk = agg.groupByExpressions.toSeq match {
-      case Seq() => { aggGroupByName = false; true }
-      case Seq(nr: NamedReference)
-          if nr.fieldNames.sameElements(Array("name")) =>
-        aggGroupByName = true; true
-      case _ => false
+    // group-bys over the partition-dir columns push down: every sidecar
+    // row IS a (name, bucket) group, so name / bucket / (name, bucket)
+    // rollups fold sidecar rows per group (the time-bucket rollup is the
+    // dashboard query), and boundary raw files carry their dir values as
+    // constant group keys. Anything else (labels, value) can't be
+    // grouped from the sidecar.
+    val groups = agg.groupByExpressions.toSeq.map {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+          GraftSource.isPartitionCol(nr.fieldNames()(0)) =>
+        Some(nr.fieldNames()(0))
+      case _ => None
     }
-    if (!groupOk) return false
+    if (groups.exists(_.isEmpty) || groups.distinct.size != groups.size)
+      return false
+    aggGroup = groups.flatten
     val funcs = agg.aggregateExpressions.toSeq.map(GraftSource.statsFuncOf)
     // an empty aggregation list (e.g. count(NULL) constant-folded away
     // by Catalyst) has nothing to serve from the sidecar
@@ -645,7 +663,7 @@ private[sources] class GraftScanBuilder(rootDir: String, bucketMs: Long,
             f.bucket >= covLo && bucketLast <= covHi
           }
       new GraftStatsScan(GraftSource.statsFiles(rootDir, conf.value).get,
-        boundary, aggGroupByName, aggFuncs, b, covLo, covHi, bucketMs,
+        boundary, aggGroup, aggFuncs, b, covLo, covHi, bucketMs,
         pushed, conf)
     } else {
       val files = GraftSource.prune(
@@ -685,10 +703,12 @@ private[sources] final class GraftAggAcc {
   var minV = Double.MaxValue; var maxV = Double.MinValue; var hasV = false
   var minTs = Long.MaxValue; var maxTs = Long.MinValue; var hasTs = false
 
-  def render(groupByName: Boolean, name: String,
+  def render(groupCols: Seq[String], name: String, bucket: Long,
       funcs: Seq[String]): InternalRow = {
-    val group: Seq[Any] =
-      if (groupByName) Seq(UTF8String.fromString(name)) else Nil
+    val group: Seq[Any] = groupCols.map {
+      case "name" => UTF8String.fromString(name)
+      case "bucket" => bucket
+    }
     val aggs: Seq[Any] = funcs.map {
       case "count" => n
       case "sum" => if (hasSum) sum else null
@@ -719,15 +739,16 @@ private[sources] final class GraftAggAcc {
   * never listed or opened.
   */
 private[sources] class GraftStatsScan(statsFiles: Seq[GraftSource.GraftFile],
-    boundaryFiles: Seq[GraftSource.GraftFile], groupByName: Boolean,
+    boundaryFiles: Seq[GraftSource.GraftFile], groupCols: Seq[String],
     funcs: Seq[String], bounds: GraftSource.Bounds, covLo: Long, covHi: Long,
     bucketMs: Long, pushed: Array[Filter], conf: SerializableHadoopConf)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = {
-    val group =
-      if (groupByName) Seq(StructField("name", StringType, nullable = false))
-      else Nil
+    val group = groupCols.map {
+      case "name" => StructField("name", StringType, nullable = false)
+      case "bucket" => StructField("bucket", LongType, nullable = false)
+    }
     StructType(group ++ funcs.zipWithIndex.map { case (f, i) =>
       StructField(s"agg_$i", GraftSource.statsFuncType(f))
     })
@@ -737,14 +758,15 @@ private[sources] class GraftStatsScan(statsFiles: Seq[GraftSource.GraftFile],
     s"GraftStatsScan files=${statsFiles.size} " +
       s"boundaryFiles=${boundaryFiles.size} " +
       s"PushedAggregates=[${funcs.mkString(", ")}] " +
-      s"GroupBy=[${if (groupByName) "name" else ""}] " +
+      s"GroupBy=[${groupCols.mkString(", ")}] " +
       s"PushedFilters=[${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    (statsFiles.map(f => GraftStatsPartition(f.path, groupByName, funcs,
+    (statsFiles.map(f => GraftStatsPartition(f.path, groupCols, funcs,
       bounds.names, covLo, covHi, bucketMs): InputPartition) ++
-     boundaryFiles.map(f => GraftAggRawPartition(f.path, f.name, groupByName,
-       funcs, bounds.lo, bounds.hi, covLo, covHi): InputPartition)).toArray
+     boundaryFiles.map(f => GraftAggRawPartition(f.path, f.name, f.bucket,
+       groupCols, funcs, bounds.lo, bounds.hi, covLo, covHi): InputPartition))
+      .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftAggReaderFactory(conf)
@@ -770,7 +792,7 @@ private[sources] class GraftAggReaderFactory(conf: SerializableHadoopConf)
 }
 
 private[sources] final case class GraftStatsPartition(path: String,
-    groupByName: Boolean, funcs: Seq[String], names: Option[Set[String]],
+    groupCols: Seq[String], funcs: Seq[String], names: Option[Set[String]],
     tsLo: Long, tsHi: Long, bucketMs: Long) extends InputPartition
 
 /** One raw data file of a boundary bucket: rows inside the pushed
@@ -779,7 +801,7 @@ private[sources] final case class GraftStatsPartition(path: String,
   * partition value, so group-by-name needs no per-row grouping).
   */
 private[sources] final case class GraftAggRawPartition(path: String,
-    name: String, groupByName: Boolean, funcs: Seq[String],
+    name: String, bucket: Long, groupCols: Seq[String], funcs: Seq[String],
     tsLo: Long, tsHi: Long, covLo: Long, covHi: Long) extends InputPartition
 
 /** Reads one stats-sidecar parquet file and emits one partial row per
@@ -802,7 +824,10 @@ private[sources] class GraftStatsPartitionReader(part: GraftStatsPartition,
       val fileSchema = reader.getFooter.getFileMetaData.getSchema
       val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
       def idx(col: String): Int = fileSchema.getFieldIndex(col)
-      val acc = scala.collection.mutable.LinkedHashMap.empty[String, GraftAggAcc]
+      val gbName = part.groupCols.contains("name")
+      val gbBucket = part.groupCols.contains("bucket")
+      val acc =
+        scala.collection.mutable.LinkedHashMap.empty[(String, Long), GraftAggAcc]
       var pages = reader.readNextRowGroup()
       while (pages != null) {
         val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
@@ -831,7 +856,8 @@ private[sources] class GraftStatsPartitionReader(part: GraftStatsPartition,
                     s"covered interval [${part.tsLo}, ${part.tsHi}] — bucketMs " +
                     s"mismatch between the sidecar and the scan?")
               val a = acc.getOrElseUpdate(
-                if (part.groupByName) name else "", new GraftAggAcc)
+                (if (gbName) name else "", if (gbBucket) bucket else 0L),
+                new GraftAggAcc)
               a.n += g.getLong(idx("n"), 0)
               if (g.getFieldRepetitionCount(idx("value_sum")) > 0) {
                 a.sum += g.getDouble(idx("value_sum"), 0); a.hasSum = true
@@ -862,8 +888,8 @@ private[sources] class GraftStatsPartitionReader(part: GraftStatsPartition,
 
   override def next(): Boolean = {
     if (!groups.hasNext) return false
-    val (name, a) = groups.next()
-    current = a.render(part.groupByName, name, part.funcs)
+    val ((name, bucket), a) = groups.next()
+    current = a.render(part.groupCols, name, bucket, part.funcs)
     true
   }
 
@@ -947,7 +973,7 @@ private[sources] class GraftAggRawReader(part: GraftAggRawPartition,
   }
 
   override def get(): InternalRow =
-    acc.render(part.groupByName, part.name, part.funcs)
+    acc.render(part.groupCols, part.name, part.bucket, part.funcs)
 
   override def close(): Unit = reader.close()
 }
@@ -1002,7 +1028,7 @@ private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
       (0L until nSplits).map { i =>
         val start = i * maxSplitBytes
         val end = if (i == nSplits - 1) f.length else (i + 1) * maxSplitBytes
-        GraftSource.GraftChunk(f.path, f.name, lo, hi, start, end)
+        GraftSource.GraftChunk(f.path, f.name, f.bucket, lo, hi, start, end)
       }
     }
     // ...then bin small chunks back together: many small flush files
@@ -1022,7 +1048,8 @@ private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
     // which decompresses nothing at all. The decision is scan-wide
     // because Spark forbids mixing row and columnar partitions.
     val claimed = tsLo != Long.MinValue || tsHi != Long.MaxValue
-    val needsFileColumns = required.fields.exists(_.name != "name")
+    val needsFileColumns =
+      required.fields.exists(f => !GraftSource.isPartitionCol(f.name))
     val columnar = !claimed && needsFileColumns
     val factoryConf =
       if (!columnar) conf
@@ -1046,7 +1073,8 @@ private[graft] class GraftScan(initialFiles: Seq[GraftSource.GraftFile],
         // the catalyst projection the reader materializes; missing file
         // columns (an old file without lvalue) become null vectors
         c.set("org.apache.spark.sql.parquet.row.requested_schema",
-          StructType(required.fields.filter(_.name != "name")).json)
+          StructType(required.fields
+            .filterNot(f => GraftSource.isPartitionCol(f.name))).json)
         new SerializableHadoopConf(c)
       }
     new GraftReaderFactory(required, factoryConf, columnar)
@@ -1108,10 +1136,11 @@ private[sources] class GraftReaderFactory(required: StructType,
   * full-corpus analytic scan through `format("graft")` then matches the
   * plain parquet path's throughput (StatsBench `dsv2_raw` at the 100M
   * dense geometry: 3.2× over the row reader before, ≈1× after). The
-  * `name` partition value rides in as a constant partition column via
-  * `initBatch`, and the batch is re-wrapped to the projection's column
-  * order (the vectorized reader emits data columns first, partition
-  * columns last, while DSv2 requires the pruned-schema order).
+  * `name`/`bucket` partition values ride in as constant partition
+  * columns via `initBatch`, and the batch is re-wrapped to the
+  * projection's column order (the vectorized reader emits data columns
+  * first, partition columns last, while DSv2 requires the pruned-schema
+  * order).
   *
   * Only built for scans with NO claimed row-level bounds (see
   * createReaderFactory): the batch path never filters rows, and in
@@ -1142,14 +1171,17 @@ private[sources] class GraftColumnarReader(part: GraftSource.GraftChunk,
       val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
         hconf, new org.apache.hadoop.mapreduce.TaskAttemptID())
       reader.initialize(split, ctx)
-      val dataSchema = StructType(required.fields.filter(_.name != "name"))
-      val hasName = required.fieldNames.contains("name")
-      val partSchema =
-        if (hasName) StructType(Seq(StructField("name", StringType, nullable = false)))
-        else new StructType()
-      val partValues =
-        if (hasName) InternalRow(UTF8String.fromString(part.name))
-        else InternalRow.empty
+      val dataSchema = StructType(
+        required.fields.filterNot(f => GraftSource.isPartitionCol(f.name)))
+      // dir-derived constants ride in as partition columns; the batch
+      // reader appends them after the data columns in partSchema order
+      val partFields =
+        required.fields.filter(f => GraftSource.isPartitionCol(f.name))
+      val partSchema = StructType(partFields.toSeq)
+      val partValues = InternalRow.fromSeq(partFields.toSeq.map {
+        case f if f.name == "name" => UTF8String.fromString(part.name)
+        case _ => part.bucket
+      })
       reader.initBatch(partSchema, partValues)
       reader.enableReturningBatches()
       val inner = reader.resultBatch()
@@ -1158,7 +1190,8 @@ private[sources] class GraftColumnarReader(part: GraftSource.GraftChunk,
       val cols: Array[org.apache.spark.sql.vectorized.ColumnVector] =
         required.fields.map { f =>
           inner.column(
-            if (f.name == "name") dataSchema.length
+            if (GraftSource.isPartitionCol(f.name))
+              dataSchema.length + partSchema.fieldIndex(f.name)
             else dataSchema.fieldIndex(f.name))
         }
       (inner, new org.apache.spark.sql.vectorized.ColumnarBatch(cols))
@@ -1213,7 +1246,8 @@ private[sources] class GraftPartitionReader(part: GraftSource.GraftChunk,
       // active bound check needs the timestamp column even when the
       // projection doesn't
       val wanted: Array[String] = (required.fieldNames
-        .filter(_ != "name") ++ (if (tsActive) Seq("timestamp") else Nil))
+        .filterNot(GraftSource.isPartitionCol) ++
+        (if (tsActive) Seq("timestamp") else Nil))
         .distinct.filter(fileSchema.containsField)
       val countOnly = wanted.isEmpty
       val projSchema: MessageType =
@@ -1278,6 +1312,7 @@ private[sources] class GraftPartitionReader(part: GraftSource.GraftChunk,
       val f = required.fields(i)
       out(i) =
         if (f.name == "name") nameValue
+        else if (f.name == "bucket") part.bucket
         else if (countOnly || !fileSchema.containsField(f.name)) null
         else {
           val idx = projSchema.getFieldIndex(f.name)

@@ -165,6 +165,67 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(pushed.collect().toSeq == raw.collect().toSeq)
   }
 
+  test("bucket is a queryable partition column on every read path") {
+    // row-level view: bucket ≡ timestamp - timestamp % bucketMs (the dir
+    // value), synthesized per file with nothing decoded
+    val rows = graftDf.select("name", "bucket", "timestamp")
+      .orderBy("name", "timestamp").collect()
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2) - r.getLong(2) % H))
+    // batch path carries it as a constant partition vector
+    assert(scanIsColumnar(graftDf.select("bucket", "value")))
+    // a (name, bucket)-only scan keeps the footer fast path
+    val q = graftDf.groupBy("name", "bucket").count()
+    assert(!scanIsColumnar(q))
+    assert(q.collect().length == 5) // 5 (name,bucket) dirs, 1 row each
+  }
+
+  test("group-by (name, bucket) time-rollup pushes down to the sidecar") {
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("timestamp") >= 0L && col("timestamp") < 3 * H)
+      .groupBy("name", "bucket")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("s"),
+        min("timestamp").as("t0"), max("timestamp").as("t1"))
+      .orderBy("name", "bucket")
+    val pushed = agg(statsDf)
+    val plan = planOf(pushed)
+    assert(plan.contains("GraftStatsScan"), plan)
+    assert(plan.contains("GroupBy=[name, bucket]") ||
+      plan.contains("GroupBy=[bucket, name]"), plan)
+    // aligned window: no raw file is listed, let alone opened
+    assert(plan.contains("boundaryFiles=0"), plan)
+    assert(pushed.collect().toSeq == agg(graftDf).collect().toSeq)
+    // bucket-only grouping works too (cross-series per-hour rollup)
+    def byBucket(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("bucket").agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .orderBy("bucket")
+    val pb = byBucket(statsDf)
+    assert(planOf(pb).contains("GraftStatsScan"), planOf(pb))
+    assert(pb.collect().toSeq == byBucket(graftDf).collect().toSeq)
+  }
+
+  test("grouped rollup ≡ raw for random unaligned windows (property)") {
+    // boundary raw files must contribute partials under their own
+    // (name, bucket) group keys — the unaligned grouped decomposition
+    val rnd = new scala.util.Random(43)
+    val tsMax = 3 * H + 3000L
+    for (_ <- 1 to 25) {
+      val a = math.abs(rnd.nextLong()) % tsMax - 1000L
+      val b = math.abs(rnd.nextLong()) % tsMax
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .where(col("timestamp") >= lo && col("timestamp") <= hi)
+        .groupBy("name", "bucket")
+        .agg(count(lit(1)).as("n"), sum("value").as("s"),
+          min("timestamp").as("t0"), max("timestamp").as("t1"))
+        .orderBy("name", "bucket")
+      val pushed = agg(statsDf)
+      assert(planOf(pushed).contains("GraftStatsScan"),
+        s"[$lo,$hi]: ${planOf(pushed)}")
+      assert(pushed.collect().toSeq == agg(graftDf).collect().toSeq,
+        s"window [$lo,$hi]")
+    }
+  }
+
   test("avg falls back to the raw scan (no partial decomposition) — exact") {
     // Spark only rewrites AVG into pushable sum/count for sources that
     // support COMPLETE pushdown; with partial-only pushdown it arrives
@@ -628,7 +689,7 @@ class GraftSourceSpec extends AnyFunSuite {
   test("packChunks bins small files and isolates big ones (Spark policy)") {
     import graft.sources.GraftSource.GraftChunk
     def chunk(p: String, len: Long) =
-      GraftChunk(p, "m", Long.MinValue, Long.MaxValue, 0L, len)
+      GraftChunk(p, "m", 0L, Long.MinValue, Long.MaxValue, 0L, len)
     // 6 tiny files + open cost pack into few partitions, not 6
     val tiny = (1 to 6).map(i => chunk(s"t$i", 1000L))
     val packed = GraftSource.packChunks(tiny, 10000L, 2000L)
