@@ -604,14 +604,21 @@ final class GraftDb(
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
   }
 
-  /** Engine over the store. When a stats table exists it rides along,
-    * so eligible `*_over_time` range functions answer from sidecar
-    * rows + boundary raw rows (StatsAggregate.downsample) instead of
-    * scanning the store — the ScanHint optimization, per window.
+  /** Engine over the store. `serveFromStats = true` additionally hands
+    * the engine the stats sidecar, so eligible `*_over_time` range
+    * functions answer from sidecar rows + boundary raw rows
+    * (StatsAggregate.downsample) instead of scanning the store — the
+    * ScanHint optimization, per window. OPT-IN for the same reason
+    * [[fastAggregate]] is explicit: our stats are maintained
+    * asynchronously (refreshStats / statsStream), so implicit routing
+    * could silently serve stale aggregates between a write and the next
+    * stats commit. Callers opt in where bounded staleness is acceptable
+    * (or right after refreshStats()).
     */
-  def engine(): TsdbEngine =
+  def engine(serveFromStats: Boolean = false): TsdbEngine =
     new TsdbEngine(spark, dataset(), new StreamCatalog(streams()),
-      statsDir().map(d => (spark.read.parquet(d), bucketMs)))
+      if (serveFromStats) statsDir().map(d => (spark.read.parquet(d), bucketMs))
+      else None)
 
   /** Live TAIL of the store as a Structured Stream: every new flush
     * delta (Inserter.flush, importCsv, a streaming ingest's sink)

@@ -41,6 +41,30 @@ class LibrarySpec extends AnyFunSuite {
     assert(desc.map(_.getAs[Long]("n_samples")).sum == 5)
   }
 
+  test("range fns via engine(serveFromStats): opt-in, equal when fresh, stale by contract") {
+    val dir = Files.createTempDirectory("graftdb_rf").toString
+    val db = new GraftDb(spark, dir, bucketMs = 10L)
+    db.createStream("m", VType.F64)
+    val ins = db.inserter("m")
+    Seq(1L -> 1.0, 5L -> 3.0, 11L -> 5.0, 15L -> 7.0)
+      .foreach { case (t, v) => ins.insert(t, v) }
+    ins.flush()
+    db.refreshStats()
+    def run(e: graft.tsdb.TsdbEngine) =
+      graft.tsdb.TsdbFixtures.vectorOf(e.query("sum_over_time(m[10ms])", 0, 19)).toMap
+    // fresh stats: the sidecar-served answer equals the raw scan
+    assert(run(db.engine()) === Map(0L -> 4.0, 10L -> 12.0))
+    assert(run(db.engine(serveFromStats = true)) === Map(0L -> 4.0, 10L -> 12.0))
+    // a write WITHOUT refreshStats: raw sees it, the opt-in stats path
+    // serves the bounded-staleness answer (the documented fastAggregate
+    // contract — why serveFromStats is NOT the default)
+    val ins2 = db.inserter("m"); ins2.insert(7L, 100.0); ins2.flush()
+    assert(run(db.engine()) === Map(0L -> 104.0, 10L -> 12.0))
+    assert(run(db.engine(serveFromStats = true)) === Map(0L -> 4.0, 10L -> 12.0))
+    db.refreshStats()
+    assert(run(db.engine(serveFromStats = true)) === Map(0L -> 104.0, 10L -> 12.0))
+  }
+
   test("GraftDb full lifecycle: flushes -> compact -> stats -> expire -> export") {
     val dir = Files.createTempDirectory("graftdb_life").toString
     val db = new GraftDb(spark, dir)
