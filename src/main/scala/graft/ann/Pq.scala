@@ -1,0 +1,121 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the standard memory compression for
+  * billion-scale ANN: split each D-dim vector into `m` subspaces of
+  * D/m dims, quantize every sub-vector to the nearest of `k` per-subspace
+  * centroids, and keep only the m small codes (m bytes at k ≤ 256 —
+  * a 64-dim float vector compresses 32×). Search never decodes:
+  * asymmetric distance computation (ADC) builds one m×k table of
+  * query-to-centroid sub-distances driver-side and approximates
+  * ||q - v||² as the sum of m table lookups.
+  *
+  * Spark shape, end to end:
+  *  - `fit` = m independent per-subspace k-means, each reusing
+  *    [[IvfIndex.fit]] on a sliced column (deterministic first-k init +
+  *    Lloyd steps; only the m·k·(D/m) = k·D doubles of the codebook ever
+  *    reach the driver).
+  *  - `encode` is ROW-LOCAL: m compiled nearest-centroid kernels
+  *    ([[graft.functions.VectorExpressions.ivfNearest]] — the same
+  *    codegen loop IVF assignment uses, per subspace over a slice), no
+  *    join, no shuffle. Ties break to the smaller code, like IVF cells.
+  *  - `adcTopK` is ROW-LOCAL + TakeOrderedAndProject: the distance
+  *    table rides in as m literal arrays, the lookup sum is m
+  *    `element_at` + adds (plain codegen — deliberately NOT an
+  *    `aggregate()` HOF, which evaluates interpreted per element; the
+  *    round-9 kernel lesson), and the top-k is orderBy+limit's
+  *    bounded-memory heap.
+  *
+  * At 100 TB: the codes table (id, m small ints) is what sits in fast
+  * storage; ADC scans it without touching the raw vectors, and composes
+  * with IVF blocking (encode the IVF-assigned frame, filter cells, ADC
+  * only the probed cells' codes).
+  */
+object Pq {
+
+  /** Codebook: `centroids(s)(j)` = centroid j of subspace s (ids are
+    * dense 0..k-1 per subspace, ascending — the IvfIndex convention).
+    */
+  final case class Model(subDim: Int, centroids: Array[Array[Array[Double]]]) {
+    def m: Int = centroids.length
+    def k: Int = centroids(0).length
+    require(centroids.forall(_.length == k), "ragged codebook")
+  }
+
+  private def sliceCol(vecCol: String, s: Int, subDim: Int): Column =
+    slice(col(vecCol), s * subDim + 1, subDim)
+
+  /** Per-subspace deterministic k-means (first-k init, `iters` Lloyd
+    * steps — iters = 0 keeps the raw init, the oracle-reproducible
+    * configuration the ann07 gate runs). Input vectors must be
+    * array<double> with a constant dimension divisible by `m`.
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      iters: Int = 3): Model = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val subModels = (0 until m).map { s =>
+      IvfIndex.fit(
+        df.select(col(idCol).as("id"),
+          sliceCol(vecCol, s, subDim).as("sub")),
+        "id", "sub", k, iters)
+    }
+    Model(subDim,
+      subModels.map(_.centroids.sortBy(_._1).map(_._2)).toArray)
+  }
+
+  /** Append the m-code array (`codes`, array<int>): per subspace, the
+    * nearest sub-centroid by L2, ties to the smaller code — one compiled
+    * kernel per subspace, all row-local.
+    */
+  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val codeCols = (0 until model.m).map { s =>
+      graft.functions.VectorExpressions.ivfNearest(
+        sliceCol(vecCol, s, model.subDim),
+        model.centroids(s).zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq,
+        1)
+    }
+    df.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** The m×k asymmetric distance table for `query`: table(s)(j) =
+    * ||query_s - centroid_{s,j}||² (exact sub-distances; the
+    * approximation is only in v's quantization).
+    */
+  private[graft] def distTable(query: Seq[Double], model: Model): Array[Array[Double]] =
+    Array.tabulate(model.m) { s =>
+      Array.tabulate(model.k) { j =>
+        var d2 = 0.0
+        var i = 0
+        while (i < model.subDim) {
+          val d = query(s * model.subDim + i) - model.centroids(s)(j)(i)
+          d2 += d * d; i += 1
+        }
+        d2
+      }
+    }
+
+  /** Approximate top-k by ADC over an encoded frame: `adist` =
+    * Σ_s table(s)(codes(s)), ascending (it approximates squared L2).
+    * Deterministic ties to the smaller id. Row-local lookups + the
+    * orderBy/limit heap; nothing shuffles but k rows per partition.
+    */
+  def adcTopK(codes: DataFrame, idCol: String, model: Model,
+      query: Seq[Double], topK: Int): DataFrame = {
+    val table = distTable(query, model)
+    val adist = (0 until model.m).map { s =>
+      // element_at is 1-based; codes are 0-based
+      element_at(typedLit(table(s).toSeq),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    codes
+      .withColumn("adist", adist)
+      .orderBy(col("adist").asc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), col("adist"))
+  }
+}

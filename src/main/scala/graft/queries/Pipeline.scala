@@ -674,6 +674,25 @@ object Pipeline {
         .orderBy("qid", "rank")
     },
 
+    // Product quantization + asymmetric distance search (Jégou et al.
+    // 2011) — the memory compression billion-scale ANN runs on: 64 dims
+    // → 8 one-byte codes (32x), search = 8 table lookups per row, never
+    // decoding. Gate configuration is the oracle-reproducible one
+    // (iters = 0: codebook = the first-k vectors' sub-slices, so DuckDB
+    // can rebuild it); the TRAINED path (Lloyd steps per subspace) is
+    // PqSpec's, with a measured recall floor. Encode is a compiled
+    // kernel per subspace; ADC is element_at lookups (plain codegen, no
+    // interpreted HOF) + the orderBy/limit heap.
+    "ann07_pq_adc" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val model = graft.ann.Pq.fit(e, "vec_id", "vec", m = 8, k = 4, iters = 0)
+      val enc = graft.ann.Pq.encode(e.where(col("vec_id") =!= 0), "vec", model)
+      val q = e.where(col("vec_id") === 0).select("vec").head().getSeq[Double](0)
+      graft.ann.Pq.adcTopK(enc, "vec_id", model, q, 10)
+        .select(col("vec_id"), round(col("adist"), 6).as("adist"))
+    },
+
     // Symmetric int8 quantization of the embedding column — the 4x
     // storage/bandwidth reduction a 100 TB embedding store runs on:
     // per-vector scale = max |v| / 127, codes = floor(v * 127 / amax).
@@ -1840,6 +1859,36 @@ object Pipeline {
         |      FROM s)
         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, ROUND(sim, 6) AS sim
         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "ann07_pq_adc" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings),
+        |m AS (SELECT unnest(range(0, 8)) AS s),
+        |cent AS (SELECT m.s, c.vec_id AS j,
+        |           list_slice(c.vec, m.s*8+1, m.s*8+8) AS cv
+        |         FROM v c, m WHERE c.vec_id < 4),
+        |parts AS (SELECT p.vec_id, m.s,
+        |            list_slice(p.vec, m.s*8+1, m.s*8+8) AS sv
+        |          FROM v p, m WHERE p.vec_id != 0),
+        |d AS (SELECT parts.vec_id, parts.s, cent.j,
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (parts.sv[i] - cent.cv[i]) * (parts.sv[i] - cent.cv[i]))) AS d2
+        |      FROM parts JOIN cent ON parts.s = cent.s),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        |    FROM d) WHERE rn = 1),
+        |q AS (SELECT m.s, list_slice(vec, m.s*8+1, m.s*8+8) AS qv
+        |      FROM v, m WHERE vec_id = 0),
+        |tab AS (SELECT q.s, cent.j,
+        |          list_sum(list_transform(range(1, 9),
+        |            i -> (q.qv[i] - cent.cv[i]) * (q.qv[i] - cent.cv[i]))) AS qd
+        |        FROM q JOIN cent ON q.s = cent.s),
+        |adc AS (SELECT codes.vec_id, SUM(tab.qd) AS adist
+        |        FROM codes JOIN tab ON codes.s = tab.s AND codes.code = tab.j
+        |        GROUP BY codes.vec_id)
+        |SELECT vec_id, ROUND(adist, 6) AS adist FROM adc
+        |ORDER BY adc.adist, vec_id LIMIT 10""".stripMargin,
 
     "ann05_quantize_int8" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.{Knn, Pq}
+import graft.tsdb.TsdbFixtures.spark
+
+/** Product quantization (Pq.scala): codebook structure, the encode
+  * argmin contract, ADC exactness against a Scala reference, and a
+  * measured recall floor of ADC vs exact L2 — the property that makes
+  * PQ usable as an ANN memory compression.
+  */
+class PqSpec extends AnyFunSuite {
+
+  private val M = 16
+  private val K = 16
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+
+  private lazy val model = Pq.fit(emb, "vec_id", "vec", m = M, k = K, iters = 3)
+  private lazy val encoded = Pq.encode(emb, "vec", model).collect()
+    .map(r => r.getLong(0) ->
+      (r.getSeq[Double](1).toArray, r.getSeq[Int](2).toArray)).toMap
+
+  test("codebook shape and code range") {
+    assert(model.m == M && model.k == K && model.subDim == 64 / M)
+    assert(encoded.size == 500)
+    assert(encoded.values.forall { case (_, codes) =>
+      codes.length == M && codes.forall(c => c >= 0 && c < K)
+    })
+  }
+
+  test("encode picks the argmin sub-centroid, ties to the smaller code") {
+    def sub(v: Array[Double], s: Int) =
+      v.slice(s * model.subDim, (s + 1) * model.subDim)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    encoded.take(60).foreach { case (id, (v, codes)) =>
+      (0 until M).foreach { s =>
+        val want = model.centroids(s).zipWithIndex
+          .minBy { case (c, j) => (d2(sub(v, s), c), j) }._2
+        assert(codes(s) == want, s"vec $id subspace $s")
+      }
+    }
+  }
+
+  test("adc distance is exactly the table sum of the stored codes") {
+    val q = encoded(7L)._1.toSeq
+    val table = Pq.distTable(q, model)
+    val got = Pq.adcTopK(Pq.encode(emb, "vec", model), "vec_id", model, q, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    encoded.take(60).foreach { case (id, (_, codes)) =>
+      val want = (0 until M).map(s => table(s)(codes(s))).sum
+      assert(math.abs(got(id) - want) < 1e-9, s"vec $id")
+    }
+  }
+
+  test("self-distance of an encoded query is the smallest achievable table sum") {
+    // ADC(q, v) >= 0 always, and the query's own code word gives the
+    // minimal lookup per subspace when q is in the corpus
+    val q = encoded(3L)._1.toSeq
+    val table = Pq.distTable(q, model)
+    val selfSum = (0 until M).map(s => table(s).min).sum
+    val selfAdc = (0 until M).map(s => table(s)(encoded(3L)._2(s))).sum
+    assert(math.abs(selfAdc - selfSum) < 1e-9)
+  }
+
+  test("measured ADC recall floor vs exact L2 top-10 (20 queries)") {
+    // the compression-accuracy contract as a NUMBER: 16 subspaces x 16
+    // codes on 64-dim data must keep most of the exact neighborhood.
+    // (L2 ground truth, since ADC approximates squared L2.)
+    val enc = Pq.encode(emb, "vec", model)
+    val vecs = encoded.map { case (id, (v, _)) => id -> v }
+    val recalls = (0L until 20L).map { qid =>
+      val q = vecs(qid)
+      val exact = vecs.toSeq
+        .map { case (id, v) =>
+          id -> v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      val approx = Pq.adcTopK(enc, "vec_id", model, q.toSeq, 10)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size
+    }
+    val mean = recalls.sum / 20.0
+    assert(mean >= 5.0, s"mean recall@10 too low: $mean (per-query: $recalls)")
+  }
+
+  test("fit refuses a dimension not divisible by m") {
+    intercept[IllegalArgumentException] {
+      Pq.fit(emb, "vec_id", "vec", m = 7, k = 4, iters = 0)
+    }
+  }
+}
