@@ -50,6 +50,19 @@ class CliWebSpec extends AnyFunSuite {
     assert(c3 == 0 && vec == Seq("23 45", "29 47", "40 23", "51 48"))
   }
 
+  test("cli: range functions work through the user surface") {
+    // the PromQL extension rides the same GraftDb.query path the CLI
+    // and HTTP endpoint call — nothing surface-specific to add
+    val db = freshDb()
+    seed(db)
+    // values 45,47,23,48 at ts 23,29,40,51; window [20ms] from start 20
+    // → w[20,40): 45,47 w[40,60): 23,48
+    val (c1, counts) = cli(db, "query", s"count_over_time($sel[20ms])", "20", "59")
+    assert(c1 == 0 && counts == Seq("20 2", "40 2"))
+    val (c2, deltas) = cli(db, "query", s"delta($sel[20ms])", "20", "59")
+    assert(c2 == 0 && deltas == Seq("20 2", "40 25"))
+  }
+
   test("cli: chart renders the vector as an ascii line plot") {
     val db = freshDb()
     seed(db)

@@ -45,6 +45,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters=[EqualTo(name,purchase)"), p)
   }
 
+  test("ts44's grouped rollup folds the sidecar and lists no raw files") {
+    val p = plan(graft.queries.TimeSeries.queries("ts44_dsv2_rollup")(spark, sf))
+    assert(p.contains("GraftStatsScan"), p)
+    assert(p.matches("(?s).*GroupBy=\\[(name, bucket|bucket, name)\\].*"), p)
+    assert(p.contains("boundaryFiles=0"), p) // aligned window: sidecar only
+    assert(!p.contains("GraftScan "), p)
+  }
+
+  test("range functions: one window-key exchange, no global-order window") {
+    // rate's lag pass must be partition-bounded (wstart) and its groupBy
+    // must REUSE the window's exchange — a second hashpartitioning on
+    // wstart, or any empty-partition-spec window, is the scale
+    // regression this pins
+    val p = plan(graft.queries.TimeSeries.queries("ts38_range_rate")(spark, sf))
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, "expected the lag window in the rate plan")
+    windowLines.foreach(l => assert(l.contains("wstart"), s"unpartitioned window: $l"))
+    // exactly one exchange keyed on wstart feeds both the sort and the agg
+    val wstartExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("wstart"))
+      .size
+    assert(wstartExchanges == 1, s"expected 1 wstart exchange, got $wstartExchanges:\n$p")
+  }
+
   test("column pruning keeps the tx01 documents scan narrow") {
     val p = formatted(graft.queries.Pipeline.queries("tx01_tokens")(spark, sf))
     val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
