@@ -82,6 +82,35 @@ object Pq {
     df.withColumn("codes", array(codeCols: _*))
   }
 
+  /** Persist the codebook as a tiny parquet table (m·k rows of subDim
+    * doubles) so the per-subspace fits are paid ONCE and reused across
+    * sessions — the same contract as [[IvfIndex.save]]; at 100 TB the
+    * fit is m corpus passes, the model is k·D doubles.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import spark.implicits._
+    (for {
+      s <- 0 until model.m
+      j <- 0 until model.k
+    } yield (s, j, model.centroids(s)(j).toSeq))
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("subspace"), col("code"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val cents = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (s, j, c) => cents(s)(j) = c }
+    require(cents.forall(_.forall(_ != null)), s"codebook at $path is incomplete")
+    Model(cents(0)(0).length, cents)
+  }
+
   /** The m×k asymmetric distance table for `query`: table(s)(j) =
     * ||query_s - centroid_{s,j}||² (exact sub-distances; the
     * approximation is only in v's quantization).

@@ -93,4 +93,44 @@ class PqSpec extends AnyFunSuite {
       Pq.fit(emb, "vec_id", "vec", m = 7, k = 4, iters = 0)
     }
   }
+
+  test("codebook save/load round-trips exactly") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pq").toString + "/codebook"
+    Pq.save(spark, model, path)
+    val loaded = Pq.load(spark, path)
+    assert(loaded.m == model.m && loaded.k == model.k &&
+      loaded.subDim == model.subDim)
+    for (s <- 0 until model.m; j <- 0 until model.k)
+      assert(loaded.centroids(s)(j).sameElements(model.centroids(s)(j)))
+  }
+
+  test("composes with IVF blocking: ADC over probed cells only (IVF-PQ)") {
+    // the FAISS-standard layout: coarse IVF cells prune the scan, PQ
+    // codes compress what remains — encode the assigned frame once,
+    // filter to the probe cells, ADC only those codes
+    import graft.ann.IvfIndex
+    val ivf = IvfIndex.fit(emb, "vec_id", "vec", k = 8, iters = 2)
+    val assigned = IvfIndex.transform(emb, "vec", ivf)
+    val enc = Pq.encode(assigned, "vec", model)
+    val q = encoded(11L)._1
+    // multi-probe: the 3 cells whose centroids sit nearest the query
+    // (one cell alone holds only part of the neighborhood — that gap is
+    // the recall-vs-probe-cost knob, same as plain IVF)
+    def d2(c: Array[Double]) =
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    val cells = ivf.centroids.sortBy { case (c, v) => (d2(v), c) }
+      .take(3).map(_._1).map(Integer.valueOf)
+    val probed = Pq.adcTopK(
+      enc.where(col("cell").isin(cells: _*)), "vec_id", model, q.toSeq, 10)
+      .collect().map(_.getLong(0)).toSet
+    val full = Pq.adcTopK(enc, "vec_id", model, q.toSeq, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(probed.contains(11L))
+    // measured floor at 3-of-8 probes on this fixture (IvfSpec carries
+    // the plain-IVF recall curves; this pins the COMPOSITION keeps the
+    // neighborhood majority, not a tuned benchmark)
+    assert((probed intersect full).size >= 5,
+      s"IVF-PQ recall vs full ADC too low: ${(probed intersect full).size}/10")
+  }
 }
