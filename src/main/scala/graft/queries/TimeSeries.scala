@@ -345,6 +345,14 @@ object TimeSeries {
         .orderBy("timestamp")
     },
 
+    // Instant math functions (ts45-ts46) — the extension's second half:
+    // row-local value maps over vectors, composing with selectors and
+    // range functions. clamp follows PromQL's bounds rule; round is the
+    // half-up floor(v/to + 0.5)*to form, reproduced verbatim in the
+    // oracle so both engines round identically.
+    "ts45_instant_clamp" -> q("clamp(purchase, 50, 200)", roundTo = 6) _,
+    "ts46_instant_round" -> q("round(avg_over_time(click[12h]))") _,
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -607,6 +615,18 @@ object TimeSeries {
       s"""SELECT t - t % 86400000 AS day, COUNT(*) AS n,
          |ROUND(SUM(v), 6) AS sum_value FROM ${ev("event_type = 'purchase'")}
          |WHERE ${sub()} GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "ts45_instant_clamp" ->
+      s"""SELECT t AS timestamp,
+         |  ROUND(LEAST(GREATEST(v, 50), 200), 6) AS value
+         |FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} ORDER BY timestamp""".stripMargin,
+
+    "ts46_instant_round" ->
+      s"""WITH w AS (SELECT t - ((t - $SubStart) % 43200000) AS ws, v
+         |           FROM ${ev("event_type = 'click'")} WHERE ${sub()})
+         |SELECT ws AS timestamp, FLOOR(AVG(v) + 0.5) AS value
+         |FROM w GROUP BY ws ORDER BY timestamp""".stripMargin,
 
     // Range functions: the oracle recomputes the tumbling-window
     // semantics (RangeFns.scala contract) with a per-window lag pass.

@@ -96,6 +96,31 @@ object Expr {
   case object FnLastOverTime extends RangeFnKind
 
   final case class RangeFn(kind: RangeFnKind, child: Expr) extends Expr
+
+  /** Instant (scalar-math) functions over a vector — the second half of
+    * the engine's function extension (the reference rejects all calls).
+    * Row-local value maps; `args` are the numeric literals PromQL's
+    * signatures take (round's to_nearest, clamp's bounds). Results are
+    * Float64, like PromQL's math functions.
+    */
+  sealed trait InstantFnKind { def name: String; def arity: Int }
+  case object FnAbs extends InstantFnKind { val name = "abs"; val arity = 0 }
+  case object FnCeil extends InstantFnKind { val name = "ceil"; val arity = 0 }
+  case object FnFloor extends InstantFnKind { val name = "floor"; val arity = 0 }
+  case object FnSqrt extends InstantFnKind { val name = "sqrt"; val arity = 0 }
+  case object FnExp extends InstantFnKind { val name = "exp"; val arity = 0 }
+  case object FnLn extends InstantFnKind { val name = "ln"; val arity = 0 }
+  case object FnLog2 extends InstantFnKind { val name = "log2"; val arity = 0 }
+  case object FnLog10 extends InstantFnKind { val name = "log10"; val arity = 0 }
+  case object FnSgn extends InstantFnKind { val name = "sgn"; val arity = 0 }
+  /** round(v, to=1): floor(v/to + 0.5)·to — PromQL's half-up rule. */
+  case object FnRound extends InstantFnKind { val name = "round"; val arity = -1 }
+  case object FnClamp extends InstantFnKind { val name = "clamp"; val arity = 2 }
+  case object FnClampMin extends InstantFnKind { val name = "clamp_min"; val arity = 1 }
+  case object FnClampMax extends InstantFnKind { val name = "clamp_max"; val arity = 1 }
+
+  final case class InstantFn(kind: InstantFnKind, child: Expr,
+      args: List[Double]) extends Expr
 }
 
 /** The reference's value types and coercion lattice (lib.rs:54-73):

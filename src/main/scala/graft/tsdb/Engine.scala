@@ -153,6 +153,37 @@ final class TsdbEngine(
       throw new IllegalArgumentException(
         s"range function requires a matrix selector child, got: $other")
 
+    case InstantFn(kind, child, args) =>
+      // Instant math extension: row-local value map over a vector,
+      // Float64 result like PromQL's math functions. Composes over
+      // selectors, range fns, and binary results alike.
+      val c = eval(child, start, end)
+      require(!c.isScalar,
+        s"${kind.name} applies to a vector, not a scalar (use plain arithmetic)")
+      val v = col("value").cast("double")
+      val mapped: Column = kind match {
+        case FnAbs => abs(v)
+        case FnCeil => ceil(v).cast("double")
+        case FnFloor => floor(v).cast("double")
+        case FnSqrt => sqrt(v)
+        case FnExp => exp(v)
+        case FnLn => log(v)
+        case FnLog2 => log2(v)
+        case FnLog10 => log10(v)
+        case FnSgn => signum(v)
+        case FnRound =>
+          // PromQL: round half-up to the nearest multiple of `to`
+          val to = args.headOption.getOrElse(1.0)
+          floor(v / to + 0.5) * to
+        case FnClamp =>
+          // PromQL: min > max clamps to NaN, not to max
+          if (args(0) > args(1)) lit(Double.NaN)
+          else least(greatest(v, lit(args(0))), lit(args(1)))
+        case FnClampMin => greatest(v, lit(args(0)))
+        case FnClampMax => least(v, lit(args(0)))
+      }
+      TsdbResult(c.df.withColumn("value", mapped), isScalar = false, VType.F64)
+
     case _: MatrixSelector =>
       // Preserve the reference's rejection for bare matrix selectors
       // (planner.rs rejects them outright; only RangeFn may consume one).

@@ -118,6 +118,12 @@ object PromParser {
       "max_over_time" -> FnMaxOverTime, "sum_over_time" -> FnSumOverTime,
       "count_over_time" -> FnCountOverTime, "last_over_time" -> FnLastOverTime)
 
+    // Instant math functions — the extension's second half (Ast.InstantFn).
+    val instantFnNames: Map[String, InstantFnKind] =
+      Seq(FnAbs, FnCeil, FnFloor, FnSqrt, FnExp, FnLn, FnLog2, FnLog10,
+        FnSgn, FnRound, FnClamp, FnClampMin, FnClampMax)
+        .map(k => k.name -> k).toMap
+
     def parseExpr(): Expr = parseComparison()
 
     def parseComparison(): Expr = {
@@ -203,6 +209,33 @@ object PromParser {
         val child = parseExpr()
         expectOp(")")
         GetK(fn == "topk", k, child)
+      case TIdent(fn) if instantFnNames.contains(fn) && peek == TOp("(") =>
+        next() // consume '('
+        val kind = instantFnNames(fn)
+        val child = parseExpr()
+        val args = List.newBuilder[Double]
+        while (peek == TOp(",")) {
+          next()
+          args += (next() match {
+            case TNum(v) => v
+            case TOp("-") => next() match {
+              case TNum(v) => -v
+              case t => throw new PromParseException(s"bad $fn argument: $t")
+            }
+            case t => throw new PromParseException(
+              s"$fn arguments must be numeric literals, got $t in: $q")
+          })
+        }
+        expectOp(")")
+        val got = args.result()
+        val ok = kind.arity match {
+          case -1 => got.size <= 1 // round([to])
+          case n => got.size == n
+        }
+        if (!ok) throw new PromParseException(
+          s"$fn expects ${if (kind.arity == -1) "0 or 1" else kind.arity.toString} " +
+            s"numeric argument(s), got ${got.size} in: $q")
+        InstantFn(kind, child, got)
       case TIdent(fn) if rangeFnNames.contains(fn) && peek == TOp("(") =>
         next() // consume '('
         val child = parseExpr()

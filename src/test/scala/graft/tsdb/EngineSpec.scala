@@ -258,7 +258,7 @@ class EngineSpec extends AnyFunSuite {
     // a bare matrix selector parses but is illegal outside a range fn,
     intercept[IllegalArgumentException](e.query("ints[5m]", 0, 100))
     // non-range function calls stay parse errors like the reference,
-    intercept[PromParseException](e.query("abs(ints)", 0, 100))
+    intercept[PromParseException](e.query("absent(ints)", 0, 100))
     intercept[IllegalArgumentException](e.query("ints == uints", 0, 100))
     intercept[IllegalArgumentException](e.query("sum(ints) > count(ints)", 0, 100))
   }

@@ -99,10 +99,55 @@ class RangeFnSpec extends AnyFunSuite {
     assert(vectorOf(r) === Seq((0L, 200.0))) // +6 over 30ms
   }
 
+  // ---- instant math functions (the extension's second half) ----
+
+  test("instant fns: clamp family, abs, sgn, round-to-nearest") {
+    assert(run("clamp(ctr, 3, 8)") === Map(5L -> 8.0, 15L -> 8.0, 25L -> 5.0,
+      35L -> 7.0, 65L -> 3.0, 80L -> 8.0, 95L -> 3.0, 99L -> 3.0))
+    assert(run("clamp_max(ctr, 5)").values.max === 5.0)
+    assert(run("clamp_min(ctr, 5)").values.min === 5.0)
+    // PromQL: reversed bounds clamp to NaN
+    assert(run("clamp(ctr, 8, 3)").values.forall(_.isNaN))
+    // round half-up to a multiple of `to`
+    assert(run("round(ctr / 3, 0.5)")(5L) === 3.5)
+    assert(run("round(ctr / 3)")(15L) === 7.0)
+    // composition over a range fn: |delta| and its sign
+    assert(run("abs(delta(ctr[30ms]))") ===
+      Map(0L -> 5.0, 60L -> 6.0, 90L -> 0.0))
+    assert(run("sgn(delta(ctr[30ms]))") ===
+      Map(0L -> -1.0, 60L -> 1.0, 90L -> 0.0))
+  }
+
+  test("instant fns: math battery and aggregate composition") {
+    val sq = run("sqrt(ctr)")
+    assert(math.abs(sq(5L) - math.sqrt(10.0)) < 1e-12)
+    assert(math.abs(run("ln(exp(ctr / 10))")(15L) - 2.0) < 1e-12)
+    assert(run("log2(clamp(ctr, 8, 8))")(5L) === 3.0)
+    assert(math.abs(run("log10(ctr)")(5L) - 1.0) < 1e-12)
+    // vector in, vector out → whole-range aggregates compose on top
+    assert(scalarsOf(engine.query("sum(clamp_max(ctr, 5))", 0, 100)) === Seq(30.0))
+  }
+
+  test("instant fns: integer streams come out Float64") {
+    val e = helperEngine()
+    val r = e.query("abs(ints)", 0, 100)
+    assert(r.vtype === VType.F64)
+    assert(vectorOf(r) === Seq((10L, 2.0), (20L, 4.0), (30L, 6.0), (40L, 8.0)))
+  }
+
+  test("instant fns: scalar children and bad arities are rejected") {
+    intercept[IllegalArgumentException] { engine.query("abs(sum(ctr))", 0, 100) }
+    intercept[IllegalArgumentException] { engine.query("abs(1)", 0, 100) }
+    intercept[PromParseException] { PromParser.parse("clamp(ctr, 1)") }
+    intercept[PromParseException] { PromParser.parse("clamp_min(ctr)") }
+    intercept[PromParseException] { PromParser.parse("round(ctr, 1, 2)") }
+    intercept[PromParseException] { PromParser.parse("clamp(ctr, \"a\", 2)") }
+  }
+
   test("rejections: bare matrix selector, instant child, non-selector child") {
     intercept[PromParseException] { PromParser.parse("rate(ctr)") }
     intercept[PromParseException] { PromParser.parse("rate(1)") }
-    intercept[PromParseException] { PromParser.parse("abs(ctr)") }
+    intercept[PromParseException] { PromParser.parse("absent(ctr)") }
     intercept[PromParseException] { PromParser.parse("ctr[0ms]") }
     // parses, but a matrix selector is only legal under a range function
     intercept[IllegalArgumentException] { engine.query("ctr[30ms]", 0, 100) }
