@@ -26,10 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 read surface for the [[graft.tsdb.GraftDb]] series
   * store: `spark.read.format("graft").load(rootDir)` exposes the store
-  * as a plain five-column SQL table
+  * as a plain SQL table
   *
   *   (name STRING, labels MAP<STRING,STRING>, timestamp LONG /* epoch
-  *   ms */, value DOUBLE, lvalue LONG)
+  *   ms */, value DOUBLE, lvalue LONG, bucket LONG)
+  *
+  * where `name` and `bucket` are the partition-dir values (synthesized
+  * per file, nothing decoded) — `bucket` makes per-time-bucket rollups
+  * both expressible and sidecar-served (see pushAggregation).
   *
   * so any Spark SQL — not just the PromQL engine — can query the store
   * directly, the catalog-reader surface a Spark-native engine is
