@@ -353,6 +353,42 @@ object TimeSeries {
     "ts45_instant_clamp" -> q("clamp(purchase, 50, 200)", roundTo = 6) _,
     "ts46_instant_round" -> q("round(avg_over_time(click[12h]))") _,
 
+    // ---- range-function family, second wave (ts47-ts52): the moment /
+    // counter / regression kinds, plus the sliding query_range shape.
+    // Oracles recompute each contract (RangeFns.scala) from raw events. ----
+
+    // population σ per window (Prometheus stddev_over_time is σ, not s).
+    "ts47_range_stddev" -> q("stddev_over_time(click[12h])", roundTo = 6) _,
+
+    // linear-interpolation quantile (percentile_cont) — the aggregate
+    // state is the window's own values, samples-per-window bounded.
+    "ts48_range_quantile" ->
+      q("quantile_over_time(0.9, purchase[1d])", roundTo = 6) _,
+
+    // counter resets: consecutive-pair decreases per window.
+    "ts49_range_resets" -> q("resets(purchase[1d])", dedup = true) _,
+
+    // instantaneous rate over the LAST sample pair (reset-corrected,
+    // positive span required) — the spike-sensitive dashboard form.
+    "ts50_range_irate" -> q("irate(purchase[1d])", roundTo = 6, dedup = true) _,
+
+    // least-squares slope per second over window-relative seconds; the
+    // oracle runs the same regression (regr_slope) on the same x shift.
+    "ts51_range_deriv" -> q("deriv(click[1d])", roundTo = 9) _,
+
+    // Prometheus query_range: rate at 6h steps over a SLIDING 1d
+    // lookback (T - 1d, T] — eval times overlap 4×, the bounded
+    // replication RangeFns.sliding documents. The scan extends one
+    // window behind the query start so the first steps see their full
+    // lookback; the oracle joins eval times against the same extended
+    // raw range.
+    "ts52_query_range" -> { (s, dir) =>
+      val e = engineDedup(s, dir)
+      e.queryRange("rate(purchase[1d])", SubStart, SubEnd, 6 * 3600 * 1000L)
+        .output.withColumn("value", round(col("value"), 6))
+        .orderBy("timestamp")
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -627,6 +663,69 @@ object TimeSeries {
          |           FROM ${ev("event_type = 'click'")} WHERE ${sub()})
          |SELECT ws AS timestamp, FLOOR(AVG(v) + 0.5) AS value
          |FROM w GROUP BY ws ORDER BY timestamp""".stripMargin,
+
+    "ts47_range_stddev" ->
+      s"""WITH w AS (SELECT t - ((t - $SubStart) % 43200000) AS ws, v
+         |           FROM ${ev("event_type = 'click'")} WHERE ${sub()})
+         |SELECT ws AS timestamp, ROUND(stddev_pop(v), 6) AS value
+         |FROM w GROUP BY ws ORDER BY timestamp""".stripMargin,
+
+    "ts48_range_quantile" ->
+      s"""WITH w AS (SELECT t - ((t - $SubStart) % 86400000) AS ws, v
+         |           FROM ${ev("event_type = 'purchase'")} WHERE ${sub()})
+         |SELECT ws AS timestamp, ROUND(quantile_cont(v, 0.9), 6) AS value
+         |FROM w GROUP BY ws ORDER BY timestamp""".stripMargin,
+
+    "ts49_range_resets" ->
+      s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}
+         |           WHERE ${sub()} GROUP BY t),
+         |w AS (SELECT t - ((t - $SubStart) % 86400000) AS ws, t, v FROM d),
+         |l AS (SELECT ws, v,
+         |        lag(v) OVER (PARTITION BY ws ORDER BY t, v) AS pv FROM w)
+         |SELECT ws AS timestamp,
+         |  CAST(SUM(CASE WHEN pv IS NOT NULL AND v < pv THEN 1 ELSE 0 END)
+         |       AS DOUBLE) AS value
+         |FROM l GROUP BY ws ORDER BY timestamp""".stripMargin,
+
+    "ts50_range_irate" ->
+      s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}
+         |           WHERE ${sub()} GROUP BY t),
+         |w AS (SELECT t - ((t - $SubStart) % 86400000) AS ws, t, v FROM d),
+         |l AS (SELECT ws, t, v,
+         |        lag(v) OVER (PARTITION BY ws ORDER BY t, v) AS pv,
+         |        lag(t) OVER (PARTITION BY ws ORDER BY t, v) AS pt FROM w),
+         |last AS (SELECT ws, t, v, pt, pv,
+         |           row_number() OVER (PARTITION BY ws ORDER BY t DESC, v DESC) AS rn
+         |         FROM l)
+         |SELECT ws AS timestamp,
+         |  ROUND((CASE WHEN v >= pv THEN v - pv ELSE v END)
+         |        / ((t - pt) / 1000.0), 6) AS value
+         |FROM last WHERE rn = 1 AND pv IS NOT NULL AND t > pt
+         |ORDER BY timestamp""".stripMargin,
+
+    "ts51_range_deriv" ->
+      s"""WITH w AS (SELECT t - ((t - $SubStart) % 86400000) AS ws, t, v
+         |           FROM ${ev("event_type = 'click'")} WHERE ${sub()})
+         |SELECT ws AS timestamp,
+         |  ROUND(regr_slope(v, (t - ws) / 1000.0), 9) AS value
+         |FROM w GROUP BY ws HAVING regr_slope(v, (t - ws) / 1000.0) IS NOT NULL
+         |ORDER BY timestamp""".stripMargin,
+
+    "ts52_query_range" ->
+      s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}
+         |           WHERE t > ${SubStart - 86400000L} AND t <= $SubEnd GROUP BY t),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${6 * 3600 * 1000L})) AS et),
+         |w AS (SELECT g.et AS ws, d.t, d.v FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et),
+         |l AS (SELECT ws, t, v,
+         |        lag(v) OVER (PARTITION BY ws ORDER BY t, v) AS pv FROM w),
+         |a AS (SELECT ws,
+         |        SUM(CASE WHEN pv IS NULL THEN 0
+         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |        MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+         |      FROM l GROUP BY ws)
+         |SELECT ws AS timestamp, ROUND(inc / ((t1 - t0) / 1000.0), 6) AS value
+         |FROM a WHERE n >= 2 AND t1 > t0 ORDER BY timestamp""".stripMargin,
 
     // Range functions: the oracle recomputes the tumbling-window
     // semantics (RangeFns.scala contract) with a per-window lag pass.

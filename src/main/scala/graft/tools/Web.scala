@@ -177,7 +177,14 @@ object Web {
     val start = field("start").map(_.asLong()).getOrElse(Cli.HackTimeStart)
     val end = field("end").map(_.asLong()).getOrElse(Cli.HackTimeEnd)
 
-    val res = new GraftDb(spark, path).query(promql, start, end)
+    // Optional "step" switches to Prometheus query_range evaluation:
+    // the range function slides over (T - range, T] at each step instead
+    // of the one-pass tumbling shape (GraftDb.queryRange contract).
+    val db = new GraftDb(spark, path)
+    val res = field("step").map(_.asLong()) match {
+      case Some(step) => db.queryRange(promql, start, end, step)
+      case None => db.query(promql, start, end)
+    }
     val rows =
       if (res.isScalar) res.output.collect().map(r => (None: Option[Long], r.get(0)))
       else res.output.orderBy("timestamp").collect()

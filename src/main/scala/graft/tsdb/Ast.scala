@@ -94,8 +94,22 @@ object Expr {
   case object FnSumOverTime extends RangeFnKind
   case object FnCountOverTime extends RangeFnKind
   case object FnLastOverTime extends RangeFnKind
+  case object FnStddevOverTime extends RangeFnKind
+  case object FnStdvarOverTime extends RangeFnKind
+  /** quantile_over_time(φ, m[r]) — φ is the one entry in RangeFn.args. */
+  case object FnQuantileOverTime extends RangeFnKind
+  case object FnPresentOverTime extends RangeFnKind
+  case object FnChanges extends RangeFnKind
+  case object FnResets extends RangeFnKind
+  case object FnIdelta extends RangeFnKind
+  case object FnIrate extends RangeFnKind
+  case object FnDeriv extends RangeFnKind
 
-  final case class RangeFn(kind: RangeFnKind, child: Expr) extends Expr
+  /** `args` carries the numeric literals a kind's PromQL signature takes
+    * (today only quantile_over_time's φ); empty for every other kind.
+    */
+  final case class RangeFn(kind: RangeFnKind, child: Expr,
+      args: List[Double] = Nil) extends Expr
 
   /** Instant (scalar-math) functions over a vector — the second half of
     * the engine's function extension (the reference rejects all calls).

@@ -75,6 +75,39 @@ final class TsdbEngine(
   def query(promql: String, startMs: Long, endMs: Long): TsdbResult =
     eval(PromParser.parse(promql), startMs, endMs)
 
+  /** Prometheus query_range evaluation: a range function evaluated at
+    * eval times startMs + i*stepMs (i = 0 .. (endMs-startMs)/stepMs),
+    * each over the SLIDING lookback window (T - range, T] — the HTTP
+    * query_range contract, vs [[query]]'s one-pass tumbling shape. The
+    * selector scan extends `range` behind startMs so every window sees
+    * its full lookback (instant-fn wrapping composes row-locally on
+    * top). Scope: the child must be a range function over a matrix
+    * selector, optionally wrapped in instant math — evaluating an
+    * arbitrary expression per step would re-run whole-range subplans
+    * step-count times, which is exactly the scan amplification this
+    * engine refuses to hide (the error says so).
+    */
+  def queryRange(promql: String, startMs: Long, endMs: Long,
+      stepMs: Long): TsdbResult = {
+    def evalSliding(e: Expr): DataFrame = e match {
+      case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
+        RangeFns.sliding(kind,
+          select(sel, startMs - rangeMs + 1, endMs),
+          rangeMs, stepMs, startMs, endMs, fnArgs)
+      case InstantFn(kind, child, fnArgs) =>
+        // row-local value maps compose over the sliding vector unchanged
+        evalSliding(child).withColumn("value",
+          TsdbEngine.instantColumn(kind, fnArgs, col("value").cast("double")))
+      case other => throw new IllegalArgumentException(
+        "queryRange evaluates a range function over a matrix selector " +
+          s"(optionally under instant math), got: $other — per-step " +
+          "re-evaluation of arbitrary expressions would rescan the " +
+          "store once per step; use query() for whole-range shapes")
+    }
+    TsdbResult(evalSliding(PromParser.parse(promql)),
+      isScalar = false, VType.F64)
+  }
+
   private def scanValue = col("value")
 
   private def eval(e: Expr, start: Long, end: Long): TsdbResult = e match {
@@ -113,7 +146,7 @@ final class TsdbEngine(
       val r = eval(rhs, start, end)
       binary(kind, l, r, start, end)
 
-    case RangeFn(kind, MatrixSelector(sel, rangeMs)) =>
+    case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
       // Range-function extension (RangeFns.scala contract): tumbling
       // rangeMs windows over the selector's scan, one row per window.
       // Emits a normal vector, so aggregates / topk / binary ops compose
@@ -146,10 +179,10 @@ final class TsdbEngine(
       }.flatten
       TsdbResult(
         statsServed.getOrElse(
-          RangeFns(kind, select(sel, start, end), rangeMs, start)),
+          RangeFns(kind, select(sel, start, end), rangeMs, start, fnArgs)),
         isScalar = false, VType.F64)
 
-    case RangeFn(_, other) =>
+    case RangeFn(_, other, _) =>
       throw new IllegalArgumentException(
         s"range function requires a matrix selector child, got: $other")
 
@@ -160,28 +193,8 @@ final class TsdbEngine(
       val c = eval(child, start, end)
       require(!c.isScalar,
         s"${kind.name} applies to a vector, not a scalar (use plain arithmetic)")
-      val v = col("value").cast("double")
-      val mapped: Column = kind match {
-        case FnAbs => abs(v)
-        case FnCeil => ceil(v).cast("double")
-        case FnFloor => floor(v).cast("double")
-        case FnSqrt => sqrt(v)
-        case FnExp => exp(v)
-        case FnLn => log(v)
-        case FnLog2 => log2(v)
-        case FnLog10 => log10(v)
-        case FnSgn => signum(v)
-        case FnRound =>
-          // PromQL: round half-up to the nearest multiple of `to`
-          val to = args.headOption.getOrElse(1.0)
-          floor(v / to + 0.5) * to
-        case FnClamp =>
-          // PromQL: min > max clamps to NaN, not to max
-          if (args(0) > args(1)) lit(Double.NaN)
-          else least(greatest(v, lit(args(0))), lit(args(1)))
-        case FnClampMin => greatest(v, lit(args(0)))
-        case FnClampMax => least(v, lit(args(0)))
-      }
+      val mapped =
+        TsdbEngine.instantColumn(kind, args, col("value").cast("double"))
       TsdbResult(c.df.withColumn("value", mapped), isScalar = false, VType.F64)
 
     case _: MatrixSelector =>
@@ -400,4 +413,33 @@ final class TsdbEngine(
           arith(kind, col("lv"), col("rv")).as("value"))
         TsdbResult(df, isScalar = false, resultType(kind, l.vtype, r.vtype))
     }
+}
+
+object TsdbEngine {
+  /** The instant-fn value map as a Column over `v` (already cast to
+    * double) — row-local, Float64 out, shared by the whole-range eval
+    * and queryRange's sliding composition.
+    */
+  private[tsdb] def instantColumn(kind: InstantFnKind, args: List[Double],
+      v: Column): Column = kind match {
+    case FnAbs => abs(v)
+    case FnCeil => ceil(v).cast("double")
+    case FnFloor => floor(v).cast("double")
+    case FnSqrt => sqrt(v)
+    case FnExp => exp(v)
+    case FnLn => log(v)
+    case FnLog2 => log2(v)
+    case FnLog10 => log10(v)
+    case FnSgn => signum(v)
+    case FnRound =>
+      // PromQL: round half-up to the nearest multiple of `to`
+      val to = args.headOption.getOrElse(1.0)
+      floor(v / to + 0.5) * to
+    case FnClamp =>
+      // PromQL: min > max clamps to NaN, not to max
+      if (args(0) > args(1)) lit(Double.NaN)
+      else least(greatest(v, lit(args(0))), lit(args(1)))
+    case FnClampMin => greatest(v, lit(args(0)))
+    case FnClampMax => least(v, lit(args(0)))
+  }
 }

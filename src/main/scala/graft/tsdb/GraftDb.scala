@@ -657,6 +657,15 @@ final class GraftDb(
   def query(promql: String, startMs: Long, endMs: Long): TsdbResult =
     engine().query(promql, startMs, endMs)
 
+  /** Prometheus query_range evaluation — a range function evaluated at
+    * every `stepMs` over its SLIDING lookback window (T - range, T],
+    * the HTTP dashboard contract ([[TsdbEngine.queryRange]]). The HTTP
+    * endpoint's optional "step" field routes here.
+    */
+  def queryRange(promql: String, startMs: Long, endMs: Long,
+      stepMs: Long): TsdbResult =
+    engine().queryRange(promql, startMs, endMs, stepMs)
+
   /** CSV export of a vector query (tachyon_cli/src/main.rs:177-186). */
   def exportCsv(promql: String, startMs: Long, endMs: Long, outPath: String): Unit = {
     val res = query(promql, startMs, endMs)

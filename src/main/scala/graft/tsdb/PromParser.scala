@@ -116,7 +116,13 @@ object PromParser {
       "rate" -> FnRate, "increase" -> FnIncrease, "delta" -> FnDelta,
       "avg_over_time" -> FnAvgOverTime, "min_over_time" -> FnMinOverTime,
       "max_over_time" -> FnMaxOverTime, "sum_over_time" -> FnSumOverTime,
-      "count_over_time" -> FnCountOverTime, "last_over_time" -> FnLastOverTime)
+      "count_over_time" -> FnCountOverTime, "last_over_time" -> FnLastOverTime,
+      "stddev_over_time" -> FnStddevOverTime,
+      "stdvar_over_time" -> FnStdvarOverTime,
+      "quantile_over_time" -> FnQuantileOverTime,
+      "present_over_time" -> FnPresentOverTime,
+      "changes" -> FnChanges, "resets" -> FnResets,
+      "idelta" -> FnIdelta, "irate" -> FnIrate, "deriv" -> FnDeriv)
 
     // Instant math functions — the extension's second half (Ast.InstantFn).
     val instantFnNames: Map[String, InstantFnKind] =
@@ -238,10 +244,26 @@ object PromParser {
         InstantFn(kind, child, got)
       case TIdent(fn) if rangeFnNames.contains(fn) && peek == TOp("(") =>
         next() // consume '('
+        val kind = rangeFnNames(fn)
+        // quantile_over_time is the one kind with PromQL's leading scalar:
+        // quantile_over_time(φ, m[r]). φ must be a numeric literal.
+        val fnArgs = if (kind == FnQuantileOverTime) {
+          val phi = next() match {
+            case TNum(v) => v
+            case TOp("-") => next() match {
+              case TNum(v) => -v
+              case t => throw new PromParseException(s"bad $fn quantile: $t")
+            }
+            case t => throw new PromParseException(
+              s"$fn requires a numeric quantile first argument, got $t in: $q")
+          }
+          expectOp(",")
+          List(phi)
+        } else Nil
         val child = parseExpr()
         expectOp(")")
         child match {
-          case _: MatrixSelector => RangeFn(rangeFnNames(fn), child)
+          case _: MatrixSelector => RangeFn(kind, child, fnArgs)
           case _ => throw new PromParseException(
             s"$fn requires a matrix selector argument (metric[duration]) in: $q")
         }

@@ -1,6 +1,6 @@
 package graft.tsdb
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,12 +19,21 @@ import Expr._
   *    enough samples emits one row at `timestamp = window start`. This
   *    is the downsampling / recording-rule shape rather than Prometheus'
   *    per-step sliding re-evaluation: one pass, one shuffle, no overlap —
-  *    the form that holds up on a 100 TB scan.
-  *  - `*_over_time` (avg/min/max/sum/count/last) need ≥1 sample;
-  *    `last_over_time` ties on duplicate timestamps break toward the
-  *    larger value so the result is deterministic on any input.
+  *    the form that holds up on a 100 TB scan. (The sliding shape exists
+  *    too — [[sliding]], the engine's `queryRange` — with its replication
+  *    factor stated there.)
+  *  - `*_over_time` (avg/min/max/sum/count/last/stddev/stdvar/quantile/
+  *    present) need ≥1 sample; `last_over_time` ties on duplicate
+  *    timestamps break toward the larger value so the result is
+  *    deterministic on any input. stddev/stdvar are POPULATION moments
+  *    (σ, σ²), as in Prometheus; a single sample yields 0.
+  *    `quantile_over_time(φ, ...)` is the linear-interpolation quantile
+  *    (Prometheus' rule, = SQL percentile_cont); φ outside [0,1] is
+  *    rejected loudly rather than returning Prometheus' ±Inf, so a typo
+  *    can't poison downstream aggregates silently.
   *  - `delta` = last - first (by timestamp) and needs ≥2 samples, as in
-  *    Prometheus.
+  *    Prometheus. `idelta` = last - previous sample (ties toward larger
+  *    values, like last_over_time), ≥2 samples.
   *  - `increase` = sum of sample-to-sample deltas with counter-reset
   *    correction (a decrease counts the new sample's full value, i.e. the
   *    counter restarted from 0 — Prometheus' reset rule); ≥2 samples.
@@ -33,16 +42,25 @@ import Expr._
   *    this engine deliberately reports the un-extrapolated estimator so
   *    the result is an exact function of the samples (and therefore
   *    oracle-checkable) — the difference is the documented tradeoff, not
-  *    an approximation bug.
+  *    an approximation bug. `irate` is the same estimator over the LAST
+  *    sample pair only (reset-corrected, needs two distinct timestamps).
+  *  - `changes` / `resets` count consecutive-pair value changes /
+  *    decreases; a single-sample window reports 0, as in Prometheus.
+  *  - `deriv` = least-squares slope per second over the window's
+  *    (t, v) points (Prometheus' simple linear regression); needs two
+  *    distinct timestamps. Computed against window-relative seconds so
+  *    epoch-magnitude f64 cancellation can't wobble the slope.
   *  - Results are Float64 regardless of the stream's value type, like
   *    Prometheus' range functions.
   *
-  * Scale shape: the only shuffle is on the window-start key. rate and
-  * increase need consecutive-sample deltas, so they sort WITHIN each
-  * window (`Window.partitionBy(wstart)` — partition-bounded, never a
-  * global order), and the following groupBy reuses the same hash
-  * partitioning, so the sort's exchange is the aggregate's exchange.
-  * The `*_over_time` family is a bare partial+final HashAggregate.
+  * Scale shape: the only shuffle is on the window key. rate/increase/
+  * irate/idelta/changes/resets need consecutive-sample deltas, so they
+  * sort WITHIN each window (`Window.partitionBy(wstart)` —
+  * partition-bounded, never a global order), and the following groupBy
+  * reuses the same hash partitioning, so the sort's exchange is the
+  * aggregate's exchange. The `*_over_time` family is a bare
+  * partial+final HashAggregate (quantile's state is the window's value
+  * multiset — bounded by samples-per-window, never by the corpus).
   */
 object RangeFns {
 
@@ -52,7 +70,7 @@ object RangeFns {
     * (timestamp LONG = window start, value DOUBLE).
     */
   def apply(kind: RangeFnKind, samples: DataFrame, windowMs: Long,
-      startMs: Long): DataFrame = {
+      startMs: Long, args: List[Double] = Nil): DataFrame = {
     require(windowMs > 0, s"range window must be positive, got $windowMs")
     val v = col("value").cast("double")
     // timestamp >= startMs is guaranteed by the selector scan; pmod keeps
@@ -62,58 +80,168 @@ object RangeFns {
       (col("timestamp") - pmod(col("timestamp") - startMs, lit(windowMs)))
         .as("wstart"),
       col("timestamp"), v.as("value"))
+    aggWindows(kind, base, args)
+      .select(col("wstart").as("timestamp"), col("value"))
+  }
 
-    val out = kind match {
-      case FnAvgOverTime =>
-        base.groupBy("wstart").agg(avg("value").as("value"))
-      case FnSumOverTime =>
-        base.groupBy("wstart").agg(sum("value").as("value"))
-      case FnMinOverTime =>
-        base.groupBy("wstart").agg(min("value").as("value"))
-      case FnMaxOverTime =>
-        base.groupBy("wstart").agg(max("value").as("value"))
-      case FnCountOverTime =>
-        base.groupBy("wstart")
-          .agg(count(lit(1)).cast("double").as("value"))
-      case FnLastOverTime =>
-        // newest sample; duplicate timestamps break toward the larger
-        // value (struct ordering) so the answer is input-order-free
-        base.groupBy("wstart")
-          .agg(max(struct(col("timestamp"), col("value")))
-            .getField("value").as("value"))
-      case FnDelta =>
-        base.groupBy("wstart")
-          .agg(
-            (max(struct(col("timestamp"), col("value"))).getField("value") -
-              min(struct(col("timestamp"), col("value"))).getField("value"))
-              .as("value"),
-            count(lit(1)).as("n"))
-          .where(col("n") >= 2)
-          .select(col("wstart"), col("value"))
-      case FnIncrease | FnRate =>
-        // consecutive-sample deltas need an ordered pass WITHIN the
-        // window only — partition-bounded, and the groupBy that follows
-        // reuses the exchange
-        val w = Window.partitionBy("wstart")
-          .orderBy(col("timestamp"), col("value"))
-        val stepped = base
-          .withColumn("prev", lag(col("value"), 1).over(w))
-          .groupBy("wstart")
-          .agg(
-            sum(when(col("prev").isNull, lit(0.0))
-              .when(col("value") >= col("prev"), col("value") - col("prev"))
-              .otherwise(col("value"))).as("inc"),
-            min("timestamp").as("t0"), max("timestamp").as("t1"),
-            count(lit(1)).as("n"))
-          .where(col("n") >= 2)
-        if (kind == FnIncrease)
-          stepped.select(col("wstart"), col("inc").as("value"))
-        else
-          // rate needs a positive observed span (two DISTINCT timestamps)
-          // — IEEE inf from a zero span would poison downstream aggregates
-          stepped.where(col("t1") > col("t0")).select(col("wstart"),
-            (col("inc") / ((col("t1") - col("t0")) / lit(1000.0))).as("value"))
-    }
-    out.select(col("wstart").as("timestamp"), col("value"))
+  /** Prometheus query_range evaluation: eval times T_i = startMs +
+    * i*stepMs for 0 <= i <= (endMs-startMs)/stepMs, each over the
+    * SLIDING lookback window (T_i - windowMs, T_i] — Prometheus' exact
+    * window shape, left-exclusive. `samples` must cover
+    * [startMs - windowMs + 1, endMs] (the engine's queryRange scans
+    * that), so the early windows see their full lookback.
+    *
+    * Shape: each sample lands in at most ceil(windowMs/stepMs)+1 eval
+    * windows, so the explode is a BOUNDED replication (the dashboard's
+    * own overlap factor), then the same one window-keyed exchange as the
+    * tumbling path. All index math is exact Long floor-division — no
+    * f64 near window edges. Returns (timestamp LONG = eval time, value).
+    */
+  def sliding(kind: RangeFnKind, samples: DataFrame, windowMs: Long,
+      stepMs: Long, startMs: Long, endMs: Long,
+      args: List[Double] = Nil): DataFrame = {
+    require(windowMs > 0, s"range window must be positive, got $windowMs")
+    require(stepMs > 0, s"step must be positive, got $stepMs")
+    require(endMs >= startMs, s"end $endMs before start $startMs")
+    val imax = (endMs - startMs) / stepMs
+    // floorDiv via pmod (pmod is always non-negative, unlike Long './').
+    // The numerator is exactly divisible, so the f64 division is exact
+    // for any |x| < 2^53 and the cast back to long loses nothing.
+    def floorDiv(x: Column, b: Long): Column =
+      ((x - pmod(x, lit(b))) / b).cast("long")
+    // Sample t is in window of eval time T iff T - w < t <= T, i.e.
+    // T in [t, t + w)  =>  i in [ceil((t-start)/step),
+    //                            floor((t + w - 1 - start)/step)].
+    val d = col("timestamp") - startMs
+    val iLo = greatest(lit(0L), floorDiv(d + (stepMs - 1), stepMs))
+    val iHi = least(lit(imax), floorDiv(d + (windowMs - 1), stepMs))
+    val base = samples
+      .select(col("timestamp"), col("value").cast("double").as("value"),
+        iLo.as("i_lo"), iHi.as("i_hi"))
+      .where(col("i_lo") <= col("i_hi"))
+      .select(explode(sequence(col("i_lo"), col("i_hi"))).as("i"),
+        col("timestamp"), col("value"))
+      .select((lit(startMs) + col("i") * stepMs).as("wstart"),
+        col("timestamp"), col("value"))
+    aggWindows(kind, base, args)
+      .select(col("wstart").as("timestamp"), col("value"))
+  }
+
+  /** The per-window aggregation common to both window shapes: `base` is
+    * (wstart LONG, timestamp LONG, value DOUBLE); emits (wstart, value).
+    */
+  private def aggWindows(kind: RangeFnKind, base: DataFrame,
+      args: List[Double]): DataFrame = kind match {
+    case FnAvgOverTime =>
+      base.groupBy("wstart").agg(avg("value").as("value"))
+    case FnSumOverTime =>
+      base.groupBy("wstart").agg(sum("value").as("value"))
+    case FnMinOverTime =>
+      base.groupBy("wstart").agg(min("value").as("value"))
+    case FnMaxOverTime =>
+      base.groupBy("wstart").agg(max("value").as("value"))
+    case FnCountOverTime =>
+      base.groupBy("wstart")
+        .agg(count(lit(1)).cast("double").as("value"))
+    case FnStddevOverTime =>
+      // population σ, like Prometheus; a single sample is σ = 0
+      base.groupBy("wstart").agg(stddev_pop("value").as("value"))
+    case FnStdvarOverTime =>
+      base.groupBy("wstart").agg(var_pop("value").as("value"))
+    case FnQuantileOverTime =>
+      // linear-interpolation quantile (percentile_cont); the aggregate
+      // state is the window's own values — samples-per-window bounded
+      val phi = args.headOption.getOrElse(
+        throw new IllegalArgumentException("quantile_over_time needs φ"))
+      require(phi >= 0.0 && phi <= 1.0,
+        s"quantile_over_time: φ must be in [0,1], got $phi")
+      base.groupBy("wstart")
+        .agg(percentile(col("value"), lit(phi)).as("value"))
+    case FnPresentOverTime =>
+      // 1.0 for every window that has any sample at all
+      base.groupBy("wstart").agg(min(lit(1.0)).as("value"))
+    case FnLastOverTime =>
+      // newest sample; duplicate timestamps break toward the larger
+      // value (struct ordering) so the answer is input-order-free
+      base.groupBy("wstart")
+        .agg(max(struct(col("timestamp"), col("value")))
+          .getField("value").as("value"))
+    case FnDelta =>
+      base.groupBy("wstart")
+        .agg(
+          (max(struct(col("timestamp"), col("value"))).getField("value") -
+            min(struct(col("timestamp"), col("value"))).getField("value"))
+            .as("value"),
+          count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+        .select(col("wstart"), col("value"))
+    case FnDeriv =>
+      // least-squares slope per second, x in window-relative seconds so
+      // the regression sums never subtract epoch-magnitude doubles;
+      // regr_slope is null below two distinct x values
+      base.groupBy("wstart")
+        .agg(regr_slope(col("value"),
+          (col("timestamp") - col("wstart")) / lit(1000.0)).as("value"))
+        .where(col("value").isNotNull)
+    case FnChanges | FnResets =>
+      // consecutive-pair counters; a single-sample window reports 0
+      val w = Window.partitionBy("wstart")
+        .orderBy(col("timestamp"), col("value"))
+      val pred =
+        if (kind == FnChanges) col("value") =!= col("prev")
+        else col("value") < col("prev")
+      base
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .groupBy("wstart")
+        .agg(sum(when(col("prev").isNotNull && pred, 1.0).otherwise(0.0))
+          .as("value"))
+    case FnIdelta | FnIrate =>
+      // the LAST consecutive pair: lag both value and timestamp within
+      // the window, keep the max-(t, v) row's fields (same tie rule as
+      // last_over_time), then the pair math is row-local
+      val w = Window.partitionBy("wstart")
+        .orderBy(col("timestamp"), col("value"))
+      val lastRow = base
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .withColumn("prev_t", lag(col("timestamp"), 1).over(w))
+        .groupBy("wstart")
+        .agg(max(struct(col("timestamp"), col("value"), col("prev_t"),
+          col("prev"))).as("r"))
+        .select(col("wstart"), col("r.timestamp").as("t"),
+          col("r.value").as("v"), col("r.prev_t").as("pt"),
+          col("r.prev").as("pv"))
+        .where(col("pv").isNotNull)
+      if (kind == FnIdelta)
+        lastRow.select(col("wstart"), (col("v") - col("pv")).as("value"))
+      else
+        // irate: reset-corrected instantaneous rate over a positive span
+        lastRow.where(col("t") > col("pt"))
+          .select(col("wstart"),
+            (when(col("v") >= col("pv"), col("v") - col("pv"))
+              .otherwise(col("v")) /
+              ((col("t") - col("pt")) / lit(1000.0))).as("value"))
+    case FnIncrease | FnRate =>
+      // consecutive-sample deltas need an ordered pass WITHIN the
+      // window only — partition-bounded, and the groupBy that follows
+      // reuses the exchange
+      val w = Window.partitionBy("wstart")
+        .orderBy(col("timestamp"), col("value"))
+      val stepped = base
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .groupBy("wstart")
+        .agg(
+          sum(when(col("prev").isNull, lit(0.0))
+            .when(col("value") >= col("prev"), col("value") - col("prev"))
+            .otherwise(col("value"))).as("inc"),
+          min("timestamp").as("t0"), max("timestamp").as("t1"),
+          count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+      if (kind == FnIncrease)
+        stepped.select(col("wstart"), col("inc").as("value"))
+      else
+        // rate needs a positive observed span (two DISTINCT timestamps)
+        // — IEEE inf from a zero span would poison downstream aggregates
+        stepped.where(col("t1") > col("t0")).select(col("wstart"),
+          (col("inc") / ((col("t1") - col("t0")) / lit(1000.0))).as("value"))
   }
 }

@@ -170,6 +170,37 @@ class CliWebSpec extends AnyFunSuite {
     assert(code == 1 && out.exists(_.contains("i64|u64|f64")))
   }
 
+  test("http: a step field switches /query to sliding query_range evaluation") {
+    val db = freshDb()
+    seed(db) // samples (23,45) (29,47) (40,23) (51,48)
+    // sliding (T-20, T] at 10ms steps: T=40 → 115, T=50 → 23, T=60 → 48;
+    // range functions are Float64 regardless of the stream's u64 type
+    val server = Web.start(spark, 0)
+    try {
+      val port = server.getAddress.getPort
+      def post(json: String): String = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(post(
+        s"""{"path": "$db", "query": "sum_over_time(http_requests_total[20ms])",
+           | "start": 40, "end": 60, "step": 10}""".stripMargin))
+      assert(node.get("value_type").asText() == "Float64")
+      val ts = (0 until node.get("timestamps").size())
+        .map(node.get("timestamps").get(_).asLong())
+      val vs = (0 until node.get("values_f64").size())
+        .map(node.get("values_f64").get(_).asDouble())
+      assert(ts.zip(vs).sortBy(_._1).toSeq ==
+        Seq((40L, 115.0), (50L, 23.0), (60L, 48.0)))
+      // without step: the tumbling whole-range shape, unchanged contract
+      val p = mapper.readTree(post(
+        s"""{"path": "$db", "query": "sum_over_time(http_requests_total[20ms])",
+           | "start": 23, "end": 51}""".stripMargin))
+      assert(p.get("timestamps").size() == 2) // [23,43) and [43,51]
+    } finally server.stop(0)
+  }
+
   test("http: /compact merges deltas and respects the db-root allowlist") {
     val db = freshDb()
     seed(db) // four flushes -> four delta files

@@ -141,6 +141,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
 
+  test("ts52 sliding query_range: bounded explode, one window-key exchange, no global window") {
+    // the sliding path must keep the tumbling path's plan shape: the
+    // explode is row-local (before any exchange), every window spec is
+    // wstart-partitioned, and one hashpartitioning on wstart feeds both
+    // the lag sort and the aggregate
+    val p = plan(graft.queries.TimeSeries.queries("ts52_query_range")(spark, sf))
+    assert(p.contains("Generate explode"), "expected the sequence explode")
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    windowLines.foreach(l => assert(l.contains("wstart"), s"unpartitioned window: $l"))
+    val wstartExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("wstart"))
+      .size
+    assert(wstartExchanges == 1, s"expected 1 wstart exchange, got $wstartExchanges:\n$p")
+  }
+
   test("q24 global ranking has no window ordered over the data") {
     val p = plan(graft.queries.Relational.queries("q24_ntile")(spark, sf))
     // a Window whose spec leads with the o_totalprice sort would be the

@@ -99,6 +99,116 @@ class RangeFnSpec extends AnyFunSuite {
     assert(vectorOf(r) === Seq((0L, 200.0))) // +6 over 30ms
   }
 
+  // ---- second-wave range functions: moments, counters, regression ----
+
+  test("stddev/stdvar_over_time: population moments, single sample = 0") {
+    val sd = run("stddev_over_time(ctr[30ms])")
+    assert(math.abs(sd(0L) - math.sqrt(116.66666666666667 / 3)) < 1e-12)
+    assert(sd(30L) === 0.0) // single sample
+    assert(sd(60L) === 3.0) // {3,9}: σ = 3
+    assert(sd(90L) === 0.0) // {1,1}
+    val sv = run("stdvar_over_time(ctr[30ms])")
+    assert(sv(60L) === 9.0)
+    assert(sv(30L) === 0.0)
+  }
+
+  test("quantile_over_time: linear interpolation, φ bounds checked") {
+    assert(run("quantile_over_time(0.5, ctr[30ms])") ===
+      Map(0L -> 10.0, 30L -> 7.0, 60L -> 6.0, 90L -> 1.0))
+    // φ = 1 is the max, φ = 0 the min
+    assert(run("quantile_over_time(1, ctr[30ms])")(0L) === 20.0)
+    assert(run("quantile_over_time(0, ctr[30ms])")(0L) === 5.0)
+    intercept[IllegalArgumentException] {
+      engine.query("quantile_over_time(1.5, ctr[30ms])", 0, 100).df.collect()
+    }
+    intercept[PromParseException] {
+      PromParser.parse("quantile_over_time(ctr[30ms])")
+    }
+  }
+
+  test("present_over_time: 1 for any non-empty window") {
+    assert(run("present_over_time(ctr[30ms])") ===
+      Map(0L -> 1.0, 30L -> 1.0, 60L -> 1.0, 90L -> 1.0))
+  }
+
+  test("changes / resets: consecutive-pair counters, single sample = 0") {
+    // w0: 10→20→5 = 2 changes (1 reset); w1 single = 0; w2: 3→9 = 1
+    // change, no reset; w3: 1→1 flat = 0
+    assert(run("changes(ctr[30ms])") ===
+      Map(0L -> 2.0, 30L -> 0.0, 60L -> 1.0, 90L -> 0.0))
+    assert(run("resets(ctr[30ms])") ===
+      Map(0L -> 1.0, 30L -> 0.0, 60L -> 0.0, 90L -> 0.0))
+  }
+
+  test("idelta / irate: the LAST sample pair, reset-corrected, ≥2 samples") {
+    // w0 last pair (15,20)→(25,5): idelta -15; irate resets → 5/0.01s
+    assert(run("idelta(ctr[30ms])") ===
+      Map(0L -> -15.0, 60L -> 6.0, 90L -> 0.0))
+    assert(run("irate(ctr[30ms])") ===
+      Map(0L -> 500.0, 60L -> 400.0, 90L -> 0.0))
+    // duplicate-timestamp pair: zero span → no irate row, idelta defined
+    assert(run("irate(dup[30ms])") === Map.empty[Long, Double])
+    assert(run("idelta(dup[30ms])") === Map(30L -> 6.0))
+  }
+
+  test("deriv: least-squares slope per second, needs two distinct timestamps") {
+    val d = run("deriv(ctr[30ms])")
+    // w0 (0.005,10)(0.015,20)(0.025,5): slope -250; w1 dropped;
+    // w2 (65,3)→(80,9): 6/0.015s = 400; w3 flat pair: 0
+    assert(math.abs(d(0L) - -250.0) < 1e-9)
+    assert(!d.contains(30L))
+    assert(math.abs(d(60L) - 400.0) < 1e-9)
+    assert(d(90L) === 0.0)
+    // zero span (dup timestamps only) → regr_slope null → no row
+    assert(run("deriv(dup[30ms])") === Map.empty[Long, Double])
+  }
+
+  // ---- sliding query_range evaluation ----
+
+  private def runRange(q: String, start: Long, end: Long,
+      step: Long): Map[Long, Double] =
+    vectorOf(engine.queryRange(q, start, end, step)).toMap
+
+  test("queryRange: sliding lookback (T-w, T], eval every step") {
+    val r = runRange("sum_over_time(ctr[30ms])", 0L, 100L, 10L)
+    assert(r === Map(10L -> 10.0, 20L -> 30.0, 30L -> 35.0, 40L -> 32.0,
+      50L -> 12.0, 60L -> 7.0, 70L -> 3.0, 80L -> 12.0, 90L -> 12.0,
+      100L -> 11.0))
+    // T=0's window (-30, 0] is empty → no row (present_over_time agrees)
+    assert(!r.contains(0L))
+    assert(runRange("present_over_time(ctr[30ms])", 0L, 100L, 10L)
+      .keySet === r.keySet)
+  }
+
+  test("queryRange: the scan extends one window behind start (full lookback)") {
+    // start=30: window (0, 30] must still see samples 5/15/25
+    val r = runRange("sum_over_time(ctr[30ms])", 30L, 60L, 30L)
+    assert(r === Map(30L -> 35.0, 60L -> 7.0))
+  }
+
+  test("queryRange: rate over sliding windows, instant math composes") {
+    val r = runRange("rate(ctr[30ms])", 30L, 90L, 30L)
+    // T=30 (0,30]: 10→20→5(reset) inc 15 over 20ms → 750/s
+    // T=60 (30,60]: single sample → dropped
+    // T=90 (60,90]: 3→9 inc 6 over 15ms → 400/s
+    assert(r === Map(30L -> 750.0, 90L -> 400.0))
+    assert(runRange("clamp_max(rate(ctr[30ms]), 500)", 30L, 90L, 30L) ===
+      Map(30L -> 500.0, 90L -> 400.0))
+  }
+
+  test("queryRange: whole-range shapes are rejected with the scan-amplification error") {
+    val e1 = intercept[IllegalArgumentException] {
+      engine.queryRange("sum(ctr)", 0L, 100L, 10L)
+    }
+    assert(e1.getMessage.contains("queryRange"))
+    intercept[IllegalArgumentException] {
+      engine.queryRange("ctr", 0L, 100L, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      engine.queryRange("rate(ctr[30ms])", 0L, 100L, 0L)
+    }
+  }
+
   // ---- instant math functions (the extension's second half) ----
 
   test("instant fns: clamp family, abs, sgn, round-to-nearest") {
