@@ -83,6 +83,42 @@ object Packing {
     * row-local, and each document emits at most weight/capacity + 1
     * rows — output is corpus-token-bound, never quadratic.
     */
+  /** Packing-efficiency report over [[packSpans]]'s decomposition: one
+    * row per context block with its composition — span count, whole-doc
+    * vs head/tail/mid fragment mix, filled tokens, fill ratio.
+    * Concat-and-cut leaves no intra-block padding, so every block but
+    * the final one reports fill 1.0; what the report measures is
+    * FRAGMENTATION — how many documents each block mixes and how many
+    * straddle its boundaries, i.e. the attention-mask / cross-document-
+    * leakage cost the packing discipline pays per block. The run report
+    * a curation pipeline publishes next to dd19's cluster histogram.
+    *
+    * Scale: [[packSpans]]'s own shape plus ONE aggregate keyed on `bin`
+    * (map-side combined, block-count output rows — corpus-token-bound
+    * input, metadata-sized output).
+    */
+  def packReport(df: DataFrame, sortCols: Seq[Column], weightCol: String,
+      capacity: Long, numPartitions: Int = 0): DataFrame = {
+    val n = col(weightCol).cast("long")
+    packSpans(df, sortCols, weightCol, capacity, numPartitions)
+      .select(col("bin"), col("span_start"), col("span_len"), n.as("_n"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("span_len") === col("_n"), 1L).otherwise(0L))
+          .as("n_whole"),
+        sum(when(col("span_start") === 0 && col("span_len") < col("_n"), 1L)
+          .otherwise(0L)).as("n_head"),
+        sum(when(col("span_start") > 0 &&
+            col("span_start") + col("span_len") === col("_n"), 1L)
+          .otherwise(0L)).as("n_tail"),
+        sum(when(col("span_start") > 0 &&
+            col("span_start") + col("span_len") < col("_n"), 1L)
+          .otherwise(0L)).as("n_mid"),
+        sum(col("span_len")).as("filled"),
+        (sum(col("span_len")).cast("double") / capacity).as("fill_ratio"))
+  }
+
   def packSpans(df: DataFrame, sortCols: Seq[Column], weightCol: String,
       capacity: Long, numPartitions: Int = 0): DataFrame = {
     require(capacity > 0, "capacity must be positive")

@@ -118,6 +118,75 @@ object Sampling {
       .select(cols.head, cols.tail: _*)
   }
 
+  /** UniMax domain sampling (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a total row budget UNIFORMLY across
+    * domains, except no domain repeats more than `maxEpochs` times —
+    * the published fairer alternative to temperature mixing (pp08),
+    * which over-samples head domains at any τ > 0.
+    *
+    * The allocation is classic water-filling over the per-domain counts:
+    * sort domains by their epoch cap (maxEpochs·n) ascending; a prefix
+    * saturates at its cap, the rest split the remaining budget evenly.
+    * The level θ satisfies Σ min(capᵢ, θ) = budget, so a domain's quota
+    * is min(capᵢ, θ) and its sampling rate quota/n ∈ (0, maxEpochs].
+    * Rates above 1 mean REPLICATION: a row emits floor(rate) full-epoch
+    * copies plus one more iff its hash bucket clears the fractional
+    * part — the same stable content-hash test as [[hashSample]], so the
+    * realized corpus is layout- and engine-independent. Output carries
+    * an `epoch` column (1-based copy index).
+    *
+    * Scale shape: the water-filling runs entirely on the #domains-row
+    * count table (its windows order DOMAINS, never data rows — the pp03
+    * allocation precedent); rates broadcast back; the per-row decision
+    * and the copy explode are row-local, with output bounded by
+    * budget + #domains rows. The budget is met to hash-bucket
+    * resolution (1/buckets per domain), exact when every rate is
+    * integral.
+    */
+  def unimax(df: DataFrame, domain: Column, key: Column, budgetRows: Long,
+      maxEpochs: Double, buckets: Int = 10000): DataFrame = {
+    require(budgetRows > 0, s"budgetRows must be positive: $budgetRows")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val cols = df.columns
+    val counts = df.groupBy(domain.as("_dom")).agg(count(lit(1)).as("_n"))
+    // windows over the #domains-row table only; the deliberate
+    // single-partition ordering is metadata-sized by construction
+    val byCap = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_cap"), col("_dom"))
+    val k = counts.agg(count(lit(1)).as("_k"))
+    val s = counts
+      .withColumn("_cap", lit(maxEpochs) * col("_n").cast("double"))
+      .withColumn("_i", row_number().over(byCap))
+      .withColumn("_p", sum(col("_cap")).over(byCap)) // inclusive prefix
+      .crossJoin(broadcast(k))
+      // domain i saturates iff granting every not-yet-placed domain its
+      // cap-sized share still fits the remaining budget
+      .withColumn("_sat",
+        col("_cap") * (col("_k") - col("_i") + 1) <=
+          lit(budgetRows.toDouble) - (col("_p") - col("_cap")))
+    val level = s.agg(
+      coalesce(max(when(col("_sat"), col("_i"))), lit(0)).as("_m"),
+      coalesce(sum(when(col("_sat"), col("_cap"))), lit(0.0)).as("_pm"))
+    val rates = s.crossJoin(broadcast(level))
+      .withColumn("_quota",
+        when(col("_i") <= col("_m"), col("_cap"))
+          .otherwise((lit(budgetRows.toDouble) - col("_pm")) /
+            (col("_k") - col("_m"))))
+      .select(col("_dom"),
+        (col("_quota") / col("_n").cast("double")).as("_rate"))
+    df.withColumn("_dom", domain)
+      .join(broadcast(rates), "_dom" :: Nil)
+      .withColumn("_copies",
+        floor(col("_rate")).cast("long") +
+          when(pmod(keyHash(key), lit(buckets)) <
+            floor((col("_rate") - floor(col("_rate"))) * buckets), 1L)
+            .otherwise(0L))
+      .where(col("_copies") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("_copies"))))
+      .select((cols.map(col) :+ col("epoch")): _*)
+  }
+
   /** Deterministic n-per-stratum sample: rows ranked inside each stratum
     * by (key hash, key) — a reproducible shuffle order — and the first n
     * kept.

@@ -1441,6 +1441,21 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // UniMax epoch-capped uniform mixing (Chung et al. 2023) — the
+    // published fairer alternative to pp08's temperature heuristic:
+    // budget splits uniformly across languages, no language repeats
+    // past maxEpochs. At this corpus the four tail languages saturate
+    // at exactly 2 epochs and `en` lands at a fractional rate — both
+    // water-filling regimes in one gate. Epochs > 1 REPLICATE with a
+    // 1-based epoch index; the fractional copy is the stable hash test,
+    // so the realized corpus is layout- and engine-independent.
+    "pp13_unimax" -> { (s, dir) =>
+      graft.operators.Sampling.unimax(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"), budgetRows = 900L, maxEpochs = 2.0)
+        .orderBy("doc_id", "epoch")
+    },
+
     // Training-objective prep: T5-style span corruption, re-designed
     // block-deterministic — one content-hash-offset 3-token span masked
     // per 16-token block (~19% density), sentinel-numbered input/target
@@ -1554,6 +1569,17 @@ object Pipeline {
       graft.operators.Packing.packSpans(t, Seq(col("doc_id")), "n_tokens", 512L)
         .select(col("doc_id"), col("bin"), col("span_start"), col("span_len"))
         .orderBy("doc_id", "bin")
+    },
+
+    // Packing-efficiency report: per-block span count, whole/head/tail/
+    // mid fragment mix, filled tokens, fill ratio — the fragmentation
+    // (cross-document attention leakage) cost of concat-and-cut, one
+    // map-side-combined aggregate over sq02's span rows.
+    "sq03_pack_report" -> { (s, dir) =>
+      val t = docs(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing.packReport(t, Seq(col("doc_id")), "n_tokens", 512L)
+        .orderBy("bin")
     },
 
     // ---- multimodal (opaque payload) plumbing ----
@@ -2664,6 +2690,38 @@ object Pipeline {
         |        AS BIGINT) % 10000 < floor(rate * 10000)
         |ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Sampling.unimax(budget=900, maxEpochs=2): water-filling
+    // over the per-lang counts (prefix saturates at cap, rest split the
+    // remainder), then floor(rate) copies + the fractional hash test.
+    // 2e0/900e0 literals keep DuckDB in DOUBLE (2.0 would be DECIMAL and
+    // drift from Spark's f64 at the comparison boundaries).
+    "pp13_unimax" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |s AS (SELECT lang, n, 2e0 * n AS cap,
+        |        row_number() OVER (ORDER BY 2e0 * n, lang) AS i,
+        |        SUM(2e0 * n) OVER (ORDER BY 2e0 * n, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |        (SELECT COUNT(*) FROM c) AS k
+        |      FROM c),
+        |m AS (SELECT COALESCE(MAX(CASE WHEN cap * (k - i + 1) <= 900e0 - (p - cap)
+        |                THEN i END), 0) AS m,
+        |        COALESCE(SUM(CASE WHEN cap * (k - i + 1) <= 900e0 - (p - cap)
+        |                THEN cap END), 0e0) AS pm
+        |      FROM s),
+        |r AS (SELECT lang,
+        |        (CASE WHEN i <= m THEN cap
+        |              ELSE (900e0 - pm) / (k - m) END) / n AS rate
+        |      FROM s CROSS JOIN m),
+        |d AS (SELECT doc_id, lang,
+        |        CAST(FLOOR(rate) AS BIGINT) +
+        |          CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                 AS BIGINT) % 10000 < FLOOR((rate - FLOOR(rate)) * 10000)
+        |               THEN 1 ELSE 0 END AS copies
+        |      FROM documents JOIN r USING (lang))
+        |SELECT doc_id, lang,
+        |  CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+        |FROM d WHERE copies >= 1 ORDER BY doc_id, epoch""".stripMargin,
+
     // Mirrors Masking.spanCorrupt(block=16, span=3, seed="span"):
     // offs[k+1] is the masked-span offset in block k, NULL for a tail
     // block shorter than the span (which passes through unmasked).
@@ -2793,6 +2851,35 @@ object Pipeline {
          |  CAST(LEAST(n, (bin + 1) * 512 - g) -
          |    GREATEST(0, bin * 512 - g) AS BIGINT) AS span_len
          |FROM b ORDER BY doc_id, bin""".stripMargin,
+
+    "sq03_pack_report" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n
+         |           FROM documents WHERE len($ToksSql) >= 1),
+         |c AS (SELECT doc_id, n,
+         |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS g
+         |  FROM t),
+         |b AS (SELECT doc_id, n, g,
+         |    unnest(generate_series(g // 512, (g + n - 1) // 512)) AS bin
+         |  FROM c),
+         |sp AS (SELECT n, CAST(bin AS BIGINT) AS bin,
+         |    GREATEST(0, bin * 512 - g) AS span_start,
+         |    LEAST(n, (bin + 1) * 512 - g) - GREATEST(0, bin * 512 - g)
+         |      AS span_len
+         |  FROM b)
+         |SELECT bin, COUNT(*) AS n_spans,
+         |  CAST(SUM(CASE WHEN span_len = n THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_whole,
+         |  CAST(SUM(CASE WHEN span_start = 0 AND span_len < n THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_head,
+         |  CAST(SUM(CASE WHEN span_start > 0 AND span_start + span_len = n
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+         |  CAST(SUM(CASE WHEN span_start > 0 AND span_start + span_len < n
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+         |  CAST(SUM(span_len) AS BIGINT) AS filled,
+         |  CAST(SUM(span_len) AS DOUBLE) / 512 AS fill_ratio
+         |FROM sp GROUP BY bin ORDER BY bin""".stripMargin,
 
     "mm01_meta" ->
       """SELECT doc_id,

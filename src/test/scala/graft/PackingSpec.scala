@@ -52,6 +52,37 @@ class PackingSpec extends AnyFunSuite {
     assert(stream == expected)
   }
 
+  test("packReport classifies fragments and accounts every token once") {
+    // docs 3,7,4 tokens, capacity 5:
+    //  bin 0: doc0 whole (3) + doc1 head (2)       -> full
+    //  bin 1: doc1 mid (5)                          -> full
+    //  bin 2: doc2 whole (4) + doc1 tail... order is doc_id: doc1's
+    // spans are head(2)@bin0, mid(5)@bin1, tail... recompute: gcum
+    // doc0=0, doc1=3, doc2=10. doc1 spans bins 0..1 (3+7=10 exclusive):
+    // bin0 [0,5): tokens 0-1 (start 0? span_start = max(0, 0*5-3)=0,
+    // len = min(7,5-3)-0 = 2 -> head; bin1 [5,10): start 2 len 5 ->
+    // tail (2+5=7=n). doc2 g=10: bin2 whole (4).
+    val t = Seq((0L, 3L), (1L, 7L), (2L, 4L)).toDF("doc_id", "n_tokens")
+    val rep = Packing.packReport(t, Seq(col("doc_id")), "n_tokens", 5L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(rep.toSeq == Seq(
+      (0L, 2L, 1L, 1L, 0L, 0L, 5L, 1.0),   // doc0 whole + doc1 head
+      (1L, 1L, 0L, 0L, 1L, 0L, 5L, 1.0),   // doc1 tail fills the block
+      (2L, 1L, 1L, 0L, 0L, 0L, 4L, 0.8)))  // doc2 whole, final partial
+    // a long doc produces mid fragments
+    val long = Seq((0L, 13L)).toDF("doc_id", "n_tokens")
+    val rep2 = Packing.packReport(long, Seq(col("doc_id")), "n_tokens", 5L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(rep2.toSeq == Seq((0L, 0L, 1L, 0L, 0L), (1L, 0L, 0L, 0L, 1L),
+      (2L, 0L, 0L, 1L, 0L))) // head, mid, tail
+    // token conservation: filled sums to the corpus token count
+    assert(rep.map(_._7).sum == 14L)
+  }
+
   test("a span id absent from docs fails loudly instead of vanishing") {
     val docs = Seq((0L, "a b c"), (1L, "d e"))
       .toDF("doc_id", "text")

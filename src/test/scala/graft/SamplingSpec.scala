@@ -56,6 +56,48 @@ class SamplingSpec extends AnyFunSuite {
     assert(flat("small") > nat("small"))
   }
 
+  test("unimax: water-filling saturates small domains, splits the rest evenly") {
+    // domains: a=100 rows, b=100, c=800; budget 600, maxEpochs 2
+    // caps (2n): a=200, b=200, c=1600. Sorted asc: a, b, c.
+    //  a: 200*3=600 <= 600           -> saturated (quota 200, rate 2.0)
+    //  b: 200*2=400 <= 600-200=400   -> saturated (quota 200, rate 2.0)
+    //  c: 1600*1 <= 600-400=200? no  -> theta = 200, rate 200/800 = 0.25
+    val rows = (0 until 100).map(i => (s"a$i", "a")) ++
+      (0 until 100).map(i => (s"b$i", "b")) ++
+      (0 until 800).map(i => (s"c$i", "c"))
+    val df = rows.toDF("id", "dom")
+    val out = Sampling.unimax(df, $"dom", $"id", budgetRows = 600L,
+      maxEpochs = 2.0).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // a and b replicate to exactly 2 epochs each (integral rate: exact)
+    assert(byDom("a") == 200 && byDom("b") == 200)
+    // every a-row appears with epochs 1 and 2
+    assert(out.filter(_._2 == "a").groupBy(_._1).forall(_._2.map(_._3).sorted
+      .sameElements(Seq(1L, 2L))))
+    // c samples at ~0.25 to hash resolution, single epoch
+    assert(math.abs(byDom("c") - 200) <= 20)
+    assert(out.filter(_._2 == "c").forall(_._3 == 1L))
+    // layout independence: same realized corpus on a different split
+    val again = Sampling.unimax(df.repartition(13), $"dom", $"id", 600L, 2.0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("unimax: an oversized budget caps every domain at maxEpochs") {
+    val df = ((0 until 30).map(i => (s"x$i", "x")) ++
+      (0 until 10).map(i => (s"y$i", "y"))).toDF("id", "dom")
+    val out = Sampling.unimax(df, $"dom", $"id", budgetRows = 100000L,
+      maxEpochs = 3.0).collect()
+    assert(out.length == 120) // 3 * (30 + 10): nothing exceeds the cap
+    intercept[IllegalArgumentException] {
+      Sampling.unimax(df, $"dom", $"id", 0L, 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.unimax(df, $"dom", $"id", 10L, 0.0)
+    }
+  }
+
   test("temperatureMix clamps oversubscribed domains at keep-everything") {
     // tiny domain + strong flattening: its raw rate exceeds 1
     val df = ((0 until 1990).map(i => (i.toLong, "big")) ++
