@@ -389,6 +389,23 @@ object TimeSeries {
         .orderBy("timestamp")
     },
 
+    // gap detection: 1 for every window with NO samples (the alerting
+    // primitive). user=12's purchases occupy 4 of the 23 12h windows,
+    // so the answer is the 19-row complement — the window universe is a
+    // driver-built range anti-joined against observed window keys.
+    "ts53_range_absent" ->
+      q("absent_over_time(purchase{user=\"12\"}[12h])") _,
+
+    // grouped range functions — `rate(metric[1d]) by (user)`, the
+    // per-series dashboard panel: each user's windows see only that
+    // user's samples; (group, wstart) is the one exchange key.
+    "ts54_range_by" -> { (s, dir) =>
+      engine(s, dir)
+        .rangeAggregateBy("rate(purchase[1d])", "user", SubStart, SubEnd)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("group", "timestamp")
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -710,6 +727,33 @@ object TimeSeries {
          |  ROUND(regr_slope(v, (t - ws) / 1000.0), 9) AS value
          |FROM w GROUP BY ws HAVING regr_slope(v, (t - ws) / 1000.0) IS NOT NULL
          |ORDER BY timestamp""".stripMargin,
+
+    "ts53_range_absent" ->
+      s"""WITH g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, 43200000)) AS ws),
+         |o AS (SELECT DISTINCT t - ((t - $SubStart) % 43200000) AS ws
+         |      FROM ${ev("event_type = 'purchase' AND user_id = 12")}
+         |      WHERE ${sub()})
+         |SELECT g.ws AS timestamp, 1e0 AS value
+         |FROM g LEFT JOIN o ON g.ws = o.ws
+         |WHERE o.ws IS NULL ORDER BY timestamp""".stripMargin,
+
+    "ts54_range_by" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS grp,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'),
+         |w AS (SELECT grp, t - ((t - $SubStart) % 86400000) AS ws, t, v
+         |      FROM d WHERE ${sub()}),
+         |l AS (SELECT grp, ws, t, v,
+         |        lag(v) OVER (PARTITION BY grp, ws ORDER BY t, v) AS pv FROM w),
+         |a AS (SELECT grp, ws,
+         |        SUM(CASE WHEN pv IS NULL THEN 0
+         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |        MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+         |      FROM l GROUP BY grp, ws)
+         |SELECT grp AS "group", ws AS timestamp,
+         |  ROUND(inc / ((t1 - t0) / 1000.0), 6) AS value
+         |FROM a WHERE n >= 2 AND t1 > t0
+         |ORDER BY "group", timestamp""".stripMargin,
 
     "ts52_query_range" ->
       s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}

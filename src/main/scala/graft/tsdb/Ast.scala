@@ -104,6 +104,8 @@ object Expr {
   case object FnIdelta extends RangeFnKind
   case object FnIrate extends RangeFnKind
   case object FnDeriv extends RangeFnKind
+  /** 1 for every window with NO samples — the gap detector. */
+  case object FnAbsentOverTime extends RangeFnKind
 
   /** `args` carries the numeric literals a kind's PromQL signature takes
     * (today only quantile_over_time's φ); empty for every other kind.

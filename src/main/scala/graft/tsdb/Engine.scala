@@ -179,7 +179,8 @@ final class TsdbEngine(
       }.flatten
       TsdbResult(
         statsServed.getOrElse(
-          RangeFns(kind, select(sel, start, end), rangeMs, start, fnArgs)),
+          RangeFns(kind, select(sel, start, end), rangeMs, start, end,
+            fnArgs)),
         isScalar = false, VType.F64)
 
     case RangeFn(_, other, _) =>
@@ -229,6 +230,43 @@ final class TsdbEngine(
     }
     rows.groupBy("group").agg(aggCol.as("value"))
   }
+
+  /** Grouped range functions — the `by (label)` extension applied to the
+    * range-fn family (mirrors [[aggregateBy]] for whole-range
+    * aggregates): per-(label value, tumbling window) results as
+    * (group, timestamp, value) rows. `promql` must be a range function
+    * over a matrix selector; each group's windows see only that group's
+    * samples (the per-series dashboard panel: `rate(metric[5m]) by
+    * (instance)`). absent_over_time is rejected — absence is not
+    * attributable to a label value.
+    *
+    * Scale shape: identical to the ungrouped form with (group, wstart)
+    * as the one exchange key — group count multiplies output rows, not
+    * passes over the scan.
+    */
+  def rangeAggregateBy(promql: String, labelKey: String,
+      startMs: Long, endMs: Long): DataFrame =
+    PromParser.parse(promql) match {
+      case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
+        require(kind != FnAbsentOverTime,
+          "absent_over_time has no grouped form (absence is not " +
+            "attributable to a label value)")
+        val matcherFilter = sel.matchers.foldLeft(col("name") === sel.name) {
+          (acc, m) => acc && element_at(col("labels"), m.label) === m.value
+        }
+        val base = data
+          .where(matcherFilter &&
+            col("timestamp") >= startMs && col("timestamp") <= endMs)
+          .select(element_at(col("labels"), labelKey).as("group"),
+            (col("timestamp") -
+              pmod(col("timestamp") - startMs, lit(rangeMs))).as("wstart"),
+            col("timestamp"), col("value").cast("double").as("value"))
+        RangeFns.aggWindows(kind, base, fnArgs, Seq("group", "wstart"))
+          .select(col("group"), col("wstart").as("timestamp"), col("value"))
+      case other => throw new IllegalArgumentException(
+        s"rangeAggregateBy requires a range function over a matrix " +
+          s"selector, got: $other")
+    }
 
   /** VectorSelectNode: label+name equality, [start,end] range; streams
     * concatenate (vector_select.rs:78-105). Ordered (stream, timestamp).

@@ -122,7 +122,8 @@ object PromParser {
       "quantile_over_time" -> FnQuantileOverTime,
       "present_over_time" -> FnPresentOverTime,
       "changes" -> FnChanges, "resets" -> FnResets,
-      "idelta" -> FnIdelta, "irate" -> FnIrate, "deriv" -> FnDeriv)
+      "idelta" -> FnIdelta, "irate" -> FnIrate, "deriv" -> FnDeriv,
+      "absent_over_time" -> FnAbsentOverTime)
 
     // Instant math functions — the extension's second half (Ast.InstantFn).
     val instantFnNames: Map[String, InstantFnKind] =

@@ -70,7 +70,7 @@ object RangeFns {
     * (timestamp LONG = window start, value DOUBLE).
     */
   def apply(kind: RangeFnKind, samples: DataFrame, windowMs: Long,
-      startMs: Long, args: List[Double] = Nil): DataFrame = {
+      startMs: Long, endMs: Long, args: List[Double] = Nil): DataFrame = {
     require(windowMs > 0, s"range window must be positive, got $windowMs")
     val v = col("value").cast("double")
     // timestamp >= startMs is guaranteed by the selector scan; pmod keeps
@@ -80,8 +80,27 @@ object RangeFns {
       (col("timestamp") - pmod(col("timestamp") - startMs, lit(windowMs)))
         .as("wstart"),
       col("timestamp"), v.as("value"))
-    aggWindows(kind, base, args)
-      .select(col("wstart").as("timestamp"), col("value"))
+    val out =
+      if (kind == FnAbsentOverTime)
+        absent(base, samples.sparkSession,
+          (endMs - startMs) / windowMs, startMs, windowMs)
+      else aggWindows(kind, base, args)
+    out.select(col("wstart").as("timestamp"), col("value"))
+  }
+
+  /** absent_over_time: 1.0 for every window with NO samples. The window
+    * universe is a driver-built range of (span/window)+1 rows —
+    * metadata-sized for any dashboard geometry — anti-joined against the
+    * observed window keys (the small side broadcasts; the distinct on
+    * observed keys map-side combines to window-count rows).
+    */
+  private def absent(base: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, maxIdx: Long,
+      startMs: Long, stepMs: Long): DataFrame = {
+    val all = spark.range(maxIdx + 1)
+      .select((lit(startMs) + col("id") * stepMs).as("wstart"))
+    all.join(base.select("wstart").distinct(), Seq("wstart"), "left_anti")
+      .select(col("wstart"), lit(1.0).as("value"))
   }
 
   /** Prometheus query_range evaluation: eval times T_i = startMs +
@@ -123,125 +142,143 @@ object RangeFns {
         col("timestamp"), col("value"))
       .select((lit(startMs) + col("i") * stepMs).as("wstart"),
         col("timestamp"), col("value"))
-    aggWindows(kind, base, args)
-      .select(col("wstart").as("timestamp"), col("value"))
+    val out =
+      if (kind == FnAbsentOverTime)
+        absent(base, samples.sparkSession, imax, startMs, stepMs)
+      else aggWindows(kind, base, args)
+    out.select(col("wstart").as("timestamp"), col("value"))
   }
 
   /** The per-window aggregation common to both window shapes: `base` is
-    * (wstart LONG, timestamp LONG, value DOUBLE); emits (wstart, value).
+    * (keys..., timestamp LONG, value DOUBLE); emits (keys..., value).
+    * `keys` defaults to the window key alone; the grouped by-label form
+    * ([[graft.tsdb.TsdbEngine.rangeAggregateBy]]) prepends its label
+    * column — everything below groups and partitions on the full key
+    * set, so per-group windows never see each other's samples. deriv
+    * requires a "wstart" key (its x values shift to window-relative
+    * seconds).
     */
-  private def aggWindows(kind: RangeFnKind, base: DataFrame,
-      args: List[Double]): DataFrame = kind match {
-    case FnAvgOverTime =>
-      base.groupBy("wstart").agg(avg("value").as("value"))
-    case FnSumOverTime =>
-      base.groupBy("wstart").agg(sum("value").as("value"))
-    case FnMinOverTime =>
-      base.groupBy("wstart").agg(min("value").as("value"))
-    case FnMaxOverTime =>
-      base.groupBy("wstart").agg(max("value").as("value"))
-    case FnCountOverTime =>
-      base.groupBy("wstart")
-        .agg(count(lit(1)).cast("double").as("value"))
-    case FnStddevOverTime =>
-      // population σ, like Prometheus; a single sample is σ = 0
-      base.groupBy("wstart").agg(stddev_pop("value").as("value"))
-    case FnStdvarOverTime =>
-      base.groupBy("wstart").agg(var_pop("value").as("value"))
-    case FnQuantileOverTime =>
-      // linear-interpolation quantile (percentile_cont); the aggregate
-      // state is the window's own values — samples-per-window bounded
-      val phi = args.headOption.getOrElse(
-        throw new IllegalArgumentException("quantile_over_time needs φ"))
-      require(phi >= 0.0 && phi <= 1.0,
-        s"quantile_over_time: φ must be in [0,1], got $phi")
-      base.groupBy("wstart")
-        .agg(percentile(col("value"), lit(phi)).as("value"))
-    case FnPresentOverTime =>
-      // 1.0 for every window that has any sample at all
-      base.groupBy("wstart").agg(min(lit(1.0)).as("value"))
-    case FnLastOverTime =>
-      // newest sample; duplicate timestamps break toward the larger
-      // value (struct ordering) so the answer is input-order-free
-      base.groupBy("wstart")
-        .agg(max(struct(col("timestamp"), col("value")))
+  private[tsdb] def aggWindows(kind: RangeFnKind, base: DataFrame,
+      args: List[Double],
+      keys: Seq[String] = Seq("wstart")): DataFrame = {
+    def grouped = base.groupBy(keys.map(col): _*)
+    def keyCols = keys.map(col)
+    kind match {
+      case FnAvgOverTime =>
+        grouped.agg(avg("value").as("value"))
+      case FnSumOverTime =>
+        grouped.agg(sum("value").as("value"))
+      case FnMinOverTime =>
+        grouped.agg(min("value").as("value"))
+      case FnMaxOverTime =>
+        grouped.agg(max("value").as("value"))
+      case FnCountOverTime =>
+        grouped.agg(count(lit(1)).cast("double").as("value"))
+      case FnStddevOverTime =>
+        // population σ, like Prometheus; a single sample is σ = 0
+        grouped.agg(stddev_pop("value").as("value"))
+      case FnStdvarOverTime =>
+        grouped.agg(var_pop("value").as("value"))
+      case FnQuantileOverTime =>
+        // linear-interpolation quantile (percentile_cont); the aggregate
+        // state is the window's own values — samples-per-window bounded
+        val phi = args.headOption.getOrElse(
+          throw new IllegalArgumentException("quantile_over_time needs φ"))
+        require(phi >= 0.0 && phi <= 1.0,
+          s"quantile_over_time: φ must be in [0,1], got $phi")
+        grouped.agg(percentile(col("value"), lit(phi)).as("value"))
+      case FnPresentOverTime =>
+        // 1.0 for every window that has any sample at all
+        grouped.agg(min(lit(1.0)).as("value"))
+      case FnAbsentOverTime =>
+        // handled by the callers (needs the window universe, not the
+        // sample rows); no per-group form exists — absence is not
+        // attributable to a label value
+        throw new IllegalArgumentException(
+          "absent_over_time has no grouped form")
+      case FnLastOverTime =>
+        // newest sample; duplicate timestamps break toward the larger
+        // value (struct ordering) so the answer is input-order-free
+        grouped.agg(max(struct(col("timestamp"), col("value")))
           .getField("value").as("value"))
-    case FnDelta =>
-      base.groupBy("wstart")
-        .agg(
-          (max(struct(col("timestamp"), col("value"))).getField("value") -
-            min(struct(col("timestamp"), col("value"))).getField("value"))
-            .as("value"),
-          count(lit(1)).as("n"))
-        .where(col("n") >= 2)
-        .select(col("wstart"), col("value"))
-    case FnDeriv =>
-      // least-squares slope per second, x in window-relative seconds so
-      // the regression sums never subtract epoch-magnitude doubles;
-      // regr_slope is null below two distinct x values
-      base.groupBy("wstart")
-        .agg(regr_slope(col("value"),
-          (col("timestamp") - col("wstart")) / lit(1000.0)).as("value"))
-        .where(col("value").isNotNull)
-    case FnChanges | FnResets =>
-      // consecutive-pair counters; a single-sample window reports 0
-      val w = Window.partitionBy("wstart")
-        .orderBy(col("timestamp"), col("value"))
-      val pred =
-        if (kind == FnChanges) col("value") =!= col("prev")
-        else col("value") < col("prev")
-      base
-        .withColumn("prev", lag(col("value"), 1).over(w))
-        .groupBy("wstart")
-        .agg(sum(when(col("prev").isNotNull && pred, 1.0).otherwise(0.0))
-          .as("value"))
-    case FnIdelta | FnIrate =>
-      // the LAST consecutive pair: lag both value and timestamp within
-      // the window, keep the max-(t, v) row's fields (same tie rule as
-      // last_over_time), then the pair math is row-local
-      val w = Window.partitionBy("wstart")
-        .orderBy(col("timestamp"), col("value"))
-      val lastRow = base
-        .withColumn("prev", lag(col("value"), 1).over(w))
-        .withColumn("prev_t", lag(col("timestamp"), 1).over(w))
-        .groupBy("wstart")
-        .agg(max(struct(col("timestamp"), col("value"), col("prev_t"),
-          col("prev"))).as("r"))
-        .select(col("wstart"), col("r.timestamp").as("t"),
-          col("r.value").as("v"), col("r.prev_t").as("pt"),
-          col("r.prev").as("pv"))
-        .where(col("pv").isNotNull)
-      if (kind == FnIdelta)
-        lastRow.select(col("wstart"), (col("v") - col("pv")).as("value"))
-      else
-        // irate: reset-corrected instantaneous rate over a positive span
-        lastRow.where(col("t") > col("pt"))
-          .select(col("wstart"),
-            (when(col("v") >= col("pv"), col("v") - col("pv"))
-              .otherwise(col("v")) /
-              ((col("t") - col("pt")) / lit(1000.0))).as("value"))
-    case FnIncrease | FnRate =>
-      // consecutive-sample deltas need an ordered pass WITHIN the
-      // window only — partition-bounded, and the groupBy that follows
-      // reuses the exchange
-      val w = Window.partitionBy("wstart")
-        .orderBy(col("timestamp"), col("value"))
-      val stepped = base
-        .withColumn("prev", lag(col("value"), 1).over(w))
-        .groupBy("wstart")
-        .agg(
-          sum(when(col("prev").isNull, lit(0.0))
-            .when(col("value") >= col("prev"), col("value") - col("prev"))
-            .otherwise(col("value"))).as("inc"),
-          min("timestamp").as("t0"), max("timestamp").as("t1"),
-          count(lit(1)).as("n"))
-        .where(col("n") >= 2)
-      if (kind == FnIncrease)
-        stepped.select(col("wstart"), col("inc").as("value"))
-      else
-        // rate needs a positive observed span (two DISTINCT timestamps)
-        // — IEEE inf from a zero span would poison downstream aggregates
-        stepped.where(col("t1") > col("t0")).select(col("wstart"),
-          (col("inc") / ((col("t1") - col("t0")) / lit(1000.0))).as("value"))
+      case FnDelta =>
+        grouped
+          .agg(
+            (max(struct(col("timestamp"), col("value"))).getField("value") -
+              min(struct(col("timestamp"), col("value"))).getField("value"))
+              .as("value"),
+            count(lit(1)).as("n"))
+          .where(col("n") >= 2)
+          .select((keyCols :+ col("value")): _*)
+      case FnDeriv =>
+        // least-squares slope per second, x in window-relative seconds so
+        // the regression sums never subtract epoch-magnitude doubles;
+        // regr_slope is null below two distinct x values
+        grouped
+          .agg(regr_slope(col("value"),
+            (col("timestamp") - col("wstart")) / lit(1000.0)).as("value"))
+          .where(col("value").isNotNull)
+      case FnChanges | FnResets =>
+        // consecutive-pair counters; a single-sample window reports 0
+        val w = Window.partitionBy(keyCols: _*)
+          .orderBy(col("timestamp"), col("value"))
+        val pred =
+          if (kind == FnChanges) col("value") =!= col("prev")
+          else col("value") < col("prev")
+        base
+          .withColumn("prev", lag(col("value"), 1).over(w))
+          .groupBy(keyCols: _*)
+          .agg(sum(when(col("prev").isNotNull && pred, 1.0).otherwise(0.0))
+            .as("value"))
+      case FnIdelta | FnIrate =>
+        // the LAST consecutive pair: lag both value and timestamp within
+        // the window, keep the max-(t, v) row's fields (same tie rule as
+        // last_over_time), then the pair math is row-local
+        val w = Window.partitionBy(keyCols: _*)
+          .orderBy(col("timestamp"), col("value"))
+        val lastRow = base
+          .withColumn("prev", lag(col("value"), 1).over(w))
+          .withColumn("prev_t", lag(col("timestamp"), 1).over(w))
+          .groupBy(keyCols: _*)
+          .agg(max(struct(col("timestamp"), col("value"), col("prev_t"),
+            col("prev"))).as("r"))
+          .select((keyCols ++ Seq(col("r.timestamp").as("t"),
+            col("r.value").as("v"), col("r.prev_t").as("pt"),
+            col("r.prev").as("pv"))): _*)
+          .where(col("pv").isNotNull)
+        if (kind == FnIdelta)
+          lastRow.select((keyCols :+ (col("v") - col("pv")).as("value")): _*)
+        else
+          // irate: reset-corrected instantaneous rate over a positive span
+          lastRow.where(col("t") > col("pt"))
+            .select((keyCols :+
+              (when(col("v") >= col("pv"), col("v") - col("pv"))
+                .otherwise(col("v")) /
+                ((col("t") - col("pt")) / lit(1000.0))).as("value")): _*)
+      case FnIncrease | FnRate =>
+        // consecutive-sample deltas need an ordered pass WITHIN the
+        // window only — partition-bounded, and the groupBy that follows
+        // reuses the exchange
+        val w = Window.partitionBy(keyCols: _*)
+          .orderBy(col("timestamp"), col("value"))
+        val stepped = base
+          .withColumn("prev", lag(col("value"), 1).over(w))
+          .groupBy(keyCols: _*)
+          .agg(
+            sum(when(col("prev").isNull, lit(0.0))
+              .when(col("value") >= col("prev"), col("value") - col("prev"))
+              .otherwise(col("value"))).as("inc"),
+            min("timestamp").as("t0"), max("timestamp").as("t1"),
+            count(lit(1)).as("n"))
+          .where(col("n") >= 2)
+        if (kind == FnIncrease)
+          stepped.select((keyCols :+ col("inc").as("value")): _*)
+        else
+          // rate needs a positive observed span (two DISTINCT timestamps)
+          // — IEEE inf from a zero span would poison downstream aggregates
+          stepped.where(col("t1") > col("t0")).select((keyCols :+
+            (col("inc") / ((col("t1") - col("t0")) / lit(1000.0)))
+              .as("value")): _*)
+    }
   }
 }

@@ -163,6 +163,39 @@ class RangeFnSpec extends AnyFunSuite {
     assert(run("deriv(dup[30ms])") === Map.empty[Long, Double])
   }
 
+  test("absent_over_time: 1 for every empty window, tumbling and sliding") {
+    // 10ms windows over [0,100]: occupied starts {0,10,20,30,60,80,90}
+    assert(run("absent_over_time(ctr[10ms])") ===
+      Map(40L -> 1.0, 50L -> 1.0, 70L -> 1.0, 100L -> 1.0))
+    // fully-covered geometry → empty result, not an error
+    assert(run("absent_over_time(ctr[30ms])") === Map.empty[Long, Double])
+    // sliding: exactly the complement of present_over_time's eval times
+    assert(vectorOf(engine.queryRange("absent_over_time(ctr[30ms])",
+      0L, 100L, 10L)).toMap === Map(0L -> 1.0))
+  }
+
+  test("rangeAggregateBy: per-group windows see only that group's samples") {
+    // two labeled series sharing the name: a=(5,10)(15,20), b=(5,100)
+    val rows = Seq(
+      ("m", Map("u" -> "a"), 5L, 10d), ("m", Map("u" -> "a"), 15L, 20d),
+      ("m", Map("u" -> "b"), 5L, 100d))
+    val e = new TsdbEngine(spark, longDf(rows),
+      new StreamCatalog(Seq(StreamDef("m", Map.empty, VType.F64))))
+    val sums = e.rangeAggregateBy("sum_over_time(m[30ms])", "u", 0L, 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(sums.toSet === Set(("a", 0L, 30.0), ("b", 0L, 100.0)))
+    // pair kinds stay within the group: only a has two samples
+    val rates = e.rangeAggregateBy("rate(m[30ms])", "u", 0L, 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rates.toSet === Set(("a", 0L, 1000.0))) // +10 over 10ms
+    intercept[IllegalArgumentException] {
+      e.rangeAggregateBy("absent_over_time(m[30ms])", "u", 0L, 100L)
+    }
+    intercept[IllegalArgumentException] {
+      e.rangeAggregateBy("sum(m)", "u", 0L, 100L)
+    }
+  }
+
   // ---- sliding query_range evaluation ----
 
   private def runRange(q: String, start: Long, end: Long,
