@@ -693,6 +693,30 @@ object Pipeline {
         .select(col("vec_id"), round(col("adist"), 6).as("adist"))
     },
 
+    // IVF-PQ composition (the billion-scale layout: coarse cells prune
+    // the scan, PQ codes compress what remains) — ADC runs over ONLY
+    // the probed cells' codes. `label` is the pre-assigned cell as in
+    // ann02/ann04; the cell filter is row-local and commutes with the
+    // (row-local) encode, so the gate filters first — in production the
+    // codes table is written cell-partitioned and the probe is
+    // partition pruning. Same oracle-reproducible iters=0 codebook as
+    // ann07.
+    "ann08_ivf_pq" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("vec"))
+      val model = graft.ann.Pq.fit(e, "vec_id", "vec", m = 8, k = 4, iters = 0)
+      val row = e.where(col("vec_id") === 0)
+        .select(col("vec"), col("label")).head()
+      val q = row.getSeq[Double](0)
+      val cell = row.getInt(1)
+      val probed = e.where(col("vec_id") =!= 0 &&
+        col("label").isin(cell, (cell + 1) % 10))
+      graft.ann.Pq.adcTopK(
+          graft.ann.Pq.encode(probed, "vec", model), "vec_id", model, q, 10)
+        .select(col("vec_id"), round(col("adist"), 6).as("adist"))
+    },
+
     // Symmetric int8 quantization of the embedding column — the 4x
     // storage/bandwidth reduction a 100 TB embedding store runs on:
     // per-vector scale = max |v| / 127, codes = floor(v * 127 / amax).
@@ -1906,6 +1930,39 @@ object Pipeline {
         |    FROM d) WHERE rn = 1),
         |q AS (SELECT m.s, list_slice(vec, m.s*8+1, m.s*8+8) AS qv
         |      FROM v, m WHERE vec_id = 0),
+        |tab AS (SELECT q.s, cent.j,
+        |          list_sum(list_transform(range(1, 9),
+        |            i -> (q.qv[i] - cent.cv[i]) * (q.qv[i] - cent.cv[i]))) AS qd
+        |        FROM q JOIN cent ON q.s = cent.s),
+        |adc AS (SELECT codes.vec_id, SUM(tab.qd) AS adist
+        |        FROM codes JOIN tab ON codes.s = tab.s AND codes.code = tab.j
+        |        GROUP BY codes.vec_id)
+        |SELECT vec_id, ROUND(adist, 6) AS adist FROM adc
+        |ORDER BY adc.adist, vec_id LIMIT 10""".stripMargin,
+
+    "ann08_ivf_pq" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings),
+        |m AS (SELECT unnest(range(0, 8)) AS s),
+        |cent AS (SELECT m.s, c.vec_id AS j,
+        |           list_slice(c.vec, m.s*8+1, m.s*8+8) AS cv
+        |         FROM v c, m WHERE c.vec_id < 4),
+        |q0 AS (SELECT vec, label AS qlabel FROM v WHERE vec_id = 0),
+        |parts AS (SELECT p.vec_id, m.s,
+        |            list_slice(p.vec, m.s*8+1, m.s*8+8) AS sv
+        |          FROM v p, m, q0
+        |          WHERE p.vec_id != 0
+        |            AND p.label IN (q0.qlabel, (q0.qlabel + 1) % 10)),
+        |d AS (SELECT parts.vec_id, parts.s, cent.j,
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (parts.sv[i] - cent.cv[i]) * (parts.sv[i] - cent.cv[i]))) AS d2
+        |      FROM parts JOIN cent ON parts.s = cent.s),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        |    FROM d) WHERE rn = 1),
+        |q AS (SELECT m.s, list_slice(q0.vec, m.s*8+1, m.s*8+8) AS qv
+        |      FROM q0, m),
         |tab AS (SELECT q.s, cent.j,
         |          list_sum(list_transform(range(1, 9),
         |            i -> (q.qv[i] - cent.cv[i]) * (q.qv[i] - cent.cv[i]))) AS qd

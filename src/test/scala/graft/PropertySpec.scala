@@ -176,6 +176,41 @@ class PropertySpec extends AnyFunSuite {
     ts <- Gen.listOfN(n, Gen.choose(0, 999).map(i => s"w$i"))
   } yield ts
 
+  // ---- sliding query_range vs a brute-force per-step reference ----
+
+  private val slidingGen: Gen[(Seq[(Long, Double)], Long, Long, Long, Long)] =
+    for {
+      n <- Gen.choose(1, 25)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 200L)).map(_.distinct)
+      vs <- Gen.listOfN(ts.size, Gen.choose(0L, 50L).map(_.toDouble))
+      w <- Gen.choose(1L, 60L)
+      step <- Gen.choose(1L, 40L)
+      start <- Gen.choose(0L, 50L)
+      span <- Gen.choose(0L, 150L)
+    } yield (ts.zip(vs), w, step, start, start + span)
+
+  test("queryRange equals the per-step brute-force over random geometry") {
+    for ((series, w, step, start, end) <- samples(slidingGen, 10)) {
+      val cat = new StreamCatalog(Seq(StreamDef("s", Map.empty, VType.F64)))
+      val e = new TsdbEngine(spark, TsdbFixtures.longDf(
+        series.map { case (t, v) => ("s", Map.empty[String, String], t, v) }),
+        cat)
+      val got = e.queryRange(s"sum_over_time(s[${w}ms])", start, end, step)
+        .df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // Prometheus contract, evaluated literally: T from start to end by
+      // step, window (T-w, T], rows only for non-empty windows
+      val want = (start to end by step).flatMap { bigT =>
+        val inWin = series.filter { case (t, _) => t > bigT - w && t <= bigT }
+        if (inWin.isEmpty) None else Some(bigT -> inWin.map(_._2).sum)
+      }.toMap
+      assert(got === want, s"w=$w step=$step [$start,$end] series=$series")
+      // absent is exactly the complement over the same eval times
+      val absent = e.queryRange(s"absent_over_time(s[${w}ms])", start, end, step)
+        .df.collect().map(_.getLong(0)).toSet
+      assert(absent === (start to end by step).toSet.diff(want.keySet))
+    }
+  }
+
   test("winnowing guarantee holds for random docs sharing a k+w-1 span") {
     val k = 8; val w = 4
     def fps(toks: Seq[String]): Set[Long] =
