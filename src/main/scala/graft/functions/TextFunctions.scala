@@ -171,6 +171,26 @@ object TextFunctions {
           .otherwise(concat(acc, array(l)))),
       "\n")
 
+  /** Latin-1/Latin-Extended accent fold map — a FIXED table, so both
+    * engines (and any re-run) normalize identically; ICU-style locale
+    * folding would make the dedup key engine-version-dependent.
+    */
+  private val AccentFrom =
+    "àáâãäåçèéêëìíîïñòóôõöùúûüýÿāăąćčďēĕėęěğīĭįıłńňōŏőœřśšťūŭůűųźżž"
+  private val AccentTo =
+    "aaaaaaceeeeiiiinooooouuuuyyaaaccdeeeeegiiiilnnoooorsstuuuuuzzz"
+
+  /** Canonical text normalization — the pre-dedup / pre-fingerprint
+    * key transform (lowercase, fold the fixed accent table, collapse
+    * whitespace runs, trim). Row-local column math; the SAME transform
+    * must produce the SAME bytes on every engine and run, which is why
+    * the fold table is a fixed literal (tx22's DuckDB oracle applies
+    * the identical translate) rather than locale-aware ICU folding.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      translate(lower(text), AccentFrom, AccentTo), "\\s+", " "))
+
   /** Tag-stripping text extraction for HTML-ish payloads: drop tags,
     * decode the five predefined entities (amp last, so double-encoded
     * text decodes one level only), collapse runs of whitespace. All

@@ -1419,6 +1419,22 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Canonical text normalization — the pre-dedup key transform
+    // (lowercase + a FIXED accent-fold table + whitespace collapse).
+    // The fold table is a literal so the normalized bytes are
+    // engine- and version-independent (ICU locale folding would make
+    // dedup keys drift across engines); the gate exercises it on a
+    // mixed-case whitespace-mangled wrapper of the corpus text, the
+    // spec pins the accent rows.
+    "tx22_normalize" -> { (s, dir) =>
+      val mangled = concat(upper(substring(col("text"), 1, 40)),
+        lit("  \t"), col("text"), lit(" \n "))
+      val t = graft.functions.TextFunctions.normalizeText(mangled)
+      docs(s, dir).select(col("doc_id"), md5(t).as("norm_md5"),
+        length(t).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // DSIR-style data selection (Xie et al. 2023) reduced to engine
     // primitives: importance log-weight = mean ln P_target - mean ln
     // P_raw under two bigram LMs — the target model trained on a
@@ -2696,6 +2712,20 @@ object Pipeline {
         |       FROM s2)
         |SELECT doc_id, md5(t) AS text_md5, CAST(length(t) AS BIGINT) AS n_chars
         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextFunctions.normalizeText (lower + fixed accent
+    // translate + whitespace collapse) on the same mangled wrapper.
+    // The corpus is ASCII, so the translate is a no-op here — the
+    // accent table itself is pinned by TextChunkSpec goldens.
+    "tx22_normalize" ->
+      """WITH m AS (SELECT doc_id,
+        |    upper(substr(text, 1, 40)) || '  ' || chr(9) || text ||
+        |    ' ' || chr(10) || ' ' AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(t), '\s+', ' ', 'g')) AS t FROM m)
+        |SELECT doc_id, md5(t) AS norm_md5, CAST(length(t) AS BIGINT) AS n_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // Two LMs over the same bigram table: raw (all docs, inner joins —
     // self-trained, everything seen) and target (2-source slice, LEFT

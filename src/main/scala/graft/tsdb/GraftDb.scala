@@ -72,6 +72,19 @@ final class GraftDb(
         throw new IllegalArgumentException(s"not a plain selector: $other")
     }
 
+  /** Catalog introspection, Prometheus label-API shape: every label
+    * key in the catalog (sorted), and the distinct values of one key
+    * (sorted), optionally restricted to streams of one metric name.
+    * Pure catalog reads — metadata-sized, the store is never opened.
+    */
+  def labelNames(): Seq[String] =
+    streams().flatMap(_.labels.keys).distinct.sorted
+
+  def labelValues(key: String, name: Option[String] = None): Seq[String] =
+    streams()
+      .filter(d => name.forall(_ == d.name))
+      .flatMap(_.labels.get(key)).distinct.sorted
+
   def streams(): Seq[StreamDef] =
     if (!Files.exists(catalogFile)) Seq.empty
     else {

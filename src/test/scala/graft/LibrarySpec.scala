@@ -393,6 +393,20 @@ class LibrarySpec extends AnyFunSuite {
     assert(db.streams().map(_.name) == Seq("n"))
   }
 
+  test("labelNames/labelValues: catalog introspection, metadata only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lv").toString
+    val db = new GraftDb(spark, dir)
+    assert(db.labelNames().isEmpty && db.labelValues("x").isEmpty)
+    db.createStream("m{env=\"prod\", dc=\"b\"}", VType.F64)
+    db.createStream("m{env=\"dev\", dc=\"a\"}", VType.F64)
+    db.createStream("n{env=\"prod\"}", VType.I64)
+    assert(db.labelNames() == Seq("dc", "env"))
+    assert(db.labelValues("env") == Seq("dev", "prod"))
+    assert(db.labelValues("dc") == Seq("a", "b"))
+    assert(db.labelValues("env", name = Some("n")) == Seq("prod"))
+    assert(db.labelValues("missing").isEmpty)
+  }
+
   test("a legacy (headerless) catalog parses raw and upgrades on write") {
     val dir = java.nio.file.Files.createTempDirectory("graft_legacy").toString
     // pre-escaping writer: labels raw, '%' literal, NO header line —

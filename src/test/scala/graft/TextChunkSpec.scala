@@ -64,4 +64,15 @@ class TextChunkSpec extends AnyFunSuite {
     assert(one("&amp;lt;", stripHtml) == "&lt;")
     assert(one("<br/>", stripHtml) == "")
   }
+
+  test("normalizeText: lowercase, fixed accent fold, whitespace collapse") {
+    import graft.functions.TextFunctions.normalizeText
+    assert(one("  Héllo\t\tWörld \n", normalizeText) == "hello world")
+    assert(one("Çà ÉTÉ naïve œuvre", normalizeText) == "ca ete naive ouvre")
+    // the fold table is fixed: unmapped scripts pass through unchanged
+    assert(one("Straße 北京", normalizeText) == "straße 北京")
+    // idempotent (a normalized key re-normalizes to itself)
+    assert(one(one("  MiXeD   caSe  ", normalizeText), normalizeText)
+      == "mixed case")
+  }
 }
