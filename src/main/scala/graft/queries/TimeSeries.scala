@@ -406,6 +406,17 @@ object TimeSeries {
         .orderBy("group", "timestamp")
     },
 
+    // grouped × sliding: every user's own series at every 12h step over
+    // a sliding 1d lookback — the full dashboard contract (queryRangeBy
+    // = ts54's grouping under ts52's per-step evaluation).
+    "ts55_query_range_by" -> { (s, dir) =>
+      engine(s, dir)
+        .queryRangeBy("avg_over_time(purchase[1d])", "user",
+          SubStart, SubEnd, 12 * 3600 * 1000L)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("group", "timestamp")
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -754,6 +765,18 @@ object TimeSeries {
          |  ROUND(inc / ((t1 - t0) / 1000.0), 6) AS value
          |FROM a WHERE n >= 2 AND t1 > t0
          |ORDER BY "group", timestamp""".stripMargin,
+
+    "ts55_query_range_by" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS grp,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |w AS (SELECT d.grp, g.et AS ws, d.v FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et)
+         |SELECT grp AS "group", ws AS timestamp, ROUND(AVG(v), 6) AS value
+         |FROM w GROUP BY grp, ws ORDER BY "group", timestamp""".stripMargin,
 
     "ts52_query_range" ->
       s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}

@@ -268,6 +268,35 @@ final class TsdbEngine(
           s"selector, got: $other")
     }
 
+  /** [[rangeAggregateBy]] × [[queryRange]]: the grouped form under
+    * query_range's sliding per-step evaluation — every label value's
+    * own dashboard series at every step. Same bounded-replication
+    * explode, with (group, wstart) as the one exchange key; the scan
+    * extends one window behind start like queryRange's.
+    */
+  def queryRangeBy(promql: String, labelKey: String,
+      startMs: Long, endMs: Long, stepMs: Long): DataFrame =
+    PromParser.parse(promql) match {
+      case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
+        require(kind != FnAbsentOverTime,
+          "absent_over_time has no grouped form (absence is not " +
+            "attributable to a label value)")
+        val matcherFilter = sel.matchers.foldLeft(col("name") === sel.name) {
+          (acc, m) => acc && element_at(col("labels"), m.label) === m.value
+        }
+        val rows = data
+          .where(matcherFilter &&
+            col("timestamp") >= startMs - rangeMs + 1 &&
+            col("timestamp") <= endMs)
+          .select(element_at(col("labels"), labelKey).as("group"),
+            col("timestamp"), col("value"))
+        RangeFns.sliding(kind, rows, rangeMs, stepMs, startMs, endMs,
+          fnArgs, groupCols = Seq("group"))
+      case other => throw new IllegalArgumentException(
+        s"queryRangeBy requires a range function over a matrix " +
+          s"selector, got: $other")
+    }
+
   /** VectorSelectNode: label+name equality, [start,end] range; streams
     * concatenate (vector_select.rs:78-105). Ordered (stream, timestamp).
     *

@@ -118,10 +118,12 @@ object RangeFns {
     */
   def sliding(kind: RangeFnKind, samples: DataFrame, windowMs: Long,
       stepMs: Long, startMs: Long, endMs: Long,
-      args: List[Double] = Nil): DataFrame = {
+      args: List[Double] = Nil, groupCols: Seq[String] = Nil): DataFrame = {
     require(windowMs > 0, s"range window must be positive, got $windowMs")
     require(stepMs > 0, s"step must be positive, got $stepMs")
     require(endMs >= startMs, s"end $endMs before start $startMs")
+    require(groupCols.isEmpty || kind != FnAbsentOverTime,
+      "absent_over_time has no grouped form")
     val imax = (endMs - startMs) / stepMs
     // floorDiv via pmod (pmod is always non-negative, unlike Long './').
     // The numerator is exactly divisible, so the f64 division is exact
@@ -134,19 +136,21 @@ object RangeFns {
     val d = col("timestamp") - startMs
     val iLo = greatest(lit(0L), floorDiv(d + (stepMs - 1), stepMs))
     val iHi = least(lit(imax), floorDiv(d + (windowMs - 1), stepMs))
+    val g = groupCols.map(col)
     val base = samples
-      .select(col("timestamp"), col("value").cast("double").as("value"),
-        iLo.as("i_lo"), iHi.as("i_hi"))
+      .select((g ++ Seq(col("timestamp"),
+        col("value").cast("double").as("value"),
+        iLo.as("i_lo"), iHi.as("i_hi"))): _*)
       .where(col("i_lo") <= col("i_hi"))
-      .select(explode(sequence(col("i_lo"), col("i_hi"))).as("i"),
-        col("timestamp"), col("value"))
-      .select((lit(startMs) + col("i") * stepMs).as("wstart"),
-        col("timestamp"), col("value"))
+      .select((g ++ Seq(explode(sequence(col("i_lo"), col("i_hi"))).as("i"),
+        col("timestamp"), col("value"))): _*)
+      .select((g ++ Seq((lit(startMs) + col("i") * stepMs).as("wstart"),
+        col("timestamp"), col("value"))): _*)
     val out =
       if (kind == FnAbsentOverTime)
         absent(base, samples.sparkSession, imax, startMs, stepMs)
-      else aggWindows(kind, base, args)
-    out.select(col("wstart").as("timestamp"), col("value"))
+      else aggWindows(kind, base, args, groupCols :+ "wstart")
+    out.select((g ++ Seq(col("wstart").as("timestamp"), col("value"))): _*)
   }
 
   /** The per-window aggregation common to both window shapes: `base` is

@@ -156,6 +156,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(wstartExchanges == 1, s"expected 1 wstart exchange, got $wstartExchanges:\n$p")
   }
 
+  test("ts53 absent: window universe broadcast-anti-joined, no data-order window") {
+    val p = plan(graft.queries.TimeSeries.queries("ts53_range_absent")(spark, sf))
+    assert(p.contains("LeftAnti"), s"expected the anti-join:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop") == false)
+    assert(!p.contains("windowspecdefinition"), "no window belongs in absent's plan")
+  }
+
+  test("ts54/ts55 grouped range fns: every window keyed (group, wstart), one exchange") {
+    for (q <- Seq("ts54_range_by", "ts55_query_range_by")) {
+      val p = plan(graft.queries.TimeSeries.queries(q)(spark, sf))
+      val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      windowLines.foreach(l =>
+        assert(l.contains("group") && l.contains("wstart"), s"$q: $l"))
+      val ex = p.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("wstart")).size
+      assert(ex <= 1, s"$q: expected at most 1 (group, wstart) exchange, got $ex")
+    }
+  }
+
   test("q24 global ranking has no window ordered over the data") {
     val p = plan(graft.queries.Relational.queries("q24_ntile")(spark, sf))
     // a Window whose spec leads with the o_totalprice sort would be the

@@ -194,6 +194,15 @@ class RangeFnSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       e.rangeAggregateBy("sum(m)", "u", 0L, 100L)
     }
+    // grouped × sliding: per-group lookback windows at each step
+    val slid = e.queryRangeBy("sum_over_time(m[30ms])", "u", 0L, 30L, 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(slid.toSet === Set(
+      ("a", 10L, 10.0), ("a", 20L, 30.0), ("a", 30L, 30.0),
+      ("b", 10L, 100.0), ("b", 20L, 100.0), ("b", 30L, 100.0)))
+    intercept[IllegalArgumentException] {
+      e.queryRangeBy("absent_over_time(m[30ms])", "u", 0L, 30L, 10L)
+    }
   }
 
   // ---- sliding query_range evaluation ----
