@@ -74,6 +74,16 @@ object Cli {
             out(r.mkString(" | "))
           }
           0
+        case Seq("query-range", promql, start, end, step) =>
+          // Prometheus query_range: sliding (T-range, T] at every step
+          // (GraftDb.queryRange contract; the HTTP "step" field's twin)
+          db.queryRange(promql, start.toLong, end.toLong, step.toLong)
+            .output.orderBy("timestamp").collect()
+            .foreach(r => out(s"${r.getLong(0)} ${fmt(r.get(1))}"))
+          0
+        case Seq("label-values", key) =>
+          db.labelValues(key).foreach(out)
+          0
         case "query" +: promql +: rest if rest.size <= 3 =>
           val start = rest.headOption.map(_.toLong).getOrElse(HackTimeStart)
           val end = rest.lift(1).map(_.toLong).getOrElse(HackTimeEnd)

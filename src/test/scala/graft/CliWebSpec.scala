@@ -170,6 +170,17 @@ class CliWebSpec extends AnyFunSuite {
     assert(code == 1 && out.exists(_.contains("i64|u64|f64")))
   }
 
+  test("cli: query-range slides, label-values lists the catalog") {
+    val db = freshDb()
+    seed(db) // samples (23,45) (29,47) (40,23) (51,48)
+    val (c, rows) = cli(db, "query-range",
+      "sum_over_time(http_requests_total[20ms])", "40", "60", "10")
+    assert(c == 0 && rows == Seq("40 115", "50 23", "60 48"))
+    val (c2, vals) = cli(db, "label-values", "service")
+    assert(c2 == 0 && vals == Seq("web"))
+    assert(cli(db, "label-values", "nope")._2.isEmpty)
+  }
+
   test("http: a step field switches /query to sliding query_range evaluation") {
     val db = freshDb()
     seed(db) // samples (23,45) (29,47) (40,23) (51,48)
