@@ -389,6 +389,15 @@ object TimeSeries {
         .orderBy("timestamp")
     },
 
+    // SUBQUERY — expr[range:step]: the inner rate evaluated slidingly
+    // every 12h becomes a derived series (step-count-bounded), then the
+    // outer max_over_time windows it tumbling per 3 days. The alerting
+    // shape ("worst 12h-sampled daily rate per 3-day window") in one
+    // expression; the store is scanned once, by the inner pass only.
+    "ts56_subquery" ->
+      q("max_over_time(rate(purchase[1d])[3d:12h])", roundTo = 6,
+        dedup = true) _,
+
     // gap detection: 1 for every window with NO samples (the alerting
     // primitive). user=12's purchases occupy 4 of the 23 12h windows,
     // so the answer is the 19-row complement — the window universe is a
@@ -738,6 +747,25 @@ object TimeSeries {
          |  ROUND(regr_slope(v, (t - ws) / 1000.0), 9) AS value
          |FROM w GROUP BY ws HAVING regr_slope(v, (t - ws) / 1000.0) IS NOT NULL
          |ORDER BY timestamp""".stripMargin,
+
+    "ts56_subquery" ->
+      s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}
+         |           WHERE t > ${SubStart - 86400000L} AND t <= $SubEnd GROUP BY t),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |w AS (SELECT g.et AS ws, d.t, d.v FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et),
+         |l AS (SELECT ws, t, v,
+         |        lag(v) OVER (PARTITION BY ws ORDER BY t, v) AS pv FROM w),
+         |a AS (SELECT ws,
+         |        SUM(CASE WHEN pv IS NULL THEN 0
+         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |        MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+         |      FROM l GROUP BY ws),
+         |inner_series AS (SELECT ws AS t, inc / ((t1 - t0) / 1000.0) AS v
+         |                 FROM a WHERE n >= 2 AND t1 > t0)
+         |SELECT t - ((t - $SubStart) % ${3 * 86400000L}) AS timestamp,
+         |  ROUND(MAX(v), 6) AS value
+         |FROM inner_series GROUP BY 1 ORDER BY timestamp""".stripMargin,
 
     "ts53_range_absent" ->
       s"""WITH g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, 43200000)) AS ws),

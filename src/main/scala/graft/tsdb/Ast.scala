@@ -79,6 +79,19 @@ object Expr {
     */
   final case class MatrixSelector(sel: Selector, rangeMs: Long) extends Expr
 
+  /** A PromQL subquery `expr[range:step]` — a DERIVED series: `child`
+    * evaluated slidingly every `stepMs` (the [[graft.tsdb.RangeFns]]
+    * sliding contract), then consumed as a matrix by an enclosing range
+    * function. Valid ONLY as a range function's immediate child, like
+    * [[MatrixSelector]]; `child` must itself be a range function over a
+    * matrix selector (optionally instant-wrapped) — the same scope as
+    * queryRange, and for the same reason: per-step re-evaluation of
+    * arbitrary whole-range expressions would rescan the store once per
+    * step.
+    */
+  final case class SubqueryMatrix(child: Expr, rangeMs: Long,
+      stepMs: Long) extends Expr
+
   /** Range functions over a matrix selector — an ENGINE EXTENSION (the
     * reference rejects all Call exprs, planner.rs:118-123). Semantics are
     * tumbling windows of `rangeMs` aligned to the query start; see

@@ -88,24 +88,29 @@ final class TsdbEngine(
     * engine refuses to hide (the error says so).
     */
   def queryRange(promql: String, startMs: Long, endMs: Long,
-      stepMs: Long): TsdbResult = {
-    def evalSliding(e: Expr): DataFrame = e match {
-      case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
-        RangeFns.sliding(kind,
-          select(sel, startMs - rangeMs + 1, endMs),
-          rangeMs, stepMs, startMs, endMs, fnArgs)
-      case InstantFn(kind, child, fnArgs) =>
-        // row-local value maps compose over the sliding vector unchanged
-        evalSliding(child).withColumn("value",
-          TsdbEngine.instantColumn(kind, fnArgs, col("value").cast("double")))
-      case other => throw new IllegalArgumentException(
-        "queryRange evaluates a range function over a matrix selector " +
-          s"(optionally under instant math), got: $other — per-step " +
-          "re-evaluation of arbitrary expressions would rescan the " +
-          "store once per step; use query() for whole-range shapes")
-    }
-    TsdbResult(evalSliding(PromParser.parse(promql)),
+      stepMs: Long): TsdbResult =
+    TsdbResult(slidingEval(PromParser.parse(promql), startMs, endMs, stepMs),
       isScalar = false, VType.F64)
+
+  /** Sliding per-step evaluation of a range function over a matrix
+    * selector (optionally instant-wrapped) — queryRange's body, also
+    * the inner evaluation of a subquery `expr[range:step]`.
+    */
+  private def slidingEval(e: Expr, startMs: Long, endMs: Long,
+      stepMs: Long): DataFrame = e match {
+    case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
+      RangeFns.sliding(kind,
+        select(sel, startMs - rangeMs + 1, endMs),
+        rangeMs, stepMs, startMs, endMs, fnArgs)
+    case InstantFn(kind, child, fnArgs) =>
+      // row-local value maps compose over the sliding vector unchanged
+      slidingEval(child, startMs, endMs, stepMs).withColumn("value",
+        TsdbEngine.instantColumn(kind, fnArgs, col("value").cast("double")))
+    case other => throw new IllegalArgumentException(
+      "sliding evaluation takes a range function over a matrix selector " +
+        s"(optionally under instant math), got: $other — per-step " +
+        "re-evaluation of arbitrary expressions would rescan the " +
+        "store once per step; use query() for whole-range shapes")
   }
 
   private def scanValue = col("value")
@@ -183,9 +188,25 @@ final class TsdbEngine(
             fnArgs)),
         isScalar = false, VType.F64)
 
+    case RangeFn(kind, SubqueryMatrix(inner, subRange, subStep), fnArgs) =>
+      // Subquery: the inner range fn evaluated slidingly every subStep
+      // over [start, end] becomes a DERIVED series, and the outer fn
+      // windows it tumbling exactly like a matrix selector's samples —
+      // `max_over_time(rate(x[5m])[1h:5m])`, the alerting shape. Inner
+      // sample volume is step-count × series bounded (metadata-sized),
+      // so the outer aggregation never touches raw rows again.
+      TsdbResult(
+        RangeFns(kind, slidingEval(inner, start, end, subStep),
+          subRange, start, end, fnArgs),
+        isScalar = false, VType.F64)
+
     case RangeFn(_, other, _) =>
       throw new IllegalArgumentException(
         s"range function requires a matrix selector child, got: $other")
+
+    case _: SubqueryMatrix =>
+      throw new IllegalArgumentException(
+        "a subquery is only valid inside a range function")
 
     case InstantFn(kind, child, args) =>
       // Instant math extension: row-local value map over a vector,

@@ -133,6 +133,33 @@ object PromParser {
 
     def parseExpr(): Expr = parseComparison()
 
+    // Optional subquery suffix `[range:step]` after a function call —
+    // the ':' rides the following ident token (identRe admits ':'), so
+    // the step is parsed out of it.
+    def subquerySuffix(e: Expr): Expr =
+      if (peek != TOp("[")) e
+      else {
+        next()
+        val r = next() match {
+          case TDur(ms) if ms > 0 => ms
+          case t => throw new PromParseException(
+            s"expected a duration in subquery [...], got $t in: $q")
+        }
+        val s = next() match {
+          case TIdent(step) if step.startsWith(":") && step.length > 1 =>
+            tokenize(step.drop(1)) match {
+              case Vector(TDur(ms), TEof) if ms > 0 => ms
+              case _ => throw new PromParseException(
+                s"expected a step duration after ':' in subquery, got '$step' in: $q")
+            }
+          case t => throw new PromParseException(
+            s"subquery needs [range:step] (step is required — this engine " +
+              s"has no default eval interval), got $t in: $q")
+        }
+        expectOp("]")
+        SubqueryMatrix(e, r, s)
+      }
+
     def parseComparison(): Expr = {
       var l = parseAdditive()
       var continue = true
@@ -242,7 +269,7 @@ object PromParser {
         if (!ok) throw new PromParseException(
           s"$fn expects ${if (kind.arity == -1) "0 or 1" else kind.arity.toString} " +
             s"numeric argument(s), got ${got.size} in: $q")
-        InstantFn(kind, child, got)
+        subquerySuffix(InstantFn(kind, child, got))
       case TIdent(fn) if rangeFnNames.contains(fn) && peek == TOp("(") =>
         next() // consume '('
         val kind = rangeFnNames(fn)
@@ -264,9 +291,11 @@ object PromParser {
         val child = parseExpr()
         expectOp(")")
         child match {
-          case _: MatrixSelector => RangeFn(kind, child, fnArgs)
+          case _: MatrixSelector | _: SubqueryMatrix =>
+            subquerySuffix(RangeFn(kind, child, fnArgs))
           case _ => throw new PromParseException(
-            s"$fn requires a matrix selector argument (metric[duration]) in: $q")
+            s"$fn requires a matrix argument (metric[duration] or a " +
+              s"subquery expr[range:step]) in: $q")
         }
       case TIdent(fn) if peek == TOp("(") =>
         throw new PromParseException(s"unsupported function call: $fn (reference rejects Call exprs)")

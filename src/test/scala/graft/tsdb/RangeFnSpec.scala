@@ -205,6 +205,40 @@ class RangeFnSpec extends AnyFunSuite {
     }
   }
 
+  test("subquery: outer range fn over the inner sliding series") {
+    // inner sum_over_time(ctr[30ms]) at 10ms steps over [0,100] is the
+    // sliding fixture below: {10:10,20:30,30:35,40:32,50:12,60:7,70:3,
+    // 80:12,90:12,100:11}. Outer tumbling 50ms windows aligned to 0:
+    // [0,50) → max 35; [50,100) → 12; [100,100] → 11.
+    assert(run("max_over_time(sum_over_time(ctr[30ms])[50ms:10ms])") ===
+      Map(0L -> 35.0, 50L -> 12.0, 100L -> 11.0))
+    // instant math composes on either side of the subquery
+    assert(run("abs(min_over_time(sum_over_time(ctr[30ms])[50ms:10ms]))") ===
+      Map(0L -> 10.0, 50L -> 3.0, 100L -> 11.0))
+    // avg over the derived rate series — the canonical alerting shape
+    val r = run("avg_over_time(rate(ctr[30ms])[100ms:30ms])")
+    // rate slides at T=30,60,90 (T=0's window is empty): windows (0,30]
+    // 750/s, (30,60] single sample dropped, (60,90] 400/s → avg 575
+    assert(r === Map(0L -> 575.0))
+  }
+
+  test("subquery rejections: bare use, nested subqueries, missing step") {
+    intercept[IllegalArgumentException] {
+      engine.query("rate(ctr[30ms])[50ms:10ms]", 0, 100).df.collect()
+    }
+    intercept[IllegalArgumentException] {
+      engine.query(
+        "avg_over_time(max_over_time(rate(ctr[30ms])[60ms:30ms])[90ms:30ms])",
+        0, 100).df.collect()
+    }
+    intercept[PromParseException] {
+      PromParser.parse("max_over_time(rate(ctr[30ms])[50ms])")
+    }
+    intercept[PromParseException] {
+      PromParser.parse("max_over_time(ctr[50ms:10ms])")
+    }
+  }
+
   // ---- sliding query_range evaluation ----
 
   private def runRange(q: String, start: Long, end: Long,
@@ -242,7 +276,7 @@ class RangeFnSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException] {
       engine.queryRange("sum(ctr)", 0L, 100L, 10L)
     }
-    assert(e1.getMessage.contains("queryRange"))
+    assert(e1.getMessage.contains("range function over a matrix selector"))
     intercept[IllegalArgumentException] {
       engine.queryRange("ctr", 0L, 100L, 10L)
     }
