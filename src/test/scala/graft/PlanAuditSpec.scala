@@ -175,6 +175,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ts56 subquery: one raw scan, every window wstart-keyed, bounded explode") {
+    // the inner sliding pass scans the store once (lookback-extended);
+    // the outer aggregation runs on the derived series — a second scan
+    // of the events source would mean the subquery re-read raw data
+    val df = graft.queries.TimeSeries.queries("ts56_subquery")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("Generate explode"), "expected the inner sliding explode")
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("wstart"), s"unpartitioned window: $l"))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("events"))
+    assert(scans <= 1, s"subquery re-scanned the raw source ($scans scans):\n$p")
+  }
+
   test("q24 global ranking has no window ordered over the data") {
     val p = plan(graft.queries.Relational.queries("q24_ntile")(spark, sf))
     // a Window whose spec leads with the o_totalprice sort would be the
