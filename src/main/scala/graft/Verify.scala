@@ -6,9 +6,18 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
-    // Optional third arg: comma-separated query names for a fast local
-    // loop; the driver's two-arg invocation still dumps everything.
-    val only = rest.headOption.map(_.split(',').toSet)
+    // Optional trailing args: query names (comma- and/or space-separated)
+    // for a fast local loop; the driver's two-arg invocation still dumps
+    // everything. Unknown names fail LOUDLY — a silent filter here once
+    // cost a full sbt cycle verifying nothing (round-9 verdict #2).
+    val only =
+      if (rest.isEmpty) None
+      else Some(rest.flatMap(_.split(',')).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

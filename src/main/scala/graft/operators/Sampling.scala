@@ -107,12 +107,15 @@ object Sampling {
     val tot = counts.agg(sum(col("_n")).cast("double").as("_tn"),
       sum(pow(col("_n").cast("double"), tau)).as("_tp"))
     val rates = counts.crossJoin(broadcast(tot))
-      .select(col("_dom"),
+      .select(col("_dom").as("_dom_r"),
         least(lit(1.0), lit(targetFraction) * col("_tn") *
           pow(col("_n").cast("double"), tau) /
           (col("_tp") * col("_n").cast("double"))).as("_rate"))
+    // null-safe join: a null domain is a real group in `counts` and
+    // holds probability mass, so it must match its rate row back — an
+    // equality join would silently drop those rows and under-fill.
     df.withColumn("_dom", domain)
-      .join(broadcast(rates), "_dom" :: Nil)
+      .join(broadcast(rates), col("_dom") <=> col("_dom_r"))
       .where(pmod(keyHash(key), lit(buckets)) <
         floor(col("_rate") * buckets))
       .select(cols.head, cols.tail: _*)
@@ -173,10 +176,13 @@ object Sampling {
         when(col("_i") <= col("_m"), col("_cap"))
           .otherwise((lit(budgetRows.toDouble) - col("_pm")) /
             (col("_k") - col("_m"))))
-      .select(col("_dom"),
+      .select(col("_dom").as("_dom_r"),
         (col("_quota") / col("_n").cast("double")).as("_rate"))
+    // null-safe join (same reason as temperatureMix's): a null domain
+    // consumes budget in the water-fill, so it must emit its quota —
+    // an equality join would silently under-fill the budget.
     df.withColumn("_dom", domain)
-      .join(broadcast(rates), "_dom" :: Nil)
+      .join(broadcast(rates), col("_dom") <=> col("_dom_r"))
       .withColumn("_copies",
         floor(col("_rate")).cast("long") +
           when(pmod(keyHash(key), lit(buckets)) <

@@ -240,7 +240,9 @@ final class TsdbEngine(
       (acc, m) => acc && element_at(col("labels"), m.label) === m.value
     }
     val rows = data
-      .where(matcherFilter && col("timestamp") >= startMs && col("timestamp") <= endMs)
+      .where(matcherFilter &&
+        col("timestamp") >= scanStart(sel, startMs) &&
+        col("timestamp") <= endMs)
       .select(element_at(col("labels"), labelKey).as("group"), col("value"))
     val aggCol = kind match {
       case AggSum => sum(col("value"))
@@ -277,7 +279,8 @@ final class TsdbEngine(
         }
         val base = data
           .where(matcherFilter &&
-            col("timestamp") >= startMs && col("timestamp") <= endMs)
+            col("timestamp") >= scanStart(sel, startMs) &&
+            col("timestamp") <= endMs)
           .select(element_at(col("labels"), labelKey).as("group"),
             (col("timestamp") -
               pmod(col("timestamp") - startMs, lit(rangeMs))).as("wstart"),
@@ -307,7 +310,7 @@ final class TsdbEngine(
         }
         val rows = data
           .where(matcherFilter &&
-            col("timestamp") >= startMs - rangeMs + 1 &&
+            col("timestamp") >= scanStart(sel, startMs - rangeMs + 1) &&
             col("timestamp") <= endMs)
           .select(element_at(col("labels"), labelKey).as("group"),
             col("timestamp"), col("value"))
@@ -328,22 +331,28 @@ final class TsdbEngine(
     * streams stay DoubleType. From here on the whole plan is typed like
     * the reference's Value union (lib.rs:126-132).
     */
+  /** @/offset rewrite the scan *start* only (planner.rs:162-180; offset
+    * applies only when `@` is present — it shifts the resolved start).
+    * Shared by [[select]] and the grouped scan builders, so a modifier
+    * on a grouped query is honored, never silently dropped.
+    */
+  private def scanStart(sel: Selector, queryStart: Long): Long = sel.at match {
+    case None => queryStart
+    case Some(at) =>
+      val base = at match {
+        case AtStart => 0L
+        case AtEnd => Long.MaxValue
+        case AtTime(t) => t
+      }
+      val shifted = base + sel.offsetMs
+      // saturating add/sub in u64 space
+      if (sel.offsetMs > 0 && shifted < base) Long.MaxValue
+      else if (shifted < 0) 0L else shifted
+  }
+
   private def select(sel: Selector, queryStart: Long, queryEnd: Long): DataFrame = {
     val vt = catalog.vtypeOf(sel.name, sel.matchers)
-    // @/offset rewrite the scan *start* only (planner.rs:162-180).
-    val start = sel.at match {
-      case None => queryStart
-      case Some(at) =>
-        val base = at match {
-          case AtStart => 0L
-          case AtEnd => Long.MaxValue
-          case AtTime(t) => t
-        }
-        val shifted = base + sel.offsetMs
-        // saturating add/sub in u64 space
-        if (sel.offsetMs > 0 && shifted < base) Long.MaxValue
-        else if (shifted < 0) 0L else shifted
-    }
+    val start = scanStart(sel, queryStart)
     val matcherFilter = sel.matchers.foldLeft(col("name") === sel.name) {
       (acc, m) => acc && element_at(col("labels"), m.label) === m.value
     }

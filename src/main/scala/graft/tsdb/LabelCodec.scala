@@ -65,13 +65,20 @@ object LabelCodec {
   def decodeLabels(field: String, context: => String,
       v2: Boolean = true): Map[String, String] = {
     if (field.isEmpty) return Map.empty
-    field.split(",", -1).map { kv =>
+    val pairs = field.split(",", -1).map { kv =>
       kv.split("=", 2) match {
         case Array(k, v) if k.nonEmpty =>
           if (v2) unescape(k) -> unescape(v) else k -> v
         case _ => throw new IllegalStateException(
           s"malformed catalog label token '$kv' in: $context")
       }
-    }.toMap
+    }
+    // Loud on duplicate keys too: `a=1,a=2` can only come from a
+    // hand-edited catalog (createStream parses PromQL first), and
+    // silently keeping the last value would mis-resolve matchers.
+    val dups = pairs.groupBy(_._1).collect { case (k, vs) if vs.length > 1 => k }
+    if (dups.nonEmpty) throw new IllegalStateException(
+      s"duplicate label key(s) ${dups.toSeq.sorted.mkString(", ")} in: $context")
+    pairs.toMap
   }
 }

@@ -436,6 +436,18 @@ class LibrarySpec extends AnyFunSuite {
     assert(db.streams().map(_.name) == Seq("n", "o"))
   }
 
+  test("decodeLabels is loud on duplicate keys (hand-edited catalog)") {
+    // a=1,a=2 would silently resolve to a->2 via toMap; the codec's
+    // loud-on-malformed philosophy applies to duplicates too
+    val e = intercept[IllegalStateException](
+      graft.tsdb.LabelCodec.decodeLabels("a=1,b=2,a=3", "test-line"))
+    assert(e.getMessage.contains("duplicate label key") &&
+      e.getMessage.contains("a"), e.getMessage)
+    // distinct keys still fine
+    assert(graft.tsdb.LabelCodec.decodeLabels("a=1,b=2", "ok") ==
+      Map("a" -> "1", "b" -> "2"))
+  }
+
   test("deleteStream refuses when several streams share the name") {
     val dir = java.nio.file.Files.createTempDirectory("graft_del2").toString
     val db = new GraftDb(spark, dir)

@@ -159,7 +159,10 @@ class PlanAuditSpec extends AnyFunSuite {
   test("ts53 absent: window universe broadcast-anti-joined, no data-order window") {
     val p = plan(graft.queries.TimeSeries.queries("ts53_range_absent")(spark, sf))
     assert(p.contains("LeftAnti"), s"expected the anti-join:\n${p.take(1500)}")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop") == false)
+    assert(p.contains("BroadcastHashJoin"),
+      s"observed-window keys should broadcast to the anti-join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"anti-join degraded to nested loop:\n${p.take(1500)}")
     assert(!p.contains("windowspecdefinition"), "no window belongs in absent's plan")
   }
 

@@ -84,6 +84,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.toSet == again.toSet)
   }
 
+  test("unimax/temperatureMix: a null domain emits its quota (null-safe join)") {
+    // null-domain rows consume budget in the water-fill; the join back
+    // must be null-safe or they silently vanish and under-fill
+    val df = ((0 until 40).map(i => (s"x$i", "x")) ++
+      (0 until 40).map(i => (s"n$i", null: String))).toDF("id", "dom")
+    val uni = Sampling.unimax(df, $"dom", $"id", budgetRows = 160L,
+      maxEpochs = 2.0).collect()
+    // both domains saturate at 2 epochs: 160 rows total, 80 of them null
+    assert(uni.length == 160)
+    assert(uni.count(_.isNullAt(1)) == 80)
+    val mix = Sampling.temperatureMix(df, $"dom", $"id", tau = 1.0,
+      targetFraction = 1.0).collect()
+    assert(mix.length == 80 && mix.count(_.isNullAt(1)) == 40)
+  }
+
   test("unimax: an oversized budget caps every domain at maxEpochs") {
     val df = ((0 until 30).map(i => (s"x$i", "x")) ++
       (0 until 10).map(i => (s"y$i", "y"))).toDF("id", "dom")

@@ -205,6 +205,30 @@ class RangeFnSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped methods honor @/offset like select() does") {
+    // @0 offset 10ms resolves the scan start to 10 (planner.rs:162-180):
+    // a's t=5 sample must drop from every grouped path, exactly as it
+    // does through select() — the round-9 advice found these silently
+    // ignoring the modifiers
+    val rows = Seq(
+      ("m", Map("u" -> "a"), 5L, 10d), ("m", Map("u" -> "a"), 15L, 20d),
+      ("m", Map("u" -> "b"), 5L, 100d))
+    val e = new TsdbEngine(spark, longDf(rows),
+      new StreamCatalog(Seq(StreamDef("m", Map.empty, VType.F64))))
+    val g = e.rangeAggregateBy("sum_over_time(m[30ms] @ 0 offset 10ms)",
+      "u", 0L, 100L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(g.toSet === Set(("a", 0L, 20.0))) // t=5 samples gone, b empty
+    val agg = e.aggregateBy("m @ 0 offset 10ms", Expr.AggSum, "u", 0L, 100L)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(agg.toSet === Set(("a", 20.0)))
+    val slid = e.queryRangeBy("sum_over_time(m[30ms] @ 0 offset 10ms)",
+      "u", 0L, 30L, 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(slid.toSet === Set(
+      ("a", 20L, 20.0), ("a", 30L, 20.0))) // only t=15 survives
+  }
+
   test("subquery: outer range fn over the inner sliding series") {
     // inner sum_over_time(ctr[30ms]) at 10ms steps over [0,100] is the
     // sliding fixture below: {10:10,20:30,30:35,40:32,50:12,60:7,70:3,
