@@ -426,6 +426,28 @@ object TimeSeries {
         .orderBy("group", "timestamp")
     },
 
+    // grouped aggregate through the STRING surface — `sum by (user)
+    // (purchase)`, the clause the reference parses then DROPS
+    // (planner.rs:84-88). ts21 pins the same semantics through the API
+    // method; this pins query() end-to-end: parser → Grouping →
+    // groupedAggregate, result columns named by the grouping labels.
+    "ts60_agg_by_promql" -> { (s, dir) =>
+      engine(s, dir).query("sum by (user) (purchase)", SubStart, SubEnd)
+        .output.select(col("user"), round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
+    // grouped range-fn string form: per-user tumbling 1d rates (each
+    // user's windows see only that user's samples — ts54's semantics)
+    // folded per user by the outer sum, reached purely through PromQL
+    // text. One scan, one (user, wstart) exchange, one (user) exchange.
+    "ts61_range_by_promql" -> { (s, dir) =>
+      engine(s, dir)
+        .query("sum by (user) (rate(purchase[1d]))", SubStart, SubEnd)
+        .output.select(col("user"), round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -821,6 +843,30 @@ object TimeSeries {
          |      FROM l GROUP BY ws)
          |SELECT ws AS timestamp, ROUND(inc / ((t1 - t0) / 1000.0), 6) AS value
          |FROM a WHERE n >= 2 AND t1 > t0 ORDER BY timestamp""".stripMargin,
+
+    "ts60_agg_by_promql" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS "user", ROUND(SUM(v), 6) AS value
+         |FROM (SELECT user_id, epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase')
+         |WHERE ${sub()} GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts61_range_by_promql" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS grp,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'),
+         |w AS (SELECT grp, t - ((t - $SubStart) % 86400000) AS ws, t, v
+         |      FROM d WHERE ${sub()}),
+         |l AS (SELECT grp, ws, t, v,
+         |        lag(v) OVER (PARTITION BY grp, ws ORDER BY t, v) AS pv FROM w),
+         |a AS (SELECT grp, ws,
+         |        SUM(CASE WHEN pv IS NULL THEN 0
+         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |        MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+         |      FROM l GROUP BY grp, ws)
+         |SELECT grp AS "user",
+         |  ROUND(SUM(inc / ((t1 - t0) / 1000.0)), 6) AS value
+         |FROM a WHERE n >= 2 AND t1 > t0
+         |GROUP BY grp ORDER BY CAST(grp AS BIGINT)""".stripMargin,
 
     // Range functions: the oracle recomputes the tumbling-window
     // semantics (RangeFns.scala contract) with a per-window lag pass.

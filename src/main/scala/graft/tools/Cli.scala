@@ -92,20 +92,15 @@ object Cli {
             case Some(csvPath) if !res.isScalar =>
               db.exportCsv(promql, start, end, csvPath)
               out(s"exported to $csvPath")
-            case _ =>
-              if (res.isScalar)
-                res.output.collect().foreach(r => out(fmt(r.get(0))))
-              else
-                res.output.orderBy("timestamp").collect()
-                  .foreach(r => out(s"${r.getLong(0)} ${fmt(r.get(1))}"))
+            case _ => printResult(res, out)
           }
           0
         case "chart" +: promql +: rest if rest.size <= 2 =>
           val start = rest.headOption.map(_.toLong).getOrElse(HackTimeStart)
           val end = rest.lift(1).map(_.toLong).getOrElse(HackTimeEnd)
           val res = db.query(promql, start, end)
-          if (res.isScalar)
-            res.output.collect().foreach(r => out(fmt(r.get(0))))
+          if (res.isScalar || res.grouped)
+            printResult(res, out)
           else {
             // the terminal chart is a display surface: like the
             // reference (which hands its Vec to textplots), collecting
@@ -163,12 +158,7 @@ object Cli {
       .filter(_.trim.nonEmpty)
       .foreach { line =>
         try {
-          val res = db.query(line.trim, HackTimeStart, HackTimeEnd)
-          if (res.isScalar)
-            res.output.collect().foreach(r => out(fmt(r.get(0))))
-          else
-            res.output.orderBy("timestamp").collect()
-              .foreach(r => out(s"${r.getLong(0)} ${fmt(r.get(1))}"))
+          printResult(db.query(line.trim, HackTimeStart, HackTimeEnd), out)
         } catch {
           case e: Exception => out(s"error: ${e.getMessage}")
         }
@@ -193,6 +183,26 @@ object Cli {
   /** Integer-typed outputs are Longs (TsdbResult.output); print without
     * a decimal point, floats as-is.
     */
+  /** Print a query result to the terminal: grouped (by/without) rows as
+    * "<group keys..> <value>" ordered by the keys, scalars bare, vectors
+    * as "<timestamp> <value>".
+    */
+  private def printResult(res: graft.tsdb.TsdbResult,
+      out: String => Unit): Unit =
+    if (res.grouped) {
+      val cols = res.output.columns
+      res.output
+        .orderBy(cols.init.map(org.apache.spark.sql.functions.col): _*)
+        .collect().foreach { r =>
+          out(r.toSeq.init.map(v => if (v == null) "<null>" else v.toString)
+            .mkString("", " ", " ") + fmt(r.get(cols.length - 1)))
+        }
+    } else if (res.isScalar)
+      res.output.collect().foreach(r => out(fmt(r.get(0))))
+    else
+      res.output.orderBy("timestamp").collect()
+        .foreach(r => out(s"${r.getLong(0)} ${fmt(r.get(1))}"))
+
   private def fmt(v: Any): String = v match {
     case d: java.lang.Double =>
       if (d == d.longValue().toDouble) d.longValue().toString else d.toString

@@ -185,6 +185,25 @@ object Web {
       case Some(step) => db.queryRange(promql, start, end, step)
       case None => db.query(promql, start, end)
     }
+    if (res.grouped) {
+      // by/without result: a `groups` array of {label..: value..,
+      // value: n} objects, ordered by the group keys — the reference
+      // endpoint has no analogue (its planner drops grouping)
+      val cols = res.output.columns
+      val root = mapper.createObjectNode()
+      root.put("value_type", "Float64")
+      val arr = root.putArray("groups")
+      res.output
+        .orderBy(cols.init.map(org.apache.spark.sql.functions.col): _*)
+        .collect().foreach { r =>
+          val o = arr.addObject()
+          cols.init.zipWithIndex.foreach { case (c, i) =>
+            if (r.isNullAt(i)) o.putNull(c) else o.put(c, r.get(i).toString)
+          }
+          o.put("value", r.getDouble(cols.length - 1))
+        }
+      return mapper.writeValueAsString(root)
+    }
     val rows =
       if (res.isScalar) res.output.collect().map(r => (None: Option[Long], r.get(0)))
       else res.output.orderBy("timestamp").collect()

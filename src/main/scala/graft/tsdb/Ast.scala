@@ -63,11 +63,24 @@ object Expr {
   case object AggMin extends AggKind
   case object AggMax extends AggKind
 
-  /** Grouping (`by`/`without`) is parsed but ignored, as in the reference
-    * (SURVEY §2 row 7). Our engine adds an optional `by` extension at the
-    * API level instead.
+  /** An aggregate's `by (labels)` / `without (labels)` clause. The
+    * reference parses and DROPS grouping modifiers entirely
+    * (planner.rs:84-88); this engine evaluates them for real — the one
+    * place every real PromQL user hits the reference's gap. `by = true`
+    * groups on exactly `labels` (absent label → null group, Prometheus'
+    * missing-label rule); `by = false` (`without`) groups on the full
+    * label set MINUS `labels`, emitted as one canonical
+    * `k=v,k=v`-encoded column.
     */
-  final case class Aggregate(kind: AggKind, child: Expr) extends Expr
+  final case class Grouping(by: Boolean, labels: List[String])
+
+  /** Whole-range aggregate, optionally grouped ([[Grouping]]). Ungrouped
+    * form emits one scalar (reference semantics); grouped form emits one
+    * row per label-group — the engine's evaluated version of the clause
+    * the reference parses then ignores (SURVEY §2 row 7).
+    */
+  final case class Aggregate(kind: AggKind, child: Expr,
+      grouping: Option[Grouping] = None) extends Expr
 
   final case class GetK(top: Boolean, k: Expr, child: Expr) extends Expr
 

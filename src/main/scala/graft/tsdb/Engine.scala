@@ -28,9 +28,14 @@ final class StreamCatalog(defs: Seq[StreamDef]) {
 
 /** A query result: either a vector (rows of timestamp,value) or scalars
   * (rows of value — aggregates emit ≤1, topk emits ≤k), with the node's
-  * value type per the coercion lattice.
+  * value type per the coercion lattice. `grouped` marks a by/without
+  * aggregate's result (one row per label group, group-key columns before
+  * `value`); grouped results are terminal — they refuse further
+  * composition, because the scalar/vector dispatch has no label-matching
+  * semantics to offer them.
   */
-final case class TsdbResult(df: DataFrame, isScalar: Boolean, vtype: VType) {
+final case class TsdbResult(df: DataFrame, isScalar: Boolean, vtype: VType,
+    grouped: Boolean = false) {
   /** Output with reference type fidelity. Integer-typed streams compute
     * in LongType end-to-end (exact at any i64 magnitude, not just below
     * 2^53) except through V2V interpolation, which goes via f64 exactly
@@ -126,10 +131,16 @@ final class TsdbEngine(
       TsdbResult(select(sel, start, end), isScalar = false,
         catalog.vtypeOf(sel.name, sel.matchers))
 
-    case Aggregate(kind, child) =>
+    case Aggregate(kind, child, None) =>
       val c = eval(child, start, end)
       require(!c.isScalar, "aggregate over a scalar is not supported (reference planner)")
+      require(!c.grouped, "aggregate over a grouped result is not supported")
       aggregate(kind, c)
+
+    case Aggregate(kind, child, Some(g)) =>
+      // `sum by (user) (...)` — the clause the reference parses then
+      // DROPS (planner.rs:84-88), evaluated for real here.
+      groupedAggregate(kind, child, g, start, end)
 
     case GetK(top, kExpr, child) =>
       val kRes = eval(kExpr, start, end)
@@ -144,11 +155,15 @@ final class TsdbEngine(
       }).toInt
       val c = eval(child, start, end)
       require(!c.isScalar, "topk/bottomk over a scalar is not supported")
+      require(!c.grouped, "topk/bottomk over a grouped result is not supported")
       getK(top, k, c)
 
     case BinaryOp(kind, lhs, rhs) =>
       val l = eval(lhs, start, end)
       val r = eval(rhs, start, end)
+      require(!l.grouped && !r.grouped,
+        "binary ops over grouped results are not supported (no label-" +
+          "matching semantics in this engine's dispatch)")
       binary(kind, l, r, start, end)
 
     case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
@@ -215,6 +230,8 @@ final class TsdbEngine(
       val c = eval(child, start, end)
       require(!c.isScalar,
         s"${kind.name} applies to a vector, not a scalar (use plain arithmetic)")
+      require(!c.grouped,
+        s"${kind.name} over a grouped result is not supported")
       val mapped =
         TsdbEngine.instantColumn(kind, args, col("value").cast("double"))
       TsdbResult(c.df.withColumn("value", mapped), isScalar = false, VType.F64)
@@ -224,6 +241,109 @@ final class TsdbEngine(
       // (planner.rs rejects them outright; only RangeFn may consume one).
       throw new IllegalArgumentException(
         "matrix selector is only valid inside a range function")
+  }
+
+  /** Grouped aggregate evaluation — the string surface for `by`/
+    * `without` ([[Expr.Grouping]]), which the reference parses then
+    * drops entirely (planner.rs:84-88). Semantics, written down as the
+    * contract:
+    *
+    *  - `by (k1, k2)` emits one row per distinct (k1, k2) label-value
+    *    tuple, with one result column PER LABEL (named by the label;
+    *    null when a series lacks it — Prometheus' missing-label rule)
+    *    plus `value`. `by ()` aggregates everything into one group.
+    *  - `without (ks)` groups on the full label set minus `ks`, emitted
+    *    as one canonical `k=v,k=v` string column named `labels` (keys
+    *    sorted — layout-independent). NOTE: the canonical string is
+    *    unescaped, so a label VALUE containing `,` or `=` can collide
+    *    two distinct groups; PromQL-legal values don't carry these.
+    *  - The child may be a selector or a range function over a matrix
+    *    selector, optionally under instant math — the same label-aware
+    *    scope as [[rangeAggregateBy]], generalized to label SETS. A
+    *    range-fn child evaluates per (group, tumbling window) — each
+    *    group's windows see only that group's samples — and the outer
+    *    aggregate then folds each group's windows (this engine's
+    *    whole-range model: plain `sum(rate(m[1d]))` folds windows too).
+    *  - Values compute in Float64 (the grouped surface matches
+    *    [[aggregateBy]], including count → double).
+    *
+    * Scale shape: one scan, group keys derived row-locally from the
+    * `labels` map, one exchange on (groups[, wstart]) — group count
+    * multiplies output rows, never passes over the scan.
+    */
+  private def groupedAggregate(kind: AggKind, child: Expr, g: Grouping,
+      start: Long, end: Long): TsdbResult = {
+    val reserved = Set("timestamp", "value", "wstart")
+    val (gNames: Seq[String], gCols: Seq[Column]) =
+      if (g.by) {
+        val bad = g.labels.filter(reserved)
+        require(bad.isEmpty,
+          s"grouping labels collide with result columns: ${bad.mkString(", ")}")
+        require(g.labels.distinct == g.labels,
+          s"duplicate grouping label in: ${g.labels.mkString(", ")}")
+        (g.labels, g.labels.map(l => element_at(col("labels"), l).as(l)))
+      } else {
+        // without: canonical string of the remaining label set
+        val mf =
+          if (g.labels.isEmpty) col("labels")
+          else map_filter(col("labels"),
+            (k, _) => !k.isInCollection(g.labels))
+        val canon = array_join(
+          transform(array_sort(map_keys(mf)),
+            k => concat(k, lit("="), element_at(mf, k))), ",")
+        (Seq("labels"), Seq(canon.as("labels")))
+      }
+    // peel instant-math wrappers (applied back innermost-first)
+    def unwrap(e: Expr, maps: List[(InstantFnKind, List[Double])])
+        : (Expr, List[(InstantFnKind, List[Double])]) = e match {
+      case InstantFn(k, c, a) => unwrap(c, (k, a) :: maps)
+      case other => (other, maps)
+    }
+    val (core, maps) = unwrap(child, Nil)
+    def applyMaps(df: DataFrame): DataFrame =
+      maps.foldLeft(df)((d, m) => d.withColumn("value",
+        TsdbEngine.instantColumn(m._1, m._2, col("value").cast("double"))))
+    def matcherFilter(sel: Selector) =
+      sel.matchers.foldLeft(col("name") === sel.name) {
+        (acc, m) => acc && element_at(col("labels"), m.label) === m.value
+      }
+    val aggCol = kind match {
+      case AggSum => sum(col("value"))
+      case AggCount => count(lit(1)).cast("double")
+      case AggAvg => avg(col("value"))
+      case AggMin => min(col("value"))
+      case AggMax => max(col("value"))
+    }
+    val rows = core match {
+      case sel: Selector =>
+        applyMaps(data
+          .where(matcherFilter(sel) &&
+            col("timestamp") >= scanStart(sel, start) &&
+            col("timestamp") <= end)
+          .select(gCols :+ col("value").cast("double").as("value"): _*))
+      case RangeFn(rk, MatrixSelector(sel, rangeMs), fnArgs) =>
+        require(rk != FnAbsentOverTime,
+          "absent_over_time has no grouped form (absence is not " +
+            "attributable to a label value)")
+        val base = data
+          .where(matcherFilter(sel) &&
+            col("timestamp") >= scanStart(sel, start) &&
+            col("timestamp") <= end)
+          .select(gCols ++ Seq(
+            (col("timestamp") -
+              pmod(col("timestamp") - start, lit(rangeMs))).as("wstart"),
+            col("timestamp"), col("value").cast("double").as("value")): _*)
+        applyMaps(
+          RangeFns.aggWindows(rk, base, fnArgs, gNames :+ "wstart"))
+      case other => throw new IllegalArgumentException(
+        "grouped aggregate supports a selector or a range function over " +
+          s"a matrix selector (optionally under instant math), got: $other")
+    }
+    val out = rows.groupBy(gNames.map(col): _*).agg(aggCol.as("value"))
+    // empty-set arity (aggregate.rs:35-75): `by ()` over nothing emits
+    // no row for sum/avg/min/max but count → 0, like the ungrouped form
+    val arity = if (kind == AggCount) out else out.where(col("value").isNotNull)
+    TsdbResult(arity, isScalar = true, VType.F64, grouped = gNames.nonEmpty)
   }
 
   /** Grouped aggregates — the `sum by (label)` extension the reference

@@ -682,7 +682,7 @@ final class GraftDb(
   /** CSV export of a vector query (tachyon_cli/src/main.rs:177-186). */
   def exportCsv(promql: String, startMs: Long, endMs: Long, outPath: String): Unit = {
     val res = query(promql, startMs, endMs)
-    require(!res.isScalar, "exportCsv expects a vector query")
+    require(!res.isScalar && !res.grouped, "exportCsv expects a vector query")
     res.output.orderBy("timestamp")
       .select(col("timestamp").as("Timestamp"), col("value").as("Value"))
       .coalesce(1)
@@ -699,7 +699,22 @@ final class GraftDb(
       case d: java.lang.Double => if (d == d.longValue().toDouble) d.longValue().toString else d.toString
       case other => other.toString
     }
-    if (res.isScalar) {
+    if (res.grouped) {
+      // by/without result: one object per group, group-key columns as
+      // (possibly-null) strings before the value — ordered by the group
+      // keys so the response is deterministic
+      val cols = res.output.columns
+      def jsStr(v: Any): String =
+        if (v == null) "null"
+        else "\"" + v.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      res.output.orderBy(cols.init.map(col): _*).collect()
+        .map { r =>
+          val groups = cols.init.zipWithIndex
+            .map { case (c, i) => s""""$c":${jsStr(r.get(i))}""" }
+          (groups :+ s""""value":${jsNum(r.get(cols.length - 1))}""")
+            .mkString("{", ",", "}")
+        }.mkString("[", ",", "]")
+    } else if (res.isScalar) {
       res.output.collect().map(r => jsNum(r.get(0))).mkString("[", ",", "]")
     } else {
       res.output.orderBy("timestamp").collect()

@@ -217,25 +217,49 @@ object PromParser {
         val e = parseExpr()
         expectOp(")")
         e
-      case TIdent(name) if aggNames.contains(name) && peek == TOp("(") =>
-        next() // consume '('
+      case TIdent(name) if aggNames.contains(name) &&
+          (peek == TOp("(") || peek == TIdent("by") || peek == TIdent("without")) =>
+        // `by (...)` / `without (...)` in either PromQL position —
+        // prefix `sum by (u) (expr)` or suffix `sum(expr) by (u)` — is
+        // EVALUATED (Expr.Grouping), where the reference parses then
+        // drops the clause (planner.rs:84-88).
+        def parseGrouping(): Grouping = {
+          val by = next() match {
+            case TIdent("by") => true
+            case TIdent("without") => false
+            case t => throw new PromParseException(s"expected by/without, got $t")
+          }
+          expectOp("(")
+          val labels = List.newBuilder[String]
+          var continue = peek != TOp(")")
+          while (continue) {
+            next() match {
+              case TIdent(l) => labels += l
+              case t => throw new PromParseException(
+                s"expected a label name in grouping, got $t in: $q")
+            }
+            peek match {
+              case TOp(",") => next()
+              case _ => continue = false
+            }
+          }
+          expectOp(")")
+          Grouping(by, labels.result())
+        }
+        val prefix = peek match {
+          case TIdent("by") | TIdent("without") => Some(parseGrouping())
+          case _ => None
+        }
+        expectOp("(")
         val child = parseExpr()
         expectOp(")")
-        // `by (...)` / `without (...)` after the paren: parsed + ignored
-        // (reference ignores grouping modifiers entirely).
-        peek match {
-          case TIdent("by") | TIdent("without") =>
-            next(); expectOp("(")
-            var depth = 1
-            while (depth > 0) next() match {
-              case TOp("(") => depth += 1
-              case TOp(")") => depth -= 1
-              case TEof => throw new PromParseException(s"unterminated grouping in: $q")
-              case _ => ()
-            }
-          case _ => ()
+        val suffix = peek match {
+          case TIdent("by") | TIdent("without") => Some(parseGrouping())
+          case _ => None
         }
-        Aggregate(aggNames(name), child)
+        if (prefix.isDefined && suffix.isDefined) throw new PromParseException(
+          s"$name has two grouping clauses in: $q")
+        Aggregate(aggNames(name), child, prefix.orElse(suffix))
       case TIdent(fn @ ("topk" | "bottomk")) if peek == TOp("(") =>
         next()
         val k = parseExpr()

@@ -63,6 +63,39 @@ class CliWebSpec extends AnyFunSuite {
     assert(c2 == 0 && deltas == Seq("20 2", "40 25"))
   }
 
+  test("cli + http: by-grouping reaches the user surfaces") {
+    val db = freshDb()
+    // two services under one metric name
+    assert(cli(db, "create-stream",
+      """req{service = "web"}""", "f64")._1 == 0)
+    assert(cli(db, "create-stream",
+      """req{service = "mob"}""", "f64")._1 == 0)
+    for ((t, v) <- Seq((10, 1), (20, 2)))
+      assert(cli(db, "insert", """req{service = "web"}""",
+        t.toString, v.toString)._1 == 0)
+    assert(cli(db, "insert", """req{service = "mob"}""", "10", "8")._1 == 0)
+    val (c1, lines) = cli(db, "query", "sum by (service) (req)", "0", "100")
+    assert(c1 == 0 && lines == Seq("mob 8", "web 3"), lines)
+    // the HTTP shape: a `groups` array ordered by the group keys
+    val server = Web.start(spark, 0)
+    try {
+      val port = server.getAddress.getPort
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"path": "$db", "query": "sum by (service) (req)", "start": 0, "end": 100}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(resp.body().contains(""""groups":[{"service":"mob","value":8.0},""" +
+        """{"service":"web","value":3.0}]"""), resp.body())
+    } finally server.stop(0)
+    // queryJson parity on the library surface
+    val g = new graft.tsdb.GraftDb(spark, db)
+      .queryJson("sum by (service) (req)", 0, 100)
+    assert(g == """[{"service":"mob","value":8},{"service":"web","value":3}]""", g)
+  }
+
   test("cli: chart renders the vector as an ascii line plot") {
     val db = freshDb()
     seed(db)

@@ -178,6 +178,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ts60/ts61 string-surface grouping: one scan, group-keyed windows only") {
+    // the grouped aggregate derives group keys row-locally from the
+    // labels map — one scan, exchanges only on the group(+window) keys,
+    // and no window at all for the plain grouped sum
+    val p60 = plan(graft.queries.TimeSeries.queries("ts60_agg_by_promql")(spark, sf))
+    assert(!p60.contains("windowspecdefinition"),
+      "plain grouped sum needs no window")
+    assert(p60.linesIterator.count(_.contains("Scan ")) <= 1, p60.take(1500))
+    val p61 = plan(graft.queries.TimeSeries.queries("ts61_range_by_promql")(spark, sf))
+    // rate's lag window must be (group, wstart)-keyed, never global
+    p61.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("user") && l.contains("wstart"), s"unkeyed window: $l"))
+    assert(p61.linesIterator.count(_.contains("Scan ")) <= 1,
+      "grouped range fn re-scanned the source")
+  }
+
   test("ts56 subquery: one raw scan, every window wstart-keyed, bounded explode") {
     // the inner sliding pass scans the store once (lookback-extended);
     // the outer aggregation runs on the derived series — a second scan

@@ -249,6 +249,105 @@ class EngineSpec extends AnyFunSuite {
       Seq(java.lang.Double.MIN_NORMAL, 2395353.2352))
   }
 
+  // ---- by/without grouping: EVALUATED on the string surface, where
+  // the reference parses then drops the clause (planner.rs:84-88) ----
+
+  /** Two labeled dimensions: service × dc, four series. */
+  private def groupedEngine(): TsdbEngine = {
+    val rows = Seq(
+      ("req", Map("service" -> "web", "dc" -> "a"), 10L, 1d),
+      ("req", Map("service" -> "web", "dc" -> "a"), 20L, 2d),
+      ("req", Map("service" -> "web", "dc" -> "b"), 10L, 4d),
+      ("req", Map("service" -> "mob", "dc" -> "a"), 10L, 8d),
+      ("req", Map("service" -> "mob", "dc" -> "b"), 20L, 16d),
+      // one series missing `dc` entirely: by (dc) puts it in the null group
+      ("req", Map("service" -> "cli"), 30L, 32d))
+    new TsdbEngine(spark, longDf(rows),
+      new StreamCatalog(Seq(StreamDef("req", Map.empty, VType.F64))))
+  }
+
+  private def groupRows(df: DataFrame): Set[(Option[String], Double)] =
+    df.collect().toSet[Row].map(r =>
+      (Option(r.getString(0)), r.getDouble(r.length - 1)))
+
+  test("sum by (label): prefix and suffix forms, per-label-value groups") {
+    val e = groupedEngine()
+    val expected = Set(Some("web") -> 7d, Some("mob") -> 24d, Some("cli") -> 32d)
+    val prefix = e.query("sum by (service) (req)", 0, 100)
+    assert(prefix.grouped && prefix.df.columns.toSeq == Seq("service", "value"))
+    assert(groupRows(prefix.output) == expected)
+    // suffix position parses to the identical plan
+    assert(groupRows(e.query("sum(req) by (service)", 0, 100).output) == expected)
+    // missing label → null group (Prometheus' missing-label rule)
+    assert(groupRows(e.query("max by (dc) (req)", 0, 100).output) ==
+      Set(Some("a") -> 8d, Some("b") -> 16d, (None: Option[String]) -> 32d))
+  }
+
+  test("multi-label by: one column per label, tuple groups") {
+    val e = groupedEngine()
+    val out = e.query("sum by (service, dc) (req)", 0, 100).output
+    assert(out.columns.toSeq == Seq("service", "dc", "value"))
+    val rows = out.collect().toSet[Row].map(r =>
+      (Option(r.getString(0)), Option(r.getString(1)), r.getDouble(2)))
+    assert(rows == Set(
+      (Some("web"), Some("a"), 3d), (Some("web"), Some("b"), 4d),
+      (Some("mob"), Some("a"), 8d), (Some("mob"), Some("b"), 16d),
+      (Some("cli"), None, 32d)))
+  }
+
+  test("without: groups on the remaining label set, canonical encoding") {
+    val e = groupedEngine()
+    val out = e.query("sum without (dc) (req)", 0, 100).output
+    assert(out.columns.toSeq == Seq("labels", "value"))
+    val rows = out.collect().toSet[Row].map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows == Set("service=web" -> 7d, "service=mob" -> 24d,
+      "service=cli" -> 32d))
+    // without () keeps every label: four full-label-set groups + cli
+    assert(e.query("count without () (req)", 0, 100).output.count() == 5L)
+    // by () is one global group (value matches the ungrouped aggregate)
+    val all = e.query("sum by () (req)", 0, 100)
+    assert(!all.grouped &&
+      all.output.collect().map(_.getDouble(0)).toSeq == Seq(63d))
+  }
+
+  test("grouped aggregate over range fns and instant math; count is per group") {
+    val e = groupedEngine()
+    // per-service tumbling 15ms sum_over_time windows, then max per group:
+    // web: w0 {1,4}=5, w1 {2}=2 → max 5; mob: w0 8, w1 16 → 16; cli: w2 32
+    assert(groupRows(e.query(
+      "max by (service) (sum_over_time(req[15ms]))", 0, 100).output) ==
+      Set(Some("web") -> 5d, Some("mob") -> 16d, Some("cli") -> 32d))
+    // instant math wraps compose (abs over the windows)
+    assert(groupRows(e.query(
+      "max by (service) (abs(sum_over_time(req[15ms])))", 0, 100).output) ==
+      Set(Some("web") -> 5d, Some("mob") -> 16d, Some("cli") -> 32d))
+    assert(groupRows(e.query("count by (service) (req)", 0, 100).output) ==
+      Set(Some("web") -> 3d, Some("mob") -> 2d, Some("cli") -> 1d))
+  }
+
+  test("grouping rejections: double clause, composition, bad children") {
+    val e = groupedEngine()
+    intercept[PromParseException](
+      PromParser.parse("sum by (a) (req) by (b)"))
+    // grouped results are terminal: no further aggregate/topk/binary/math
+    intercept[IllegalArgumentException](
+      e.query("sum(sum by (service) (req))", 0, 100))
+    intercept[IllegalArgumentException](
+      e.query("topk(2, sum by (service) (req))", 0, 100))
+    intercept[IllegalArgumentException](
+      e.query("sum by (service) (req) + 1", 0, 100))
+    intercept[IllegalArgumentException](
+      e.query("abs(sum by (service) (req))", 0, 100))
+    // grouped absent_over_time has no meaning; scalar child neither
+    intercept[IllegalArgumentException](
+      e.query("sum by (service) (absent_over_time(req[15ms]))", 0, 100))
+    intercept[IllegalArgumentException](
+      e.query("sum by (service) (1 + 2)", 0, 100))
+    // a grouping label must not collide with the result columns
+    intercept[IllegalArgumentException](
+      e.query("sum by (value) (req)", 0, 100))
+  }
+
   // ---- parser rejections (planner.rs:208-232) ----
 
   test("unsupported forms are rejected") {
