@@ -398,6 +398,29 @@ object TimeSeries {
       q("max_over_time(rate(purchase[1d])[3d:12h])", roundTo = 6,
         dedup = true) _,
 
+    // SLIDING BINARY COMPOSITION — rate(a)/rate(b) per step, the
+    // ratio-panel dashboard shape: both sides are step-keyed derived
+    // series on the same 6h eval grid, equi-joined on the eval time.
+    // Each side scans the store exactly once (PlanAuditSpec pins it);
+    // steps where either rate is undefined (<2 samples) drop from the
+    // join, like PromQL vector matching.
+    "ts57_sliding_binary" -> { (s, dir) =>
+      engineDedup(s, dir)
+        .queryRange("rate(purchase[1d]) / rate(click[1d])",
+          SubStart, SubEnd, 6 * 3600 * 1000L)
+        .output.withColumn("value", round(col("value"), 6))
+        .orderBy("timestamp")
+    },
+
+    // Subquery over a binary composition — the ratio-ALERTING shape:
+    // the inner ratio evaluated every 12h becomes a derived series,
+    // and the outer max_over_time windows it tumbling per 3 days
+    // ("worst 12h-sampled daily purchase/click rate ratio per 3-day
+    // window"). Shares ts57's machinery through the one slidingEval.
+    "ts58_subquery_binary" ->
+      q("max_over_time((rate(purchase[1d]) / rate(click[1d]))[3d:12h])",
+        roundTo = 6, dedup = true) _,
+
     // gap detection: 1 for every window with NO samples (the alerting
     // primitive). user=12's purchases occupy 4 of the 23 12h windows,
     // so the answer is the 19-row complement — the window universe is a
@@ -672,6 +695,27 @@ object TimeSeries {
     }
   )
 
+  /** One sliding-rate CTE chain for the oracle side (ts52's pattern,
+    * parameterized): dedup'd series `<p>_d` (scan extended one 1d window
+    * behind SubStart), per-eval-time windows from the shared grid `g`,
+    * lag pass, reset-corrected increase, and the rate series `<p>_r`
+    * (ws, v) — composable for binary forms.
+    */
+  private def slidingRateCtes(evType: String, p: String): String =
+    s"""${p}_d AS (SELECT t, AVG(v) AS v FROM ${ev(s"event_type = '$evType'")}
+       |      WHERE t > ${SubStart - 86400000L} AND t <= $SubEnd GROUP BY t),
+       |${p}_w AS (SELECT g.et AS ws, d.t, d.v FROM g
+       |      JOIN ${p}_d d ON d.t > g.et - 86400000 AND d.t <= g.et),
+       |${p}_l AS (SELECT ws, t, v,
+       |        lag(v) OVER (PARTITION BY ws ORDER BY t, v) AS pv FROM ${p}_w),
+       |${p}_a AS (SELECT ws,
+       |        SUM(CASE WHEN pv IS NULL THEN 0
+       |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+       |        MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+       |      FROM ${p}_l GROUP BY ws),
+       |${p}_r AS (SELECT ws, inc / ((t1 - t0) / 1000.0) AS v
+       |      FROM ${p}_a WHERE n >= 2 AND t1 > t0)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "ts32_dsv2_scan" ->
       s"""SELECT t - t % 86400000 AS day, ROUND(SUM(v), 6) AS sum_value,
@@ -788,6 +832,23 @@ object TimeSeries {
          |SELECT t - ((t - $SubStart) % ${3 * 86400000L}) AS timestamp,
          |  ROUND(MAX(v), 6) AS value
          |FROM inner_series GROUP BY 1 ORDER BY timestamp""".stripMargin,
+
+    "ts57_sliding_binary" ->
+      s"""WITH g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${6 * 3600 * 1000L})) AS et),
+         |${slidingRateCtes("purchase", "p")},
+         |${slidingRateCtes("click", "c")}
+         |SELECT p_r.ws AS timestamp, ROUND(p_r.v / c_r.v, 6) AS value
+         |FROM p_r JOIN c_r ON p_r.ws = c_r.ws ORDER BY timestamp""".stripMargin,
+
+    "ts58_subquery_binary" ->
+      s"""WITH g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |${slidingRateCtes("purchase", "p")},
+         |${slidingRateCtes("click", "c")},
+         |ratio AS (SELECT p_r.ws AS t, p_r.v / c_r.v AS v
+         |          FROM p_r JOIN c_r ON p_r.ws = c_r.ws)
+         |SELECT t - ((t - $SubStart) % ${3 * 86400000L}) AS timestamp,
+         |  ROUND(MAX(v), 6) AS value
+         |FROM ratio GROUP BY 1 ORDER BY timestamp""".stripMargin,
 
     "ts53_range_absent" ->
       s"""WITH g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, 43200000)) AS ws),

@@ -96,11 +96,13 @@ object Expr {
     * evaluated slidingly every `stepMs` (the [[graft.tsdb.RangeFns]]
     * sliding contract), then consumed as a matrix by an enclosing range
     * function. Valid ONLY as a range function's immediate child, like
-    * [[MatrixSelector]]; `child` must itself be a range function over a
-    * matrix selector (optionally instant-wrapped) — the same scope as
-    * queryRange, and for the same reason: per-step re-evaluation of
-    * arbitrary whole-range expressions would rescan the store once per
-    * step.
+    * [[MatrixSelector]]; `child` must be sliding-evaluable — range
+    * functions over matrix selectors, optionally under instant math or
+    * binary composition (`(rate(a[1d])/rate(b[1d]))[3d:12h]`, the
+    * ratio-alerting shape) — the same scope as queryRange, and for the
+    * same reason: per-step re-evaluation of arbitrary whole-range
+    * expressions would rescan the store once per step, while the
+    * accepted shapes scan each selector exactly once.
     */
   final case class SubqueryMatrix(child: Expr, rangeMs: Long,
       stepMs: Long) extends Expr

@@ -85,21 +85,39 @@ final class TsdbEngine(
     * each over the SLIDING lookback window (T - range, T] — the HTTP
     * query_range contract, vs [[query]]'s one-pass tumbling shape. The
     * selector scan extends `range` behind startMs so every window sees
-    * its full lookback (instant-fn wrapping composes row-locally on
-    * top). Scope: the child must be a range function over a matrix
-    * selector, optionally wrapped in instant math — evaluating an
-    * arbitrary expression per step would re-run whole-range subplans
-    * step-count times, which is exactly the scan amplification this
-    * engine refuses to hide (the error says so).
+    * its full lookback. Scope ([[slidingEval]]): range functions over
+    * matrix selectors, optionally under instant math or binary
+    * composition (`rate(a[5m]) / rate(b[5m])` — each side scans once,
+    * the sides join on the step grid) — evaluating an arbitrary
+    * expression per step would re-run whole-range subplans step-count
+    * times, which is exactly the scan amplification this engine refuses
+    * to hide (the error says so).
     */
   def queryRange(promql: String, startMs: Long, endMs: Long,
       stepMs: Long): TsdbResult =
     TsdbResult(slidingEval(PromParser.parse(promql), startMs, endMs, stepMs),
       isScalar = false, VType.F64)
 
-  /** Sliding per-step evaluation of a range function over a matrix
-    * selector (optionally instant-wrapped) — queryRange's body, also
-    * the inner evaluation of a subquery `expr[range:step]`.
+  /** Sliding per-step evaluation — queryRange's body, also the inner
+    * evaluation of a subquery `expr[range:step]`. Accepted shapes:
+    *
+    *  - a range function over a matrix selector (the base case),
+    *  - instant math over any accepted shape (row-local value map),
+    *  - BINARY COMPOSITION: `rate(a[5m]) / rate(b[5m])` — the
+    *    ratio-panel dashboard shape. Both sides are step-keyed derived
+    *    series on the SAME eval grid (step-count × series bounded,
+    *    metadata-sized), so an equi-join on the eval timestamp composes
+    *    them with NO scan amplification: each side scans its own
+    *    selector exactly once. Vector·vector is arithmetic-only (V2V
+    *    comparison is rejected in whole-range evaluation too); a
+    *    literal operand is row-local — arithmetic maps the value,
+    *    comparison filters keeping the value (the V2S rule). A step
+    *    with no row on either side (e.g. rate's ≥2-sample rule) emits
+    *    nothing, like PromQL's vector matching.
+    *
+    * Anything else still refuses loudly: per-step re-evaluation of
+    * arbitrary whole-range expressions would rescan the store once per
+    * step — exactly the scan amplification this engine refuses to hide.
     */
   private def slidingEval(e: Expr, startMs: Long, endMs: Long,
       stepMs: Long): DataFrame = e match {
@@ -111,11 +129,32 @@ final class TsdbEngine(
       // row-local value maps compose over the sliding vector unchanged
       slidingEval(child, startMs, endMs, stepMs).withColumn("value",
         TsdbEngine.instantColumn(kind, fnArgs, col("value").cast("double")))
+    case BinaryOp(kind, NumberLit(v), rhs) =>
+      val r = slidingEval(rhs, startMs, endMs, stepMs)
+      if (isComparison(kind)) r.where(cmp(kind, lit(v), col("value")))
+      else r.withColumn("value",
+        arith(kind, lit(v), col("value").cast("double")))
+    case BinaryOp(kind, lhs, NumberLit(v)) =>
+      val l = slidingEval(lhs, startMs, endMs, stepMs)
+      if (isComparison(kind)) l.where(cmp(kind, col("value"), lit(v)))
+      else l.withColumn("value",
+        arith(kind, col("value").cast("double"), lit(v)))
+    case BinaryOp(kind, lhs, rhs) =>
+      require(!isComparison(kind),
+        "comparison between two sliding vectors is not supported " +
+          "(V2V comparison is rejected in whole-range evaluation too)")
+      val l = slidingEval(lhs, startMs, endMs, stepMs)
+        .select(col("timestamp"), col("value").cast("double").as("lv"))
+      val r = slidingEval(rhs, startMs, endMs, stepMs)
+        .select(col("timestamp"), col("value").cast("double").as("rv"))
+      l.join(r, Seq("timestamp"))
+        .select(col("timestamp"), arith(kind, col("lv"), col("rv")).as("value"))
     case other => throw new IllegalArgumentException(
-      "sliding evaluation takes a range function over a matrix selector " +
-        s"(optionally under instant math), got: $other — per-step " +
-        "re-evaluation of arbitrary expressions would rescan the " +
-        "store once per step; use query() for whole-range shapes")
+      "sliding evaluation takes range functions over matrix selectors " +
+        "(optionally under instant math or binary composition), got: " +
+        s"$other — per-step re-evaluation of arbitrary expressions " +
+        "would rescan the store once per step; use query() for " +
+        "whole-range shapes")
   }
 
   private def scanValue = col("value")

@@ -216,7 +216,9 @@ object PromParser {
       case TOp("(") =>
         val e = parseExpr()
         expectOp(")")
-        e
+        // `(expr)[range:step]` — the subquery form over a parenthesized
+        // composition, e.g. (rate(a[1d])/rate(b[1d]))[3d:12h]
+        subquerySuffix(e)
       case TIdent(name) if aggNames.contains(name) &&
           (peek == TOp("(") || peek == TIdent("by") || peek == TIdent("without")) =>
         // `by (...)` / `without (...)` in either PromQL position —

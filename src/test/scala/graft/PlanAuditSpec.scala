@@ -194,6 +194,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "grouped range fn re-scanned the source")
   }
 
+  test("ts57/ts58 sliding binary: one raw scan per side, step-keyed join") {
+    // the ratio composition must not amplify scans: each side's selector
+    // scans once, the sides meet in an equi-join on the eval timestamp
+    // (step grid), and every window spec stays wstart-partitioned
+    for (q <- Seq("ts57_sliding_binary", "ts58_subquery_binary")) {
+      val p = plan(graft.queries.TimeSeries.queries(q)(spark, sf))
+      val scans = p.linesIterator.count(_.contains("Scan "))
+      assert(scans <= 2, s"$q: expected <=2 scans (one per side), got $scans")
+      assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+        p.contains("ShuffledHashJoin"), s"$q: expected an equi-join:\n${p.take(1200)}")
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"$q: non-equi join crept in")
+      p.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+        assert(l.contains("wstart"), s"$q unpartitioned window: $l"))
+    }
+  }
+
   test("ts56 subquery: one raw scan, every window wstart-keyed, bounded explode") {
     // the inner sliding pass scans the store once (lookback-extended);
     // the outer aggregation runs on the derived series — a second scan

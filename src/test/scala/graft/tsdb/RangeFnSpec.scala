@@ -246,6 +246,39 @@ class RangeFnSpec extends AnyFunSuite {
     assert(r === Map(0L -> 575.0))
   }
 
+  test("queryRange: binary composition joins step-keyed sides") {
+    // ratio of two sliding series == the directly-evaluated sliding avg
+    val ratio = runRange(
+      "sum_over_time(ctr[30ms]) / count_over_time(ctr[30ms])", 0L, 100L, 10L)
+    val avg = runRange("avg_over_time(ctr[30ms])", 0L, 100L, 10L)
+    assert(ratio.keySet === avg.keySet)
+    ratio.foreach { case (t, v) => assert(math.abs(v - avg(t)) < 1e-12, s"t=$t") }
+    // literal operands: arithmetic maps, comparison filters keeping value
+    assert(runRange("sum_over_time(ctr[30ms]) * 2", 0L, 100L, 10L)(20L) === 60.0)
+    assert(runRange("sum_over_time(ctr[30ms]) > 30", 0L, 100L, 10L) ===
+      Map(30L -> 35.0, 40L -> 32.0))
+    assert(runRange("100 - sum_over_time(ctr[30ms])", 0L, 100L, 10L)(10L) === 90.0)
+    // a step with no row on one side drops from the join: rate needs ≥2
+    // samples, so T=60's single-sample window has no rate row
+    val joined = runRange(
+      "rate(ctr[30ms]) * count_over_time(ctr[30ms])", 30L, 90L, 30L)
+    assert(joined === Map(30L -> 2250.0, 90L -> 800.0))
+    // vector·vector comparison refuses (like whole-range V2V)
+    intercept[IllegalArgumentException](engine.queryRange(
+      "sum_over_time(ctr[30ms]) > count_over_time(ctr[30ms])",
+      0L, 100L, 10L).df.collect())
+  }
+
+  test("subquery over a binary composition (the ratio-alerting shape)") {
+    // inner avg-by-ratio series at 10ms steps (== sliding avg fixture),
+    // outer tumbling 50ms max: [0,50) → 15; [50,100) → 7; [100] → 11/3
+    val r = run("max_over_time((sum_over_time(ctr[30ms]) / " +
+      "count_over_time(ctr[30ms]))[50ms:10ms])")
+    assert(r.keySet === Set(0L, 50L, 100L))
+    assert(r(0L) === 15.0 && r(50L) === 7.0)
+    assert(math.abs(r(100L) - 11.0 / 3) < 1e-12)
+  }
+
   test("subquery rejections: bare use, nested subqueries, missing step") {
     intercept[IllegalArgumentException] {
       engine.query("rate(ctr[30ms])[50ms:10ms]", 0, 100).df.collect()
@@ -300,7 +333,8 @@ class RangeFnSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException] {
       engine.queryRange("sum(ctr)", 0L, 100L, 10L)
     }
-    assert(e1.getMessage.contains("range function over a matrix selector"))
+    assert(e1.getMessage.contains("range functions over matrix selectors") &&
+      e1.getMessage.contains("rescan the store once per step"))
     intercept[IllegalArgumentException] {
       engine.queryRange("ctr", 0L, 100L, 10L)
     }
