@@ -398,6 +398,26 @@ object TimeSeries {
       q("max_over_time(rate(purchase[1d])[3d:12h])", roundTo = 6,
         dedup = true) _,
 
+    // EXTRAPOLATED rate — the opt-in Prometheus-conformance mode
+    // (RangeFns.Extrapolated): the reset-corrected increase scales by
+    // Prometheus' boundary-extrapolation factor (edge gaps under 1.1×
+    // the average sample spacing count fully, else half the average
+    // spacing; the start gap caps at the counter zero-point), and rate
+    // divides by the WINDOW duration. The oracle reimplements the
+    // published formula in SQL over raw events; ts38 keeps the default
+    // exact estimator pinned beside it.
+    "ts59_rate_extrapolated" -> { (s, dir) =>
+      val dedup = eventsLong(s, dir)
+        .groupBy("name", "timestamp").agg(avg("value").as("value"))
+        .select(col("name"), map().cast("map<string,string>").as("labels"),
+          col("timestamp"), col("value"))
+      val e = new TsdbEngine(s, dedup, catalog,
+        rateMode = graft.tsdb.RangeFns.Extrapolated)
+      e.query("rate(purchase[1d])", SubStart, SubEnd)
+        .output.withColumn("value", round(col("value"), 6))
+        .orderBy("timestamp")
+    },
+
     // SLIDING BINARY COMPOSITION — rate(a)/rate(b) per step, the
     // ratio-panel dashboard shape: both sides are step-keyed derived
     // series on the same 6h eval grid, equi-joined on the eval time.
@@ -832,6 +852,35 @@ object TimeSeries {
          |SELECT t - ((t - $SubStart) % ${3 * 86400000L}) AS timestamp,
          |  ROUND(MAX(v), 6) AS value
          |FROM inner_series GROUP BY 1 ORDER BY timestamp""".stripMargin,
+
+    "ts59_rate_extrapolated" ->
+      s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}
+         |           WHERE ${sub()} GROUP BY t),
+         |w AS (SELECT t - ((t - $SubStart) % 86400000) AS ws, t, v FROM d),
+         |l AS (SELECT ws, t, v,
+         |        lag(v) OVER (PARTITION BY ws ORDER BY t, v) AS pv FROM w),
+         |a AS (SELECT ws,
+         |        SUM(CASE WHEN pv IS NULL THEN 0
+         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |        MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n,
+         |        arg_min(v, t) AS v0
+         |      FROM l GROUP BY ws),
+         |e AS (SELECT ws, inc, n, v0,
+         |        (t1 - t0) / 1000.0 AS si,
+         |        ((t1 - t0) / 1000.0) / (n - 1) AS ad,
+         |        (t0 - ws) / 1000.0 AS ds0,
+         |        (ws + 86400000 - t1) / 1000.0 AS de
+         |      FROM a WHERE n >= 2 AND t1 > t0),
+         |f AS (SELECT ws, inc, si, ad, de,
+         |        CASE WHEN inc > 0 AND v0 >= 0 AND si * v0 / inc < ds0
+         |             THEN si * v0 / inc ELSE ds0 END AS ds
+         |      FROM e)
+         |SELECT ws AS timestamp,
+         |  ROUND(inc * ((si
+         |    + CASE WHEN ds < ad * 1.1 THEN ds ELSE ad / 2 END
+         |    + CASE WHEN de < ad * 1.1 THEN de ELSE ad / 2 END) / si)
+         |    / 86400.0, 6) AS value
+         |FROM f ORDER BY timestamp""".stripMargin,
 
     "ts57_sliding_binary" ->
       s"""WITH g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${6 * 3600 * 1000L})) AS et),

@@ -72,7 +72,13 @@ final class TsdbEngine(
       * eligibility notes at the RangeFn eval case. GraftDb passes its
       * stats dir here automatically.
       */
-    stats: Option[(DataFrame, Long)] = None) {
+    stats: Option[(DataFrame, Long)] = None,
+    /** rate/increase estimator ([[RangeFns.RateMode]]): [[RangeFns.Exact]]
+      * (default) is the un-extrapolated, oracle-checkable estimator;
+      * [[RangeFns.Extrapolated]] opts into Prometheus' boundary
+      * extrapolation for dashboards compared against a real Prometheus.
+      */
+    rateMode: RangeFns.RateMode = RangeFns.Exact) {
 
   /** Queries require explicit [start, end], as in the reference
     * (planner.rs:196-205).
@@ -124,7 +130,7 @@ final class TsdbEngine(
     case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
       RangeFns.sliding(kind,
         select(sel, startMs - rangeMs + 1, endMs),
-        rangeMs, stepMs, startMs, endMs, fnArgs)
+        rangeMs, stepMs, startMs, endMs, fnArgs, mode = rateMode)
     case InstantFn(kind, child, fnArgs) =>
       // row-local value maps compose over the sliding vector unchanged
       slidingEval(child, startMs, endMs, stepMs).withColumn("value",
@@ -239,7 +245,7 @@ final class TsdbEngine(
       TsdbResult(
         statsServed.getOrElse(
           RangeFns(kind, select(sel, start, end), rangeMs, start, end,
-            fnArgs)),
+            fnArgs, rateMode)),
         isScalar = false, VType.F64)
 
     case RangeFn(kind, SubqueryMatrix(inner, subRange, subStep), fnArgs) =>
@@ -251,7 +257,7 @@ final class TsdbEngine(
       // so the outer aggregation never touches raw rows again.
       TsdbResult(
         RangeFns(kind, slidingEval(inner, start, end, subStep),
-          subRange, start, end, fnArgs),
+          subRange, start, end, fnArgs, rateMode),
         isScalar = false, VType.F64)
 
     case RangeFn(_, other, _) =>
@@ -373,7 +379,8 @@ final class TsdbEngine(
               pmod(col("timestamp") - start, lit(rangeMs))).as("wstart"),
             col("timestamp"), col("value").cast("double").as("value")): _*)
         applyMaps(
-          RangeFns.aggWindows(rk, base, fnArgs, gNames :+ "wstart"))
+          RangeFns.aggWindows(rk, base, fnArgs, gNames :+ "wstart",
+            RangeFns.extrapolateSpec(rk, rateMode, col("wstart"), rangeMs)))
       case other => throw new IllegalArgumentException(
         "grouped aggregate supports a selector or a range function over " +
           s"a matrix selector (optionally under instant math), got: $other")
@@ -444,7 +451,8 @@ final class TsdbEngine(
             (col("timestamp") -
               pmod(col("timestamp") - startMs, lit(rangeMs))).as("wstart"),
             col("timestamp"), col("value").cast("double").as("value"))
-        RangeFns.aggWindows(kind, base, fnArgs, Seq("group", "wstart"))
+        RangeFns.aggWindows(kind, base, fnArgs, Seq("group", "wstart"),
+            RangeFns.extrapolateSpec(kind, rateMode, col("wstart"), rangeMs))
           .select(col("group"), col("wstart").as("timestamp"), col("value"))
       case other => throw new IllegalArgumentException(
         s"rangeAggregateBy requires a range function over a matrix " +
@@ -474,7 +482,7 @@ final class TsdbEngine(
           .select(element_at(col("labels"), labelKey).as("group"),
             col("timestamp"), col("value"))
         RangeFns.sliding(kind, rows, rangeMs, stepMs, startMs, endMs,
-          fnArgs, groupCols = Seq("group"))
+          fnArgs, groupCols = Seq("group"), mode = rateMode)
       case other => throw new IllegalArgumentException(
         s"queryRangeBy requires a range function over a matrix " +
           s"selector, got: $other")

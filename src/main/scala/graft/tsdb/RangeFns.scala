@@ -39,11 +39,14 @@ import Expr._
   *    counter restarted from 0 — Prometheus' reset rule); ≥2 samples.
   *  - `rate` = increase / observed span in seconds (t_last - t_first).
   *    Prometheus additionally extrapolates toward the window boundaries;
-  *    this engine deliberately reports the un-extrapolated estimator so
-  *    the result is an exact function of the samples (and therefore
+  *    this engine DEFAULTS to the un-extrapolated estimator so the
+  *    result is an exact function of the samples (and therefore
   *    oracle-checkable) — the difference is the documented tradeoff, not
-  *    an approximation bug. `irate` is the same estimator over the LAST
-  *    sample pair only (reset-corrected, needs two distinct timestamps).
+  *    an approximation bug — and offers Prometheus' exact extrapolation
+  *    rule as the opt-in [[Extrapolated]] for dashboards
+  *    compared against a real Prometheus. `irate` is the same estimator
+  *    over the LAST sample pair only (reset-corrected, needs two
+  *    distinct timestamps).
   *  - `changes` / `resets` count consecutive-pair value changes /
   *    decreases; a single-sample window reports 0, as in Prometheus.
   *  - `deriv` = least-squares slope per second over the window's
@@ -64,13 +67,32 @@ import Expr._
   */
 object RangeFns {
 
+  /** rate/increase estimator mode. [[Exact]] (the default) reports the
+    * un-extrapolated estimator — an exact function of the samples,
+    * oracle-checkable (the file-header tradeoff note). [[Extrapolated]]
+    * opts into Prometheus' boundary extrapolation (the public
+    * extrapolatedRate rule, promql/functions.go): the increase scales
+    * by extrapolateToInterval/sampledInterval, where each window edge
+    * contributes its sample-free gap if that gap is under 1.1× the
+    * average sample spacing and half the average spacing otherwise,
+    * with the counter zero-point correction on the start side; rate
+    * divides by the WINDOW duration (not the observed span). Both
+    * modes need ≥2 samples; extrapolated additionally needs a positive
+    * observed span (the formula divides by it) — increase over a
+    * duplicate-timestamp-only window emits in exact mode but not here.
+    */
+  sealed trait RateMode
+  case object Exact extends RateMode
+  case object Extrapolated extends RateMode
+
   /** Evaluate `kind` over `samples` (timestamp LONG ms, value — already
     * range-filtered to [startMs, endMs] by the selector scan) with
     * tumbling `windowMs` windows aligned to `startMs`. Returns
     * (timestamp LONG = window start, value DOUBLE).
     */
   def apply(kind: RangeFnKind, samples: DataFrame, windowMs: Long,
-      startMs: Long, endMs: Long, args: List[Double] = Nil): DataFrame = {
+      startMs: Long, endMs: Long, args: List[Double] = Nil,
+      mode: RateMode = Exact): DataFrame = {
     require(windowMs > 0, s"range window must be positive, got $windowMs")
     val v = col("value").cast("double")
     // timestamp >= startMs is guaranteed by the selector scan; pmod keeps
@@ -84,9 +106,20 @@ object RangeFns {
       if (kind == FnAbsentOverTime)
         absent(base, samples.sparkSession,
           (endMs - startMs) / windowMs, startMs, windowMs)
-      else aggWindows(kind, base, args)
+      else aggWindows(kind, base, args,
+        extrapolate = extrapolateSpec(kind, mode, col("wstart"), windowMs))
     out.select(col("wstart").as("timestamp"), col("value"))
   }
+
+  /** Window bounds for the extrapolated estimator, when it applies:
+    * tumbling windows span [wstart, wstart + w); sliding (query_range)
+    * windows span (wstart - w, wstart]. Only rate/increase extrapolate.
+    */
+  private[tsdb] def extrapolateSpec(kind: RangeFnKind, mode: RateMode,
+      rangeStart: Column, windowMs: Long): Option[(Column, Long)] =
+    if (mode == Extrapolated && (kind == FnRate || kind == FnIncrease))
+      Some((rangeStart, windowMs))
+    else None
 
   /** absent_over_time: 1.0 for every window with NO samples. The window
     * universe is a driver-built range of (span/window)+1 rows —
@@ -118,7 +151,8 @@ object RangeFns {
     */
   def sliding(kind: RangeFnKind, samples: DataFrame, windowMs: Long,
       stepMs: Long, startMs: Long, endMs: Long,
-      args: List[Double] = Nil, groupCols: Seq[String] = Nil): DataFrame = {
+      args: List[Double] = Nil, groupCols: Seq[String] = Nil,
+      mode: RateMode = Exact): DataFrame = {
     require(windowMs > 0, s"range window must be positive, got $windowMs")
     require(stepMs > 0, s"step must be positive, got $stepMs")
     require(endMs >= startMs, s"end $endMs before start $startMs")
@@ -149,7 +183,8 @@ object RangeFns {
     val out =
       if (kind == FnAbsentOverTime)
         absent(base, samples.sparkSession, imax, startMs, stepMs)
-      else aggWindows(kind, base, args, groupCols :+ "wstart")
+      else aggWindows(kind, base, args, groupCols :+ "wstart",
+        extrapolateSpec(kind, mode, col("wstart") - windowMs, windowMs))
     out.select((g ++ Seq(col("wstart").as("timestamp"), col("value"))): _*)
   }
 
@@ -164,7 +199,10 @@ object RangeFns {
     */
   private[tsdb] def aggWindows(kind: RangeFnKind, base: DataFrame,
       args: List[Double],
-      keys: Seq[String] = Seq("wstart")): DataFrame = {
+      keys: Seq[String] = Seq("wstart"),
+      /** (window range-start column, window width ms) — present only
+        * for rate/increase under [[Extrapolated]]; see [[RateMode]]. */
+      extrapolate: Option[(Column, Long)] = None): DataFrame = {
     def grouped = base.groupBy(keys.map(col): _*)
     def keyCols = keys.map(col)
     kind match {
@@ -265,6 +303,11 @@ object RangeFns {
         // reuses the exchange
         val w = Window.partitionBy(keyCols: _*)
           .orderBy(col("timestamp"), col("value"))
+        val firstV: Seq[Column] = extrapolate match {
+          case None => Nil
+          case Some(_) => Seq(min(struct(col("timestamp"), col("value")))
+            .getField("value").as("v0"))
+        }
         val stepped = base
           .withColumn("prev", lag(col("value"), 1).over(w))
           .groupBy(keyCols: _*)
@@ -272,17 +315,50 @@ object RangeFns {
             sum(when(col("prev").isNull, lit(0.0))
               .when(col("value") >= col("prev"), col("value") - col("prev"))
               .otherwise(col("value"))).as("inc"),
-            min("timestamp").as("t0"), max("timestamp").as("t1"),
-            count(lit(1)).as("n"))
+            (Seq(min("timestamp").as("t0"), max("timestamp").as("t1"),
+              count(lit(1)).as("n")) ++ firstV): _*)
           .where(col("n") >= 2)
-        if (kind == FnIncrease)
-          stepped.select((keyCols :+ col("inc").as("value")): _*)
-        else
-          // rate needs a positive observed span (two DISTINCT timestamps)
-          // — IEEE inf from a zero span would poison downstream aggregates
-          stepped.where(col("t1") > col("t0")).select((keyCols :+
-            (col("inc") / ((col("t1") - col("t0")) / lit(1000.0)))
-              .as("value")): _*)
+        extrapolate match {
+          case Some((rangeStart, windowMs)) =>
+            // Prometheus' extrapolatedRate (promql/functions.go): scale
+            // the reset-corrected increase by extrapolateToInterval /
+            // sampledInterval. Each window edge contributes its
+            // sample-free gap when that gap is under 1.1× the average
+            // sample spacing, half the average spacing otherwise; the
+            // start gap is capped at the counter's zero-point (inc's
+            // linear extrapolation to 0). All row-local over the
+            // per-window summary — the aggregate above is unchanged but
+            // for one extra min(struct).
+            val si = (col("t1") - col("t0")) / lit(1000.0)
+            val avgDur = si / (col("n") - 1)
+            val threshold = avgDur * 1.1
+            val dsRaw = (col("t0") - rangeStart) / lit(1000.0)
+            val dZero = si * col("v0") / col("inc")
+            val ds = when(col("inc") > 0 && col("v0") >= 0 && dZero < dsRaw,
+              dZero).otherwise(dsRaw)
+            val de = (rangeStart + windowMs - col("t1")) / lit(1000.0)
+            val ext = si +
+              when(ds < threshold, ds).otherwise(avgDur / 2) +
+              when(de < threshold, de).otherwise(avgDur / 2)
+            val incExt = col("inc") * (ext / si)
+            val value =
+              if (kind == FnIncrease) incExt
+              else incExt / lit(windowMs / 1000.0)
+            // both extrapolated shapes divide by the observed span —
+            // it must be positive
+            stepped.where(col("t1") > col("t0"))
+              .select((keyCols :+ value.as("value")): _*)
+          case None =>
+            if (kind == FnIncrease)
+              stepped.select((keyCols :+ col("inc").as("value")): _*)
+            else
+              // rate needs a positive observed span (two DISTINCT
+              // timestamps) — IEEE inf from a zero span would poison
+              // downstream aggregates
+              stepped.where(col("t1") > col("t0")).select((keyCols :+
+                (col("inc") / ((col("t1") - col("t0")) / lit(1000.0)))
+                  .as("value")): _*)
+        }
     }
   }
 }

@@ -205,6 +205,44 @@ class RangeFnSpec extends AnyFunSuite {
     }
   }
 
+  test("extrapolated rate/increase: Prometheus' boundary rule, opt-in") {
+    def rows(ps: Seq[(Long, Double)]) =
+      longDf(ps.map { case (t, v) => ("c", Map.empty[String, String], t, v) })
+    val cat = new StreamCatalog(Seq(StreamDef("c", Map.empty, VType.F64)))
+    def eng(ps: Seq[(Long, Double)]) =
+      new TsdbEngine(spark, rows(ps), cat, rateMode = RangeFns.Extrapolated)
+    // clustered pair (0,10)(5,20) in window [0,30): si=5ms; start gap 0
+    // (< threshold), end gap 25ms (≥ threshold → avgDur/2 = 2.5ms) →
+    // ext=7.5ms, factor 1.5 → increase 15; rate = 15/0.03s = 500.
+    // The exact estimator says 10 and 2000 — the documented difference.
+    val e1 = eng(Seq(0L -> 10d, 5L -> 20d))
+    assert(vectorOf(e1.query("increase(c[30ms])", 0, 29)) === Seq((0L, 15.0)))
+    assert(vectorOf(e1.query("rate(c[30ms])", 0, 29)) === Seq((0L, 500.0)))
+    assert(vectorOf(new TsdbEngine(spark, rows(Seq(0L -> 10d, 5L -> 20d)), cat)
+      .query("rate(c[30ms])", 0, 29)) === Seq((0L, 2000.0)))
+    // counter zero-point: (20,1)(25,100) — the start gap caps at the
+    // counter's linear zero crossing si·v0/inc, so increase = 99·(199/99)
+    val inc2 = vectorOf(eng(Seq(20L -> 1d, 25L -> 100d))
+      .query("increase(c[30ms])", 0, 29))
+    assert(inc2.size == 1 && math.abs(inc2.head._2 - 199.0) < 1e-9)
+    // boundary-dense window: exact == extrapolated (both edge gaps are
+    // under the threshold and sum with si to exactly the window)
+    val dense = (0L to 29L).map(t => t -> t.toDouble)
+    val ex = vectorOf(eng(dense).query("rate(c[30ms])", 0, 29))
+    val exact = vectorOf(new TsdbEngine(spark, rows(dense), cat)
+      .query("rate(c[30ms])", 0, 29))
+    assert(ex.size == 1 && exact.size == 1)
+    assert(math.abs(ex.head._2 - exact.head._2) < 1e-9)
+    // sliding shape (query_range window (0,30]): (5,10)(10,20) →
+    // ds=5ms(<th) + de=20ms(≥th → 2.5ms) → ext=12.5ms, rate=25/0.03
+    val r3 = vectorOf(eng(Seq(5L -> 10d, 10L -> 20d))
+      .queryRange("rate(c[30ms])", 30L, 30L, 30L))
+    assert(r3.size == 1 && math.abs(r3.head._2 - 25.0 / 0.03) < 1e-9)
+    // the other kinds are untouched by the mode
+    assert(vectorOf(e1.query("sum_over_time(c[30ms])", 0, 29)) ===
+      Seq((0L, 30.0)))
+  }
+
   test("grouped methods honor @/offset like select() does") {
     // @0 offset 10ms resolves the scan start to 10 (planner.rs:162-180):
     // a's t=5 sample must drop from every grouped path, exactly as it
