@@ -85,7 +85,64 @@ final class GraftDb(
       .filter(d => name.forall(_ == d.name))
       .flatMap(_.labels.get(key)).distinct.sorted
 
-  def streams(): Seq[StreamDef] =
+  def streams(): Seq[StreamDef] = snapshot()._1
+
+  /** Matcher resolution via the inverted label index (the reference's
+    * SQLite indexer probe shape, indexer.rs:493-516): intersect the
+    * per-(label, value) ID sets, then filter by name. Semantics are
+    * identical to the linear filter — streams whose label set contains
+    * every requested pair — but the probe is index-sized, not
+    * catalog-sized, and the parsed catalog itself is memoized below.
+    */
+  def resolve(name: String, labels: Map[String, String]): Seq[StreamDef] = {
+    val (defs, inverted) = snapshot()
+    if (labels.isEmpty) defs.filter(_.name == name)
+    else {
+      val sets = labels.iterator
+        .map(kv => inverted.getOrElse(kv, Set.empty[Int])).toSeq
+      sets.reduce(_ intersect _).toSeq.sorted
+        .map(defs).filter(_.name == name)
+    }
+  }
+
+  /** Parsed catalog + inverted label map, memoized on the file's
+    * (mtime, size): repeated probes (createStream existence checks,
+    * inserter resolution, labelNames/labelValues — every one previously
+    * re-read and re-parsed the whole JSONL, GraftDb.scala r9 finding #4)
+    * now parse once per catalog VERSION. Our own writers invalidate
+    * explicitly; an external writer bumps mtime or size (every catalog
+    * write appends, removes, or rewrites lines). Metadata-sized state:
+    * defs + one (label,value)→ids map.
+    */
+  @volatile private var catalogMemo
+      : Option[(Long, Long, Seq[StreamDef], Map[(String, String), Set[Int]])] =
+    None
+
+  /** Catalog re-parse counter — observability for the memoization spec. */
+  private[graft] var catalogParses: Long = 0L
+
+  private def invalidateCatalog(): Unit = catalogMemo = None
+
+  private def snapshot()
+      : (Seq[StreamDef], Map[(String, String), Set[Int]]) = {
+    val key =
+      if (!Files.exists(catalogFile)) (-1L, -1L)
+      else (Files.getLastModifiedTime(catalogFile).toMillis,
+        Files.size(catalogFile))
+    catalogMemo match {
+      case Some((m, s, defs, inv)) if (m, s) == key => (defs, inv)
+      case _ =>
+        val defs = parseCatalog()
+        val inv = defs.iterator.zipWithIndex
+          .flatMap { case (d, i) => d.labels.iterator.map(kv => kv -> i) }
+          .toSeq.groupMap(_._1)(_._2).map { case (k, v) => k -> v.toSet }
+        catalogMemo = Some((key._1, key._2, defs, inv))
+        (defs, inv)
+    }
+  }
+
+  private def parseCatalog(): Seq[StreamDef] = {
+    catalogParses += 1
     if (!Files.exists(catalogFile)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
@@ -108,6 +165,7 @@ final class GraftDb(
         StreamDef(parts(1), LabelCodec.decodeLabels(parts(2), line, v2), vt)
       }
     }
+  }
 
   /** One v2 catalog line for a stream definition. */
   private def catalogLine(d: StreamDef): String = {
@@ -138,6 +196,7 @@ final class GraftDb(
     Files.move(tmp, catalogFile,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    invalidateCatalog()
   }
 
   /** Fixed-type stream creation (lib.rs:429-456); rejects duplicates.
@@ -158,6 +217,7 @@ final class GraftDb(
     Files.writeString(catalogFile,
       catalogLine(StreamDef(name, labels, vtype)) + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    invalidateCatalog()
   }
 
   /** Stream deletion. The reference leaves this as an explicit todo
@@ -239,6 +299,7 @@ final class GraftDb(
     Files.move(tmp, catalogFile,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    invalidateCatalog()
   }
 
   /** Remove `name`'s data partition dirs (dir names only, like expire —
@@ -378,11 +439,12 @@ final class GraftDb(
     }
   }
 
-  /** Selector must resolve to exactly one catalogued stream (lib.rs:475-493). */
+  /** Selector must resolve to exactly one catalogued stream
+    * (lib.rs:475-493) — through the inverted label index ([[resolve]]).
+    */
   def inserter(selector: String): Inserter = {
     val (name, labels) = parseSelector(selector)
-    val hits = streams().filter(d => d.name == name &&
-      labels.forall(kv => d.labels.get(kv._1).contains(kv._2)))
+    val hits = resolve(name, labels)
     require(hits.size == 1, s"selector must match exactly 1 stream, got ${hits.size}")
     new Inserter(hits.head.name, hits.head.labels, hits.head.vtype)
   }

@@ -436,6 +436,32 @@ class LibrarySpec extends AnyFunSuite {
     assert(db.streams().map(_.name) == Seq("n", "o"))
   }
 
+  test("catalog probes memoize on (mtime, size); writes invalidate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    val db = new GraftDb(spark, dir)
+    db.createStream("m{env=\"prod\"}", VType.F64)
+    db.createStream("m{env=\"dev\"}", VType.I64)
+    val base = db.catalogParses
+    // a burst of probes — labelNames/labelValues/inserter/resolve — must
+    // parse the unchanged catalog at most once (r9 finding: every probe
+    // re-read and re-parsed the whole JSONL)
+    db.labelNames(); db.labelValues("env")
+    db.inserter("m{env=\"prod\"}")
+    assert(db.resolve("m", Map("env" -> "dev")).map(_.vtype) == Seq(VType.I64))
+    assert(db.resolve("m", Map("env" -> "nope")).isEmpty)
+    assert(db.resolve("m", Map.empty).size == 2)
+    assert(db.catalogParses <= base + 1,
+      s"probes re-parsed the catalog: $base -> ${db.catalogParses}")
+    // a write invalidates: the next probe sees the new stream
+    db.createStream("n", VType.F64)
+    assert(db.streams().map(_.name).contains("n"))
+    assert(db.catalogParses >= base + 2)
+    // an EXTERNAL writer (different GraftDb over the same dir) is seen
+    // through the (mtime, size) key
+    new GraftDb(spark, dir).createStream("o", VType.F64)
+    assert(db.streams().map(_.name).contains("o"))
+  }
+
   test("decodeLabels is loud on duplicate keys (hand-edited catalog)") {
     // a=1,a=2 would silently resolve to a->2 via toMap; the codec's
     // loud-on-malformed philosophy applies to duplicates too
