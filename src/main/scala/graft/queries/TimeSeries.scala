@@ -491,6 +491,27 @@ object TimeSeries {
         .orderBy(col("user").cast("long"))
     },
 
+    // grouped child under a row-local comparison: `purchase > 100`
+    // filters keeping the value (the V2S rule) BEFORE the per-user sum —
+    // the threshold-dashboard shape; groups with no surviving rows
+    // vanish, like PromQL's.
+    "ts62_agg_by_filter" -> { (s, dir) =>
+      engine(s, dir)
+        .query("sum by (user) (purchase > 100)", SubStart, SubEnd)
+        .output.select(col("user"), round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
+    // grouped topk: each user's 3 largest purchases (ties toward newer
+    // samples, the GetK rule) — the rank window partitions on the group
+    // key, never a global order (PlanAuditSpec pins it).
+    "ts63_topk_by" -> { (s, dir) =>
+      engine(s, dir)
+        .query("topk(3, purchase) by (user)", SubStart, SubEnd)
+        .output.select(col("user"), col("value"))
+        .orderBy(col("user").cast("long"), col("value").desc)
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -953,6 +974,22 @@ object TimeSeries {
          |      FROM l GROUP BY ws)
          |SELECT ws AS timestamp, ROUND(inc / ((t1 - t0) / 1000.0), 6) AS value
          |FROM a WHERE n >= 2 AND t1 > t0 ORDER BY timestamp""".stripMargin,
+
+    "ts62_agg_by_filter" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS "user", ROUND(SUM(v), 6) AS value
+         |FROM (SELECT user_id, epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase')
+         |WHERE ${sub()} AND v > 100 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts63_topk_by" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'),
+         |r AS (SELECT u, v,
+         |        row_number() OVER (PARTITION BY u ORDER BY v DESC, t DESC) AS rk
+         |      FROM d WHERE ${sub()})
+         |SELECT u AS "user", v AS value FROM r WHERE rk <= 3
+         |ORDER BY CAST(u AS BIGINT), value DESC""".stripMargin,
 
     "ts60_agg_by_promql" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS "user", ROUND(SUM(v), 6) AS value

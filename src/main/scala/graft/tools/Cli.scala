@@ -192,7 +192,7 @@ object Cli {
     if (res.grouped) {
       val cols = res.output.columns
       res.output
-        .orderBy(cols.init.map(org.apache.spark.sql.functions.col): _*)
+        .orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
         .collect().foreach { r =>
           out(r.toSeq.init.map(v => if (v == null) "<null>" else v.toString)
             .mkString("", " ", " ") + fmt(r.get(cols.length - 1)))

@@ -194,7 +194,7 @@ object Web {
       root.put("value_type", "Float64")
       val arr = root.putArray("groups")
       res.output
-        .orderBy(cols.init.map(org.apache.spark.sql.functions.col): _*)
+        .orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
         .collect().foreach { r =>
           val o = arr.addObject()
           cols.init.zipWithIndex.foreach { case (c, i) =>

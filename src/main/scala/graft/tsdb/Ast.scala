@@ -82,7 +82,12 @@ object Expr {
   final case class Aggregate(kind: AggKind, child: Expr,
       grouping: Option[Grouping] = None) extends Expr
 
-  final case class GetK(top: Boolean, k: Expr, child: Expr) extends Expr
+  /** topk/bottomk, optionally grouped (`topk(3, m) by (user)` — the k
+    * best samples of each group; the reference drops grouping
+    * modifiers entirely, planner.rs:84-88).
+    */
+  final case class GetK(top: Boolean, k: Expr, child: Expr,
+      grouping: Option[Grouping] = None) extends Expr
 
   /** A matrix selector `sel[range]` — valid ONLY as the immediate child
     * of a range function. The reference rejects matrix selectors

@@ -187,7 +187,7 @@ final class TsdbEngine(
       // DROPS (planner.rs:84-88), evaluated for real here.
       groupedAggregate(kind, child, g, start, end)
 
-    case GetK(top, kExpr, child) =>
+    case GetK(top, kExpr, child, grouping) =>
       val kRes = eval(kExpr, start, end)
       require(kRes.isScalar, "topk/bottomk k-parameter must be scalar")
       // The reference evaluates the k subplan first (get_k.rs:77-79); k is
@@ -198,10 +198,14 @@ final class TsdbEngine(
         case l: java.lang.Long => l.longValue()
         case other => other.toString.toLong
       }).toInt
-      val c = eval(child, start, end)
-      require(!c.isScalar, "topk/bottomk over a scalar is not supported")
-      require(!c.grouped, "topk/bottomk over a grouped result is not supported")
-      getK(top, k, c)
+      grouping match {
+        case Some(g) => groupedGetK(top, k, child, g, start, end)
+        case None =>
+          val c = eval(child, start, end)
+          require(!c.isScalar, "topk/bottomk over a scalar is not supported")
+          require(!c.grouped, "topk/bottomk over a grouped result is not supported")
+          getK(top, k, c)
+      }
 
     case BinaryOp(kind, lhs, rhs) =>
       val l = eval(lhs, start, end)
@@ -303,12 +307,14 @@ final class TsdbEngine(
     *    unescaped, so a label VALUE containing `,` or `=` can collide
     *    two distinct groups; PromQL-legal values don't carry these.
     *  - The child may be a selector or a range function over a matrix
-    *    selector, optionally under instant math — the same label-aware
-    *    scope as [[rangeAggregateBy]], generalized to label SETS. A
-    *    range-fn child evaluates per (group, tumbling window) — each
-    *    group's windows see only that group's samples — and the outer
-    *    aggregate then folds each group's windows (this engine's
-    *    whole-range model: plain `sum(rate(m[1d]))` folds windows too).
+    *    selector, optionally under ROW-LOCAL transforms: instant math,
+    *    scalar-literal arithmetic (`sum by (u) (purchase * 2)`), and
+    *    scalar-literal comparison — a filter keeping the value, the
+    *    V2S rule (`sum by (u) (purchase > 100)`). A range-fn child
+    *    evaluates per (group, tumbling window) — each group's windows
+    *    see only that group's samples — and the outer aggregate then
+    *    folds each group's windows (this engine's whole-range model:
+    *    plain `sum(rate(m[1d]))` folds windows too).
     *  - Values compute in Float64 (the grouped surface matches
     *    [[aggregateBy]], including count → double).
     *
@@ -318,7 +324,63 @@ final class TsdbEngine(
     */
   private def groupedAggregate(kind: AggKind, child: Expr, g: Grouping,
       start: Long, end: Long): TsdbResult = {
-    val reserved = Set("timestamp", "value", "wstart")
+    val (rows, gNames) = groupedVector(child, g, start, end)
+    val aggCol = kind match {
+      case AggSum => sum(col("value"))
+      case AggCount => count(lit(1)).cast("double")
+      case AggAvg => avg(col("value"))
+      case AggMin => min(col("value"))
+      case AggMax => max(col("value"))
+    }
+    val out = rows.groupBy(gNames.map(col): _*).agg(aggCol.as("value"))
+    // empty-set arity (aggregate.rs:35-75): `by ()` over nothing emits
+    // no row for sum/avg/min/max but count → 0, like the ungrouped form
+    val arity = if (kind == AggCount) out else out.where(col("value").isNotNull)
+    TsdbResult(arity, isScalar = true, VType.F64, grouped = gNames.nonEmpty)
+  }
+
+  /** Grouped top-k/bottom-k — `topk(3, purchase) by (user)`: the k
+    * best samples of EACH group by value (ties toward newer samples,
+    * the ungrouped GetK rule; k = 0 → empty, k > group size → the whole
+    * group). Emits (groups..., value) rows, k per group. The rank
+    * window partitions on the group keys — per-group bounded, never a
+    * global order; `by ()` is rejected (use the ungrouped form, which
+    * compiles to TakeOrderedAndProject's bounded heap).
+    */
+  private def groupedGetK(top: Boolean, k: Int, child: Expr, g: Grouping,
+      start: Long, end: Long): TsdbResult = {
+    // `by ()` would leave no group key — a GLOBAL rank window, the
+    // scale-killer the ungrouped TakeOrderedAndProject form avoids
+    require(!(g.by && g.labels.isEmpty),
+      "topk/bottomk by () is the ungrouped form — drop the modifier")
+    val (rows, gNames) = groupedVector(child, g, start, end)
+    val out =
+      if (k == 0) rows.select(gNames.map(col) :+ col("value"): _*).limit(0)
+      else {
+        val ord =
+          if (top) Seq(col("value").desc, col("timestamp").desc)
+          else Seq(col("value").asc, col("timestamp").desc)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(gNames.map(col): _*).orderBy(ord: _*)
+        rows.withColumn("_rk", row_number().over(w))
+          .where(col("_rk") <= k)
+          .select(gNames.map(col) :+ col("value"): _*)
+      }
+    TsdbResult(out, isScalar = true, VType.F64, grouped = true)
+  }
+
+  /** The shared grouped evaluation under a `by`/`without` clause:
+    * returns ((groups..., timestamp, value) rows, group column names).
+    * The child may be a selector or a range function over a matrix
+    * selector (timestamp = window start there), optionally wrapped in
+    * row-local transforms — instant math, scalar-literal arithmetic,
+    * scalar-literal comparison-as-filter — applied outside-in exactly
+    * as the expression tree nests them. One scan; group keys derived
+    * row-locally from the `labels` map.
+    */
+  private def groupedVector(child: Expr, g: Grouping,
+      start: Long, end: Long): (DataFrame, Seq[String]) = {
+    val reserved = Set("timestamp", "value", "wstart", "_rk")
     val (gNames: Seq[String], gCols: Seq[Column]) =
       if (g.by) {
         val bad = g.labels.filter(reserved)
@@ -338,34 +400,42 @@ final class TsdbEngine(
             k => concat(k, lit("="), element_at(mf, k))), ",")
         (Seq("labels"), Seq(canon.as("labels")))
       }
-    // peel instant-math wrappers (applied back innermost-first)
-    def unwrap(e: Expr, maps: List[(InstantFnKind, List[Double])])
-        : (Expr, List[(InstantFnKind, List[Double])]) = e match {
-      case InstantFn(k, c, a) => unwrap(c, (k, a) :: maps)
-      case other => (other, maps)
+    // peel row-local wrappers (applied back innermost-first): instant
+    // math maps the value; scalar-literal arithmetic maps it; scalar-
+    // literal comparison filters keeping the value (the V2S rule)
+    def unwrap(e: Expr, ops: List[DataFrame => DataFrame])
+        : (Expr, List[DataFrame => DataFrame]) = e match {
+      case InstantFn(k, c, a) => unwrap(c, ((df: DataFrame) =>
+        df.withColumn("value",
+          TsdbEngine.instantColumn(k, a, col("value").cast("double")))) :: ops)
+      case BinaryOp(k, c, NumberLit(v)) if !isComparison(k) =>
+        unwrap(c, ((df: DataFrame) => df.withColumn("value",
+          arith(k, col("value").cast("double"), lit(v)))) :: ops)
+      case BinaryOp(k, NumberLit(v), c) if !isComparison(k) =>
+        unwrap(c, ((df: DataFrame) => df.withColumn("value",
+          arith(k, lit(v), col("value").cast("double")))) :: ops)
+      case BinaryOp(k, c, NumberLit(v)) =>
+        unwrap(c, ((df: DataFrame) =>
+          df.where(cmp(k, col("value"), lit(v)))) :: ops)
+      case BinaryOp(k, NumberLit(v), c) =>
+        unwrap(c, ((df: DataFrame) =>
+          df.where(cmp(k, lit(v), col("value")))) :: ops)
+      case other => (other, ops)
     }
-    val (core, maps) = unwrap(child, Nil)
-    def applyMaps(df: DataFrame): DataFrame =
-      maps.foldLeft(df)((d, m) => d.withColumn("value",
-        TsdbEngine.instantColumn(m._1, m._2, col("value").cast("double"))))
+    val (core, ops) = unwrap(child, Nil)
+    def applyOps(df: DataFrame): DataFrame = ops.foldLeft(df)((d, f) => f(d))
     def matcherFilter(sel: Selector) =
       sel.matchers.foldLeft(col("name") === sel.name) {
         (acc, m) => acc && element_at(col("labels"), m.label) === m.value
       }
-    val aggCol = kind match {
-      case AggSum => sum(col("value"))
-      case AggCount => count(lit(1)).cast("double")
-      case AggAvg => avg(col("value"))
-      case AggMin => min(col("value"))
-      case AggMax => max(col("value"))
-    }
     val rows = core match {
       case sel: Selector =>
-        applyMaps(data
+        applyOps(data
           .where(matcherFilter(sel) &&
             col("timestamp") >= scanStart(sel, start) &&
             col("timestamp") <= end)
-          .select(gCols :+ col("value").cast("double").as("value"): _*))
+          .select(gCols ++ Seq(col("timestamp"),
+            col("value").cast("double").as("value")): _*))
       case RangeFn(rk, MatrixSelector(sel, rangeMs), fnArgs) =>
         require(rk != FnAbsentOverTime,
           "absent_over_time has no grouped form (absence is not " +
@@ -378,18 +448,16 @@ final class TsdbEngine(
             (col("timestamp") -
               pmod(col("timestamp") - start, lit(rangeMs))).as("wstart"),
             col("timestamp"), col("value").cast("double").as("value")): _*)
-        applyMaps(
+        applyOps(
           RangeFns.aggWindows(rk, base, fnArgs, gNames :+ "wstart",
-            RangeFns.extrapolateSpec(rk, rateMode, col("wstart"), rangeMs)))
+            RangeFns.extrapolateSpec(rk, rateMode, col("wstart"), rangeMs))
+            .withColumnRenamed("wstart", "timestamp"))
       case other => throw new IllegalArgumentException(
-        "grouped aggregate supports a selector or a range function over " +
-          s"a matrix selector (optionally under instant math), got: $other")
+        "grouped evaluation supports a selector or a range function " +
+          "over a matrix selector (optionally under instant math or " +
+          s"scalar-literal arithmetic/comparison), got: $other")
     }
-    val out = rows.groupBy(gNames.map(col): _*).agg(aggCol.as("value"))
-    // empty-set arity (aggregate.rs:35-75): `by ()` over nothing emits
-    // no row for sum/avg/min/max but count → 0, like the ungrouped form
-    val arity = if (kind == AggCount) out else out.where(col("value").isNotNull)
-    TsdbResult(arity, isScalar = true, VType.F64, grouped = gNames.nonEmpty)
+    (rows, gNames)
   }
 
   /** Grouped aggregates — the `sum by (label)` extension the reference

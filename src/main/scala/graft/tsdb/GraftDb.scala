@@ -769,7 +769,7 @@ final class GraftDb(
       def jsStr(v: Any): String =
         if (v == null) "null"
         else "\"" + v.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      res.output.orderBy(cols.init.map(col): _*).collect()
+      res.output.orderBy(cols.map(col): _*).collect()
         .map { r =>
           val groups = cols.init.zipWithIndex
             .map { case (c, i) => s""""$c":${jsStr(r.get(i))}""" }

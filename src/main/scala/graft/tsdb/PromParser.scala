@@ -160,6 +160,32 @@ object PromParser {
         SubqueryMatrix(e, r, s)
       }
 
+    // A `by (...)` / `without (...)` clause at the cursor, if present.
+    def peekGrouping(): Option[Grouping] = peek match {
+      case TIdent("by") | TIdent("without") =>
+        val by = next() match {
+          case TIdent("by") => true
+          case _ => false
+        }
+        expectOp("(")
+        val labels = List.newBuilder[String]
+        var continue = peek != TOp(")")
+        while (continue) {
+          next() match {
+            case TIdent(l) => labels += l
+            case t => throw new PromParseException(
+              s"expected a label name in grouping, got $t in: $q")
+          }
+          peek match {
+            case TOp(",") => next()
+            case _ => continue = false
+          }
+        }
+        expectOp(")")
+        Some(Grouping(by, labels.result()))
+      case _ => None
+    }
+
     def parseComparison(): Expr = {
       var l = parseAdditive()
       var continue = true
@@ -225,50 +251,28 @@ object PromParser {
         // prefix `sum by (u) (expr)` or suffix `sum(expr) by (u)` — is
         // EVALUATED (Expr.Grouping), where the reference parses then
         // drops the clause (planner.rs:84-88).
-        def parseGrouping(): Grouping = {
-          val by = next() match {
-            case TIdent("by") => true
-            case TIdent("without") => false
-            case t => throw new PromParseException(s"expected by/without, got $t")
-          }
-          expectOp("(")
-          val labels = List.newBuilder[String]
-          var continue = peek != TOp(")")
-          while (continue) {
-            next() match {
-              case TIdent(l) => labels += l
-              case t => throw new PromParseException(
-                s"expected a label name in grouping, got $t in: $q")
-            }
-            peek match {
-              case TOp(",") => next()
-              case _ => continue = false
-            }
-          }
-          expectOp(")")
-          Grouping(by, labels.result())
-        }
-        val prefix = peek match {
-          case TIdent("by") | TIdent("without") => Some(parseGrouping())
-          case _ => None
-        }
+        val prefix = peekGrouping()
         expectOp("(")
         val child = parseExpr()
         expectOp(")")
-        val suffix = peek match {
-          case TIdent("by") | TIdent("without") => Some(parseGrouping())
-          case _ => None
-        }
+        val suffix = peekGrouping()
         if (prefix.isDefined && suffix.isDefined) throw new PromParseException(
           s"$name has two grouping clauses in: $q")
         Aggregate(aggNames(name), child, prefix.orElse(suffix))
-      case TIdent(fn @ ("topk" | "bottomk")) if peek == TOp("(") =>
-        next()
+      case TIdent(fn @ ("topk" | "bottomk"))
+          if peek == TOp("(") || peek == TIdent("by") || peek == TIdent("without") =>
+        // grouping in either position, like the aggregates:
+        // `topk by (u) (3, m)` / `topk(3, m) by (u)`
+        val prefix = peekGrouping()
+        expectOp("(")
         val k = parseExpr()
         expectOp(",")
         val child = parseExpr()
         expectOp(")")
-        GetK(fn == "topk", k, child)
+        val suffix = peekGrouping()
+        if (prefix.isDefined && suffix.isDefined) throw new PromParseException(
+          s"$fn has two grouping clauses in: $q")
+        GetK(fn == "topk", k, child, prefix.orElse(suffix))
       case TIdent(fn) if instantFnNames.contains(fn) && peek == TOp("(") =>
         next() // consume '('
         val kind = instantFnNames(fn)

@@ -192,6 +192,12 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(l.contains("user") && l.contains("wstart"), s"unkeyed window: $l"))
     assert(p61.linesIterator.count(_.contains("Scan ")) <= 1,
       "grouped range fn re-scanned the source")
+    // grouped topk: the rank window partitions on the group key — a
+    // global rank here would serialize the corpus through one task
+    val p63 = plan(graft.queries.TimeSeries.queries("ts63_topk_by")(spark, sf))
+    val w63 = p63.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(w63.nonEmpty, "expected the per-group rank window")
+    w63.foreach(l => assert(l.contains("user"), s"global rank window: $l"))
   }
 
   test("ts57/ts58 sliding binary: one raw scan per side, step-keyed join") {

@@ -325,6 +325,52 @@ class EngineSpec extends AnyFunSuite {
       Set(Some("web") -> 3d, Some("mob") -> 2d, Some("cli") -> 1d))
   }
 
+  test("grouped children: literal comparison filters, literal arithmetic maps") {
+    val e = groupedEngine()
+    // comparison keeps the value (V2S rule); web's max is 4, not > 4,
+    // so its group vanishes entirely
+    assert(groupRows(e.query("sum by (service) (req > 4)", 0, 100).output) ==
+      Set(Some("mob") -> 24d, Some("cli") -> 32d))
+    // arithmetic peels outside-in: (v * 2) + 1
+    assert(groupRows(e.query("sum by (service) (req * 2 + 1)", 0, 100).output) ==
+      Set(Some("web") -> 17d, Some("mob") -> 50d, Some("cli") -> 65d))
+    // scalar on the LEFT of a non-commutative op
+    assert(groupRows(e.query("sum by (service) (100 - req)", 0, 100).output) ==
+      Set(Some("web") -> 293d, Some("mob") -> 176d, Some("cli") -> 68d))
+    // composition over a range fn: per-service window sums, filtered
+    assert(groupRows(e.query(
+      "count by (service) (sum_over_time(req[15ms]) > 5)", 0, 100).output) ==
+      Set(Some("mob") -> 2d, Some("cli") -> 1d))
+  }
+
+  test("grouped topk/bottomk: per-group rank, both clause positions") {
+    val e = groupedEngine()
+    def perGroup(q: String): Map[String, Seq[Double]] =
+      e.query(q, 0, 100).output.collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val expect = Map("web" -> Seq(2d, 4d), "mob" -> Seq(8d, 16d),
+      "cli" -> Seq(32d))
+    assert(perGroup("topk(2, req) by (service)") == expect)
+    assert(perGroup("topk by (service) (2, req)") == expect) // prefix form
+    assert(perGroup("bottomk(1, req) by (service)") ==
+      Map("web" -> Seq(1d), "mob" -> Seq(8d), "cli" -> Seq(32d)))
+    // k = 0 → empty; k > group size → the whole group (cli above)
+    assert(e.query("topk(0, req) by (service)", 0, 100).output.count() == 0L)
+    // without-form: the remaining-label-set groups carry the canonical
+    // string column; stripping every label leaves ONE "" group = global
+    val all = e.query("topk(1, req) without (service, dc)", 0, 100).output
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(all.toSeq == Seq("" -> 32d))
+    // result shape is grouped + terminal
+    val res = e.query("topk(2, req) by (service)", 0, 100)
+    assert(res.grouped && res.df.columns.toSeq == Seq("service", "value"))
+    intercept[IllegalArgumentException](
+      e.query("topk(2, req) by ()", 0, 100))
+    intercept[PromParseException](
+      PromParser.parse("topk by (a) (2, req) by (b)"))
+  }
+
   test("grouping rejections: double clause, composition, bad children") {
     val e = groupedEngine()
     intercept[PromParseException](
