@@ -512,6 +512,26 @@ object TimeSeries {
         .orderBy(col("user").cast("long"), col("value").desc)
     },
 
+    // grouped ⊕ grouped: per-user ratio (sum/count == per-user mean),
+    // the null-safe equi-join on the group keys — PromQL's one-to-one
+    // vector matching restricted to identical grouping.
+    "ts64_grouped_ratio" -> { (s, dir) =>
+      engine(s, dir)
+        .query("sum by (user) (purchase) / count by (user) (purchase)",
+          SubStart, SubEnd)
+        .output.select(col("user"), round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
+    // grouped ⊕ scalar-subquery broadcast: each user's share of the
+    // total — the normalized-leaderboard shape.
+    "ts65_grouped_share" -> { (s, dir) =>
+      engine(s, dir)
+        .query("sum by (user) (purchase) / sum(purchase)", SubStart, SubEnd)
+        .output.select(col("user"), round(col("value"), 9).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -974,6 +994,21 @@ object TimeSeries {
          |      FROM l GROUP BY ws)
          |SELECT ws AS timestamp, ROUND(inc / ((t1 - t0) / 1000.0), 6) AS value
          |FROM a WHERE n >= 2 AND t1 > t0 ORDER BY timestamp""".stripMargin,
+
+    "ts64_grouped_ratio" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS "user",
+         |  ROUND(SUM(v) / COUNT(*), 6) AS value
+         |FROM (SELECT user_id, epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase')
+         |WHERE ${sub()} GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts65_grouped_share" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS "user",
+         |  ROUND(SUM(v) / (SELECT SUM(v) FROM ${ev("event_type = 'purchase'")}
+         |                  WHERE ${sub()}), 9) AS value
+         |FROM (SELECT user_id, epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase')
+         |WHERE ${sub()} GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ts62_agg_by_filter" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS "user", ROUND(SUM(v), 6) AS value

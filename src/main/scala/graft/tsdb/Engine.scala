@@ -189,7 +189,8 @@ final class TsdbEngine(
 
     case GetK(top, kExpr, child, grouping) =>
       val kRes = eval(kExpr, start, end)
-      require(kRes.isScalar, "topk/bottomk k-parameter must be scalar")
+      require(kRes.isScalar && !kRes.grouped,
+        "topk/bottomk k-parameter must be a single scalar")
       // The reference evaluates the k subplan first (get_k.rs:77-79); k is
       // one number, so the single-value collect mirrors that.
       val kRows = kRes.df.limit(1).collect()
@@ -210,10 +211,8 @@ final class TsdbEngine(
     case BinaryOp(kind, lhs, rhs) =>
       val l = eval(lhs, start, end)
       val r = eval(rhs, start, end)
-      require(!l.grouped && !r.grouped,
-        "binary ops over grouped results are not supported (no label-" +
-          "matching semantics in this engine's dispatch)")
-      binary(kind, l, r, start, end)
+      if (l.grouped || r.grouped) groupedBinary(kind, l, r)
+      else binary(kind, l, r, start, end)
 
     case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
       // Range-function extension (RangeFns.scala contract): tumbling
@@ -277,13 +276,14 @@ final class TsdbEngine(
       // Float64 result like PromQL's math functions. Composes over
       // selectors, range fns, and binary results alike.
       val c = eval(child, start, end)
-      require(!c.isScalar,
+      require(!c.isScalar || c.grouped,
         s"${kind.name} applies to a vector, not a scalar (use plain arithmetic)")
-      require(!c.grouped,
-        s"${kind.name} over a grouped result is not supported")
+      // row-local value maps apply to grouped results unchanged (the
+      // group columns ride along)
       val mapped =
         TsdbEngine.instantColumn(kind, args, col("value").cast("double"))
-      TsdbResult(c.df.withColumn("value", mapped), isScalar = false, VType.F64)
+      TsdbResult(c.df.withColumn("value", mapped),
+        isScalar = c.isScalar, VType.F64, grouped = c.grouped)
 
     case _: MatrixSelector =>
       // Preserve the reference's rejection for bare matrix selectors
@@ -367,6 +367,76 @@ final class TsdbEngine(
           .select(gNames.map(col) :+ col("value"): _*)
       }
     TsdbResult(out, isScalar = true, VType.F64, grouped = true)
+  }
+
+  /** Binary ops over GROUPED results — the label matching the
+    * scalar/vector dispatch lacks, made trivial by construction here:
+    *
+    *  - grouped ⊕ grouped with the SAME group columns: a null-safe
+    *    equi-join on the group keys (PromQL's one-to-one vector
+    *    matching restricted to identical grouping — exactly the ratio
+    *    shapes `sum by (u) (a) / count by (u) (a)`); arithmetic only,
+    *    like V2V. Groups present on one side only drop, like PromQL's
+    *    matching. Null-safe so the missing-label null group matches
+    *    itself.
+    *  - grouped ⊕ scalar: broadcast; arithmetic maps the value,
+    *    comparison FILTERS keeping the value (the V2S rule) — the
+    *    share-of-total shape `sum by (u) (x) / sum(x)` and the
+    *    threshold shape `sum by (u) (x) > 1000`.
+    *  - grouped ⊕ plain vector: rejected — a per-timestamp vector and a
+    *    per-group result share no join key.
+    *
+    * Both grouped operands are post-aggregation (group-count-sized);
+    * the join shuffles on the group keys and AQE broadcasts small
+    * sides on its own.
+    */
+  private def groupedBinary(kind: BinKind, l: TsdbResult,
+      r: TsdbResult): TsdbResult = (l.grouped, r.grouped) match {
+    case (true, true) =>
+      require(!isComparison(kind),
+        "comparison between two grouped results is not supported " +
+          "(the V2V rule)")
+      val gl = l.df.columns.init.toSeq
+      val gr = r.df.columns.init.toSeq
+      require(gl == gr,
+        s"grouped operands must share the same grouping: " +
+          s"(${gl.mkString(", ")}) vs (${gr.mkString(", ")})")
+      val rr = r.df.toDF(gl.map(_ + "_graft_r") :+ "_rv": _*)
+      val cond = gl.map(k => col(k) <=> col(k + "_graft_r")).reduce(_ && _)
+      val df = l.df.join(rr, cond).select(gl.map(col) :+
+        arith(kind, col("value").cast("double"), col("_rv").cast("double"))
+          .as("value"): _*)
+      TsdbResult(df, isScalar = true, VType.F64, grouped = true)
+    case (true, false) =>
+      require(r.isScalar,
+        "grouped ⊕ vector is not supported (no common join key)")
+      val rr = broadcast(r.df.select(col("value").as("_rv")))
+      val joined = l.df.crossJoin(rr)
+      val gl = l.df.columns.init.toSeq
+      val df =
+        if (isComparison(kind))
+          joined.where(cmp(kind, col("value"), col("_rv")))
+            .select(l.df.columns.toSeq.map(col): _*)
+        else joined.select(gl.map(col) :+
+          arith(kind, col("value").cast("double"), col("_rv").cast("double"))
+            .as("value"): _*)
+      TsdbResult(df, isScalar = true, VType.F64, grouped = true)
+    case (false, true) =>
+      // scalar on the LEFT of a non-commutative op: keep operand order
+      require(l.isScalar,
+        "vector ⊕ grouped is not supported (no common join key)")
+      val ll = broadcast(l.df.select(col("value").as("_lv")))
+      val joined = r.df.crossJoin(ll)
+      val gr = r.df.columns.init.toSeq
+      val df =
+        if (isComparison(kind))
+          joined.where(cmp(kind, col("_lv"), col("value")))
+            .select(r.df.columns.toSeq.map(col): _*)
+        else joined.select(gr.map(col) :+
+          arith(kind, col("_lv").cast("double"), col("value").cast("double"))
+            .as("value"): _*)
+      TsdbResult(df, isScalar = true, VType.F64, grouped = true)
+    case (false, false) => throw new IllegalStateException("not grouped")
   }
 
   /** The shared grouped evaluation under a `by`/`without` clause:

@@ -198,6 +198,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val w63 = p63.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(w63.nonEmpty, "expected the per-group rank window")
     w63.foreach(l => assert(l.contains("user"), s"global rank window: $l"))
+    // grouped ⊕ grouped: an equi-join on the group keys, never a
+    // cartesian — both sides are post-aggregation (group-count-sized)
+    val p64 = plan(graft.queries.TimeSeries.queries("ts64_grouped_ratio")(spark, sf))
+    assert(p64.contains("SortMergeJoin") || p64.contains("BroadcastHashJoin") ||
+      p64.contains("ShuffledHashJoin"), s"expected a group-key equi-join:\n${p64.take(1200)}")
+    assert(!p64.contains("CartesianProduct"), "cartesian in the grouped join")
   }
 
   test("ts57/ts58 sliding binary: one raw scan per side, step-keyed join") {

@@ -371,19 +371,52 @@ class EngineSpec extends AnyFunSuite {
       PromParser.parse("topk by (a) (2, req) by (b)"))
   }
 
+  test("grouped binary composition: same-group join, scalar broadcast") {
+    val e = groupedEngine()
+    // per-group ratio == avg by group (null-safe join on the group keys)
+    val ratio = groupRows(e.query(
+      "sum by (service) (req) / count by (service) (req)", 0, 100).output)
+    assert(ratio.map { case (g, v) => g -> math.round(v * 1e6) / 1e6 } ==
+      Set(Some("web") -> 2.333333, Some("mob") -> 12d, Some("cli") -> 32d))
+    // share-of-total: grouped / scalar-subquery broadcast
+    val share = groupRows(e.query(
+      "sum by (service) (req) / sum(req)", 0, 100).output)
+    assert(share.map { case (g, v) => g -> math.round(v * 63) } ==
+      Set(Some("web") -> 7L, Some("mob") -> 24L, Some("cli") -> 32L))
+    // comparison vs scalar FILTERS keeping the value (V2S rule)
+    assert(groupRows(e.query("sum by (service) (req) > 10", 0, 100).output) ==
+      Set(Some("mob") -> 24d, Some("cli") -> 32d))
+    // scalar on the LEFT of a non-commutative op keeps operand order
+    assert(groupRows(e.query("100 - sum by (service) (req)", 0, 100).output) ==
+      Set(Some("web") -> 93d, Some("mob") -> 76d, Some("cli") -> 68d))
+    // instant math over a grouped result is a row-local value map
+    assert(groupRows(e.query(
+      "abs(sum by (service) (req) - 24)", 0, 100).output) ==
+      Set(Some("web") -> 17d, Some("mob") -> 0d, Some("cli") -> 8d))
+    // the null group (missing label) joins to itself — null-safe keys
+    assert(groupRows(e.query(
+      "sum by (dc) (req) / count by (dc) (req)", 0, 100).output) ==
+      Set(Some("a") -> 11d / 3, Some("b") -> 10d,
+        (None: Option[String]) -> 32d))
+  }
+
   test("grouping rejections: double clause, composition, bad children") {
     val e = groupedEngine()
     intercept[PromParseException](
       PromParser.parse("sum by (a) (req) by (b)"))
-    // grouped results are terminal: no further aggregate/topk/binary/math
+    // grouped results stay terminal for aggregate/topk
     intercept[IllegalArgumentException](
       e.query("sum(sum by (service) (req))", 0, 100))
     intercept[IllegalArgumentException](
       e.query("topk(2, sum by (service) (req))", 0, 100))
+    // binary composition requires IDENTICAL grouping, no comparisons,
+    // and no plain-vector operand
     intercept[IllegalArgumentException](
-      e.query("sum by (service) (req) + 1", 0, 100))
+      e.query("sum by (service) (req) / sum by (dc) (req)", 0, 100))
     intercept[IllegalArgumentException](
-      e.query("abs(sum by (service) (req))", 0, 100))
+      e.query("sum by (service) (req) > count by (service) (req)", 0, 100))
+    intercept[IllegalArgumentException](
+      e.query("sum by (service) (req) + req", 0, 100))
     // grouped absent_over_time has no meaning; scalar child neither
     intercept[IllegalArgumentException](
       e.query("sum by (service) (absent_over_time(req[15ms]))", 0, 100))
