@@ -211,6 +211,98 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- round-10 grouped/sliding/extrapolation algebra ----
+
+  private val labeledGen: Gen[List[(String, Long, Double)]] = for {
+    n <- Gen.choose(2, 16)
+    rows <- Gen.listOfN(n, for {
+      u <- Gen.oneOf("a", "b", "c")
+      t <- Gen.choose(0L, 80L)
+      v <- Gen.choose(0L, 100L).map(_.toDouble)
+    } yield (u, t, v))
+  } yield rows
+
+  test("sum by (label) equals per-label-filtered ungrouped sums") {
+    for (rows <- samples(labeledGen, 8)) {
+      val e = new TsdbEngine(spark, TsdbFixtures.longDf(
+        rows.map { case (u, t, v) => ("m", Map("u" -> u), t, v) }),
+        new StreamCatalog(Seq(StreamDef("m", Map.empty, VType.F64))))
+      val grouped = e.query("sum by (u) (m)", 0, 100).output.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      assert(grouped.keySet === want.keySet, s"rows=$rows")
+      grouped.foreach { case (u, v) =>
+        assert(math.abs(v - want(u)) < 1e-9, s"u=$u rows=$rows")
+        // and each group equals the ungrouped sum under that matcher
+        val one = e.query(s"""sum(m{u="$u"})""", 0, 100)
+          .output.collect().map(_.getDouble(0))
+        assert(one.length == 1 && math.abs(one.head - v) < 1e-9)
+      }
+    }
+  }
+
+  test("sliding binary equals element-wise combine of the slidings") {
+    for ((series, w, step, start, end) <- samples(slidingGen, 6)) {
+      val rows =
+        series.map { case (t, v) => ("x", Map.empty[String, String], t, v) } ++
+          series.map { case (t, v) =>
+            ("y", Map.empty[String, String], t, v + 1) }
+      val e = new TsdbEngine(spark, TsdbFixtures.longDf(rows),
+        new StreamCatalog(Seq(StreamDef("x", Map.empty, VType.F64),
+          StreamDef("y", Map.empty, VType.F64))))
+      def run(q: String): Map[Long, Double] =
+        e.queryRange(q, start, end, step).df.collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val sx = run(s"sum_over_time(x[${w}ms])")
+      val sy = run(s"sum_over_time(y[${w}ms])")
+      val got = run(s"sum_over_time(x[${w}ms]) + sum_over_time(y[${w}ms])")
+      val want = sx.keySet.intersect(sy.keySet)
+        .map(t => t -> (sx(t) + sy(t))).toMap
+      assert(got === want, s"w=$w step=$step [$start,$end]")
+    }
+  }
+
+  test("extrapolated increase equals the Prometheus formula, brute-forced") {
+    for ((series, w, _, start, end0) <- samples(slidingGen, 6)) {
+      val end = math.max(end0, start + 1)
+      val dedup = series.groupBy(_._1).map { case (t, vs) =>
+        t -> vs.map(_._2).max }.toList.sortBy(_._1)
+      val e = new TsdbEngine(spark, TsdbFixtures.longDf(
+        dedup.map { case (t, v) => ("c", Map.empty[String, String], t, v) }),
+        new StreamCatalog(Seq(StreamDef("c", Map.empty, VType.F64))),
+        rateMode = graft.tsdb.RangeFns.Extrapolated)
+      val got = e.query(s"increase(c[${w}ms])", start, end).df.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // the published extrapolatedRate rule, evaluated literally per
+      // tumbling window over the scanned range
+      val want = dedup.filter { case (t, _) => t >= start && t <= end }
+        .groupBy { case (t, _) => t - math.floorMod(t - start, w) }
+        .flatMap { case (ws, pts0) =>
+          val pts = pts0.sortBy(_._1)
+          if (pts.size < 2 || pts.last._1 == pts.head._1) None
+          else {
+            val inc = pts.sliding(2).map {
+              case Seq((_, a), (_, b)) => if (b >= a) b - a else b
+            }.sum
+            val si = (pts.last._1 - pts.head._1) / 1000.0
+            val ad = si / (pts.size - 1)
+            val ds0 = (pts.head._1 - ws) / 1000.0
+            val dz = if (inc > 0 && pts.head._2 >= 0)
+              si * pts.head._2 / inc else Double.MaxValue
+            val ds = math.min(ds0, dz)
+            val de = (ws + w - pts.last._1) / 1000.0
+            val ext = si +
+              (if (ds < ad * 1.1) ds else ad / 2) +
+              (if (de < ad * 1.1) de else ad / 2)
+            Some(ws -> inc * (ext / si))
+          }
+        }
+      assert(got.keySet === want.keySet, s"w=$w [$start,$end] $dedup")
+      got.foreach { case (t, v) =>
+        assert(math.abs(v - want(t)) < 1e-9, s"t=$t w=$w $dedup") }
+    }
+  }
+
   test("winnowing guarantee holds for random docs sharing a k+w-1 span") {
     val k = 8; val w = 4
     def fps(toks: Seq[String]): Set[Long] =
