@@ -147,4 +147,27 @@ object Pq {
       .limit(topK)
       .select(col(idCol), col("adist"))
   }
+
+  /** ADC shortlist + exact re-rank — the production IVFADC refinement
+    * (Jégou et al. 2011 §V-C): the m-byte codes are lossy, so the codes
+    * scan selects an OVERSAMPLED shortlist by approximate distance
+    * (still one pass + a bounded heap), and only the shortlist's raw
+    * vectors — topK × oversample rows, metadata-sized — are fetched
+    * (broadcast semi-join on the id) for exact cosine ordering. Raw-
+    * vector work is shortlist-sized, never corpus-sized; measured on
+    * this corpus's geometry the re-rank lifts recall@10 from ~0.2
+    * (raw ADC, AnnRecall) to the shortlist's containment rate.
+    * Returns (id, sim) like [[Knn.bruteTopK]].
+    */
+  def adcRerankTopK(codes: DataFrame, vecs: DataFrame, idCol: String,
+      vecCol: String, model: Model, query: Seq[Double], topK: Int,
+      oversample: Int = 10): DataFrame = {
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    val shortlist = adcTopK(codes, idCol, model, query, topK * oversample)
+      .select(col(idCol))
+    Knn.bruteTopK(
+      vecs.join(org.apache.spark.sql.functions.broadcast(shortlist),
+        Seq(idCol)),
+      idCol, vecCol, query, topK)
+  }
 }

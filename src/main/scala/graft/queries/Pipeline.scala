@@ -693,6 +693,25 @@ object Pipeline {
         .select(col("vec_id"), round(col("adist"), 6).as("adist"))
     },
 
+    // ADC shortlist + exact re-rank (Jégou 2011 §V-C, the production
+    // IVFADC refinement): the codes scan picks a 5x-oversampled
+    // shortlist by approximate distance, then ONLY the shortlist's raw
+    // vectors (50 rows) are fetched for exact cosine ordering — raw-
+    // vector work is shortlist-sized, never corpus-sized. Same
+    // oracle-reproducible iters=0 codebook as ann07; the oracle
+    // reruns the whole two-stage pipeline in SQL.
+    "ann09_pq_rerank" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val model = graft.ann.Pq.fit(e, "vec_id", "vec", m = 8, k = 4, iters = 0)
+      val corpus = e.where(col("vec_id") =!= 0)
+      val enc = graft.ann.Pq.encode(corpus, "vec", model)
+      val q = e.where(col("vec_id") === 0).select("vec").head().getSeq[Double](0)
+      graft.ann.Pq.adcRerankTopK(enc, corpus, "vec_id", "vec", model, q,
+          topK = 10, oversample = 5)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    },
+
     // IVF-PQ composition (the billion-scale layout: coarse cells prune
     // the scan, PQ codes compress what remains) — ADC runs over ONLY
     // the probed cells' codes. `label` is the pre-assigned cell as in
@@ -1955,6 +1974,41 @@ object Pipeline {
         |        GROUP BY codes.vec_id)
         |SELECT vec_id, ROUND(adist, 6) AS adist FROM adc
         |ORDER BY adc.adist, vec_id LIMIT 10""".stripMargin,
+
+    "ann09_pq_rerank" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings),
+        |m AS (SELECT unnest(range(0, 8)) AS s),
+        |cent AS (SELECT m.s, c.vec_id AS j,
+        |           list_slice(c.vec, m.s*8+1, m.s*8+8) AS cv
+        |         FROM v c, m WHERE c.vec_id < 4),
+        |parts AS (SELECT p.vec_id, m.s,
+        |            list_slice(p.vec, m.s*8+1, m.s*8+8) AS sv
+        |          FROM v p, m WHERE p.vec_id != 0),
+        |d AS (SELECT parts.vec_id, parts.s, cent.j,
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (parts.sv[i] - cent.cv[i]) * (parts.sv[i] - cent.cv[i]))) AS d2
+        |      FROM parts JOIN cent ON parts.s = cent.s),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        |    FROM d) WHERE rn = 1),
+        |q AS (SELECT m.s, list_slice(vec, m.s*8+1, m.s*8+8) AS qv
+        |      FROM v, m WHERE vec_id = 0),
+        |tab AS (SELECT q.s, cent.j,
+        |          list_sum(list_transform(range(1, 9),
+        |            i -> (q.qv[i] - cent.cv[i]) * (q.qv[i] - cent.cv[i]))) AS qd
+        |        FROM q JOIN cent ON q.s = cent.s),
+        |adc AS (SELECT codes.vec_id, SUM(tab.qd) AS adist
+        |        FROM codes JOIN tab ON codes.s = tab.s AND codes.code = tab.j
+        |        GROUP BY codes.vec_id),
+        |short AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 50),
+        |qfull AS (SELECT vec AS qv FROM v WHERE vec_id = 0),
+        |rer AS (SELECT sh.vec_id,
+        |          list_cosine_similarity(p.vec, qfull.qv) AS sim
+        |        FROM short sh JOIN v p ON p.vec_id = sh.vec_id, qfull)
+        |SELECT vec_id, ROUND(sim, 6) AS sim FROM rer
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "ann08_ivf_pq" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec

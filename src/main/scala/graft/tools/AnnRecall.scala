@@ -68,8 +68,62 @@ object AnnRecall {
     val probes = (Seq(1, 2, 4, 8, 16) :+ math.max(1, k / 16))
       .distinct.sorted.filter(_ <= k)
     val rs = probes.map(p => s""""nprobe$p":${f(recallAt(p))}""")
+
+    // PQ / IVF-PQ recall on the TRAINED codebook (the production path —
+    // the ann07/ann08 gates pin the oracle-reproducible iters=0 form):
+    // m=8 subspaces, k=16 sub-centroids, 2 Lloyd steps per subspace.
+    // ADC recall measures how much the 8-byte code loses vs exact L2;
+    // IVF-PQ additionally restricts ADC to the probed cells' codes, so
+    // its recall is bounded above by BOTH the quantizer's and the
+    // coarse cells'.
+    val pq = graft.ann.Pq.fit(emb, "vec_id", "vec", m = 8, k = 16, iters = 2)
+    val codes = graft.ann.Pq.encode(emb, "vec", pq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    val pqHits = sorted.map { case (qid, q) =>
+      val approx = graft.ann.Pq.adcTopK(codes, "vec_id", pq, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      (exactSets(qid) intersect approx).size / 10.0
+    }
+    val pqRecall = pqHits.sum / pqHits.size
+    // the production refinement: 10x-oversampled ADC shortlist, exact
+    // cosine re-rank of the shortlist's raw vectors
+    val rrHits = sorted.map { case (qid, q) =>
+      val approx = graft.ann.Pq
+        .adcRerankTopK(codes, emb, "vec_id", "vec", pq, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      (exactSets(qid) intersect approx).size / 10.0
+    }
+    val rrRecall = rrHits.sum / rrHits.size
+    // IVF-PQ: probe the 4 nearest coarse cells, ADC over their codes
+    val codesWithCell = codes.join(assigned.select(
+      col("vec_id"), col("cell")), Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codesWithCell.count()
+    def nearestCellIds(q: Seq[Double], nProbe: Int): Seq[Integer] = {
+      def d2(c: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < c.length) { val d = c(i) - q(i); s += d * d; i += 1 }
+        s
+      }
+      m.centroids.sortBy { case (c, v) => (d2(v), c) }
+        .take(nProbe).map(c => Integer.valueOf(c._1)).toSeq
+    }
+    val ivfPqHits = sorted.map { case (qid, q) =>
+      val cells = nearestCellIds(q, 4)
+      val approx = graft.ann.Pq.adcTopK(
+        codesWithCell.where(col("cell").isin(cells: _*)), "vec_id", pq, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      (exactSets(qid) intersect approx).size / 10.0
+    }
+    val ivfPqRecall = ivfPqHits.sum / ivfPqHits.size
+
     println(s"""{"sf_dir":"$sfDir","n_vectors":$n,"auto_k":$k,""" +
-      s""""recall_at_10":{${rs.mkString(",")}},"n_queries":${qVecs.size}}""")
+      s""""recall_at_10":{${rs.mkString(",")}},""" +
+      s""""pq_adc_recall_at_10":${f(pqRecall)},""" +
+      s""""pq_rerank_recall_at_10":${f(rrRecall)},""" +
+      s""""ivf_pq_recall_at_10_nprobe4":${f(ivfPqRecall)},""" +
+      s""""n_queries":${qVecs.size}}""")
     spark.stop()
   }
 }

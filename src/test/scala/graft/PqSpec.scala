@@ -88,6 +88,32 @@ class PqSpec extends AnyFunSuite {
     assert(mean >= 5.0, s"mean recall@10 too low: $mean (per-query: $recalls)")
   }
 
+  test("ADC shortlist + exact re-rank: corpus-wide oversample == brute; recall never below raw ADC") {
+    val enc = Pq.encode(emb, "vec", model)
+    val vecs = encoded.map { case (id, (v, _)) => id -> v }
+    val q = vecs(5L).toSeq
+    // oversample covering the whole corpus makes re-rank EXACTLY brute
+    val full = Pq.adcRerankTopK(enc, emb, "vec_id", "vec", model, q,
+        topK = 10, oversample = vecs.size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = graft.ann.Knn.bruteTopK(emb, "vec_id", "vec", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute)
+    // cosine ground truth (bruteTopK's metric): the 5x-oversampled
+    // re-rank must recover at least as much of it as raw ADC ordering
+    val exact = brute.map(_._1).toSet
+    val reranked = Pq.adcRerankTopK(enc, emb, "vec_id", "vec", model, q,
+        topK = 10, oversample = 5)
+      .collect().map(_.getLong(0)).toSet
+    val raw = Pq.adcTopK(enc, "vec_id", model, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect reranked).size >= (exact intersect raw).size,
+      s"re-rank lost recall: rerank=$reranked raw=$raw exact=$exact")
+    intercept[IllegalArgumentException] {
+      Pq.adcRerankTopK(enc, emb, "vec_id", "vec", model, q, 10, oversample = 0)
+    }
+  }
+
   test("fit refuses a dimension not divisible by m") {
     intercept[IllegalArgumentException] {
       Pq.fit(emb, "vec_id", "vec", m = 7, k = 4, iters = 0)
