@@ -1,0 +1,192 @@
+package graft.tsdb
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import Expr._
+
+/** Parser ⇄ AST round-trip fuzz: render a random AST to PromQL text,
+  * parse it back, and require structural equality. Pure (no Spark).
+  * Every binary node renders fully parenthesized, so the property pins
+  * tokenizing, clause parsing (grouping in both positions, subquery
+  * suffixes, @/offset modifiers, fn arities) — not precedence printing.
+  * Precedence itself is pinned by EngineSpec/RangeFnSpec's literal
+  * query strings.
+  */
+class ParserRoundTripSpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  // ---- renderer (test-local; the library has no printer) ----
+
+  private def renderSel(s: Selector): String = {
+    val m =
+      if (s.matchers.isEmpty) ""
+      else s.matchers.map(mm => s"""${mm.label}="${mm.value}"""")
+        .mkString("{", ", ", "}")
+    val at = s.at match {
+      case None => ""
+      case Some(AtStart) => " @ start()"
+      case Some(AtEnd) => " @ end()"
+      case Some(AtTime(t)) => s" @ ${t / 1000}" // parser reads unix seconds
+    }
+    val off =
+      if (s.at.isEmpty || s.offsetMs == 0) "" // offset only rides an @
+      else if (s.offsetMs > 0) s" offset ${s.offsetMs}ms"
+      else s" offset -${-s.offsetMs}ms"
+    s"${s.name}$m$at$off"
+  }
+
+  private def binOp(k: BinKind): String = k match {
+    case Add => "+"; case Sub => "-"; case Mul => "*"; case Div => "/"
+    case Mod => "%"; case Eq => "=="; case Ne => "!="; case Gt => ">"
+    case Lt => "<"; case Ge => ">="; case Le => "<="
+  }
+
+  private def aggName(k: AggKind): String = k match {
+    case AggSum => "sum"; case AggCount => "count"; case AggAvg => "avg"
+    case AggMin => "min"; case AggMax => "max"
+  }
+
+  private def rangeFnName(k: RangeFnKind): String = k match {
+    case FnRate => "rate"; case FnIncrease => "increase"
+    case FnDelta => "delta"; case FnAvgOverTime => "avg_over_time"
+    case FnMinOverTime => "min_over_time"; case FnMaxOverTime => "max_over_time"
+    case FnSumOverTime => "sum_over_time"; case FnCountOverTime => "count_over_time"
+    case FnLastOverTime => "last_over_time"; case FnStddevOverTime => "stddev_over_time"
+    case FnStdvarOverTime => "stdvar_over_time"; case FnQuantileOverTime => "quantile_over_time"
+    case FnPresentOverTime => "present_over_time"; case FnChanges => "changes"
+    case FnResets => "resets"; case FnIdelta => "idelta"; case FnIrate => "irate"
+    case FnDeriv => "deriv"; case FnAbsentOverTime => "absent_over_time"
+  }
+
+  private def renderGrouping(g: Grouping): String =
+    s" ${if (g.by) "by" else "without"} (${g.labels.mkString(", ")})"
+
+  private def render(e: Expr): String = e match {
+    case NumberLit(v) =>
+      if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
+      else v.toString
+    case s: Selector => renderSel(s)
+    case MatrixSelector(s, r) =>
+      // range BEFORE the modifiers, the parser's (and PromQL's) order
+      val base = renderSel(s.copy(at = None, offsetMs = 0))
+      val mods = renderSel(s).stripPrefix(base)
+      s"$base[${r}ms]$mods"
+    case BinaryOp(k, l, r) => s"(${render(l)} ${binOp(k)} ${render(r)})"
+    case Aggregate(k, c, g) =>
+      s"${aggName(k)}(${render(c)})${g.map(renderGrouping).getOrElse("")}"
+    case GetK(top, k, c, g) =>
+      s"${if (top) "topk" else "bottomk"}(${render(k)}, ${render(c)})" +
+        g.map(renderGrouping).getOrElse("")
+    case RangeFn(k, c, args) =>
+      val phi = if (k == FnQuantileOverTime) s"${args.head}, " else ""
+      s"${rangeFnName(k)}($phi${render(c)})"
+    case SubqueryMatrix(c, r, s) => s"(${render(c)})[${r}ms:${s}ms]"
+    case InstantFn(k, c, args) =>
+      s"${k.name}(${render(c)}${args.map(a => s", $a").mkString})"
+  }
+
+  // ---- generators ----
+
+  private val nameGen = Gen.oneOf("metric_a", "up", "http_requests_total", "x1")
+  private val labelGen = Gen.oneOf("user", "dc", "service", "l_0")
+  private val valueGen = Gen.oneOf("a", "prod", "us_east1", "12")
+
+  private val selGen: Gen[Selector] = for {
+    name <- nameGen
+    nm <- Gen.choose(0, 2)
+    ls <- Gen.listOfN(nm, labelGen).map(_.distinct)
+    vs <- Gen.listOfN(ls.size, valueGen)
+    at <- Gen.oneOf(None, Some(AtStart), Some(AtEnd),
+      Some(AtTime(1704499200000L)))
+    off <- Gen.oneOf(0L, 60000L, -30000L)
+  } yield Selector(name, ls.zip(vs).map { case (l, v) => Matcher(l, v) },
+    at, if (at.isEmpty) 0L else off)
+
+  private val numGen: Gen[NumberLit] =
+    Gen.oneOf(Gen.choose(0, 1000).map(n => NumberLit(n.toDouble)),
+      Gen.choose(-100, 100).map(n => NumberLit(n / 2.0)))
+
+  private val rangeFnGen: Gen[RangeFn] = for {
+    kind <- Gen.oneOf(FnRate, FnIncrease, FnDelta, FnAvgOverTime,
+      FnSumOverTime, FnCountOverTime, FnLastOverTime, FnStddevOverTime,
+      FnQuantileOverTime, FnPresentOverTime, FnChanges, FnResets,
+      FnIdelta, FnIrate, FnDeriv, FnAbsentOverTime)
+    sel <- selGen
+    r <- Gen.choose(1L, 86400000L)
+    sub <- Gen.oneOf(true, false)
+    step <- Gen.choose(1L, 3600000L)
+  } yield {
+    val args = if (kind == FnQuantileOverTime) List(0.5) else Nil
+    val inner = RangeFn(kind, MatrixSelector(sel, r), args)
+    if (sub && kind != FnAbsentOverTime)
+      RangeFn(FnMaxOverTime, SubqueryMatrix(inner, r * 2, step), Nil)
+    else inner
+  }
+
+  private val groupingGen: Gen[Option[Grouping]] = for {
+    g <- Gen.option(for {
+      by <- Gen.oneOf(true, false)
+      n <- Gen.choose(0, 3)
+      ls <- Gen.listOfN(n, labelGen).map(_.distinct)
+    } yield Grouping(by, ls))
+  } yield g
+
+  private def exprGen(depth: Int): Gen[Expr] =
+    if (depth <= 0) Gen.oneOf(numGen, selGen)
+    else Gen.frequency(
+      2 -> numGen,
+      3 -> selGen,
+      2 -> rangeFnGen,
+      2 -> (for {
+        k <- Gen.oneOf(AggSum, AggCount, AggAvg, AggMin, AggMax)
+        c <- exprGen(depth - 1)
+        g <- groupingGen
+      } yield Aggregate(k, c, g)),
+      1 -> (for {
+        top <- Gen.oneOf(true, false)
+        kv <- Gen.choose(0, 20)
+        c <- exprGen(depth - 1)
+        g <- groupingGen
+      } yield GetK(top, NumberLit(kv.toDouble), c, g)),
+      2 -> (for {
+        k <- Gen.oneOf(Add, Sub, Mul, Div, Mod, Eq, Ne, Gt, Lt, Ge, Le)
+        l <- exprGen(depth - 1)
+        r <- exprGen(depth - 1)
+      } yield BinaryOp(k, l, r)),
+      1 -> (for {
+        k <- Gen.oneOf(FnAbs, FnCeil, FnFloor, FnSqrt, FnExp, FnLn,
+          FnLog2, FnLog10, FnSgn)
+        c <- exprGen(depth - 1)
+      } yield InstantFn(k, c, Nil)),
+      1 -> (for {
+        c <- exprGen(depth - 1)
+        args <- Gen.oneOf(List(0.5), List(10.0))
+      } yield InstantFn(FnClampMin, c, args)))
+
+  test("render → parse round-trips 400 random ASTs structurally") {
+    val cases = samples(exprGen(3), 400)
+    assert(cases.size >= 350, s"generator discarded too much: ${cases.size}")
+    cases.foreach { e =>
+      val text = render(e)
+      val back =
+        try PromParser.parse(text)
+        catch { case ex: Exception =>
+          fail(s"parse failed on '$text' (from $e): ${ex.getMessage}")
+        }
+      assert(back == e, s"round-trip mismatch on '$text'")
+    }
+  }
+
+  test("negative literals and unary minus round-trip") {
+    assert(PromParser.parse("-3.5") == NumberLit(-3.5))
+    assert(PromParser.parse("(-3.5 + up)") ==
+      BinaryOp(Add, NumberLit(-3.5), Selector("up", Nil, None, 0)))
+    // -vec desugars to 0 - vec
+    assert(PromParser.parse("-up") ==
+      BinaryOp(Sub, NumberLit(0), Selector("up", Nil, None, 0)))
+  }
+}
