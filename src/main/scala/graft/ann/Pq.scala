@@ -148,6 +148,43 @@ object Pq {
       .select(col(idCol), col("adist"))
   }
 
+  /** ADC top-k for a BATCH of queries — [[Knn.bruteTopKBatch]]'s shape
+    * over the compressed codes table (retrieval eval / hard-negative
+    * mining without touching raw vectors): each query contributes one
+    * adist column of m `element_at` lookups over its driver-built
+    * literal distance table (whole-stage codegen; the batch is an eval
+    * batch by contract, so Q·m·k literals are plan-sized, not
+    * data-sized). One codes scan computes every query's distance
+    * row-locally (bounded Q× explode), then the bounded-heap
+    * `TopKByScore` reduces each partition to ≤k pairs per query BEFORE
+    * the exchange — the shuffle carries Q × partitions × k rows, never
+    * the n × Q distance matrix. Ties to the smaller id (scores negated
+    * into the heap, so equal adists keep the aggregate's id-ascending
+    * rule). Returns (qid, rank, id, adist) sorted by (qid, rank).
+    */
+  def adcTopKBatch(codes: DataFrame, idCol: String, model: Model,
+      queries: Seq[(Long, Seq[Double])], topK: Int): DataFrame = {
+    require(queries.nonEmpty, "adcTopKBatch needs at least one query")
+    val pairs = queries.map { case (qid, q) =>
+      val table = distTable(q, model)
+      val adist = (0 until model.m).map { s =>
+        element_at(typedLit(table(s).toSeq),
+          element_at(col("codes"), s + 1) + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("qid"), adist.as("adist"))
+    }
+    codes.select(col(idCol), explode(array(pairs: _*)).as("_q"))
+      .select(col("_q.qid").as("qid"),
+        struct((-col("_q.adist")).as("score"),
+          col(idCol).cast("long").as("id")).as("_p"))
+      .groupBy("qid")
+      .agg(graft.functions.VectorAggregates.topKByScore(col("_p"), topK)
+        .as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_r", "_e")))
+      .select(col("qid"), (col("_r") + 1).cast("int").as("rank"),
+        col("_e.id").as(idCol), (-col("_e.score")).as("adist"))
+  }
+
   /** ADC shortlist + exact re-rank — the production IVFADC refinement
     * (Jégou et al. 2011 §V-C): the m-byte codes are lossy, so the codes
     * scan selects an OVERSAMPLED shortlist by approximate distance

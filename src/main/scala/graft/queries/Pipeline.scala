@@ -693,6 +693,26 @@ object Pipeline {
         .select(col("vec_id"), round(col("adist"), 6).as("adist"))
     },
 
+    // Batch ADC — retrieval-eval over compressed codes: two query
+    // vectors answered in ONE codes scan (each query is m codegen
+    // table-lookups per row; the bounded heap reduces each partition
+    // to <=k pairs per query before the exchange). Same iters=0
+    // oracle-reproducible codebook as ann07.
+    "ann10_pq_adc_batch" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val model = graft.ann.Pq.fit(e, "vec_id", "vec", m = 8, k = 4, iters = 0)
+      val corpus = e.where(col("vec_id") > 1)
+      val enc = graft.ann.Pq.encode(corpus, "vec", model)
+      val qs = e.where(col("vec_id") <= 1)
+        .select("vec_id", "vec").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
+      graft.ann.Pq.adcTopKBatch(enc, "vec_id", model, qs, topK = 5)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("adist"), 6).as("adist"))
+        .orderBy("qid", "rank")
+    },
+
     // ADC shortlist + exact re-rank (Jégou 2011 §V-C, the production
     // IVFADC refinement): the codes scan picks a 5x-oversampled
     // shortlist by approximate distance, then ONLY the shortlist's raw
@@ -1974,6 +1994,40 @@ object Pipeline {
         |        GROUP BY codes.vec_id)
         |SELECT vec_id, ROUND(adist, 6) AS adist FROM adc
         |ORDER BY adc.adist, vec_id LIMIT 10""".stripMargin,
+
+    "ann10_pq_adc_batch" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings),
+        |m AS (SELECT unnest(range(0, 8)) AS s),
+        |cent AS (SELECT m.s, c.vec_id AS j,
+        |           list_slice(c.vec, m.s*8+1, m.s*8+8) AS cv
+        |         FROM v c, m WHERE c.vec_id < 4),
+        |parts AS (SELECT p.vec_id, m.s,
+        |            list_slice(p.vec, m.s*8+1, m.s*8+8) AS sv
+        |          FROM v p, m WHERE p.vec_id > 1),
+        |d AS (SELECT parts.vec_id, parts.s, cent.j,
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (parts.sv[i] - cent.cv[i]) * (parts.sv[i] - cent.cv[i]))) AS d2
+        |      FROM parts JOIN cent ON parts.s = cent.s),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        |    FROM d) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, m.s, list_slice(vec, m.s*8+1, m.s*8+8) AS qv
+        |      FROM v, m WHERE vec_id <= 1),
+        |tab AS (SELECT q.qid, q.s, cent.j,
+        |          list_sum(list_transform(range(1, 9),
+        |            i -> (q.qv[i] - cent.cv[i]) * (q.qv[i] - cent.cv[i]))) AS qd
+        |        FROM q JOIN cent ON q.s = cent.s),
+        |adc AS (SELECT tab.qid, codes.vec_id, SUM(tab.qd) AS adist
+        |        FROM codes JOIN tab ON codes.s = tab.s AND codes.code = tab.j
+        |        GROUP BY tab.qid, codes.vec_id),
+        |r AS (SELECT qid, vec_id, adist,
+        |        row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
+        |      FROM adc)
+        |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+        |  ROUND(adist, 6) AS adist
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "ann09_pq_rerank" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec

@@ -88,6 +88,24 @@ class PqSpec extends AnyFunSuite {
     assert(mean >= 5.0, s"mean recall@10 too low: $mean (per-query: $recalls)")
   }
 
+  test("batch ADC equals per-query adcTopK, ties and all") {
+    val enc = Pq.encode(emb, "vec", model)
+    val vecs = encoded.map { case (id, (v, _)) => id -> v }
+    val qs = Seq(0L -> vecs(0L).toSeq, 7L -> vecs(7L).toSeq)
+    val batch = Pq.adcTopKBatch(enc, "vec_id", model, qs, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(batch.length == 10)
+    for ((qid, q) <- qs) {
+      val single = Pq.adcTopK(enc, "vec_id", model, q, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch.filter(_._1 == qid).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got == single, s"qid=$qid got=$got single=$single")
+    }
+    intercept[IllegalArgumentException] {
+      Pq.adcTopKBatch(enc, "vec_id", model, Nil, 5)
+    }
+  }
+
   test("ADC shortlist + exact re-rank: corpus-wide oversample == brute; recall never below raw ADC") {
     val enc = Pq.encode(emb, "vec", model)
     val vecs = encoded.map { case (id, (v, _)) => id -> v }
