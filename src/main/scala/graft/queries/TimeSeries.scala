@@ -512,6 +512,26 @@ object TimeSeries {
         .orderBy(col("user").cast("long"), col("value").desc)
     },
 
+    // multi-label grouped sliding: every (cohort, user) tuple's own
+    // series at each 12h step — the Grouping generalization of ts55's
+    // single-label form (cohort is a second label derived per row, so
+    // the tuple grouping is observable: summing by cohort alone would
+    // merge users). (cohort, user, wstart) is the one exchange key.
+    "ts66_query_range_by_multi" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val data = ev.select(col("event_type").as("name"),
+        map(lit("user"), col("user_id").cast("string"),
+          lit("cohort"), (col("user_id") % 3).cast("string")).as("labels"),
+        graft.engine.Graft.tsMillis(ev).as("timestamp"), col("value"))
+      new TsdbEngine(s, data, catalog)
+        .queryRangeBy("sum_over_time(purchase[1d])",
+          graft.tsdb.Expr.Grouping(by = true, List("cohort", "user")),
+          SubStart, SubEnd, 12 * 3600 * 1000L)
+        .select(col("cohort"), col("user"), col("timestamp"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("cohort"), col("user").cast("long"), col("timestamp"))
+    },
+
     // grouped ⊕ grouped: per-user ratio (sum/count == per-user mean),
     // the null-safe equi-join on the group keys — PromQL's one-to-one
     // vector matching restricted to identical grouping.
@@ -994,6 +1014,21 @@ object TimeSeries {
          |      FROM l GROUP BY ws)
          |SELECT ws AS timestamp, ROUND(inc / ((t1 - t0) / 1000.0), 6) AS value
          |FROM a WHERE n >= 2 AND t1 > t0 ORDER BY timestamp""".stripMargin,
+
+    "ts66_query_range_by_multi" ->
+      s"""WITH d AS (SELECT CAST(user_id % 3 AS VARCHAR) AS cohort,
+         |        CAST(user_id AS VARCHAR) AS grp,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |w AS (SELECT d.cohort, d.grp, g.et AS ws, d.v FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et)
+         |SELECT cohort, grp AS "user", ws AS timestamp,
+         |  ROUND(SUM(v), 6) AS value
+         |FROM w GROUP BY cohort, grp, ws
+         |ORDER BY cohort, CAST(grp AS BIGINT), ws""".stripMargin,
 
     "ts64_grouped_ratio" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS "user",

@@ -448,28 +448,37 @@ final class TsdbEngine(
     * as the expression tree nests them. One scan; group keys derived
     * row-locally from the `labels` map.
     */
+  /** Group-key projection for a by/without clause over the long-format
+    * scan — shared by the string surface ([[groupedVector]]) and the
+    * grouped range/sliding APIs. `by` yields one column per label
+    * (null for a missing label); `without` yields one canonical
+    * `k=v,k=v` column of the remaining label set, named `labels`.
+    */
+  private def groupProjection(g: Grouping): (Seq[String], Seq[Column]) = {
+    val reserved = Set("timestamp", "value", "wstart", "_rk")
+    if (g.by) {
+      val bad = g.labels.filter(reserved)
+      require(bad.isEmpty,
+        s"grouping labels collide with result columns: ${bad.mkString(", ")}")
+      require(g.labels.distinct == g.labels,
+        s"duplicate grouping label in: ${g.labels.mkString(", ")}")
+      (g.labels, g.labels.map(l => element_at(col("labels"), l).as(l)))
+    } else {
+      // without: canonical string of the remaining label set
+      val mf =
+        if (g.labels.isEmpty) col("labels")
+        else map_filter(col("labels"),
+          (k, _) => !k.isInCollection(g.labels))
+      val canon = array_join(
+        transform(array_sort(map_keys(mf)),
+          k => concat(k, lit("="), element_at(mf, k))), ",")
+      (Seq("labels"), Seq(canon.as("labels")))
+    }
+  }
+
   private def groupedVector(child: Expr, g: Grouping,
       start: Long, end: Long): (DataFrame, Seq[String]) = {
-    val reserved = Set("timestamp", "value", "wstart", "_rk")
-    val (gNames: Seq[String], gCols: Seq[Column]) =
-      if (g.by) {
-        val bad = g.labels.filter(reserved)
-        require(bad.isEmpty,
-          s"grouping labels collide with result columns: ${bad.mkString(", ")}")
-        require(g.labels.distinct == g.labels,
-          s"duplicate grouping label in: ${g.labels.mkString(", ")}")
-        (g.labels, g.labels.map(l => element_at(col("labels"), l).as(l)))
-      } else {
-        // without: canonical string of the remaining label set
-        val mf =
-          if (g.labels.isEmpty) col("labels")
-          else map_filter(col("labels"),
-            (k, _) => !k.isInCollection(g.labels))
-        val canon = array_join(
-          transform(array_sort(map_keys(mf)),
-            k => concat(k, lit("="), element_at(mf, k))), ",")
-        (Seq("labels"), Seq(canon.as("labels")))
-      }
+    val (gNames, gCols) = groupProjection(g)
     // peel row-local wrappers (applied back innermost-first): instant
     // math maps the value; scalar-literal arithmetic maps it; scalar-
     // literal comparison filters keeping the value (the V2S rule)
@@ -494,10 +503,6 @@ final class TsdbEngine(
     }
     val (core, ops) = unwrap(child, Nil)
     def applyOps(df: DataFrame): DataFrame = ops.foldLeft(df)((d, f) => f(d))
-    def matcherFilter(sel: Selector) =
-      sel.matchers.foldLeft(col("name") === sel.name) {
-        (acc, m) => acc && element_at(col("labels"), m.label) === m.value
-      }
     val rows = core match {
       case sel: Selector =>
         applyOps(data
@@ -540,11 +545,8 @@ final class TsdbEngine(
       case s: Selector => s
       case other => throw new IllegalArgumentException(s"not a selector: $other")
     }
-    val matcherFilter = sel.matchers.foldLeft(col("name") === sel.name) {
-      (acc, m) => acc && element_at(col("labels"), m.label) === m.value
-    }
     val rows = data
-      .where(matcherFilter &&
+      .where(matcherFilter(sel) &&
         col("timestamp") >= scanStart(sel, startMs) &&
         col("timestamp") <= endMs)
       .select(element_at(col("labels"), labelKey).as("group"), col("value"))
@@ -573,25 +575,38 @@ final class TsdbEngine(
     */
   def rangeAggregateBy(promql: String, labelKey: String,
       startMs: Long, endMs: Long): DataFrame =
+    rangeAggregateBy(promql, Grouping(by = true, List(labelKey)),
+      startMs, endMs).withColumnRenamed(labelKey, "group")
+
+  /** [[rangeAggregateBy]] generalized to a full [[Expr.Grouping]]:
+    * label SETS (`by (service, dc)` — one column per label) and the
+    * `without` form (remaining-label-set groups as one canonical
+    * column), exactly the string surface's grouping semantics applied
+    * to per-window range-fn results. Emits (group cols..., timestamp,
+    * value).
+    */
+  def rangeAggregateBy(promql: String, grouping: Grouping,
+      startMs: Long, endMs: Long): DataFrame =
     PromParser.parse(promql) match {
       case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
         require(kind != FnAbsentOverTime,
           "absent_over_time has no grouped form (absence is not " +
             "attributable to a label value)")
-        val matcherFilter = sel.matchers.foldLeft(col("name") === sel.name) {
-          (acc, m) => acc && element_at(col("labels"), m.label) === m.value
-        }
+        val (gNames, gCols) = groupProjection(grouping)
+        require(gNames.nonEmpty,
+          "by () has no grouped form — use the ungrouped evaluation")
         val base = data
-          .where(matcherFilter &&
+          .where(matcherFilter(sel) &&
             col("timestamp") >= scanStart(sel, startMs) &&
             col("timestamp") <= endMs)
-          .select(element_at(col("labels"), labelKey).as("group"),
+          .select(gCols ++ Seq(
             (col("timestamp") -
               pmod(col("timestamp") - startMs, lit(rangeMs))).as("wstart"),
-            col("timestamp"), col("value").cast("double").as("value"))
-        RangeFns.aggWindows(kind, base, fnArgs, Seq("group", "wstart"),
+            col("timestamp"), col("value").cast("double").as("value")): _*)
+        RangeFns.aggWindows(kind, base, fnArgs, gNames :+ "wstart",
             RangeFns.extrapolateSpec(kind, rateMode, col("wstart"), rangeMs))
-          .select(col("group"), col("wstart").as("timestamp"), col("value"))
+          .select(gNames.map(col) ++
+            Seq(col("wstart").as("timestamp"), col("value")): _*)
       case other => throw new IllegalArgumentException(
         s"rangeAggregateBy requires a range function over a matrix " +
           s"selector, got: $other")
@@ -605,25 +620,39 @@ final class TsdbEngine(
     */
   def queryRangeBy(promql: String, labelKey: String,
       startMs: Long, endMs: Long, stepMs: Long): DataFrame =
+    queryRangeBy(promql, Grouping(by = true, List(labelKey)),
+      startMs, endMs, stepMs).withColumnRenamed(labelKey, "group")
+
+  /** [[queryRangeBy]] generalized to a full [[Expr.Grouping]] — label
+    * sets and the `without` form under the sliding per-step
+    * evaluation. Emits (group cols..., timestamp, value).
+    */
+  def queryRangeBy(promql: String, grouping: Grouping,
+      startMs: Long, endMs: Long, stepMs: Long): DataFrame =
     PromParser.parse(promql) match {
       case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
         require(kind != FnAbsentOverTime,
           "absent_over_time has no grouped form (absence is not " +
             "attributable to a label value)")
-        val matcherFilter = sel.matchers.foldLeft(col("name") === sel.name) {
-          (acc, m) => acc && element_at(col("labels"), m.label) === m.value
-        }
+        val (gNames, gCols) = groupProjection(grouping)
+        require(gNames.nonEmpty,
+          "by () has no grouped form — use queryRange")
         val rows = data
-          .where(matcherFilter &&
+          .where(matcherFilter(sel) &&
             col("timestamp") >= scanStart(sel, startMs - rangeMs + 1) &&
             col("timestamp") <= endMs)
-          .select(element_at(col("labels"), labelKey).as("group"),
-            col("timestamp"), col("value"))
+          .select(gCols ++ Seq(col("timestamp"), col("value")): _*)
         RangeFns.sliding(kind, rows, rangeMs, stepMs, startMs, endMs,
-          fnArgs, groupCols = Seq("group"), mode = rateMode)
+          fnArgs, groupCols = gNames, mode = rateMode)
       case other => throw new IllegalArgumentException(
         s"queryRangeBy requires a range function over a matrix " +
           s"selector, got: $other")
+    }
+
+  /** Label-equality matcher conjunction over the long-format scan. */
+  private def matcherFilter(sel: Selector): Column =
+    sel.matchers.foldLeft(col("name") === sel.name) {
+      (acc, m) => acc && element_at(col("labels"), m.label) === m.value
     }
 
   /** VectorSelectNode: label+name equality, [start,end] range; streams
@@ -658,16 +687,13 @@ final class TsdbEngine(
   private def select(sel: Selector, queryStart: Long, queryEnd: Long): DataFrame = {
     val vt = catalog.vtypeOf(sel.name, sel.matchers)
     val start = scanStart(sel, queryStart)
-    val matcherFilter = sel.matchers.foldLeft(col("name") === sel.name) {
-      (acc, m) => acc && element_at(col("labels"), m.label) === m.value
-    }
     val typedValue =
       if (vt == VType.F64) scanValue
       else if (data.columns.contains("lvalue"))
         coalesce(col("lvalue"), scanValue.cast("long")).as("value")
       else scanValue.cast("long").as("value")
     data
-      .where(matcherFilter && col("timestamp") >= start && col("timestamp") <= queryEnd)
+      .where(matcherFilter(sel) && col("timestamp") >= start && col("timestamp") <= queryEnd)
       .select(col("timestamp"), typedValue)
   }
 

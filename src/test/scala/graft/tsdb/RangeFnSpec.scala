@@ -243,6 +243,40 @@ class RangeFnSpec extends AnyFunSuite {
       Seq((0L, 30.0)))
   }
 
+  test("grouped range APIs generalize to label sets and without-form") {
+    val rows = Seq(
+      ("m", Map("u" -> "a", "dc" -> "x"), 5L, 10d),
+      ("m", Map("u" -> "a", "dc" -> "y"), 15L, 20d),
+      ("m", Map("u" -> "b", "dc" -> "x"), 5L, 100d))
+    val e = new TsdbEngine(spark, longDf(rows),
+      new StreamCatalog(Seq(StreamDef("m", Map.empty, VType.F64))))
+    // multi-label tumbling: one column per label, per-(tuple, window)
+    val multi = e.rangeAggregateBy("sum_over_time(m[30ms])",
+        Expr.Grouping(by = true, List("u", "dc")), 0L, 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(multi.toSet === Set(("a", "x", 0L, 10d), ("a", "y", 0L, 20d),
+      ("b", "x", 0L, 100d)))
+    // without-form: remaining-label-set groups (canonical string)
+    val wo = e.rangeAggregateBy("sum_over_time(m[30ms])",
+        Expr.Grouping(by = false, List("dc")), 0L, 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(wo.toSet === Set(("u=a", 0L, 30d), ("u=b", 0L, 100d)))
+    // multi-label sliding: per-(tuple, step) lookback windows
+    val slid = e.queryRangeBy("sum_over_time(m[30ms])",
+        Expr.Grouping(by = true, List("u", "dc")), 0L, 20L, 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(slid.toSet === Set(
+      ("a", "x", 10L, 10d), ("b", "x", 10L, 100d),
+      ("a", "x", 20L, 10d), ("a", "y", 20L, 20d), ("b", "x", 20L, 100d)))
+    // by () refuses toward the ungrouped evaluation
+    intercept[IllegalArgumentException](e.rangeAggregateBy(
+      "sum_over_time(m[30ms])", Expr.Grouping(by = true, Nil), 0L, 100L))
+    intercept[IllegalArgumentException](e.queryRangeBy(
+      "sum_over_time(m[30ms])", Expr.Grouping(by = true, Nil), 0L, 20L, 10L))
+  }
+
   test("grouped methods honor @/offset like select() does") {
     // @0 offset 10ms resolves the scan start to 10 (planner.rs:162-180):
     // a's t=5 sample must drop from every grouped path, exactly as it
