@@ -21,6 +21,9 @@ import graft.tsdb.{GraftDb, VType}
   *   list-all-streams
   *   parse-headers
   *   query <promql> [start] [end] [export_csv_path]
+  *   query-range <promql> <start> <end> <step>
+  *   query-range-by <promql> <label[,label...]> <start> <end> <step>
+  *   label-values <key>
   *   chart <promql> [start] [end]
   *   create-stream <selector> <i64|u64|f64>
   *   insert <selector> <timestamp> <value>
@@ -80,6 +83,22 @@ object Cli {
           db.queryRange(promql, start.toLong, end.toLong, step.toLong)
             .output.orderBy("timestamp").collect()
             .foreach(r => out(s"${r.getLong(0)} ${fmt(r.get(1))}"))
+          0
+        case Seq("query-range-by", promql, labels, start, end, step) =>
+          // grouped sliding evaluation: comma-separated label list →
+          // every label tuple's own series at each step, printed as
+          // "<labels..> <timestamp> <value>" ordered by (keys, time)
+          val ls = labels.split(',').map(_.trim).filter(_.nonEmpty).toList
+          val df = db.queryRangeBy(promql,
+            graft.tsdb.Expr.Grouping(by = true, ls),
+            start.toLong, end.toLong, step.toLong)
+          df.orderBy(df.columns.map(
+              org.apache.spark.sql.functions.col): _*)
+            .collect().foreach { r =>
+              val cells = r.toSeq.init.map(v =>
+                if (v == null) "<null>" else v.toString)
+              out(cells.mkString("", " ", " ") + fmt(r.get(r.length - 1)))
+            }
           0
         case Seq("label-values", key) =>
           db.labelValues(key).foreach(out)

@@ -96,6 +96,20 @@ class CliWebSpec extends AnyFunSuite {
     assert(g == """[{"service":"mob","value":8},{"service":"web","value":3}]""", g)
   }
 
+  test("cli: query-range-by slides per label group") {
+    val db = freshDb()
+    assert(cli(db, "create-stream", """req{service = "web"}""", "f64")._1 == 0)
+    assert(cli(db, "create-stream", """req{service = "mob"}""", "f64")._1 == 0)
+    for ((t, v) <- Seq((10, 1), (20, 2), (30, 4)))
+      assert(cli(db, "insert", """req{service = "web"}""",
+        t.toString, v.toString)._1 == 0)
+    assert(cli(db, "insert", """req{service = "mob"}""", "10", "8")._1 == 0)
+    // eval T=20 window (0,20]: web 1+2=3, mob 8; T=40 (20,40]: web 4
+    val (c, lines) = cli(db, "query-range-by",
+      "sum_over_time(req[20ms])", "service", "20", "40", "20")
+    assert(c == 0 && lines == Seq("mob 20 8", "web 20 3", "web 40 4"), lines)
+  }
+
   test("cli: chart renders the vector as an ascii line plot") {
     val db = freshDb()
     seed(db)
