@@ -170,8 +170,12 @@ class PlanAuditSpec extends AnyFunSuite {
     for (q <- Seq("ts54_range_by", "ts55_query_range_by")) {
       val p = plan(graft.queries.TimeSeries.queries(q)(spark, sf))
       val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      // the group key column carries the label's name inside the plan
+      // ("user") since the Grouping generalization; "group" is the
+      // post-rename public column
       windowLines.foreach(l =>
-        assert(l.contains("group") && l.contains("wstart"), s"$q: $l"))
+        assert((l.contains("group") || l.contains("user")) &&
+          l.contains("wstart"), s"$q: $l"))
       val ex = p.linesIterator.filter(l =>
         l.contains("Exchange hashpartitioning") && l.contains("wstart")).size
       assert(ex <= 1, s"$q: expected at most 1 (group, wstart) exchange, got $ex")
