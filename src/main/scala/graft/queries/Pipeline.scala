@@ -1535,6 +1535,27 @@ object Pipeline {
         .orderBy("doc_id", "epoch")
     },
 
+    // The DATA CARD: per-(source, lang) corpus statistics — doc and
+    // token volumes, char volume, mean quality — the report every
+    // pipeline run publishes beside the shards. One scan, row-local
+    // kernels (the tx01/tx03 columns), one group exchange; the mean
+    // rides integer micros with floor division (the ts20 convention:
+    // exact under any partitioning, no f64 summation-order hazard).
+    "pp14_data_card" -> { (s, dir) =>
+      val st = graft.functions.TextKernels.tokenStats(col("text"))
+      val q = qualityScore(col("text"))
+      docs(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          st.getField("n_tokens").as("n_tokens"),
+          round(q * 1e6).cast("long").as("q_micros"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("n_chars").as("total_chars"),
+          expr("sum(q_micros) div count(1)").as("mean_quality_micros"))
+        .orderBy("source", "lang")
+    },
+
     // Training-objective prep: T5-style span corruption, re-designed
     // block-deterministic — one content-hash-offset 3-token span masked
     // per 16-token block (~19% density), sentinel-numbered input/target
@@ -2233,6 +2254,25 @@ object Pipeline {
          |    ELSE 'zh' END AS lang_pred
          |FROM sc ORDER BY doc_id""".stripMargin
     },
+
+    "pp14_data_card" ->
+      s"""WITH t AS (SELECT source, lang, n_chars, text, $ToksSql AS toks
+         |           FROM documents),
+         |m AS (SELECT source, lang, n_chars,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS avg_token_len,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) AS digit_ratio
+         |  FROM t),
+         |q AS (SELECT source, lang, n_chars, n_tokens,
+         |  CAST(round((least(1.0, n_tokens / 200.0) * 0.5 +
+         |    (1.0 - digit_ratio) * 0.3 +
+         |    least(1.0, avg_token_len / 8.0) * 0.2) * 1e6) AS BIGINT) AS q_micros
+         |  FROM m)
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  SUM(q_micros) // COUNT(*) AS mean_quality_micros
+         |FROM q GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "tx03_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
