@@ -29,10 +29,11 @@ final class StreamCatalog(defs: Seq[StreamDef]) {
 /** A query result: either a vector (rows of timestamp,value) or scalars
   * (rows of value — aggregates emit ≤1, topk emits ≤k), with the node's
   * value type per the coercion lattice. `grouped` marks a by/without
-  * aggregate's result (one row per label group, group-key columns before
-  * `value`); grouped results are terminal — they refuse further
-  * composition, because the scalar/vector dispatch has no label-matching
-  * semantics to offer them.
+  * result (one row per label group, group-key columns before `value`).
+  * Grouped results compose through [[TsdbEngine.groupedBinary]] (same-
+  * grouping joins, scalar broadcast) and instant math; they stay
+  * terminal for aggregate/topk and against plain vectors — the
+  * scalar/vector dispatch has no label-matching semantics for those.
   */
 final case class TsdbResult(df: DataFrame, isScalar: Boolean, vtype: VType,
     grouped: Boolean = false) {
