@@ -241,6 +241,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("grouped topk equals per-group brute-force selection") {
+    for (rows <- samples(labeledGen, 6)) {
+      val e = new TsdbEngine(spark, TsdbFixtures.longDf(
+        rows.map { case (u, t, v) => ("m", Map("u" -> u), t, v) }),
+        new StreamCatalog(Seq(StreamDef("m", Map.empty, VType.F64))))
+      val got = e.query("topk(2, m) by (u)", 0, 100).output.collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      // the GetK rule per group: value desc, ties toward newer samples —
+      // equal values make the chosen VALUES identical either way
+      val want = rows.groupBy(_._1).map { case (u, rs) =>
+        u -> rs.map(r => (r._3, r._2))
+          .sortBy { case (v, t) => (-v, -t) }.take(2).map(_._1).sorted.toSeq
+      }
+      assert(got == want, s"rows=$rows")
+    }
+  }
+
   test("sliding binary equals element-wise combine of the slidings") {
     for ((series, w, step, start, end) <- samples(slidingGen, 6)) {
       val rows =
