@@ -5,8 +5,11 @@ Usage: python3 scripts/oracle_check.py [sfDir] [outDir]
 
 Reads each parquet result written by `graft.Verify` from outDir/<name>/,
 runs the matching SQL from outDir/oracle_sql.json in DuckDB against views
-over sfDir/*.parquet, and compares: row count, column names, and values
-(rows sorted, NaN-safe, exact after the query's own rounding).
+over sfDir/*.parquet, and compares: row count, column names, COLUMN TYPES
+(the driver's hash covers typed values — an uncast DuckDB SUM(BIGINT)
+coming back HUGEINT fails there even when the Python ints compare equal,
+which is exactly how pp14 shipped red in round 10), and values (rows
+sorted, NaN-safe, exact after the query's own rounding).
 """
 import json
 import math
@@ -54,6 +57,16 @@ def main():
             continue
         if sorted(spark_cols) != sorted(oracle_cols):
             print(f"FAIL {name}: cols spark={spark_cols} oracle={oracle_cols}")
+            n_fail += 1
+            continue
+        # storage-type check, aligned by column name (mirrors the driver's
+        # typed hash): BIGINT vs HUGEINT etc. must FAIL here, not only there
+        s_types = dict(zip(spark_cols, (str(t) for t in spark_rel.types)))
+        o_types = dict(zip(oracle_cols, (str(t) for t in oracle_rel.types)))
+        type_skew = {c: (s_types[c], o_types[c])
+                     for c in spark_cols if s_types[c] != o_types[c]}
+        if type_skew:
+            print(f"FAIL {name}: column type skew (spark, oracle): {type_skew}")
             n_fail += 1
             continue
         # align column order by name, then sort rows

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * The codec seam is the `Decoder` trait: `RealDecoder` decodes for
   * real through the JDK's own codecs (ImageIO bmp/png/jpeg/gif,
-  * AudioSystem PCM16 WAV — no native deps), throwing for formats past
-  * the JDK's reach (mp4/webp/flac → a JNI/FFI extension point with a
-  * bit-for-bit contract, MultimodalContractSpec); `stub` produces
+  * AudioSystem PCM16 WAV — no native deps) plus one real NON-JDK codec
+  * (the built-in [[Qoi]] decoder, proving the seam's bit-for-bit
+  * contract on a genuinely compressed format), throwing for formats
+  * still past reach (mp4/webp/flac → a JNI/FFI extension point with
+  * the same contract, MultimodalContractSpec); `stub` produces
   * deterministic features from the payload bytes so the distributed
   * plumbing — schema, batched per-partition iteration, partitioning
   * advice — is testable without any codec at all.
@@ -48,8 +50,10 @@ object Multimodal {
     * in identical top-down row order, identical sample normalization
     * `s/32768`. Lossless formats (bmp, png, gif) of the same pixel
     * content therefore produce identical features; lossy jpeg produces
-    * whatever pixels its decode yields. Formats past the JDK's reach
-    * (mp4, webp, flac...) still throw toward a JNI/FFI extension.
+    * whatever pixels its decode yields. `qoi` decodes through the
+    * built-in [[Qoi]] codec — the non-JDK proof of the seam's
+    * lossless-equality contract. Formats still past reach (mp4, webp,
+    * flac...) throw toward a JNI/FFI extension.
     */
   object RealDecoder extends Decoder {
     def features(payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float] = {
@@ -95,10 +99,29 @@ object Multimodal {
               i += 1
             }
           } finally in.close()
+        case "qoi" =>
+          // the seam's first real NON-JDK codec: a complete decoder for
+          // the public QOI spec ([[Qoi]]), folded with the identical
+          // per-pixel luminance rule — MultimodalContractSpec pins
+          // QOI-vs-BMP feature equality bit-for-bit on shared pixels,
+          // the exact contract a JNI/FFI codec must satisfy
+          // px is top-down row-major, so j IS y*w+x — the same bucket
+          // index the ImageIO branch computes
+          val (_, _, px) = Qoi.decode(payload)
+          var j = 0
+          while (j < px.length) {
+            val rgb = px(j)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            acc(j % dim) += (r + g + b) / (3.0f * 255.0f)
+            j += 1
+          }
         case f =>
           throw new IllegalArgumentException(
-            s"RealDecoder covers bmp/png/jpeg/jpg/gif/wav via JDK codecs, " +
-              s"got '$f' — extend the seam with a JNI/FFI codec")
+            s"RealDecoder covers bmp/png/jpeg/jpg/gif via ImageIO, wav " +
+              s"via AudioSystem, qoi via the built-in Qoi decoder; got " +
+              s"'$f' — extend the seam with a JNI/FFI codec")
       }
       acc
     }

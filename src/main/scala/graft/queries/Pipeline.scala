@@ -1541,16 +1541,36 @@ object Pipeline {
     // kernels (the tx01/tx03 columns), one group exchange; the mean
     // rides integer micros with floor division (the ts20 convention:
     // exact under any partitioning, no f64 summation-order hazard).
+    //
+    // q_micros is PURE INTEGER arithmetic end to end: with nt tokens,
+    // sl summed token length, nd digits, ll chars, the tx03 quality
+    // formula times 1e6 is the rational
+    //   N/D = (min(500000, 2500·nt)·ll·nt + 300000·(ll−nd)·nt
+    //          + min(200000·ll·nt, 25000·sl·ll)) / (ll·nt)
+    // and round-half-up is (2N + D) div 2D — bit-exact on any engine,
+    // no double qualityScore in the path (a 1-ULP f64 divergence used
+    // to flip the rounded micros by ±1; now nothing to diverge).
+    // Magnitudes: N ≤ 1e6·ll·nt ≈ 1e17 for a 1M-char doc — BIGINT-safe.
     "pp14_data_card" -> { (s, dir) =>
       val st = graft.functions.TextKernels.tokenStats(col("text"))
-      val q = qualityScore(col("text"))
       docs(s, dir)
         .select(col("source"), col("lang"), col("n_chars"),
-          st.getField("n_tokens").as("n_tokens"),
-          round(q * 1e6).cast("long").as("q_micros"))
+          st.getField("n_tokens").cast("long").as("nt"),
+          st.getField("sum_token_len").cast("long").as("sl"),
+          size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+            .cast("long").as("nd"),
+          length(col("text")).cast("long").as("ll"))
+        .withColumn("q_micros", expr(
+          """CASE WHEN nt > 0 AND ll > 0 THEN
+            |  (2 * (least(500000, 2500 * nt) * ll * nt
+            |        + 300000 * (ll - nd) * nt
+            |        + CASE WHEN sl >= 8 * nt THEN 200000 * ll * nt
+            |               ELSE 25000 * sl * ll END)
+            |   + ll * nt) div (2 * ll * nt)
+            |ELSE 0 END""".stripMargin))
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum("n_tokens").as("total_tokens"),
+          sum("nt").as("total_tokens"),
           sum("n_chars").as("total_chars"),
           expr("sum(q_micros) div count(1)").as("mean_quality_micros"))
         .orderBy("source", "lang")
@@ -2259,19 +2279,24 @@ object Pipeline {
       s"""WITH t AS (SELECT source, lang, n_chars, text, $ToksSql AS toks
          |           FROM documents),
          |m AS (SELECT source, lang, n_chars,
-         |  CAST(len(toks) AS INT) AS n_tokens,
-         |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS avg_token_len,
-         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) AS digit_ratio
+         |  CAST(len(toks) AS BIGINT) AS nt,
+         |  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sl,
+         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS nd,
+         |  CAST(length(text) AS BIGINT) AS ll
          |  FROM t),
-         |q AS (SELECT source, lang, n_chars, n_tokens,
-         |  CAST(round((least(1.0, n_tokens / 200.0) * 0.5 +
-         |    (1.0 - digit_ratio) * 0.3 +
-         |    least(1.0, avg_token_len / 8.0) * 0.2) * 1e6) AS BIGINT) AS q_micros
+         |q AS (SELECT source, lang, n_chars, nt AS n_tokens,
+         |  CASE WHEN nt > 0 AND ll > 0 THEN
+         |    CAST((2 * (LEAST(500000, 2500 * nt) * ll * nt
+         |          + 300000 * (ll - nd) * nt
+         |          + CASE WHEN sl >= 8 * nt THEN 200000 * ll * nt
+         |                 ELSE 25000 * sl * ll END)
+         |     + ll * nt) // (2 * ll * nt) AS BIGINT)
+         |  ELSE 0 END AS q_micros
          |  FROM m)
          |SELECT source, lang, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-         |  SUM(q_micros) // COUNT(*) AS mean_quality_micros
+         |  CAST(SUM(q_micros) // COUNT(*) AS BIGINT) AS mean_quality_micros
          |FROM q GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "tx03_quality" ->

@@ -677,8 +677,8 @@ object Relational {
     "q7_window_rank" ->
       """SELECT c_mktsegment, rn, c_custkey, acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
-        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |         ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
         |  FROM customer) t
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
 
@@ -781,7 +781,7 @@ object Relational {
 
     "q24_ntile" ->
       """SELECT o_orderkey,
-        |  NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+        |  CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile,
         |  ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 9) AS prank
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
@@ -838,8 +838,8 @@ object Relational {
 
     "q32_dense_cume" ->
       """SELECT o_orderkey, o_orderpriority,
-        |  DENSE_RANK() OVER (PARTITION BY o_orderpriority
-        |                     ORDER BY o_orderstatus) AS drank,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+        |       ORDER BY o_orderstatus) AS INT) AS drank,
         |  ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
         |                          ORDER BY o_orderstatus), 9) AS cdist
         |FROM orders ORDER BY o_orderkey""".stripMargin,

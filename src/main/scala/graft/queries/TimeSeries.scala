@@ -56,6 +56,21 @@ object TimeSeries {
     new TsdbEngine(s, dedup, catalog)
   }
 
+  /** Two-label series — `user` plus a derived `cohort` (= user_id % 3)
+    * — the multi-label grouping fixture (ts66-ts68): cohort is a
+    * strictly coarser partition of user, so two-level rollups and
+    * share-of-parent matching are observable (collapsing either level
+    * changes the answer).
+    */
+  def engineCohort(s: SparkSession, dir: String): TsdbEngine = {
+    val ev = table(s, dir, "events")
+    val data = ev.select(col("event_type").as("name"),
+      map(lit("user"), col("user_id").cast("string"),
+        lit("cohort"), (col("user_id") % 3).cast("string")).as("labels"),
+      graft.engine.Graft.tsMillis(ev).as("timestamp"), col("value"))
+    new TsdbEngine(s, data, catalog)
+  }
+
   private def q(promql: String, start: Long = SubStart, end: Long = SubEnd,
       roundTo: Int = -1, dedup: Boolean = false)(
       s: SparkSession, dir: String): DataFrame = {
@@ -552,6 +567,63 @@ object TimeSeries {
         .orderBy(col("user").cast("long"))
     },
 
+    // NESTED grouped aggregation — `avg by (cohort) (sum by (cohort,
+    // user) (purchase))`, the standard Prometheus two-level rollup the
+    // r10 engine rejected: inner per-(cohort, user) sums re-aggregated
+    // to a per-cohort mean. The outer groupBy folds the
+    // group-count-sized inner frame — one scan, one (cohort, user)
+    // exchange, one cohort-count-sized exchange, never a second pass.
+    "ts67_nested_grouped" -> { (s, dir) =>
+      engineCohort(s, dir)
+        .query("avg by (cohort) (sum by (cohort, user) (purchase))",
+          SubStart, SubEnd)
+        .output.select(col("cohort"), round(col("value"), 6).as("value"))
+        .orderBy("cohort")
+    },
+
+    // explicit vector matching — each user's share of their cohort's
+    // total: `/ on (cohort) group_left`, the many-to-one PromQL family
+    // the same-grouping join can't express. Both sides are
+    // post-aggregation group-count-sized; the cohort ("one") side
+    // broadcasts, uniqueness per key holds by construction.
+    "ts68_on_group_left" -> { (s, dir) =>
+      engineCohort(s, dir)
+        .query("sum by (cohort, user) (purchase) / on (cohort) " +
+          "group_left sum by (cohort) (purchase)", SubStart, SubEnd)
+        .output.select(col("cohort"), col("user"),
+          round(col("value"), 9).as("value"))
+        .orderBy(col("cohort"), col("user").cast("long"))
+    },
+
+    // topk over a GROUPED child — `topk(3, count by (user)
+    // (purchase))`, the "top 3 users" leaderboard: the k best group
+    // ROWS by value, group columns kept. count keeps the ranking
+    // integer-exact across engines; ties break on the group key
+    // ascending (string order — deterministic, documented). Compiles
+    // to TakeOrderedAndProject over the group-count-sized frame.
+    "ts69_topk_grouped" -> { (s, dir) =>
+      engine(s, dir)
+        .query("topk(3, count by (user) (purchase))", SubStart, SubEnd)
+        .output.select(col("user"), col("value"))
+        .orderBy(col("value").desc, col("user"))
+    },
+
+    // GROUPED SUBQUERY — ts56's alerting shape PER USER: the inner
+    // 1d-rate evaluates slidingly every 12h per user (one raw scan,
+    // (user, step) derived frame), and the outer max_over_time tumbles
+    // 3-day windows per user over it — "each user's worst 12h-sampled
+    // daily rate per 3-day window". subqueryRangeBy composes the
+    // queryRangeBy grouping with query()'s subquery evaluation.
+    "ts70_subquery_by" -> { (s, dir) =>
+      engine(s, dir)
+        .subqueryRangeBy("max_over_time(rate(purchase[1d])[3d:12h])",
+          graft.tsdb.Expr.Grouping(by = true, List("user")),
+          SubStart, SubEnd)
+        .select(col("user"), col("timestamp"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"), col("timestamp"))
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -914,6 +986,29 @@ object TimeSeries {
          |  ROUND(MAX(v), 6) AS value
          |FROM inner_series GROUP BY 1 ORDER BY timestamp""".stripMargin,
 
+    "ts70_subquery_by" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS grp,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |w AS (SELECT d.grp, g.et AS ws, d.t, d.v FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et),
+         |l AS (SELECT grp, ws, t, v,
+         |        lag(v) OVER (PARTITION BY grp, ws ORDER BY t, v) AS pv FROM w),
+         |a AS (SELECT grp, ws,
+         |        SUM(CASE WHEN pv IS NULL THEN 0
+         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |        MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+         |      FROM l GROUP BY grp, ws),
+         |i AS (SELECT grp, ws - ((ws - $SubStart) % ${3 * 86400000L}) AS ots,
+         |        inc / ((t1 - t0) / 1000.0) AS v
+         |      FROM a WHERE n >= 2 AND t1 > t0)
+         |SELECT grp AS "user", ots AS timestamp, ROUND(MAX(v), 6) AS value
+         |FROM i GROUP BY grp, ots
+         |ORDER BY CAST(grp AS BIGINT), timestamp""".stripMargin,
+
     "ts59_rate_extrapolated" ->
       s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}
          |           WHERE ${sub()} GROUP BY t),
@@ -1029,6 +1124,38 @@ object TimeSeries {
          |  ROUND(SUM(v), 6) AS value
          |FROM w GROUP BY cohort, grp, ws
          |ORDER BY cohort, CAST(grp AS BIGINT), ws""".stripMargin,
+
+    "ts67_nested_grouped" ->
+      s"""WITH d AS (SELECT CAST(user_id % 3 AS VARCHAR) AS cohort,
+         |        CAST(user_id AS VARCHAR) AS grp,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'),
+         |i AS (SELECT cohort, grp, SUM(v) AS sv
+         |      FROM d WHERE ${sub()} GROUP BY cohort, grp)
+         |SELECT cohort, ROUND(AVG(sv), 6) AS value
+         |FROM i GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "ts68_on_group_left" ->
+      s"""WITH d AS (SELECT CAST(user_id % 3 AS VARCHAR) AS cohort,
+         |        CAST(user_id AS VARCHAR) AS grp,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'),
+         |i AS (SELECT cohort, grp, SUM(v) AS sv
+         |      FROM d WHERE ${sub()} GROUP BY cohort, grp),
+         |c AS (SELECT cohort, SUM(v) AS cv
+         |      FROM d WHERE ${sub()} GROUP BY cohort)
+         |SELECT i.cohort, i.grp AS "user", ROUND(i.sv / c.cv, 9) AS value
+         |FROM i JOIN c ON i.cohort = c.cohort
+         |ORDER BY i.cohort, CAST(i.grp AS BIGINT)""".stripMargin,
+
+    "ts69_topk_grouped" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t
+         |      FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS value
+         |      FROM d WHERE ${sub()} GROUP BY u)
+         |SELECT u AS "user", value FROM c
+         |ORDER BY value DESC, u LIMIT 3""".stripMargin,
 
     "ts64_grouped_ratio" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS "user",

@@ -111,9 +111,20 @@ object Cli {
             case Some(csvPath) if !res.isScalar =>
               db.exportCsv(promql, start, end, csvPath)
               out(s"exported to $csvPath")
-            case _ => printResult(res, out)
+              0
+            case Some(csvPath) =>
+              // a csv path with a scalar/grouped result is a user error:
+              // say so instead of silently printing rows with no file
+              // written and no explanation (ADVICE r10)
+              out(s"error: cannot export a " +
+                s"${if (res.grouped) "grouped" else "scalar"} result to " +
+                s"CSV ($csvPath not written) — CSV export takes a vector " +
+                "query; drop the path to print the result instead")
+              1
+            case None =>
+              printResult(res, out)
+              0
           }
-          0
         case "chart" +: promql +: rest if rest.size <= 2 =>
           val start = rest.headOption.map(_.toLong).getOrElse(HackTimeStart)
           val end = rest.lift(1).map(_.toLong).getOrElse(HackTimeEnd)

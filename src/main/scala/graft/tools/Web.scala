@@ -181,6 +181,45 @@ object Web {
     // the range function slides over (T - range, T] at each step instead
     // of the one-pass tumbling shape (GraftDb.queryRange contract).
     val db = new GraftDb(spark, path)
+
+    // Optional "by" (a JSON array of label names, or one comma-separated
+    // string) makes the step query GROUPED — every label tuple's own
+    // series at each step (GraftDb.queryRangeBy; the CLI's
+    // `query-range-by` twin). Whole-range grouped queries don't need
+    // the field: write the by-clause in the PromQL text.
+    field("by") match {
+      case None => ()
+      case Some(n) =>
+        val ls: List[String] =
+          if (n.isArray) {
+            val it = n.elements(); val b = List.newBuilder[String]
+            while (it.hasNext) b += it.next().asText()
+            b.result()
+          } else n.asText().split(',').map(_.trim).filter(_.nonEmpty).toList
+        val step = field("step").map(_.asLong()).getOrElse(
+          throw new IllegalArgumentException(
+            "\"by\" requires \"step\" (it selects grouped query_range " +
+              "evaluation); for whole-range grouped queries put the " +
+              "by-clause in the PromQL text instead"))
+        val df = db.queryRangeBy(promql,
+          graft.tsdb.Expr.Grouping(by = true, ls), start, end, step)
+        val cols = df.columns
+        val root = mapper.createObjectNode()
+        root.put("value_type", "Float64")
+        val arr = root.putArray("groups")
+        df.orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
+          .collect().foreach { r =>
+            val o = arr.addObject()
+            cols.dropRight(2).zipWithIndex.foreach { case (c, i) =>
+              if (r.isNullAt(i)) o.putNull(c) else o.put(c, r.get(i).toString)
+            }
+            o.put("timestamp", r.getLong(cols.length - 2))
+            if (r.isNullAt(cols.length - 1)) o.putNull("value")
+            else o.put("value", r.getDouble(cols.length - 1))
+          }
+        return mapper.writeValueAsString(root)
+    }
+
     val res = field("step").map(_.asLong()) match {
       case Some(step) => db.queryRange(promql, start, end, step)
       case None => db.query(promql, start, end)
@@ -200,7 +239,10 @@ object Web {
           cols.init.zipWithIndex.foreach { case (c, i) =>
             if (r.isNullAt(i)) o.putNull(c) else o.put(c, r.get(i).toString)
           }
-          o.put("value", r.getDouble(cols.length - 1))
+          // NULL value cell (Spark's divide-by-zero rule for a
+          // zero-denominator group) renders as JSON null, not NPE
+          if (r.isNullAt(cols.length - 1)) o.putNull("value")
+          else o.put("value", r.getDouble(cols.length - 1))
         }
       return mapper.writeValueAsString(root)
     }

@@ -54,7 +54,30 @@ object Expr {
     case _ => false
   }
 
-  final case class BinaryOp(kind: BinKind, lhs: Expr, rhs: Expr) extends Expr
+  /** Cardinality of an explicit vector-matching modifier: one-to-one
+    * (`on (ks)` alone), many-to-one (`group_left` — the LEFT operand
+    * keeps its finer grouping), one-to-many (`group_right`, the mirror).
+    */
+  sealed trait MatchCard
+  case object OneToOne extends MatchCard
+  case object ManyToOne extends MatchCard
+  case object OneToMany extends MatchCard
+
+  /** PromQL vector matching on a binary operator — `on (ks)` /
+    * `ignoring (ks)`, optionally `group_left`/`group_right` — accepted
+    * between two GROUPED (`by`) operands: the share-of-parent shape
+    * `sum by (a,b) (x) / on (a) group_left sum by (a) (y)`. The
+    * reference drops grouping entirely (planner.rs:84-88), so this is
+    * beyond-parity surface; see [[graft.tsdb.TsdbEngine]]'s matched
+    * binary evaluation for the exact acceptance rules. `on = false`
+    * means `ignoring`. group_left/right label-carry lists are not
+    * supported (rejected at parse).
+    */
+  final case class VectorMatch(on: Boolean, labels: List[String],
+      card: MatchCard)
+
+  final case class BinaryOp(kind: BinKind, lhs: Expr, rhs: Expr,
+      matching: Option[VectorMatch] = None) extends Expr
 
   sealed trait AggKind
   case object AggSum extends AggKind

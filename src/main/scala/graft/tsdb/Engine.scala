@@ -36,7 +36,13 @@ final class StreamCatalog(defs: Seq[StreamDef]) {
   * scalar/vector dispatch has no label-matching semantics for those.
   */
 final case class TsdbResult(df: DataFrame, isScalar: Boolean, vtype: VType,
-    grouped: Boolean = false) {
+    grouped: Boolean = false,
+    /** true when a scalar-arity result can carry MORE than one row —
+      * topk/bottomk with k > 1. The grouped ⊕ scalar broadcast arms
+      * reject such operands loudly: cross-joining k scalar rows would
+      * silently duplicate every group row (ADVICE r10).
+      */
+    multiRow: Boolean = false) {
   /** Output with reference type fidelity. Integer-typed streams compute
     * in LongType end-to-end (exact at any i64 magnitude, not just below
     * 2^53) except through V2V interpolation, which goes via f64 exactly
@@ -136,17 +142,17 @@ final class TsdbEngine(
       // row-local value maps compose over the sliding vector unchanged
       slidingEval(child, startMs, endMs, stepMs).withColumn("value",
         TsdbEngine.instantColumn(kind, fnArgs, col("value").cast("double")))
-    case BinaryOp(kind, NumberLit(v), rhs) =>
+    case BinaryOp(kind, NumberLit(v), rhs, None) =>
       val r = slidingEval(rhs, startMs, endMs, stepMs)
       if (isComparison(kind)) r.where(cmp(kind, lit(v), col("value")))
       else r.withColumn("value",
         arith(kind, lit(v), col("value").cast("double")))
-    case BinaryOp(kind, lhs, NumberLit(v)) =>
+    case BinaryOp(kind, lhs, NumberLit(v), None) =>
       val l = slidingEval(lhs, startMs, endMs, stepMs)
       if (isComparison(kind)) l.where(cmp(kind, col("value"), lit(v)))
       else l.withColumn("value",
         arith(kind, col("value").cast("double"), lit(v)))
-    case BinaryOp(kind, lhs, rhs) =>
+    case BinaryOp(kind, lhs, rhs, None) =>
       require(!isComparison(kind),
         "comparison between two sliding vectors is not supported " +
           "(V2V comparison is rejected in whole-range evaluation too)")
@@ -179,9 +185,16 @@ final class TsdbEngine(
 
     case Aggregate(kind, child, None) =>
       val c = eval(child, start, end)
-      require(!c.isScalar, "aggregate over a scalar is not supported (reference planner)")
-      require(!c.grouped, "aggregate over a grouped result is not supported")
-      aggregate(kind, c)
+      require(!c.isScalar || c.grouped,
+        "aggregate over a scalar is not supported (reference planner)")
+      // An ungrouped aggregate FOLDS a grouped child like a vector:
+      // `sum(sum by (dc) (m))` — Prometheus' collapse-to-one shape;
+      // count counts the groups. Input is post-aggregation
+      // group-count-sized, so this is a metadata-sized fold.
+      if (c.grouped)
+        aggregate(kind,
+          TsdbResult(c.df.select(col("value")), isScalar = false, c.vtype))
+      else aggregate(kind, c)
 
     case Aggregate(kind, child, Some(g)) =>
       // `sum by (user) (...)` — the clause the reference parses then
@@ -204,16 +217,20 @@ final class TsdbEngine(
         case Some(g) => groupedGetK(top, k, child, g, start, end)
         case None =>
           val c = eval(child, start, end)
-          require(!c.isScalar, "topk/bottomk over a scalar is not supported")
-          require(!c.grouped, "topk/bottomk over a grouped result is not supported")
-          getK(top, k, c)
+          require(!c.isScalar || c.grouped,
+            "topk/bottomk over a scalar is not supported")
+          if (c.grouped) groupRowGetK(top, k, c) else getK(top, k, c)
       }
 
-    case BinaryOp(kind, lhs, rhs) =>
+    case BinaryOp(kind, lhs, rhs, matching) =>
       val l = eval(lhs, start, end)
       val r = eval(rhs, start, end)
-      if (l.grouped || r.grouped) groupedBinary(kind, l, r)
-      else binary(kind, l, r, start, end)
+      matching match {
+        case Some(m) => groupedBinaryMatched(kind, l, r, m)
+        case None =>
+          if (l.grouped || r.grouped) groupedBinary(kind, l, r)
+          else binary(kind, l, r, start, end)
+      }
 
     case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
       // Range-function extension (RangeFns.scala contract): tumbling
@@ -304,9 +321,9 @@ final class TsdbEngine(
     *    plus `value`. `by ()` aggregates everything into one group.
     *  - `without (ks)` groups on the full label set minus `ks`, emitted
     *    as one canonical `k=v,k=v` string column named `labels` (keys
-    *    sorted — layout-independent). NOTE: the canonical string is
-    *    unescaped, so a label VALUE containing `,` or `=` can collide
-    *    two distinct groups; PromQL-legal values don't carry these.
+    *    sorted — layout-independent; keys and values percent-escaped per
+    *    [[LabelCodec]]'s structural set, so adversarial values carrying
+    *    `,`/`=` cannot merge two distinct groups).
     *  - The child may be a selector or a range function over a matrix
     *    selector, optionally under ROW-LOCAL transforms: instant math,
     *    scalar-literal arithmetic (`sum by (u) (purchase * 2)`), and
@@ -324,20 +341,94 @@ final class TsdbEngine(
     * multiplies output rows, never passes over the scan.
     */
   private def groupedAggregate(kind: AggKind, child: Expr, g: Grouping,
-      start: Long, end: Long): TsdbResult = {
-    val (rows, gNames) = groupedVector(child, g, start, end)
-    val aggCol = kind match {
-      case AggSum => sum(col("value"))
-      case AggCount => count(lit(1)).cast("double")
-      case AggAvg => avg(col("value"))
-      case AggMin => min(col("value"))
-      case AggMax => max(col("value"))
-    }
-    val out = rows.groupBy(gNames.map(col): _*).agg(aggCol.as("value"))
-    // empty-set arity (aggregate.rs:35-75): `by ()` over nothing emits
-    // no row for sum/avg/min/max but count → 0, like the ungrouped form
+      start: Long, end: Long): TsdbResult = child match {
+    // nested grouped children re-aggregate the inner GROUP ROWS — the
+    // two-level rollup `sum by (dc) (sum by (dc, instance) (m))`
+    case Aggregate(_, _, Some(ig)) =>
+      nestedGroupedAggregate(kind, child, ig, g, start, end)
+    case GetK(_, _, _, Some(ig)) =>
+      nestedGroupedAggregate(kind, child, ig, g, start, end)
+    case _ =>
+      val (rows, gNames) = groupedVector(child, g, start, end)
+      val out = rows.groupBy(gNames.map(col): _*).agg(aggColumn(kind).as("value"))
+      // empty-set arity (aggregate.rs:35-75): `by ()` over nothing emits
+      // no row for sum/avg/min/max but count → 0, like the ungrouped form
+      val arity = if (kind == AggCount) out else out.where(col("value").isNotNull)
+      TsdbResult(arity, isScalar = true, VType.F64, grouped = gNames.nonEmpty)
+  }
+
+  /** The grouped surface's aggregate column (count → double, matching
+    * [[aggregateBy]]). Shared by the one-level and nested paths.
+    */
+  private def aggColumn(kind: AggKind): Column = kind match {
+    case AggSum => sum(col("value"))
+    case AggCount => count(lit(1)).cast("double")
+    case AggAvg => avg(col("value"))
+    case AggMin => min(col("value"))
+    case AggMax => max(col("value"))
+  }
+
+  /** NESTED grouped aggregation — `sum by (dc) (sum by (dc, instance)
+    * (m))`, the standard Prometheus two-level rollup (and `avg by (dc)
+    * (topk(3, m) by (dc, instance))` for a grouped-topk inner). The
+    * child evaluates to its grouped result first; the outer clause then
+    * re-groups those GROUP ROWS:
+    *
+    *  - outer `by (ks)`: ks must be a subset of the inner group columns
+    *    (a label the inner aggregated away is gone — Prometheus drops
+    *    non-grouped labels too, so asking for one is a user error worth
+    *    a loud message, not an all-null group);
+    *  - outer `without (ks)`: key subtraction — the inner group columns
+    *    minus ks, emitted per label (`without` over an addressable label
+    *    set keeps the addressable form);
+    *  - an inner `without` is rejected: its output is ONE canonical
+    *    labels string whose keys are not individually addressable —
+    *    regroup the inner with `by`.
+    *
+    * Input is post-aggregation group-count-sized, so the extra groupBy
+    * is a metadata-sized exchange — group count never multiplies passes
+    * over the scan. count counts inner groups (the series-count rollup);
+    * avg is the unweighted mean of inner group values, as in Prometheus.
+    */
+  private def nestedGroupedAggregate(kind: AggKind, child: Expr,
+      innerG: Grouping, g: Grouping, start: Long, end: Long): TsdbResult = {
+    require(innerG.by,
+      "nested grouped aggregation requires an inner `by` grouping — a " +
+        "`without` inner emits one canonical labels column whose keys " +
+        "are not individually addressable; regroup the inner with `by`")
+    val c = eval(child, start, end)
+    val innerLabels = c.df.columns.init.toSeq
+    val keys =
+      if (g.by) {
+        val missing = g.labels.filterNot(innerLabels.contains)
+        require(missing.isEmpty,
+          s"outer `by` labels must be a subset of the inner grouping " +
+            s"(${innerLabels.mkString(", ")}); not produced by the " +
+            s"inner aggregate: ${missing.mkString(", ")}")
+        g.labels
+      } else innerLabels.filterNot(g.labels.contains)
+    val out = c.df.groupBy(keys.map(col): _*).agg(aggColumn(kind).as("value"))
     val arity = if (kind == AggCount) out else out.where(col("value").isNotNull)
-    TsdbResult(arity, isScalar = true, VType.F64, grouped = gNames.nonEmpty)
+    TsdbResult(arity, isScalar = true, VType.F64, grouped = keys.nonEmpty)
+  }
+
+  /** topk/bottomk over a GROUPED child — `topk(3, sum by (user)
+    * (purchase))`, the "top 3 users" query: the k best GROUP ROWS by
+    * value, keeping the group columns. Ties break on the group columns
+    * ascending (a grouped result carries no timestamp to prefer newer
+    * samples by, the ungrouped rule; the group key is the deterministic
+    * stand-in). orderBy+limit compiles to TakeOrderedAndProject — a
+    * bounded heap over group-count-sized input, never a global sort.
+    */
+  private def groupRowGetK(top: Boolean, k: Int, child: TsdbResult): TsdbResult = {
+    if (k == 0)
+      return TsdbResult(child.df.limit(0), isScalar = true, child.vtype,
+        grouped = true)
+    val gNames = child.df.columns.init.toSeq
+    val ord = (if (top) col("value").desc else col("value").asc) +:
+      gNames.map(col(_).asc)
+    TsdbResult(child.df.orderBy(ord: _*).limit(k), isScalar = true,
+      child.vtype, grouped = true)
   }
 
   /** Grouped top-k/bottom-k — `topk(3, purchase) by (user)`: the k
@@ -411,6 +502,10 @@ final class TsdbEngine(
     case (true, false) =>
       require(r.isScalar,
         "grouped ⊕ vector is not supported (no common join key)")
+      require(!r.multiRow,
+        "grouped ⊕ topk/bottomk is not supported: a multi-row scalar " +
+          "operand would duplicate every group row (aggregate it, or " +
+          "use k = 1)")
       val rr = broadcast(r.df.select(col("value").as("_rv")))
       val joined = l.df.crossJoin(rr)
       val gl = l.df.columns.init.toSeq
@@ -426,6 +521,10 @@ final class TsdbEngine(
       // scalar on the LEFT of a non-commutative op: keep operand order
       require(l.isScalar,
         "vector ⊕ grouped is not supported (no common join key)")
+      require(!l.multiRow,
+        "topk/bottomk ⊕ grouped is not supported: a multi-row scalar " +
+          "operand would duplicate every group row (aggregate it, or " +
+          "use k = 1)")
       val ll = broadcast(l.df.select(col("value").as("_lv")))
       val joined = r.df.crossJoin(ll)
       val gr = r.df.columns.init.toSeq
@@ -438,6 +537,77 @@ final class TsdbEngine(
             .as("value"): _*)
       TsdbResult(df, isScalar = true, VType.F64, grouped = true)
     case (false, false) => throw new IllegalStateException("not grouped")
+  }
+
+  /** Binary ops under an EXPLICIT vector-matching modifier — the PromQL
+    * family [[groupedBinary]]'s same-grouping rule can't express:
+    * `sum by (a, b) (x) / on (a) group_left sum by (a) (y)`, the
+    * share-of-parent shape. Acceptance rules, all checked loudly at
+    * plan time (column sets are known — grouped results carry one
+    * column per `by` label):
+    *
+    *  - both operands must be grouped (`by`) results; arithmetic only
+    *    (comparison between grouped results is rejected, the V2V rule).
+    *  - the effective join key: `on (ks)` → ks; `ignoring (ks)` → the
+    *    "one" side's group columns minus ks. Must be non-empty and
+    *    present in both operands' group columns.
+    *  - `group_left` (many-to-one): the RIGHT operand's group columns
+    *    must equal the key — uniqueness per key holds by construction
+    *    (it is post-aggregation), never by a runtime cardinality check.
+    *    The result keeps the LEFT operand's group columns, PromQL's
+    *    many-side label rule. `group_right` mirrors. One-to-one (no
+    *    modifier) requires BOTH sides grouped exactly by the key.
+    *
+    * Scale shape: both sides are post-aggregation group-count-sized;
+    * the "one" side is broadcast (≤ the many side's cardinality by
+    * construction). Null-safe key equality so the missing-label null
+    * group matches itself, like the same-grouping path.
+    */
+  private def groupedBinaryMatched(kind: BinKind, l: TsdbResult,
+      r: TsdbResult, m: VectorMatch): TsdbResult = {
+    require(!isComparison(kind),
+      "comparison under on/ignoring is not supported (the V2V rule)")
+    require(l.grouped && r.grouped,
+      "on/ignoring requires two grouped (by) operands — group both " +
+        "sides, e.g. sum by (a, b) (x) / on (a) group_left sum by (a) (y)")
+    // group_right mirrors group_left: evaluate with the many side on
+    // the left, remembering operand order for the arithmetic
+    val (swapped, many, one) = m.card match {
+      case OneToMany => (true, r, l)
+      case _ => (false, l, r)
+    }
+    val manyCols = many.df.columns.init.toSeq
+    val oneCols = one.df.columns.init.toSeq
+    val key = if (m.on) m.labels else oneCols.filterNot(m.labels.contains)
+    require(key.nonEmpty,
+      "empty match key — on () / ignoring (all labels) has no join " +
+        "semantics; use the scalar broadcast form instead")
+    val missing =
+      key.filterNot(manyCols.contains) ++ key.filterNot(oneCols.contains)
+    require(missing.isEmpty,
+      s"match labels must be group columns of both operands " +
+        s"((${manyCols.mkString(", ")}) vs (${oneCols.mkString(", ")})): " +
+        s"missing ${missing.distinct.mkString(", ")}")
+    m.card match {
+      case OneToOne =>
+        require(manyCols.toSet == key.toSet && oneCols.toSet == key.toSet,
+          "one-to-one on/ignoring requires both operands grouped " +
+            "exactly by the match labels — add group_left/group_right " +
+            "for many-to-one matching")
+      case _ =>
+        require(oneCols.toSet == key.toSet,
+          s"many-to-one matching requires the 'one' side grouped " +
+            s"exactly by the match labels (${key.mkString(", ")}) so " +
+            s"key uniqueness holds by construction; it is grouped by " +
+            s"(${oneCols.mkString(", ")})")
+    }
+    val rr = broadcast(one.df.toDF(oneCols.map(_ + "_graft_r") :+ "_rv": _*))
+    val cond = key.map(k => col(k) <=> col(k + "_graft_r")).reduce(_ && _)
+    val (lv, rv) =
+      if (swapped) (col("_rv"), col("value")) else (col("value"), col("_rv"))
+    val df = many.df.join(rr, cond).select(manyCols.map(col) :+
+      arith(kind, lv.cast("double"), rv.cast("double")).as("value"): _*)
+    TsdbResult(df, isScalar = true, VType.F64, grouped = true)
   }
 
   /** The shared grouped evaluation under a `by`/`without` clause:
@@ -465,17 +635,33 @@ final class TsdbEngine(
         s"duplicate grouping label in: ${g.labels.mkString(", ")}")
       (g.labels, g.labels.map(l => element_at(col("labels"), l).as(l)))
     } else {
-      // without: canonical string of the remaining label set
+      // without: canonical string of the remaining label set, keys and
+      // values percent-escaped (LabelCodec's structural set) so a value
+      // containing `,`/`=` can never merge two distinct groups
       val mf =
         if (g.labels.isEmpty) col("labels")
         else map_filter(col("labels"),
           (k, _) => !k.isInCollection(g.labels))
       val canon = array_join(
         transform(array_sort(map_keys(mf)),
-          k => concat(k, lit("="), element_at(mf, k))), ",")
+          k => concat(escapeLabelCol(k), lit("="),
+            escapeLabelCol(element_at(mf, k)))), ",")
       (Seq("labels"), Seq(canon.as("labels")))
     }
   }
+
+  /** [[LabelCodec.escape]] as a Column — percent-encodes the canonical
+    * group string's structural characters (`%` first, then `=`, `,`,
+    * tab, LF, CR; uppercase hex, byte-for-byte the codec's output).
+    * Prometheus label values are arbitrary UTF-8, so the `without`
+    * canonical key must escape exactly like the catalog lines do; clean
+    * values pass through unchanged, so well-behaved corpora keep their
+    * r10 group strings.
+    */
+  private def escapeLabelCol(c: Column): Column =
+    Seq("%" -> "%25", "=" -> "%3D", "," -> "%2C",
+        "\t" -> "%09", "\n" -> "%0A", "\r" -> "%0D")
+      .foldLeft(c) { case (acc, (ch, enc)) => replace(acc, lit(ch), lit(enc)) }
 
   private def groupedVector(child: Expr, g: Grouping,
       start: Long, end: Long): (DataFrame, Seq[String]) = {
@@ -488,16 +674,16 @@ final class TsdbEngine(
       case InstantFn(k, c, a) => unwrap(c, ((df: DataFrame) =>
         df.withColumn("value",
           TsdbEngine.instantColumn(k, a, col("value").cast("double")))) :: ops)
-      case BinaryOp(k, c, NumberLit(v)) if !isComparison(k) =>
+      case BinaryOp(k, c, NumberLit(v), None) if !isComparison(k) =>
         unwrap(c, ((df: DataFrame) => df.withColumn("value",
           arith(k, col("value").cast("double"), lit(v)))) :: ops)
-      case BinaryOp(k, NumberLit(v), c) if !isComparison(k) =>
+      case BinaryOp(k, NumberLit(v), c, None) if !isComparison(k) =>
         unwrap(c, ((df: DataFrame) => df.withColumn("value",
           arith(k, lit(v), col("value").cast("double")))) :: ops)
-      case BinaryOp(k, c, NumberLit(v)) =>
+      case BinaryOp(k, c, NumberLit(v), None) =>
         unwrap(c, ((df: DataFrame) =>
           df.where(cmp(k, col("value"), lit(v)))) :: ops)
-      case BinaryOp(k, NumberLit(v), c) =>
+      case BinaryOp(k, NumberLit(v), c, None) =>
         unwrap(c, ((df: DataFrame) =>
           df.where(cmp(k, lit(v), col("value")))) :: ops)
       case other => (other, ops)
@@ -650,6 +836,59 @@ final class TsdbEngine(
           s"selector, got: $other")
     }
 
+  /** GROUPED SUBQUERY — the outer range function folding a grouped
+    * sliding inner:
+    * `subqueryRangeBy("max_over_time(rate(x[5m])[1h:5m])", by (u), ...)`
+    * = each u's peak 5-minute rate within every tumbling hour — the
+    * per-tenant alerting shape ([[queryRangeBy]]'s grouping composed
+    * with the subquery evaluation of query()'s SubqueryMatrix case).
+    *
+    * The inner range fn evaluates per (group, step) over ONE raw scan
+    * (RangeFns.sliding with the group columns — the existing
+    * (group, wstart) machinery); the derived frame is step-count ×
+    * group-count bounded (metadata-sized), and the outer fn tumbles
+    * `subRange` windows per group over it — no scan amplification, the
+    * exact property the ungrouped subquery case documents. Emits
+    * (group cols..., timestamp = outer window start, value).
+    *
+    * Scope: the inner must be a range function over a matrix selector
+    * (the composed inner shapes slidingEval accepts stay ungrouped —
+    * same bounded-scope philosophy, the error says so).
+    */
+  def subqueryRangeBy(promql: String, grouping: Grouping,
+      startMs: Long, endMs: Long): DataFrame =
+    PromParser.parse(promql) match {
+      case RangeFn(okind, SubqueryMatrix(
+          RangeFn(ikind, MatrixSelector(sel, irange), iargs),
+          subRange, subStep), oargs) =>
+        require(okind != FnAbsentOverTime && ikind != FnAbsentOverTime,
+          "absent_over_time has no grouped form (absence is not " +
+            "attributable to a label value)")
+        val (gNames, gCols) = groupProjection(grouping)
+        require(gNames.nonEmpty,
+          "by () has no grouped form — use query()'s subquery")
+        val rows = data
+          .where(matcherFilter(sel) &&
+            col("timestamp") >= scanStart(sel, startMs - irange + 1) &&
+            col("timestamp") <= endMs)
+          .select(gCols ++ Seq(col("timestamp"), col("value")): _*)
+        val steps = RangeFns.sliding(ikind, rows, irange, subStep,
+          startMs, endMs, iargs, groupCols = gNames, mode = rateMode)
+        val base = steps.select(gNames.map(col) ++ Seq(
+          (col("timestamp") -
+            pmod(col("timestamp") - startMs, lit(subRange))).as("wstart"),
+          col("timestamp"), col("value").cast("double").as("value")): _*)
+        RangeFns.aggWindows(okind, base, oargs, gNames :+ "wstart",
+            RangeFns.extrapolateSpec(okind, rateMode, col("wstart"), subRange))
+          .select(gNames.map(col) ++
+            Seq(col("wstart").as("timestamp"), col("value")): _*)
+      case other => throw new IllegalArgumentException(
+        s"subqueryRangeBy requires a range function over a subquery " +
+          s"whose inner is a range function over a matrix selector " +
+          s"(composed inner shapes stay ungrouped — use query()), " +
+          s"got: $other")
+    }
+
   /** Label-equality matcher conjunction over the long-format scan. */
   private def matcherFilter(sel: Selector): Column =
     sel.matchers.foldLeft(col("name") === sel.name) {
@@ -731,7 +970,8 @@ final class TsdbEngine(
     val ordered =
       if (top) child.df.orderBy(col("value").desc, col("timestamp").desc)
       else child.df.orderBy(col("value").asc, col("timestamp").desc)
-    TsdbResult(ordered.limit(k).select(col("value")), isScalar = true, child.vtype)
+    TsdbResult(ordered.limit(k).select(col("value")), isScalar = true,
+      child.vtype, multiRow = k > 1)
   }
 
   /** Add/Sub/Mul keep the operands' common type (Long stays Long — exact

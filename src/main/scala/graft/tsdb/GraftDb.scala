@@ -106,13 +106,17 @@ final class GraftDb(
   }
 
   /** Parsed catalog + inverted label map, memoized on the file's
-    * (mtime, size): repeated probes (createStream existence checks,
-    * inserter resolution, labelNames/labelValues — every one previously
-    * re-read and re-parsed the whole JSONL, GraftDb.scala r9 finding #4)
-    * now parse once per catalog VERSION. Our own writers invalidate
-    * explicitly; an external writer bumps mtime or size (every catalog
-    * write appends, removes, or rewrites lines). Metadata-sized state:
-    * defs + one (label,value)→ids map.
+    * (content CRC32, size): repeated probes (createStream existence
+    * checks, inserter resolution, labelNames/labelValues — every one
+    * previously re-read and re-parsed the whole JSONL, GraftDb.scala r9
+    * finding #4) now parse once per catalog VERSION. The key is
+    * CONTENT-derived, not (mtime, size): an external writer that
+    * rewrites the catalog to the same byte length within one mtime tick
+    * (e.g. a deleteStream rewrite flipping one same-length label value)
+    * still invalidates (ADVICE r10). The catalog is metadata-sized
+    * (one line per stream), so the per-probe read+CRC is trivial next
+    * to the parse + inverted-index build the memo saves. Our own
+    * writers additionally invalidate explicitly.
     */
   @volatile private var catalogMemo
       : Option[(Long, Long, Seq[StreamDef], Map[(String, String), Set[Int]])] =
@@ -127,8 +131,12 @@ final class GraftDb(
       : (Seq[StreamDef], Map[(String, String), Set[Int]]) = {
     val key =
       if (!Files.exists(catalogFile)) (-1L, -1L)
-      else (Files.getLastModifiedTime(catalogFile).toMillis,
-        Files.size(catalogFile))
+      else {
+        val bytes = Files.readAllBytes(catalogFile)
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes)
+        (crc.getValue, bytes.length.toLong)
+      }
     catalogMemo match {
       case Some((m, s, defs, inv)) if (m, s) == key => (defs, inv)
       case _ =>
@@ -766,6 +774,10 @@ final class GraftDb(
   def queryJson(promql: String, startMs: Long, endMs: Long): String = {
     val res = query(promql, startMs, endMs)
     def jsNum(v: Any): String = v match {
+      // a grouped division can yield NULL (Spark's divide-by-zero rule,
+      // e.g. a zero-denominator group in `sum by (u)(a) / sum by (u)(b)`)
+      // — render JSON null rather than NPE (ADVICE r10)
+      case null => "null"
       case d: java.lang.Double => if (d == d.longValue().toDouble) d.longValue().toString else d.toString
       case other => other.toString
     }

@@ -160,6 +160,26 @@ object PromParser {
         SubqueryMatrix(e, r, s)
       }
 
+    // `( l1, l2, ... )` — the label list of a grouping or matching clause
+    def parenLabelList(clause: String): List[String] = {
+      expectOp("(")
+      val labels = List.newBuilder[String]
+      var continue = peek != TOp(")")
+      while (continue) {
+        next() match {
+          case TIdent(l) => labels += l
+          case t => throw new PromParseException(
+            s"expected a label name in $clause, got $t in: $q")
+        }
+        peek match {
+          case TOp(",") => next()
+          case _ => continue = false
+        }
+      }
+      expectOp(")")
+      labels.result()
+    }
+
     // A `by (...)` / `without (...)` clause at the cursor, if present.
     def peekGrouping(): Option[Grouping] = peek match {
       case TIdent("by") | TIdent("without") =>
@@ -167,22 +187,29 @@ object PromParser {
           case TIdent("by") => true
           case _ => false
         }
-        expectOp("(")
-        val labels = List.newBuilder[String]
-        var continue = peek != TOp(")")
-        while (continue) {
-          next() match {
-            case TIdent(l) => labels += l
-            case t => throw new PromParseException(
-              s"expected a label name in grouping, got $t in: $q")
-          }
-          peek match {
-            case TOp(",") => next()
-            case _ => continue = false
-          }
+        Some(Grouping(by, parenLabelList("grouping")))
+      case _ => None
+    }
+
+    // An `on (...)` / `ignoring (...)` vector-matching modifier right
+    // after a binary operator, optionally followed by
+    // `group_left`/`group_right`. A label-carry list after
+    // group_left/right is PromQL-legal but unsupported here — and a
+    // `(` in that position would otherwise silently parse as the RHS,
+    // so it is rejected loudly rather than misread.
+    def parseMatching(): Option[VectorMatch] = peek match {
+      case TIdent("on") | TIdent("ignoring") =>
+        val on = next() == TIdent("on")
+        val labels = parenLabelList(if (on) "on" else "ignoring")
+        val card = peek match {
+          case TIdent(g @ ("group_left" | "group_right")) =>
+            next()
+            if (peek == TOp("(")) throw new PromParseException(
+              s"$g label-carry lists are not supported in: $q")
+            if (g == "group_left") ManyToOne else OneToMany
+          case _ => OneToOne
         }
-        expectOp(")")
-        Some(Grouping(by, labels.result()))
+        Some(VectorMatch(on, labels, card))
       case _ => None
     }
 
@@ -196,7 +223,8 @@ object PromParser {
             case "==" => Eq; case "!=" => Ne; case ">" => Gt
             case "<" => Lt; case ">=" => Ge; case "<=" => Le
           }
-          l = BinaryOp(kind, l, parseAdditive())
+          val m = parseMatching()
+          l = BinaryOp(kind, l, parseAdditive(), m)
         case _ => continue = false
       }
       l
@@ -208,7 +236,8 @@ object PromParser {
       while (continue) peek match {
         case TOp(op @ ("+" | "-")) =>
           next()
-          l = BinaryOp(if (op == "+") Add else Sub, l, parseMultiplicative())
+          val m = parseMatching()
+          l = BinaryOp(if (op == "+") Add else Sub, l, parseMultiplicative(), m)
         case _ => continue = false
       }
       l
@@ -221,7 +250,8 @@ object PromParser {
         case TOp(op @ ("*" | "/" | "%")) =>
           next()
           val kind = op match { case "*" => Mul; case "/" => Div; case _ => Mod }
-          l = BinaryOp(kind, l, parseUnary())
+          val m = parseMatching()
+          l = BinaryOp(kind, l, parseUnary(), m)
         case _ => continue = false
       }
       l

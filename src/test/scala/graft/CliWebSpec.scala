@@ -110,6 +110,54 @@ class CliWebSpec extends AnyFunSuite {
     assert(c == 0 && lines == Seq("mob 20 8", "web 20 3", "web 40 4"), lines)
   }
 
+  test("http: \"by\" + \"step\" selects grouped query_range evaluation") {
+    val db = freshDb()
+    assert(cli(db, "create-stream", """req{service = "web"}""", "f64")._1 == 0)
+    assert(cli(db, "create-stream", """req{service = "mob"}""", "f64")._1 == 0)
+    for ((t, v) <- Seq((10, 1), (20, 2), (30, 4)))
+      assert(cli(db, "insert", """req{service = "web"}""",
+        t.toString, v.toString)._1 == 0)
+    assert(cli(db, "insert", """req{service = "mob"}""", "10", "8")._1 == 0)
+    val server = Web.start(spark, 0)
+    try {
+      val port = server.getAddress.getPort
+      def post(body: String): HttpResponse[String] =
+        HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      // the CLI query-range-by fixture through HTTP: eval T=20 window
+      // (0,20] → web 3, mob 8; T=40 (20,40] → web 4
+      val resp = post(s"""{"path": "$db", "query": "sum_over_time(req[20ms])",
+        | "start": 20, "end": 40, "step": 20, "by": ["service"]}""".stripMargin)
+      assert(resp.statusCode() == 200, resp.body())
+      assert(resp.body().contains(
+        """"groups":[{"service":"mob","timestamp":20,"value":8.0},""" +
+          """{"service":"web","timestamp":20,"value":3.0},""" +
+          """{"service":"web","timestamp":40,"value":4.0}]"""), resp.body())
+      // one comma-separated string works like the JSON-array form
+      val resp2 = post(s"""{"path": "$db", "query": "sum_over_time(req[20ms])",
+        | "start": 20, "end": 40, "step": 20, "by": "service"}""".stripMargin)
+      assert(resp2.statusCode() == 200 && resp2.body() == resp.body())
+      // "by" without "step" is a loud 400, never a silent ungrouped run
+      val bad = post(s"""{"path": "$db", "query": "sum_over_time(req[20ms])",
+        | "start": 20, "end": 40, "by": ["service"]}""".stripMargin)
+      assert(bad.statusCode() == 400 && bad.body().contains("requires"),
+        s"${bad.statusCode()} ${bad.body()}")
+    } finally server.stop(0)
+  }
+
+  test("cli: csv path with a non-vector result errors loudly") {
+    val db = freshDb()
+    seed(db)
+    val csv = Files.createTempDirectory("graft_csv").resolve("out.csv").toString
+    // scalar result + csv path: explicit error, exit 1, no file written
+    val (code, lines) = cli(db, "query", s"sum($sel)", "23", "51", csv)
+    assert(code == 1 && lines.exists(_.startsWith("error: cannot export")),
+      s"$code $lines")
+    assert(!Files.exists(java.nio.file.Paths.get(csv)))
+  }
+
   test("cli: chart renders the vector as an ascii line plot") {
     val db = freshDb()
     seed(db)

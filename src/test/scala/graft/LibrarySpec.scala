@@ -436,7 +436,7 @@ class LibrarySpec extends AnyFunSuite {
     assert(db.streams().map(_.name) == Seq("n", "o"))
   }
 
-  test("catalog probes memoize on (mtime, size); writes invalidate") {
+  test("catalog probes memoize on content; writes invalidate") {
     val dir = java.nio.file.Files.createTempDirectory("graft_memo").toString
     val db = new GraftDb(spark, dir)
     db.createStream("m{env=\"prod\"}", VType.F64)
@@ -457,9 +457,22 @@ class LibrarySpec extends AnyFunSuite {
     assert(db.streams().map(_.name).contains("n"))
     assert(db.catalogParses >= base + 2)
     // an EXTERNAL writer (different GraftDb over the same dir) is seen
-    // through the (mtime, size) key
+    // through the content key
     new GraftDb(spark, dir).createStream("o", VType.F64)
     assert(db.streams().map(_.name).contains("o"))
+    // the ADVICE r10 hazard: rewrite the catalog to the SAME byte size
+    // with the SAME mtime (a one-character label-value flip) — the
+    // content-CRC key must still invalidate where (mtime, size) could not
+    val file = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("catalog"))
+      .findFirst.orElseThrow(() => new IllegalStateException(s"no catalog in $dir"))
+    val before = java.nio.file.Files.readString(file)
+    assert(before.contains("prod"), before)
+    val mtime = java.nio.file.Files.getLastModifiedTime(file)
+    java.nio.file.Files.writeString(file, before.replace("prod", "prqd"))
+    java.nio.file.Files.setLastModifiedTime(file, mtime) // freeze the tick
+    assert(db.labelValues("env").contains("prqd"),
+      "same-size same-mtime external rewrite served a stale catalog")
   }
 
   test("decodeLabels is loud on duplicate keys (hand-edited catalog)") {

@@ -214,6 +214,77 @@ class MultimodalContractSpec extends AnyFunSuite {
       UncompressedDecoder.features(img, meta("bmp", img), 2).toSeq)
   }
 
+  // ---- QOI: the seam's first real NON-JDK codec (public spec, a  ----
+  // ---- genuinely compressed format) under the same contract       ----
+
+  /** Hand-assembled QOI stream: header + raw op bytes + end marker. */
+  private def qoi(w: Int, h: Int, ops: Seq[Int]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write('q'); o.write('o'); o.write('i'); o.write('f')
+    def be32(v: Int): Unit = {
+      o.write((v >>> 24) & 0xff); o.write((v >>> 16) & 0xff)
+      o.write((v >>> 8) & 0xff); o.write(v & 0xff)
+    }
+    be32(w); be32(h)
+    o.write(3); o.write(0) // channels, colorspace
+    ops.foreach(b => o.write(b & 0xff))
+    (0 until 7).foreach(_ => o.write(0)); o.write(1) // end marker
+    o.toByteArray
+  }
+
+  test("QOI: every op decodes; features equal the BMP contract bit-for-bit") {
+    // 2x4 image exercising ALL SIX ops:
+    //   px0 RGB(10,20,30)            px1 DIFF +1/+1/+1 -> (11,21,31)
+    //   px2-3 RUN(2) -> (11,21,31)   px4 LUMA dg=+8,dr-dg=+2,db-dg=-2 -> (21,29,37)
+    //   px5 INDEX[hash(10,20,30,255) = 9] -> (10,20,30)
+    //   px6 RGBA(40,50,60,128)       px7 RGB(70,80,90)
+    val ops = Seq(
+      0xFE, 10, 20, 30, //      QOI_OP_RGB
+      0x7F, //                  QOI_OP_DIFF dr=+1 dg=+1 db=+1
+      0xC1, //                  QOI_OP_RUN length 2
+      0xA8, 0xA6, //            QOI_OP_LUMA dg=+8, (dr-dg)+8=10, (db-dg)+8=6
+      0x09, //                  QOI_OP_INDEX slot 9
+      0xFF, 40, 50, 60, 128, // QOI_OP_RGBA (alpha feeds the hash, not the fold)
+      0xFE, 70, 80, 90)
+    val img = qoi(2, 4, ops)
+    val (w, h, px) = graft.multimodal.Qoi.decode(img)
+    assert((w, h) == (2, 4))
+    def rgb(r: Int, g: Int, b: Int) = (r << 16) | (g << 8) | b
+    assert(px.toSeq == Seq(rgb(10, 20, 30), rgb(11, 21, 31), rgb(11, 21, 31),
+      rgb(11, 21, 31), rgb(21, 29, 37), rgb(10, 20, 30), rgb(40, 50, 60),
+      rgb(70, 80, 90)))
+    // THE seam contract: a lossless non-JDK codec over the same pixel
+    // content must reproduce the uncompressed-BMP features EXACTLY
+    val same = bmp(Seq(
+      Seq((10, 20, 30), (11, 21, 31)),
+      Seq((11, 21, 31), (11, 21, 31)),
+      Seq((21, 29, 37), (10, 20, 30)),
+      Seq((40, 50, 60), (70, 80, 90))))
+    for (dim <- Seq(2, 4, 7)) {
+      val contract = UncompressedDecoder.features(same, meta("bmp", same), dim)
+      val real = Multimodal.RealDecoder.features(img, meta("qoi", img), dim)
+      assert(real.toSeq == contract.toSeq, s"dim=$dim")
+    }
+  }
+
+  test("QOI: corrupt streams fail loudly, never spin or over-read") {
+    // a clean run fills the remaining pixels exactly
+    val good = qoi(2, 4, Seq(0xFE, 10, 20, 30, 0xC0 | 6)) // RGB + RUN 7 = 8 px
+    assert(graft.multimodal.Qoi.decode(good)._3.length == 8)
+    // run overflowing the pixel count
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Qoi.decode(qoi(2, 2, Seq(0xFE, 10, 20, 30, 0xC0 | 8)))
+    }
+    // truncated: too few ops for the advertised pixel count
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Qoi.decode(qoi(4, 4, Seq(0xFE, 10, 20, 30)))
+    }
+    // not QOI at all
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Qoi.decode(Array[Byte](1, 2, 3, 4, 5))
+    }
+  }
+
   test("RealDecoder fails loudly on undecodable bytes and unknown formats") {
     val junk = Array[Byte](1, 2, 3, 4)
     intercept[Exception] {

@@ -241,6 +241,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans <= 1, s"subquery re-scanned the raw source ($scans scans):\n$p")
   }
 
+  test("ts67-ts70 round-11 grouped surfaces: one raw scan, no cartesian") {
+    // ts67 nested grouped: the outer groupBy folds the inner frame —
+    // never a second pass over events
+    val p67 = plan(graft.queries.TimeSeries.queries("ts67_nested_grouped")(spark, sf))
+    assert(p67.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("events")) <= 1, p67.take(1500))
+    assert(!p67.contains("windowspecdefinition"),
+      "nested grouped sum needs no window")
+    // ts68 on/group_left: equi-join on the match key over two
+    // post-aggregation sides (two scans, one per operand; never a
+    // cartesian or nested loop)
+    val p68 = plan(graft.queries.TimeSeries.queries("ts68_on_group_left")(spark, sf))
+    assert(p68.contains("BroadcastHashJoin") || p68.contains("SortMergeJoin") ||
+      p68.contains("ShuffledHashJoin"), s"expected a match-key equi-join:\n${p68.take(1200)}")
+    assert(!p68.contains("CartesianProduct") && !p68.contains("BroadcastNestedLoop"),
+      "non-equi join in grouped vector matching")
+    // ts69 topk over grouped: TakeOrderedAndProject (bounded heap), no
+    // rank window at all
+    val p69 = plan(graft.queries.TimeSeries.queries("ts69_topk_grouped")(spark, sf))
+    assert(p69.contains("TakeOrderedAndProject"), p69.take(1200))
+    assert(!p69.contains("windowspecdefinition"),
+      "grouped-child topk must not open a window")
+    // ts70 grouped subquery: ONE raw scan (the inner sliding pass), the
+    // bounded explode, every window (group, wstart)-keyed
+    val p70 = plan(graft.queries.TimeSeries.queries("ts70_subquery_by")(spark, sf))
+    assert(p70.contains("Generate explode"), "expected the inner sliding explode")
+    assert(p70.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("events")) <= 1,
+      s"grouped subquery re-scanned the raw source:\n${p70.take(1500)}")
+    p70.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("wstart") && l.contains("user"),
+        s"unkeyed window in grouped subquery: $l"))
+  }
+
   test("q24 global ranking has no window ordered over the data") {
     val p = plan(graft.queries.Relational.queries("q24_ntile")(spark, sf))
     // a Window whose spec leads with the o_totalprice sort would be the

@@ -400,17 +400,131 @@ class EngineSpec extends AnyFunSuite {
         (None: Option[String]) -> 32d))
   }
 
+  test("nested grouped aggregation: superset inner, by and without outer") {
+    val e = groupedEngine()
+    // two-level rollup: per-(dc, service) sums re-aggregated per dc
+    assert(groupRows(e.query(
+      "sum by (dc) (sum by (dc, service) (req))", 0, 100).output) ==
+      Set(Some("a") -> 11d, Some("b") -> 20d, (None: Option[String]) -> 32d))
+    // count counts INNER GROUPS (the series-count rollup)
+    assert(groupRows(e.query(
+      "count by (dc) (sum by (dc, service) (req))", 0, 100).output) ==
+      Set(Some("a") -> 2d, Some("b") -> 2d, (None: Option[String]) -> 1d))
+    // outer `without` = key subtraction over the inner group columns
+    assert(groupRows(e.query(
+      "sum without (service) (sum by (dc, service) (req))", 0, 100).output) ==
+      Set(Some("a") -> 11d, Some("b") -> 20d, (None: Option[String]) -> 32d))
+    // a grouped-topk inner re-aggregates its per-group selections
+    assert(groupRows(e.query(
+      "sum by (service) (topk(1, req) by (service, dc))", 0, 100).output) ==
+      Set(Some("web") -> 6d, Some("mob") -> 24d, Some("cli") -> 32d))
+    // an UNGROUPED aggregate folds a grouped child to one scalar
+    assert(scalarsOf(e.query("sum(sum by (service) (req))", 0, 100)) ==
+      Seq(63d))
+    assert(scalarsOf(e.query("count(sum by (service) (req))", 0, 100)) ==
+      Seq(3d))
+    // topk over a grouped child keeps group columns, ranks group rows
+    val top = e.query("topk(2, sum by (service) (req))", 0, 100)
+    assert(top.grouped && top.df.columns.toSeq == Seq("service", "value"))
+    assert(groupRows(top.output) ==
+      Set(Some("cli") -> 32d, Some("mob") -> 24d))
+    // rejections: outer labels must be a SUBSET of the inner grouping
+    val nonSubset = intercept[IllegalArgumentException](
+      e.query("sum by (zone) (sum by (dc, service) (req))", 0, 100))
+    assert(nonSubset.getMessage.contains("subset of the inner grouping"))
+    // an inner `without` is not addressable
+    val innerWithout = intercept[IllegalArgumentException](
+      e.query("sum by (dc) (sum without (service) (req))", 0, 100))
+    assert(innerWithout.getMessage.contains("inner `by` grouping"))
+  }
+
+  test("vector matching: on/ignoring with group_left/group_right") {
+    val e = groupedEngine()
+    def rows3(q: String): Set[(Option[String], Option[String], Double)] =
+      e.query(q, 0, 100).output.collect().toSet[Row].map(r =>
+        (Option(r.getString(0)), Option(r.getString(1)),
+          math.round(r.getDouble(2) * 1e6) / 1e6))
+    // share-of-parent: each (service, dc) share of its service total
+    val share = Set(
+      (Some("web"), Some("a"), 3d / 7), (Some("web"), Some("b"), 4d / 7),
+      (Some("mob"), Some("a"), 8d / 24), (Some("mob"), Some("b"), 16d / 24),
+      (Some("cli"), (None: Option[String]), 1d))
+      .map { case (a, b, v) => (a, b, math.round(v * 1e6) / 1e6) }
+    assert(rows3("sum by (service, dc) (req) / on (service) group_left " +
+      "sum by (service) (req)") == share)
+    // ignoring (dc) derives the same key from the 'one' side
+    assert(rows3("sum by (service, dc) (req) / ignoring (dc) group_left " +
+      "sum by (service) (req)") == share)
+    // group_right mirrors (one side keeps LEFT operand position):
+    // value = service_total / (service, dc) sum, many-side columns kept
+    assert(rows3("sum by (service) (req) / on (service) group_right " +
+      "sum by (service, dc) (req)") == Set(
+      (Some("web"), Some("a"), 7d / 3), (Some("web"), Some("b"), 7d / 4),
+      (Some("mob"), Some("a"), 3d), (Some("mob"), Some("b"), 1.5d),
+      (Some("cli"), (None: Option[String]), 1d))
+      .map { case (a, b, v) => (a, b, math.round(v * 1e6) / 1e6) })
+    // one-to-one on exact grouping (trivial self-ratio)
+    assert(groupRows(e.query(
+      "sum by (dc) (req) / on (dc) sum by (dc) (req)", 0, 100).output)
+      .map(_._2) == Set(1d))
+    // rejections: one-to-one over finer grouping needs group_left
+    val needsLeft = intercept[IllegalArgumentException](e.query(
+      "sum by (service, dc) (req) / on (service) sum by (service) (req)",
+      0, 100))
+    assert(needsLeft.getMessage.contains("group_left"))
+    // the 'one' side must be grouped exactly by the key
+    val notExact = intercept[IllegalArgumentException](e.query(
+      "sum by (service, dc) (req) / on (service) group_left " +
+        "sum by (service, dc) (req)", 0, 100))
+    assert(notExact.getMessage.contains("exactly by the match labels"))
+    // match labels must exist on both sides; comparisons reject;
+    // ungrouped operands reject; empty key rejects
+    intercept[IllegalArgumentException](e.query(
+      "sum by (service) (req) / on (zone) group_left sum by (zone) (req)",
+      0, 100))
+    intercept[IllegalArgumentException](e.query(
+      "sum by (dc) (req) > on (dc) sum by (dc) (req)", 0, 100))
+    intercept[IllegalArgumentException](e.query(
+      "req / on (dc) sum by (dc) (req)", 0, 100))
+    intercept[IllegalArgumentException](e.query(
+      "sum by (dc) (req) / on () sum by (dc) (req)", 0, 100))
+    // parse-level: group_left label-carry lists are rejected loudly
+    intercept[PromParseException](
+      PromParser.parse("a / on (x) group_left (y) b"))
+    // multi-row scalar operand (topk k>1) rejects; k=1 is fine
+    intercept[IllegalArgumentException](e.query(
+      "sum by (service) (req) / topk(2, req)", 0, 100))
+    assert(groupRows(e.query(
+      "sum by (service) (req) / topk(1, req)", 0, 100).output) ==
+      Set(Some("web") -> 7d / 32, Some("mob") -> 24d / 32,
+        Some("cli") -> 1d))
+  }
+
+  test("without canonical string escapes structural characters") {
+    // two label sets that would MERGE if the canonical k=v,k=v string
+    // were unescaped: {a: "1,b=2"} vs {a: "1", b: "2"}
+    val rows = Seq(
+      ("m", Map("a" -> "1,b=2"), 10L, 1d),
+      ("m", Map("a" -> "1", "b" -> "2"), 10L, 2d))
+    val e = new TsdbEngine(spark, longDf(rows),
+      new StreamCatalog(Seq(StreamDef("m", Map.empty, VType.F64))))
+    val out = e.query("sum without () (m)", 0, 100).output
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(out == Set("a=1%2Cb%3D2" -> 1d, "a=1,b=2" -> 2d))
+    // the escaping matches LabelCodec byte-for-byte
+    assert(LabelCodec.escape("1,b=2") == "1%2Cb%3D2")
+    // clean values stay unescaped (r10 group strings unchanged)
+    assert(groupedEngine().query("sum without (dc) (req)", 0, 100)
+      .output.collect().map(_.getString(0)).toSet ==
+      Set("service=web", "service=mob", "service=cli"))
+  }
+
   test("grouping rejections: double clause, composition, bad children") {
     val e = groupedEngine()
     intercept[PromParseException](
       PromParser.parse("sum by (a) (req) by (b)"))
-    // grouped results stay terminal for aggregate/topk
-    intercept[IllegalArgumentException](
-      e.query("sum(sum by (service) (req))", 0, 100))
-    intercept[IllegalArgumentException](
-      e.query("topk(2, sum by (service) (req))", 0, 100))
-    // binary composition requires IDENTICAL grouping, no comparisons,
-    // and no plain-vector operand
+    // binary composition requires IDENTICAL grouping (without an
+    // explicit on/ignoring), no comparisons, no plain-vector operand
     intercept[IllegalArgumentException](
       e.query("sum by (service) (req) / sum by (dc) (req)", 0, 100))
     intercept[IllegalArgumentException](

@@ -65,6 +65,15 @@ class ParserRoundTripSpec extends AnyFunSuite {
   private def renderGrouping(g: Grouping): String =
     s" ${if (g.by) "by" else "without"} (${g.labels.mkString(", ")})"
 
+  private def renderMatch(m: VectorMatch): String = {
+    val card = m.card match {
+      case OneToOne => ""
+      case ManyToOne => " group_left"
+      case OneToMany => " group_right"
+    }
+    s" ${if (m.on) "on" else "ignoring"} (${m.labels.mkString(", ")})$card"
+  }
+
   private def render(e: Expr): String = e match {
     case NumberLit(v) =>
       if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
@@ -75,7 +84,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
       val base = renderSel(s.copy(at = None, offsetMs = 0))
       val mods = renderSel(s).stripPrefix(base)
       s"$base[${r}ms]$mods"
-    case BinaryOp(k, l, r) => s"(${render(l)} ${binOp(k)} ${render(r)})"
+    case BinaryOp(k, l, r, m) =>
+      s"(${render(l)} ${binOp(k)}${m.map(renderMatch).getOrElse("")} ${render(r)})"
     case Aggregate(k, c, g) =>
       s"${aggName(k)}(${render(c)})${g.map(renderGrouping).getOrElse("")}"
     case GetK(top, k, c, g) =>
@@ -127,6 +137,24 @@ class ParserRoundTripSpec extends AnyFunSuite {
     else inner
   }
 
+  // group_left/right directly before a paren-initial RHS is rejected by
+  // the parser (a `(` there reads as a label-carry list), so the
+  // generator only attaches many-to-one cards to ident-/number-initial
+  // right operands — exactly the strings a user can legally write.
+  private def matchingGen(rhs: Expr): Gen[Option[VectorMatch]] = {
+    val parenInitial = rhs match {
+      case _: BinaryOp | _: SubqueryMatrix => true
+      case _ => false
+    }
+    Gen.option(for {
+      on <- Gen.oneOf(true, false)
+      n <- Gen.choose(0, 2)
+      ls <- Gen.listOfN(n, labelGen).map(_.distinct)
+      card <- if (parenInitial) Gen.const(OneToOne: MatchCard)
+              else Gen.oneOf[MatchCard](OneToOne, ManyToOne, OneToMany)
+    } yield VectorMatch(on, ls, card))
+  }
+
   private val groupingGen: Gen[Option[Grouping]] = for {
     g <- Gen.option(for {
       by <- Gen.oneOf(true, false)
@@ -156,7 +184,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
         k <- Gen.oneOf(Add, Sub, Mul, Div, Mod, Eq, Ne, Gt, Lt, Ge, Le)
         l <- exprGen(depth - 1)
         r <- exprGen(depth - 1)
-      } yield BinaryOp(k, l, r)),
+        m <- matchingGen(r)
+      } yield BinaryOp(k, l, r, m)),
       1 -> (for {
         k <- Gen.oneOf(FnAbs, FnCeil, FnFloor, FnSqrt, FnExp, FnLn,
           FnLog2, FnLog10, FnSgn)
