@@ -348,6 +348,15 @@ final class TsdbEngine(
       nestedGroupedAggregate(kind, child, ig, g, start, end)
     case GetK(_, _, _, Some(ig)) =>
       nestedGroupedAggregate(kind, child, ig, g, start, end)
+    // a grouped-binary child (the ts64 ratio shape) rolls up too:
+    // `avg by (dc) (sum by (dc, u) (x) / count by (dc, u) (x))` — the
+    // per-dc mean of per-user means. The binary's grouping is its
+    // LEFT operand's (identical-grouping joins share it; matched
+    // binaries keep the many side's, which sits left under group_left)
+    case BinaryOp(_, Aggregate(_, _, Some(ig)), _, _) if ig.by =>
+      nestedGroupedAggregate(kind, child, ig, g, start, end)
+    case BinaryOp(_, _, Aggregate(_, _, Some(ig)), _) if ig.by =>
+      nestedGroupedAggregate(kind, child, ig, g, start, end)
     case _ =>
       val (rows, gNames) = groupedVector(child, g, start, end)
       val out = rows.groupBy(gNames.map(col): _*).agg(aggColumn(kind).as("value"))

@@ -428,6 +428,12 @@ class EngineSpec extends AnyFunSuite {
     assert(top.grouped && top.df.columns.toSeq == Seq("service", "value"))
     assert(groupRows(top.output) ==
       Set(Some("cli") -> 32d, Some("mob") -> 24d))
+    // a grouped-binary child rolls up: per-dc SUM of per-(dc, service)
+    // means — (a: (3/2 + 8), b: (4 + 16), null: 32)
+    assert(groupRows(e.query(
+      "sum by (dc) (sum by (dc, service) (req) / count by (dc, service) (req))",
+      0, 100).output) ==
+      Set(Some("a") -> 9.5d, Some("b") -> 20d, (None: Option[String]) -> 32d))
     // rejections: outer labels must be a SUBSET of the inner grouping
     val nonSubset = intercept[IllegalArgumentException](
       e.query("sum by (zone) (sum by (dc, service) (req))", 0, 100))
