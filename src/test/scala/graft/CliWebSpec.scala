@@ -108,6 +108,15 @@ class CliWebSpec extends AnyFunSuite {
     val (c, lines) = cli(db, "query-range-by",
       "sum_over_time(req[20ms])", "service", "20", "40", "20")
     assert(c == 0 && lines == Seq("mob 20 8", "web 20 3", "web 40 4"), lines)
+    // the library surface's grouped SUBQUERY over the same fixture:
+    // both steps land in the one 40ms outer window at 20 — per-group
+    // max of the step series above (web max(3,4)=4, mob 8)
+    val sub = new graft.tsdb.GraftDb(spark, db)
+      .subqueryRangeBy("max_over_time(sum_over_time(req[20ms])[40ms:20ms])",
+        graft.tsdb.Expr.Grouping(by = true, List("service")), 20, 40)
+      .orderBy("service").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(sub.toSeq == Seq(("mob", 20L, 8d), ("web", 20L, 4d)), sub.toSeq)
   }
 
   test("http: \"by\" + \"step\" selects grouped query_range evaluation") {
