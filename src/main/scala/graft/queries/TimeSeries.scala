@@ -624,6 +624,19 @@ object TimeSeries {
         .orderBy(col("user").cast("long"), col("timestamp"))
     },
 
+    // inner-WITHOUT nesting: `sum without ()` groups on the full label
+    // set as the escaped canonical string, and the outer `avg by
+    // (cohort)` RE-OPENS it (str_to_map on the raw separators — safe
+    // because values are escaped). Values coincide with ts67 by
+    // construction: without () ≡ by (cohort, user) on this fixture.
+    "ts71_nested_without" -> { (s, dir) =>
+      engineCohort(s, dir)
+        .query("avg by (cohort) (sum without () (purchase))",
+          SubStart, SubEnd)
+        .output.select(col("cohort"), round(col("value"), 6).as("value"))
+        .orderBy("cohort")
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -1124,6 +1137,16 @@ object TimeSeries {
          |  ROUND(SUM(v), 6) AS value
          |FROM w GROUP BY cohort, grp, ws
          |ORDER BY cohort, CAST(grp AS BIGINT), ws""".stripMargin,
+
+    "ts71_nested_without" ->
+      s"""WITH d AS (SELECT CAST(user_id % 3 AS VARCHAR) AS cohort,
+         |        CAST(user_id AS VARCHAR) AS grp,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'),
+         |i AS (SELECT cohort, grp, SUM(v) AS sv
+         |      FROM d WHERE ${sub()} GROUP BY cohort, grp)
+         |SELECT cohort, ROUND(AVG(sv), 6) AS value
+         |FROM i GROUP BY cohort ORDER BY cohort""".stripMargin,
 
     "ts67_nested_grouped" ->
       s"""WITH d AS (SELECT CAST(user_id % 3 AS VARCHAR) AS cohort,

@@ -390,9 +390,13 @@ final class TsdbEngine(
     *  - outer `without (ks)`: key subtraction — the inner group columns
     *    minus ks, emitted per label (`without` over an addressable label
     *    set keeps the addressable form);
-    *  - an inner `without` is rejected: its output is ONE canonical
-    *    labels string whose keys are not individually addressable —
-    *    regroup the inner with `by`.
+    *  - an inner `without` emits ONE canonical labels column — but the
+    *    string is escaped (round 11), so its keys ARE re-extractable
+    *    with plain `str_to_map` on the raw separators: outer `by (ks)`
+    *    extracts and unescapes each label (absent → null, the
+    *    missing-label rule); outer `without (ks)` drops the keys from
+    *    the canonical map and re-joins (entries stay escaped, so no
+    *    round-trip) — `sum without (dc) (sum without () (m))` works.
     *
     * Input is post-aggregation group-count-sized, so the extra groupBy
     * is a metadata-sized exchange — group count never multiplies passes
@@ -401,25 +405,59 @@ final class TsdbEngine(
     */
   private def nestedGroupedAggregate(kind: AggKind, child: Expr,
       innerG: Grouping, g: Grouping, start: Long, end: Long): TsdbResult = {
-    require(innerG.by,
-      "nested grouped aggregation requires an inner `by` grouping — a " +
-        "`without` inner emits one canonical labels column whose keys " +
-        "are not individually addressable; regroup the inner with `by`")
     val c = eval(child, start, end)
-    val innerLabels = c.df.columns.init.toSeq
-    val keys =
-      if (g.by) {
-        val missing = g.labels.filterNot(innerLabels.contains)
-        require(missing.isEmpty,
-          s"outer `by` labels must be a subset of the inner grouping " +
-            s"(${innerLabels.mkString(", ")}); not produced by the " +
-            s"inner aggregate: ${missing.mkString(", ")}")
-        g.labels
-      } else innerLabels.filterNot(g.labels.contains)
-    val out = c.df.groupBy(keys.map(col): _*).agg(aggColumn(kind).as("value"))
+    val (rows, keys) =
+      if (innerG.by) {
+        val innerLabels = c.df.columns.init.toSeq
+        val ks =
+          if (g.by) {
+            val missing = g.labels.filterNot(innerLabels.contains)
+            require(missing.isEmpty,
+              s"outer `by` labels must be a subset of the inner grouping " +
+                s"(${innerLabels.mkString(", ")}); not produced by the " +
+                s"inner aggregate: ${missing.mkString(", ")}")
+            g.labels
+          } else innerLabels.filterNot(g.labels.contains)
+        (c.df, ks)
+      } else {
+        // inner `without`: re-open the canonical string. Safe since
+        // round 11 escapes keys and values — `,`/`=` in the string are
+        // exactly the entry separators, never content.
+        val m = str_to_map(col("labels"), lit(","), lit("="))
+        if (g.by) {
+          val reserved = Set("timestamp", "value", "wstart", "_rk", "labels")
+          val bad = g.labels.filter(reserved)
+          require(bad.isEmpty,
+            s"grouping labels collide with result columns: ${bad.mkString(", ")}")
+          val keyCols = g.labels.map(k =>
+            unescapeLabelCol(element_at(m, lit(LabelCodec.escape(k)))).as(k))
+          (c.df.select(keyCols :+ col("value"): _*), g.labels)
+        } else {
+          // key subtraction ON the canonical map; "" (empty remaining
+          // set) stays the one global group
+          val escaped = g.labels.map(LabelCodec.escape)
+          val mf =
+            if (g.labels.isEmpty) m
+            else map_filter(m, (k, _) => !k.isInCollection(escaped))
+          val canon = when(col("labels") === "", lit("")).otherwise(
+            array_join(transform(array_sort(map_keys(mf)),
+              k => concat(k, lit("="), element_at(mf, k))), ","))
+          (c.df.select(canon.as("labels"), col("value")), Seq("labels"))
+        }
+      }
+    val out = rows.groupBy(keys.map(col): _*).agg(aggColumn(kind).as("value"))
     val arity = if (kind == AggCount) out else out.where(col("value").isNotNull)
     TsdbResult(arity, isScalar = true, VType.F64, grouped = keys.nonEmpty)
   }
+
+  /** Inverse of [[escapeLabelCol]] for re-opening the canonical group
+    * string: decode the six codes, `%25` LAST (escape encoded `%`
+    * first, so any `%XX` in the canonical is one of these six).
+    */
+  private def unescapeLabelCol(c: Column): Column =
+    Seq("%3D" -> "=", "%2C" -> ",", "%09" -> "\t",
+        "%0A" -> "\n", "%0D" -> "\r", "%25" -> "%")
+      .foldLeft(c) { case (acc, (enc, ch)) => replace(acc, lit(enc), lit(ch)) }
 
   /** topk/bottomk over a GROUPED child — `topk(3, sum by (user)
     * (purchase))`, the "top 3 users" query: the k best GROUP ROWS by

@@ -263,6 +263,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p69.contains("TakeOrderedAndProject"), p69.take(1200))
     assert(!p69.contains("windowspecdefinition"),
       "grouped-child topk must not open a window")
+    // ts71 inner-without nesting: the canonical re-open (str_to_map)
+    // is row-local — still one raw scan and no window
+    val p71 = plan(graft.queries.TimeSeries.queries("ts71_nested_without")(spark, sf))
+    assert(p71.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("events")) <= 1, p71.take(1500))
+    assert(!p71.contains("windowspecdefinition"),
+      "nested without-rollup needs no window")
     // ts70 grouped subquery: ONE raw scan (the inner sliding pass), the
     // bounded explode, every window (group, wstart)-keyed
     val p70 = plan(graft.queries.TimeSeries.queries("ts70_subquery_by")(spark, sf))

@@ -434,14 +434,32 @@ class EngineSpec extends AnyFunSuite {
       "sum by (dc) (sum by (dc, service) (req) / count by (dc, service) (req))",
       0, 100).output) ==
       Set(Some("a") -> 9.5d, Some("b") -> 20d, (None: Option[String]) -> 32d))
+    // an inner `without` re-opens through the escaped canonical:
+    // outer `by` extracts the label (count of inner full-label groups
+    // per dc: a has web+mob, b has web+mob, cli's group lacks dc)
+    assert(groupRows(e.query(
+      "count by (dc) (sum without () (req))", 0, 100).output) ==
+      Set(Some("a") -> 2d, Some("b") -> 2d, (None: Option[String]) -> 1d))
+    // outer `by` ≡ the direct grouped sum when inner keeps all labels
+    assert(groupRows(e.query(
+      "sum by (service) (sum without () (req))", 0, 100).output) ==
+      Set(Some("web") -> 7d, Some("mob") -> 24d, Some("cli") -> 32d))
+    // outer `without` subtracts keys from the canonical map
+    assert(e.query("sum without (dc) (sum without () (req))", 0, 100)
+      .output.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      Set("service=web" -> 7d, "service=mob" -> 24d, "service=cli" -> 32d))
+    // adversarial label VALUES round-trip through extraction unescaped
+    val adv = new TsdbEngine(spark, longDf(Seq(
+      ("m", Map("a" -> "1,b=2"), 10L, 1d),
+      ("m", Map("a" -> "1", "b" -> "2"), 10L, 2d))),
+      new StreamCatalog(Seq(StreamDef("m", Map.empty, VType.F64))))
+    assert(groupRows(adv.query(
+      "sum by (a) (sum without () (m))", 0, 100).output) ==
+      Set(Some("1,b=2") -> 1d, Some("1") -> 2d))
     // rejections: outer labels must be a SUBSET of the inner grouping
     val nonSubset = intercept[IllegalArgumentException](
       e.query("sum by (zone) (sum by (dc, service) (req))", 0, 100))
     assert(nonSubset.getMessage.contains("subset of the inner grouping"))
-    // an inner `without` is not addressable
-    val innerWithout = intercept[IllegalArgumentException](
-      e.query("sum by (dc) (sum without (service) (req))", 0, 100))
-    assert(innerWithout.getMessage.contains("inner `by` grouping"))
   }
 
   test("vector matching: on/ignoring with group_left/group_right") {
