@@ -637,6 +637,35 @@ object TimeSeries {
         .orderBy("cohort")
     },
 
+    // the beyond-reference Prometheus aggregate family (the reference
+    // accepts only sum/count/avg/min/max): per-user φ-quantile with
+    // percentile_cont's interpolation rule ...
+    "ts72_quantile_by" -> { (s, dir) =>
+      engine(s, dir)
+        .query("quantile(0.9, purchase) by (user)", SubStart, SubEnd)
+        .output.select(col("user"), round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
+    // ... per-user population stddev ...
+    "ts73_stddev_by" -> { (s, dir) =>
+      engine(s, dir)
+        .query("stddev(purchase) by (user)", SubStart, SubEnd)
+        .output.select(col("user"), round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
+    // ... and count_values: one row per distinct sample value (the
+    // value-histogram primitive), the value rendered as a string group
+    // column — both engines print doubles shortest-round-trip, so the
+    // string keys agree byte-for-byte.
+    "ts74_count_values" -> { (s, dir) =>
+      engine(s, dir)
+        .query("count_values(\"v\", purchase)", SubStart, SubEnd)
+        .output.select(col("v"), col("value"))
+        .orderBy(col("v"))
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -1147,6 +1176,26 @@ object TimeSeries {
          |      FROM d WHERE ${sub()} GROUP BY cohort, grp)
          |SELECT cohort, ROUND(AVG(sv), 6) AS value
          |FROM i GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "ts72_quantile_by" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS "user",
+         |  ROUND(quantile_cont(v, 0.9), 6) AS value
+         |FROM (SELECT user_id, epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase')
+         |WHERE ${sub()} GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts73_stddev_by" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS "user",
+         |  ROUND(stddev_pop(v), 6) AS value
+         |FROM (SELECT user_id, epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase')
+         |WHERE ${sub()} GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts74_count_values" ->
+      s"""SELECT CAST(v AS VARCHAR) AS v, CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM (SELECT epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase')
+         |WHERE ${sub()} GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ts67_nested_grouped" ->
       s"""WITH d AS (SELECT CAST(user_id % 3 AS VARCHAR) AS cohort,

@@ -85,6 +85,27 @@ object Expr {
   case object AggAvg extends AggKind
   case object AggMin extends AggKind
   case object AggMax extends AggKind
+  // The rest of Prometheus' aggregation-operator family — beyond the
+  // reference's five (planner.rs accepts only sum/count/avg/min/max)
+  // but table stakes for its PromQL users. All compose with grouping,
+  // nesting, and grouped binary like the original five.
+  /** Population standard deviation (Prometheus' stddev rule). */
+  case object AggStddev extends AggKind
+  /** Population variance. */
+  case object AggStdvar extends AggKind
+  /** 1 for every (group with) at least one sample — Prometheus group(). */
+  case object AggGroup extends AggKind
+  /** φ-quantile with linear interpolation (percentile_cont's rank rule,
+    * the same definition Prometheus documents); φ is a literal, bounds
+    * checked at plan time.
+    */
+  final case class AggQuantile(phi: Double) extends AggKind
+  /** count_values("label", v): one output row per distinct sample
+    * value, counted — the value rendered as a STRING group column
+    * named `label`. Emits a grouped result, so thresholds and grouped
+    * binary compose over it.
+    */
+  final case class AggCountValues(label: String) extends AggKind
 
   /** An aggregate's `by (labels)` / `without (labels)` clause. The
     * reference parses and DROPS grouping modifiers entirely

@@ -359,15 +359,33 @@ final class TsdbEngine(
       nestedGroupedAggregate(kind, child, ig, g, start, end)
     case _ =>
       val (rows, gNames) = groupedVector(child, g, start, end)
-      val out = rows.groupBy(gNames.map(col): _*).agg(aggColumn(kind).as("value"))
-      // empty-set arity (aggregate.rs:35-75): `by ()` over nothing emits
-      // no row for sum/avg/min/max but count → 0, like the ungrouped form
-      val arity = if (kind == AggCount) out else out.where(col("value").isNotNull)
-      TsdbResult(arity, isScalar = true, VType.F64, grouped = gNames.nonEmpty)
+      kind match {
+        case AggCountValues(label) =>
+          // the value-string column joins the group keys:
+          // `count_values("v", m) by (user)` — per (user, value) counts
+          requireValueLabel(label, gNames)
+          val out = rows
+            .groupBy(gNames.map(col) :+
+              col("value").cast("string").as(label): _*)
+            .agg(count(lit(1)).cast("double").as("value"))
+          TsdbResult(out, isScalar = true, VType.F64, grouped = true)
+        case _ =>
+          val out =
+            rows.groupBy(gNames.map(col): _*).agg(aggColumn(kind).as("value"))
+          // empty-set arity (aggregate.rs:35-75): `by ()` over nothing
+          // emits no row for sum/avg/min/max but count → 0, like the
+          // ungrouped form
+          val arity =
+            if (kind == AggCount) out else out.where(col("value").isNotNull)
+          TsdbResult(arity, isScalar = true, VType.F64, grouped = gNames.nonEmpty)
+      }
   }
 
   /** The grouped surface's aggregate column (count → double, matching
-    * [[aggregateBy]]). Shared by the one-level and nested paths.
+    * [[aggregateBy]]). Shared by the one-level and nested paths, and by
+    * the ungrouped form for the Float64 family. count_values changes
+    * the KEY SET, so it routes through the callers' grouped-keys
+    * special case instead.
     */
   private def aggColumn(kind: AggKind): Column = kind match {
     case AggSum => sum(col("value"))
@@ -375,6 +393,20 @@ final class TsdbEngine(
     case AggAvg => avg(col("value"))
     case AggMin => min(col("value"))
     case AggMax => max(col("value"))
+    // Prometheus' population moments
+    case AggStddev => stddev_pop(col("value").cast("double"))
+    case AggStdvar => var_pop(col("value").cast("double"))
+    // group(): 1 wherever at least one sample exists
+    case AggGroup => when(count(lit(1)) > 0, lit(1.0))
+    case AggQuantile(phi) =>
+      // PromQL's φ-quantile is linear interpolation at rank φ(n-1) —
+      // SQL percentile_cont's rule, Spark's exact `percentile`. Out of
+      // bounds rejects loudly (Prometheus emits ±Inf with a warning;
+      // this engine refuses loudly instead, like its other edges)
+      require(phi >= 0 && phi <= 1, s"quantile φ must be in [0, 1], got $phi")
+      expr(s"percentile(CAST(value AS DOUBLE), CAST($phi AS DOUBLE))")
+    case AggCountValues(_) => throw new IllegalStateException(
+      "count_values routes through the grouped-keys path")
   }
 
   /** NESTED grouped aggregation — `sum by (dc) (sum by (dc, instance)
@@ -445,9 +477,20 @@ final class TsdbEngine(
           (c.df.select(canon.as("labels"), col("value")), Seq("labels"))
         }
       }
-    val out = rows.groupBy(keys.map(col): _*).agg(aggColumn(kind).as("value"))
-    val arity = if (kind == AggCount) out else out.where(col("value").isNotNull)
-    TsdbResult(arity, isScalar = true, VType.F64, grouped = keys.nonEmpty)
+    kind match {
+      case AggCountValues(label) =>
+        requireValueLabel(label, keys)
+        val out = rows
+          .groupBy(keys.map(col) :+ col("value").cast("string").as(label): _*)
+          .agg(count(lit(1)).cast("double").as("value"))
+        TsdbResult(out, isScalar = true, VType.F64, grouped = true)
+      case _ =>
+        val out =
+          rows.groupBy(keys.map(col): _*).agg(aggColumn(kind).as("value"))
+        val arity =
+          if (kind == AggCount) out else out.where(col("value").isNotNull)
+        TsdbResult(arity, isScalar = true, VType.F64, grouped = keys.nonEmpty)
+    }
   }
 
   /** Inverse of [[escapeLabelCol]] for re-opening the canonical group
@@ -995,6 +1038,21 @@ final class TsdbEngine(
     case AggAvg =>
       TsdbResult(child.df.agg(avg("value").as("value")).where(col("value").isNotNull),
         isScalar = true, VType.F64)
+    // the beyond-reference Prometheus family: Float64 like PromQL, empty
+    // input emits no row (the sum/avg arity rule)
+    case AggStddev | AggStdvar | AggGroup | _: AggQuantile =>
+      TsdbResult(
+        child.df.agg(aggColumn(kind).as("value")).where(col("value").isNotNull),
+        isScalar = true, VType.F64)
+    case AggCountValues(label) =>
+      // one row per distinct sample value: a GROUPED result whose one
+      // group column is the value rendered as a string — thresholds and
+      // grouped binary compose over it like any `by (label)` output
+      requireValueLabel(label, Nil)
+      TsdbResult(
+        child.df.groupBy(col("value").cast("string").as(label))
+          .agg(count(lit(1)).cast("double").as("value")),
+        isScalar = true, VType.F64, grouped = true)
     case other =>
       val aggCol = other match {
         case AggSum => sum(col("value"))
@@ -1005,6 +1063,14 @@ final class TsdbEngine(
       TsdbResult(child.df.agg(aggCol.as("value")).where(col("value").isNotNull),
         isScalar = true, child.vtype)
   }
+
+  /** count_values' output label must not collide with result columns or
+    * the surrounding grouping's keys.
+    */
+  private def requireValueLabel(label: String, keys: Seq[String]): Unit =
+    require(!keys.contains(label) &&
+      !Set("value", "timestamp", "wstart", "_rk").contains(label),
+      s"count_values label collides with a result column: $label")
 
   /** GetKNode: top-k/bottom-k by value over the whole range, emitted as k
     * scalars in rank order; ties favor newer samples (get_k.rs:86-128);

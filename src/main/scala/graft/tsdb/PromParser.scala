@@ -109,7 +109,10 @@ object PromParser {
 
     val aggNames = Map(
       "sum" -> AggSum, "count" -> AggCount, "avg" -> AggAvg,
-      "min" -> AggMin, "max" -> AggMax)
+      "min" -> AggMin, "max" -> AggMax,
+      // the rest of Prometheus' family (beyond the reference's five);
+      // parameterized quantile/count_values parse in their own branch
+      "stddev" -> AggStddev, "stdvar" -> AggStdvar, "group" -> AggGroup)
 
     // Range functions — the engine's documented extension (Ast.RangeFn).
     val rangeFnNames = Map(
@@ -289,6 +292,40 @@ object PromParser {
         if (prefix.isDefined && suffix.isDefined) throw new PromParseException(
           s"$name has two grouping clauses in: $q")
         Aggregate(aggNames(name), child, prefix.orElse(suffix))
+      case TIdent(fn @ ("quantile" | "count_values"))
+          if peek == TOp("(") || peek == TIdent("by") || peek == TIdent("without") =>
+        // parameterized aggregates: `quantile(0.9, m)` (numeric-literal
+        // φ) and `count_values("label", m)` (string label); grouping in
+        // either position like the plain aggregates
+        val prefix = peekGrouping()
+        expectOp("(")
+        val kind: AggKind = fn match {
+          case "quantile" =>
+            val phi = next() match {
+              case TNum(v) => v
+              case TOp("-") => next() match {
+                case TNum(v) => -v
+                case t => throw new PromParseException(
+                  s"bad quantile argument: $t in: $q")
+              }
+              case t => throw new PromParseException(
+                s"quantile takes a numeric literal first, got $t in: $q")
+            }
+            AggQuantile(phi)
+          case _ =>
+            next() match {
+              case TStr(label) => AggCountValues(label)
+              case t => throw new PromParseException(
+                s"""count_values takes a string label first ("label", v), got $t in: $q""")
+            }
+        }
+        expectOp(",")
+        val child = parseExpr()
+        expectOp(")")
+        val suffix = peekGrouping()
+        if (prefix.isDefined && suffix.isDefined) throw new PromParseException(
+          s"$fn has two grouping clauses in: $q")
+        Aggregate(kind, child, prefix.orElse(suffix))
       case TIdent(fn @ ("topk" | "bottomk"))
           if peek == TOp("(") || peek == TIdent("by") || peek == TIdent("without") =>
         // grouping in either position, like the aggregates:

@@ -543,6 +543,48 @@ class EngineSpec extends AnyFunSuite {
       Set("service=web", "service=mob", "service=cli"))
   }
 
+  test("prometheus aggregate family: stddev/stdvar/group/quantile/count_values") {
+    val e = groupedEngine() // values {1,2,4} web, {8,16} mob, {32} cli
+    // population moments over all six samples (mean 10.5, var 117.25)
+    assert(math.abs(sca(e, "stdvar(req)").head - 117.25) < 1e-9)
+    assert(math.abs(sca(e, "stddev(req)").head - math.sqrt(117.25)) < 1e-9)
+    // group(): 1 if any sample — ungrouped, per group, and empty
+    assert(sca(e, "group(req)") == Seq(1d))
+    assert(groupRows(e.query("group(req) by (service)", 0, 100).output) ==
+      Set(Some("web") -> 1d, Some("mob") -> 1d, Some("cli") -> 1d))
+    assert(sca(e, "group(req > 1000)") == Seq.empty)
+    // quantile: linear interpolation at rank φ(n-1), grouped too
+    assert(sca(e, "quantile(0.5, req)") == Seq(6d)) // (4+8)/2
+    assert(groupRows(e.query("quantile(0.5, req) by (service)", 0, 100).output) ==
+      Set(Some("web") -> 2d, Some("mob") -> 12d, Some("cli") -> 32d))
+    // prefix-grouping position parses like the other aggregates
+    assert(groupRows(e.query("quantile by (service) (0.5, req)", 0, 100).output) ==
+      Set(Some("web") -> 2d, Some("mob") -> 12d, Some("cli") -> 32d))
+    // count_values: one row per distinct value string; composes with
+    // row-local transforms (req % 4 folds 4, 8, 16, 32 into 0)
+    val cv = e.query("count_values(\"v\", req % 4)", 0, 100)
+    assert(cv.grouped && cv.df.columns.toSeq == Seq("v", "value"))
+    assert(cv.output.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      Set("0.0" -> 4d, "1.0" -> 1d, "2.0" -> 1d))
+    // grouped count_values: the value string joins the group keys
+    val cvg = e.query("count_values(\"v\", req) by (dc)", 0, 100)
+    assert(cvg.df.columns.toSeq == Seq("dc", "v", "value"))
+    assert(cvg.output.count() == 6L) // all values distinct per dc
+    // nested: outer sum folds per-(service) over the count_values rows
+    assert(groupRows(e.query(
+      "sum by (service) (count_values(\"v\", req) by (service))",
+      0, 100).output) ==
+      Set(Some("web") -> 3d, Some("mob") -> 2d, Some("cli") -> 1d))
+    // rejections: φ bounds, non-literal arguments, label collisions
+    intercept[IllegalArgumentException](e.query("quantile(1.5, req)", 0, 100))
+    intercept[PromParseException](
+      PromParser.parse("quantile(req, 0.5)"))
+    intercept[PromParseException](
+      PromParser.parse("count_values(v, req)"))
+    intercept[IllegalArgumentException](
+      e.query("count_values(\"value\", req)", 0, 100))
+  }
+
   test("grouping rejections: double clause, composition, bad children") {
     val e = groupedEngine()
     intercept[PromParseException](

@@ -47,7 +47,16 @@ class ParserRoundTripSpec extends AnyFunSuite {
 
   private def aggName(k: AggKind): String = k match {
     case AggSum => "sum"; case AggCount => "count"; case AggAvg => "avg"
-    case AggMin => "min"; case AggMax => "max"
+    case AggMin => "min"; case AggMax => "max"; case AggStddev => "stddev"
+    case AggStdvar => "stdvar"; case AggGroup => "group"
+    case _: AggQuantile => "quantile"; case _: AggCountValues => "count_values"
+  }
+
+  // quantile/count_values carry a leading literal argument
+  private def aggArg(k: AggKind): String = k match {
+    case AggQuantile(phi) => s"$phi, "
+    case AggCountValues(l) => s""""$l", """
+    case _ => ""
   }
 
   private def rangeFnName(k: RangeFnKind): String = k match {
@@ -87,7 +96,7 @@ class ParserRoundTripSpec extends AnyFunSuite {
     case BinaryOp(k, l, r, m) =>
       s"(${render(l)} ${binOp(k)}${m.map(renderMatch).getOrElse("")} ${render(r)})"
     case Aggregate(k, c, g) =>
-      s"${aggName(k)}(${render(c)})${g.map(renderGrouping).getOrElse("")}"
+      s"${aggName(k)}(${aggArg(k)}${render(c)})${g.map(renderGrouping).getOrElse("")}"
     case GetK(top, k, c, g) =>
       s"${if (top) "topk" else "bottomk"}(${render(k)}, ${render(c)})" +
         g.map(renderGrouping).getOrElse("")
@@ -170,7 +179,9 @@ class ParserRoundTripSpec extends AnyFunSuite {
       3 -> selGen,
       2 -> rangeFnGen,
       2 -> (for {
-        k <- Gen.oneOf(AggSum, AggCount, AggAvg, AggMin, AggMax)
+        k <- Gen.oneOf[AggKind](AggSum, AggCount, AggAvg, AggMin, AggMax,
+          AggStddev, AggStdvar, AggGroup, AggQuantile(0.5),
+          AggQuantile(0.99), AggCountValues("bucket"))
         c <- exprGen(depth - 1)
         g <- groupingGen
       } yield Aggregate(k, c, g)),
