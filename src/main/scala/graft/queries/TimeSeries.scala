@@ -666,6 +666,41 @@ object TimeSeries {
         .orderBy(col("v"))
     },
 
+    // set operators — `and` between plain vectors matches on the
+    // TIMESTAMP (the engine's V2V convention). Raw event instants never
+    // collide across types, so the gate intersects 12h WINDOW sums:
+    // purchase windows kept only where a click window also exists.
+    "ts75_set_and" -> { (s, dir) =>
+      engine(s, dir)
+        .query("sum_over_time(purchase[12h]) and sum_over_time(click[12h])",
+          SubStart, SubEnd)
+        .output.withColumn("value", round(col("value"), 6))
+        .orderBy("timestamp", "value")
+    },
+
+    // grouped `or`: users with any >400 purchase keep their PARTIAL
+    // (filtered) sums from the left side; everyone else falls through
+    // to the right side's full sums — the alert-overlay shape.
+    "ts76_set_or_grouped" -> { (s, dir) =>
+      engine(s, dir)
+        .query("sum by (user) (purchase > 400) or sum by (user) (purchase)",
+          SubStart, SubEnd)
+        .output.select(col("user"), round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
+    // grouped `unless` with an explicit on-subset key: per-(cohort,
+    // user) purchase sums for users NOT clicking more than 20 times —
+    // the anti-join against a coarser condition.
+    "ts77_set_unless_on" -> { (s, dir) =>
+      engineCohort(s, dir)
+        .query("sum by (cohort, user) (purchase) unless on (user) " +
+          "(count by (user) (click) > 20)", SubStart, SubEnd)
+        .output.select(col("cohort"), col("user"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("cohort"), col("user").cast("long"))
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -1176,6 +1211,47 @@ object TimeSeries {
          |      FROM d WHERE ${sub()} GROUP BY cohort, grp)
          |SELECT cohort, ROUND(AVG(sv), 6) AS value
          |FROM i GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "ts75_set_and" ->
+      s"""WITH p AS (SELECT t - ((t - $SubStart) % 43200000) AS ws, v
+         |           FROM ${ev("event_type = 'purchase'")} WHERE ${sub()}),
+         |c AS (SELECT t - ((t - $SubStart) % 43200000) AS ws
+         |      FROM ${ev("event_type = 'click'")} WHERE ${sub()}),
+         |pw AS (SELECT ws, ROUND(SUM(v), 6) AS value FROM p GROUP BY ws)
+         |SELECT ws AS timestamp, value FROM pw
+         |WHERE ws IN (SELECT ws FROM c)
+         |ORDER BY timestamp, value""".stripMargin,
+
+    "ts76_set_or_grouped" ->
+      s"""WITH base AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'),
+         |l AS (SELECT u, ROUND(SUM(v), 6) AS value
+         |      FROM base WHERE ${sub()} AND v > 400 GROUP BY u),
+         |r AS (SELECT u, ROUND(SUM(v), 6) AS value
+         |      FROM base WHERE ${sub()} GROUP BY u)
+         |SELECT "user", value FROM (
+         |  SELECT u AS "user", value FROM l
+         |  UNION ALL
+         |  SELECT u AS "user", value FROM r
+         |  WHERE u NOT IN (SELECT u FROM l))
+         |ORDER BY CAST("user" AS BIGINT)""".stripMargin,
+
+    "ts77_set_unless_on" ->
+      s"""WITH p AS (SELECT CAST(user_id % 3 AS VARCHAR) AS cohort,
+         |        CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t
+         |      FROM events WHERE event_type = 'click'),
+         |l AS (SELECT cohort, u, ROUND(SUM(v), 6) AS value
+         |      FROM p WHERE ${sub()} GROUP BY cohort, u),
+         |x AS (SELECT u FROM c WHERE ${sub()}
+         |      GROUP BY u HAVING COUNT(*) > 20)
+         |SELECT cohort, u AS "user", value FROM l
+         |WHERE u NOT IN (SELECT u FROM x)
+         |ORDER BY cohort, CAST(u AS BIGINT)""".stripMargin,
 
     "ts72_quantile_by" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS "user",

@@ -49,8 +49,23 @@ object Expr {
   case object Ge extends BinKind
   case object Le extends BinKind
 
+  // PromQL's logical/set operators (lowest precedence: or, then
+  // and/unless) — beyond the reference's arithmetic/comparison surface.
+  // Vector-only (scalar operands reject, as in Prometheus); the match
+  // key is the timestamp for plain vectors (this engine's V2V rule) and
+  // the group columns (or an explicit on/ignoring subset) for grouped
+  // operands.
+  case object And extends BinKind
+  case object Or extends BinKind
+  case object Unless extends BinKind
+
   def isComparison(k: BinKind): Boolean = k match {
     case Eq | Ne | Gt | Lt | Ge | Le => true
+    case _ => false
+  }
+
+  def isSetOp(k: BinKind): Boolean = k match {
+    case And | Or | Unless => true
     case _ => false
   }
 

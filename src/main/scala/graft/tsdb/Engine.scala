@@ -156,6 +156,9 @@ final class TsdbEngine(
       require(!isComparison(kind),
         "comparison between two sliding vectors is not supported " +
           "(V2V comparison is rejected in whole-range evaluation too)")
+      require(!isSetOp(kind),
+        "set operators (and/or/unless) are not supported in sliding " +
+          "evaluation — use query() for whole-range set composition")
       val l = slidingEval(lhs, startMs, endMs, stepMs)
         .select(col("timestamp"), col("value").cast("double").as("lv"))
       val r = slidingEval(rhs, startMs, endMs, stepMs)
@@ -225,7 +228,8 @@ final class TsdbEngine(
     case BinaryOp(kind, lhs, rhs, matching) =>
       val l = eval(lhs, start, end)
       val r = eval(rhs, start, end)
-      matching match {
+      if (isSetOp(kind)) setBinary(kind, l, r, matching)
+      else matching match {
         case Some(m) => groupedBinaryMatched(kind, l, r, m)
         case None =>
           if (l.grouped || r.grouped) groupedBinary(kind, l, r)
@@ -627,6 +631,102 @@ final class TsdbEngine(
             .as("value"): _*)
       TsdbResult(df, isScalar = true, VType.F64, grouped = true)
     case (false, false) => throw new IllegalStateException("not grouped")
+  }
+
+  /** PromQL's logical/set operators — `and` (intersection, keeping the
+    * left side's values), `unless` (difference), `or` (left side plus
+    * the right side's rows whose key the left lacks). Scalar operands
+    * reject, as in Prometheus. Match keys:
+    *
+    *  - plain vectors: the TIMESTAMP (this engine's V2V convention —
+    *    series identity is the (name, labels) scan, samples align on
+    *    time): `purchase and click` keeps purchase samples at instants
+    *    click observed. on/ignoring has no meaning here and rejects.
+    *  - grouped × grouped: the shared group columns, or an explicit
+    *    `on (ks)` / `ignoring (ks)` SUBSET key for and/unless
+    *    (semi/anti joins tolerate duplicate keys, so no uniqueness
+    *    requirement — unlike group_left). `or` unions both sides'
+    *    rows, so it requires identical group columns. group_left/right
+    *    do not apply to set operators (PromQL's rule) and reject.
+    *
+    * Scale shape: and/unless are LEFT SEMI/ANTI joins against the right
+    * side's distinct keys (map-side combinable, result ≤ left); `or`
+    * is a union with the right side anti-joined first. Grouped
+    * operands are post-aggregation group-count-sized; null-safe key
+    * equality so the missing-label null group matches itself.
+    */
+  private def setBinary(kind: BinKind, l: TsdbResult, r: TsdbResult,
+      m: Option[VectorMatch]): TsdbResult = {
+    require((!l.isScalar || l.grouped) && (!r.isScalar || r.grouped),
+      "set operators (and/or/unless) take vector or grouped operands, " +
+        "not scalars (the Prometheus rule)")
+    require(l.grouped == r.grouped,
+      "set operators need BOTH operands plain or BOTH grouped — a " +
+        "per-timestamp vector and a per-group result share no key")
+    if (!l.grouped) {
+      require(m.isEmpty,
+        "on/ignoring between plain vectors is not supported — their " +
+          "match key is the timestamp (this engine's V2V rule)")
+      val rKeys = r.df.select("timestamp").distinct()
+      kind match {
+        case And => TsdbResult(
+          l.df.join(rKeys, Seq("timestamp"), "left_semi"),
+          isScalar = false, l.vtype)
+        case Unless => TsdbResult(
+          l.df.join(rKeys, Seq("timestamp"), "left_anti"),
+          isScalar = false, l.vtype)
+        case _ => // Or
+          val lv = l.df.select(col("timestamp"),
+            col("value").cast("double").as("value"))
+          val rv = r.df
+            .join(l.df.select("timestamp").distinct(),
+              Seq("timestamp"), "left_anti")
+            .select(col("timestamp"), col("value").cast("double").as("value"))
+          TsdbResult(lv.unionByName(rv), isScalar = false,
+            VType.combine(l.vtype, r.vtype))
+      }
+    } else {
+      val lCols = l.df.columns.init.toSeq
+      val rCols = r.df.columns.init.toSeq
+      val key = m match {
+        case None =>
+          require(lCols == rCols,
+            s"set operands must share the same grouping (or give " +
+              s"on/ignoring): (${lCols.mkString(", ")}) vs " +
+              s"(${rCols.mkString(", ")})")
+          lCols
+        case Some(vm) =>
+          require(vm.card == OneToOne,
+            "group_left/group_right do not apply to set operators " +
+              "(the PromQL rule)")
+          val k = if (vm.on) vm.labels else rCols.filterNot(vm.labels.contains)
+          require(k.nonEmpty, "empty match key — on () has no semantics")
+          val missing =
+            k.filterNot(lCols.contains) ++ k.filterNot(rCols.contains)
+          require(missing.isEmpty,
+            s"match labels must be group columns of both operands: " +
+              s"missing ${missing.distinct.mkString(", ")}")
+          require(kind != Or || lCols == rCols,
+            "or requires identical group columns (the result unions " +
+              "both sides' rows)")
+          k
+      }
+      val rk = r.df.select(key.map(col): _*).distinct()
+        .toDF(key.map(_ + "_graft_r"): _*)
+      val cond = key.map(k => col(k) <=> col(k + "_graft_r")).reduce(_ && _)
+      kind match {
+        case And => TsdbResult(l.df.join(rk, cond, "left_semi"),
+          isScalar = true, VType.F64, grouped = true)
+        case Unless => TsdbResult(l.df.join(rk, cond, "left_anti"),
+          isScalar = true, VType.F64, grouped = true)
+        case _ => // Or: left rows, plus right rows whose key left lacks
+          val lk = l.df.select(key.map(col): _*).distinct()
+            .toDF(key.map(_ + "_graft_r"): _*)
+          val extra = r.df.join(lk, cond, "left_anti")
+          TsdbResult(l.df.unionByName(extra), isScalar = true,
+            VType.F64, grouped = true)
+      }
+    }
   }
 
   /** Binary ops under an EXPLICIT vector-matching modifier — the PromQL

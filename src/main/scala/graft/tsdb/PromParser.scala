@@ -134,7 +134,32 @@ object PromParser {
         FnSgn, FnRound, FnClamp, FnClampMin, FnClampMax)
         .map(k => k.name -> k).toMap
 
-    def parseExpr(): Expr = parseComparison()
+    def parseExpr(): Expr = parseOr()
+
+    // PromQL precedence: `or` binds loosest, then `and`/`unless`, then
+    // comparison and the arithmetic ladder.
+    def parseOr(): Expr = {
+      var l = parseAndUnless()
+      while (peek == TIdent("or")) {
+        next()
+        val m = parseMatching()
+        l = BinaryOp(Or, l, parseAndUnless(), m)
+      }
+      l
+    }
+
+    def parseAndUnless(): Expr = {
+      var l = parseComparison()
+      var continue = true
+      while (continue) peek match {
+        case TIdent(op @ ("and" | "unless")) =>
+          next()
+          val m = parseMatching()
+          l = BinaryOp(if (op == "and") And else Unless, l, parseComparison(), m)
+        case _ => continue = false
+      }
+      l
+    }
 
     // Optional subquery suffix `[range:step]` after a function call —
     // the ':' rides the following ident token (identRe admits ':'), so

@@ -585,6 +585,62 @@ class EngineSpec extends AnyFunSuite {
       e.query("count_values(\"value\", req)", 0, 100))
   }
 
+  test("set operators and/or/unless: vectors on time, grouped on keys") {
+    // plain vectors match on the TIMESTAMP (this engine's V2V rule)
+    val rows = Seq(
+      ("a", Map.empty[String, String], 10L, 1d),
+      ("a", Map.empty[String, String], 20L, 2d),
+      ("a", Map.empty[String, String], 30L, 3d),
+      ("b", Map.empty[String, String], 20L, 9d),
+      ("b", Map.empty[String, String], 40L, 4d))
+    val ev = new TsdbEngine(spark, longDf(rows), new StreamCatalog(Seq(
+      StreamDef("a", Map.empty, VType.F64),
+      StreamDef("b", Map.empty, VType.F64))))
+    assert(vectorOf(ev.query("a and b", 0, 100)) == Seq(20L -> 2d))
+    assert(vectorOf(ev.query("a unless b", 0, 100)) ==
+      Seq(10L -> 1d, 30L -> 3d))
+    assert(vectorOf(ev.query("a or b", 0, 100)) ==
+      Seq(10L -> 1d, 20L -> 2d, 30L -> 3d, 40L -> 4d))
+    // precedence: or binds loosest, and/unless above it, comparison above
+    assert(vectorOf(ev.query("a > 2 or b and b", 0, 100)) ==
+      Seq(20L -> 9d, 30L -> 3d, 40L -> 4d))
+    // grouped × grouped on the shared group columns; threshold filters
+    val e = groupedEngine()
+    assert(groupRows(e.query(
+      "sum by (service) (req) unless (sum by (service) (req) > 10)",
+      0, 100).output) == Set(Some("web") -> 7d))
+    assert(groupRows(e.query(
+      "(sum by (service) (req) > 10) or sum by (service) (req)",
+      0, 100).output) ==
+      Set(Some("web") -> 7d, Some("mob") -> 24d, Some("cli") -> 32d))
+    // explicit on (subset key): finer rows gated by a coarser condition
+    val fine = e.query(
+      "sum by (service, dc) (req) and on (service) " +
+        "(sum by (service) (req) > 10)", 0, 100)
+    assert(fine.df.columns.toSeq == Seq("service", "dc", "value"))
+    assert(fine.output.collect().toSet[Row].map(r =>
+      (Option(r.getString(0)), Option(r.getString(1)), r.getDouble(2))) ==
+      Set((Some("mob"), Some("a"), 8d), (Some("mob"), Some("b"), 16d),
+        (Some("cli"), (None: Option[String]), 32d)))
+    // the null group (missing label) matches itself — null-safe keys
+    assert(groupRows(e.query(
+      "sum by (dc) (req) and sum by (dc) (req)", 0, 100).output)
+      .map(_._1) == Set(Some("a"), Some("b"), (None: Option[String])))
+    // rejections: scalars, mixed arities, group_left, or over
+    // different columns, sliding evaluation
+    intercept[IllegalArgumentException](e.query("sum(req) and req", 0, 100))
+    intercept[IllegalArgumentException](
+      e.query("sum by (service) (req) and req", 0, 100))
+    intercept[IllegalArgumentException](e.query(
+      "sum by (service, dc) (req) and on (service) group_left " +
+        "sum by (service) (req)", 0, 100))
+    intercept[IllegalArgumentException](e.query(
+      "sum by (service, dc) (req) or on (service) sum by (service) (req)",
+      0, 100))
+    intercept[IllegalArgumentException](
+      e.queryRange("rate(req[15ms]) and rate(req[15ms])", 0, 100, 10))
+  }
+
   test("grouping rejections: double clause, composition, bad children") {
     val e = groupedEngine()
     intercept[PromParseException](

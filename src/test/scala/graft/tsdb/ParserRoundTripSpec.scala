@@ -43,6 +43,7 @@ class ParserRoundTripSpec extends AnyFunSuite {
     case Add => "+"; case Sub => "-"; case Mul => "*"; case Div => "/"
     case Mod => "%"; case Eq => "=="; case Ne => "!="; case Gt => ">"
     case Lt => "<"; case Ge => ">="; case Le => "<="
+    case And => "and"; case Or => "or"; case Unless => "unless"
   }
 
   private def aggName(k: AggKind): String = k match {
@@ -192,7 +193,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
         g <- groupingGen
       } yield GetK(top, NumberLit(kv.toDouble), c, g)),
       2 -> (for {
-        k <- Gen.oneOf(Add, Sub, Mul, Div, Mod, Eq, Ne, Gt, Lt, Ge, Le)
+        k <- Gen.oneOf(Add, Sub, Mul, Div, Mod, Eq, Ne, Gt, Lt, Ge, Le,
+          And, Or, Unless)
         l <- exprGen(depth - 1)
         r <- exprGen(depth - 1)
         m <- matchingGen(r)
