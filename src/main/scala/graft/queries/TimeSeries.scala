@@ -71,6 +71,30 @@ object TimeSeries {
     new TsdbEngine(s, data, catalog)
   }
 
+  /** Cumulative-histogram fixture (ts78): each purchase event explodes
+    * into one `purchase_bucket` sample per bucket bound
+    * (le ∈ {100, 250, 400, +Inf}), labels {user, le}, value 1 when the
+    * event's value falls within the bound — so `sum by (user, le)`
+    * yields exactly the cumulative bucket counts histogram_quantile
+    * consumes (the classic_histogram layout Prometheus scrapes).
+    */
+  def engineBuckets(s: SparkSession, dir: String): TsdbEngine = {
+    val ev = table(s, dir, "events").where(col("event_type") === "purchase")
+    val leVals = Seq("100" -> 100.0, "250" -> 250.0, "400" -> 400.0,
+      "+Inf" -> Double.PositiveInfinity)
+    val data = ev
+      .select(graft.engine.Graft.tsMillis(ev).as("timestamp"),
+        col("user_id").cast("string").as("user"), col("value").as("v"))
+      .withColumn("b", explode(array(leVals.map { case (s0, d) =>
+        struct(lit(s0).as("le"), lit(d).as("bound")) }: _*)))
+      .select(lit("purchase_bucket").as("name"),
+        map(lit("user"), col("user"), lit("le"), col("b.le")).as("labels"),
+        col("timestamp"),
+        when(col("v") <= col("b.bound"), 1.0).otherwise(0.0).as("value"))
+    new TsdbEngine(s, data, new StreamCatalog(
+      Seq(StreamDef("purchase_bucket", Map.empty, VType.F64))))
+  }
+
   private def q(promql: String, start: Long = SubStart, end: Long = SubEnd,
       roundTo: Int = -1, dedup: Boolean = false)(
       s: SparkSession, dir: String): DataFrame = {
@@ -701,6 +725,54 @@ object TimeSeries {
         .orderBy(col("cohort"), col("user").cast("long"))
     },
 
+    // histogram_quantile over the cumulative-bucket fixture: per-user
+    // p90 estimate interpolated inside {100, 250, 400, +Inf} buckets
+    // (Prometheus' published bucket rule; heavy users whose rank lands
+    // in +Inf answer the highest finite bound).
+    "ts78_histogram_quantile" -> { (s, dir) =>
+      engineBuckets(s, dir)
+        .query("histogram_quantile(0.9, sum by (user, le) (purchase_bucket))",
+          SubStart, SubEnd)
+        .output.select(col("user"), round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
+    // predict_linear: deriv's least-squares line pushed 1h past each
+    // window anchor — the disk-full alerting shape.
+    "ts79_predict_linear" -> q("predict_linear(click[1d], 3600)",
+      roundTo = 6) _,
+
+    // mad_over_time: unscaled median absolute deviation per window —
+    // the robust dispersion (median of |v - median|, interpolated
+    // medians on both sides).
+    "ts80_mad_over_time" -> q("mad_over_time(purchase[1d])", roundTo = 6) _,
+
+    // label_replace + nested rollup: bucket users by their LAST digit
+    // (regex capture on the user label), then re-aggregate onto the
+    // derived label — the relabel-then-rollup shape.
+    "ts81_label_replace" -> { (s, dir) =>
+      engine(s, dir)
+        .query("sum by (bucket) (label_replace(" +
+          "sum by (user) (purchase), \"bucket\", \"b$1\", \"user\", \".*(.)\"))",
+          SubStart, SubEnd)
+        .output.select(col("bucket"), round(col("value"), 6).as("value"))
+        .orderBy(col("bucket"))
+    },
+
+    // label_join: a composite cohort-user key column derived row-locally
+    // on the grouped result.
+    "ts82_label_join" -> { (s, dir) =>
+      engineCohort(s, dir)
+        .query("label_join(sum by (cohort, user) (purchase), " +
+          "\"cu\", \"-\", \"cohort\", \"user\")", SubStart, SubEnd)
+        .output.select(col("cohort"), col("user"), col("cu"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("cohort"), col("user").cast("long"))
+    },
+
+    // timestamp(): each sample's own epoch-second as the value.
+    "ts83_timestamp" -> q("timestamp(purchase)", roundTo = 6) _,
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -947,6 +1019,85 @@ object TimeSeries {
        |      FROM ${p}_a WHERE n >= 2 AND t1 > t0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // histogram_quantile: cumulative bucket counts per (user, le) from
+    // the same exploded fixture, then Prometheus' interpolation rule —
+    // the FIRST bucket whose count reaches rank = 0.9·total, linear in
+    // [prev_le, le]; an +Inf candidate answers the highest finite
+    // bound. Expression shapes mirror the engine exactly so the FP
+    // rounds identically at 6 decimals.
+    "ts78_histogram_quantile" ->
+      s"""WITH obs AS (SELECT CAST(user_id AS VARCHAR) AS u, value AS v,
+         |        epoch_ns(ts)//1000000 AS t
+         |      FROM events WHERE event_type = 'purchase'),
+         |w AS (SELECT u, v FROM obs WHERE ${sub()}),
+         |b(le) AS (VALUES (100.0), (250.0), (400.0), ('inf'::DOUBLE)),
+         |c AS (SELECT u, le,
+         |        CAST(COUNT(*) FILTER (WHERE v <= le) AS DOUBLE) AS cnt
+         |      FROM w CROSS JOIN b GROUP BY u, le),
+         |x AS (SELECT u, le, cnt,
+         |        LAG(le) OVER win AS ple, LAG(cnt) OVER win AS pcnt,
+         |        MAX(cnt) OVER (PARTITION BY u) AS total,
+         |        MAX(CASE WHEN isfinite(le) THEN le END)
+         |          OVER (PARTITION BY u) AS maxfin
+         |      FROM c WINDOW win AS (PARTITION BY u ORDER BY le))
+         |SELECT u AS "user",
+         |  ROUND(CASE WHEN NOT isfinite(le) THEN maxfin
+         |             WHEN ple IS NULL AND le <= 0 THEN le
+         |             ELSE COALESCE(ple, 0) + (le - COALESCE(ple, 0)) *
+         |                  ((0.9 * total - COALESCE(pcnt, 0)) /
+         |                   (cnt - COALESCE(pcnt, 0))) END, 6) AS value
+         |FROM x
+         |WHERE total > 0 AND cnt >= 0.9 * total
+         |  AND COALESCE(pcnt < 0.9 * total, TRUE)
+         |ORDER BY CAST(u AS BIGINT)""".stripMargin,
+
+    "ts79_predict_linear" ->
+      s"""WITH w AS (SELECT t - ((t - $SubStart) % 86400000) AS ws, t, v
+         |           FROM ${ev("event_type = 'click'")} WHERE ${sub()})
+         |SELECT ws AS timestamp,
+         |  ROUND(regr_intercept(v, (t - ws) / 1000.0) +
+         |        regr_slope(v, (t - ws) / 1000.0) * 3600, 6) AS value
+         |FROM w GROUP BY ws
+         |HAVING regr_slope(v, (t - ws) / 1000.0) IS NOT NULL
+         |ORDER BY timestamp""".stripMargin,
+
+    "ts80_mad_over_time" ->
+      s"""WITH w AS (SELECT t - ((t - $SubStart) % 86400000) AS ws, t, v
+         |           FROM ${ev("event_type = 'purchase'")} WHERE ${sub()}),
+         |m AS (SELECT ws, quantile_cont(v, 0.5) AS med FROM w GROUP BY ws)
+         |SELECT w.ws AS timestamp,
+         |  ROUND(quantile_cont(ABS(w.v - m.med), 0.5), 6) AS value
+         |FROM w JOIN m ON w.ws = m.ws GROUP BY w.ws
+         |ORDER BY timestamp""".stripMargin,
+
+    // label_replace then rollup: inner per-user sums regrouped onto the
+    // derived last-digit bucket (two-level GROUP BY so the FP addition
+    // order matches the engine's nested evaluation).
+    "ts81_label_replace" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'),
+         |inner_sums AS (SELECT u, SUM(v) AS v FROM d
+         |      WHERE ${sub()} GROUP BY u)
+         |SELECT 'b' || right(u, 1) AS bucket, ROUND(SUM(v), 6) AS value
+         |FROM inner_sums GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "ts82_label_join" ->
+      s"""SELECT CAST(user_id % 3 AS VARCHAR) AS cohort,
+         |  CAST(user_id AS VARCHAR) AS "user",
+         |  CAST(user_id % 3 AS VARCHAR) || '-' || CAST(user_id AS VARCHAR)
+         |    AS cu,
+         |  ROUND(SUM(value), 6) AS value
+         |FROM (SELECT user_id, epoch_ns(ts)//1000000 AS t, value
+         |      FROM events WHERE event_type = 'purchase')
+         |WHERE ${sub()} GROUP BY user_id
+         |ORDER BY cohort, CAST(user_id AS BIGINT)""".stripMargin,
+
+    "ts83_timestamp" ->
+      s"""SELECT t AS timestamp, ROUND(t / 1000.0, 6) AS value
+         |FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} ORDER BY timestamp""".stripMargin,
+
     "ts32_dsv2_scan" ->
       s"""SELECT t - t % 86400000 AS day, ROUND(SUM(v), 6) AS sum_value,
          |COUNT(*) AS n FROM ${ev("event_type = 'purchase'")}

@@ -196,6 +196,16 @@ object Expr {
   case object FnIdelta extends RangeFnKind
   case object FnIrate extends RangeFnKind
   case object FnDeriv extends RangeFnKind
+  /** predict_linear(m[r], t) — the least-squares line (deriv's
+    * regression) extrapolated to t seconds AFTER the row's emitted
+    * timestamp (the window anchor: tumbling → window start, sliding →
+    * the step instant); t is the one entry in RangeFn.args.
+    */
+  case object FnPredictLinear extends RangeFnKind
+  /** mad_over_time — median absolute deviation (unscaled), the robust
+    * dispersion Prometheus added in 3.x behind a feature flag.
+    */
+  case object FnMadOverTime extends RangeFnKind
   /** 1 for every window with NO samples — the gap detector. */
   case object FnAbsentOverTime extends RangeFnKind
 
@@ -229,6 +239,52 @@ object Expr {
 
   final case class InstantFn(kind: InstantFnKind, child: Expr,
       args: List[Double]) extends Expr
+
+  /** histogram_quantile(φ, v) — Prometheus' bucket-interpolation
+    * quantile. `child` must evaluate to a GROUPED (`by`) result whose
+    * group columns include `le` (the cumulative bucket upper bound,
+    * "+Inf" for the top bucket): the canonical call is
+    * `histogram_quantile(0.9, sum by (job, le) (bucket_metric))`.
+    * Groups are the remaining label columns; each group's buckets
+    * interpolate per Prometheus' published rule (promql/quantile.go):
+    * rank φ·total located in the first bucket whose cumulative count
+    * reaches it, linear within [prev_le, le], the +Inf bucket answering
+    * with the highest finite le, a first bucket with le ≤ 0 answering
+    * its own le. φ outside [0, 1] is rejected loudly (this engine's
+    * quantile policy); groups lacking a +Inf bucket or with fewer than
+    * two buckets are dropped (Prometheus yields NaN with a warning).
+    */
+  final case class HistogramQuantile(phi: Double, child: Expr) extends Expr
+
+  /** label_replace(v, "dst", "replacement", "src", "regex") — row-local
+    * group-label rewrite over a GROUPED (`by`) result: when `regex`
+    * (fully anchored, as in Prometheus) matches the `src` column, `dst`
+    * becomes `replacement` with $1..$n capture expansion; otherwise the
+    * row keeps its existing `dst` (or stays absent). An empty expansion
+    * removes the label (null — the engine's missing-label encoding).
+    */
+  final case class LabelReplace(child: Expr, dst: String,
+      replacement: String, src: String, regex: String) extends Expr
+
+  /** label_join(v, "dst", "sep", "src1", ...) — `dst` = the source
+    * label columns joined with `sep`, over a GROUPED (`by`) result.
+    * Absent source labels contribute "" (Prometheus' rule).
+    */
+  final case class LabelJoin(child: Expr, dst: String, sep: String,
+      srcs: List[String]) extends Expr
+
+  /** sort(v) / sort_desc(v) — value-ordered vector output (ties by
+    * timestamp, then group columns, so the order is total). Ordering is
+    * PRESENTATION: a DataFrame consumer may re-shuffle it, but the CLI /
+    * HTTP / CSV surfaces render in this order.
+    */
+  final case class Sort(desc: Boolean, child: Expr) extends Expr
+
+  /** timestamp(v) — each sample's own timestamp in SECONDS as the value
+    * (Prometheus' timestamp()); requires a result that still carries a
+    * timestamp column (plain vectors and sliding/grouped step results).
+    */
+  final case class TimestampFn(child: Expr) extends Expr
 }
 
 /** The reference's value types and coercion lattice (lib.rs:54-73):

@@ -307,11 +307,167 @@ final class TsdbEngine(
       TsdbResult(c.df.withColumn("value", mapped),
         isScalar = c.isScalar, VType.F64, grouped = c.grouped)
 
+    case HistogramQuantile(phi, child) =>
+      histogramQuantile(phi, eval(child, start, end))
+
+    case LabelReplace(child, dst, repl, src, regex) =>
+      // Row-local group-label rewrite. Grouped (`by`) results carry one
+      // addressable column per label, so the rewrite is a projection —
+      // no exchange, and the result composes with nested rollups,
+      // grouped binary, and set operators like any grouped result.
+      val c = eval(child, start, end)
+      require(c.grouped, "label_replace operates on a grouped (`by`) " +
+        "result — aggregate with `by (...)` first so labels are columns")
+      val cols = c.df.columns
+      require(cols.contains(src),
+        s"label_replace source label `$src` is not a group column of " +
+          s"the operand (${cols.init.mkString(", ")})")
+      val reserved = Set("timestamp", "value", "wstart", "_rk", "labels")
+      require(!reserved.contains(dst),
+        s"label_replace destination `$dst` collides with a result column")
+      // anchored like Prometheus (the regex must match the WHOLE value);
+      // malformed patterns reject at plan time, loudly
+      val anchored = "^(?:" + regex + ")$"
+      java.util.regex.Pattern.compile(anchored)
+      val srcC = coalesce(col(src).cast("string"), lit(""))
+      val expanded = regexp_replace(srcC, lit(anchored), lit(repl))
+      val existing =
+        if (cols.contains(dst)) col(dst) else lit(null).cast("string")
+      // an empty expansion REMOVES the label (null — the engine's
+      // missing-label encoding); no match keeps the existing dst
+      val newDst = when(srcC.rlike(anchored),
+        when(expanded === "", lit(null)).otherwise(expanded))
+        .otherwise(existing)
+      val out =
+        if (cols.contains(dst))
+          c.df.select(cols.map(n =>
+            if (n == dst) newDst.as(dst) else col(n)).toSeq: _*)
+        else
+          c.df.select((cols.init.map(col) :+ newDst.as(dst)) :+
+            col(cols.last): _*)
+      TsdbResult(out, c.isScalar, c.vtype, grouped = true)
+
+    case LabelJoin(child, dst, sep, srcs) =>
+      val c = eval(child, start, end)
+      require(c.grouped, "label_join operates on a grouped (`by`) " +
+        "result — aggregate with `by (...)` first so labels are columns")
+      val cols = c.df.columns
+      val missing = srcs.filterNot(cols.contains)
+      require(missing.isEmpty,
+        s"label_join source label(s) not group columns of the operand: " +
+          s"${missing.mkString(", ")} (have ${cols.init.mkString(", ")})")
+      val reserved = Set("timestamp", "value", "wstart", "_rk", "labels")
+      require(!reserved.contains(dst),
+        s"label_join destination `$dst` collides with a result column")
+      // absent source labels contribute "" (Prometheus' rule)
+      val joined = concat_ws(sep,
+        srcs.map(s0 => coalesce(col(s0).cast("string"), lit(""))): _*)
+      val out =
+        if (cols.contains(dst))
+          c.df.select(cols.map(n =>
+            if (n == dst) joined.as(dst) else col(n)).toSeq: _*)
+        else
+          c.df.select((cols.init.map(col) :+ joined.as(dst)) :+
+            col(cols.last): _*)
+      TsdbResult(out, c.isScalar, c.vtype, grouped = true)
+
+    case Sort(desc, child) =>
+      // presentation ordering by value (PromQL sort/sort_desc); ties
+      // break on the remaining columns so the order is total. The
+      // DataFrame contract can't pin downstream order, but the CLI /
+      // HTTP / CSV surfaces render in this order.
+      val c = eval(child, start, end)
+      require(!c.isScalar || c.grouped,
+        "sort applies to a vector or grouped result, not a scalar")
+      val rest = c.df.columns.filterNot(_ == "value").map(col(_).asc)
+      val ord = (if (desc) col("value").desc else col("value").asc) +: rest
+      TsdbResult(c.df.orderBy(ord.toSeq: _*), c.isScalar, c.vtype,
+        grouped = c.grouped, multiRow = c.multiRow)
+
+    case TimestampFn(child) =>
+      // each sample's own timestamp in seconds as the value; labels
+      // (columns) ride along. Only results that still carry sample
+      // timestamps qualify — aggregates have folded theirs away.
+      val c = eval(child, start, end)
+      require(c.df.columns.contains("timestamp"),
+        "timestamp() needs a result that still carries sample " +
+          "timestamps (a plain vector; aggregated results do not)")
+      TsdbResult(
+        c.df.withColumn("value", col("timestamp").cast("double") / 1000.0),
+        c.isScalar, VType.F64, grouped = c.grouped)
+
     case _: MatrixSelector =>
       // Preserve the reference's rejection for bare matrix selectors
       // (planner.rs rejects them outright; only RangeFn may consume one).
       throw new IllegalArgumentException(
         "matrix selector is only valid inside a range function")
+  }
+
+  /** histogram_quantile — Prometheus' bucket-interpolation quantile
+    * (the published rule, promql/quantile.go), over a GROUPED child
+    * whose group columns include `le` (the cumulative bucket bound;
+    * "+Inf" tops the histogram): `histogram_quantile(0.9,
+    * sum by (job, le) (bucket_metric))`. Per group (the non-`le`
+    * columns): rank = φ·total (total = the +Inf bucket's count); the
+    * answer lives in the FIRST bucket whose cumulative count reaches
+    * the rank, linearly interpolated across [prev_le, le]; the +Inf
+    * bucket answers with the highest finite le; a first bucket with
+    * le ≤ 0 answers its own le. Counts get Prometheus' monotonic
+    * repair (running max by bound) so a slightly unsorted histogram
+    * cannot yield a negative in-bucket mass. Groups without a +Inf
+    * bucket or with < 2 buckets drop (Prometheus: NaN + warning);
+    * malformed `le` strings drop their bucket (Prometheus skips them).
+    *
+    * Scale shape: the child is post-aggregation group-count-sized, so
+    * both window passes (same partitioning — one exchange) and the
+    * candidate filter touch bucket-count × group-count rows, never the
+    * scan.
+    */
+  private def histogramQuantile(phi: Double, c: TsdbResult): TsdbResult = {
+    require(phi >= 0 && phi <= 1,
+      s"histogram_quantile φ must be in [0, 1], got $phi")
+    require(c.grouped,
+      "histogram_quantile requires a grouped bucket vector — aggregate " +
+        "with `by (..., le)` so the bucket bound is a group column")
+    require(c.df.columns.contains("le"),
+      s"histogram_quantile needs an `le` group column (the bucket upper " +
+        s"bound); got columns: ${c.df.columns.mkString(", ")}")
+    val others = c.df.columns.filterNot(Set("le", "value")).toSeq
+    val part = others.map(col)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(part: _*).orderBy(col("le_num"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(part: _*)
+    val inf = lit(Double.PositiveInfinity)
+    val leNum = when(col("le").isin("+Inf", "Inf", "inf"), inf)
+      .otherwise(expr("try_cast(le AS double)"))
+    val staged = c.df
+      .withColumn("le_num", leNum)
+      .where(col("le_num").isNotNull)
+      // monotonic repair: cumulative counts may never decrease by bound
+      .withColumn("cnt", max(col("value").cast("double")).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("prev_le", lag(col("le_num"), 1).over(wOrd))
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(wOrd))
+      .withColumn("total", max(col("cnt")).over(wAll))
+      .withColumn("max_fin",
+        max(when(col("le_num") =!= inf, col("le_num"))).over(wAll))
+      .withColumn("top_le", max(col("le_num")).over(wAll))
+      .withColumn("nb", count(lit(1)).over(wAll))
+    val rank = lit(phi) * col("total")
+    val candidate = col("cnt") >= rank &&
+      coalesce(col("prev_cnt") < rank, lit(true))
+    val start0 = coalesce(col("prev_le"), lit(0.0))
+    val prev0 = coalesce(col("prev_cnt"), lit(0.0))
+    val value = when(col("le_num") === inf, col("max_fin"))
+      .when(col("prev_le").isNull && col("le_num") <= 0, col("le_num"))
+      .otherwise(start0 + (col("le_num") - start0) *
+        ((rank - prev0) / (col("cnt") - prev0)))
+    val out = staged
+      .where(col("top_le") === inf && col("total") > 0 &&
+        col("nb") >= 2 && candidate)
+      .select(part :+ value.as("value"): _*)
+    TsdbResult(out, isScalar = true, VType.F64, grouped = others.nonEmpty)
   }
 
   /** Grouped aggregate evaluation — the string surface for `by`/
@@ -361,6 +517,14 @@ final class TsdbEngine(
       nestedGroupedAggregate(kind, child, ig, g, start, end)
     case BinaryOp(_, _, Aggregate(_, _, Some(ig)), _) if ig.by =>
       nestedGroupedAggregate(kind, child, ig, g, start, end)
+    // label-manipulation children always yield addressable (`by`-shaped)
+    // grouped results, so the outer clause re-groups their rows like a
+    // nested `by` rollup — `sum by (bucket) (label_replace(sum by (u)
+    // (m), "bucket", ...))`, the relabel-then-rollup shape. Same for
+    // histogram_quantile (its output keeps the non-`le` group columns).
+    case _: LabelReplace | _: LabelJoin | _: HistogramQuantile =>
+      nestedGroupedAggregate(kind, child, Grouping(by = true, Nil),
+        g, start, end)
     case _ =>
       val (rows, gNames) = groupedVector(child, g, start, end)
       kind match {

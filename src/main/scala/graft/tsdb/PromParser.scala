@@ -126,7 +126,9 @@ object PromParser {
       "present_over_time" -> FnPresentOverTime,
       "changes" -> FnChanges, "resets" -> FnResets,
       "idelta" -> FnIdelta, "irate" -> FnIrate, "deriv" -> FnDeriv,
-      "absent_over_time" -> FnAbsentOverTime)
+      "absent_over_time" -> FnAbsentOverTime,
+      "predict_linear" -> FnPredictLinear,
+      "mad_over_time" -> FnMadOverTime)
 
     // Instant math functions — the extension's second half (Ast.InstantFn).
     val instantFnNames: Map[String, InstantFnKind] =
@@ -411,14 +413,90 @@ object PromParser {
           List(phi)
         } else Nil
         val child = parseExpr()
+        // predict_linear is the one kind with a TRAILING scalar:
+        // predict_linear(m[r], t_seconds). t must be a numeric literal.
+        val tailArgs = if (kind == FnPredictLinear) {
+          expectOp(",")
+          val t = next() match {
+            case TNum(v) => v
+            case TOp("-") => next() match {
+              case TNum(v) => -v
+              case t => throw new PromParseException(s"bad $fn horizon: $t")
+            }
+            case t => throw new PromParseException(
+              s"$fn requires a numeric horizon second argument, got $t in: $q")
+          }
+          List(t)
+        } else Nil
         expectOp(")")
         child match {
           case _: MatrixSelector | _: SubqueryMatrix =>
-            subquerySuffix(RangeFn(kind, child, fnArgs))
+            subquerySuffix(RangeFn(kind, child, fnArgs ++ tailArgs))
           case _ => throw new PromParseException(
             s"$fn requires a matrix argument (metric[duration] or a " +
               s"subquery expr[range:step]) in: $q")
         }
+      case TIdent("histogram_quantile") if peek == TOp("(") =>
+        // histogram_quantile(φ, grouped-bucket-vector) — φ is a numeric
+        // literal, like the engine's other quantiles
+        next()
+        val phi = next() match {
+          case TNum(v) => v
+          case TOp("-") => next() match {
+            case TNum(v) => -v
+            case t => throw new PromParseException(
+              s"bad histogram_quantile quantile: $t")
+          }
+          case t => throw new PromParseException(
+            s"histogram_quantile takes a numeric quantile first, got $t in: $q")
+        }
+        expectOp(",")
+        val child = parseExpr()
+        expectOp(")")
+        HistogramQuantile(phi, child)
+      case TIdent("label_replace") if peek == TOp("(") =>
+        next()
+        val child = parseExpr()
+        val args = (1 to 4).map { _ =>
+          expectOp(",")
+          next() match {
+            case TStr(s) => s
+            case t => throw new PromParseException(
+              s"label_replace takes string arguments (v, dst, replacement, " +
+                s"src, regex), got $t in: $q")
+          }
+        }
+        expectOp(")")
+        LabelReplace(child, args(0), args(1), args(2), args(3))
+      case TIdent("label_join") if peek == TOp("(") =>
+        next()
+        val child = parseExpr()
+        val strs = List.newBuilder[String]
+        while (peek == TOp(",")) {
+          next()
+          strs += (next() match {
+            case TStr(s) => s
+            case t => throw new PromParseException(
+              s"label_join takes string arguments (v, dst, sep, srcs...), " +
+                s"got $t in: $q")
+          })
+        }
+        expectOp(")")
+        val got = strs.result()
+        if (got.size < 3) throw new PromParseException(
+          s"label_join needs a dst, a separator, and at least one source " +
+            s"label, got ${got.size} string argument(s) in: $q")
+        LabelJoin(child, got.head, got(1), got.drop(2))
+      case TIdent(fn @ ("sort" | "sort_desc")) if peek == TOp("(") =>
+        next()
+        val child = parseExpr()
+        expectOp(")")
+        Sort(fn == "sort_desc", child)
+      case TIdent("timestamp") if peek == TOp("(") =>
+        next()
+        val child = parseExpr()
+        expectOp(")")
+        TimestampFn(child)
       case TIdent(fn) if peek == TOp("(") =>
         throw new PromParseException(s"unsupported function call: $fn (reference rejects Call exprs)")
       case TIdent(name) => parseSelectorTail(name)

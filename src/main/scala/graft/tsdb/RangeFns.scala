@@ -260,6 +260,31 @@ object RangeFns {
           .agg(regr_slope(col("value"),
             (col("timestamp") - col("wstart")) / lit(1000.0)).as("value"))
           .where(col("value").isNotNull)
+      case FnPredictLinear =>
+        // deriv's least-squares line evaluated t seconds AFTER the
+        // window anchor (x origin = wstart = the row's emitted
+        // timestamp; tumbling anchors at window start, sliding at the
+        // step instant) — so predict_linear(m[r], 0) is the regression
+        // value at the anchor itself. Needs two distinct timestamps,
+        // like deriv (regr_* are null below that).
+        val t = args.headOption.getOrElse(throw new IllegalArgumentException(
+          "predict_linear needs a horizon argument (seconds)"))
+        val x = (col("timestamp") - col("wstart")) / lit(1000.0)
+        grouped
+          .agg((regr_intercept(col("value"), x) +
+            regr_slope(col("value"), x) * lit(t)).as("value"))
+          .where(col("value").isNotNull)
+      case FnMadOverTime =>
+        // median absolute deviation, unscaled: median(|v - median(v)|)
+        // with the linear-interpolation median (the engine's quantile
+        // rule). Two aggregations over the SAME key set joined on a
+        // window-count-sized frame — the second pass touches per-window
+        // medians, never the raw scan again.
+        val med = grouped.agg(percentile(col("value"), lit(0.5)).as("_med"))
+        base.join(med, keys)
+          .groupBy(keyCols: _*)
+          .agg(percentile(abs(col("value") - col("_med")), lit(0.5))
+            .as("value"))
       case FnChanges | FnResets =>
         // consecutive-pair counters; a single-sample window reports 0
         val w = Window.partitionBy(keyCols: _*)

@@ -663,6 +663,128 @@ class EngineSpec extends AnyFunSuite {
       e.query("sum by (value) (req)", 0, 100))
   }
 
+  // ---- histogram_quantile / label fns / sort / timestamp (round 11) ----
+
+  private def bucketEngine(): TsdbEngine = {
+    // cumulative bucket counts as single samples at t=10: job=a the
+    // canonical 4-bucket histogram, job=b only +Inf (< 2 buckets →
+    // dropped), job=c a first bucket with le ≤ 0 (answers its own le)
+    val rows = Seq(
+      ("lat", Map("job" -> "a", "le" -> "0.1"), 10L, 1d),
+      ("lat", Map("job" -> "a", "le" -> "0.5"), 10L, 3d),
+      ("lat", Map("job" -> "a", "le" -> "1"), 10L, 4d),
+      ("lat", Map("job" -> "a", "le" -> "+Inf"), 10L, 5d),
+      ("lat", Map("job" -> "b", "le" -> "+Inf"), 10L, 5d),
+      ("lat", Map("job" -> "c", "le" -> "-1"), 10L, 2d),
+      ("lat", Map("job" -> "c", "le" -> "+Inf"), 10L, 4d))
+    new TsdbEngine(spark, longDf(rows),
+      new StreamCatalog(Seq(StreamDef("lat", Map.empty, VType.F64))))
+  }
+
+  test("histogram_quantile: interpolation, +Inf candidate, le<=0 first bucket") {
+    val e = bucketEngine()
+    val q = "histogram_quantile(%s, sum by (job, le) (lat))"
+    // job=a: rank 2.5 lands in (0.1, 0.5]: 0.1 + 0.4·(1.5/2) = 0.4;
+    // job=b dropped (single bucket); job=c: rank 1 ≤ first count 2 and
+    // le = -1 ≤ 0 → the bucket's own bound
+    val p50 = e.query(q.format("0.5"), 0, 100)
+    assert(p50.grouped && p50.df.columns.toSeq == Seq("job", "value"))
+    val rows = p50.output.collect().toSet[Row].map(r =>
+      (r.getString(0), math.round(r.getDouble(1) * 1e9) / 1e9))
+    assert(rows == Set("a" -> 0.4, "c" -> -1.0))
+    // φ = 1: the +Inf bucket answers with the highest finite bound
+    val p100 = groupRows(e.query(q.format("1"), 0, 100).output)
+    assert(p100 == Set(Some("a") -> 1.0, Some("c") -> -1.0))
+    // rejections: φ out of [0,1]; ungrouped child; grouped child
+    // without an `le` column
+    intercept[IllegalArgumentException](e.query(q.format("1.5"), 0, 100))
+    intercept[IllegalArgumentException](
+      e.query("histogram_quantile(0.5, lat)", 0, 100))
+    intercept[IllegalArgumentException](
+      e.query("histogram_quantile(0.5, sum by (job) (lat))", 0, 100))
+  }
+
+  test("label_replace: capture expansion, no-match keep, empty removes, rollup") {
+    val e = groupedEngine()
+    // new dst from a capture: web → "w…" matches (w)(.*) → "w"
+    val out = e.query("label_replace(sum by (service) (req), " +
+      "\"tier\", \"$1\", \"service\", \"(w).*\")", 0, 100).output
+    assert(out.columns.toSeq == Seq("service", "tier", "value"))
+    val rows = out.collect().toSet[Row].map(r =>
+      (r.getString(0), Option(r.getString(1)), r.getDouble(2)))
+    assert(rows == Set(("web", Some("w"), 7d), ("mob", None, 24d),
+      ("cli", None, 32d)))
+    // overwrite in place with an EMPTY expansion → label removed (null)
+    val gone = e.query("label_replace(sum by (service) (req), " +
+      "\"service\", \"\", \"service\", \"mob\")", 0, 100).output
+    assert(groupRows(gone) ==
+      Set(Some("web") -> 7d, (None: Option[String]) -> 24d,
+        Some("cli") -> 32d))
+    // relabel-then-rollup: nested aggregation over the derived label
+    val rolled = e.query("sum by (tier) (label_replace(" +
+      "sum by (service) (req), \"tier\", \"$1\", \"service\", \"(w|m).*\"))",
+      0, 100).output
+    assert(groupRows(rolled) == Set(Some("w") -> 7d, Some("m") -> 24d,
+      (None: Option[String]) -> 32d))
+    // rejections: unknown src column; reserved dst; malformed regex
+    intercept[IllegalArgumentException](e.query(
+      "label_replace(sum by (service) (req), \"t\", \"$1\", \"nope\", \"(.*)\")",
+      0, 100))
+    intercept[IllegalArgumentException](e.query(
+      "label_replace(sum by (service) (req), \"value\", \"$1\", \"service\", \"(.*)\")",
+      0, 100))
+    intercept[java.util.regex.PatternSyntaxException](e.query(
+      "label_replace(sum by (service) (req), \"t\", \"$1\", \"service\", \"(\")",
+      0, 100))
+    // a plain vector has no addressable labels — loud, not silent
+    intercept[IllegalArgumentException](e.query(
+      "label_replace(req, \"t\", \"$1\", \"service\", \"(.*)\")", 0, 100))
+  }
+
+  test("label_join: separator join over group columns, missing src loud") {
+    val e = groupedEngine()
+    val out = e.query("label_join(sum by (service, dc) (req), " +
+      "\"sd\", \"-\", \"service\", \"dc\")", 0, 100).output
+    assert(out.columns.toSeq == Seq("service", "dc", "sd", "value"))
+    val sd = out.collect().toSet[Row].map(r => r.getString(2))
+    // absent dc contributes "" (Prometheus' rule) — "cli-"
+    assert(sd == Set("web-a", "web-b", "mob-a", "mob-b", "cli-"))
+    intercept[IllegalArgumentException](e.query(
+      "label_join(sum by (service) (req), \"x\", \"-\", \"service\", \"dc\")",
+      0, 100))
+  }
+
+  test("sort/sort_desc order the output by value; timestamp() maps to seconds") {
+    val e = helperEngine()
+    val desc = e.query("sort_desc(floats)", 0, 100)
+    assert(desc.output.collect().map(_.getDouble(1)).toSeq ==
+      Seq(4.1, 3.2, 2.3, 1.4))
+    assert(e.query("sort(floats)", 0, 100).output.collect()
+      .map(_.getDouble(1)).toSeq == Seq(1.4, 2.3, 3.2, 4.1))
+    intercept[IllegalArgumentException](e.query("sort(sum(ints))", 0, 100))
+    // timestamp(): value = epoch seconds of each sample, labels ride
+    assert(vec(e, "timestamp(floats)") ==
+      Seq((10L, 0.01), (20L, 0.02), (30L, 0.03), (40L, 0.04)))
+    intercept[IllegalArgumentException](e.query("timestamp(sum(ints))", 0, 100))
+  }
+
+  test("predict_linear and mad_over_time over tumbling windows") {
+    val e = helperEngine()
+    // ints: v = 0.2/ms line through (10,2)..(40,8) → slope 200/s,
+    // intercept 0 at the window anchor (t=0); +1s horizon → 200
+    val p1 = vec(e, "predict_linear(ints[100ms], 1)")
+    assert(p1.map(_._1) == Seq(0L) && math.abs(p1.head._2 - 200d) < 1e-9)
+    // horizon 0 = the regression value at the anchor itself
+    val p0 = vec(e, "predict_linear(ints[100ms], 0)")
+    assert(p0.map(_._1) == Seq(0L) && math.abs(p0.head._2) < 1e-9)
+    // mad: median 5, |dev| {3,1,1,3} → median 2
+    assert(vec(e, "mad_over_time(ints[100ms])") == Seq((0L, 2d)))
+    // parse rejections: missing/non-numeric horizon
+    intercept[PromParseException](e.query("predict_linear(ints[100ms])", 0, 100))
+    intercept[PromParseException](
+      e.query("predict_linear(ints[100ms], x)", 0, 100))
+  }
+
   // ---- parser rejections (planner.rs:208-232) ----
 
   test("unsupported forms are rejected") {

@@ -70,6 +70,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
     case FnPresentOverTime => "present_over_time"; case FnChanges => "changes"
     case FnResets => "resets"; case FnIdelta => "idelta"; case FnIrate => "irate"
     case FnDeriv => "deriv"; case FnAbsentOverTime => "absent_over_time"
+    case FnPredictLinear => "predict_linear"
+    case FnMadOverTime => "mad_over_time"
   }
 
   private def renderGrouping(g: Grouping): String =
@@ -103,10 +105,21 @@ class ParserRoundTripSpec extends AnyFunSuite {
         g.map(renderGrouping).getOrElse("")
     case RangeFn(k, c, args) =>
       val phi = if (k == FnQuantileOverTime) s"${args.head}, " else ""
-      s"${rangeFnName(k)}($phi${render(c)})"
+      val tail = if (k == FnPredictLinear) s", ${args.head}" else ""
+      s"${rangeFnName(k)}($phi${render(c)}$tail)"
     case SubqueryMatrix(c, r, s) => s"(${render(c)})[${r}ms:${s}ms]"
     case InstantFn(k, c, args) =>
       s"${k.name}(${render(c)}${args.map(a => s", $a").mkString})"
+    case HistogramQuantile(phi, c) =>
+      s"histogram_quantile($phi, ${render(c)})"
+    case LabelReplace(c, dst, repl, src, re) =>
+      s"""label_replace(${render(c)}, "$dst", "$repl", "$src", "$re")"""
+    case LabelJoin(c, dst, sep, srcs) =>
+      s"""label_join(${render(c)}, "$dst", "$sep", ${
+        srcs.map(s0 => s""""$s0"""").mkString(", ")})"""
+    case Sort(desc, c) =>
+      s"${if (desc) "sort_desc" else "sort"}(${render(c)})"
+    case TimestampFn(c) => s"timestamp(${render(c)})"
   }
 
   // ---- generators ----
@@ -134,13 +147,16 @@ class ParserRoundTripSpec extends AnyFunSuite {
     kind <- Gen.oneOf(FnRate, FnIncrease, FnDelta, FnAvgOverTime,
       FnSumOverTime, FnCountOverTime, FnLastOverTime, FnStddevOverTime,
       FnQuantileOverTime, FnPresentOverTime, FnChanges, FnResets,
-      FnIdelta, FnIrate, FnDeriv, FnAbsentOverTime)
+      FnIdelta, FnIrate, FnDeriv, FnAbsentOverTime,
+      FnPredictLinear, FnMadOverTime)
     sel <- selGen
     r <- Gen.choose(1L, 86400000L)
     sub <- Gen.oneOf(true, false)
     step <- Gen.choose(1L, 3600000L)
   } yield {
-    val args = if (kind == FnQuantileOverTime) List(0.5) else Nil
+    val args = if (kind == FnQuantileOverTime) List(0.5)
+      else if (kind == FnPredictLinear) List(3600.0)
+      else Nil
     val inner = RangeFn(kind, MatrixSelector(sel, r), args)
     if (sub && kind != FnAbsentOverTime)
       RangeFn(FnMaxOverTime, SubqueryMatrix(inner, r * 2, step), Nil)
@@ -207,7 +223,26 @@ class ParserRoundTripSpec extends AnyFunSuite {
       1 -> (for {
         c <- exprGen(depth - 1)
         args <- Gen.oneOf(List(0.5), List(10.0))
-      } yield InstantFn(FnClampMin, c, args)))
+      } yield InstantFn(FnClampMin, c, args)),
+      1 -> (for {
+        phi <- Gen.oneOf(0.5, 0.9, 0.99)
+        c <- exprGen(depth - 1)
+      } yield HistogramQuantile(phi, c)),
+      1 -> (for {
+        c <- exprGen(depth - 1)
+        dst <- labelGen; src <- labelGen
+      } yield LabelReplace(c, dst, "$1", src, "(.*)")),
+      1 -> (for {
+        c <- exprGen(depth - 1)
+        dst <- labelGen
+        n <- Gen.choose(1, 3)
+        srcs <- Gen.listOfN(n, labelGen).map(_.distinct)
+      } yield LabelJoin(c, dst, "-", srcs)),
+      1 -> (for {
+        d <- Gen.oneOf(true, false)
+        c <- exprGen(depth - 1)
+      } yield Sort(d, c)),
+      1 -> exprGen(depth - 1).map(TimestampFn(_)))
 
   test("render → parse round-trips 400 random ASTs structurally") {
     val cases = samples(exprGen(3), 400)
