@@ -773,6 +773,17 @@ object TimeSeries {
     // timestamp(): each sample's own epoch-second as the value.
     "ts83_timestamp" -> q("timestamp(purchase)", roundTo = 6) _,
 
+    // absent(): the gap alarm — one row of 1.0 because no purchase
+    // stream carries user 99999 (the left-anti probe short-circuits on
+    // the first sample found, so presence costs one row's scan).
+    "ts84_absent" -> q("absent(purchase{user=\"99999\"})") _,
+
+    // Holt's double exponential smoothing folded over 2d windows of
+    // the dedup'd purchase series (sf = 0.3, tf = 0.1).
+    "ts85_double_exp_smoothing" -> q(
+      "double_exponential_smoothing(purchase[2d], 0.3, 0.1)",
+      roundTo = 6, dedup = true) _,
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -1097,6 +1108,38 @@ object TimeSeries {
       s"""SELECT t AS timestamp, ROUND(t / 1000.0, 6) AS value
          |FROM ${ev("event_type = 'purchase'")}
          |WHERE ${sub()} ORDER BY timestamp""".stripMargin,
+
+    "ts84_absent" ->
+      s"""SELECT CAST(1.0 AS DOUBLE) AS value
+         |WHERE NOT EXISTS (SELECT 1 FROM events
+         |  WHERE event_type = 'purchase' AND user_id = 99999
+         |    AND ${sub("epoch_ns(ts)//1000000")})""".stripMargin,
+
+    // the same Holt recurrence as a recursive CTE over each window's
+    // ordered sample array (a list_reduce fold is NOT usable here:
+    // DuckDB 1.0 updates struct-accumulator fields sequentially, so a
+    // second field reading acc.s sees the NEW s — verified directly).
+    // Expression shapes mirror the engine's `aggregate` lambda for FP
+    // identity at 6 decimals: state row i has processed vs[1..i-1].
+    "ts85_double_exp_smoothing" ->
+      s"""WITH RECURSIVE d AS (SELECT t, AVG(v) AS v
+         |           FROM ${ev("event_type = 'purchase'")}
+         |           WHERE ${sub()} GROUP BY t),
+         |w AS (SELECT t - ((t - $SubStart) % 172800000) AS ws, t, v FROM d),
+         |a AS (SELECT ws, list(v ORDER BY t) AS vs FROM w
+         |      GROUP BY ws HAVING COUNT(*) >= 2),
+         |r AS (
+         |  SELECT ws, vs, 2 AS i, CAST(vs[1] AS DOUBLE) AS s,
+         |         CAST(vs[2] - vs[1] AS DOUBLE) AS b
+         |  FROM a
+         |  UNION ALL
+         |  SELECT ws, vs, i + 1,
+         |    0.3 * vs[i] + (1.0 - 0.3) * (s + b),
+         |    0.1 * ((0.3 * vs[i] + (1.0 - 0.3) * (s + b)) - s)
+         |      + (1.0 - 0.1) * b
+         |  FROM r WHERE i <= len(vs))
+         |SELECT ws AS timestamp, ROUND(s, 6) AS value
+         |FROM r WHERE i = len(vs) + 1 ORDER BY timestamp""".stripMargin,
 
     "ts32_dsv2_scan" ->
       s"""SELECT t - t % 86400000 AS day, ROUND(SUM(v), 6) AS sum_value,

@@ -206,6 +206,13 @@ object Expr {
     * dispersion Prometheus added in 3.x behind a feature flag.
     */
   case object FnMadOverTime extends RangeFnKind
+  /** double_exponential_smoothing(m[r], sf, tf) — Prometheus'
+    * holt_winters (renamed in 3.x; both names parse): the Holt linear
+    * recurrence folded over the window's time-ordered samples with
+    * smoothing factor sf and trend factor tf, both in (0, 1) exclusive
+    * (checked loudly). args = List(sf, tf).
+    */
+  case object FnDoubleExpSmoothing extends RangeFnKind
   /** 1 for every window with NO samples — the gap detector. */
   case object FnAbsentOverTime extends RangeFnKind
 
@@ -285,6 +292,14 @@ object Expr {
     * timestamp column (plain vectors and sliding/grouped step results).
     */
   final case class TimestampFn(child: Expr) extends Expr
+
+  /** absent(v) — ONE row of value 1 when the child vector has no
+    * samples in the query range, no rows otherwise (the whole-range
+    * reading of Prometheus' absent(); the windowed form is
+    * [[FnAbsentOverTime]]). The child must be a plain vector
+    * expression — scalars and grouped results reject loudly.
+    */
+  final case class AbsentFn(child: Expr) extends Expr
 }
 
 /** The reference's value types and coercion lattice (lib.rs:54-73):

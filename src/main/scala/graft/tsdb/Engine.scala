@@ -396,6 +396,20 @@ final class TsdbEngine(
         c.df.withColumn("value", col("timestamp").cast("double") / 1000.0),
         c.isScalar, VType.F64, grouped = c.grouped)
 
+    case AbsentFn(child) =>
+      // ONE row of 1.0 when the child vector is EMPTY over the range —
+      // the gap alarm. A left-anti join against a LIMIT-1 probe of the
+      // child keeps the whole decision on the executors (no driver
+      // count); the probe short-circuits on the first sample found.
+      val c = eval(child, start, end)
+      require(!c.isScalar && !c.grouped,
+        "absent() takes a plain vector expression (aggregates and " +
+          "grouped results answer their own emptiness by arity)")
+      val probe = c.df.select(lit(1).as("one")).limit(1)
+      val out = spark.range(1).join(probe, lit(true), "left_anti")
+        .select(lit(1.0).as("value"))
+      TsdbResult(out, isScalar = true, VType.F64)
+
     case _: MatrixSelector =>
       // Preserve the reference's rejection for bare matrix selectors
       // (planner.rs rejects them outright; only RangeFn may consume one).

@@ -128,7 +128,16 @@ object PromParser {
       "idelta" -> FnIdelta, "irate" -> FnIrate, "deriv" -> FnDeriv,
       "absent_over_time" -> FnAbsentOverTime,
       "predict_linear" -> FnPredictLinear,
-      "mad_over_time" -> FnMadOverTime)
+      "mad_over_time" -> FnMadOverTime,
+      // Prometheus 3.x renamed holt_winters; both names parse
+      "double_exponential_smoothing" -> FnDoubleExpSmoothing,
+      "holt_winters" -> FnDoubleExpSmoothing)
+
+    // kinds whose PromQL signature takes TRAILING numeric literals
+    // (after the matrix argument): predict_linear(m[r], t),
+    // double_exponential_smoothing(m[r], sf, tf)
+    val trailingArgCount = Map[RangeFnKind, Int](
+      FnPredictLinear -> 1, FnDoubleExpSmoothing -> 2)
 
     // Instant math functions — the extension's second half (Ast.InstantFn).
     val instantFnNames: Map[String, InstantFnKind] =
@@ -413,21 +422,18 @@ object PromParser {
           List(phi)
         } else Nil
         val child = parseExpr()
-        // predict_linear is the one kind with a TRAILING scalar:
-        // predict_linear(m[r], t_seconds). t must be a numeric literal.
-        val tailArgs = if (kind == FnPredictLinear) {
+        val tailArgs = (1 to trailingArgCount.getOrElse(kind, 0)).map { _ =>
           expectOp(",")
-          val t = next() match {
+          next() match {
             case TNum(v) => v
             case TOp("-") => next() match {
               case TNum(v) => -v
-              case t => throw new PromParseException(s"bad $fn horizon: $t")
+              case t => throw new PromParseException(s"bad $fn argument: $t")
             }
             case t => throw new PromParseException(
-              s"$fn requires a numeric horizon second argument, got $t in: $q")
+              s"$fn requires numeric literal trailing argument(s), got $t in: $q")
           }
-          List(t)
-        } else Nil
+        }.toList
         expectOp(")")
         child match {
           case _: MatrixSelector | _: SubqueryMatrix =>
@@ -497,6 +503,11 @@ object PromParser {
         val child = parseExpr()
         expectOp(")")
         TimestampFn(child)
+      case TIdent("absent") if peek == TOp("(") =>
+        next()
+        val child = parseExpr()
+        expectOp(")")
+        AbsentFn(child)
       case TIdent(fn) if peek == TOp("(") =>
         throw new PromParseException(s"unsupported function call: $fn (reference rejects Call exprs)")
       case TIdent(name) => parseSelectorTail(name)

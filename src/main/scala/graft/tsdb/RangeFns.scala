@@ -274,6 +274,40 @@ object RangeFns {
           .agg((regr_intercept(col("value"), x) +
             regr_slope(col("value"), x) * lit(t)).as("value"))
           .where(col("value").isNotNull)
+      case FnDoubleExpSmoothing =>
+        // Holt's linear method (Prometheus holt_winters /
+        // double_exponential_smoothing, promql/functions.go): s₀ = v₀,
+        // b₀ = v₁ - v₀, then for each later sample
+        //   s' = sf·v + (1-sf)·(s + b);  b' = tf·(s' - s) + (1-tf)·b
+        // answering the final s. The recurrence is inherently
+        // sequential, so it folds a per-window sorted sample ARRAY with
+        // the `aggregate` higher-order function — state is bounded by
+        // samples-per-window (the same bound quantile's multiset
+        // carries), never by the corpus, and the only exchange is the
+        // window-key groupBy every other kind already pays.
+        val (sf, tf) = args match {
+          case a :: b :: Nil => (a, b)
+          case _ => throw new IllegalArgumentException(
+            "double_exponential_smoothing needs (sf, tf)")
+        }
+        require(sf > 0 && sf < 1 && tf > 0 && tf < 1,
+          s"double_exponential_smoothing factors must be in (0, 1) " +
+            s"exclusive, got sf=$sf tf=$tf")
+        grouped
+          .agg(sort_array(collect_list(struct(col("timestamp"),
+            col("value")))).as("arr"))
+          .where(size(col("arr")) >= 2)
+          .select((keyCols :+ expr(
+            s"""aggregate(
+               |  slice(arr, 2, size(arr) - 1),
+               |  named_struct(
+               |    's', CAST(arr[0].value AS DOUBLE),
+               |    'b', CAST(arr[1].value - arr[0].value AS DOUBLE)),
+               |  (acc, x) -> named_struct(
+               |    's', $sf * x.value + (1.0 - $sf) * (acc.s + acc.b),
+               |    'b', $tf * (($sf * x.value + (1.0 - $sf) *
+               |           (acc.s + acc.b)) - acc.s) + (1.0 - $tf) * acc.b),
+               |  acc -> acc.s)""".stripMargin).as("value")): _*)
       case FnMadOverTime =>
         // median absolute deviation, unscaled: median(|v - median(v)|)
         // with the linear-interpolation median (the engine's quantile

@@ -785,6 +785,36 @@ class EngineSpec extends AnyFunSuite {
       e.query("predict_linear(ints[100ms], x)", 0, 100))
   }
 
+  test("absent(): one row when empty, none when present, loud on non-vectors") {
+    val e = helperEngine()
+    assert(sca(e, "absent(nosuch_metric)") == Seq(1.0))
+    assert(sca(e, "absent(ints)") == Seq.empty)
+    // empty because the RANGE is empty, not the stream
+    assert(scalarsOf(e.query("absent(ints)", 900, 999)) == Seq(1.0))
+    intercept[IllegalArgumentException](e.query("absent(sum(ints))", 0, 100))
+    intercept[IllegalArgumentException](
+      e.query("absent(sum by (service) (ints))", 0, 100))
+  }
+
+  test("double_exponential_smoothing: Holt recurrence golden, factor bounds") {
+    val e = helperEngine()
+    // ints v = 2,4,6,8: hand-rolled with sf=0.5, tf=0.5:
+    //   s=2, b=2; v=4: s'=0.5·4+0.5·4=4,   b'=0.5·2+0.5·2=2
+    //            v=6: s'=0.5·6+0.5·6=6,   b'=0.5·2+0.5·2=2
+    //            v=8: s'=0.5·8+0.5·8=8 — a perfect line tracks exactly
+    assert(vec(e, "double_exponential_smoothing(ints[100ms], 0.5, 0.5)") ==
+      Seq((0L, 8d)))
+    // holt_winters is the pre-3.x alias of the same kind
+    assert(vec(e, "holt_winters(ints[100ms], 0.5, 0.5)") == Seq((0L, 8d)))
+    // factors must be strictly inside (0, 1)
+    intercept[IllegalArgumentException](
+      e.query("double_exponential_smoothing(ints[100ms], 1, 0.5)", 0, 100))
+    intercept[IllegalArgumentException](
+      e.query("double_exponential_smoothing(ints[100ms], 0.5, 0)", 0, 100))
+    intercept[PromParseException](
+      e.query("double_exponential_smoothing(ints[100ms], 0.5)", 0, 100))
+  }
+
   // ---- parser rejections (planner.rs:208-232) ----
 
   test("unsupported forms are rejected") {
@@ -793,8 +823,8 @@ class EngineSpec extends AnyFunSuite {
     // everything the reference rejects BEYOND them still rejects here:
     // a bare matrix selector parses but is illegal outside a range fn,
     intercept[IllegalArgumentException](e.query("ints[5m]", 0, 100))
-    // non-range function calls stay parse errors like the reference,
-    intercept[PromParseException](e.query("absent(ints)", 0, 100))
+    // unknown function calls stay parse errors like the reference,
+    intercept[PromParseException](e.query("histogram_sum(ints)", 0, 100))
     intercept[IllegalArgumentException](e.query("ints == uints", 0, 100))
     intercept[IllegalArgumentException](e.query("sum(ints) > count(ints)", 0, 100))
   }

@@ -72,6 +72,7 @@ class ParserRoundTripSpec extends AnyFunSuite {
     case FnDeriv => "deriv"; case FnAbsentOverTime => "absent_over_time"
     case FnPredictLinear => "predict_linear"
     case FnMadOverTime => "mad_over_time"
+    case FnDoubleExpSmoothing => "double_exponential_smoothing"
   }
 
   private def renderGrouping(g: Grouping): String =
@@ -105,7 +106,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
         g.map(renderGrouping).getOrElse("")
     case RangeFn(k, c, args) =>
       val phi = if (k == FnQuantileOverTime) s"${args.head}, " else ""
-      val tail = if (k == FnPredictLinear) s", ${args.head}" else ""
+      val tail = if (k == FnQuantileOverTime) ""
+        else args.map(a => s", $a").mkString
       s"${rangeFnName(k)}($phi${render(c)}$tail)"
     case SubqueryMatrix(c, r, s) => s"(${render(c)})[${r}ms:${s}ms]"
     case InstantFn(k, c, args) =>
@@ -120,6 +122,7 @@ class ParserRoundTripSpec extends AnyFunSuite {
     case Sort(desc, c) =>
       s"${if (desc) "sort_desc" else "sort"}(${render(c)})"
     case TimestampFn(c) => s"timestamp(${render(c)})"
+    case AbsentFn(c) => s"absent(${render(c)})"
   }
 
   // ---- generators ----
@@ -148,7 +151,7 @@ class ParserRoundTripSpec extends AnyFunSuite {
       FnSumOverTime, FnCountOverTime, FnLastOverTime, FnStddevOverTime,
       FnQuantileOverTime, FnPresentOverTime, FnChanges, FnResets,
       FnIdelta, FnIrate, FnDeriv, FnAbsentOverTime,
-      FnPredictLinear, FnMadOverTime)
+      FnPredictLinear, FnMadOverTime, FnDoubleExpSmoothing)
     sel <- selGen
     r <- Gen.choose(1L, 86400000L)
     sub <- Gen.oneOf(true, false)
@@ -156,6 +159,7 @@ class ParserRoundTripSpec extends AnyFunSuite {
   } yield {
     val args = if (kind == FnQuantileOverTime) List(0.5)
       else if (kind == FnPredictLinear) List(3600.0)
+      else if (kind == FnDoubleExpSmoothing) List(0.5, 0.25)
       else Nil
     val inner = RangeFn(kind, MatrixSelector(sel, r), args)
     if (sub && kind != FnAbsentOverTime)
@@ -242,7 +246,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
         d <- Gen.oneOf(true, false)
         c <- exprGen(depth - 1)
       } yield Sort(d, c)),
-      1 -> exprGen(depth - 1).map(TimestampFn(_)))
+      1 -> exprGen(depth - 1).map(TimestampFn(_)),
+      1 -> exprGen(depth - 1).map(AbsentFn(_)))
 
   test("render → parse round-trips 400 random ASTs structurally") {
     val cases = samples(exprGen(3), 400)
