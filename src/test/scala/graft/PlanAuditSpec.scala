@@ -182,6 +182,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ts78/ts85 round-11 fns: bucket windows group-keyed, smoothing fold one exchange") {
+    // histogram_quantile: one raw scan; both window passes partition on
+    // the remaining-label key ("user"), never a global window — they
+    // run over the POST-AGGREGATION bucket×group frame
+    val p78 = plan(graft.queries.TimeSeries.queries("ts78_histogram_quantile")(spark, sf))
+    assert(p78.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("events")) <= 1, p78.take(1500))
+    p78.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("user"), s"global bucket window: $l"))
+    // double_exponential_smoothing: the sequential fold lives INSIDE
+    // the window-key aggregate — one wstart exchange, no window spec
+    val p85 = plan(graft.queries.TimeSeries.queries("ts85_double_exp_smoothing")(spark, sf))
+    assert(!p85.contains("windowspecdefinition"),
+      "smoothing fold must not need a window function")
+    val ex85 = p85.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("wstart")).size
+    assert(ex85 <= 1, s"expected at most 1 wstart exchange, got $ex85")
+    assert(p85.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("events")) <= 1, p85.take(1500))
+  }
+
   test("ts60/ts61 string-surface grouping: one scan, group-keyed windows only") {
     // the grouped aggregate derives group keys row-locally from the
     // labels map — one scan, exchanges only on the group(+window) keys,
