@@ -784,6 +784,11 @@ object TimeSeries {
       "double_exponential_smoothing(purchase[2d], 0.3, 0.1)",
       roundTo = 6, dedup = true) _,
 
+    // time-component family: UTC hour of each sample via the
+    // hour(timestamp(m)) idiom (the oracle derives it with pure epoch
+    // arithmetic, no calendar library in the loop).
+    "ts86_hour" -> q("hour(timestamp(purchase))") _,
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -1106,6 +1111,13 @@ object TimeSeries {
 
     "ts83_timestamp" ->
       s"""SELECT t AS timestamp, ROUND(t / 1000.0, 6) AS value
+         |FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} ORDER BY timestamp""".stripMargin,
+
+    "ts86_hour" ->
+      s"""SELECT t AS timestamp,
+         |  CAST((CAST(trunc(t / 1000.0) AS BIGINT) % 86400) // 3600
+         |       AS DOUBLE) AS value
          |FROM ${ev("event_type = 'purchase'")}
          |WHERE ${sub()} ORDER BY timestamp""".stripMargin,
 

@@ -244,6 +244,49 @@ object Expr {
   case object FnClampMin extends InstantFnKind { val name = "clamp_min"; val arity = 1 }
   case object FnClampMax extends InstantFnKind { val name = "clamp_max"; val arity = 1 }
 
+  /** Zero-arg row-local value maps — Prometheus' trigonometry family
+    * (radians, like Go's math package) plus deg/rad conversion.
+    * `pi()` parses directly to NumberLit(π).
+    */
+  sealed abstract class MathFn(val name: String) extends InstantFnKind {
+    val arity = 0
+  }
+  case object FnSin extends MathFn("sin")
+  case object FnCos extends MathFn("cos")
+  case object FnTan extends MathFn("tan")
+  case object FnAsin extends MathFn("asin")
+  case object FnAcos extends MathFn("acos")
+  case object FnAtan extends MathFn("atan")
+  case object FnSinh extends MathFn("sinh")
+  case object FnCosh extends MathFn("cosh")
+  case object FnTanh extends MathFn("tanh")
+  case object FnAsinh extends MathFn("asinh")
+  case object FnAcosh extends MathFn("acosh")
+  case object FnAtanh extends MathFn("atanh")
+  case object FnDeg extends MathFn("deg")
+  case object FnRad extends MathFn("rad")
+
+  /** Time-component functions — Prometheus' minute/hour/day_of_week/…
+    * family: the VALUE is read as an epoch-second instant (UTC,
+    * truncated toward zero like Go's time.Unix) and the named component
+    * comes back as a Float64. The idiomatic call sites are
+    * `hour(timestamp(m))` (per-sample local time) — this engine has no
+    * single evaluation instant, so the Prometheus default argument
+    * `vector(time())` has no analogue and the argument is REQUIRED.
+    */
+  sealed abstract class TimeComponentFn(val name: String)
+      extends InstantFnKind {
+    val arity = 0
+  }
+  case object FnMinute extends TimeComponentFn("minute")
+  case object FnHour extends TimeComponentFn("hour")
+  case object FnDayOfWeek extends TimeComponentFn("day_of_week")
+  case object FnDayOfMonth extends TimeComponentFn("day_of_month")
+  case object FnDayOfYear extends TimeComponentFn("day_of_year")
+  case object FnDaysInMonth extends TimeComponentFn("days_in_month")
+  case object FnMonth extends TimeComponentFn("month")
+  case object FnYear extends TimeComponentFn("year")
+
   final case class InstantFn(kind: InstantFnKind, child: Expr,
       args: List[Double]) extends Expr
 

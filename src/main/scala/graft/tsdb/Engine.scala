@@ -1501,5 +1501,34 @@ object TsdbEngine {
       else least(greatest(v, lit(args(0))), lit(args(1)))
     case FnClampMin => greatest(v, lit(args(0)))
     case FnClampMax => least(v, lit(args(0)))
+    // trigonometry in radians, like Prometheus (Go math)
+    case FnSin => sin(v)
+    case FnCos => cos(v)
+    case FnTan => tan(v)
+    case FnAsin => asin(v)
+    case FnAcos => acos(v)
+    case FnAtan => atan(v)
+    case FnSinh => sinh(v)
+    case FnCosh => cosh(v)
+    case FnTanh => tanh(v)
+    case FnAsinh => asinh(v)
+    case FnAcosh => acosh(v)
+    case FnAtanh => atanh(v)
+    case FnDeg => degrees(v)
+    case FnRad => radians(v)
+    // time components of the value read as epoch SECONDS, UTC,
+    // truncated toward zero (Go's time.Unix(int64(v), 0))
+    case tc: TimeComponentFn =>
+      val ts = timestamp_seconds(v.cast("long"))
+      (tc match {
+        case FnMinute => minute(ts)
+        case FnHour => hour(ts)
+        case FnDayOfWeek => dayofweek(ts) - 1 // Prometheus: Sunday = 0
+        case FnDayOfMonth => dayofmonth(ts)
+        case FnDayOfYear => dayofyear(ts)
+        case FnDaysInMonth => dayofmonth(last_day(ts))
+        case FnMonth => month(ts)
+        case FnYear => year(ts)
+      }).cast("double")
   }
 }

@@ -141,8 +141,12 @@ object PromParser {
 
     // Instant math functions — the extension's second half (Ast.InstantFn).
     val instantFnNames: Map[String, InstantFnKind] =
-      Seq(FnAbs, FnCeil, FnFloor, FnSqrt, FnExp, FnLn, FnLog2, FnLog10,
-        FnSgn, FnRound, FnClamp, FnClampMin, FnClampMax)
+      (Seq(FnAbs, FnCeil, FnFloor, FnSqrt, FnExp, FnLn, FnLog2, FnLog10,
+        FnSgn, FnRound, FnClamp, FnClampMin, FnClampMax,
+        FnSin, FnCos, FnTan, FnAsin, FnAcos, FnAtan,
+        FnSinh, FnCosh, FnTanh, FnAsinh, FnAcosh, FnAtanh, FnDeg, FnRad,
+        FnMinute, FnHour, FnDayOfWeek, FnDayOfMonth, FnDayOfYear,
+        FnDaysInMonth, FnMonth, FnYear): Seq[InstantFnKind])
         .map(k => k.name -> k).toMap
 
     def parseExpr(): Expr = parseOr()
@@ -508,6 +512,10 @@ object PromParser {
         val child = parseExpr()
         expectOp(")")
         AbsentFn(child)
+      case TIdent("pi") if peek == TOp("(") =>
+        next()
+        expectOp(")")
+        NumberLit(math.Pi)
       case TIdent(fn) if peek == TOp("(") =>
         throw new PromParseException(s"unsupported function call: $fn (reference rejects Call exprs)")
       case TIdent(name) => parseSelectorTail(name)

@@ -815,6 +815,42 @@ class EngineSpec extends AnyFunSuite {
       e.query("double_exponential_smoothing(ints[100ms], 0.5)", 0, 100))
   }
 
+  test("trig family, deg/rad, pi(), and time components") {
+    val e = helperEngine()
+    // sin over floats, radians like Go
+    val sins = vec(e, "sin(floats)").map(_._2)
+    Seq(4.1, 3.2, 2.3, 1.4).map(math.sin).zip(sins).foreach { case (want, got) =>
+      assert(math.abs(want - got) < 1e-12)
+    }
+    assert(vec(e, "deg(floats)").map(_._2).head === math.toDegrees(4.1))
+    assert(vec(e, "rad(floats)").map(_._2).head === math.toRadians(4.1))
+    // pi() is a literal
+    assert(sca(e, "pi()") == Seq(math.Pi))
+    assert(sca(e, "sum(ints) * pi()") == Seq(20.0 * math.Pi))
+    // time components on epoch-second VALUES: the helper samples sit at
+    // 10..40 ms, so timestamp() gives 0.01..0.04 s → truncates to epoch
+    // 0 = 1970-01-01T00:00:00Z, a Thursday
+    assert(vec(e, "hour(timestamp(ints))").map(_._2) == Seq(0d, 0d, 0d, 0d))
+    assert(vec(e, "minute(timestamp(ints))").map(_._2).head == 0d)
+    assert(vec(e, "day_of_week(timestamp(ints))").map(_._2).head == 4d)
+    assert(vec(e, "day_of_month(timestamp(ints))").map(_._2).head == 1d)
+    assert(vec(e, "day_of_year(timestamp(ints))").map(_._2).head == 1d)
+    assert(vec(e, "days_in_month(timestamp(ints))").map(_._2).head == 31d)
+    assert(vec(e, "month(timestamp(ints))").map(_._2).head == 1d)
+    assert(vec(e, "year(timestamp(ints))").map(_._2).head == 1970d)
+    // a known later instant: 2024-01-06 13:30:05 UTC = 1704547805
+    val e2 = {
+      val rows = Seq(("m", Map.empty[String, String], 5L, 1704547805.0))
+      new TsdbEngine(spark, longDf(rows),
+        new StreamCatalog(Seq(StreamDef("m", Map.empty, VType.F64))))
+    }
+    assert(vec(e2, "hour(m)", (0L, 10L)).map(_._2) == Seq(13d))
+    assert(vec(e2, "minute(m)", (0L, 10L)).map(_._2) == Seq(30d))
+    assert(vec(e2, "day_of_week(m)", (0L, 10L)).map(_._2) == Seq(6d)) // Saturday
+    assert(vec(e2, "month(m)", (0L, 10L)).map(_._2) == Seq(1d))
+    assert(vec(e2, "year(m)", (0L, 10L)).map(_._2) == Seq(2024d))
+  }
+
   // ---- parser rejections (planner.rs:208-232) ----
 
   test("unsupported forms are rejected") {
