@@ -789,6 +789,23 @@ object TimeSeries {
     // arithmetic, no calendar library in the loop).
     "ts86_hour" -> q("hour(timestamp(purchase))") _,
 
+    // group_left(carry) — the metadata-join idiom: per-user purchase
+    // sums annotated with the cohort label carried from the click
+    // side's info metric (group() = 1, so `*` keeps the many value).
+    // Per-key carry uniqueness is enforced on the executors.
+    "ts87_group_left_carry" -> { (s, dir) =>
+      engineCohort(s, dir)
+        .query("sum by (user) (purchase) * on (user) group_left(cohort) " +
+          "group by (user, cohort) (click)", SubStart, SubEnd)
+        .output.select(col("user"), col("cohort"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
+    // plain offset (no @): the PromQL time shift — yesterday's series
+    // on today's clock (scan moves back 1d, timestamps move forward).
+    "ts88_plain_offset" -> q("purchase offset 1d") _,
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -1120,6 +1137,27 @@ object TimeSeries {
          |       AS DOUBLE) AS value
          |FROM ${ev("event_type = 'purchase'")}
          |WHERE ${sub()} ORDER BY timestamp""".stripMargin,
+
+    "ts88_plain_offset" ->
+      s"""SELECT t + 86400000 AS timestamp, v AS value
+         |FROM ${ev("event_type = 'purchase'")}
+         |WHERE t >= ${SubStart - 86400000L} AND t <= ${SubEnd - 86400000L}
+         |ORDER BY timestamp""".stripMargin,
+
+    "ts87_group_left_carry" ->
+      s"""WITH p AS (SELECT user_id, SUM(value) AS v
+         |      FROM (SELECT user_id, epoch_ns(ts)//1000000 AS t, value
+         |            FROM events WHERE event_type = 'purchase')
+         |      WHERE ${sub()} GROUP BY user_id),
+         |c AS (SELECT DISTINCT user_id
+         |      FROM (SELECT user_id, epoch_ns(ts)//1000000 AS t
+         |            FROM events WHERE event_type = 'click')
+         |      WHERE ${sub()})
+         |SELECT CAST(p.user_id AS VARCHAR) AS "user",
+         |  CAST(p.user_id % 3 AS VARCHAR) AS cohort,
+         |  ROUND(p.v * 1.0, 6) AS value
+         |FROM p JOIN c ON p.user_id = c.user_id
+         |ORDER BY p.user_id""".stripMargin,
 
     "ts84_absent" ->
       s"""SELECT CAST(1.0 AS DOUBLE) AS value

@@ -85,11 +85,15 @@ object Expr {
     * reference drops grouping entirely (planner.rs:84-88), so this is
     * beyond-parity surface; see [[graft.tsdb.TsdbEngine]]'s matched
     * binary evaluation for the exact acceptance rules. `on = false`
-    * means `ignoring`. group_left/right label-carry lists are not
-    * supported (rejected at parse).
+    * means `ignoring`. `carry` is the group_left/group_right
+    * label-carry list (`group_left(meta)` — extra labels copied from
+    * the 'one' side, the metadata-join idiom); per-key uniqueness of
+    * the carried labels is enforced at RUNTIME on the executors
+    * (raise_error over the group-count-sized one side), exactly the
+    * check Prometheus performs.
     */
   final case class VectorMatch(on: Boolean, labels: List[String],
-      card: MatchCard)
+      card: MatchCard, carry: List[String] = Nil)
 
   final case class BinaryOp(kind: BinKind, lhs: Expr, rhs: Expr,
       matching: Option[VectorMatch] = None) extends Expr

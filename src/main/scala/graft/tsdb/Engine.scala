@@ -956,24 +956,62 @@ final class TsdbEngine(
       s"match labels must be group columns of both operands " +
         s"((${manyCols.mkString(", ")}) vs (${oneCols.mkString(", ")})): " +
         s"missing ${missing.distinct.mkString(", ")}")
+    val carry = m.carry
     m.card match {
       case OneToOne =>
         require(manyCols.toSet == key.toSet && oneCols.toSet == key.toSet,
           "one-to-one on/ignoring requires both operands grouped " +
             "exactly by the match labels — add group_left/group_right " +
             "for many-to-one matching")
-      case _ =>
+      case _ if carry.isEmpty =>
         require(oneCols.toSet == key.toSet,
           s"many-to-one matching requires the 'one' side grouped " +
             s"exactly by the match labels (${key.mkString(", ")}) so " +
             s"key uniqueness holds by construction; it is grouped by " +
             s"(${oneCols.mkString(", ")})")
+      case _ =>
+        // label-carry (`group_left(meta)`, the metadata-join idiom):
+        // the 'one' side must be grouped by exactly key ∪ carry, and
+        // the carried labels must be NEW to the many side
+        require(oneCols.toSet == key.toSet ++ carry,
+          s"with a label-carry list the 'one' side must be grouped by " +
+            s"exactly the match labels plus the carried labels " +
+            s"(${(key ++ carry).mkString(", ")}); it is grouped by " +
+            s"(${oneCols.mkString(", ")})")
+        val clash = carry.filter(manyCols.contains)
+        require(clash.isEmpty,
+          s"carried label(s) already exist on the many side: " +
+            s"${clash.mkString(", ")}")
     }
-    val rr = broadcast(one.df.toDF(oneCols.map(_ + "_graft_r") :+ "_rv": _*))
+    // With carried labels, key uniqueness is no longer structural
+    // (the one side's grouping is key ∪ carry): pre-fold the one side
+    // to one row per key and ENFORCE uniqueness on the executors —
+    // raise_error fires if two carry tuples share a key, exactly the
+    // runtime check Prometheus performs. The fold runs over the
+    // group-count-sized frame, never the scan.
+    val oneKeyed =
+      if (carry.isEmpty) one.df
+      else {
+        val cs = struct(carry.map(col): _*)
+        one.df.groupBy(key.map(col): _*)
+          .agg(min(cs).as("_cmin"), max(cs).as("_cmax"),
+            first(col("value")).as("value"))
+          .select((key.map(col) ++ carry.map(c0 =>
+            when(col("_cmin") <=> col("_cmax"), col("_cmin")(c0))
+              .otherwise(raise_error(concat(
+                lit(s"group_left/right: carried label(s) " +
+                  s"${carry.mkString(", ")} are not unique per match " +
+                  "key ("), concat_ws(", ", key.map(col): _*), lit(")"))
+                .cast("string")).cast(one.df.schema(c0).dataType))
+              .as(c0)) :+ col("value")): _*)
+      }
+    val oneOut = key ++ carry
+    val rr = broadcast(oneKeyed.toDF(oneOut.map(_ + "_graft_r") :+ "_rv": _*))
     val cond = key.map(k => col(k) <=> col(k + "_graft_r")).reduce(_ && _)
     val (lv, rv) =
       if (swapped) (col("_rv"), col("value")) else (col("value"), col("_rv"))
-    val df = many.df.join(rr, cond).select(manyCols.map(col) :+
+    val df = many.df.join(rr, cond).select(
+      (manyCols.map(col) ++ carry.map(c0 => col(c0 + "_graft_r").as(c0))) :+
       arith(kind, lv.cast("double"), rv.cast("double")).as("value"): _*)
     TsdbResult(df, isScalar = true, VType.F64, grouped = true)
   }
@@ -1061,23 +1099,23 @@ final class TsdbEngine(
     val rows = core match {
       case sel: Selector =>
         applyOps(data
-          .where(matcherFilter(sel) &&
-            col("timestamp") >= scanStart(sel, start) &&
-            col("timestamp") <= end)
-          .select(gCols ++ Seq(col("timestamp"),
+          .where(scanCond(sel, start, end))
+          .select(gCols ++ Seq(shiftedTs(sel),
             col("value").cast("double").as("value")): _*))
       case RangeFn(rk, MatrixSelector(sel, rangeMs), fnArgs) =>
         require(rk != FnAbsentOverTime,
           "absent_over_time has no grouped form (absence is not " +
             "attributable to a label value)")
+        // window math runs on the REPORTED time (shiftedTs) so offset
+        // moves windows with the data, like Prometheus
         val base = data
-          .where(matcherFilter(sel) &&
-            col("timestamp") >= scanStart(sel, start) &&
-            col("timestamp") <= end)
-          .select(gCols ++ Seq(
+          .where(scanCond(sel, start, end))
+          .select(gCols ++ Seq(shiftedTs(sel),
+            col("value").cast("double").as("value")): _*)
+          .select(gNames.map(col) ++ Seq(
             (col("timestamp") -
               pmod(col("timestamp") - start, lit(rangeMs))).as("wstart"),
-            col("timestamp"), col("value").cast("double").as("value")): _*)
+            col("timestamp"), col("value")): _*)
         applyOps(
           RangeFns.aggWindows(rk, base, fnArgs, gNames :+ "wstart",
             RangeFns.extrapolateSpec(rk, rateMode, col("wstart"), rangeMs))
@@ -1101,9 +1139,7 @@ final class TsdbEngine(
       case other => throw new IllegalArgumentException(s"not a selector: $other")
     }
     val rows = data
-      .where(matcherFilter(sel) &&
-        col("timestamp") >= scanStart(sel, startMs) &&
-        col("timestamp") <= endMs)
+      .where(scanCond(sel, startMs, endMs))
       .select(element_at(col("labels"), labelKey).as("group"), col("value"))
     val aggCol = kind match {
       case AggSum => sum(col("value"))
@@ -1151,13 +1187,13 @@ final class TsdbEngine(
         require(gNames.nonEmpty,
           "by () has no grouped form — use the ungrouped evaluation")
         val base = data
-          .where(matcherFilter(sel) &&
-            col("timestamp") >= scanStart(sel, startMs) &&
-            col("timestamp") <= endMs)
-          .select(gCols ++ Seq(
+          .where(scanCond(sel, startMs, endMs))
+          .select(gCols ++ Seq(shiftedTs(sel),
+            col("value").cast("double").as("value")): _*)
+          .select(gNames.map(col) ++ Seq(
             (col("timestamp") -
               pmod(col("timestamp") - startMs, lit(rangeMs))).as("wstart"),
-            col("timestamp"), col("value").cast("double").as("value")): _*)
+            col("timestamp"), col("value")): _*)
         RangeFns.aggWindows(kind, base, fnArgs, gNames :+ "wstart",
             RangeFns.extrapolateSpec(kind, rateMode, col("wstart"), rangeMs))
           .select(gNames.map(col) ++
@@ -1193,10 +1229,8 @@ final class TsdbEngine(
         require(gNames.nonEmpty,
           "by () has no grouped form — use queryRange")
         val rows = data
-          .where(matcherFilter(sel) &&
-            col("timestamp") >= scanStart(sel, startMs - rangeMs + 1) &&
-            col("timestamp") <= endMs)
-          .select(gCols ++ Seq(col("timestamp"), col("value")): _*)
+          .where(scanCond(sel, startMs - rangeMs + 1, endMs))
+          .select(gCols ++ Seq(shiftedTs(sel), col("value")): _*)
         RangeFns.sliding(kind, rows, rangeMs, stepMs, startMs, endMs,
           fnArgs, groupCols = gNames, mode = rateMode)
       case other => throw new IllegalArgumentException(
@@ -1236,10 +1270,8 @@ final class TsdbEngine(
         require(gNames.nonEmpty,
           "by () has no grouped form — use query()'s subquery")
         val rows = data
-          .where(matcherFilter(sel) &&
-            col("timestamp") >= scanStart(sel, startMs - irange + 1) &&
-            col("timestamp") <= endMs)
-          .select(gCols ++ Seq(col("timestamp"), col("value")): _*)
+          .where(scanCond(sel, startMs - irange + 1, endMs))
+          .select(gCols ++ Seq(shiftedTs(sel), col("value")): _*)
         val steps = RangeFns.sliding(ikind, rows, irange, subStep,
           startMs, endMs, iargs, groupCols = gNames, mode = rateMode)
         val base = steps.select(gNames.map(col) ++ Seq(
@@ -1278,6 +1310,40 @@ final class TsdbEngine(
     * Shared by [[select]] and the grouped scan builders, so a modifier
     * on a grouped query is honored, never silently dropped.
     */
+  /** A plain `offset` (no `@`) is PromQL's time SHIFT — evaluated for
+    * real since round 11 (the reference honors offset only as an
+    * @-start adjustment, planner.rs:162-180, and this engine previously
+    * preserved that by silently ignoring the bare form — against its
+    * own loud contract): the scan window moves back by the offset and
+    * every sample reports at `timestamp + offset`, so windows, joins,
+    * and alignment all see the shifted time exactly as Prometheus'
+    * `m offset 1d` does. Negative offsets (the future shift) compose.
+    * With `@` present, the reference's start-rewrite rule stands
+    * unchanged.
+    */
+  private def plainOffset(sel: Selector): Long =
+    if (sel.at.isEmpty) sel.offsetMs else 0L
+
+  /** The selector's full scan predicate over [lo, hi] (reported time):
+    * matchers plus range bounds, with the plain-offset shift applied to
+    * the bounds (scan time = reported time - offset).
+    */
+  private def scanCond(sel: Selector, lo: Long, hi: Long): Column = {
+    val off = plainOffset(sel)
+    matcherFilter(sel) &&
+      col("timestamp") >= (scanStart(sel, lo) - off) &&
+      col("timestamp") <= (hi - off)
+  }
+
+  /** The reported-time column: raw timestamp plus the plain-offset
+    * shift (a no-op column when the shift is zero).
+    */
+  private def shiftedTs(sel: Selector): Column = {
+    val off = plainOffset(sel)
+    if (off == 0L) col("timestamp")
+    else (col("timestamp") + lit(off)).as("timestamp")
+  }
+
   private def scanStart(sel: Selector, queryStart: Long): Long = sel.at match {
     case None => queryStart
     case Some(at) =>
@@ -1294,15 +1360,14 @@ final class TsdbEngine(
 
   private def select(sel: Selector, queryStart: Long, queryEnd: Long): DataFrame = {
     val vt = catalog.vtypeOf(sel.name, sel.matchers)
-    val start = scanStart(sel, queryStart)
     val typedValue =
       if (vt == VType.F64) scanValue
       else if (data.columns.contains("lvalue"))
         coalesce(col("lvalue"), scanValue.cast("long")).as("value")
       else scanValue.cast("long").as("value")
     data
-      .where(matcherFilter(sel) && col("timestamp") >= start && col("timestamp") <= queryEnd)
-      .select(col("timestamp"), typedValue)
+      .where(scanCond(sel, queryStart, queryEnd))
+      .select(shiftedTs(sel), typedValue)
   }
 
   /** AggregateNode: whole-range aggregate → one scalar. Empty input emits

@@ -236,23 +236,24 @@ object PromParser {
 
     // An `on (...)` / `ignoring (...)` vector-matching modifier right
     // after a binary operator, optionally followed by
-    // `group_left`/`group_right`. A label-carry list after
-    // group_left/right is PromQL-legal but unsupported here — and a
-    // `(` in that position would otherwise silently parse as the RHS,
-    // so it is rejected loudly rather than misread.
+    // `group_left`/`group_right` with an optional label-carry list —
+    // `group_left(meta)`, the metadata-join idiom. Like Prometheus, a
+    // `(` straight after group_left/right ALWAYS reads as the carry
+    // list (a parenthesized RHS there needs the carry list spelled,
+    // even empty: `group_left () (expr)`).
     def parseMatching(): Option[VectorMatch] = peek match {
       case TIdent("on") | TIdent("ignoring") =>
         val on = next() == TIdent("on")
         val labels = parenLabelList(if (on) "on" else "ignoring")
-        val card = peek match {
+        val (card, carry) = peek match {
           case TIdent(g @ ("group_left" | "group_right")) =>
             next()
-            if (peek == TOp("(")) throw new PromParseException(
-              s"$g label-carry lists are not supported in: $q")
-            if (g == "group_left") ManyToOne else OneToMany
-          case _ => OneToOne
+            val cs =
+              if (peek == TOp("(")) parenLabelList(g) else Nil
+            ((if (g == "group_left") ManyToOne else OneToMany): MatchCard, cs)
+          case _ => (OneToOne: MatchCard, Nil)
         }
-        Some(VectorMatch(on, labels, card))
+        Some(VectorMatch(on, labels, card, carry))
       case _ => None
     }
 

@@ -512,9 +512,14 @@ class EngineSpec extends AnyFunSuite {
       "req / on (dc) sum by (dc) (req)", 0, 100))
     intercept[IllegalArgumentException](e.query(
       "sum by (dc) (req) / on () sum by (dc) (req)", 0, 100))
-    // parse-level: group_left label-carry lists are rejected loudly
-    intercept[PromParseException](
-      PromParser.parse("a / on (x) group_left (y) b"))
+    // parse-level: a `(` after group_left reads as the CARRY list
+    // (round 11 — the metadata-join idiom), so this parses with
+    // carry = [y]
+    assert(PromParser.parse("a / on (x) group_left (y) b") ==
+      Expr.BinaryOp(Expr.Div, Expr.Selector("a", Nil, None, 0),
+        Expr.Selector("b", Nil, None, 0),
+        Some(Expr.VectorMatch(on = true, List("x"), Expr.ManyToOne,
+          List("y")))))
     // multi-row scalar operand (topk k>1) rejects; k=1 is fine
     intercept[IllegalArgumentException](e.query(
       "sum by (service) (req) / topk(2, req)", 0, 100))
@@ -783,6 +788,64 @@ class EngineSpec extends AnyFunSuite {
     intercept[PromParseException](e.query("predict_linear(ints[100ms])", 0, 100))
     intercept[PromParseException](
       e.query("predict_linear(ints[100ms], x)", 0, 100))
+  }
+
+  test("group_left(carry): metadata join, runtime uniqueness enforcement") {
+    val rows = Seq(
+      ("m", Map("svc" -> "a", "tier" -> "gold"), 10L, 1d),
+      ("m", Map("svc" -> "a", "tier" -> "gold"), 20L, 2d),
+      ("m", Map("svc" -> "b", "tier" -> "free"), 10L, 4d))
+    val e = new TsdbEngine(spark, longDf(rows),
+      new StreamCatalog(Seq(StreamDef("m", Map.empty, VType.F64))))
+    // the metadata-join idiom: group() gives the info-metric value 1,
+    // tier rides over from the one side onto the many side's rows
+    val out = e.query("sum by (svc) (m) * on (svc) group_left(tier) " +
+      "group by (svc, tier) (m)", 0, 100)
+    assert(out.grouped &&
+      out.df.columns.toSeq == Seq("svc", "tier", "value"))
+    val got = out.output.collect().toSet[Row].map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(got == Set(("a", "gold", 3d), ("b", "free", 4d)))
+    // acceptance: one side must be grouped by exactly key ∪ carry;
+    // carried labels must be new to the many side
+    intercept[IllegalArgumentException](e.query(
+      "sum by (svc) (m) * on (svc) group_left(tier) sum by (svc) (m)",
+      0, 100))
+    intercept[IllegalArgumentException](e.query(
+      "sum by (svc, tier) (m) * on (svc) group_left(tier) " +
+        "group by (svc, tier) (m)", 0, 100))
+    // runtime: two carry tuples sharing a key must FAIL LOUDLY on the
+    // executors (raise_error), never silently duplicate many-side rows
+    val dup = rows :+ ("m", Map("svc" -> "a", "tier" -> "silver"), 30L, 8d)
+    val e2 = new TsdbEngine(spark, longDf(dup),
+      new StreamCatalog(Seq(StreamDef("m", Map.empty, VType.F64))))
+    val bad = e2.query("sum by (svc) (m) * on (svc) group_left(tier) " +
+      "group by (svc, tier) (m)", 0, 100)
+    val thrown = intercept[RuntimeException](bad.output.collect())
+    assert(thrown.getMessage.contains("not unique per match key"),
+      thrown.getMessage)
+  }
+
+  test("plain offset is a time shift: scan moves back, timestamps move forward") {
+    val e = helperEngine()
+    // ints at t = 10,20,30,40: `offset 10ms` over [20, 50] reads the
+    // [10, 40] scan and reports each sample 10ms later
+    assert(vec(e, "ints offset 10ms", (20L, 50L)) ==
+      Seq((20L, 2d), (30L, 4d), (40L, 6d), (50L, 8d)))
+    // negative offset shifts toward the past-window's future samples
+    assert(vec(e, "ints offset -10ms", (0L, 20L)) ==
+      Seq((0L, 2d), (10L, 4d), (20L, 6d)))
+    // the shift feeds window math on REPORTED time: rate over the
+    // shifted series equals rate over the unshifted one
+    assert(vec(e, "rate(ints[100ms] offset 10ms)", (0L, 110L)).map(_._2) ==
+      vec(e, "rate(ints[100ms])").map(_._2))
+    // binary alignment on the shifted clock: shifted ints meet uints
+    // 10ms later, V2V aligning on the union of reported timestamps
+    // (uints edge-carries its last sample to t=50)
+    val shifted = e.query("ints offset 10ms + uints", 20, 50)
+    assert(vectorOf(shifted) ==
+      Seq((20L, 4d), (30L, 7d), (40L, 10d), (50L, 12d)))
+    // with `@` the reference's start-rewrite rule stands (ts16 pins it)
   }
 
   test("absent(): one row when empty, none when present, loud on non-vectors") {

@@ -33,7 +33,7 @@ class ParserRoundTripSpec extends AnyFunSuite {
       case Some(AtTime(t)) => s" @ ${t / 1000}" // parser reads unix seconds
     }
     val off =
-      if (s.at.isEmpty || s.offsetMs == 0) "" // offset only rides an @
+      if (s.offsetMs == 0) "" // plain offset evaluates too since r11
       else if (s.offsetMs > 0) s" offset ${s.offsetMs}ms"
       else s" offset -${-s.offsetMs}ms"
     s"${s.name}$m$at$off"
@@ -79,10 +79,12 @@ class ParserRoundTripSpec extends AnyFunSuite {
     s" ${if (g.by) "by" else "without"} (${g.labels.mkString(", ")})"
 
   private def renderMatch(m: VectorMatch): String = {
+    val carry =
+      if (m.carry.isEmpty) "" else s"(${m.carry.mkString(", ")})"
     val card = m.card match {
       case OneToOne => ""
-      case ManyToOne => " group_left"
-      case OneToMany => " group_right"
+      case ManyToOne => s" group_left$carry"
+      case OneToMany => s" group_right$carry"
     }
     s" ${if (m.on) "on" else "ignoring"} (${m.labels.mkString(", ")})$card"
   }
@@ -140,7 +142,7 @@ class ParserRoundTripSpec extends AnyFunSuite {
       Some(AtTime(1704499200000L)))
     off <- Gen.oneOf(0L, 60000L, -30000L)
   } yield Selector(name, ls.zip(vs).map { case (l, v) => Matcher(l, v) },
-    at, if (at.isEmpty) 0L else off)
+    at, off)
 
   private val numGen: Gen[NumberLit] =
     Gen.oneOf(Gen.choose(0, 1000).map(n => NumberLit(n.toDouble)),
@@ -182,7 +184,11 @@ class ParserRoundTripSpec extends AnyFunSuite {
       ls <- Gen.listOfN(n, labelGen).map(_.distinct)
       card <- if (parenInitial) Gen.const(OneToOne: MatchCard)
               else Gen.oneOf[MatchCard](OneToOne, ManyToOne, OneToMany)
-    } yield VectorMatch(on, ls, card))
+      nc <- Gen.choose(0, 2)
+      carry <- if (card == OneToOne) Gen.const(Nil: List[String])
+               else Gen.listOfN(nc, Gen.oneOf("meta", "node", "tier"))
+                 .map(_.distinct)
+    } yield VectorMatch(on, ls, card, carry))
   }
 
   private val groupingGen: Gen[Option[Grouping]] = for {
