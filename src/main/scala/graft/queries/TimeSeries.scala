@@ -806,6 +806,14 @@ object TimeSeries {
     // on today's clock (scan moves back 1d, timestamps move forward).
     "ts88_plain_offset" -> q("purchase offset 1d") _,
 
+    // full matcher algebra — beyond the reference's equality-only index
+    // (indexer.rs:73-91): anchored regex select, and negated matchers
+    // composed on one label. Row-local predicates over the labels map;
+    // the scan shape is ts01's.
+    "ts89_regex_matcher" -> q("click{user=~\"1.\"}", AllStart, AllEnd) _,
+    "ts90_neg_matchers" ->
+      q("purchase{user!~\"1.*\", user!=\"25\"}", AllStart, AllEnd) _,
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -1668,6 +1676,21 @@ object TimeSeries {
          |      FROM events)
          |WHERE t >= $SubStart AND t < $SubEnd
          |GROUP BY 1, 2 ORDER BY name, bucket""".stripMargin,
+
+    // regexp_full_match is DuckDB's anchored matcher — the same
+    // whole-string contract the engine's \A(?:re)\z anchoring gives.
+    "ts89_regex_matcher" ->
+      s"""SELECT t AS timestamp, v AS value
+         |FROM ${ev("event_type = 'click' AND " +
+           "regexp_full_match(CAST(user_id AS VARCHAR), '1.')")}
+         |ORDER BY timestamp""".stripMargin,
+
+    "ts90_neg_matchers" ->
+      s"""SELECT t AS timestamp, v AS value
+         |FROM ${ev("event_type = 'purchase' AND NOT " +
+           "regexp_full_match(CAST(user_id AS VARCHAR), '1.*') " +
+           "AND CAST(user_id AS VARCHAR) != '25'")}
+         |ORDER BY timestamp""".stripMargin,
 
     "ts01_select_range" ->
       s"""SELECT t AS timestamp, v AS value FROM ${ev("event_type = 'purchase'")}

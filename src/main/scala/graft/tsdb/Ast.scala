@@ -24,11 +24,49 @@ object Expr {
   case object AtEnd extends AtMod
   final case class AtTime(epochMs: Long) extends AtMod
 
-  /** Only equality is effective in the reference's index
-    * (indexer.rs:73-91): every matcher op probes the exact (name,value)
-    * pair. We therefore treat all matcher ops as `=`.
+  /** Matcher operator. The reference's index only probes exact
+    * (name,value) pairs (indexer.rs:73-91) so it treats every op as
+    * `=`; this engine evaluates the full Prometheus matcher algebra —
+    * `=`, `!=`, `=~`, `!~` — because the label set lives on each row
+    * (a row-local predicate) and in the metadata-sized catalog (a
+    * driver-side predicate), so none of the ops cost more than
+    * equality at scan time.
     */
-  final case class Matcher(label: String, value: String)
+  sealed trait MatchOp { def sym: String }
+  case object MatchEq extends MatchOp { val sym = "=" }
+  case object MatchNe extends MatchOp { val sym = "!=" }
+  case object MatchRe extends MatchOp { val sym = "=~" }
+  case object MatchNre extends MatchOp { val sym = "!~" }
+
+  /** A single label matcher. Prometheus semantics throughout: a series
+    * that lacks the label is matched as if the label's value were ""
+    * (so `{l=""}` and `{l!~".+"}` select series WITHOUT the label).
+    * Regexes are fully anchored (`\A(?:re)\z`), as Prometheus anchors
+    * with `^(?:re)$`. Deviation, documented: patterns compile with
+    * java.util.regex, not RE2 — backreferences are accepted rather
+    * than rejected, and pathological patterns can backtrack; Spark's
+    * `rlike` uses the same engine, so the row-local filter and the
+    * catalog predicate agree by construction.
+    */
+  final case class Matcher(label: String, value: String,
+      op: MatchOp = MatchEq) {
+    /** The anchored pattern string (regex ops only). */
+    def anchored: String = "\\A(?:" + value + ")\\z"
+
+    @transient private lazy val pattern =
+      java.util.regex.Pattern.compile(anchored)
+
+    /** Driver-side predicate over a catalog label set. */
+    def matches(labels: Map[String, String]): Boolean = {
+      val v = labels.getOrElse(label, "")
+      op match {
+        case MatchEq => v == value
+        case MatchNe => v != value
+        case MatchRe => pattern.matcher(v).matches()
+        case MatchNre => !pattern.matcher(v).matches()
+      }
+    }
+  }
 
   final case class Selector(
       name: String,

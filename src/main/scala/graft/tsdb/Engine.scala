@@ -12,12 +12,13 @@ import Expr._
 final case class StreamDef(name: String, labels: Map[String, String], vtype: VType)
 
 final class StreamCatalog(defs: Seq[StreamDef]) {
-  /** Selector resolution = equality intersection over (label,value) pairs
-    * (indexer.rs:493-516). Returns matching stream defs.
+  /** Selector resolution over the metadata-sized catalog. Equality
+    * mirrors the reference's index intersection (indexer.rs:493-516);
+    * `!=`/`=~`/`!~` evaluate the full Prometheus matcher algebra here
+    * (catalog-sized work — see Expr.Matcher for the semantics).
     */
   def resolve(name: String, matchers: Seq[Matcher]): Seq[StreamDef] =
-    defs.filter(d => d.name == name &&
-      matchers.forall(m => d.labels.get(m.label).contains(m.value)))
+    defs.filter(d => d.name == name && matchers.forall(_.matches(d.labels)))
 
   def vtypeOf(name: String, matchers: Seq[Matcher]): VType = {
     val hits = resolve(name, matchers)
@@ -1289,10 +1290,21 @@ final class TsdbEngine(
           s"got: $other")
     }
 
-  /** Label-equality matcher conjunction over the long-format scan. */
+  /** Matcher conjunction over the long-format scan — one row-local
+    * predicate per matcher, Prometheus semantics (absent label ≡ "",
+    * regexes fully anchored; see Expr.Matcher). `rlike` compiles with
+    * java.util.regex, the same engine the catalog predicate uses, so
+    * the two sites cannot disagree on a pattern.
+    */
   private def matcherFilter(sel: Selector): Column =
-    sel.matchers.foldLeft(col("name") === sel.name) {
-      (acc, m) => acc && element_at(col("labels"), m.label) === m.value
+    sel.matchers.foldLeft(col("name") === sel.name) { (acc, m) =>
+      val v = coalesce(element_at(col("labels"), m.label), lit(""))
+      acc && (m.op match {
+        case MatchEq => v === m.value
+        case MatchNe => v =!= m.value
+        case MatchRe => v.rlike(m.anchored)
+        case MatchNre => !v.rlike(m.anchored)
+      })
     }
 
   /** VectorSelectNode: label+name equality, [start,end] range; streams

@@ -67,6 +67,13 @@ final class GraftDb(
   private def parseSelector(selector: String): (String, Map[String, String]) =
     PromParser.parse(selector) match {
       case Expr.Selector(name, ms, None, 0L) =>
+        // write-side selectors NAME a stream; a `!=`/`=~`/`!~` matcher
+        // doesn't (queries take those — GraftDb.query/StreamCatalog)
+        ms.find(_.op != Expr.MatchEq).foreach { m =>
+          throw new IllegalArgumentException(
+            s"stream selectors take only equality matchers, got " +
+              s"${m.label}${m.op.sym}\"${m.value}\" in: $selector")
+        }
         (name, ms.map(m => m.label -> m.value).toMap)
       case other =>
         throw new IllegalArgumentException(s"not a plain selector: $other")

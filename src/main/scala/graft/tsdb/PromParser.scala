@@ -533,15 +533,27 @@ object PromParser {
             case TIdent(s) => s
             case t => throw new PromParseException(s"expected label name, got $t")
           }
-          next() match {
-            case TOp("=") | TOp("==") | TOp("!=") | TOp("=~") | TOp("!~") => ()
+          val op = next() match {
+            case TOp("=") | TOp("==") => MatchEq
+            case TOp("!=") => MatchNe
+            case TOp("=~") => MatchRe
+            case TOp("!~") => MatchNre
             case t => throw new PromParseException(s"expected matcher op, got $t")
           }
           val v = next() match {
             case TStr(s) => s
             case t => throw new PromParseException(s"expected quoted label value, got $t")
           }
-          matchers += Matcher(label, v)
+          if (op == MatchRe || op == MatchNre) {
+            // reject bad patterns at parse time, where the error can name
+            // the matcher, instead of deep inside the scan filter
+            try java.util.regex.Pattern.compile(v)
+            catch { case e: java.util.regex.PatternSyntaxException =>
+              throw new PromParseException(
+                s"invalid regex in matcher $label${op.sym}\"$v\": ${e.getMessage}")
+            }
+          }
+          matchers += Matcher(label, v, op)
           peek match {
             case TOp(",") => next()
             case _ => continue = false

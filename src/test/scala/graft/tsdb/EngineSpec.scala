@@ -916,6 +916,33 @@ class EngineSpec extends AnyFunSuite {
 
   // ---- parser rejections (planner.rs:208-232) ----
 
+  test("matcher algebra: !=/=~/!~, anchoring, absent-label-as-empty") {
+    val rows = Seq(
+      ("m", Map("service" -> "web"), 10L, 1d),
+      ("m", Map("service" -> "mobile"), 10L, 2d),
+      ("m", Map.empty[String, String], 10L, 3d))
+    val cat = new StreamCatalog(Seq(
+      StreamDef("m", Map("service" -> "web"), VType.F64),
+      StreamDef("m", Map("service" -> "mobile"), VType.F64),
+      StreamDef("m", Map.empty, VType.F64)))
+    val e = new TsdbEngine(spark, longDf(rows), cat)
+    def vals(q: String): Set[Double] =
+      vectorOf(e.query(q, 0L, 100L)).map(_._2).toSet
+
+    assert(vals("""m{service!="web"}""") === Set(2d, 3d)) // absent ≡ ""
+    assert(vals("""m{service=~"w.b"}""") === Set(1d))
+    assert(vals("""m{service=~"web|mobile"}""") === Set(1d, 2d))
+    assert(vals("""m{service=~"we"}""") === Set.empty) // fully anchored
+    assert(vals("""m{service!~".+"}""") === Set(3d)) // only the unlabeled
+    assert(vals("""m{service=""}""") === Set(3d)) // Prometheus `{l=""}`
+    assert(vals("""m{service=~"m.*", service!="mobile"}""") === Set.empty)
+
+    val bad = intercept[PromParseException] {
+      e.query("""m{service=~"("}""", 0L, 100L)
+    }
+    assert(bad.getMessage.contains("invalid regex"))
+  }
+
   test("unsupported forms are rejected") {
     val e = helperEngine()
     // range functions are the engine's documented extension (RangeFnSpec);

@@ -24,7 +24,7 @@ class ParserRoundTripSpec extends AnyFunSuite {
   private def renderSel(s: Selector): String = {
     val m =
       if (s.matchers.isEmpty) ""
-      else s.matchers.map(mm => s"""${mm.label}="${mm.value}"""")
+      else s.matchers.map(mm => s"""${mm.label}${mm.op.sym}"${mm.value}"""")
         .mkString("{", ", ", "}")
     val at = s.at match {
       case None => ""
@@ -138,10 +138,13 @@ class ParserRoundTripSpec extends AnyFunSuite {
     nm <- Gen.choose(0, 2)
     ls <- Gen.listOfN(nm, labelGen).map(_.distinct)
     vs <- Gen.listOfN(ls.size, valueGen)
+    ops <- Gen.listOfN(ls.size,
+      Gen.oneOf(MatchEq, MatchNe, MatchRe, MatchNre))
     at <- Gen.oneOf(None, Some(AtStart), Some(AtEnd),
       Some(AtTime(1704499200000L)))
     off <- Gen.oneOf(0L, 60000L, -30000L)
-  } yield Selector(name, ls.zip(vs).map { case (l, v) => Matcher(l, v) },
+  } yield Selector(name,
+    ls.zip(vs).zip(ops).map { case ((l, v), o) => Matcher(l, v, o) },
     at, off)
 
   private val numGen: Gen[NumberLit] =
