@@ -814,6 +814,13 @@ object TimeSeries {
     "ts90_neg_matchers" ->
       q("purchase{user!~\"1.*\", user!=\"25\"}", AllStart, AllEnd) _,
 
+    // nameless selectors: the name constraint rides in as a __name__
+    // matcher, resolved against the metadata-sized catalog into an
+    // IN-list on the partition-keyed name column (cross-metric
+    // selection without a per-row regex on the scan).
+    "ts91_name_regex" -> q("sum({__name__=~\"click|view\"})", roundTo = 6) _,
+    "ts92_name_negated" -> q("count({__name__!~\"c.*\"})") _,
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -1691,6 +1698,16 @@ object TimeSeries {
            "regexp_full_match(CAST(user_id AS VARCHAR), '1.*') " +
            "AND CAST(user_id AS VARCHAR) != '25'")}
          |ORDER BY timestamp""".stripMargin,
+
+    "ts91_name_regex" ->
+      s"""SELECT ROUND(SUM(v), 6) AS value
+         |FROM ${ev("event_type IN ('click', 'view')")}
+         |WHERE ${sub()} HAVING SUM(v) IS NOT NULL""".stripMargin,
+
+    "ts92_name_negated" ->
+      s"""SELECT COUNT(*) AS value
+         |FROM ${ev("event_type IN ('view', 'purchase', 'signup', 'error')")}
+         |WHERE ${sub()}""".stripMargin,
 
     "ts01_select_range" ->
       s"""SELECT t AS timestamp, v AS value FROM ${ev("event_type = 'purchase'")}

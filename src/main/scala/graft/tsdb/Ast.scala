@@ -56,16 +56,17 @@ object Expr {
     @transient private lazy val pattern =
       java.util.regex.Pattern.compile(anchored)
 
-    /** Driver-side predicate over a catalog label set. */
-    def matches(labels: Map[String, String]): Boolean = {
-      val v = labels.getOrElse(label, "")
-      op match {
-        case MatchEq => v == value
-        case MatchNe => v != value
-        case MatchRe => pattern.matcher(v).matches()
-        case MatchNre => !pattern.matcher(v).matches()
-      }
+    /** The op applied to one concrete value. */
+    def matchesValue(v: String): Boolean = op match {
+      case MatchEq => v == value
+      case MatchNe => v != value
+      case MatchRe => pattern.matcher(v).matches()
+      case MatchNre => !pattern.matcher(v).matches()
     }
+
+    /** Driver-side predicate over a catalog label set. */
+    def matches(labels: Map[String, String]): Boolean =
+      matchesValue(labels.getOrElse(label, ""))
   }
 
   final case class Selector(

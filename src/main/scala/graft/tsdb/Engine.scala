@@ -18,7 +18,22 @@ final class StreamCatalog(defs: Seq[StreamDef]) {
     * (catalog-sized work — see Expr.Matcher for the semantics).
     */
   def resolve(name: String, matchers: Seq[Matcher]): Seq[StreamDef] =
-    defs.filter(d => d.name == name && matchers.forall(_.matches(d.labels)))
+    defs.filter(d => (name.isEmpty || d.name == name) &&
+      matchers.forall(m =>
+        if (m.label == "__name__") m.matchesValue(d.name)
+        else m.matches(d.labels)))
+
+  /** The metric names a selector can touch — literal name, or the
+    * catalog names its `__name__` matchers admit (metadata-sized; the
+    * scan then prunes with an IN-list over the partition-keyed name
+    * column instead of a per-row regex).
+    */
+  def namesFor(sel: Selector): Seq[String] =
+    if (sel.name.nonEmpty) Seq(sel.name)
+    else {
+      val nameMs = sel.matchers.filter(_.label == "__name__")
+      defs.map(_.name).distinct.filter(n => nameMs.forall(_.matchesValue(n)))
+    }
 
   def vtypeOf(name: String, matchers: Seq[Matcher]): VType = {
     val hits = resolve(name, matchers)
@@ -1296,8 +1311,17 @@ final class TsdbEngine(
     * java.util.regex, the same engine the catalog predicate uses, so
     * the two sites cannot disagree on a pattern.
     */
-  private def matcherFilter(sel: Selector): Column =
-    sel.matchers.foldLeft(col("name") === sel.name) { (acc, m) =>
+  private def matcherFilter(sel: Selector): Column = {
+    // the name constraint resolves against the catalog at PLAN time —
+    // a literal equality or (for __name__ matchers) an IN-list over the
+    // resolved names, so partition pruning on the name column survives
+    // and no per-row regex runs against it
+    val names = catalog.namesFor(sel)
+    val base =
+      if (names.isEmpty) lit(false)
+      else if (names.size == 1) col("name") === names.head
+      else col("name").isin(names: _*)
+    sel.matchers.filterNot(_.label == "__name__").foldLeft(base) { (acc, m) =>
       val v = coalesce(element_at(col("labels"), m.label), lit(""))
       acc && (m.op match {
         case MatchEq => v === m.value
@@ -1306,6 +1330,7 @@ final class TsdbEngine(
         case MatchNre => !v.rlike(m.anchored)
       })
     }
+  }
 
   /** VectorSelectNode: label+name equality, [start,end] range; streams
     * concatenate (vector_select.rs:78-105). Ordered (stream, timestamp).

@@ -74,6 +74,9 @@ final class GraftDb(
             s"stream selectors take only equality matchers, got " +
               s"${m.label}${m.op.sym}\"${m.value}\" in: $selector")
         }
+        if (name.isEmpty)
+          throw new IllegalArgumentException(
+            s"stream selectors need a literal metric name: $selector")
         (name, ms.map(m => m.label -> m.value).toMap)
       case other =>
         throw new IllegalArgumentException(s"not a plain selector: $other")

@@ -520,6 +520,11 @@ object PromParser {
       case TIdent(fn) if peek == TOp("(") =>
         throw new PromParseException(s"unsupported function call: $fn (reference rejects Call exprs)")
       case TIdent(name) => parseSelectorTail(name)
+      case TOp("{") =>
+        // nameless selector `{__name__=~"a|b", ...}` — cross-metric
+        // selection; the name constraint rides in as a __name__ matcher
+        pos -= 1
+        parseSelectorTail("")
       case t => throw new PromParseException(s"unexpected token $t in: $q")
     }
 
@@ -597,7 +602,15 @@ object PromParser {
           }
         case _ => scanning = false
       }
-      val sel = Selector(name, matchers.result(), at, offsetMs)
+      val ms = matchers.result()
+      if (name.isEmpty && !ms.exists(_.label == "__name__"))
+        throw new PromParseException(
+          s"a nameless selector needs a __name__ matcher in: $q")
+      if (name.nonEmpty && ms.exists(_.label == "__name__"))
+        throw new PromParseException(
+          s"metric name $name and a __name__ matcher conflict " +
+            s"(Prometheus rejects the duplicate name constraint) in: $q")
+      val sel = Selector(name, ms, at, offsetMs)
       rangeMs match {
         case Some(ms) => MatrixSelector(sel, ms)
         case None => sel

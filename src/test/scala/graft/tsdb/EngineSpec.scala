@@ -943,6 +943,24 @@ class EngineSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("invalid regex"))
   }
 
+  test("nameless selectors: __name__ matchers resolve on the catalog") {
+    val e = helperEngine() // ints (I64), uints (U64), floats (F64)
+    val Seq(s) =
+      scalarsOf(e.query("""sum({__name__=~"ints|floats"})""", 0L, 100L))
+    assert(math.abs(s - 31.0) < 1e-9) // 20 (ints) + 11 (floats)
+    assert(scalarsOf(e.query("""count({__name__!~"u.*"})""", 0L, 100L))
+      === Seq(8d))
+    // no catalog name admitted → static empty scan, count's 0-arity
+    assert(scalarsOf(e.query("""count({__name__=~"nothing_.*"})""", 0L, 100L))
+      === Seq(0d))
+    assert(intercept[PromParseException] {
+      e.query("""{uints="1"}""", 0L, 100L)
+    }.getMessage.contains("__name__ matcher"))
+    assert(intercept[PromParseException] {
+      e.query("""ints{__name__="floats"}""", 0L, 100L)
+    }.getMessage.contains("conflict"))
+  }
+
   test("unsupported forms are rejected") {
     val e = helperEngine()
     // range functions are the engine's documented extension (RangeFnSpec);
