@@ -821,6 +821,11 @@ object TimeSeries {
     "ts91_name_regex" -> q("sum({__name__=~\"click|view\"})", roundTo = 6) _,
     "ts92_name_negated" -> q("count({__name__!~\"c.*\"})") _,
 
+    // `^` (Float64 pow) and the `bool` comparison modifier (1/0-valued,
+    // keeps every element) — the last two PromQL binary-operator forms.
+    "ts93_pow" -> q("avg(click ^ 2)", roundTo = 3) _,
+    "ts94_bool_cmp" -> q("sum(purchase >= bool 150)", roundTo = 6) _,
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -1708,6 +1713,21 @@ object TimeSeries {
       s"""SELECT COUNT(*) AS value
          |FROM ${ev("event_type IN ('view', 'purchase', 'signup', 'error')")}
          |WHERE ${sub()}""".stripMargin,
+
+    "ts93_pow" ->
+      s"""SELECT ROUND(AVG(v * v), 3) AS value
+         |FROM ${ev("event_type = 'click'")}
+         |WHERE ${sub()} HAVING AVG(v * v) IS NOT NULL""".stripMargin,
+
+    // SUM over a DECIMAL literal is DECIMAL in DuckDB — cast to DOUBLE
+    // (the SUM(BIGINT)→HUGEINT gotcha's sibling).
+    "ts94_bool_cmp" ->
+      s"""SELECT ROUND(CAST(SUM(CASE WHEN v >= 150 THEN 1.0 ELSE 0.0 END)
+         |  AS DOUBLE), 6) AS value
+         |FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()}
+         |HAVING SUM(CASE WHEN v >= 150 THEN 1.0 ELSE 0.0 END) IS NOT NULL"""
+        .stripMargin,
 
     "ts01_select_range" ->
       s"""SELECT t AS timestamp, v AS value FROM ${ev("event_type = 'purchase'")}

@@ -98,6 +98,24 @@ object Expr {
   case object Or extends BinKind
   case object Unless extends BinKind
 
+  // `^` (right-associative, binds tightest of the binary ops) and
+  // `atan2` (the *,/,% precedence level) — PromQL's remaining two
+  // arithmetic operators. Both always compute in Float64, like Go's
+  // math.Pow / math.Atan2.
+  case object Pow extends BinKind
+  case object Atan2 extends BinKind
+
+  /** Prometheus' `bool` modifier: `a > bool b` turns the comparison
+    * into arithmetic — every element survives and the value becomes
+    * 1.0 (true) or 0.0 (false). Wrapping the comparison kind keeps the
+    * whole binary dispatch untouched: a BoolCmp is NOT isComparison,
+    * so it routes through the arithmetic arms, which is exactly its
+    * semantics.
+    */
+  final case class BoolCmp(cmp: BinKind) extends BinKind {
+    require(isComparison(cmp), s"bool modifier needs a comparison, got $cmp")
+  }
+
   def isComparison(k: BinKind): Boolean = k match {
     case Eq | Ne | Gt | Lt | Ge | Le => true
     case _ => false

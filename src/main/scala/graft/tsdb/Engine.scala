@@ -1478,6 +1478,10 @@ final class TsdbEngine(
     case Mul => l * r
     case Div => l.cast("double") / r.cast("double")
     case Mod => l.cast("double") % r.cast("double")
+    case Pow => pow(l.cast("double"), r.cast("double"))
+    case Atan2 => atan2(l.cast("double"), r.cast("double"))
+    case BoolCmp(c) =>
+      when(cmp(c, l, r), lit(1d)).otherwise(lit(0d))
     case _ => throw new IllegalArgumentException(s"not arithmetic: $kind")
   }
 
@@ -1496,7 +1500,7 @@ final class TsdbEngine(
     * (they filter, they don't compute).
     */
   private def resultType(kind: BinKind, l: VType, r: VType): VType = kind match {
-    case Div | Mod => VType.F64
+    case Div | Mod | Pow | Atan2 | _: BoolCmp => VType.F64
     case _ => VType.combine(l, r)
   }
 

@@ -88,7 +88,7 @@ object PromParser {
           val two = if (i + 1 < n) q.substring(i, i + 2) else ""
           if (Set("==", "!=", ">=", "<=", "=~", "!~").contains(two)) {
             toks += TOp(two); i += 2
-          } else if ("+-*/%(){}[],=@<>".indexOf(c) >= 0) {
+          } else if ("+-*/%^(){}[],=@<>".indexOf(c) >= 0) {
             toks += TOp(c.toString); i += 1
           } else throw new PromParseException(s"unexpected character '$c' in query: $q")
       }
@@ -263,10 +263,13 @@ object PromParser {
       while (continue) peek match {
         case TOp(op @ ("==" | "!=" | ">" | "<" | ">=" | "<=")) =>
           next()
-          val kind = op match {
+          val base = op match {
             case "==" => Eq; case "!=" => Ne; case ">" => Gt
             case "<" => Lt; case ">=" => Ge; case "<=" => Le
           }
+          // `> bool` — the modifier reads before any on/ignoring clause
+          val kind =
+            if (peek == TIdent("bool")) { next(); BoolCmp(base) } else base
           val m = parseMatching()
           l = BinaryOp(kind, l, parseAdditive(), m)
         case _ => continue = false
@@ -296,6 +299,10 @@ object PromParser {
           val kind = op match { case "*" => Mul; case "/" => Div; case _ => Mod }
           val m = parseMatching()
           l = BinaryOp(kind, l, parseUnary(), m)
+        case TIdent("atan2") => // keyword operator, the *,/,% level
+          next()
+          val m = parseMatching()
+          l = BinaryOp(Atan2, l, parseUnary(), m)
         case _ => continue = false
       }
       l
@@ -308,7 +315,19 @@ object PromParser {
           case NumberLit(v) => NumberLit(-v)
           case e => BinaryOp(Sub, NumberLit(0), e) // -vec ≡ 0 - vec
         }
-      case _ => parseAtom()
+      case _ => parsePower()
+    }
+
+    // `^` binds tightest of the binary ops and is RIGHT-associative
+    // (2^3^2 = 2^(3^2)); unary minus binds looser (-2^2 = -(2^2)) but
+    // may open the right operand (2^-3), both per the PromQL grammar.
+    def parsePower(): Expr = {
+      val l = parseAtom()
+      if (peek == TOp("^")) {
+        next()
+        val m = parseMatching()
+        BinaryOp(Pow, l, parseUnary(), m)
+      } else l
     }
 
     def parseAtom(): Expr = next() match {

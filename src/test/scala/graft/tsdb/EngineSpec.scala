@@ -943,6 +943,23 @@ class EngineSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("invalid regex"))
   }
 
+  test("pow (right-assoc), atan2, and the bool comparison modifier") {
+    val e = helperEngine() // ints: 2,4,6,8 at ts 10..40
+    assert(vectorOf(e.query("ints ^ 2", 0L, 100L))
+      === Seq(10L -> 4d, 20L -> 16d, 30L -> 36d, 40L -> 64d))
+    assert(scalarsOf(e.query("2^3^2", 0L, 100L)) === Seq(512d)) // 2^(3^2)
+    assert(scalarsOf(e.query("-2^2", 0L, 100L)) === Seq(-4d)) // -(2^2)
+    assert(scalarsOf(e.query("2^-1", 0L, 100L)) === Seq(0.5))
+    assert(vectorOf(e.query("ints atan2 ints", 0L, 100L)).map(_._2)
+      === Seq.fill(4)(math.Pi / 4))
+    // bool keeps every element, valued 0/1 — vs the filtering default
+    assert(vectorOf(e.query("ints > bool 5", 0L, 100L))
+      === Seq(10L -> 0d, 20L -> 0d, 30L -> 1d, 40L -> 1d))
+    assert(scalarsOf(e.query("1 >= bool 2", 0L, 100L)) === Seq(0d))
+    // without bool, scalar·scalar comparison still rejects
+    intercept[IllegalArgumentException](e.query("1 > 2", 0L, 100L))
+  }
+
   test("nameless selectors: __name__ matchers resolve on the catalog") {
     val e = helperEngine() // ints (I64), uints (U64), floats (F64)
     val Seq(s) =

@@ -44,6 +44,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
     case Mod => "%"; case Eq => "=="; case Ne => "!="; case Gt => ">"
     case Lt => "<"; case Ge => ">="; case Le => "<="
     case And => "and"; case Or => "or"; case Unless => "unless"
+    case Pow => "^"; case Atan2 => "atan2"
+    case BoolCmp(c) => binOp(c) + " bool"
   }
 
   private def aggName(k: AggKind): String = k match {
@@ -223,7 +225,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
       } yield GetK(top, NumberLit(kv.toDouble), c, g)),
       2 -> (for {
         k <- Gen.oneOf(Add, Sub, Mul, Div, Mod, Eq, Ne, Gt, Lt, Ge, Le,
-          And, Or, Unless)
+          And, Or, Unless, Pow, Atan2,
+          BoolCmp(Gt), BoolCmp(Eq), BoolCmp(Le))
         l <- exprGen(depth - 1)
         r <- exprGen(depth - 1)
         m <- matchingGen(r)
