@@ -826,6 +826,13 @@ object TimeSeries {
     "ts93_pow" -> q("avg(click ^ 2)", roundTo = 3) _,
     "ts94_bool_cmp" -> q("sum(purchase >= bool 150)", roundTo = 6) _,
 
+    // the eval-time bridge trio: time() is the eval timestamp (= end in
+    // the whole-range model), vector(s) lifts a scalar to one unlabeled
+    // sample at it. scalar() is pinned by EngineSpec (its NaN arm isn't
+    // SQL-portable).
+    "ts95_time_fn" -> q("sum(purchase) + time()", roundTo = 3) _,
+    "ts96_vector_fn" -> q("vector(time() * 2)", roundTo = 6) _,
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -1713,6 +1720,15 @@ object TimeSeries {
       s"""SELECT COUNT(*) AS value
          |FROM ${ev("event_type IN ('view', 'purchase', 'signup', 'error')")}
          |WHERE ${sub()}""".stripMargin,
+
+    "ts95_time_fn" ->
+      s"""SELECT ROUND(SUM(v) + $SubEnd / 1000.0, 3) AS value
+         |FROM ${ev("event_type = 'purchase'")}
+         |WHERE ${sub()} HAVING SUM(v) IS NOT NULL""".stripMargin,
+
+    "ts96_vector_fn" ->
+      s"""SELECT CAST($SubEnd AS BIGINT) AS timestamp,
+         |  ROUND($SubEnd / 1000.0 * 2, 6) AS value""".stripMargin,
 
     "ts93_pow" ->
       s"""SELECT ROUND(AVG(v * v), 3) AS value

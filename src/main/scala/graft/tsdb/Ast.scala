@@ -404,6 +404,18 @@ object Expr {
     * expression — scalars and grouped results reject loudly.
     */
   final case class AbsentFn(child: Expr) extends Expr
+
+  /** `time()`, `scalar(v)`, `vector(s)` — the eval-time bridge trio.
+    * This engine evaluates one whole [start, end] range (the
+    * reference's model), so "the evaluation timestamp" maps to `end`:
+    * time() = end seconds; vector(s) emits one unlabeled sample AT
+    * `end`; scalar(v) is the Prometheus collapse — the value when the
+    * vector has exactly one element, NaN otherwise (decided in-plan,
+    * no driver count).
+    */
+  case object TimeFn extends Expr
+  final case class ScalarFn(child: Expr) extends Expr
+  final case class VectorFn(child: Expr) extends Expr
 }
 
 /** The reference's value types and coercion lattice (lib.rs:54-73):

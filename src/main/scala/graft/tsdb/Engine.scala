@@ -412,6 +412,34 @@ final class TsdbEngine(
         c.df.withColumn("value", col("timestamp").cast("double") / 1000.0),
         c.isScalar, VType.F64, grouped = c.grouped)
 
+    case TimeFn =>
+      // the eval timestamp, seconds — `end` in the whole-range model
+      TsdbResult(
+        spark.range(1).select(lit(end / 1000.0).as("value")),
+        isScalar = true, VType.F64)
+
+    case ScalarFn(child) =>
+      // exactly-one-element vector → its value; anything else → NaN.
+      // One aggregate decides it in-plan: no driver-side count.
+      val c = eval(child, start, end)
+      require(!c.isScalar && !c.grouped,
+        "scalar() takes an instant vector (scalars and grouped results " +
+          "are rejected, as in Prometheus)")
+      TsdbResult(
+        c.df.agg(when(count(lit(1)) === 1, max(col("value").cast("double")))
+          .otherwise(lit(Double.NaN)).as("value")),
+        isScalar = true, VType.F64)
+
+    case VectorFn(child) =>
+      // scalar → one unlabeled sample at the eval timestamp (`end`).
+      val c = eval(child, start, end)
+      require(c.isScalar && !c.grouped && !c.multiRow,
+        "vector() takes a single-row scalar expression")
+      TsdbResult(
+        c.df.select(lit(end).as("timestamp"),
+          col("value").cast("double").as("value")),
+        isScalar = false, VType.F64)
+
     case AbsentFn(child) =>
       // ONE row of 1.0 when the child vector is EMPTY over the range —
       // the gap alarm. A left-anti join against a LIMIT-1 probe of the

@@ -536,6 +536,20 @@ object PromParser {
         next()
         expectOp(")")
         NumberLit(math.Pi)
+      case TIdent("time") if peek == TOp("(") =>
+        next()
+        expectOp(")")
+        TimeFn
+      case TIdent("scalar") if peek == TOp("(") =>
+        next()
+        val child = parseExpr()
+        expectOp(")")
+        ScalarFn(child)
+      case TIdent("vector") if peek == TOp("(") =>
+        next()
+        val child = parseExpr()
+        expectOp(")")
+        VectorFn(child)
       case TIdent(fn) if peek == TOp("(") =>
         throw new PromParseException(s"unsupported function call: $fn (reference rejects Call exprs)")
       case TIdent(name) => parseSelectorTail(name)

@@ -960,6 +960,19 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](e.query("1 > 2", 0L, 100L))
   }
 
+  test("time(), scalar(), vector(): the eval-time bridge trio") {
+    val e = helperEngine()
+    assert(scalarsOf(e.query("time()", 0L, 100L)) === Seq(0.1)) // end s
+    assert(scalarsOf(e.query("scalar(ints)", 0L, 15L)) === Seq(2d))
+    val Seq(nan) = scalarsOf(e.query("scalar(ints)", 0L, 100L)) // 4 rows
+    assert(nan.isNaN)
+    assert(vectorOf(e.query("vector(7)", 0L, 100L)) === Seq(100L -> 7d))
+    assert(vectorOf(e.query("vector(time())", 0L, 50L))
+      === Seq(50L -> 0.05))
+    intercept[IllegalArgumentException](e.query("scalar(sum(ints))", 0L, 100L))
+    intercept[IllegalArgumentException](e.query("vector(ints)", 0L, 100L))
+  }
+
   test("nameless selectors: __name__ matchers resolve on the catalog") {
     val e = helperEngine() // ints (I64), uints (U64), floats (F64)
     val Seq(s) =
