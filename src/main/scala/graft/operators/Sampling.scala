@@ -51,6 +51,36 @@ object Sampling {
     df.where(pmod(keyHash(key), lit(buckets)) < cut)
   }
 
+  /** Cluster-balanced subsampling: cap every cluster's contribution at
+    * `cap` rows, the kept subset chosen by the stable content hash —
+    * unbiased within the cluster and layout/engine independent, like
+    * every sampler here. With `cellCol` = a semantic cluster id
+    * (IvfIndex.transform over an embedding column is the row-local
+    * way to get one), head clusters — boilerplate genres, dominant
+    * topics — stop drowning the mixture while tail clusters pass
+    * through whole: the diversity-flattening move cluster-dedup
+    * pipelines apply after assignment.
+    *
+    * `key` must be unique per row (it breaks hash ties; a duplicate
+    * key would tie and rank layout-dependently).
+    *
+    * Scale shape: the within-cluster rank is RangeRank.groupedCumSum —
+    * range-partitioned on (cell, hash, key), so parallelism never caps
+    * at the cluster count and a mega-cluster never funnels through one
+    * task; the cap is then a row-local filter.
+    */
+  def clusterCap(df: DataFrame, key: Column, cellCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    require(!df.columns.contains("_cb1"),
+      "input must not carry the reserved column _cb1")
+    RangeRank.groupedCumSum(
+        df.withColumn("_cb1", lit(1L)),
+        Seq(cellCol), Seq(keyHash(key), key), "_cb1")
+      .where(col("gcum") < cap)
+      .drop("gcum", "_cb1")
+  }
+
   /** Deterministic seeded global shuffle: returns `df` plus `pos` — the
     * row's 1-based position in a pseudorandom permutation keyed by
     * (seed, key). Training pipelines need a reproducible corpus order

@@ -1576,6 +1576,23 @@ object Pipeline {
         .orderBy("source", "lang")
     },
 
+    // Cluster-balanced subsampling: quantize the corpus embeddings
+    // (iters=0 so the DuckDB oracle rebuilds the same centroids — the
+    // ann07 convention), then cap every semantic cluster at 40 docs,
+    // kept subset chosen by the stable content hash. The
+    // diversity-flattening sampler cluster-dedup pipelines run after
+    // assignment: head topics stop drowning the mixture, tail topics
+    // pass through whole.
+    "pp15_cluster_balance" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val m = graft.ann.IvfIndex.fit(e, "vec_id", "vec", k = 8, iters = 0)
+      val assigned = graft.ann.IvfIndex.transform(e, "vec", m)
+      graft.operators.Sampling.clusterCap(assigned, col("vec_id"), "cell", 40)
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    },
+
     // Training-objective prep: T5-style span corruption, re-designed
     // block-deterministic — one content-hash-offset 3-token span masked
     // per 16-token block (~19% density), sentinel-numbered input/target
@@ -2274,6 +2291,31 @@ object Pipeline {
          |    ELSE 'zh' END AS lang_pred
          |FROM sc ORDER BY doc_id""".stripMargin
     },
+
+    // pp15: rebuild the iters=0 quantizer (centroids = the 8
+    // smallest-vec_id vectors, cell id in vec_id order), argmin
+    // assignment with ties to the smaller cell, then the shared
+    // md5-hash rank capped at 40 per cell.
+    "pp15_cluster_balance" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |           vec AS cv
+        |         FROM v ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT v.vec_id, cent.cell,
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (v.vec[i] - cent.cv[i]) * (v.vec[i] - cent.cv[i]))) AS d2
+        |      FROM v, cent),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |    FROM d) WHERE rn = 1),
+        |r AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+        |        ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),
+        |                       1, 15)) AS BIGINT), vec_id) AS rn
+        |      FROM asg)
+        |SELECT vec_id, CAST(cell AS INT) AS cell FROM r
+        |WHERE rn <= 40 ORDER BY vec_id""".stripMargin,
 
     "pp14_data_card" ->
       s"""WITH t AS (SELECT source, lang, n_chars, text, $ToksSql AS toks

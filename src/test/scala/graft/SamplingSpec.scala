@@ -26,6 +26,26 @@ class SamplingSpec extends AnyFunSuite {
     graft.engine.Caches.release()
   }
 
+  test("clusterCap: per-cluster cap, tail passthrough, layout-independent") {
+    // cells 0/1/2 sized 50/10/3 — cap 10 trims 0, keeps 1 whole (at the
+    // cap boundary), passes 2 through
+    val rows = ((0 until 50).map(i => (i.toLong, 0)) ++
+      (50 until 60).map(i => (i.toLong, 1)) ++
+      (60 until 63).map(i => (i.toLong, 2)))
+    def run(parts: Int) =
+      Sampling.clusterCap(
+          rows.toDF("id", "cell").repartition(parts), $"id", "cell", 10)
+        .select($"id", $"cell").collect().map(r => r.getLong(0) -> r.getInt(1))
+    val a = run(3)
+    assert(a.count(_._2 == 0) === 10)
+    assert(a.filter(_._2 == 1).map(_._1).sorted.toSeq === (50L until 60L))
+    assert(a.filter(_._2 == 2).map(_._1).sorted.toSeq === (60L until 63L))
+    // the kept cell-0 subset is hash-chosen, not the first ids
+    assert(a.filter(_._2 == 0).map(_._1).sorted.toSeq != (0L until 10L))
+    assert(a.toSet === run(11).toSet) // layout-independent
+    graft.engine.Caches.release()
+  }
+
   test("shuffleOrder re-deals under a different seed") {
     val ids = (0 until 500).map(_.toLong).toDF("id")
     val a = Sampling.shuffleOrder(ids, $"id", 7L)
