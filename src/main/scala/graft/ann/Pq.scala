@@ -185,6 +185,81 @@ object Pq {
         col("_e.id").as(idCol), (-col("_e.score")).as("adist"))
   }
 
+  /** Residual column `vec − centroid(cell)` for an IVF-assigned frame —
+    * the IVFADC encoding input (Jégou et al. 2011 §III): PQ quantizes
+    * what the coarse quantizer MISSES, so the same code budget spends
+    * its resolution on a much smaller residual ball. Row-local: the
+    * coarse centroid matrix rides in as one literal array indexed by
+    * the cell id. The per-element zip_with fold is fine here — this is
+    * the once-per-corpus encode path, not the per-query ADC loop.
+    */
+  def residualCol(vecCol: String, cellCol: String,
+      coarse: IvfIndex.Model): Column = {
+    val cents = typedLit(
+      coarse.centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+    zip_with(col(vecCol), element_at(cents, col(cellCol) + 1),
+      (x, c) => x - c)
+  }
+
+  /** Fit the PQ codebook on the RESIDUALS of an IVF-assigned frame
+    * (`cellCol` from [[IvfIndex.transform]]) — [[fit]]'s deterministic
+    * contract (first-k init by id, `iters` Lloyd steps) over
+    * `vec − centroid(cell)`.
+    */
+  def fitResidual(assigned: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, coarse: IvfIndex.Model, m: Int, k: Int,
+      iters: Int = 3): Model =
+    fit(assigned.select(col(idCol),
+        residualCol(vecCol, cellCol, coarse).as(vecCol)),
+      idCol, vecCol, m, k, iters)
+
+  /** Encode residuals: (id, cell, codes) — the IVFADC codes table. The
+    * cell column stays ON the row (in production the table is
+    * partitioned by it, so probing is partition pruning).
+    */
+  def encodeResidual(assigned: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, coarse: IvfIndex.Model, model: Model): DataFrame =
+    encode(assigned.select(col(idCol), col(cellCol),
+        residualCol(vecCol, cellCol, coarse).as(vecCol)),
+      vecCol, model)
+      .select(col(idCol), col(cellCol), col("codes"))
+
+  /** IVFADC search: ADC over the probed cells' residual codes, each
+    * probed cell using ITS OWN distance table built from the query's
+    * residual against that cell — ||q − (c + r̂)||² = ||(q−c) − r̂||²,
+    * so the residual geometry is exact per cell and only the PQ
+    * quantization approximates. The per-cell tables ride in as a
+    * CASE over the (bounded, plan-sized) probe list; the scan stays
+    * one row-local pass over the pruned cells plus the orderBy/limit
+    * heap. Returns (id, adist) ascending.
+    */
+  def ivfAdcResidualTopK(codes: DataFrame, idCol: String,
+      coarse: IvfIndex.Model, model: Model, query: Seq[Double],
+      probeCells: Seq[Int], topK: Int,
+      cellCol: String = "cell"): DataFrame = {
+    require(probeCells.nonEmpty, "ivfAdcResidualTopK needs >= 1 probe cell")
+    val byCell = coarse.centroids.toMap
+    val adist = probeCells.map { c =>
+      val cent = byCell.getOrElse(c,
+        throw new IllegalArgumentException(s"unknown coarse cell: $c"))
+      val table = distTable(
+        query.indices.map(i => query(i) - cent(i)), model)
+      val sum = (0 until model.m).map { s =>
+        element_at(typedLit(table(s).toSeq),
+          element_at(col("codes"), s + 1) + 1)
+      }.reduce(_ + _)
+      (c, sum)
+    }.foldLeft(lit(Double.MaxValue)) { case (acc, (c, sum)) =>
+      when(col(cellCol) === c, sum).otherwise(acc)
+    }
+    codes
+      .where(col(cellCol).isin(probeCells: _*))
+      .withColumn("adist", adist)
+      .orderBy(col("adist").asc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), col("adist"))
+  }
+
   /** ADC shortlist + exact re-rank — the production IVFADC refinement
     * (Jégou et al. 2011 §V-C): the m-byte codes are lossy, so the codes
     * scan selects an OVERSAMPLED shortlist by approximate distance

@@ -756,6 +756,32 @@ object Pipeline {
         .select(col("vec_id"), round(col("adist"), 6).as("adist"))
     },
 
+    // Residual IVFADC (Jégou et al. 2011 §III — the production FAISS
+    // IVF-PQ layout): PQ encodes vec − centroid(cell), so the code
+    // budget spends its resolution on the residual ball; search ADCs
+    // the probed cells' codes with per-cell tables built from the
+    // query's residual against each cell (||q−(c+r̂)||² = ||(q−c)−r̂||²).
+    // Both quantizers iters=0 so the DuckDB oracle rebuilds everything;
+    // the PQ init draws from ids ≥ 4 (ids 0..3 ARE the coarse
+    // centroids — their residuals are all-zero, a degenerate init).
+    "ann11_ivfpq_residual" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val coarse = graft.ann.IvfIndex.fit(e, "vec_id", "vec", k = 4, iters = 0)
+      val assigned = graft.ann.IvfIndex.transform(e, "vec", coarse)
+      val pq = graft.ann.Pq.fitResidual(
+        assigned.where(col("vec_id") >= 4), "vec_id", "vec", "cell",
+        coarse, m = 8, k = 4, iters = 0)
+      val codes = graft.ann.Pq.encodeResidual(
+        assigned.where(col("vec_id") =!= 0), "vec_id", "vec", "cell",
+        coarse, pq)
+      // the query IS coarse centroid 0 (iters=0), so its cell is 0
+      val q = e.where(col("vec_id") === 0).head().getSeq[Double](1)
+      graft.ann.Pq.ivfAdcResidualTopK(
+          codes, "vec_id", coarse, pq, q, Seq(0, 1), 10)
+        .select(col("vec_id"), round(col("adist"), 6).as("adist"))
+    },
+
     // Symmetric int8 quantization of the embedding column — the 4x
     // storage/bandwidth reduction a 100 TB embedding store runs on:
     // per-vector scale = max |v| / 127, codes = floor(v * 127 / amax).
@@ -2022,6 +2048,59 @@ object Pipeline {
         |      FROM s)
         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, ROUND(sim, 6) AS sim
         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // ann11: rebuild BOTH iters=0 quantizers — coarse centroids = the 4
+    // smallest-vec_id vectors; PQ centroids = the residual sub-slices
+    // of ids 4..7 (code j = vec_id - 4); encode = per-(vec,subspace)
+    // argmin with ties to the smaller code; per-probed-cell query
+    // tables from the query's residual; ADC over cells {0,1}.
+    "ann11_ivfpq_residual" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings),
+        |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |         vec AS cv
+        |       FROM v ORDER BY vec_id LIMIT 4),
+        |dc AS (SELECT v.vec_id, cc.cell,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (v.vec[i] - cc.cv[i]) * (v.vec[i] - cc.cv[i]))) AS d2
+        |       FROM v, cc),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |    FROM dc) WHERE rn = 1),
+        |res AS (SELECT v.vec_id, asg.cell,
+        |          list_transform(range(1, 65), i -> v.vec[i] - cc.cv[i]) AS rv
+        |        FROM v JOIN asg USING (vec_id) JOIN cc ON asg.cell = cc.cell),
+        |m AS (SELECT unnest(range(0, 8)) AS s),
+        |pc AS (SELECT m.s, CAST(r.vec_id - 4 AS INT) AS j,
+        |         list_slice(r.rv, m.s*8+1, m.s*8+8) AS cv
+        |       FROM res r, m WHERE r.vec_id >= 4 AND r.vec_id < 8),
+        |parts AS (SELECT res.vec_id, res.cell, m.s,
+        |            list_slice(res.rv, m.s*8+1, m.s*8+8) AS sv
+        |          FROM res, m WHERE res.vec_id != 0),
+        |d AS (SELECT parts.vec_id, parts.cell, parts.s, pc.j,
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (parts.sv[i] - pc.cv[i]) * (parts.sv[i] - pc.cv[i]))) AS d2
+        |      FROM parts JOIN pc ON parts.s = pc.s),
+        |codes AS (SELECT vec_id, cell, s, j AS code FROM (
+        |    SELECT vec_id, cell, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        |    FROM d) WHERE rn = 1),
+        |qr AS (SELECT cc.cell, m.s,
+        |         list_slice(list_transform(range(1, 65),
+        |           i -> q.vec[i] - cc.cv[i]), m.s*8+1, m.s*8+8) AS qv
+        |       FROM v q, cc, m WHERE q.vec_id = 0 AND cc.cell IN (0, 1)),
+        |tab AS (SELECT qr.cell, qr.s, pc.j,
+        |          list_sum(list_transform(range(1, 9),
+        |            i -> (qr.qv[i] - pc.cv[i]) * (qr.qv[i] - pc.cv[i]))) AS qd
+        |        FROM qr JOIN pc ON qr.s = pc.s),
+        |adc AS (SELECT codes.vec_id, SUM(tab.qd) AS adist
+        |        FROM codes JOIN tab ON codes.cell = tab.cell
+        |          AND codes.s = tab.s AND codes.code = tab.j
+        |        WHERE codes.cell IN (0, 1)
+        |        GROUP BY codes.vec_id)
+        |SELECT vec_id, ROUND(adist, 6) AS adist FROM adc
+        |ORDER BY adist, vec_id LIMIT 10""".stripMargin,
 
     "ann07_pq_adc" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec

@@ -149,6 +149,42 @@ class PqSpec extends AnyFunSuite {
       assert(loaded.centroids(s)(j).sameElements(model.centroids(s)(j)))
   }
 
+  test("residual IVFADC: per-cell tables == adcTopK over the residual query") {
+    import graft.ann.IvfIndex
+    val coarse = IvfIndex.fit(emb, "vec_id", "vec", k = 4, iters = 0)
+    val assigned = IvfIndex.transform(emb, "vec", coarse)
+    // PQ init away from ids 0..3: those ARE the iters=0 coarse
+    // centroids, so their residuals are all-zero (degenerate init)
+    val pq = Pq.fitResidual(assigned.where(col("vec_id") >= 4),
+      "vec_id", "vec", "cell", coarse, m = M, k = K, iters = 1)
+    val codes = Pq.encodeResidual(assigned, "vec_id", "vec", "cell",
+      coarse, pq)
+    val q = emb.where(col("vec_id") === 0).head().getSeq[Double](1)
+    val cents = coarse.centroids.toMap
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // single probe ≡ plain ADC over that cell's codes with the query's
+    // residual against that cell — ||q−(c+r̂)||² = ||(q−c)−r̂||²
+    val perCell = (0 until 4).map { c =>
+      val got = rows(Pq.ivfAdcResidualTopK(
+        codes, "vec_id", coarse, pq, q, Seq(c), 1000))
+      val want = rows(Pq.adcTopK(
+        codes.where(col("cell") === c).select(col("vec_id"), col("codes")),
+        "vec_id", pq, q.indices.map(i => q(i) - cents(c)(i)), 1000))
+      assert(got === want, s"cell $c")
+      got
+    }
+    // multi-probe = the per-cell lists merged on (adist, id)
+    val multi = rows(Pq.ivfAdcResidualTopK(
+      codes, "vec_id", coarse, pq, q, Seq(0, 1, 2, 3), 10))
+    assert(multi === perCell.flatten.sortBy(x => (x._2, x._1)).take(10))
+    // the query's own cell ranks it first: residual 0 encodes to the
+    // nearest codeword, and id 0's adist is the minimal table sum
+    assert(multi.head._1 === 0L)
+    intercept[IllegalArgumentException](
+      Pq.ivfAdcResidualTopK(codes, "vec_id", coarse, pq, q, Seq(9), 10))
+  }
+
   test("composes with IVF blocking: ADC over probed cells only (IVF-PQ)") {
     // the FAISS-standard layout: coarse IVF cells prune the scan, PQ
     // codes compress what remains — encode the assigned frame once,
