@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 
-import graft.tsdb.{GraftDb, VType}
+import graft.tsdb.{Expr, GraftDb, PromParser, VType}
 
 /** HTTP query endpoint — parity with the reference web backend
   * (tachyon_web_backend/src/main.rs:10-90):
@@ -103,9 +103,234 @@ object Web {
           "deletion disabled: server started without a db root allowlist")
       handleDeleteStream(spark, body, dbRoot)
     }
+    // Prometheus HTTP API bridge: GET or form-encoded POST, success/
+    // error envelopes and matrix/vector/scalar result shapes per the
+    // published API (prometheus.io/docs/prometheus/latest/querying/api).
+    // One deviation, documented: a `path` param picks the database
+    // (Prometheus serves one store; this server serves a root of them)
+    // — it defaults to the configured db root itself.
+    def promContext(path: String)(
+        handler: Map[String, String] => String): Unit =
+      server.createContext(path, (ex: HttpExchange) => {
+        val (code, body) =
+          try {
+            val raw = ex.getRequestMethod match {
+              case "GET" => Option(ex.getRequestURI.getRawQuery).getOrElse("")
+              case "POST" => new String(
+                ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+              case _ => throw new IllegalArgumentException("GET or POST only")
+            }
+            val params = raw.split('&').filter(_.contains("="))
+              .map { kv =>
+                val i = kv.indexOf('=')
+                java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+                  java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+              }.toMap
+            (200, handler(params))
+          } catch {
+            case e: Exception =>
+              val m = new ObjectMapper()
+              val root = m.createObjectNode()
+              root.put("status", "error")
+              root.put("errorType", "bad_data")
+              root.put("error", Option(e.getMessage).getOrElse("bad request"))
+              (400, m.writeValueAsString(root))
+          }
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    promContext("/api/v1/query_range")(
+      handlePromQueryRange(spark, _, dbRoot))
+    promContext("/api/v1/query")(handlePromInstant(spark, _, dbRoot))
     server.setExecutor(null)
     server.start()
     server
+  }
+
+  // ---- Prometheus API bridge ----
+
+  /** Unix seconds (possibly fractional) → epoch ms. */
+  private def promSecMs(v: String): Long = math.round(v.toDouble * 1000)
+
+  /** Prometheus step/duration: a float (seconds) or a duration string
+    * like "15s" / "1h30m".
+    */
+  private[tools] def promStepMs(v: String): Long =
+    try promSecMs(v)
+    catch {
+      case _: NumberFormatException =>
+        val m = java.util.regex.Pattern
+          .compile("([0-9]+)(ms|s|m|h|d|w|y)").matcher(v)
+        var ms = 0L
+        var consumed = 0
+        while (m.find()) {
+          require(m.start() == consumed, s"bad duration: $v")
+          consumed = m.end()
+          val n = m.group(1).toLong
+          ms += n * (m.group(2) match {
+            case "ms" => 1L
+            case "s" => 1000L
+            case "m" => 60000L
+            case "h" => 3600000L
+            case "d" => 86400000L
+            case "w" => 604800000L
+            case "y" => 31536000000L
+          })
+        }
+        require(consumed == v.length && ms > 0, s"bad duration: $v")
+        ms
+    }
+
+  private def promParam(params: Map[String, String], k: String): String =
+    params.getOrElse(k,
+      throw new IllegalArgumentException(s"missing parameter: $k"))
+
+  private def promDb(spark: SparkSession, params: Map[String, String],
+      dbRoot: Option[String]): GraftDb = {
+    val path = params.get("path").orElse(dbRoot).getOrElse(
+      throw new IllegalArgumentException(
+        "missing parameter: path (and no db root configured)"))
+    dbRoot.foreach { root =>
+      val canonical = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+      val requested = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      if (!requested.startsWith(canonical))
+        throw new IllegalArgumentException(s"path outside db root: $path")
+    }
+    new GraftDb(spark, path)
+  }
+
+  /** Dispatch a Prometheus-API query over the sliding evaluator.
+    * Returns (label column names, rows of (labels..., timestamp,
+    * value)). Shape mapping, documented where it deviates:
+    *
+    *  - `rate(m[5m])` and the other sliding shapes (instant math /
+    *    binary composition) evaluate as-is — one unlabeled series.
+    *  - `sum by (u) (rate(m[5m]))` → the grouped sliding evaluation:
+    *    the inner range fn runs per label group over the group's
+    *    POOLED samples (this engine's grouping convention — a group IS
+    *    one series), so sum/avg/min/max over that single pooled series
+    *    are the identity and all map to the same evaluation. count and
+    *    `without` reject loudly.
+    *  - a bare selector `m` → last sample per step within a step-sized
+    *    lookback (`last_over_time(m[step])` — Prometheus' staleness
+    *    lookback, with the window tied to the step instead of 5m).
+    *  - `sum by (u) (m)` → the per-step window statistic per group
+    *    (sum_over_time/avg/min/max of the group's samples in each
+    *    step window).
+    */
+  private def promEval(db: GraftDb, query: String, startMs: Long,
+      endMs: Long, stepMs: Long): (Seq[String], Array[org.apache.spark.sql.Row]) = {
+    import graft.tsdb.Expr._
+    val e = db.engine()
+    def windowed(kind: AggKind): RangeFnKind = kind match {
+      case AggSum => FnSumOverTime
+      case AggAvg => FnAvgOverTime
+      case AggMin => FnMinOverTime
+      case AggMax => FnMaxOverTime
+      case other => throw new IllegalArgumentException(
+        s"unsupported aggregation over the API bridge: $other (sum/avg/" +
+          "min/max map to per-step window statistics; others have no " +
+          "sliding analogue in the pooled-series model)")
+    }
+    def grouped(g: Grouping, inner: Expr): (Seq[String], Array[org.apache.spark.sql.Row]) = {
+      require(g.by, "the API bridge supports `by` grouping only " +
+        "(`without` group columns are canonical strings, not label sets)")
+      val df = e.queryRangeBy(inner, g, startMs, endMs, stepMs)
+      (g.labels, df.orderBy(
+        (g.labels :+ "timestamp").map(org.apache.spark.sql.functions.col): _*)
+        .collect())
+    }
+    PromParser.parse(query) match {
+      case Aggregate(kind, rf @ RangeFn(_, _: MatrixSelector, _), Some(g)) =>
+        windowed(kind) // validates the kind is bridgeable
+        grouped(g, rf)
+      case Aggregate(kind, sel: Selector, Some(g)) =>
+        grouped(g, RangeFn(windowed(kind), MatrixSelector(sel, stepMs), Nil))
+      case sel: Selector =>
+        val res = e.queryRange(
+          RangeFn(FnLastOverTime, MatrixSelector(sel, stepMs), Nil),
+          startMs, endMs, stepMs)
+        (Nil, res.output.orderBy("timestamp").collect())
+      case _ =>
+        val res = e.queryRange(query, startMs, endMs, stepMs)
+        (Nil, res.output.orderBy("timestamp").collect())
+    }
+  }
+
+  private[tools] def handlePromQueryRange(spark: SparkSession,
+      params: Map[String, String], dbRoot: Option[String]): String = {
+    val db = promDb(spark, params, dbRoot)
+    val startMs = promSecMs(promParam(params, "start"))
+    val endMs = promSecMs(promParam(params, "end"))
+    val stepMs = promStepMs(promParam(params, "step"))
+    require(endMs >= startMs, "end < start")
+    val (labels, rows) = promEval(db, promParam(params, "query"),
+      startMs, endMs, stepMs)
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("status", "success")
+    val data = root.putObject("data")
+    data.put("resultType", "matrix")
+    val result = data.putArray("result")
+    // rows arrive ordered by (labels..., timestamp): one series object
+    // per label tuple, values as [unix_seconds, "value"] pairs
+    var curKey: Seq[String] = null
+    var curValues: com.fasterxml.jackson.databind.node.ArrayNode = null
+    rows.foreach { r =>
+      val key = labels.indices.map(i =>
+        if (r.isNullAt(i)) "" else r.get(i).toString)
+      if (curKey == null || key != curKey) {
+        curKey = key
+        val series = result.addObject()
+        val metric = series.putObject("metric")
+        labels.zip(key).foreach { case (l, v) => metric.put(l, v) }
+        curValues = series.putArray("values")
+      }
+      val n = labels.size
+      if (!r.isNullAt(n + 1)) {
+        val pair = curValues.addArray()
+        pair.add(r.getLong(n) / 1000.0)
+        pair.add(r.getDouble(n + 1).toString)
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** Instant query: evaluated at `time` with a single sliding step —
+    * resultType "vector", one {metric, value} per series.
+    */
+  private[tools] def handlePromInstant(spark: SparkSession,
+      params: Map[String, String], dbRoot: Option[String]): String = {
+    val db = promDb(spark, params, dbRoot)
+    val timeMs = promSecMs(promParam(params, "time"))
+    // the lookback for bare-selector / grouped-selector shapes
+    // (Prometheus' 5m staleness default)
+    val lookbackMs = params.get("lookback").map(promStepMs).getOrElse(300000L)
+    val (labels, rows) = promEval(db, promParam(params, "query"),
+      timeMs, timeMs, lookbackMs)
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("status", "success")
+    val data = root.putObject("data")
+    data.put("resultType", "vector")
+    val result = data.putArray("result")
+    val n = labels.size
+    rows.foreach { r =>
+      if (!r.isNullAt(n + 1)) {
+        val series = result.addObject()
+        val metric = series.putObject("metric")
+        labels.zipWithIndex.foreach { case (l, i) =>
+          metric.put(l, if (r.isNullAt(i)) "" else r.get(i).toString)
+        }
+        val pair = series.putArray("value")
+        pair.add(r.getLong(n) / 1000.0)
+        pair.add(r.getDouble(n + 1).toString)
+      }
+    }
+    mapper.writeValueAsString(root)
   }
 
   private[tools] def handleCompact(spark: SparkSession, requestJson: String,

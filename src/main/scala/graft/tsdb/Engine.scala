@@ -124,7 +124,14 @@ final class TsdbEngine(
     */
   def queryRange(promql: String, startMs: Long, endMs: Long,
       stepMs: Long): TsdbResult =
-    TsdbResult(slidingEval(PromParser.parse(promql), startMs, endMs, stepMs),
+    queryRange(PromParser.parse(promql), startMs, endMs, stepMs)
+
+  /** [[queryRange]] from a pre-parsed AST — the entry the Prometheus
+    * API bridge uses after dispatching on the query shape.
+    */
+  def queryRange(e: Expr, startMs: Long, endMs: Long,
+      stepMs: Long): TsdbResult =
+    TsdbResult(slidingEval(e, startMs, endMs, stepMs),
       isScalar = false, VType.F64)
 
   /** Sliding per-step evaluation — queryRange's body, also the inner
@@ -1264,7 +1271,14 @@ final class TsdbEngine(
     */
   def queryRangeBy(promql: String, grouping: Grouping,
       startMs: Long, endMs: Long, stepMs: Long): DataFrame =
-    PromParser.parse(promql) match {
+    queryRangeBy(PromParser.parse(promql), grouping, startMs, endMs, stepMs)
+
+  /** [[queryRangeBy]] from a pre-parsed AST (the Prometheus API
+    * bridge's grouped arm).
+    */
+  def queryRangeBy(parsed: Expr, grouping: Grouping,
+      startMs: Long, endMs: Long, stepMs: Long): DataFrame =
+    parsed match {
       case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
         require(kind != FnAbsentOverTime,
           "absent_over_time has no grouped form (absence is not " +

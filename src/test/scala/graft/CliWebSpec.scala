@@ -156,6 +156,68 @@ class CliWebSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("http: Prometheus API bridge — query_range matrix, instant vector, error envelope") {
+    val db = freshDb()
+    assert(cli(db, "create-stream", """req{service = "web"}""", "f64")._1 == 0)
+    assert(cli(db, "create-stream", """req{service = "mob"}""", "f64")._1 == 0)
+    for ((t, v) <- Seq((10, 1), (20, 2), (30, 4)))
+      assert(cli(db, "insert", """req{service = "web"}""",
+        t.toString, v.toString)._1 == 0)
+    assert(cli(db, "insert", """req{service = "mob"}""", "10", "8")._1 == 0)
+    val server = Web.start(spark, 0)
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      // GET query_range, grouped: sum by (service) over 20ms step
+      // windows; Prometheus times are unix SECONDS (fractional ok),
+      // step accepts a duration string
+      val q = enc("sum by (service) (sum_over_time(req[20ms]))")
+      val get = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/api/v1/query_range?path=${enc(db)}" +
+            s"&query=$q&start=0.02&end=0.04&step=20ms")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 200, get.body())
+      assert(get.body().contains(""""status":"success""""), get.body())
+      assert(get.body().contains(""""resultType":"matrix""""), get.body())
+      assert(get.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.02,"8.0"]]}"""), get.body())
+      assert(get.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"3.0"],[0.04,"4.0"]]}"""),
+        get.body())
+      // form-POST instant query: bare selector maps to the last sample
+      // within the staleness lookback — web's (30ms, 4)
+      val inst = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/api/v1/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"path=${enc(db)}&query=${enc("req")}&time=0.03")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(inst.statusCode() == 200, inst.body())
+      assert(inst.body().contains(""""resultType":"vector""""), inst.body())
+      assert(inst.body().contains(""""value":[0.03,"4.0"]"""), inst.body())
+      // errors wear the Prometheus envelope
+      val bad = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/api/v1/query_range?path=${enc(db)}" +
+            s"&start=0&end=1&step=1")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400, bad.body())
+      assert(bad.body().contains(""""status":"error""""), bad.body())
+      assert(bad.body().contains("missing parameter: query"), bad.body())
+      // count has no pooled-series sliding analogue — loud, enveloped
+      val cnt = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/api/v1/query_range?path=${enc(db)}" +
+            s"&query=${enc("count by (service) (req)")}" +
+            s"&start=0.02&end=0.04&step=20ms")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(cnt.statusCode() == 400 &&
+        cnt.body().contains("unsupported aggregation"), cnt.body())
+    } finally server.stop(0)
+  }
+
   test("cli: csv path with a non-vector result errors loudly") {
     val db = freshDb()
     seed(db)
