@@ -145,12 +145,101 @@ object Web {
     promContext("/api/v1/query_range")(
       handlePromQueryRange(spark, _, dbRoot))
     promContext("/api/v1/query")(handlePromInstant(spark, _, dbRoot))
+    // metadata endpoints (dashboard autocomplete): pure catalog reads
+    promContext("/api/v1/labels") { params =>
+      val names = promDb(spark, params, dbRoot).labelNames()
+      promStrings("__name__" +: names)
+    }
+    // /api/v1/label/<name>/values — the label name rides in the path
+    server.createContext("/api/v1/label/", (ex: HttpExchange) => {
+      val (code, body) =
+        try {
+          val segs = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty)
+          // api, v1, label, <name>, values
+          require(segs.length == 5 && segs(4) == "values",
+            s"bad path: ${ex.getRequestURI.getPath}")
+          val label = java.net.URLDecoder.decode(segs(3), "UTF-8")
+          val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+          val params = raw.split('&').filter(_.contains("=")).map { kv =>
+            val i = kv.indexOf('=')
+            java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+              java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+          }.toMap
+          val db = promDb(spark, params, dbRoot)
+          val values =
+            if (label == "__name__") db.streams().map(_.name).distinct.sorted
+            else db.labelValues(label)
+          (200, promStrings(values))
+        } catch {
+          case e: Exception =>
+            val m = new ObjectMapper()
+            val root = m.createObjectNode()
+            root.put("status", "error")
+            root.put("errorType", "bad_data")
+            root.put("error", Option(e.getMessage).getOrElse("bad request"))
+            (400, m.writeValueAsString(root))
+        }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    // /api/v1/series?match[]=<selector> — the catalog streams a
+    // selector admits, as Prometheus label-set objects. The full
+    // matcher algebra applies (it resolves on the catalog).
+    promContext("/api/v1/series") { params =>
+      val sel = params.get("match[]").orElse(params.get("match")).getOrElse(
+        throw new IllegalArgumentException("missing parameter: match[]"))
+      val db = promDb(spark, params, dbRoot)
+      def parseSel(q: String): Expr.Selector = PromParser.parse(q) match {
+        case s: Expr.Selector => s
+        case other => throw new IllegalArgumentException(
+          s"match[] must be a plain selector, got: $other")
+      }
+      // Prometheus allows a fully nameless `{job="x"}` here (the
+      // catalog is the only thing scanned); the query parser requires
+      // a name constraint, so inject a match-all __name__
+      val parsed =
+        try parseSel(sel)
+        catch {
+          case e: graft.tsdb.PromParseException
+              if e.getMessage.contains("__name__ matcher") =>
+            val i = sel.indexOf('{')
+            val inner = sel.substring(i + 1).trim
+            parseSel(
+              if (inner.startsWith("}")) """{__name__=~".*"}"""
+              else s"""{__name__=~".*", ${sel.substring(i + 1)}""")
+        }
+      val cat = new graft.tsdb.StreamCatalog(db.streams())
+      val hits = cat.resolve(parsed.name, parsed.matchers)
+      val mapper = new ObjectMapper()
+      val root = mapper.createObjectNode()
+      root.put("status", "success")
+      val arr = root.putArray("data")
+      hits.sortBy(d => (d.name, d.labels.toSeq.sorted.mkString(","))).foreach { d =>
+        val o = arr.addObject()
+        o.put("__name__", d.name)
+        d.labels.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+      }
+      mapper.writeValueAsString(root)
+    }
     server.setExecutor(null)
     server.start()
     server
   }
 
   // ---- Prometheus API bridge ----
+
+  /** A {"status":"success","data":[strings...]} body. */
+  private def promStrings(values: Seq[String]): String = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("status", "success")
+    val arr = root.putArray("data")
+    values.foreach(arr.add)
+    mapper.writeValueAsString(root)
+  }
 
   /** Unix seconds (possibly fractional) → epoch ms. */
   private def promSecMs(v: String): Long = math.round(v.toDouble * 1000)

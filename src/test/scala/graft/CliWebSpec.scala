@@ -215,6 +215,26 @@ class CliWebSpec extends AnyFunSuite {
         HttpResponse.BodyHandlers.ofString())
       assert(cnt.statusCode() == 400 &&
         cnt.body().contains("unsupported aggregation"), cnt.body())
+      // metadata endpoints: labels, label values, series (nameless
+      // selector with a regex matcher resolves on the catalog)
+      def metaGet(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val labels = metaGet(s"/api/v1/labels?path=${enc(db)}")
+      assert(labels.body() ==
+        """{"status":"success","data":["__name__","service"]}""", labels.body())
+      val vals = metaGet(s"/api/v1/label/service/values?path=${enc(db)}")
+      assert(vals.body() ==
+        """{"status":"success","data":["mob","web"]}""", vals.body())
+      val names = metaGet(s"/api/v1/label/__name__/values?path=${enc(db)}")
+      assert(names.body() ==
+        """{"status":"success","data":["req"]}""", names.body())
+      val series = metaGet(s"/api/v1/series?path=${enc(db)}" +
+        s"&match[]=${enc("""{service=~"w.b"}""")}")
+      assert(series.body() ==
+        """{"status":"success","data":[{"__name__":"req","service":"web"}]}""",
+        series.body())
     } finally server.stop(0)
   }
 
