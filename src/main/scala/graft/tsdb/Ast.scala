@@ -391,6 +391,14 @@ object Expr {
     */
   final case class Sort(desc: Boolean, child: Expr) extends Expr
 
+  /** sort_by_label(v, "l1", ...) / sort_by_label_desc — presentation
+    * ordering of a GROUPED result by its label columns (Prometheus'
+    * experimental pair to sort/sort_desc). Lexicographic over the
+    * given labels, value and remaining columns as tiebreaks.
+    */
+  final case class SortByLabel(desc: Boolean, child: Expr,
+      labels: List[String]) extends Expr
+
   /** timestamp(v) — each sample's own timestamp in SECONDS as the value
     * (Prometheus' timestamp()); requires a result that still carries a
     * timestamp column (plain vectors and sliding/grouped step results).

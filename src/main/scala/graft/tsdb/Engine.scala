@@ -407,6 +407,21 @@ final class TsdbEngine(
       TsdbResult(c.df.orderBy(ord.toSeq: _*), c.isScalar, c.vtype,
         grouped = c.grouped, multiRow = c.multiRow)
 
+    case SortByLabel(desc, child, labels) =>
+      // presentation ordering by label columns (experimental
+      // Prometheus pair to sort/sort_desc); grouped results only —
+      // plain vectors carry no label columns
+      val c = eval(child, start, end)
+      require(c.grouped,
+        "sort_by_label applies to a grouped (`by`) result")
+      val missing = labels.filterNot(c.df.columns.contains)
+      require(missing.isEmpty,
+        s"sort_by_label: no such label column(s): ${missing.mkString(", ")}")
+      val rest = c.df.columns.filterNot(labels.contains).map(col(_).asc)
+      val keyed = labels.map(l => if (desc) col(l).desc else col(l).asc)
+      TsdbResult(c.df.orderBy(keyed ++ rest: _*), c.isScalar, c.vtype,
+        grouped = true, multiRow = c.multiRow)
+
     case TimestampFn(child) =>
       // each sample's own timestamp in seconds as the value; labels
       // (columns) ride along. Only results that still carry sample

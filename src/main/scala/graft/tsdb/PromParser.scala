@@ -522,6 +522,24 @@ object PromParser {
         val child = parseExpr()
         expectOp(")")
         Sort(fn == "sort_desc", child)
+      case TIdent(fn @ ("sort_by_label" | "sort_by_label_desc"))
+          if peek == TOp("(") =>
+        next()
+        val child = parseExpr()
+        val labels = List.newBuilder[String]
+        while (peek == TOp(",")) {
+          next()
+          labels += (next() match {
+            case TStr(s) => s
+            case t => throw new PromParseException(
+              s"$fn takes quoted label names after the vector, got $t")
+          })
+        }
+        expectOp(")")
+        val ls = labels.result()
+        if (ls.isEmpty) throw new PromParseException(
+          s"$fn needs at least one label name in: $q")
+        SortByLabel(fn == "sort_by_label_desc", child, ls)
       case TIdent("timestamp") if peek == TOp("(") =>
         next()
         val child = parseExpr()

@@ -960,6 +960,24 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](e.query("1 > 2", 0L, 100L))
   }
 
+  test("sort_by_label orders grouped output by label columns") {
+    val e = httpEngine() // service=web sums 163, service=mobile sums 127
+    def run(q: String): Seq[(String, Double)] =
+      e.query(q, 0L, 100L).output.collect()
+        .map(r => (r.getString(0), r.get(1).toString.toDouble)).toSeq
+    assert(run("""sort_by_label(sum by (service) (http_requests_total), "service")""")
+      === Seq(("mobile", 127d), ("web", 163d)))
+    assert(run("""sort_by_label_desc(sum by (service) (http_requests_total), "service")""")
+      === Seq(("web", 163d), ("mobile", 127d)))
+    assert(intercept[IllegalArgumentException] {
+      e.query("""sort_by_label(http_requests_total, "service")""", 0L, 100L)
+    }.getMessage.contains("grouped"))
+    assert(intercept[IllegalArgumentException] {
+      e.query("""sort_by_label(sum by (service) (http_requests_total), "nope")""",
+        0L, 100L)
+    }.getMessage.contains("no such label"))
+  }
+
   test("time(), scalar(), vector(): the eval-time bridge trio") {
     val e = helperEngine()
     assert(scalarsOf(e.query("time()", 0L, 100L)) === Seq(0.1)) // end s
