@@ -341,6 +341,32 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the offsets-table window keyed by _pid")
   }
 
+  test("pp15 cluster cap never windows the data by cell") {
+    val p = plan(
+      graft.queries.Pipeline.queries("pp15_cluster_balance")(spark, sf))
+    // the within-cluster rank must come from groupedCumSum: a
+    // per-cell ROW_NUMBER window over the vectors would cap
+    // parallelism at the cell count (and funnel a mega-cluster
+    // through one task); the one allowed cell-keyed window orders
+    // the per-(partition, cell) offsets table by _pid
+    assert(!p.matches("(?s).*windowspecdefinition\\(cell#\\d+, (?!_pid#)[^)]*ASC.*"),
+      "per-cell window over the vector rows is back")
+    assert(p.contains("windowspecdefinition(cell#") && p.contains("_pid#"),
+      "expected the offsets-table window keyed by _pid")
+  }
+
+  test("ts91 nameless selector prunes with an IN-list, no regex on the scan") {
+    val p = plan(
+      graft.queries.TimeSeries.queries("ts91_name_regex")(spark, sf))
+    // the __name__ regex resolves on the catalog at plan time; the
+    // scan must carry an IN-list (pushed through the name rename down
+    // to the event_type source column) — never RLIKE over the name
+    assert(p.matches("(?s).*(name|event_type)#\\d+ IN \\(click,view\\).*"),
+      p.take(3000))
+    assert(!p.matches("(?s).*RLIKE\\((name|event_type)#.*"),
+      "a per-row regex on the name column crept into the scan")
+  }
+
   test("pp03 mixing rank never windows the data by source") {
     val p = plan(graft.queries.Pipeline.queries("pp03_domain_mix")(spark, sf))
     // the per-source selection rank must come from groupedCumSum (data
