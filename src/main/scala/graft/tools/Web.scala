@@ -110,7 +110,7 @@ object Web {
     // (Prometheus serves one store; this server serves a root of them)
     // — it defaults to the configured db root itself.
     def promContext(path: String)(
-        handler: Map[String, String] => String): Unit =
+        handler: Map[String, List[String]] => String): Unit =
       server.createContext(path, (ex: HttpExchange) => {
         val (code, body) =
           try {
@@ -120,27 +120,11 @@ object Web {
                 ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
               case _ => throw new IllegalArgumentException("GET or POST only")
             }
-            val params = raw.split('&').filter(_.contains("="))
-              .map { kv =>
-                val i = kv.indexOf('=')
-                java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
-                  java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
-              }.toMap
-            (200, handler(params))
+            (200, handler(promParseParams(raw)))
           } catch {
-            case e: Exception =>
-              val m = new ObjectMapper()
-              val root = m.createObjectNode()
-              root.put("status", "error")
-              root.put("errorType", "bad_data")
-              root.put("error", Option(e.getMessage).getOrElse("bad request"))
-              (400, m.writeValueAsString(root))
+            case e: Exception => (400, promErrorBody(e))
           }
-        val bytes = body.getBytes(StandardCharsets.UTF_8)
-        ex.getResponseHeaders.set("Content-Type", "application/json")
-        ex.sendResponseHeaders(code, bytes.length)
-        ex.getResponseBody.write(bytes)
-        ex.close()
+        promRespond(ex, code, body)
       })
     promContext("/api/v1/query_range")(
       handlePromQueryRange(spark, _, dbRoot))
@@ -159,38 +143,25 @@ object Web {
           require(segs.length == 5 && segs(4) == "values",
             s"bad path: ${ex.getRequestURI.getPath}")
           val label = java.net.URLDecoder.decode(segs(3), "UTF-8")
-          val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-          val params = raw.split('&').filter(_.contains("=")).map { kv =>
-            val i = kv.indexOf('=')
-            java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
-              java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
-          }.toMap
+          val params = promParseParams(
+            Option(ex.getRequestURI.getRawQuery).getOrElse(""))
           val db = promDb(spark, params, dbRoot)
           val values =
             if (label == "__name__") db.streams().map(_.name).distinct.sorted
             else db.labelValues(label)
           (200, promStrings(values))
         } catch {
-          case e: Exception =>
-            val m = new ObjectMapper()
-            val root = m.createObjectNode()
-            root.put("status", "error")
-            root.put("errorType", "bad_data")
-            root.put("error", Option(e.getMessage).getOrElse("bad request"))
-            (400, m.writeValueAsString(root))
+          case e: Exception => (400, promErrorBody(e))
         }
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(code, bytes.length)
-      ex.getResponseBody.write(bytes)
-      ex.close()
+      promRespond(ex, code, body)
     })
     // /api/v1/series?match[]=<selector> — the catalog streams a
     // selector admits, as Prometheus label-set objects. The full
     // matcher algebra applies (it resolves on the catalog).
     promContext("/api/v1/series") { params =>
-      val sel = params.get("match[]").orElse(params.get("match")).getOrElse(
-        throw new IllegalArgumentException("missing parameter: match[]"))
+      val sels = params.getOrElse("match[]", params.getOrElse("match", Nil))
+      if (sels.isEmpty)
+        throw new IllegalArgumentException("missing parameter: match[]")
       val db = promDb(spark, params, dbRoot)
       def parseSel(q: String): Expr.Selector = PromParser.parse(q) match {
         case s: Expr.Selector => s
@@ -199,20 +170,26 @@ object Web {
       }
       // Prometheus allows a fully nameless `{job="x"}` here (the
       // catalog is the only thing scanned); the query parser requires
-      // a name constraint, so inject a match-all __name__
-      val parsed =
+      // a name constraint, so inject a match-all __name__. The catch
+      // anchors on the NAMELESS error only — a name/__name__ CONFLICT
+      // must still reject, not get its literal name silently dropped.
+      def parsed(sel: String): Expr.Selector =
         try parseSel(sel)
         catch {
           case e: graft.tsdb.PromParseException
-              if e.getMessage.contains("__name__ matcher") =>
+              if e.getMessage.contains("needs a __name__ matcher") =>
             val i = sel.indexOf('{')
             val inner = sel.substring(i + 1).trim
             parseSel(
               if (inner.startsWith("}")) """{__name__=~".*"}"""
               else s"""{__name__=~".*", ${sel.substring(i + 1)}""")
         }
+      // multiple match[] selectors UNION, as in Prometheus
       val cat = new graft.tsdb.StreamCatalog(db.streams())
-      val hits = cat.resolve(parsed.name, parsed.matchers)
+      val hits = sels.flatMap { sel =>
+        val p = parsed(sel)
+        cat.resolve(p.name, p.matchers)
+      }.distinct
       val mapper = new ObjectMapper()
       val root = mapper.createObjectNode()
       root.put("status", "success")
@@ -231,6 +208,37 @@ object Web {
 
   // ---- Prometheus API bridge ----
 
+  /** Query-string / form-body params, MULTI-VALUED (Prometheus sends
+    * repeated `match[]` keys; collapsing to last-wins silently drops
+    * selectors). Values keep arrival order.
+    */
+  private def promParseParams(raw: String): Map[String, List[String]] =
+    raw.split('&').filter(_.contains("=")).toList
+      .map { kv =>
+        val i = kv.indexOf('=')
+        java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  /** The Prometheus error envelope. */
+  private def promErrorBody(e: Exception): String = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("status", "error")
+    root.put("errorType", "bad_data")
+    root.put("error", Option(e.getMessage).getOrElse("bad request"))
+    m.writeValueAsString(root)
+  }
+
+  private def promRespond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
   /** A {"status":"success","data":[strings...]} body. */
   private def promStrings(values: Seq[String]): String = {
     val mapper = new ObjectMapper()
@@ -245,50 +253,68 @@ object Web {
   private def promSecMs(v: String): Long = math.round(v.toDouble * 1000)
 
   /** Prometheus step/duration: a float (seconds) or a duration string
-    * like "15s" / "1h30m".
+    * like "15s" / "1h30m". Zero, negative, and non-finite values
+    * reject with Prometheus' own wording (a float NaN parses — the
+    * finiteness check is load-bearing, not defensive).
     */
-  private[tools] def promStepMs(v: String): Long =
-    try promSecMs(v)
-    catch {
-      case _: NumberFormatException =>
-        val m = java.util.regex.Pattern
-          .compile("([0-9]+)(ms|s|m|h|d|w|y)").matcher(v)
-        var ms = 0L
-        var consumed = 0
-        while (m.find()) {
-          require(m.start() == consumed, s"bad duration: $v")
-          consumed = m.end()
-          val n = m.group(1).toLong
-          ms += n * (m.group(2) match {
-            case "ms" => 1L
-            case "s" => 1000L
-            case "m" => 60000L
-            case "h" => 3600000L
-            case "d" => 86400000L
-            case "w" => 604800000L
-            case "y" => 31536000000L
-          })
-        }
-        require(consumed == v.length && ms > 0, s"bad duration: $v")
-        ms
-    }
+  private[tools] def promStepMs(v: String): Long = {
+    val ms =
+      try {
+        val d = v.toDouble
+        require(java.lang.Double.isFinite(d),
+          s"zero or negative query resolution step: $v")
+        math.round(d * 1000)
+      } catch {
+        case _: NumberFormatException =>
+          val m = java.util.regex.Pattern
+            .compile("([0-9]+)(ms|s|m|h|d|w|y)").matcher(v)
+          var acc = 0L
+          var consumed = 0
+          while (m.find()) {
+            require(m.start() == consumed, s"bad duration: $v")
+            consumed = m.end()
+            val n = m.group(1).toLong
+            acc += n * (m.group(2) match {
+              case "ms" => 1L
+              case "s" => 1000L
+              case "m" => 60000L
+              case "h" => 3600000L
+              case "d" => 86400000L
+              case "w" => 604800000L
+              case "y" => 31536000000L
+            })
+          }
+          require(consumed == v.length, s"bad duration: $v")
+          acc
+      }
+    require(ms > 0, s"zero or negative query resolution step: $v")
+    ms
+  }
 
-  private def promParam(params: Map[String, String], k: String): String =
-    params.getOrElse(k,
+  private def promParam(params: Map[String, List[String]], k: String): String =
+    params.get(k).flatMap(_.headOption).getOrElse(
       throw new IllegalArgumentException(s"missing parameter: $k"))
 
-  private def promDb(spark: SparkSession, params: Map[String, String],
-      dbRoot: Option[String]): GraftDb = {
-    val path = params.get("path").orElse(dbRoot).getOrElse(
-      throw new IllegalArgumentException(
-        "missing parameter: path (and no db root configured)"))
+  /** Reject `path` unless it resolves under the configured db root —
+    * the ONE containment check every endpoint shares (a copy per call
+    * site is how a symlink-hardening fix misses one).
+    */
+  private def checkUnderRoot(path: String, dbRoot: Option[String]): String = {
     dbRoot.foreach { root =>
       val canonical = java.nio.file.Paths.get(root).toAbsolutePath.normalize
       val requested = java.nio.file.Paths.get(path).toAbsolutePath.normalize
       if (!requested.startsWith(canonical))
         throw new IllegalArgumentException(s"path outside db root: $path")
     }
-    new GraftDb(spark, path)
+    path
+  }
+
+  private def promDb(spark: SparkSession, params: Map[String, List[String]],
+      dbRoot: Option[String]): GraftDb = {
+    val path = params.get("path").flatMap(_.headOption).orElse(dbRoot)
+      .getOrElse(throw new IllegalArgumentException(
+        "missing parameter: path (and no db root configured)"))
+    new GraftDb(spark, checkUnderRoot(path, dbRoot))
   }
 
   /** Dispatch a Prometheus-API query over the sliding evaluator.
@@ -332,25 +358,35 @@ object Web {
         (g.labels :+ "timestamp").map(org.apache.spark.sql.functions.col): _*)
         .collect())
     }
+    def ungrouped(inner: Expr): (Seq[String], Array[org.apache.spark.sql.Row]) = {
+      val res = e.queryRange(inner, startMs, endMs, stepMs)
+      (Nil, res.output.orderBy("timestamp").collect())
+    }
     PromParser.parse(query) match {
       case Aggregate(kind, rf @ RangeFn(_, _: MatrixSelector, _), Some(g)) =>
         windowed(kind) // validates the kind is bridgeable
         grouped(g, rf)
       case Aggregate(kind, sel: Selector, Some(g)) =>
         grouped(g, RangeFn(windowed(kind), MatrixSelector(sel, stepMs), Nil))
+      // the UNGROUPED dashboard staples — `sum(rate(m[5m]))` is the
+      // identity over the one pooled series, `sum(m)` the per-step
+      // window statistic; both must work, not 400 with an engine error
+      case Aggregate(kind, rf @ RangeFn(_, _: MatrixSelector, _), None) =>
+        windowed(kind)
+        ungrouped(rf)
+      case Aggregate(kind, sel: Selector, None) =>
+        ungrouped(RangeFn(windowed(kind), MatrixSelector(sel, stepMs), Nil))
       case sel: Selector =>
-        val res = e.queryRange(
-          RangeFn(FnLastOverTime, MatrixSelector(sel, stepMs), Nil),
-          startMs, endMs, stepMs)
-        (Nil, res.output.orderBy("timestamp").collect())
-      case _ =>
-        val res = e.queryRange(query, startMs, endMs, stepMs)
-        (Nil, res.output.orderBy("timestamp").collect())
+        ungrouped(RangeFn(FnLastOverTime, MatrixSelector(sel, stepMs), Nil))
+      case other =>
+        // the sliding evaluator takes the already-parsed AST — parsing
+        // once guarantees the dispatched and evaluated trees agree
+        ungrouped(other)
     }
   }
 
   private[tools] def handlePromQueryRange(spark: SparkSession,
-      params: Map[String, String], dbRoot: Option[String]): String = {
+      params: Map[String, List[String]], dbRoot: Option[String]): String = {
     val db = promDb(spark, params, dbRoot)
     val startMs = promSecMs(promParam(params, "start"))
     val endMs = promSecMs(promParam(params, "end"))
@@ -392,12 +428,13 @@ object Web {
     * resultType "vector", one {metric, value} per series.
     */
   private[tools] def handlePromInstant(spark: SparkSession,
-      params: Map[String, String], dbRoot: Option[String]): String = {
+      params: Map[String, List[String]], dbRoot: Option[String]): String = {
     val db = promDb(spark, params, dbRoot)
     val timeMs = promSecMs(promParam(params, "time"))
     // the lookback for bare-selector / grouped-selector shapes
     // (Prometheus' 5m staleness default)
-    val lookbackMs = params.get("lookback").map(promStepMs).getOrElse(300000L)
+    val lookbackMs = params.get("lookback").flatMap(_.headOption)
+      .map(promStepMs).getOrElse(300000L)
     val (labels, rows) = promEval(db, promParam(params, "query"),
       timeMs, timeMs, lookbackMs)
     val mapper = new ObjectMapper()
@@ -471,13 +508,7 @@ object Web {
       dbRoot: Option[String]): String = {
     val path = Option(req.get("path")).filterNot(_.isNull).map(_.asText())
       .getOrElse(throw new IllegalArgumentException("missing field: path"))
-    dbRoot.foreach { root =>
-      val canonical = java.nio.file.Paths.get(root).toAbsolutePath.normalize
-      val requested = java.nio.file.Paths.get(path).toAbsolutePath.normalize
-      if (!requested.startsWith(canonical))
-        throw new IllegalArgumentException(s"path outside db root: $path")
-    }
-    path
+    checkUnderRoot(path, dbRoot)
   }
 
   private[tools] def handleQuery(spark: SparkSession, requestJson: String,

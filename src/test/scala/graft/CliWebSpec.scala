@@ -235,6 +235,37 @@ class CliWebSpec extends AnyFunSuite {
       assert(series.body() ==
         """{"status":"success","data":[{"__name__":"req","service":"web"}]}""",
         series.body())
+      // multiple match[] selectors UNION (last-wins would drop web)
+      val multi = metaGet(s"/api/v1/series?path=${enc(db)}" +
+        s"&match[]=${enc("""{service="web"}""")}" +
+        s"&match[]=${enc("""{service="mob"}""")}")
+      assert(multi.body() ==
+        """{"status":"success","data":[{"__name__":"req","service":"mob"},""" +
+          """{"__name__":"req","service":"web"}]}""", multi.body())
+      // a name/__name__ CONFLICT rejects — the nameless-recovery catch
+      // must not silently drop the literal name
+      val conflict = metaGet(s"/api/v1/series?path=${enc(db)}" +
+        s"&match[]=${enc("""req{__name__="other"}""")}")
+      assert(conflict.statusCode() == 400 &&
+        conflict.body().contains("conflict"), conflict.body())
+      // zero/negative/NaN steps reject with Prometheus' wording
+      for (step <- Seq("0", "-15", "NaN")) {
+        val r = metaGet(s"/api/v1/query_range?path=${enc(db)}" +
+          s"&query=${enc("sum_over_time(req[20ms])")}" +
+          s"&start=0.02&end=0.04&step=$step")
+        assert(r.statusCode() == 400 &&
+          r.body().contains("zero or negative query resolution step"),
+          s"step=$step: ${r.body()}")
+      }
+      // the ungrouped dashboard staple works (identity over the one
+      // pooled series) — not a 400 with an engine-internal message
+      val ungrouped = metaGet(s"/api/v1/query_range?path=${enc(db)}" +
+        s"&query=${enc("sum(sum_over_time(req[20ms]))")}" +
+        s"&start=0.02&end=0.04&step=20ms")
+      assert(ungrouped.statusCode() == 200, ungrouped.body())
+      assert(ungrouped.body().contains(
+        """{"metric":{},"values":[[0.02,"11.0"],[0.04,"4.0"]]}"""),
+        ungrouped.body())
     } finally server.stop(0)
   }
 
