@@ -129,6 +129,13 @@ object Web {
     promContext("/api/v1/query_range")(
       handlePromQueryRange(spark, _, dbRoot))
     promContext("/api/v1/query")(handlePromInstant(spark, _, dbRoot))
+    // dashboards probe buildinfo before their first query; the version
+    // names the API LEVEL the bridge speaks (Prometheus-compatible
+    // stores answer the same way), application names what it really is
+    promContext("/api/v1/status/buildinfo") { _ =>
+      """{"status":"success","data":{"version":"2.45.0",""" +
+        """"application":"graft-prometheus-bridge"}}"""
+    }
     // metadata endpoints (dashboard autocomplete): pure catalog reads
     promContext("/api/v1/labels") { params =>
       val names = promDb(spark, params, dbRoot).labelNames()

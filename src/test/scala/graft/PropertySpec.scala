@@ -222,6 +222,42 @@ class PropertySpec extends AnyFunSuite {
     } yield (u, t, v))
   } yield rows
 
+  test("matcher algebra: catalog resolve == row-filter survival") {
+    import graft.tsdb.Expr._
+    // every label map over keys {a,b} and values {x,y,absent} — nine
+    // streams, one row each, the row's value = the stream's index
+    val universe = {
+      val vs = Seq(Some("x"), Some("y"), None)
+      for (a <- vs; b <- vs) yield
+        (a.map("a" -> _).toList ++ b.map("b" -> _).toList).toMap
+    }
+    val streams = universe.map(ls => StreamDef("m", ls, VType.F64))
+    val catalog = new StreamCatalog(streams)
+    val e = new TsdbEngine(spark, TsdbFixtures.longDf(
+      universe.zipWithIndex.map { case (ls, i) => ("m", ls, 10L, i.toDouble) }),
+      catalog)
+    val matcherGen: Gen[Matcher] = for {
+      label <- Gen.oneOf("a", "b")
+      op <- Gen.oneOf(MatchEq, MatchNe, MatchRe, MatchNre)
+      value <- op match {
+        case MatchEq | MatchNe => Gen.oneOf("x", "y", "", "z")
+        case _ => Gen.oneOf("x", "y", "x|y", ".+", "x.*", "")
+      }
+    } yield Matcher(label, value, op)
+    val msGen = Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, matcherGen))
+    for (ms <- samples(msGen, 30)) {
+      // the two evaluation sites must admit the SAME stream set: the
+      // driver-side catalog predicate and the row-local scan filter
+      val want = catalog.resolve("m", ms)
+        .map(d => universe.indexOf(d.labels).toDouble).toSet
+      val q = "m{" + ms.map(m =>
+        s"""${m.label}${m.op.sym}"${m.value}"""").mkString(", ") + "}"
+      val got = e.query(q, 0L, 100L).output.collect()
+        .map(_.getDouble(1)).toSet
+      assert(got === want, s"matchers=$ms query=$q")
+    }
+  }
+
   test("sum by (label) equals per-label-filtered ungrouped sums") {
     for (rows <- samples(labeledGen, 8)) {
       val e = new TsdbEngine(spark, TsdbFixtures.longDf(
