@@ -833,6 +833,13 @@ object TimeSeries {
     "ts95_time_fn" -> q("sum(purchase) + time()", roundTo = 3) _,
     "ts96_vector_fn" -> q("vector(time() * 2)", roundTo = 6) _,
 
+    // subquery offset: the inner sliding evaluation runs a day back,
+    // results report on the outer clock (yesterday's worst 12h-sampled
+    // daily volume per 3-day window).
+    "ts97_subquery_offset" ->
+      q("max_over_time(sum_over_time(purchase[1d])[3d:12h] offset 1d)",
+        roundTo = 6) _,
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -1729,6 +1736,22 @@ object TimeSeries {
     "ts96_vector_fn" ->
       s"""SELECT CAST($SubEnd AS BIGINT) AS timestamp,
          |  ROUND($SubEnd / 1000.0 * 2, 6) AS value""".stripMargin,
+
+    // ts97: the g grid is the SHIFTED step grid (start-1d .. end-1d),
+    // windows (et-1d_range, et]; results report at et + 1d.
+    "ts97_subquery_offset" ->
+      s"""WITH d AS (SELECT t, v FROM ${ev("event_type = 'purchase'")}
+         |           WHERE t > ${SubStart - 2 * 86400000L}
+         |             AND t <= ${SubEnd - 86400000L}),
+         |g AS (SELECT UNNEST(generate_series(${SubStart - 86400000L},
+         |        ${SubEnd - 86400000L}, ${12 * 3600 * 1000L})) AS et),
+         |w AS (SELECT g.et, d.v FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et),
+         |inner_series AS (SELECT et + 86400000 AS t, SUM(v) AS v
+         |                 FROM w GROUP BY et)
+         |SELECT t - ((t - $SubStart) % ${3 * 86400000L}) AS timestamp,
+         |  ROUND(MAX(v), 6) AS value
+         |FROM inner_series GROUP BY 1 ORDER BY timestamp""".stripMargin,
 
     "ts93_pow" ->
       s"""SELECT ROUND(AVG(v * v), 3) AS value

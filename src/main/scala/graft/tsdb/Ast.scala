@@ -230,7 +230,7 @@ object Expr {
     * accepted shapes scan each selector exactly once.
     */
   final case class SubqueryMatrix(child: Expr, rangeMs: Long,
-      stepMs: Long) extends Expr
+      stepMs: Long, offsetMs: Long = 0L) extends Expr
 
   /** Range functions over a matrix selector — an ENGINE EXTENSION (the
     * reference rejects all Call exprs, planner.rs:118-123). Semantics are

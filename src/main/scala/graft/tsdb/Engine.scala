@@ -296,16 +296,21 @@ final class TsdbEngine(
             fnArgs, rateMode)),
         isScalar = false, VType.F64)
 
-    case RangeFn(kind, SubqueryMatrix(inner, subRange, subStep), fnArgs) =>
+    case RangeFn(kind, SubqueryMatrix(inner, subRange, subStep, soff), fnArgs) =>
       // Subquery: the inner range fn evaluated slidingly every subStep
       // over [start, end] becomes a DERIVED series, and the outer fn
       // windows it tumbling exactly like a matrix selector's samples —
       // `max_over_time(rate(x[5m])[1h:5m])`, the alerting shape. Inner
       // sample volume is step-count × series bounded (metadata-sized),
       // so the outer aggregation never touches raw rows again.
+      // `offset` shifts the inner evaluation range back and reports on
+      // the outer clock — the step grid stays aligned to `start`.
+      val derived =
+        if (soff == 0L) slidingEval(inner, start, end, subStep)
+        else slidingEval(inner, start - soff, end - soff, subStep)
+          .withColumn("timestamp", col("timestamp") + lit(soff))
       TsdbResult(
-        RangeFns(kind, slidingEval(inner, start, end, subStep),
-          subRange, start, end, fnArgs, rateMode),
+        RangeFns(kind, derived, subRange, start, end, fnArgs, rateMode),
         isScalar = false, VType.F64)
 
     case RangeFn(_, other, _) =>
@@ -1335,7 +1340,7 @@ final class TsdbEngine(
     PromParser.parse(promql) match {
       case RangeFn(okind, SubqueryMatrix(
           RangeFn(ikind, MatrixSelector(sel, irange), iargs),
-          subRange, subStep), oargs) =>
+          subRange, subStep, soff), oargs) =>
         require(okind != FnAbsentOverTime && ikind != FnAbsentOverTime,
           "absent_over_time has no grouped form (absence is not " +
             "attributable to a label value)")
@@ -1343,10 +1348,16 @@ final class TsdbEngine(
         require(gNames.nonEmpty,
           "by () has no grouped form — use query()'s subquery")
         val rows = data
-          .where(scanCond(sel, startMs - irange + 1, endMs))
+          .where(scanCond(sel, startMs - soff - irange + 1, endMs - soff))
           .select(gCols ++ Seq(shiftedTs(sel), col("value")): _*)
-        val steps = RangeFns.sliding(ikind, rows, irange, subStep,
-          startMs, endMs, iargs, groupCols = gNames, mode = rateMode)
+        val steps0 = RangeFns.sliding(ikind, rows, irange, subStep,
+          startMs - soff, endMs - soff, iargs, groupCols = gNames,
+          mode = rateMode)
+        // subquery offset: inner evaluated on the shifted clock,
+        // reported on the outer one
+        val steps =
+          if (soff == 0L) steps0
+          else steps0.withColumn("timestamp", col("timestamp") + lit(soff))
         val base = steps.select(gNames.map(col) ++ Seq(
           (col("timestamp") -
             pmod(col("timestamp") - startMs, lit(subRange))).as("wstart"),

@@ -200,7 +200,23 @@ object PromParser {
               s"has no default eval interval), got $t in: $q")
         }
         expectOp("]")
-        SubqueryMatrix(e, r, s)
+        // optional trailing `offset <dur>` — the PromQL subquery time
+        // shift: the inner evaluation range moves back, results report
+        // on the outer clock (`@` after a subquery stays unsupported
+        // and falls through to the loud trailing-token error)
+        var off = 0L
+        if (peek == TIdent("offset")) {
+          next()
+          off = next() match {
+            case TDur(ms) => ms
+            case TOp("-") => next() match {
+              case TDur(ms) => -ms
+              case t => throw new PromParseException(s"bad subquery offset: $t")
+            }
+            case t => throw new PromParseException(s"bad subquery offset: $t")
+          }
+        }
+        SubqueryMatrix(e, r, s, off)
       }
 
     // `( l1, l2, ... )` — the label list of a grouping or matching clause

@@ -960,6 +960,22 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](e.query("1 > 2", 0L, 100L))
   }
 
+  test("subquery offset shifts the inner evaluation, reports on the outer clock") {
+    val e = helperEngine() // ints: 2,4,6,8 at ts 10,20,30,40
+    // offset 10ms: inner steps at 40/60/80 see windows (20,40] → 14,
+    // then empty; reported at 50 on the outer clock
+    assert(vectorOf(e.query(
+      "max_over_time(sum_over_time(ints[20ms])[40ms:20ms] offset 10ms)",
+      50L, 90L)) === Seq(50L -> 14d))
+    // without the offset the same query sees only ts 40's sample
+    assert(vectorOf(e.query(
+      "max_over_time(sum_over_time(ints[20ms])[40ms:20ms])",
+      50L, 90L)) === Seq(50L -> 8d))
+    // `@` after a subquery stays a loud trailing-token rejection
+    intercept[PromParseException](e.query(
+      "max_over_time(sum_over_time(ints[20ms])[40ms:20ms] @ 50)", 50L, 90L))
+  }
+
   test("sort_by_label orders grouped output by label columns") {
     val e = httpEngine() // service=web sums 163, service=mobile sums 127
     def run(q: String): Seq[(String, Double)] =

@@ -113,7 +113,11 @@ class ParserRoundTripSpec extends AnyFunSuite {
       val tail = if (k == FnQuantileOverTime) ""
         else args.map(a => s", $a").mkString
       s"${rangeFnName(k)}($phi${render(c)}$tail)"
-    case SubqueryMatrix(c, r, s) => s"(${render(c)})[${r}ms:${s}ms]"
+    case SubqueryMatrix(c, r, s, off) =>
+      val o =
+        if (off == 0) ""
+        else if (off > 0) s" offset ${off}ms" else s" offset -${-off}ms"
+      s"(${render(c)})[${r}ms:${s}ms]$o"
     case InstantFn(k, c, args) =>
       s"${k.name}(${render(c)}${args.map(a => s", $a").mkString})"
     case HistogramQuantile(phi, c) =>
@@ -170,7 +174,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
       else Nil
     val inner = RangeFn(kind, MatrixSelector(sel, r), args)
     if (sub && kind != FnAbsentOverTime)
-      RangeFn(FnMaxOverTime, SubqueryMatrix(inner, r * 2, step), Nil)
+      RangeFn(FnMaxOverTime,
+        SubqueryMatrix(inner, r * 2, step, (r % 3) * 60000), Nil)
     else inner
   }
 
