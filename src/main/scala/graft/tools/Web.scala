@@ -109,8 +109,10 @@ object Web {
     // One deviation, documented: a `path` param picks the database
     // (Prometheus serves one store; this server serves a root of them)
     // — it defaults to the configured db root itself.
-    def promContext(path: String)(
-        handler: Map[String, List[String]] => String): Unit =
+    // handler gets (request path, multi-valued params) — the path
+    // matters to the one endpoint whose operand rides in it
+    def promRawContext(path: String)(
+        handler: (String, Map[String, List[String]]) => String): Unit =
       server.createContext(path, (ex: HttpExchange) => {
         val (code, body) =
           try {
@@ -120,12 +122,15 @@ object Web {
                 ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
               case _ => throw new IllegalArgumentException("GET or POST only")
             }
-            (200, handler(promParseParams(raw)))
+            (200, handler(ex.getRequestURI.getPath, promParseParams(raw)))
           } catch {
             case e: Exception => (400, promErrorBody(e))
           }
         promRespond(ex, code, body)
       })
+    def promContext(path: String)(
+        handler: Map[String, List[String]] => String): Unit =
+      promRawContext(path)((_, params) => handler(params))
     promContext("/api/v1/query_range")(
       handlePromQueryRange(spark, _, dbRoot))
     promContext("/api/v1/query")(handlePromInstant(spark, _, dbRoot))
@@ -142,26 +147,17 @@ object Web {
       promStrings("__name__" +: names)
     }
     // /api/v1/label/<name>/values — the label name rides in the path
-    server.createContext("/api/v1/label/", (ex: HttpExchange) => {
-      val (code, body) =
-        try {
-          val segs = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty)
-          // api, v1, label, <name>, values
-          require(segs.length == 5 && segs(4) == "values",
-            s"bad path: ${ex.getRequestURI.getPath}")
-          val label = java.net.URLDecoder.decode(segs(3), "UTF-8")
-          val params = promParseParams(
-            Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-          val db = promDb(spark, params, dbRoot)
-          val values =
-            if (label == "__name__") db.streams().map(_.name).distinct.sorted
-            else db.labelValues(label)
-          (200, promStrings(values))
-        } catch {
-          case e: Exception => (400, promErrorBody(e))
-        }
-      promRespond(ex, code, body)
-    })
+    promRawContext("/api/v1/label/") { (path, params) =>
+      val segs = path.split('/').filter(_.nonEmpty)
+      // api, v1, label, <name>, values
+      require(segs.length == 5 && segs(4) == "values", s"bad path: $path")
+      val label = java.net.URLDecoder.decode(segs(3), "UTF-8")
+      val db = promDb(spark, params, dbRoot)
+      val values =
+        if (label == "__name__") db.streams().map(_.name).distinct.sorted
+        else db.labelValues(label)
+      promStrings(values)
+    }
     // /api/v1/series?match[]=<selector> — the catalog streams a
     // selector admits, as Prometheus label-set objects. The full
     // matcher algebra applies (it resolves on the catalog).
@@ -260,40 +256,20 @@ object Web {
   private def promSecMs(v: String): Long = math.round(v.toDouble * 1000)
 
   /** Prometheus step/duration: a float (seconds) or a duration string
-    * like "15s" / "1h30m". Zero, negative, and non-finite values
-    * reject with Prometheus' own wording (a float NaN parses — the
-    * finiteness check is load-bearing, not defensive).
+    * like "15s" / "1h30m". The float branch is gated on a STRICT
+    * numeric pattern, not a parse attempt — Java's Double.parseDouble
+    * accepts the 'd'/'f' float-type suffixes, so "1d".toDouble is 1.0
+    * and a try/catch dispatch would silently read a one-DAY step as
+    * one SECOND. Durations delegate to PromParser.durationMs (the one
+    * duration grammar). Zero, negative, and non-finite values reject
+    * with Prometheus' own wording.
     */
-  private[tools] def promStepMs(v: String): Long = {
+  private val promFloatRe = "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
+  private[graft] def promStepMs(v: String): Long = {
     val ms =
-      try {
-        val d = v.toDouble
-        require(java.lang.Double.isFinite(d),
-          s"zero or negative query resolution step: $v")
-        math.round(d * 1000)
-      } catch {
-        case _: NumberFormatException =>
-          val m = java.util.regex.Pattern
-            .compile("([0-9]+)(ms|s|m|h|d|w|y)").matcher(v)
-          var acc = 0L
-          var consumed = 0
-          while (m.find()) {
-            require(m.start() == consumed, s"bad duration: $v")
-            consumed = m.end()
-            val n = m.group(1).toLong
-            acc += n * (m.group(2) match {
-              case "ms" => 1L
-              case "s" => 1000L
-              case "m" => 60000L
-              case "h" => 3600000L
-              case "d" => 86400000L
-              case "w" => 604800000L
-              case "y" => 31536000000L
-            })
-          }
-          require(consumed == v.length, s"bad duration: $v")
-          acc
-      }
+      if (promFloatRe.pattern.matcher(v).matches()) math.round(v.toDouble * 1000)
+      else PromParser.durationMs(v).getOrElse(
+        throw new IllegalArgumentException(s"bad duration: $v"))
     require(ms > 0, s"zero or negative query resolution step: $v")
     ms
   }

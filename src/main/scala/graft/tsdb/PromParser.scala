@@ -29,6 +29,25 @@ object PromParser {
   private val numRe: Regex = raw"(\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)".r
   private val identRe: Regex = raw"[a-zA-Z_:][a-zA-Z0-9_:]*".r
 
+  /** A standalone PromQL duration string ("15s", "1h30m") → ms. The
+    * ONE duration grammar — surfaces (the HTTP bridge's step/lookback
+    * params) must not hand-roll a second copy that can drift.
+    */
+  def durationMs(v: String): Option[Long] = {
+    var rest = v
+    var ms = 0L
+    var any = false
+    var ok = true
+    while (ok && rest.nonEmpty) durRe.findPrefixMatchOf(rest) match {
+      case Some(d) =>
+        ms += d.group(1).toLong * unitMs(d.group(2))
+        rest = rest.substring(d.end)
+        any = true
+      case None => ok = false
+    }
+    if (ok && any) Some(ms) else None
+  }
+
   private def unitMs(u: String): Long = u match {
     case "ms" => 1L
     case "s" => 1000L

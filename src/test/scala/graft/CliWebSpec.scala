@@ -248,15 +248,25 @@ class CliWebSpec extends AnyFunSuite {
         s"&match[]=${enc("""req{__name__="other"}""")}")
       assert(conflict.statusCode() == 400 &&
         conflict.body().contains("conflict"), conflict.body())
-      // zero/negative/NaN steps reject with Prometheus' wording
-      for (step <- Seq("0", "-15", "NaN")) {
+      // zero/negative steps reject with Prometheus' wording; NaN is
+      // not a float here (the strict pattern) so it rejects as a
+      // malformed duration
+      for ((step, msg) <- Seq(
+          "0" -> "zero or negative query resolution step",
+          "-15" -> "zero or negative query resolution step",
+          "NaN" -> "bad duration")) {
         val r = metaGet(s"/api/v1/query_range?path=${enc(db)}" +
           s"&query=${enc("sum_over_time(req[20ms])")}" +
           s"&start=0.02&end=0.04&step=$step")
-        assert(r.statusCode() == 400 &&
-          r.body().contains("zero or negative query resolution step"),
+        assert(r.statusCode() == 400 && r.body().contains(msg),
           s"step=$step: ${r.body()}")
       }
+      // the Java float-suffix trap: "1d".toDouble is 1.0, so a parse-
+      // attempt dispatch would read a one-DAY step as one SECOND
+      assert(Web.promStepMs("1d") == 86400000L)
+      assert(Web.promStepMs("1h30m") == 5400000L)
+      assert(Web.promStepMs("0.5") == 500L)
+      intercept[IllegalArgumentException](Web.promStepMs("1.5s"))
       // the ungrouped dashboard staple works (identity over the one
       // pooled series) — not a 400 with an engine-internal message
       val ungrouped = metaGet(s"/api/v1/query_range?path=${enc(db)}" +

@@ -175,7 +175,7 @@ class ParserRoundTripSpec extends AnyFunSuite {
     val inner = RangeFn(kind, MatrixSelector(sel, r), args)
     if (sub && kind != FnAbsentOverTime)
       RangeFn(FnMaxOverTime,
-        SubqueryMatrix(inner, r * 2, step, (r % 3) * 60000), Nil)
+        SubqueryMatrix(inner, r * 2, step, ((r % 3) - 1) * 60000), Nil)
     else inner
   }
 
