@@ -159,6 +159,29 @@ object TimeSeries {
     * time the DSv2 scan they exist to cover, not `partitionBy` write
     * throughput; the build cost is reported as its own line like ingest.
     */
+  /** A GraftDb holding the purchase series plus a RECORDED daily-sum
+    * stream (ts98): bulk-loaded through importFrame (the distributed
+    * ingest), then `record` materializes `sum_over_time(purch[1d])`
+    * at a 1d step — the recording-rule round trip, store and all.
+    * Memoized per (session, dir) like the DSv2 store.
+    */
+  private def recordedDb(s: SparkSession, dir: String): graft.tsdb.GraftDb = {
+    val path = storePaths.getOrElseUpdate(
+      System.identityHashCode(s) + "|rec|" + dir, {
+        val p =
+          java.nio.file.Files.createTempDirectory("graft_recdb").toString
+        val db = new graft.tsdb.GraftDb(s, p)
+        db.createStream("purch", VType.F64)
+        db.importFrame("purch",
+          eventsLong(s, dir).where(col("name") === "purchase")
+            .select(col("timestamp"), col("value")))
+        db.record("purch_daily", "sum_over_time(purch[1d])",
+          SubStart, SubEnd, Some(86400000L))
+        p
+      })
+    new graft.tsdb.GraftDb(s, path)
+  }
+
   def prepareDsv2Store(s: SparkSession, dir: String): Double = {
     val t0 = System.nanoTime()
     dsv2Store(s, dir)
@@ -839,6 +862,16 @@ object TimeSeries {
     "ts97_subquery_offset" ->
       q("max_over_time(sum_over_time(purchase[1d])[3d:12h] offset 1d)",
         roundTo = 6) _,
+
+    // recording rule round trip: record materializes the daily sliding
+    // sum INTO the store (distributed importFrame write), then the
+    // derived stream is queried back like any other — the oracle
+    // recomputes the sliding sum from the raw events.
+    "ts98_recording_rule" -> { (s, dir) =>
+      recordedDb(s, dir).query("purch_daily", AllStart, AllEnd)
+        .output.select(col("timestamp"), round(col("value"), 6).as("value"))
+        .orderBy("timestamp")
+    },
 
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
@@ -1736,6 +1769,18 @@ object TimeSeries {
     "ts96_vector_fn" ->
       s"""SELECT CAST($SubEnd AS BIGINT) AS timestamp,
          |  ROUND($SubEnd / 1000.0 * 2, 6) AS value""".stripMargin,
+
+    // ts98: the recorded stream must equal the sliding daily sum
+    // recomputed from the raw events — window (T-1d, T] at each 1d step.
+    "ts98_recording_rule" ->
+      s"""WITH g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd,
+         |        86400000)) AS et),
+         |d AS (SELECT t, v FROM ${ev("event_type = 'purchase'")}
+         |      WHERE t > ${SubStart - 86400000L} AND t <= $SubEnd),
+         |w AS (SELECT g.et, d.v FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et)
+         |SELECT et AS timestamp, ROUND(SUM(v), 6) AS value
+         |FROM w GROUP BY et ORDER BY timestamp""".stripMargin,
 
     // ts97: the g grid is the SHIFTED step grid (start-1d .. end-1d),
     // windows (et-1d_range, et]; results report at et + 1d.

@@ -161,6 +161,14 @@ object Cli {
           0
         case Seq("import-csv", selector, csvFile) =>
           db.importCsv(selector, csvFile); 0
+        case "record" +: target +: promql +: start +: end +: rest
+            if rest.size <= 1 =>
+          // recording rule (beyond the reference CLI): precompute a
+          // query into a derived stream; optional trailing step selects
+          // the sliding query_range form
+          val n = db.record(target, promql, start.toLong, end.toLong,
+            rest.headOption.map(_.toLong))
+          out(s"recorded $n points into $target"); 0
         case "compact" +: rest if rest.size <= 1 =>
           // maintenance (beyond the reference CLI): merge flush deltas
           val n = rest.headOption.map(_.toInt)

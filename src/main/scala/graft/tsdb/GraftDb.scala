@@ -467,6 +467,73 @@ final class GraftDb(
     new Inserter(hits.head.name, hits.head.labels, hits.head.vtype)
   }
 
+  /** Bulk DataFrame ingest: append a (timestamp: long, value) frame to
+    * `selector`'s stream — the DISTRIBUTED twin of [[importCsv]] (one
+    * rebalance-keyed partitioned write, no driver loop; the Inserter
+    * buffers on the driver by design, this path never does). A
+    * LongType value column on an integer stream keeps exact i64 via
+    * the lvalue sidecar, like the CSV path.
+    */
+  def importFrame(selector: String, df: DataFrame): Unit = {
+    val (name, labels) = parseSelector(selector)
+    val hits = resolve(name, labels)
+    require(hits.size == 1,
+      s"selector must match exactly 1 stream, got ${hits.size}")
+    val isInt = hits.head.vtype != VType.F64
+    val isLongValue =
+      df.schema("value").dataType == org.apache.spark.sql.types.LongType
+    df.select(lit(name).as("name"),
+        typedLit(labels).as("labels"),
+        col("timestamp").cast("long").as("timestamp"),
+        col("value").cast("double").as("value"),
+        (if (isInt && isLongValue) col("value")
+         else lit(null).cast("long")).as("lvalue"))
+      .withColumn("bucket",
+        col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
+      .hint("rebalance", col("name"), col("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("name", "bucket")
+      .parquet(dataDir)
+  }
+
+  /** Recording rule — Prometheus' precompute primitive: evaluate
+    * `promql` over [startMs, endMs] (query_range's sliding form when
+    * `stepMs` is given, the whole-range vector otherwise) and PERSIST
+    * the result as the stream named by `targetSelector` (created F64
+    * if absent). Dashboards then read the cheap derived series instead
+    * of re-running the expensive expression. Grouped results are
+    * rejected — a single stream cannot hold label columns; record each
+    * group under its own target selector.
+    *
+    * Scale shape: the evaluated frame IS the write — one distributed
+    * rebalance-keyed append through [[importFrame]], no driver
+    * materialization (the returned count reads the persisted frame's
+    * step-count-sized output, it never collects samples).
+    */
+  def record(targetSelector: String, promql: String, startMs: Long,
+      endMs: Long, stepMs: Option[Long] = None): Long = {
+    val (name, labels) = parseSelector(targetSelector)
+    if (!streams().exists(d => d.name == name && d.labels == labels))
+      createStream(targetSelector, VType.F64)
+    // the store is append-only: re-recording a window would DUPLICATE
+    // samples, so an occupied target window rejects loudly (LIMIT-1
+    // probe, bounded) — deleteStream or pick a disjoint window
+    require(query(targetSelector, startMs, endMs).df.limit(1).collect().isEmpty,
+      s"target stream already holds samples in [$startMs, $endMs] — " +
+        "re-recording would duplicate points (deleteStream first, or " +
+        "record a disjoint window)")
+    val res = stepMs match {
+      case Some(s) => queryRange(promql, startMs, endMs, s)
+      case None => query(promql, startMs, endMs)
+    }
+    require(!res.isScalar && !res.grouped,
+      "record takes a vector-valued query (grouped results carry label " +
+        "columns one stream cannot hold — record each group under its " +
+        "own target selector)")
+    importFrame(targetSelector,
+      res.output.select(col("timestamp"), col("value")))
+    query(targetSelector, startMs, endMs).df.count()
+  }
+
   /** Bulk CSV import (tachyon_cli/src/main.rs:247-296): header
     * `Timestamp,Value`, one stream per file.
     */

@@ -279,6 +279,35 @@ class CliWebSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("cli: record precomputes a query into a derived stream") {
+    val db = freshDb()
+    seed(db) // (23,45) (29,47) (40,23) (51,48)
+    // sliding 20ms sums at steps 20/40/60: (0,20] empty, (20,40] = 115,
+    // (40,60] = 48 — two points recorded
+    val (c, lines) = cli(db, "record", "rec_sum",
+      s"sum_over_time($sel[20ms])", "20", "60", "20")
+    assert(c == 0 && lines == Seq("recorded 2 points into rec_sum"), lines)
+    // the derived stream is a first-class catalog citizen
+    val (c2, rows) = cli(db, "query", "rec_sum", "0", "100")
+    assert(c2 == 0 && rows == Seq("40 115", "60 48"), rows)
+    // and composes with further queries
+    val (c3, s3) = cli(db, "query", "max(rec_sum)", "0", "100")
+    assert(c3 == 0 && s3 == Seq("115"), s3)
+    // re-recording an occupied window rejects loudly (append-only
+    // store: it would duplicate samples)
+    val (c4, err) = cli(db, "record", "rec_sum",
+      s"sum_over_time($sel[20ms])", "20", "60", "20")
+    assert(c4 == 1 && err.head.contains("re-recording would duplicate"), err)
+    // a disjoint window appends fine
+    val (c5, more) = cli(db, "record", "rec_sum",
+      s"sum_over_time($sel[20ms])", "80", "80", "20")
+    assert(c5 == 0 && more == Seq("recorded 0 points into rec_sum"), more)
+    // grouped queries reject with the per-group guidance
+    val (c6, gerr) = cli(db, "record", "rec_g",
+      s"sum by (service) (http_requests_total)", "0", "100")
+    assert(c6 == 1 && gerr.head.contains("own target selector"), gerr)
+  }
+
   test("cli: csv path with a non-vector result errors loudly") {
     val db = freshDb()
     seed(db)

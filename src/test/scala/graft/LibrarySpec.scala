@@ -116,6 +116,22 @@ class LibrarySpec extends AnyFunSuite {
     assert(sum == 100000L * 99999L / 2)
   }
 
+  test("importFrame bulk ingest: integer streams keep exact i64") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftdb_if").toString
+    val db = new GraftDb(spark, dir)
+    db.createStream("""bulk{k="1"}""", VType.I64)
+    val big = (1L << 60) + 3 // not representable in a double
+    db.importFrame("""bulk{k="1"}""",
+      Seq((10L, big), (20L, big + 1)).toDF("timestamp", "value"))
+    val got = db.query("bulk", 0L, 100L).output
+      .orderBy("timestamp").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq(10L -> big, 20L -> (big + 1)))
+    // unknown selector rejects before any write
+    intercept[IllegalArgumentException](
+      db.importFrame("nope", Seq((1L, 1L)).toDF("timestamp", "value")))
+  }
+
   test("GraftDb csv import + export round-trip") {
     val dir = Files.createTempDirectory("graftcsv").toString
     val csv = Files.createTempDirectory("csvin").resolve("s.csv")
