@@ -172,14 +172,33 @@ object TimeSeries {
           java.nio.file.Files.createTempDirectory("graft_recdb").toString
         val db = new graft.tsdb.GraftDb(s, p)
         db.createStream("purch", VType.F64)
+        // ingest only the recorded window (+1d lookback) — the
+        // realistic recording-rule shape (you record over the window
+        // you query, not all history), and it keeps the fixture store's
+        // partition count window-sized instead of corpus-span-sized
+        // (ingesting a 30x-span series here once built a 21k-file store
+        // whose LISTING dominated the read-back gate)
         db.importFrame("purch",
-          eventsLong(s, dir).where(col("name") === "purchase")
+          eventsLong(s, dir).where(col("name") === "purchase" &&
+              col("timestamp") >= SubStart - 86400000L &&
+              col("timestamp") <= SubEnd)
             .select(col("timestamp"), col("value")))
         db.record("purch_daily", "sum_over_time(purch[1d])",
           SubStart, SubEnd, Some(86400000L))
         p
       })
     new graft.tsdb.GraftDb(s, path)
+  }
+
+  /** Bench prep hook: build ts98's recorded store untimed (the bulk
+    * ingest + record is a one-time linear cost reported as its own
+    * metric, like the DSv2 store); the gate then times the
+    * derived-stream read-back it covers.
+    */
+  def prepareRecordedStore(s: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    recordedDb(s, dir)
+    (System.nanoTime() - t0) / 1e9
   }
 
   def prepareDsv2Store(s: SparkSession, dir: String): Double = {
