@@ -34,6 +34,11 @@ final class GraftDb(
     bucketMs: Long = 3600 * 1000L) {
 
   private val dataDir = s"$rootDir/data"
+  /** The store's data directory and bucket width — the facts a
+    * streaming writer (Recording) needs to append compatibly.
+    */
+  def dataPath: String = dataDir
+  def bucketWidthMs: Long = bucketMs
   private val catalogFile = Paths.get(rootDir, "catalog.jsonl")
   Files.createDirectories(Paths.get(rootDir))
 
@@ -236,6 +241,18 @@ final class GraftDb(
       catalogLine(StreamDef(name, labels, vtype)) + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     invalidateCatalog()
+  }
+
+  /** [[createStream]] unless the exact (name, labels) stream already
+    * exists; returns the parsed pair (the idempotent entry recording
+    * rules use).
+    */
+  def createStreamIfAbsent(selector: String,
+      vtype: VType): (String, Map[String, String]) = {
+    val (name, labels) = parseSelector(selector)
+    if (!streams().exists(d => d.name == name && d.labels == labels))
+      createStream(selector, vtype)
+    (name, labels)
   }
 
   /** Stream deletion. The reference leaves this as an explicit todo
@@ -511,9 +528,7 @@ final class GraftDb(
     */
   def record(targetSelector: String, promql: String, startMs: Long,
       endMs: Long, stepMs: Option[Long] = None): Long = {
-    val (name, labels) = parseSelector(targetSelector)
-    if (!streams().exists(d => d.name == name && d.labels == labels))
-      createStream(targetSelector, VType.F64)
+    createStreamIfAbsent(targetSelector, VType.F64)
     // the store is append-only: re-recording a window would DUPLICATE
     // samples, so an occupied target window rejects loudly (LIMIT-1
     // probe, bounded) — deleteStream or pick a disjoint window

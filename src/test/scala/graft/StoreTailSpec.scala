@@ -63,4 +63,43 @@ class StoreTailSpec extends AnyFunSuite {
         Seq("name", "labels", "timestamp", "value", "lvalue"))
     } finally q.stop()
   }
+
+  test("continuous recording rule: sealed windows append to the derived stream") {
+    val root = Files.createTempDirectory("graft_rec_stream").toString
+    val ckpt = Files.createTempDirectory("graft_rec_ckpt").toString
+    val db = new GraftDb(spark, root)
+    db.createStream("m", VType.F64)
+
+    val q = graft.streaming.Recording.rule(db, "m", "m_20ms_sum",
+      windowMs = 20L, latenessMs = 5L, checkpointDir = ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    // AvailableNow drains the current backlog then STOPS — so each
+    // "round" of the continuous rule is one start/awaitTermination
+    // (the checkpoint carries watermark + source position between
+    // rounds, exactly the restart story a long-running rule needs)
+    def round(): Unit = {
+      val run = graft.streaming.Recording.rule(db, "m", "m_20ms_sum",
+        windowMs = 20L, latenessMs = 5L, checkpointDir = ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      run.awaitTermination()
+    }
+    q.awaitTermination()
+
+    val ins = db.inserter("m")
+    Seq(5L -> 1d, 15L -> 2d, 25L -> 4d).foreach { case (t, v) => ins.insert(t, v) }
+    ins.flush()
+    round() // windows [0,20) sum 3 stays OPEN until the watermark passes
+    ins.insert(60L, 8d) // advances event time past 20 + lateness
+    ins.flush()
+    round()
+    val derived = db.query("m_20ms_sum", 0L, 1000L).output
+      .orderBy("timestamp").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // the 60ms event advances the watermark to 55: [0,20) seals with
+    // 1+2 and [20,40) with 4; the 60ms sample itself lands in [60,80),
+    // which stays OPEN until a later event passes its end + lateness
+    assert(derived.toSeq == Seq(0L -> 3d, 20L -> 4d), derived.toSeq)
+    // the source stream is untouched; the derived stream composes
+    assert(db.query("sum(m_20ms_sum)", 0L, 1000L).output
+      .collect().map(_.getDouble(0)).toSeq == Seq(7d))
+  }
 }
