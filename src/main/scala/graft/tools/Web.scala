@@ -418,8 +418,28 @@ object Web {
     // (Prometheus' 5m staleness default)
     val lookbackMs = params.get("lookback").flatMap(_.headOption)
       .map(promStepMs).getOrElse(300000L)
-    val (labels, rows) = promEval(db, promParam(params, "query"),
-      timeMs, timeMs, lookbackMs)
+    val query = promParam(params, "query")
+    // pure scalar expressions (no selector anywhere: literals, time(),
+    // their arithmetic) answer with Prometheus' "scalar" resultType —
+    // the whole-range engine evaluates them at [t, t] exactly
+    def pureScalar(e: Expr): Boolean = e match {
+      case Expr.NumberLit(_) | Expr.TimeFn => true
+      case Expr.BinaryOp(_, l, r, None) => pureScalar(l) && pureScalar(r)
+      case _ => false
+    }
+    if (pureScalar(PromParser.parse(query))) {
+      val v = db.query(query, timeMs, timeMs).output.collect().head.getDouble(0)
+      val mapper = new ObjectMapper()
+      val root = mapper.createObjectNode()
+      root.put("status", "success")
+      val data = root.putObject("data")
+      data.put("resultType", "scalar")
+      val pair = data.putArray("result")
+      pair.add(timeMs / 1000.0)
+      pair.add(v.toString)
+      return mapper.writeValueAsString(root)
+    }
+    val (labels, rows) = promEval(db, query, timeMs, timeMs, lookbackMs)
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("status", "success")

@@ -276,6 +276,12 @@ class CliWebSpec extends AnyFunSuite {
       assert(ungrouped.body().contains(
         """{"metric":{},"values":[[0.02,"11.0"],[0.04,"4.0"]]}"""),
         ungrouped.body())
+      // pure-scalar instant queries answer with the scalar resultType
+      val scl = metaGet(s"/api/v1/query?path=${enc(db)}" +
+        s"&query=${enc("time() * 2")}&time=0.03")
+      assert(scl.body() ==
+        """{"status":"success","data":{"resultType":"scalar",""" +
+          """"result":[0.03,"0.06"]}}""", scl.body())
     } finally server.stop(0)
   }
 
