@@ -33,8 +33,21 @@ object Bench {
     // the untimed prep phase (memoized per (session, dir)), so those
     // gates time the scan/rollup they cover — the one-time store build
     // is reported as its own metric below, like ingest.
+    // SPARK_GRAFT_BENCH_ONLY=q1_agg,dd02_... restricts the pack — the
+    // SCALE_CHECK loop times the slowest queries at several SFs without
+    // paying for all 121 each round
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // fixture-store builds run only when the selected pack contains a
+    // gate that reads them — a restricted SCALE_CHECK run must not pay
+    // an ingest it never times
+    val dsv2Gates = Set("ts32_dsv2_scan", "ts33_dsv2_stats_agg",
+      "ts34_dsv2_stats_unaligned", "ts35_dsv2_label_prune",
+      "ts36_dsv2_label_stats", "ts37_dsv2_label_multi", "ts44_dsv2_rollup")
     val dsv2BuildSec =
-      try graft.queries.TimeSeries.prepareDsv2Store(spark, sfDir)
+      if (!only.forall(_.exists(dsv2Gates))) -1.0
+      else try graft.queries.TimeSeries.prepareDsv2Store(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] dsv2 store build failed: ${e.getMessage}")
         -1.0
@@ -43,17 +56,12 @@ object Bench {
     // one-time LINEAR cost — reported as its own metric like the dsv2
     // store, so the gate times the derived-stream read-back it covers
     val recordBuildSec =
-      try graft.queries.TimeSeries.prepareRecordedStore(spark, sfDir)
+      if (!only.forall(_.contains("ts98_recording_rule"))) -1.0
+      else try graft.queries.TimeSeries.prepareRecordedStore(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] recorded store build failed: ${e.getMessage}")
         -1.0
       }
-
-    // SPARK_GRAFT_BENCH_ONLY=q1_agg,dd02_... restricts the pack — the
-    // SCALE_CHECK loop times the slowest queries at several SFs without
-    // paying for all 121 each round
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
     // Full-pack runs build every SHARED pass up front, TIMED, each
     // reported as its own "shared" line — so per-query numbers measure

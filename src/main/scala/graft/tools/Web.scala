@@ -242,6 +242,22 @@ object Web {
     ex.close()
   }
 
+  /** An engine over an empty store — evaluates selector-free scalar
+    * expressions with the exact engine semantics and zero file I/O.
+    */
+  private def storelessEngine(spark: SparkSession): graft.tsdb.TsdbEngine = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("labels", MapType(StringType, StringType)),
+      StructField("timestamp", LongType),
+      StructField("value", DoubleType)))
+    new graft.tsdb.TsdbEngine(spark,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      new graft.tsdb.StreamCatalog(Nil))
+  }
+
   /** A {"status":"success","data":[strings...]} body. */
   private def promStrings(values: Seq[String]): String = {
     val mapper = new ObjectMapper()
@@ -319,7 +335,7 @@ object Web {
     *    (sum_over_time/avg/min/max of the group's samples in each
     *    step window).
     */
-  private def promEval(db: GraftDb, query: String, startMs: Long,
+  private def promEval(db: GraftDb, ast: Expr, startMs: Long,
       endMs: Long, stepMs: Long): (Seq[String], Array[org.apache.spark.sql.Row]) = {
     import graft.tsdb.Expr._
     val e = db.engine()
@@ -345,7 +361,7 @@ object Web {
       val res = e.queryRange(inner, startMs, endMs, stepMs)
       (Nil, res.output.orderBy("timestamp").collect())
     }
-    PromParser.parse(query) match {
+    ast match {
       case Aggregate(kind, rf @ RangeFn(_, _: MatrixSelector, _), Some(g)) =>
         windowed(kind) // validates the kind is bridgeable
         grouped(g, rf)
@@ -375,8 +391,8 @@ object Web {
     val endMs = promSecMs(promParam(params, "end"))
     val stepMs = promStepMs(promParam(params, "step"))
     require(endMs >= startMs, "end < start")
-    val (labels, rows) = promEval(db, promParam(params, "query"),
-      startMs, endMs, stepMs)
+    val (labels, rows) = promEval(db,
+      PromParser.parse(promParam(params, "query")), startMs, endMs, stepMs)
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("status", "success")
@@ -418,17 +434,18 @@ object Web {
     // (Prometheus' 5m staleness default)
     val lookbackMs = params.get("lookback").flatMap(_.headOption)
       .map(promStepMs).getOrElse(300000L)
-    val query = promParam(params, "query")
+    val ast = PromParser.parse(promParam(params, "query"))
     // pure scalar expressions (no selector anywhere: literals, time(),
-    // their arithmetic) answer with Prometheus' "scalar" resultType —
-    // the whole-range engine evaluates them at [t, t] exactly
+    // their arithmetic) answer with Prometheus' "scalar" resultType.
+    // They evaluate on an engine over an EMPTY store — the exact S2S
+    // semantics (incl. the comparison-needs-bool rejection) with no
+    // store file listing for a query that touches no data.
     def pureScalar(e: Expr): Boolean = e match {
       case Expr.NumberLit(_) | Expr.TimeFn => true
       case Expr.BinaryOp(_, l, r, None) => pureScalar(l) && pureScalar(r)
       case _ => false
     }
-    if (pureScalar(PromParser.parse(query))) {
-      val v = db.query(query, timeMs, timeMs).output.collect().head.getDouble(0)
+    def scalarBody(v: Double): String = {
       val mapper = new ObjectMapper()
       val root = mapper.createObjectNode()
       root.put("status", "success")
@@ -437,9 +454,37 @@ object Web {
       val pair = data.putArray("result")
       pair.add(timeMs / 1000.0)
       pair.add(v.toString)
-      return mapper.writeValueAsString(root)
+      mapper.writeValueAsString(root)
     }
-    val (labels, rows) = promEval(db, query, timeMs, timeMs, lookbackMs)
+    ast match {
+      case e if pureScalar(e) =>
+        return scalarBody(storelessEngine(spark).query(e, timeMs, timeMs)
+          .output.collect().head.getDouble(0))
+      case Expr.ScalarFn(_) =>
+        // scalar(v) needs the store: the one-element collapse over the
+        // staleness lookback, NaN otherwise — already the engine's rule
+        val v = db.engine().query(ast, timeMs - lookbackMs, timeMs)
+          .output.collect().headOption.map(_.getDouble(0))
+          .getOrElse(Double.NaN)
+        return scalarBody(v)
+      case Expr.VectorFn(child) if pureScalar(child) =>
+        // vector(s): one unlabeled sample at the eval time
+        val v = storelessEngine(spark).query(ast, timeMs, timeMs)
+          .output.collect().head.getDouble(1)
+        val mapper = new ObjectMapper()
+        val root = mapper.createObjectNode()
+        root.put("status", "success")
+        val data = root.putObject("data")
+        data.put("resultType", "vector")
+        val series = data.putArray("result").addObject()
+        series.putObject("metric")
+        val pair = series.putArray("value")
+        pair.add(timeMs / 1000.0)
+        pair.add(v.toString)
+        return mapper.writeValueAsString(root)
+      case _ => ()
+    }
+    val (labels, rows) = promEval(db, ast, timeMs, timeMs, lookbackMs)
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("status", "success")

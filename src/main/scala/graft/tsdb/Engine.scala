@@ -109,6 +109,12 @@ final class TsdbEngine(
   def query(promql: String, startMs: Long, endMs: Long): TsdbResult =
     eval(PromParser.parse(promql), startMs, endMs)
 
+  /** [[query]] from a pre-parsed AST (the API bridge parses once and
+    * dispatches on the tree it evaluates).
+    */
+  def query(e: Expr, startMs: Long, endMs: Long): TsdbResult =
+    eval(e, startMs, endMs)
+
   /** Prometheus query_range evaluation: a range function evaluated at
     * eval times startMs + i*stepMs (i = 0 .. (endMs-startMs)/stepMs),
     * each over the SLIDING lookback window (T - range, T] — the HTTP

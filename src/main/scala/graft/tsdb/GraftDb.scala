@@ -499,11 +499,18 @@ final class GraftDb(
     val isInt = hits.head.vtype != VType.F64
     val isLongValue =
       df.schema("value").dataType == org.apache.spark.sql.types.LongType
+    // an integer stream with a non-Long value column would silently
+    // write lvalue=null and degrade to the truncated double view —
+    // against the Inserter's round-and-range-check contract. Loud.
+    require(!isInt || isLongValue,
+      s"integer stream $selector takes a LongType value column (exact " +
+        s"i64); got ${df.schema("value").dataType.simpleString} — " +
+        "round/convert explicitly upstream")
     df.select(lit(name).as("name"),
         typedLit(labels).as("labels"),
         col("timestamp").cast("long").as("timestamp"),
         col("value").cast("double").as("value"),
-        (if (isInt && isLongValue) col("value")
+        (if (isInt) col("value")
          else lit(null).cast("long")).as("lvalue"))
       .withColumn("bucket",
         col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
@@ -528,10 +535,12 @@ final class GraftDb(
     */
   def record(targetSelector: String, promql: String, startMs: Long,
       endMs: Long, stepMs: Option[Long] = None): Long = {
-    createStreamIfAbsent(targetSelector, VType.F64)
-    // the store is append-only: re-recording a window would DUPLICATE
-    // samples, so an occupied target window rejects loudly (LIMIT-1
-    // probe, bounded) — deleteStream or pick a disjoint window
+    // validation order matters: everything that can REJECT runs before
+    // the catalog write, so a failed record never leaves a phantom
+    // empty stream behind. (The occupied-window probe works on a
+    // not-yet-created stream too — an unknown name scans empty.)
+    // Append-only store: re-recording a window would DUPLICATE samples,
+    // so an occupied target window rejects loudly (LIMIT-1 probe).
     require(query(targetSelector, startMs, endMs).df.limit(1).collect().isEmpty,
       s"target stream already holds samples in [$startMs, $endMs] — " +
         "re-recording would duplicate points (deleteStream first, or " +
@@ -544,6 +553,7 @@ final class GraftDb(
       "record takes a vector-valued query (grouped results carry label " +
         "columns one stream cannot hold — record each group under its " +
         "own target selector)")
+    createStreamIfAbsent(targetSelector, VType.F64)
     importFrame(targetSelector,
       res.output.select(col("timestamp"), col("value")))
     query(targetSelector, startMs, endMs).df.count()

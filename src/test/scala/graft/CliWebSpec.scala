@@ -282,6 +282,17 @@ class CliWebSpec extends AnyFunSuite {
       assert(scl.body() ==
         """{"status":"success","data":{"resultType":"scalar",""" +
           """"result":[0.03,"0.06"]}}""", scl.body())
+      // vector(s) lifts to one unlabeled sample; scalar(v) collapses
+      // over the staleness lookback (one element → its value)
+      val vec1 = metaGet(s"/api/v1/query?path=${enc(db)}" +
+        s"&query=${enc("vector(1)")}&time=0.03")
+      assert(vec1.body() ==
+        """{"status":"success","data":{"resultType":"vector",""" +
+          """"result":[{"metric":{},"value":[0.03,"1.0"]}]}}""", vec1.body())
+      val sOne = metaGet(s"/api/v1/query?path=${enc(db)}" +
+        s"&query=${enc("""scalar(req{service="mob"})""")}&time=0.03")
+      assert(sOne.body().contains(""""resultType":"scalar""""), sOne.body())
+      assert(sOne.body().contains(""""result":[0.03,"8.0"]"""), sOne.body())
     } finally server.stop(0)
   }
 
@@ -308,10 +319,13 @@ class CliWebSpec extends AnyFunSuite {
     val (c5, more) = cli(db, "record", "rec_sum",
       s"sum_over_time($sel[20ms])", "80", "80", "20")
     assert(c5 == 0 && more == Seq("recorded 0 points into rec_sum"), more)
-    // grouped queries reject with the per-group guidance
+    // grouped queries reject with the per-group guidance — and the
+    // rejected record leaves NO phantom stream in the catalog
     val (c6, gerr) = cli(db, "record", "rec_g",
       s"sum by (service) (http_requests_total)", "0", "100")
     assert(c6 == 1 && gerr.head.contains("own target selector"), gerr)
+    val (c7, streams) = cli(db, "list-all-streams")
+    assert(c7 == 0 && !streams.exists(_.contains("rec_g")), streams)
   }
 
   test("cli: csv path with a non-vector result errors loudly") {

@@ -88,16 +88,17 @@ class StoreTailSpec extends AnyFunSuite {
     val ins = db.inserter("m")
     Seq(5L -> 1d, 15L -> 2d, 25L -> 4d).foreach { case (t, v) => ins.insert(t, v) }
     ins.flush()
-    round() // windows [0,20) sum 3 stays OPEN until the watermark passes
+    round() // every window stays OPEN until the watermark passes
     ins.insert(60L, 8d) // advances event time past 20 + lateness
     ins.flush()
     round()
     val derived = db.query("m_20ms_sum", 0L, 1000L).output
       .orderBy("timestamp").collect().map(r => (r.getLong(0), r.getDouble(1)))
     // the 60ms event advances the watermark to 55: [0,20) seals with
-    // 1+2 and [20,40) with 4; the 60ms sample itself lands in [60,80),
-    // which stays OPEN until a later event passes its end + lateness
-    assert(derived.toSeq == Seq(0L -> 3d, 20L -> 4d), derived.toSeq)
+    // 1+2 (stamped at the window END, 20) and [20,40) with 4; the 60ms
+    // sample itself lands in [60,80), which stays OPEN until a later
+    // event passes its end + lateness
+    assert(derived.toSeq == Seq(20L -> 3d, 40L -> 4d), derived.toSeq)
     // the source stream is untouched; the derived stream composes
     assert(db.query("sum(m_20ms_sum)", 0L, 1000L).output
       .collect().map(_.getDouble(0)).toSeq == Seq(7d))
