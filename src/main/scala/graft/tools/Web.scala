@@ -103,6 +103,15 @@ object Web {
           "deletion disabled: server started without a db root allowlist")
       handleDeleteStream(spark, body, dbRoot)
     }
+    // recording rule: POST {"path", "target", "query", "start", "end",
+    // "step"?} -> {"recorded": n, "target": t}. Writes to the store, so
+    // the same allowlist gate as the other mutating endpoints.
+    jsonContext("/record") { body =>
+      if (dbRoot.isEmpty)
+        throw new IllegalArgumentException(
+          "recording disabled: server started without a db root allowlist")
+      handleRecord(spark, body, dbRoot)
+    }
     // Prometheus HTTP API bridge: GET or form-encoded POST, success/
     // error envelopes and matrix/vector/scalar result shapes per the
     // published API (prometheus.io/docs/prometheus/latest/querying/api).
@@ -531,6 +540,24 @@ object Web {
     new GraftDb(spark, path).deleteStream(selector)
     val root = mapper.createObjectNode()
     root.put("deleted", selector)
+    mapper.writeValueAsString(root)
+  }
+
+  private[tools] def handleRecord(spark: SparkSession, requestJson: String,
+      dbRoot: Option[String]): String = {
+    val mapper = new ObjectMapper()
+    val req = mapper.readTree(requestJson)
+    def field(k: String) = Option(req.get(k)).filterNot(_.isNull)
+    def need(k: String) = field(k).getOrElse(
+      throw new IllegalArgumentException(s"missing field: $k"))
+    val path = allowedPath(req, dbRoot)
+    val n = new GraftDb(spark, path).record(
+      need("target").asText(), need("query").asText(),
+      need("start").asLong(), need("end").asLong(),
+      field("step").map(_.asLong()))
+    val root = mapper.createObjectNode()
+    root.put("recorded", n)
+    root.put("target", need("target").asText())
     mapper.writeValueAsString(root)
   }
 

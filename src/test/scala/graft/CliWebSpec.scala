@@ -326,6 +326,36 @@ class CliWebSpec extends AnyFunSuite {
     assert(c6 == 1 && gerr.head.contains("own target selector"), gerr)
     val (c7, streams) = cli(db, "list-all-streams")
     assert(c7 == 0 && !streams.exists(_.contains("rec_g")), streams)
+    // the HTTP twin, gated on the db-root allowlist like every
+    // mutating endpoint
+    val server = Web.start(spark, 0, Some(db))
+    try {
+      val port = server.getAddress.getPort
+      def post(body: String) = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/record"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val ok = post(s"""{"path": "$db", "target": "rec_http",
+        | "query": "max_over_time(http_requests_total[20ms])",
+        | "start": 20, "end": 60, "step": 20}""".stripMargin)
+      assert(ok.statusCode() == 200 &&
+        ok.body() == """{"recorded":2,"target":"rec_http"}""", ok.body())
+      val (c8, rows) = cli(db, "query", "rec_http", "0", "100")
+      assert(c8 == 0 && rows == Seq("40 47", "60 48"), rows)
+    } finally server.stop(0)
+    // without an allowlist the endpoint refuses outright
+    val open = Web.start(spark, 0)
+    try {
+      val port = open.getAddress.getPort
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/record"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"path": "$db", "target": "x", "query": "m",
+              | "start": 0, "end": 1}""".stripMargin)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 400 &&
+        resp.body().contains("recording disabled"), resp.body())
+    } finally open.stop(0)
   }
 
   test("cli: csv path with a non-vector result errors loudly") {
