@@ -19,11 +19,22 @@ import graft.tsdb.GraftDb
   * the store resolves through the sink's commit log and silently stops
   * seeing Inserter/importCsv/importFrame files (and compact/expire
   * would delete files the log still lists). foreachBatch keeps the
-  * store a plain parquet layout. The cost, documented: delivery is
-  * AT-LEAST-ONCE — a crash between the append and the checkpoint
-  * commit re-appends that batch's windows on restart (the store is
-  * append-only, so they land as duplicate samples; Prometheus' TSDB
-  * dedupes same-timestamp writes, this store does not).
+  * store a plain parquet layout.
+  *
+  * Delivery is EFFECTIVELY-ONCE: foreachBatch replays a batch whose
+  * checkpoint commit did not land, and the store is append-only, so a
+  * naive append would duplicate that batch's windows. [[applyBatch]]
+  * closes the gap at SAMPLE granularity instead of a batchId journal:
+  * Append-mode watermarked windows seal exactly once, so a window-end
+  * timestamp occurs in at most one batch ever — anti-joining the batch
+  * against the target's existing samples in the batch's own time span
+  * (a bucket-pruned, batch-sized read) makes the append idempotent
+  * even when a crash landed only PART of the previous attempt's files.
+  * A batchId high-water journal cannot say that: it is atomic with
+  * neither the data write nor the checkpoint, so some crash window
+  * always dangles. Corollary, documented: samples some OTHER writer
+  * already put at a sealed window's exact timestamp win — the
+  * continuous twin of the batch form's occupied-window refusal.
   *
   * Window semantics: tumbling [T-w, T) EPOCH-ALIGNED, stamped at the
   * window END — one boundary-sample seam away from the batch form's
@@ -79,7 +90,26 @@ object Recording {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        db.importFrame(targetSelector, batch)
+        applyBatch(db, targetSelector, batch)
       }
+  }
+
+  /** Idempotent append of one sealed-window batch (the foreachBatch
+    * body, named so the replay contract is spec-testable without
+    * orchestrating a mid-commit crash): rows whose timestamp the
+    * target already holds — a previous attempt's full or PARTIAL
+    * append — are dropped before writing. The existing-read is bounded
+    * to the batch's own [min, max] timestamp span, so it prunes to the
+    * touched buckets and stays batch-sized however large the store
+    * grows; an empty batch does no store I/O at all.
+    */
+  def applyBatch(db: GraftDb, targetSelector: String,
+      batch: org.apache.spark.sql.DataFrame): Unit = {
+    val span = batch.agg(min(col("timestamp")), max(col("timestamp"))).head()
+    if (span.isNullAt(0)) return // empty batch (trigger with no sealed windows)
+    val existing = db.query(targetSelector, span.getLong(0), span.getLong(1))
+      .df.select(col("timestamp"))
+    db.importFrame(targetSelector,
+      batch.join(existing, Seq("timestamp"), "left_anti"))
   }
 }

@@ -530,8 +530,10 @@ final class GraftDb(
     *
     * Scale shape: the evaluated frame IS the write — one distributed
     * rebalance-keyed append through [[importFrame]], no driver
-    * materialization (the returned count reads the persisted frame's
-    * step-count-sized output, it never collects samples).
+    * materialization. The returned count comes from the evaluated
+    * frame itself, persisted across count-then-write (the output is
+    * step-count-sized, so the cache is metadata-sized) — ONE source
+    * scan total, and no read-back of the just-written window.
     */
   def record(targetSelector: String, promql: String, startMs: Long,
       endMs: Long, stepMs: Option[Long] = None): Long = {
@@ -554,9 +556,12 @@ final class GraftDb(
         "columns one stream cannot hold — record each group under its " +
         "own target selector)")
     createStreamIfAbsent(targetSelector, VType.F64)
-    importFrame(targetSelector,
-      res.output.select(col("timestamp"), col("value")))
-    query(targetSelector, startMs, endMs).df.count()
+    val frame = res.output.select(col("timestamp"), col("value")).persist()
+    try {
+      val n = frame.count() // evaluates the rule query ONCE, cached
+      importFrame(targetSelector, frame) // writes from the cache
+      n
+    } finally frame.unpersist()
   }
 
   /** Bulk CSV import (tachyon_cli/src/main.rs:247-296): header

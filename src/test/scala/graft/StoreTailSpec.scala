@@ -103,4 +103,79 @@ class StoreTailSpec extends AnyFunSuite {
     assert(db.query("sum(m_20ms_sum)", 0L, 1000L).output
       .collect().map(_.getDouble(0)).toSeq == Seq(7d))
   }
+
+  test("recording applyBatch is idempotent: a replayed (even partial) batch appends nothing new") {
+    val root = Files.createTempDirectory("graft_rec_idem").toString
+    val db = new GraftDb(spark, root)
+    db.createStream("d", VType.F64)
+    val batch = Seq((20L, 3d), (40L, 4d)).toDF("timestamp", "value")
+    graft.streaming.Recording.applyBatch(db, "d", batch)
+    // full replay (crash after append, before checkpoint commit)
+    graft.streaming.Recording.applyBatch(db, "d", batch)
+    // PARTIAL prior attempt: only one of the batch's windows landed —
+    // the per-timestamp anti-join completes it without duplicating
+    graft.streaming.Recording.applyBatch(db, "d",
+      Seq((40L, 4d), (60L, 9d)).toDF("timestamp", "value"))
+    val rows = db.query("d", 0L, 1000L).output.orderBy("timestamp")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(20L -> 3d, 40L -> 4d, 60L -> 9d), rows)
+    // empty batch: no-op, no error
+    graft.streaming.Recording.applyBatch(db, "d",
+      spark.emptyDataset[(Long, Double)].toDF("timestamp", "value"))
+    assert(db.query("count(d)", 0L, 1000L).output
+      .collect().head.getLong(0) == 3L)
+  }
+
+  test("continuous recording survives a kill between append and checkpoint commit without duplicates") {
+    val root = Files.createTempDirectory("graft_rec_replay").toString
+    val ckpt = Files.createTempDirectory("graft_rec_replay_ckpt").toString
+    val db = new GraftDb(spark, root)
+    db.createStream("m", VType.F64)
+    def round(): Unit = {
+      val run = graft.streaming.Recording.rule(db, "m", "m_sum",
+        windowMs = 20L, latenessMs = 5L, checkpointDir = ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      run.awaitTermination()
+    }
+    val ins = db.inserter("m")
+    Seq(5L -> 1d, 15L -> 2d, 25L -> 4d).foreach { case (t, v) => ins.insert(t, v) }
+    ins.flush()
+    round()
+    // snapshot the checkpoint BEFORE the sealing round: restoring it
+    // after the round is exactly a crash whose appends landed but whose
+    // checkpoint progress was lost — restart re-runs the sealing batch
+    // and re-emits the SAME windows into foreachBatch
+    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      val it = java.nio.file.Files.walk(src).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val t = dst.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def deleteDir(d: java.nio.file.Path): Unit = {
+      val it = java.nio.file.Files.walk(d).sorted(
+        java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) java.nio.file.Files.delete(it.next())
+    }
+    val backup = Files.createTempDirectory("graft_rec_replay_bak")
+    copyDir(java.nio.file.Paths.get(ckpt), backup)
+    ins.insert(60L, 8d) // watermark → 55: seals [0,20) and [20,40)
+    ins.flush()
+    round()
+    val firstPass = db.query("m_sum", 0L, 1000L).output.orderBy("timestamp")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(firstPass == Seq(20L -> 3d, 40L -> 4d), firstPass)
+    // the crash: roll the checkpoint back, keep the store (the append
+    // already landed), restart
+    deleteDir(java.nio.file.Paths.get(ckpt))
+    copyDir(backup, java.nio.file.Paths.get(ckpt))
+    round() // the replay — before idempotent applyBatch this duplicated
+    val after = db.query("m_sum", 0L, 1000L).output.orderBy("timestamp")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == firstPass, s"replay duplicated samples: $after")
+  }
 }
