@@ -1,0 +1,234 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Dataset
+
+/** ISO BMFF (MP4) container metadata walk — pure-JVM byte parsing, NO
+  * sample decode: the container-format step on the codec seam after
+  * [[Qoi]] (the reference has no multimodal surface; this implements
+  * the public ISO/IEC 14496-12 box grammar from its spec, the way Qoi
+  * implements the public QOI spec).
+  *
+  * What a training-data pipeline needs from a video payload BEFORE any
+  * decoder runs: is it a well-formed container, how long is it, how
+  * many tracks of which kind, what are the video dimensions — all of
+  * which live in `moov`'s header boxes and cost a few hundred bytes of
+  * byte arithmetic per file. Box grammar: `[size:u32be][type:4cc]
+  * [payload]`; size==1 → a u64 `largesize` follows the type; size==0 →
+  * the box extends to the end of the enclosing scope. `mvhd`/`tkhd`/
+  * `hdlr` are FullBoxes (1 version byte + 3 flag bytes first), and
+  * mvhd/tkhd carry 32- or 64-bit times by version. Truncated,
+  * overrunning, or undersized boxes fail LOUDLY (never spin or
+  * over-read — the Qoi corrupt-stream discipline).
+  *
+  * Actual frame decode stays behind the JNI/FFI seam
+  * ([[Multimodal.RealDecoder]] still throws for "mp4" features); this
+  * walk is the metadata half a pure JVM can do for real.
+  */
+object Mp4 {
+
+  /** One track: its handler 4cc ("vide", "soun", ...) and, for video,
+    * the tkhd presentation dimensions (16.16 fixed point, integer
+    * part).
+    */
+  final case class Track(handler: String, width: Int, height: Int)
+
+  final case class Meta(
+      brand: String,        // ftyp major_brand ("" when ftyp is absent)
+      timescale: Long,      // mvhd ticks per second
+      durationTicks: Long,  // mvhd duration in ticks
+      durationSec: Double,  // ticks / timescale (NaN on timescale 0)
+      tracks: Seq[Track])
+
+  /** Flat per-payload row for the DataFrame surface ([[extract]]). */
+  final case class Mp4Meta(id: Long, brand: String, timescale: Long,
+      duration_ticks: Long, duration_sec: Double, n_tracks: Int,
+      handlers: String, video_width: Int, video_height: Int)
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  private def fourCC(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** A parsed box: type plus the PAYLOAD span (header excluded). */
+  private final case class Box(tpe: String, start: Int, end: Int)
+
+  /** Walk the sibling boxes of one scope `[from, to)`. Loud on every
+    * malformation: truncated headers, sizes smaller than their own
+    * header, boxes overrunning the scope.
+    */
+  private def walk(b: Array[Byte], from: Int, to: Int): List[Box] = {
+    val out = List.newBuilder[Box]
+    var i = from
+    while (i < to) {
+      require(i + 8 <= to, s"truncated box header at offset $i")
+      val size32 = be32(b, i)
+      val tpe = fourCC(b, i + 4)
+      var hdr = 8
+      val size: Long =
+        if (size32 == 1L) {
+          require(i + 16 <= to, s"truncated largesize in box '$tpe' at $i")
+          hdr = 16
+          be64(b, i + 8)
+        } else if (size32 == 0L) (to - i).toLong // to end of scope
+        else size32
+      require(size >= hdr,
+        s"box '$tpe' at $i declares size $size smaller than its header")
+      require(size <= to - i,
+        s"box '$tpe' at $i (size $size) overruns its scope end $to")
+      out += Box(tpe, i + hdr, i + size.toInt)
+      i += size.toInt
+    }
+    out.result()
+  }
+
+  private def need(cond: Boolean, what: => String): Unit =
+    require(cond, s"truncated $what")
+
+  /** Parse one MP4 payload's container metadata. Requires a `moov` box
+    * (a streaming-truncated file whose moov was at the tail fails
+    * loudly — metadata genuinely is not there) with an `mvhd`;
+    * everything else is optional.
+    */
+  def meta(bytes: Array[Byte]): Meta = {
+    val top = walk(bytes, 0, bytes.length)
+    val brand = top.find(_.tpe == "ftyp").map { f =>
+      need(f.end - f.start >= 4, "ftyp major_brand")
+      fourCC(bytes, f.start)
+    }.getOrElse("")
+    val moov = top.find(_.tpe == "moov").getOrElse(throw
+      new IllegalArgumentException(
+        "no moov box: not a complete MP4 (or the tail holding a " +
+          "moov-at-end layout was truncated)"))
+    val inMoov = walk(bytes, moov.start, moov.end)
+    val mvhd = inMoov.find(_.tpe == "mvhd").getOrElse(throw
+      new IllegalArgumentException("moov without mvhd"))
+    need(mvhd.end - mvhd.start >= 4, "mvhd FullBox header")
+    val (timescale, duration) = (bytes(mvhd.start) & 0xff) match {
+      case 0 =>
+        need(mvhd.end - mvhd.start >= 20, "mvhd v0 body")
+        (be32(bytes, mvhd.start + 12), be32(bytes, mvhd.start + 16))
+      case 1 =>
+        need(mvhd.end - mvhd.start >= 32, "mvhd v1 body")
+        (be32(bytes, mvhd.start + 20), be64(bytes, mvhd.start + 24))
+      case v => throw new IllegalArgumentException(s"unknown mvhd version $v")
+    }
+    val tracks = inMoov.filter(_.tpe == "trak").map { t =>
+      val inTrak = walk(bytes, t.start, t.end)
+      val (w, h) = inTrak.find(_.tpe == "tkhd").map { k =>
+        need(k.end - k.start >= 4, "tkhd FullBox header")
+        // width/height are the LAST two fields (16.16 fixed), 72 bytes
+        // after the FullBox header in v0 (20 times/id/duration + 8
+        // reserved + 8 layer..volume + 36 matrix), 84 in v1 (64-bit
+        // creation/modification/duration add 12)
+        val off = (bytes(k.start) & 0xff) match {
+          case 0 => 72
+          case 1 => 84
+          case v => throw new IllegalArgumentException(s"unknown tkhd version $v")
+        }
+        need(k.end - k.start >= 4 + off + 8, "tkhd body")
+        ((be32(bytes, k.start + 4 + off) >>> 16).toInt,
+          (be32(bytes, k.start + 4 + off + 4) >>> 16).toInt)
+      }.getOrElse((0, 0))
+      val handler = inTrak.find(_.tpe == "mdia").flatMap { m =>
+        walk(bytes, m.start, m.end).find(_.tpe == "hdlr").map { hd =>
+          // FullBox(4) + pre_defined(4) + handler_type(4cc)
+          need(hd.end - hd.start >= 12, "hdlr body")
+          fourCC(bytes, hd.start + 8)
+        }
+      }.getOrElse("")
+      Track(handler, w, h)
+    }
+    Meta(brand, timescale, duration,
+      if (timescale > 0) duration.toDouble / timescale else Double.NaN,
+      tracks)
+  }
+
+  /** Distributed metadata extraction over the standard media schema —
+    * the mapPartitions shape [[Multimodal.extractFeatures]] documents
+    * (row-local byte walk, no codec, no shuffle). The first video
+    * track's dimensions surface as columns; handlers join as one
+    * comma-separated field.
+    */
+  def extract(media: Dataset[Multimodal.MediaRow]): Dataset[Mp4Meta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val m = meta(r.payload)
+      val vid = m.tracks.find(_.handler == "vide")
+      Mp4Meta(r.id, m.brand, m.timescale, m.durationTicks, m.durationSec,
+        m.tracks.size, m.tracks.map(_.handler).mkString(","),
+        vid.map(_.width).getOrElse(0), vid.map(_.height).getOrElse(0))
+    })
+  }
+
+  /** Minimal VALID fixture builder — the byte-level twin of the spec's
+    * BMP/WAV/QOI builders, in the library because the mm05 gate
+    * synthesizes per-document payloads with it (construction is
+    * independent of [[meta]]'s walk: this writes boxes forward, the
+    * walk parses them back; the DuckDB oracle predicts the fields
+    * arithmetically). `v1 = true` writes 64-bit mvhd/tkhd times so
+    * both version layouts stay exercised.
+    */
+  def buildFixture(brand: String, timescale: Long, durationTicks: Long,
+      tracks: Seq[(String, Int, Int)], v1: Boolean = false): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      o.write(((v >>> 24) & 0xff).toInt); o.write(((v >>> 16) & 0xff).toInt)
+      o.write(((v >>> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32(v >>> 32); w32(v & 0xffffffffL) }
+    def cc(s: String): Unit = {
+      require(s.length == 4, s"4cc: $s")
+      o.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+    def box(tpe: String)(body: => Unit): Unit = {
+      val sizeAt = o.size()
+      w32(0); cc(tpe)
+      body
+      val bytes = o.toByteArray
+      val size = bytes.length - sizeAt
+      bytes(sizeAt) = ((size >>> 24) & 0xff).toByte
+      bytes(sizeAt + 1) = ((size >>> 16) & 0xff).toByte
+      bytes(sizeAt + 2) = ((size >>> 8) & 0xff).toByte
+      bytes(sizeAt + 3) = (size & 0xff).toByte
+      o.reset(); o.write(bytes, 0, bytes.length)
+    }
+    box("ftyp") { cc(brand); w32(0); cc("isom") }
+    box("moov") {
+      box("mvhd") {
+        w32(if (v1) 0x01000000L else 0L) // version + flags
+        if (v1) { w64(0); w64(0); w32(timescale); w64(durationTicks) }
+        else { w32(0); w32(0); w32(timescale); w32(durationTicks) }
+        w32(0x00010000L); w32(0) // rate, volume+reserved
+        (0 until 2).foreach(_ => w32(0)) // reserved
+        Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+          .foreach(w32) // unity matrix
+        (0 until 6).foreach(_ => w32(0)) // pre_defined
+        w32(tracks.size + 1L) // next_track_ID
+      }
+      tracks.zipWithIndex.foreach { case ((handler, wpx, hpx), i) =>
+        box("trak") {
+          box("tkhd") {
+            w32(if (v1) 0x01000007L else 0x00000007L) // version, enabled
+            if (v1) { w64(0); w64(0); w32(i + 1L); w32(0); w64(durationTicks) }
+            else { w32(0); w32(0); w32(i + 1L); w32(0); w32(durationTicks) }
+            w32(0); w32(0) // reserved
+            w32(0); w32(0) // layer/alternate_group, volume/reserved
+            Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+              0x40000000L).foreach(w32)
+            w32(wpx.toLong << 16); w32(hpx.toLong << 16) // 16.16 fixed
+          }
+          box("mdia") {
+            box("hdlr") { w32(0); w32(0); cc(handler); w32(0); w32(0); w32(0) }
+          }
+        }
+      }
+    }
+    box("mdat") { w32(0xdeadbeefL) } // token payload; the walk never reads it
+    o.toByteArray
+  }
+}

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * AudioSystem PCM16 WAV — no native deps) plus one real NON-JDK codec
   * (the built-in [[Qoi]] decoder, proving the seam's bit-for-bit
   * contract on a genuinely compressed format), throwing for formats
-  * still past reach (mp4/webp/flac → a JNI/FFI extension point with
-  * the same contract, MultimodalContractSpec); `stub` produces
+  * still past reach (mp4/webp/flac SAMPLE decode → a JNI/FFI extension
+  * point with the same contract, MultimodalContractSpec — mp4
+  * CONTAINER metadata is already real, see [[Mp4]]); `stub` produces
   * deterministic features from the payload bytes so the distributed
   * plumbing — schema, batched per-partition iteration, partitioning
   * advice — is testable without any codec at all.
@@ -121,7 +122,9 @@ object Multimodal {
           throw new IllegalArgumentException(
             s"RealDecoder covers bmp/png/jpeg/jpg/gif via ImageIO, wav " +
               s"via AudioSystem, qoi via the built-in Qoi decoder; got " +
-              s"'$f' — extend the seam with a JNI/FFI codec")
+              s"'$f' — extend the seam with a JNI/FFI codec (mp4 " +
+              "CONTAINER metadata — duration/tracks/dims — is pure-JVM " +
+              "already: graft.multimodal.Mp4.meta)")
       }
       acc
     }

@@ -1844,6 +1844,38 @@ object Pipeline {
           col("byte_stats.byte_collision_sum").as("byte_collision_sum"),
           col("byte_stats.top_byte").as("top_byte"))
         .orderBy("doc_id")
+    },
+
+    // MP4 container-metadata walk (graft.multimodal.Mp4): each doc gets
+    // a synthetic-but-VALID ISO BMFF payload whose header fields derive
+    // from the doc itself (duration = byte length, dims from doc_id,
+    // mvhd/tkhd version alternating by parity — both layouts stay
+    // exercised), built forward by Mp4.buildFixture and parsed back by
+    // the box walk; the oracle predicts every field arithmetically.
+    // Row-local byte arithmetic per payload, no decode, no shuffle.
+    "mm05_mp4_meta" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir)
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("n"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) =>
+          val bytes = graft.multimodal.Mp4.buildFixture(
+            brand = "isom", timescale = 1000L, durationTicks = n,
+            tracks = Seq(("vide", (id % 640 + 16).toInt, (id % 360 + 9).toInt),
+              ("soun", 0, 0)),
+            v1 = n % 2 == 1)
+          val m = graft.multimodal.Mp4.meta(bytes)
+          val vid = m.tracks.find(_.handler == "vide").get
+          // durationSec is ticks/1000.0 — one IEEE division on both
+          // sides, so no rounding needed for the hash compare
+          (id, m.brand, m.timescale, m.durationTicks, m.durationSec,
+            m.tracks.size, m.tracks.map(_.handler).mkString(","),
+            vid.width, vid.height)
+        })
+        .toDF("doc_id", "brand", "timescale", "duration_ticks",
+          "duration_sec", "n_tracks", "handlers", "video_w", "video_h")
+        .orderBy("doc_id")
     }
   )
 
@@ -3306,6 +3338,17 @@ object Pipeline {
          |FROM agg JOIN cnt ON agg.doc_id = cnt.doc_id AND cnt.c = agg.mc
          |GROUP BY agg.doc_id, n_bytes, n_distinct_bytes, byte_collision_sum
          |ORDER BY agg.doc_id""".stripMargin
-    }
+    },
+
+    // the oracle predicts what the builder wrote and the walk must
+    // read back — every field is a pure function of the doc row
+    "mm05_mp4_meta" ->
+      """SELECT doc_id, 'isom' AS brand, CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS duration_ticks,
+        |  octet_length(encode(text)) / 1000.0 AS duration_sec,
+        |  CAST(2 AS INT) AS n_tracks, 'vide,soun' AS handlers,
+        |  CAST(doc_id % 640 + 16 AS INT) AS video_w,
+        |  CAST(doc_id % 360 + 9 AS INT) AS video_h
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -892,6 +892,25 @@ object TimeSeries {
         .orderBy("timestamp")
     },
 
+    // INSTANT MATH inside a subquery — `sqrt(rate(...))` evaluates
+    // slidingly every 12h (one raw scan; the sqrt is a row-local map
+    // over the step-keyed derived frame), and the outer max tumbles
+    // 3-day windows over it. Same no-amplification shape as ts56.
+    "ts99_subquery_instant_inner" ->
+      q("max_over_time(sqrt(rate(purchase[1d]))[3d:12h])", roundTo = 6,
+        dedup = true) _,
+
+    // SET OPERATOR inside a subquery — the alert-masking idiom "click
+    // rate, but only at steps where the purchase rate exceeded the
+    // threshold": both sides are step-keyed derived series on the same
+    // 12h grid, so `and` is a semi-join on the step timestamp (each
+    // selector scans once; the threshold splits purchase's steps near
+    // the sf0.01 median, so both branches are exercised).
+    "ts100_subquery_setop_inner" ->
+      q("max_over_time((rate(click[1d]) and " +
+        "(rate(purchase[1d]) > 0.027))[3d:12h])", roundTo = 6,
+        dedup = true) _,
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -1415,6 +1434,58 @@ object TimeSeries {
          |SELECT grp AS "user", ots AS timestamp, ROUND(MAX(v), 6) AS value
          |FROM i GROUP BY grp, ots
          |ORDER BY CAST(grp AS BIGINT), timestamp""".stripMargin,
+
+    "ts99_subquery_instant_inner" ->
+      s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}
+         |           WHERE t > ${SubStart - 86400000L} AND t <= $SubEnd GROUP BY t),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |w AS (SELECT g.et AS ws, d.t, d.v FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et),
+         |l AS (SELECT ws, t, v,
+         |        lag(v) OVER (PARTITION BY ws ORDER BY t, v) AS pv FROM w),
+         |a AS (SELECT ws,
+         |        SUM(CASE WHEN pv IS NULL THEN 0
+         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |        MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+         |      FROM l GROUP BY ws),
+         |inner_series AS (SELECT ws AS t, SQRT(inc / ((t1 - t0) / 1000.0)) AS v
+         |                 FROM a WHERE n >= 2 AND t1 > t0)
+         |SELECT t - ((t - $SubStart) % ${3 * 86400000L}) AS timestamp,
+         |  ROUND(MAX(v), 6) AS value
+         |FROM inner_series GROUP BY 1 ORDER BY timestamp""".stripMargin,
+
+    "ts100_subquery_setop_inner" ->
+      s"""WITH dc AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'click'")}
+         |            WHERE t > ${SubStart - 86400000L} AND t <= $SubEnd GROUP BY t),
+         |dp AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}
+         |       WHERE t > ${SubStart - 86400000L} AND t <= $SubEnd GROUP BY t),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |wc AS (SELECT g.et AS ws, dc.t, dc.v FROM g
+         |       JOIN dc ON dc.t > g.et - 86400000 AND dc.t <= g.et),
+         |wp AS (SELECT g.et AS ws, dp.t, dp.v FROM g
+         |       JOIN dp ON dp.t > g.et - 86400000 AND dp.t <= g.et),
+         |lc AS (SELECT ws, t, v,
+         |         lag(v) OVER (PARTITION BY ws ORDER BY t, v) AS pv FROM wc),
+         |lp AS (SELECT ws, t, v,
+         |         lag(v) OVER (PARTITION BY ws ORDER BY t, v) AS pv FROM wp),
+         |ac AS (SELECT ws,
+         |         SUM(CASE WHEN pv IS NULL THEN 0
+         |                  WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |         MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+         |       FROM lc GROUP BY ws),
+         |ap AS (SELECT ws,
+         |         SUM(CASE WHEN pv IS NULL THEN 0
+         |                  WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |         MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+         |       FROM lp GROUP BY ws),
+         |c AS (SELECT ws AS t, inc / ((t1 - t0) / 1000.0) AS v
+         |      FROM ac WHERE n >= 2 AND t1 > t0),
+         |p AS (SELECT ws AS t, inc / ((t1 - t0) / 1000.0) AS v
+         |      FROM ap WHERE n >= 2 AND t1 > t0)
+         |SELECT c.t - ((c.t - $SubStart) % ${3 * 86400000L}) AS timestamp,
+         |  ROUND(MAX(c.v), 6) AS value
+         |FROM c JOIN p ON p.t = c.t AND p.v > 0.027
+         |GROUP BY 1 ORDER BY timestamp""".stripMargin,
 
     "ts59_rate_extrapolated" ->
       s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}

@@ -4,10 +4,13 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
-import graft.tsdb.{Expr, GraftDb, PromParser, VType}
+import graft.tsdb.{Expr, GraftDb, LabelCodec, PromParser, VType}
 
 /** HTTP query endpoint — parity with the reference web backend
   * (tachyon_web_backend/src/main.rs:10-90):
@@ -175,31 +178,16 @@ object Web {
       if (sels.isEmpty)
         throw new IllegalArgumentException("missing parameter: match[]")
       val db = promDb(spark, params, dbRoot)
-      def parseSel(q: String): Expr.Selector = PromParser.parse(q) match {
-        case s: Expr.Selector => s
-        case other => throw new IllegalArgumentException(
-          s"match[] must be a plain selector, got: $other")
-      }
       // Prometheus allows a fully nameless `{job="x"}` here (the
-      // catalog is the only thing scanned); the query parser requires
-      // a name constraint, so inject a match-all __name__. The catch
-      // anchors on the NAMELESS error only — a name/__name__ CONFLICT
-      // must still reject, not get its literal name silently dropped.
-      def parsed(sel: String): Expr.Selector =
-        try parseSel(sel)
-        catch {
-          case e: graft.tsdb.PromParseException
-              if e.getMessage.contains("needs a __name__ matcher") =>
-            val i = sel.indexOf('{')
-            val inner = sel.substring(i + 1).trim
-            parseSel(
-              if (inner.startsWith("}")) """{__name__=~".*"}"""
-              else s"""{__name__=~".*", ${sel.substring(i + 1)}""")
-        }
-      // multiple match[] selectors UNION, as in Prometheus
+      // catalog is the only thing scanned): parseSeriesSelector is the
+      // parser's OWN nameless-permitting entry point — it injects the
+      // match-all __name__ itself and still rejects a name/__name__
+      // CONFLICT, so no error-message sniffing or query re-splicing
+      // (which a reworded parser error would silently break).
+      // Multiple match[] selectors UNION, as in Prometheus.
       val cat = new graft.tsdb.StreamCatalog(db.streams())
       val hits = sels.flatMap { sel =>
-        val p = parsed(sel)
+        val p = PromParser.parseSeriesSelector(sel)
         cat.resolve(p.name, p.matchers)
       }.distinct
       val mapper = new ObjectMapper()
@@ -277,8 +265,26 @@ object Web {
     mapper.writeValueAsString(root)
   }
 
-  /** Unix seconds (possibly fractional) → epoch ms. */
-  private def promSecMs(v: String): Long = math.round(v.toDouble * 1000)
+  /** A Prometheus time parameter → epoch ms: unix seconds (possibly
+    * fractional; the STRICT float pattern — see [[promStepMs]] for why
+    * a parse-attempt dispatch silently misreads duration-suffixed
+    * strings) or an RFC3339 timestamp (`2026-08-16T00:00:00Z`,
+    * fractional seconds and numeric offsets included — promtool and
+    * Grafana both send this form). Garbage gets Prometheus' own
+    * error wording, not a raw NumberFormatException.
+    */
+  private[graft] def promTimeMs(params: Map[String, List[String]],
+      k: String): Long = {
+    val v = promParam(params, k)
+    if (promFloatRe.pattern.matcher(v).matches()) math.round(v.toDouble * 1000)
+    else
+      try java.time.OffsetDateTime.parse(v).toInstant.toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"""invalid parameter "$k": cannot parse "$v" to a valid timestamp""")
+      }
+  }
 
   /** Prometheus step/duration: a float (seconds) or a duration string
     * like "15s" / "1h30m". The float branch is gated on a STRICT
@@ -305,12 +311,27 @@ object Web {
 
   /** Reject `path` unless it resolves under the configured db root —
     * the ONE containment check every endpoint shares (a copy per call
-    * site is how a symlink-hardening fix misses one).
+    * site is how a symlink-hardening fix misses one). Resolution is
+    * REAL (symlinks followed on the deepest existing prefix, the
+    * not-yet-created remainder appended lexically), so a link planted
+    * inside the root pointing outside it cannot pass the containment
+    * test a purely lexical normalize would grant.
     */
   private def checkUnderRoot(path: String, dbRoot: Option[String]): String = {
     dbRoot.foreach { root =>
-      val canonical = java.nio.file.Paths.get(root).toAbsolutePath.normalize
-      val requested = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      def real(p0: java.nio.file.Path): java.nio.file.Path = {
+        var existing = p0
+        var rest = List.empty[String]
+        while (existing != null && !java.nio.file.Files.exists(existing)) {
+          rest = existing.getFileName.toString :: rest
+          existing = existing.getParent
+        }
+        val base =
+          if (existing == null) p0.getRoot else existing.toRealPath()
+        rest.foldLeft(base)(_.resolve(_)).normalize
+      }
+      val canonical = real(java.nio.file.Paths.get(root).toAbsolutePath)
+      val requested = real(java.nio.file.Paths.get(path).toAbsolutePath)
       if (!requested.startsWith(canonical))
         throw new IllegalArgumentException(s"path outside db root: $path")
     }
@@ -325,65 +346,126 @@ object Web {
     new GraftDb(spark, checkUnderRoot(path, dbRoot))
   }
 
+  /** One evaluated API-bridge query: the series-key column names, a
+    * flag marking the one-column canonical `without` encoding (the
+    * serializer re-opens it into per-label metric fields), and the
+    * collected (labels..., timestamp, value) rows.
+    */
+  private final case class PromMatrix(labels: Seq[String],
+      canonical: Boolean, rows: Array[Row])
+
   /** Dispatch a Prometheus-API query over the sliding evaluator.
-    * Returns (label column names, rows of (labels..., timestamp,
-    * value)). Shape mapping, documented where it deviates:
+    * Shape mapping, documented where it deviates:
     *
     *  - `rate(m[5m])` and the other sliding shapes (instant math /
-    *    binary composition) evaluate as-is — one unlabeled series.
+    *    binary and set composition) evaluate as-is — one unlabeled
+    *    series.
     *  - `sum by (u) (rate(m[5m]))` → the grouped sliding evaluation:
     *    the inner range fn runs per label group over the group's
     *    POOLED samples (this engine's grouping convention — a group IS
-    *    one series), so sum/avg/min/max over that single pooled series
-    *    are the identity and all map to the same evaluation. count and
-    *    `without` reject loudly.
+    *    one series). Over that single-series group the aggregation
+    *    family answers exactly as Prometheus does for a one-series
+    *    group: sum/avg/min/max/quantile are the identity, count is 1,
+    *    stddev/stdvar are 0.
     *  - a bare selector `m` → last sample per step within a step-sized
     *    lookback (`last_over_time(m[step])` — Prometheus' staleness
     *    lookback, with the window tied to the step instead of 5m).
     *  - `sum by (u) (m)` → the per-step window statistic per group
-    *    (sum_over_time/avg/min/max of the group's samples in each
-    *    step window).
+    *    (sum/avg/min/max/count/stddev/stdvar/quantile _over_time of
+    *    the group's samples in each step window).
+    *  - `without` grouping emits the engine's canonical label-set
+    *    column; the serializer decodes it back to metric fields.
+    *  - `topk(k, <grouped aggregate>)` / bottomk → the k best groups
+    *    AT EACH STEP by value (a step-partitioned rank over the
+    *    step-count × group-count frame — bounded, never a global
+    *    sort). k must be a literal.
     */
   private def promEval(db: GraftDb, ast: Expr, startMs: Long,
-      endMs: Long, stepMs: Long): (Seq[String], Array[org.apache.spark.sql.Row]) = {
+      endMs: Long, stepMs: Long): PromMatrix = {
     import graft.tsdb.Expr._
     val e = db.engine()
-    def windowed(kind: AggKind): RangeFnKind = kind match {
-      case AggSum => FnSumOverTime
-      case AggAvg => FnAvgOverTime
-      case AggMin => FnMinOverTime
-      case AggMax => FnMaxOverTime
+    def windowed(kind: AggKind): (RangeFnKind, List[Double]) = kind match {
+      case AggSum => (FnSumOverTime, Nil)
+      case AggAvg => (FnAvgOverTime, Nil)
+      case AggMin => (FnMinOverTime, Nil)
+      case AggMax => (FnMaxOverTime, Nil)
+      case AggCount => (FnCountOverTime, Nil)
+      case AggStddev => (FnStddevOverTime, Nil)
+      case AggStdvar => (FnStdvarOverTime, Nil)
+      case AggQuantile(phi) => (FnQuantileOverTime, List(phi))
       case other => throw new IllegalArgumentException(
-        s"unsupported aggregation over the API bridge: $other (sum/avg/" +
-          "min/max map to per-step window statistics; others have no " +
-          "sliding analogue in the pooled-series model)")
+        s"unsupported aggregation over the API bridge: $other (group/" +
+          "count_values have no per-step window analogue in the " +
+          "pooled-series model)")
     }
-    def grouped(g: Grouping, inner: Expr): (Seq[String], Array[org.apache.spark.sql.Row]) = {
-      require(g.by, "the API bridge supports `by` grouping only " +
-        "(`without` group columns are canonical strings, not label sets)")
-      val df = e.queryRangeBy(inner, g, startMs, endMs, stepMs)
-      (g.labels, df.orderBy(
-        (g.labels :+ "timestamp").map(org.apache.spark.sql.functions.col): _*)
-        .collect())
+    // aggregating an already-windowed inner (rate etc.): each group is
+    // ONE pooled series, so the statistic over a one-element set —
+    // exactly Prometheus' answer when a group holds a single series
+    def pooledIdentity(kind: AggKind)(df: DataFrame): DataFrame = kind match {
+      case AggSum | AggAvg | AggMin | AggMax => df
+      case AggQuantile(phi) =>
+        require(phi >= 0 && phi <= 1,
+          s"quantile φ out of [0, 1]: $phi") // the engine's φ policy
+        df
+      case AggCount => df.withColumn("value", lit(1.0))
+      case AggStddev | AggStdvar => df.withColumn("value", lit(0.0))
+      case other => throw new IllegalArgumentException(
+        s"unsupported aggregation over the API bridge: $other (group/" +
+          "count_values have no per-step window analogue in the " +
+          "pooled-series model)")
     }
-    def ungrouped(inner: Expr): (Seq[String], Array[org.apache.spark.sql.Row]) = {
-      val res = e.queryRange(inner, startMs, endMs, stepMs)
-      (Nil, res.output.orderBy("timestamp").collect())
+    def groupCols(g: Grouping): Seq[String] =
+      if (g.by) g.labels else Seq("labels")
+    def grouped(g: Grouping, inner: Expr,
+        post: DataFrame => DataFrame = identity): PromMatrix = {
+      val cols = groupCols(g)
+      val df = post(e.queryRangeBy(inner, g, startMs, endMs, stepMs))
+      PromMatrix(cols, canonical = !g.by, df.orderBy(
+        (cols :+ "timestamp").map(col): _*).collect())
     }
+    def ungrouped(inner: Expr,
+        post: DataFrame => DataFrame = identity): PromMatrix =
+      PromMatrix(Nil, canonical = false,
+        post(e.queryRange(inner, startMs, endMs, stepMs).output)
+          .orderBy("timestamp").collect())
+    // the grouped/ungrouped evaluation of one Aggregate node
+    def aggregate(kind: AggKind, child: Expr, g: Option[Grouping],
+        post: DataFrame => DataFrame = identity): PromMatrix =
+      (child, g) match {
+        case (rf @ RangeFn(_, _: MatrixSelector, _), Some(gr)) =>
+          grouped(gr, rf, df => post(pooledIdentity(kind)(df)))
+        case (sel: Selector, Some(gr)) =>
+          val (k, args) = windowed(kind)
+          grouped(gr, RangeFn(k, MatrixSelector(sel, stepMs), args), post)
+        // the UNGROUPED dashboard staples — `sum(rate(m[5m]))` over
+        // the one pooled series, `sum(m)` the per-step window
+        // statistic; both must work, not 400 with an engine error
+        case (rf @ RangeFn(_, _: MatrixSelector, _), None) =>
+          ungrouped(rf, df => post(pooledIdentity(kind)(df)))
+        case (sel: Selector, None) =>
+          val (k, args) = windowed(kind)
+          ungrouped(RangeFn(k, MatrixSelector(sel, stepMs), args), post)
+        case (other, _) => throw new IllegalArgumentException(
+          s"the API bridge aggregates a selector or a range function " +
+            s"over a matrix selector, got: $other")
+      }
     ast match {
-      case Aggregate(kind, rf @ RangeFn(_, _: MatrixSelector, _), Some(g)) =>
-        windowed(kind) // validates the kind is bridgeable
-        grouped(g, rf)
-      case Aggregate(kind, sel: Selector, Some(g)) =>
-        grouped(g, RangeFn(windowed(kind), MatrixSelector(sel, stepMs), Nil))
-      // the UNGROUPED dashboard staples — `sum(rate(m[5m]))` is the
-      // identity over the one pooled series, `sum(m)` the per-step
-      // window statistic; both must work, not 400 with an engine error
-      case Aggregate(kind, rf @ RangeFn(_, _: MatrixSelector, _), None) =>
-        windowed(kind)
-        ungrouped(rf)
-      case Aggregate(kind, sel: Selector, None) =>
-        ungrouped(RangeFn(windowed(kind), MatrixSelector(sel, stepMs), Nil))
+      case Aggregate(kind, child, g) =>
+        aggregate(kind, child, g)
+      case GetK(top, kExpr, Aggregate(kind, child, Some(gr)), None) =>
+        // topk(k, sum by (u) (...)): the k best groups at each step
+        val k = kExpr match {
+          case NumberLit(v) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"topk/bottomk k must be a numeric literal over the API " +
+              s"bridge, got: $other")
+        }
+        val cols = groupCols(gr)
+        val rank = row_number().over(Window.partitionBy(col("timestamp"))
+          .orderBy((if (top) col("value").desc else col("value").asc) +:
+            cols.map(col(_).asc): _*))
+        aggregate(kind, child, Some(gr),
+          df => df.withColumn("_rk", rank).where(col("_rk") <= k).drop("_rk"))
       case sel: Selector =>
         ungrouped(RangeFn(FnLastOverTime, MatrixSelector(sel, stepMs), Nil))
       case other =>
@@ -393,14 +475,26 @@ object Web {
     }
   }
 
+  /** Write one series' metric object: plain `by` labels map 1:1; the
+    * `without` canonical column (k=v,k=v, LabelCodec-escaped) re-opens
+    * into per-label fields — "" is the empty label set.
+    */
+  private def putMetric(metric: ObjectNode, labels: Seq[String],
+      canonical: Boolean, key: Seq[String]): Unit =
+    if (canonical)
+      LabelCodec.decodeLabels(key.headOption.getOrElse(""),
+          s"without group '${key.headOption.getOrElse("")}'")
+        .toSeq.sortBy(_._1).foreach { case (k, v) => metric.put(k, v) }
+    else labels.zip(key).foreach { case (l, v) => metric.put(l, v) }
+
   private[tools] def handlePromQueryRange(spark: SparkSession,
       params: Map[String, List[String]], dbRoot: Option[String]): String = {
     val db = promDb(spark, params, dbRoot)
-    val startMs = promSecMs(promParam(params, "start"))
-    val endMs = promSecMs(promParam(params, "end"))
+    val startMs = promTimeMs(params, "start")
+    val endMs = promTimeMs(params, "end")
     val stepMs = promStepMs(promParam(params, "step"))
     require(endMs >= startMs, "end < start")
-    val (labels, rows) = promEval(db,
+    val m = promEval(db,
       PromParser.parse(promParam(params, "query")), startMs, endMs, stepMs)
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
@@ -412,17 +506,16 @@ object Web {
     // per label tuple, values as [unix_seconds, "value"] pairs
     var curKey: Seq[String] = null
     var curValues: com.fasterxml.jackson.databind.node.ArrayNode = null
-    rows.foreach { r =>
-      val key = labels.indices.map(i =>
+    m.rows.foreach { r =>
+      val key = m.labels.indices.map(i =>
         if (r.isNullAt(i)) "" else r.get(i).toString)
       if (curKey == null || key != curKey) {
         curKey = key
         val series = result.addObject()
-        val metric = series.putObject("metric")
-        labels.zip(key).foreach { case (l, v) => metric.put(l, v) }
+        putMetric(series.putObject("metric"), m.labels, m.canonical, key)
         curValues = series.putArray("values")
       }
-      val n = labels.size
+      val n = m.labels.size
       if (!r.isNullAt(n + 1)) {
         val pair = curValues.addArray()
         pair.add(r.getLong(n) / 1000.0)
@@ -438,7 +531,7 @@ object Web {
   private[tools] def handlePromInstant(spark: SparkSession,
       params: Map[String, List[String]], dbRoot: Option[String]): String = {
     val db = promDb(spark, params, dbRoot)
-    val timeMs = promSecMs(promParam(params, "time"))
+    val timeMs = promTimeMs(params, "time")
     // the lookback for bare-selector / grouped-selector shapes
     // (Prometheus' 5m staleness default)
     val lookbackMs = params.get("lookback").flatMap(_.headOption)
@@ -469,10 +562,23 @@ object Web {
       case e if pureScalar(e) =>
         return scalarBody(storelessEngine(spark).query(e, timeMs, timeMs)
           .output.collect().head.getDouble(0))
-      case Expr.ScalarFn(_) =>
-        // scalar(v) needs the store: the one-element collapse over the
-        // staleness lookback, NaN otherwise — already the engine's rule
-        val v = db.engine().query(ast, timeMs - lookbackMs, timeMs)
+      case Expr.ScalarFn(child) =>
+        // scalar(v) needs the store: the one-element collapse, NaN
+        // otherwise. A BARE-SELECTOR child first maps to its latest
+        // sample within the staleness lookback — the same
+        // last_over_time mapping the bare-selector vector arm uses —
+        // because the engine's whole-range evaluation would otherwise
+        // hand the collapse EVERY lookback sample (any normally-scraped
+        // series has >1) and answer NaN where Prometheus returns the
+        // single series' latest value. Start is lookback-exclusive /
+        // end-inclusive ((t-5m, t], one window) like Prometheus'.
+        val (expr, startAt) = child match {
+          case sel: Expr.Selector => (Expr.ScalarFn(Expr.RangeFn(
+            Expr.FnLastOverTime, Expr.MatrixSelector(sel, lookbackMs), Nil)),
+            timeMs - lookbackMs + 1)
+          case _ => (ast, timeMs - lookbackMs)
+        }
+        val v = db.engine().query(expr, startAt, timeMs)
           .output.collect().headOption.map(_.getDouble(0))
           .getOrElse(Double.NaN)
         return scalarBody(v)
@@ -493,21 +599,20 @@ object Web {
         return mapper.writeValueAsString(root)
       case _ => ()
     }
-    val (labels, rows) = promEval(db, ast, timeMs, timeMs, lookbackMs)
+    val m = promEval(db, ast, timeMs, timeMs, lookbackMs)
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("status", "success")
     val data = root.putObject("data")
     data.put("resultType", "vector")
     val result = data.putArray("result")
-    val n = labels.size
-    rows.foreach { r =>
+    val n = m.labels.size
+    m.rows.foreach { r =>
       if (!r.isNullAt(n + 1)) {
         val series = result.addObject()
-        val metric = series.putObject("metric")
-        labels.zipWithIndex.foreach { case (l, i) =>
-          metric.put(l, if (r.isNullAt(i)) "" else r.get(i).toString)
-        }
+        val key = m.labels.indices.map(i =>
+          if (r.isNullAt(i)) "" else r.get(i).toString)
+        putMetric(series.putObject("metric"), m.labels, m.canonical, key)
         val pair = series.putArray("value")
         pair.add(r.getLong(n) / 1000.0)
         pair.add(r.getDouble(n + 1).toString)

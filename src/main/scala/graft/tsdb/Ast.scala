@@ -222,9 +222,11 @@ object Expr {
     * sliding contract), then consumed as a matrix by an enclosing range
     * function. Valid ONLY as a range function's immediate child, like
     * [[MatrixSelector]]; `child` must be sliding-evaluable — range
-    * functions over matrix selectors, optionally under instant math or
+    * functions over matrix selectors, optionally under instant math,
     * binary composition (`(rate(a[1d])/rate(b[1d]))[3d:12h]`, the
-    * ratio-alerting shape) — the same scope as queryRange, and for the
+    * ratio-alerting shape), or set operators (`(rate(a[1d]) and
+    * (rate(b[1d]) > t))[3d:12h]`, the alert-masking shape) — the same
+    * scope as queryRange, and for the
     * same reason: per-step re-evaluation of arbitrary whole-range
     * expressions would rescan the store once per step, while the
     * accepted shapes scan each selector exactly once.

@@ -156,6 +156,10 @@ final class TsdbEngine(
     *    comparison filters keeping the value (the V2S rule). A step
     *    with no row on either side (e.g. rate's ≥2-sample rule) emits
     *    nothing, like PromQL's vector matching.
+    *  - SET OPERATORS (and/or/unless) between accepted shapes — the
+    *    step grid is the match key (see the set-op arm); the masking
+    *    idiom `rate(a[5m]) and (rate(b[5m]) > 0.2)` composes freely,
+    *    including inside a subquery.
     *
     * Anything else still refuses loudly: per-step re-evaluation of
     * arbitrary whole-range expressions would rescan the store once per
@@ -181,13 +185,30 @@ final class TsdbEngine(
       if (isComparison(kind)) l.where(cmp(kind, col("value"), lit(v)))
       else l.withColumn("value",
         arith(kind, col("value").cast("double"), lit(v)))
+    case BinaryOp(kind, lhs, rhs, None) if isSetOp(kind) =>
+      // set operators between two sliding derived series — both sides
+      // are step-keyed on the SAME eval grid (≤1 row per step), so the
+      // PromQL element-match key degenerates to the step timestamp:
+      // `and` keeps left steps that exist on the right (semi join),
+      // `unless` the complement (anti join), `or` prefers left and
+      // fills the right's uncontested steps. Each side scans its own
+      // selector exactly once — the same no-amplification property as
+      // the arithmetic composition arm; this is what makes set algebra
+      // legal INSIDE a subquery (`(a and b)[1h:5m]`).
+      val l = slidingEval(lhs, startMs, endMs, stepMs)
+        .select(col("timestamp"), col("value").cast("double").as("value"))
+      val r = slidingEval(rhs, startMs, endMs, stepMs)
+        .select(col("timestamp"), col("value").cast("double").as("value"))
+      kind match {
+        case And => l.join(r.select("timestamp"), Seq("timestamp"), "left_semi")
+        case Unless => l.join(r.select("timestamp"), Seq("timestamp"), "left_anti")
+        case _ => l.unionByName(
+          r.join(l.select("timestamp"), Seq("timestamp"), "left_anti"))
+      }
     case BinaryOp(kind, lhs, rhs, None) =>
       require(!isComparison(kind),
         "comparison between two sliding vectors is not supported " +
           "(V2V comparison is rejected in whole-range evaluation too)")
-      require(!isSetOp(kind),
-        "set operators (and/or/unless) are not supported in sliding " +
-          "evaluation — use query() for whole-range set composition")
       val l = slidingEval(lhs, startMs, endMs, stepMs)
         .select(col("timestamp"), col("value").cast("double").as("lv"))
       val r = slidingEval(rhs, startMs, endMs, stepMs)

@@ -31,18 +31,27 @@ object PromParser {
 
   /** A standalone PromQL duration string ("15s", "1h30m") → ms. The
     * ONE duration grammar — surfaces (the HTTP bridge's step/lookback
-    * params) must not hand-roll a second copy that can drift.
+    * params) must not hand-roll a second copy that can drift. Units
+    * must appear in strictly DESCENDING order, each at most once —
+    * Prometheus rejects "30m1h" and "5m5m", so accepting them here
+    * would let the bridge admit step params a real Prometheus 400s.
     */
   def durationMs(v: String): Option[Long] = {
     var rest = v
     var ms = 0L
     var any = false
     var ok = true
+    var lastRank = -1 // unit ranks ascend y→ms; repeats/reorders reject
     while (ok && rest.nonEmpty) durRe.findPrefixMatchOf(rest) match {
       case Some(d) =>
-        ms += d.group(1).toLong * unitMs(d.group(2))
-        rest = rest.substring(d.end)
-        any = true
+        val rank = unitRank(d.group(2))
+        if (rank <= lastRank) ok = false
+        else {
+          lastRank = rank
+          ms += d.group(1).toLong * unitMs(d.group(2))
+          rest = rest.substring(d.end)
+          any = true
+        }
       case None => ok = false
     }
     if (ok && any) Some(ms) else None
@@ -56,6 +65,17 @@ object PromParser {
     case "d" => 86400000L
     case "w" => 604800000L
     case "y" => 31536000000L
+  }
+
+  /** Descending-order rank for [[durationMs]]'s unit ordering check. */
+  private def unitRank(u: String): Int = u match {
+    case "y" => 0
+    case "w" => 1
+    case "d" => 2
+    case "h" => 3
+    case "m" => 4
+    case "s" => 5
+    case "ms" => 6
   }
 
   private def tokenize(q: String): Vector[Tok] = {
@@ -116,7 +136,24 @@ object PromParser {
     toks.result()
   }
 
-  def parse(q: String): Expr = {
+  def parse(q: String): Expr = parse(q, allowNameless = false)
+
+  /** A series-API selector (`/api/v1/series` match[]): the one surface
+    * where Prometheus permits a fully NAMELESS selector (`{job="x"}`)
+    * — resolution is catalog-only, so no name constraint is needed.
+    * Injects a match-all `__name__` matcher for the nameless case; a
+    * name/__name__ CONFLICT still rejects inside [[parse]] (the
+    * literal name must not be silently dropped). Non-selector
+    * expressions reject loudly.
+    */
+  def parseSeriesSelector(q: String): Selector =
+    parse(q, allowNameless = true) match {
+      case s: Selector => s
+      case other => throw new PromParseException(
+        s"expected a plain series selector, got: $other")
+    }
+
+  private def parse(q: String, allowNameless: Boolean): Expr = {
     val toks = tokenize(q)
     var pos = 0
     def peek: Tok = toks(pos)
@@ -688,10 +725,15 @@ object PromParser {
           }
         case _ => scanning = false
       }
-      val ms = matchers.result()
-      if (name.isEmpty && !ms.exists(_.label == "__name__"))
-        throw new PromParseException(
-          s"a nameless selector needs a __name__ matcher in: $q")
+      val ms0 = matchers.result()
+      val ms =
+        if (name.isEmpty && !ms0.exists(_.label == "__name__")) {
+          if (!allowNameless) throw new PromParseException(
+            s"a nameless selector needs a __name__ matcher in: $q")
+          // series-API entry: catalog-only resolution, so a match-all
+          // name constraint is the faithful reading of namelessness
+          Matcher("__name__", ".*", MatchRe) :: ms0
+        } else ms0
       if (name.nonEmpty && ms.exists(_.label == "__name__"))
         throw new PromParseException(
           s"metric name $name and a __name__ matcher conflict " +

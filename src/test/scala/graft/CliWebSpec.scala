@@ -206,15 +206,30 @@ class CliWebSpec extends AnyFunSuite {
       assert(bad.statusCode() == 400, bad.body())
       assert(bad.body().contains(""""status":"error""""), bad.body())
       assert(bad.body().contains("missing parameter: query"), bad.body())
-      // count has no pooled-series sliding analogue — loud, enveloped
+      // count by (...) maps to count_over_time per step window (the
+      // pooled-series convention): (0,20] web {1,2} → 2, mob {8} → 1;
+      // (20,40] web {4} → 1
       val cnt = client.send(
         HttpRequest.newBuilder(URI.create(
           s"http://localhost:$port/api/v1/query_range?path=${enc(db)}" +
             s"&query=${enc("count by (service) (req)")}" +
             s"&start=0.02&end=0.04&step=20ms")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
-      assert(cnt.statusCode() == 400 &&
-        cnt.body().contains("unsupported aggregation"), cnt.body())
+      assert(cnt.statusCode() == 200, cnt.body())
+      assert(cnt.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.02,"1.0"]]}"""), cnt.body())
+      assert(cnt.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"2.0"],[0.04,"1.0"]]}"""),
+        cnt.body())
+      // count_values stays loud (no per-step window analogue)
+      val cv = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/api/v1/query_range?path=${enc(db)}" +
+            s"""&query=${enc("""count_values("v", req)""")}""" +
+            s"&start=0.02&end=0.04&step=20ms")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(cv.statusCode() == 400 &&
+        cv.body().contains("unsupported aggregation"), cv.body())
       // metadata endpoints: labels, label values, series (nameless
       // selector with a regex matcher resolves on the catalog)
       def metaGet(path: String) = client.send(
@@ -293,6 +308,134 @@ class CliWebSpec extends AnyFunSuite {
         s"&query=${enc("""scalar(req{service="mob"})""")}&time=0.03")
       assert(sOne.body().contains(""""resultType":"scalar""""), sOne.body())
       assert(sOne.body().contains(""""result":[0.03,"8.0"]"""), sOne.body())
+      // scalar(v) over a selector with SEVERAL lookback samples answers
+      // the latest sample (the last_over_time mapping), where the raw
+      // whole-range collapse would see 3 elements and answer NaN
+      val sMulti = metaGet(s"/api/v1/query?path=${enc(db)}" +
+        s"&query=${enc("""scalar(req{service="web"})""")}&time=0.03")
+      assert(sMulti.body().contains(""""result":[0.03,"4.0"]"""), sMulti.body())
+    } finally server.stop(0)
+  }
+
+  test("http: bridge round-12 conformance — RFC3339 times, full aggregation family, topk, without") {
+    val db = freshDb()
+    assert(cli(db, "create-stream", """req{service = "web"}""", "f64")._1 == 0)
+    assert(cli(db, "create-stream", """req{service = "mob"}""", "f64")._1 == 0)
+    for ((t, v) <- Seq((10, 1), (20, 2), (30, 4)))
+      assert(cli(db, "insert", """req{service = "web"}""",
+        t.toString, v.toString)._1 == 0)
+    assert(cli(db, "insert", """req{service = "mob"}""", "10", "8")._1 == 0)
+    val server = Web.start(spark, 0)
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      def get(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def rangeQ(q: String, times: String =
+          "start=0.02&end=0.04&step=20ms") = get(
+        s"/api/v1/query_range?path=${enc(db)}&query=${enc(q)}&$times")
+      // RFC3339 start/end (the published API form promtool and Grafana
+      // send) — byte-identical answer to the unix-seconds form
+      val viaUnix = rangeQ("sum by (service) (sum_over_time(req[20ms]))")
+      val viaRfc = rangeQ("sum by (service) (sum_over_time(req[20ms]))",
+        s"start=${enc("1970-01-01T00:00:00.020Z")}" +
+          s"&end=${enc("1970-01-01T00:00:00.040Z")}&step=20ms")
+      assert(viaRfc.statusCode() == 200 && viaRfc.body() == viaUnix.body(),
+        viaRfc.body())
+      // a numeric-offset RFC3339 instant: 00:00:00.030+00:00
+      val instRfc = get(s"/api/v1/query?path=${enc(db)}" +
+        s"&query=${enc("req")}&time=${enc("1970-01-01T00:00:00.030+00:00")}")
+      assert(instRfc.body().contains(""""value":[0.03,"4.0"]"""), instRfc.body())
+      // garbage wears Prometheus' wording inside the error envelope
+      val garbage = rangeQ("req", "start=yesterday&end=0.04&step=20ms")
+      assert(garbage.statusCode() == 400 && garbage.body().contains(
+        """invalid parameter \"start\": cannot parse \"yesterday\""""),
+        garbage.body())
+      // quantile by: (0,20] web {1,2} → φ=0.5 interpolates 1.5, mob
+      // {8} → 8; (20,40] web {4} → 4
+      val quant = rangeQ("quantile by (service) (0.5, req)")
+      assert(quant.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"1.5"],[0.04,"4.0"]]}"""),
+        quant.body())
+      // stddev by (population rule): web {1,2} → 0.5; mob {8} → 0.0
+      val sd = rangeQ("stddev by (service) (req)")
+      assert(sd.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.02,"0.0"]]}"""), sd.body())
+      assert(sd.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"0.5"],[0.04,"0.0"]]}"""),
+        sd.body())
+      // the one-pooled-series identities over a windowed inner:
+      // count → 1, stddev → 0 (exactly Prometheus' one-series answers)
+      val cntRf = rangeQ("count by (service) (sum_over_time(req[20ms]))")
+      assert(cntRf.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"1.0"],[0.04,"1.0"]]}"""),
+        cntRf.body())
+      val sdRf = rangeQ("stddev by (service) (sum_over_time(req[20ms]))")
+      assert(sdRf.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"0.0"],[0.04,"0.0"]]}"""),
+        sdRf.body())
+      // topk(1, sum by (service)(...)): each step's best group —
+      // mob (8) wins step 20, web (4) is alone at step 40
+      val topk = rangeQ("topk(1, sum by (service) (sum_over_time(req[20ms])))")
+      assert(topk.statusCode() == 200, topk.body())
+      assert(topk.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.02,"8.0"]]}"""), topk.body())
+      assert(topk.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.04,"4.0"]]}"""), topk.body())
+      assert(!topk.body().contains("""[0.02,"3.0"]"""), topk.body())
+      // bottomk mirrors
+      val botk = rangeQ("bottomk(1, sum by (service) (sum_over_time(req[20ms])))")
+      assert(botk.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"3.0"],[0.04,"4.0"]]}"""),
+        botk.body())
+      // `without` grouping: the canonical label-set column re-opens
+      // into per-label metric fields — same series as the by-form
+      val without = rangeQ("sum without (dc) (sum_over_time(req[20ms]))")
+      assert(without.statusCode() == 200, without.body())
+      assert(without.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.02,"8.0"]]}"""),
+        without.body())
+      assert(without.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"3.0"],[0.04,"4.0"]]}"""),
+        without.body())
+      // group/count_values still reject loudly
+      val grp = rangeQ("group by (service) (req)")
+      assert(grp.statusCode() == 400 &&
+        grp.body().contains("unsupported aggregation"), grp.body())
+    } finally server.stop(0)
+  }
+
+  test("http: a symlink inside the db root pointing outside it cannot pass containment") {
+    val root = freshDb()
+    val outside = freshDb()
+    new graft.tsdb.GraftDb(spark, outside).createStream("secret", graft.tsdb.VType.F64)
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(root, "link"),
+      java.nio.file.Paths.get(outside))
+    val server = Web.start(spark, 0, Some(root))
+    try {
+      val port = server.getAddress.getPort
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"path": "$root/link", "query": "secret", "start": 0, "end": 9}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 400 &&
+        resp.body().contains("outside db root"), s"${resp.statusCode()} ${resp.body()}")
+      // a REAL subdirectory still resolves fine under the same check
+      val sub = s"$root/realdb"
+      new graft.tsdb.GraftDb(spark, sub).createStream("ok", graft.tsdb.VType.F64)
+      val okResp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"path": "$sub", "query": "ok", "start": 0, "end": 9}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(okResp.statusCode() == 200, s"${okResp.statusCode()} ${okResp.body()}")
     } finally server.stop(0)
   }
 

@@ -295,4 +295,88 @@ class MultimodalContractSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("JNI/FFI"), e.getMessage)
   }
+
+  // ---- MP4 container-metadata walk (graft.multimodal.Mp4) ----
+
+  test("MP4 golden: the box walk reads back every field; fixture digest pinned") {
+    import graft.multimodal.Mp4
+    val bytes = Mp4.buildFixture("isom", timescale = 90000L,
+      durationTicks = 450000L,
+      tracks = Seq(("vide", 640, 360), ("soun", 0, 0)))
+    // pinned digest: any change to the builder's byte layout (which the
+    // mm05 gate depends on) must be a CONSCIOUS change here
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    assert(digest == "39f861f2640768edb019c2e1472b5e4c", digest)
+    val m = Mp4.meta(bytes)
+    assert(m.brand == "isom")
+    assert(m.timescale == 90000L && m.durationTicks == 450000L)
+    assert(m.durationSec == 5.0)
+    assert(m.tracks == Seq(Mp4.Track("vide", 640, 360), Mp4.Track("soun", 0, 0)))
+    // the v1 (64-bit times) layout reads back identically
+    val m1 = Mp4.meta(Mp4.buildFixture("mp42", 90000L, 450000L,
+      Seq(("vide", 1920, 1080)), v1 = true))
+    assert(m1.brand == "mp42" && m1.durationSec == 5.0 &&
+      m1.tracks == Seq(Mp4.Track("vide", 1920, 1080)))
+    // durations past u32 ticks need v1 and survive exactly
+    val big = Mp4.meta(Mp4.buildFixture("isom", 1000L, 1L << 40,
+      Seq(("soun", 0, 0)), v1 = true))
+    assert(big.durationTicks == (1L << 40))
+  }
+
+  test("MP4: corrupt streams fail loudly, never spin or over-read") {
+    import graft.multimodal.Mp4
+    val good = Mp4.buildFixture("isom", 1000L, 5000L, Seq(("vide", 64, 36)))
+    // truncation anywhere inside moov: loud, names the malformation
+    for (cut <- Seq(4, 12, good.length / 2, good.length - 6)) {
+      val e = intercept[IllegalArgumentException] {
+        Mp4.meta(java.util.Arrays.copyOf(good, cut))
+      }
+      assert(e.getMessage.matches(".*(truncated|overruns|no moov).*"),
+        s"cut=$cut: ${e.getMessage}")
+    }
+    // a box whose declared size overruns its scope
+    val overrun = good.clone()
+    overrun(0) = 0x7f.toByte // ftyp size becomes enormous
+    assert(intercept[IllegalArgumentException](Mp4.meta(overrun))
+      .getMessage.contains("overruns"))
+    // a size smaller than its own header
+    val tiny = good.clone()
+    tiny(0) = 0; tiny(1) = 0; tiny(2) = 0; tiny(3) = 4
+    assert(intercept[IllegalArgumentException](Mp4.meta(tiny))
+      .getMessage.contains("smaller than its header"))
+    // no moov at all (mdat-only fragment)
+    val noMoov = Array[Byte](0, 0, 0, 12, 'm', 'd', 'a', 't', 1, 2, 3, 4)
+    assert(intercept[IllegalArgumentException](Mp4.meta(noMoov))
+      .getMessage.contains("no moov"))
+    // unknown mvhd version
+    val badVer = good.clone()
+    val mvhdAt = {
+      var i = 0
+      while (!(good(i + 4) == 'm' && good(i + 5) == 'v' &&
+        good(i + 6) == 'h' && good(i + 7) == 'd')) i += 1
+      i + 8
+    }
+    badVer(mvhdAt) = 3
+    assert(intercept[IllegalArgumentException](Mp4.meta(badVer))
+      .getMessage.contains("unknown mvhd version"))
+  }
+
+  test("MP4 extraction runs through the distributed seam") {
+    import spark.implicits._
+    import graft.multimodal.Mp4
+    val rows = (1L to 6L).map { id =>
+      Multimodal.MediaRow(id,
+        Mp4.buildFixture("isom", 1000L, id * 100,
+          Seq(("vide", id.toInt * 10, id.toInt * 5), ("soun", 0, 0)),
+          v1 = id % 2 == 1),
+        Multimodal.MediaMeta("mp4", 0, 0, 0L))
+    }
+    val out = Mp4.extract(spark.createDataset(rows).repartition(3))
+      .collect().sortBy(_.id)
+    assert(out.map(_.duration_ticks).toSeq == (1L to 6L).map(_ * 100))
+    assert(out.forall(r => r.handlers == "vide,soun" && r.n_tracks == 2))
+    assert(out.map(r => (r.video_width, r.video_height)).toSeq ==
+      (1 to 6).map(i => (i * 10, i * 5)))
+  }
 }

@@ -262,6 +262,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans <= 1, s"subquery re-scanned the raw source ($scans scans):\n$p")
   }
 
+  test("ts99/ts100 subquery inner shapes: one raw scan per selector, no cartesian") {
+    // instant math inside the subquery is a row-local map over the
+    // step-keyed derived frame — still exactly one events scan
+    val p99 = plan(graft.queries.TimeSeries
+      .queries("ts99_subquery_instant_inner")(spark, sf))
+    assert(p99.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("events")) <= 1, p99.take(1500))
+    // the set-op inner joins two step-keyed derived series on the step
+    // grid: one scan per selector, an equi-join (semi), never a
+    // cartesian — and every window stays keyed on the tumbling wstart
+    val p100 = plan(graft.queries.TimeSeries
+      .queries("ts100_subquery_setop_inner")(spark, sf))
+    assert(p100.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("events")) <= 2, p100.take(1500))
+    assert(!p100.contains("CartesianProduct") &&
+      !p100.contains("BroadcastNestedLoop"),
+      "set-op composition must join on the step grid")
+    p100.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("wstart"), s"unpartitioned window: $l"))
+  }
+
   test("ts67-ts70 round-11 grouped surfaces: one raw scan, no cartesian") {
     // ts67 nested grouped: the outer groupBy folds the inner frame —
     // never a second pass over events

@@ -632,7 +632,7 @@ class EngineSpec extends AnyFunSuite {
       "sum by (dc) (req) and sum by (dc) (req)", 0, 100).output)
       .map(_._1) == Set(Some("a"), Some("b"), (None: Option[String])))
     // rejections: scalars, mixed arities, group_left, or over
-    // different columns, sliding evaluation
+    // different columns
     intercept[IllegalArgumentException](e.query("sum(req) and req", 0, 100))
     intercept[IllegalArgumentException](
       e.query("sum by (service) (req) and req", 0, 100))
@@ -642,8 +642,21 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](e.query(
       "sum by (service, dc) (req) or on (service) sum by (service) (req)",
       0, 100))
-    intercept[IllegalArgumentException](
-      e.queryRange("rate(req[15ms]) and rate(req[15ms])", 0, 100, 10))
+    // SLIDING set ops (round 12): both sides are step-keyed derived
+    // series on the same grid — `and` masks, `unless` complements,
+    // `or` prefers left. a: sums over (t-20, t] at steps 20/40 are
+    // 3/3; b: 9/4; the b > 5 filter keeps only step 20
+    assert(vectorOf(ev.queryRange(
+      "sum_over_time(a[20ms]) and (sum_over_time(b[20ms]) > 5)",
+      20, 40, 20)) == Seq(20L -> 3d))
+    assert(vectorOf(ev.queryRange(
+      "sum_over_time(a[20ms]) unless (sum_over_time(b[20ms]) > 5)",
+      20, 40, 20)) == Seq(40L -> 3d))
+    // or: left's steps win; right fills only uncontested steps — drop
+    // a's step 40 via a filter so b's value shows through there
+    assert(vectorOf(ev.queryRange(
+      "(sum_over_time(a[20ms]) > 100) or sum_over_time(b[20ms])",
+      20, 40, 20)) == Seq(20L -> 9d, 40L -> 4d))
   }
 
   test("grouping rejections: double clause, composition, bad children") {

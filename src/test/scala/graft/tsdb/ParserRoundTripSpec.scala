@@ -288,4 +288,33 @@ class ParserRoundTripSpec extends AnyFunSuite {
     assert(PromParser.parse("-up") ==
       BinaryOp(Sub, NumberLit(0), Selector("up", Nil, None, 0)))
   }
+
+  test("durationMs requires strictly descending, non-repeating units (Prometheus' rule)") {
+    assert(PromParser.durationMs("1h30m") == Some(5400000L))
+    assert(PromParser.durationMs("1y2w3d4h5m6s7ms") ==
+      Some(31536000000L + 2 * 604800000L + 3 * 86400000L +
+        4 * 3600000L + 5 * 60000L + 6000L + 7L))
+    // out-of-order and repeated units reject, as Prometheus does
+    assert(PromParser.durationMs("30m1h").isEmpty)
+    assert(PromParser.durationMs("5m5m").isEmpty)
+    assert(PromParser.durationMs("1s500ms").isDefined)
+    assert(PromParser.durationMs("500ms1s").isEmpty)
+  }
+
+  test("parseSeriesSelector permits namelessness, still rejects conflicts and non-selectors") {
+    // nameless → match-all __name__ injected (catalog-only resolution)
+    assert(PromParser.parseSeriesSelector("""{job="x"}""") ==
+      Selector("", List(Matcher("__name__", ".*", MatchRe),
+        Matcher("job", "x")), None, 0))
+    // a literal name parses as usual
+    assert(PromParser.parseSeriesSelector("""up{job="x"}""") ==
+      Selector("up", List(Matcher("job", "x")), None, 0))
+    // name/__name__ conflict must NOT be recovered into namelessness
+    intercept[PromParseException](
+      PromParser.parseSeriesSelector("""up{__name__="other"}"""))
+    // the query surface keeps requiring a name constraint
+    intercept[PromParseException](PromParser.parse("""{job="x"}"""))
+    // non-selector expressions reject loudly
+    intercept[PromParseException](PromParser.parseSeriesSelector("sum(up)"))
+  }
 }
