@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * (the built-in [[Qoi]] decoder, proving the seam's bit-for-bit
   * contract on a genuinely compressed format), throwing for formats
   * still past reach (mp4/webp/flac SAMPLE decode → a JNI/FFI extension
-  * point with the same contract, MultimodalContractSpec — mp4
-  * CONTAINER metadata is already real, see [[Mp4]]); `stub` produces
+  * point with the same contract, MultimodalContractSpec — mp4/webp/
+  * flac CONTAINER metadata is already real, see [[Mp4]] and
+  * [[Containers]]); `stub` produces
   * deterministic features from the payload bytes so the distributed
   * plumbing — schema, batched per-partition iteration, partitioning
   * advice — is testable without any codec at all.

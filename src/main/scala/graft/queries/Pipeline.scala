@@ -1876,6 +1876,49 @@ object Pipeline {
         .toDF("doc_id", "brand", "timescale", "duration_ticks",
           "duration_sec", "n_tracks", "handlers", "video_w", "video_h")
         .orderBy("doc_id")
+    },
+
+    // WebP container walk (RIFF chunks; graft.multimodal.Containers):
+    // variant cycles lossy/lossless/extended by doc_id so all three
+    // dimension encodings (14-bit VP8, 14-bit-packed VP8L, 24-bit
+    // VP8X) stay exercised; the flag columns mirror which variants
+    // can carry them (lossy: neither; lossless: alpha only)
+    "mm06_webp_meta" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val variant = (id % 3) match {
+            case 0 => "lossy"; case 1 => "lossless"; case _ => "extended"
+          }
+          val bytes = graft.multimodal.Containers.buildWebPFixture(
+            variant, (id % 500 + 8).toInt, (id % 300 + 8).toInt,
+            alpha = id % 2 == 1, animation = id % 5 == 0)
+          val m = graft.multimodal.Containers.webpMeta(bytes)
+          (id, m.variant, m.width, m.height, m.alpha, m.animation)
+        })
+        .toDF("doc_id", "variant", "width", "height", "alpha", "animation")
+        .orderBy("doc_id")
+    },
+
+    // FLAC STREAMINFO walk: rate/channels/depth/total-samples packed
+    // bitfields read back; duration is one IEEE division on both sides
+    "mm07_flac_meta" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir)
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("n"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) =>
+          val rate = (8000 + (id % 8) * 4000).toInt
+          val bytes = graft.multimodal.Containers.buildFlacFixture(
+            rate, (id % 2 + 1).toInt, 16, n * 100)
+          val m = graft.multimodal.Containers.flacMeta(bytes)
+          (id, m.sampleRate, m.channels, m.bitsPerSample, m.totalSamples,
+            m.durationSec)
+        })
+        .toDF("doc_id", "sample_rate", "channels", "bits_per_sample",
+          "total_samples", "duration_sec")
+        .orderBy("doc_id")
     }
   )
 
@@ -3349,6 +3392,26 @@ object Pipeline {
         |  CAST(2 AS INT) AS n_tracks, 'vide,soun' AS handlers,
         |  CAST(doc_id % 640 + 16 AS INT) AS video_w,
         |  CAST(doc_id % 360 + 9 AS INT) AS video_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm06_webp_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+        |       ELSE 'extended' END AS variant,
+        |  CAST(doc_id % 500 + 8 AS INT) AS width,
+        |  CAST(doc_id % 300 + 8 AS INT) AS height,
+        |  (doc_id % 2 = 1 AND doc_id % 3 <> 0) AS alpha,
+        |  (doc_id % 5 = 0 AND doc_id % 3 = 2) AS animation
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm07_flac_meta" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(octet_length(encode(text)) * 100 AS BIGINT) AS total_samples,
+        |  (octet_length(encode(text)) * 100)
+        |    / CAST(8000 + (doc_id % 8) * 4000 AS DOUBLE) AS duration_sec
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -362,6 +362,86 @@ class MultimodalContractSpec extends AnyFunSuite {
       .getMessage.contains("unknown mvhd version"))
   }
 
+  // ---- WebP / FLAC container walks (graft.multimodal.Containers) ----
+
+  test("WebP golden: all three variant encodings read back; digests pinned") {
+    import graft.multimodal.Containers
+    def md5(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+    val lossy = Containers.buildWebPFixture("lossy", 640, 360)
+    assert(md5(lossy) == "9d3872917618da0f2150a76ff01d81d0", md5(lossy))
+    assert(Containers.webpMeta(lossy) ==
+      Containers.WebPMeta("lossy", 640, 360, false, false))
+    // VP8L packs 14-bit fields across byte boundaries — pick dims that
+    // exercise the cross-byte bits (w-1=16383 uses all 14)
+    val lossless = Containers.buildWebPFixture("lossless", 16384, 300,
+      alpha = true)
+    assert(Containers.webpMeta(lossless) ==
+      Containers.WebPMeta("lossless", 16384, 300, true, false))
+    val ext = Containers.buildWebPFixture("extended", 70000, 40000,
+      alpha = false, animation = true)
+    assert(Containers.webpMeta(ext) ==
+      Containers.WebPMeta("extended", 70000, 40000, false, true))
+  }
+
+  test("WebP: corrupt payloads fail loudly") {
+    import graft.multimodal.Containers
+    val good = Containers.buildWebPFixture("lossy", 64, 36)
+    assert(intercept[IllegalArgumentException](
+      Containers.webpMeta("RIFFxxxxWAVE    ".getBytes)).getMessage
+      .contains("magic missing"))
+    // declared RIFF size overrunning the buffer
+    val overrun = good.clone(); overrun(4) = 0x7f.toByte
+    assert(intercept[IllegalArgumentException](
+      Containers.webpMeta(overrun)).getMessage.contains("overruns"))
+    // VP8 start code damaged
+    val badCode = good.clone(); badCode(23) = 0
+    assert(intercept[IllegalArgumentException](
+      Containers.webpMeta(badCode)).getMessage.contains("start code"))
+    // header-only RIFF with no variant chunk
+    val empty = java.util.Arrays.copyOf(good, 12)
+    empty(4) = 4; empty(5) = 0; empty(6) = 0; empty(7) = 0
+    assert(intercept[IllegalArgumentException](
+      Containers.webpMeta(empty)).getMessage.contains("no image bitstream"))
+  }
+
+  test("FLAC golden: STREAMINFO bitfields read back; digest pinned") {
+    import graft.multimodal.Containers
+    val f = Containers.buildFlacFixture(44100, 2, 16, 441000L)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(f).map("%02x".format(_)).mkString
+    assert(digest == "7a4facf6a646000085c44f4184c0c062", digest)
+    assert(Containers.flacMeta(f) ==
+      Containers.FlacMeta(44100, 2, 16, 441000L, 10.0))
+    // the 1-bit bps straddle (bps-1 = 23 crosses the byte boundary)
+    // and a 36-bit sample count past u32
+    val hi = Containers.flacMeta(
+      Containers.buildFlacFixture(192000, 8, 24, 1L << 35))
+    assert(hi == Containers.FlacMeta(192000, 8, 24, 1L << 35,
+      (1L << 35).toDouble / 192000))
+  }
+
+  test("FLAC: corrupt payloads fail loudly") {
+    import graft.multimodal.Containers
+    assert(intercept[IllegalArgumentException](
+      Containers.flacMeta("OggS0000".getBytes)).getMessage
+      .contains("magic missing"))
+    val good = Containers.buildFlacFixture(8000, 1, 16, 800L)
+    // first block not STREAMINFO
+    val wrongType = good.clone(); wrongType(4) = 0x84.toByte
+    assert(intercept[IllegalArgumentException](
+      Containers.flacMeta(wrongType)).getMessage.contains("not STREAMINFO"))
+    // truncated body
+    assert(intercept[IllegalArgumentException](
+      Containers.flacMeta(java.util.Arrays.copyOf(good, 20))).getMessage
+      .contains("truncated"))
+    // zero sample rate (reserved/invalid in the spec)
+    val zeroRate = Containers.buildFlacFixture(8000, 1, 16, 0L)
+    zeroRate(18) = 0; zeroRate(19) = 0; zeroRate(20) = (zeroRate(20) & 0x0f).toByte
+    assert(intercept[IllegalArgumentException](
+      Containers.flacMeta(zeroRate)).getMessage.contains("sample rate 0"))
+  }
+
   test("MP4 extraction runs through the distributed seam") {
     import spark.implicits._
     import graft.multimodal.Mp4
