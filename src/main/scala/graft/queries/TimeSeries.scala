@@ -911,6 +911,38 @@ object TimeSeries {
         "(rate(purchase[1d]) > 0.027))[3d:12h])", roundTo = 6,
         dedup = true) _,
 
+    // GROUPED SLIDING BINARY — the per-series ratio panel: each user's
+    // click/purchase volume ratio at every 12h step, both sides 1-day
+    // sliding sums. The grouped sliding evaluator joins the two
+    // derived frames on (user, step) with null-safe keys; one scan per
+    // selector (PlanAuditSpec pins it).
+    "ts101_grouped_sliding_binary" -> { (s, dir) =>
+      engine(s, dir)
+        .queryRangeBy(
+          "sum_over_time(click[1d]) / sum_over_time(purchase[1d])",
+          graft.tsdb.Expr.Grouping(by = true, List("user")),
+          SubStart, SubEnd, 12 * 3600 * 1000L)
+        .select(col("user"), col("timestamp"),
+          round(col("value"), 9).as("value"))
+        .orderBy(col("user").cast("long"), col("timestamp"))
+    },
+
+    // GROUPED SLIDING SET OP — the masking idiom per series: each
+    // user's click volume, except at steps where that user's purchase
+    // volume ran hot (>40, the sf0.01 median — both branches bite).
+    // anti-join on the (user, step) key.
+    "ts102_grouped_sliding_setop" -> { (s, dir) =>
+      engine(s, dir)
+        .queryRangeBy(
+          "sum_over_time(click[1d]) unless " +
+            "(sum_over_time(purchase[1d]) > 40)",
+          graft.tsdb.Expr.Grouping(by = true, List("user")),
+          SubStart, SubEnd, 12 * 3600 * 1000L)
+        .select(col("user"), col("timestamp"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"), col("timestamp"))
+    },
+
     "ts01_select_range" -> q("purchase") _,
     "ts02_select_label" -> q("click{user=\"12\"}", AllStart, AllEnd) _,
     "ts03_cmp_filter" -> q("purchase > 150") _,
@@ -1486,6 +1518,52 @@ object TimeSeries {
          |  ROUND(MAX(c.v), 6) AS value
          |FROM c JOIN p ON p.t = c.t AND p.v > 0.027
          |GROUP BY 1 ORDER BY timestamp""".stripMargin,
+
+    "ts101_grouped_sliding_binary" ->
+      s"""WITH dc AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'click'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |dp AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |wc AS (SELECT dc.u, g.et, SUM(dc.v) AS s FROM g
+         |       JOIN dc ON dc.t > g.et - 86400000 AND dc.t <= g.et
+         |       GROUP BY dc.u, g.et),
+         |wp AS (SELECT dp.u, g.et, SUM(dp.v) AS s FROM g
+         |       JOIN dp ON dp.t > g.et - 86400000 AND dp.t <= g.et
+         |       GROUP BY dp.u, g.et)
+         |SELECT wc.u AS "user", wc.et AS timestamp,
+         |  ROUND(wc.s / wp.s, 9) AS value
+         |FROM wc JOIN wp ON wp.u = wc.u AND wp.et = wc.et
+         |ORDER BY CAST(wc.u AS BIGINT), timestamp""".stripMargin,
+
+    "ts102_grouped_sliding_setop" ->
+      s"""WITH dc AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'click'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |dp AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |wc AS (SELECT dc.u, g.et, SUM(dc.v) AS s FROM g
+         |       JOIN dc ON dc.t > g.et - 86400000 AND dc.t <= g.et
+         |       GROUP BY dc.u, g.et),
+         |wp AS (SELECT dp.u, g.et, SUM(dp.v) AS s FROM g
+         |       JOIN dp ON dp.t > g.et - 86400000 AND dp.t <= g.et
+         |       GROUP BY dp.u, g.et)
+         |SELECT wc.u AS "user", wc.et AS timestamp, ROUND(wc.s, 6) AS value
+         |FROM wc WHERE NOT EXISTS (SELECT 1 FROM wp
+         |  WHERE wp.u = wc.u AND wp.et = wc.et AND wp.s > 40)
+         |ORDER BY CAST(wc.u AS BIGINT), timestamp""".stripMargin,
 
     "ts59_rate_extrapolated" ->
       s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}

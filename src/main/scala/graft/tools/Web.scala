@@ -449,7 +449,69 @@ object Web {
           s"the API bridge aggregates a selector or a range function " +
             s"over a matrix selector, got: $other")
       }
+    // one grouped aggregate's INNER as an expression the grouped
+    // sliding evaluator can compose: selectors get their _over_time
+    // mapping; already-windowed inners are the pooled-series identity
+    // for sum/avg/min/max/quantile — kinds whose one-series answer is
+    // a TRANSFORM (count→1, stddev→0) cannot ride inside a composed
+    // tree and reject with guidance
+    def bridgeInner(kind: AggKind, child: Expr): Expr = child match {
+      case rf @ RangeFn(_, _: MatrixSelector, _) => kind match {
+        case AggSum | AggAvg | AggMin | AggMax => rf
+        case AggQuantile(phi) =>
+          require(phi >= 0 && phi <= 1, s"quantile φ out of [0, 1]: $phi")
+          rf
+        case other => throw new IllegalArgumentException(
+          s"$other over an already-windowed inner cannot compose " +
+            "inside binary/set expressions over the API bridge (its " +
+            "one-pooled-series answer is a constant — query it " +
+            "standalone)")
+      }
+      case sel: Selector =>
+        val (k, args) = windowed(kind)
+        RangeFn(k, MatrixSelector(sel, stepMs), args)
+      case other => throw new IllegalArgumentException(
+        s"the API bridge aggregates a selector or a range function " +
+          s"over a matrix selector, got: $other")
+    }
+    // map a COMPOSED grouped tree — binary/set/instant math over
+    // grouped aggregates, literals welcome — into (shared grouping,
+    // inner expr) for ONE grouped sliding evaluation: the ratio panel
+    // `sum by (s) (err) / sum by (s) (req)` and the masking idiom
+    // `sum by (s) (m) unless (count by (s) (m) > 1)`. None = the tree
+    // holds no grouped aggregate (the ungrouped paths own it).
+    def groupedTree(e: Expr): Option[(Grouping, Expr)] = e match {
+      case Aggregate(k, c, Some(g)) => Some((g, bridgeInner(k, c)))
+      case BinaryOp(kind, l, r, None) =>
+        (groupedTree(l), groupedTree(r)) match {
+          case (Some((gl, le)), Some((gr, re))) =>
+            require(gl == gr, "grouped operands must share the same " +
+              s"grouping over the API bridge: $gl vs $gr")
+            Some((gl, BinaryOp(kind, le, re)))
+          case (Some((g, le)), None) => r match {
+            case n: NumberLit => Some((g, BinaryOp(kind, le, n)))
+            case other => throw new IllegalArgumentException(
+              s"grouped and ungrouped operands cannot compose over the " +
+                s"API bridge (no shared key in the pooled-series " +
+                s"model): $other")
+          }
+          case (None, Some((g, re))) => l match {
+            case n: NumberLit => Some((g, BinaryOp(kind, n, re)))
+            case other => throw new IllegalArgumentException(
+              s"grouped and ungrouped operands cannot compose over the " +
+                s"API bridge (no shared key in the pooled-series " +
+                s"model): $other")
+          }
+          case (None, None) => None
+        }
+      case InstantFn(k, c, args) =>
+        groupedTree(c).map { case (g, ce) => (g, InstantFn(k, ce, args)) }
+      case _ => None
+    }
     ast match {
+      case e @ (_: BinaryOp | _: InstantFn) if groupedTree(e).isDefined =>
+        val (g, inner) = groupedTree(e).get
+        grouped(g, inner)
       case Aggregate(kind, child, g) =>
         aggregate(kind, child, g)
       case GetK(top, kExpr, Aggregate(kind, child, Some(gr)), None) =>

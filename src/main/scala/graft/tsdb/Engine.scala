@@ -1321,27 +1321,93 @@ final class TsdbEngine(
     queryRangeBy(PromParser.parse(promql), grouping, startMs, endMs, stepMs)
 
   /** [[queryRangeBy]] from a pre-parsed AST (the Prometheus API
-    * bridge's grouped arm).
+    * bridge's grouped arm) — a RECURSIVE grouped twin of
+    * [[slidingEval]]: range functions over matrix selectors (the base
+    * case — one scan, per-(group, step) sliding windows), instant math
+    * and scalar-literal arithmetic/comparison (row-local), BINARY
+    * COMPOSITION (`sum_over_time(err[5m]) / sum_over_time(req[5m])` by
+    * service — both sides step-count × group-count derived frames on
+    * the same grid, joined on (group keys, step) with NULL-SAFE group
+    * equality so the missing-label group matches itself), and SET
+    * OPERATORS (semi/anti/union on the same key). Each selector scans
+    * exactly once — the no-amplification law, grouped.
     */
   def queryRangeBy(parsed: Expr, grouping: Grouping,
-      startMs: Long, endMs: Long, stepMs: Long): DataFrame =
-    parsed match {
+      startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    val (gNames, gCols) = groupProjection(grouping)
+    require(gNames.nonEmpty,
+      "by () has no grouped form — use queryRange")
+    // null-safe (groups..., timestamp) key condition against a
+    // suffix-renamed right side (the groupedBinary idiom; timestamps
+    // are never null so plain equality there)
+    def keyed(r: DataFrame): (DataFrame, Column) = {
+      val rk = r.toDF(r.columns.map {
+        case "timestamp" => "_rts"
+        case "value" => "_rv"
+        case g => g + "_graft_r"
+      }.toIndexedSeq: _*)
+      (rk, gNames.map(k => col(k) <=> col(k + "_graft_r"))
+        .reduce(_ && _) && col("timestamp") === col("_rts"))
+    }
+    def ge(e: Expr): DataFrame = e match {
       case RangeFn(kind, MatrixSelector(sel, rangeMs), fnArgs) =>
         require(kind != FnAbsentOverTime,
           "absent_over_time has no grouped form (absence is not " +
             "attributable to a label value)")
-        val (gNames, gCols) = groupProjection(grouping)
-        require(gNames.nonEmpty,
-          "by () has no grouped form — use queryRange")
         val rows = data
           .where(scanCond(sel, startMs - rangeMs + 1, endMs))
           .select(gCols ++ Seq(shiftedTs(sel), col("value")): _*)
         RangeFns.sliding(kind, rows, rangeMs, stepMs, startMs, endMs,
           fnArgs, groupCols = gNames, mode = rateMode)
+      case InstantFn(kind, child, args) =>
+        ge(child).withColumn("value",
+          TsdbEngine.instantColumn(kind, args, col("value").cast("double")))
+      case BinaryOp(kind, NumberLit(v), rhs, None) =>
+        val r = ge(rhs)
+        if (isComparison(kind)) r.where(cmp(kind, lit(v), col("value")))
+        else r.withColumn("value",
+          arith(kind, lit(v), col("value").cast("double")))
+      case BinaryOp(kind, lhs, NumberLit(v), None) =>
+        val l = ge(lhs)
+        if (isComparison(kind)) l.where(cmp(kind, col("value"), lit(v)))
+        else l.withColumn("value",
+          arith(kind, col("value").cast("double"), lit(v)))
+      case BinaryOp(kind, lhs, rhs, None) if isSetOp(kind) =>
+        val l = ge(lhs)
+        kind match {
+          case And =>
+            val (rk, cond) = keyed(ge(rhs)); l.join(rk, cond, "left_semi")
+          case Unless =>
+            val (rk, cond) = keyed(ge(rhs)); l.join(rk, cond, "left_anti")
+          case _ =>
+            val r = ge(rhs)
+            val (lk, cond) = keyed(l)
+            // or: left wins; right fills only uncontested keys. The
+            // anti-join probes the LEFT's keys from the right side, so
+            // rename the right to match keyed()'s left-role columns
+            val rRenamed = r.toDF(l.columns.toIndexedSeq: _*)
+            l.unionByName(rRenamed.join(
+              lk.select((gNames.map(_ + "_graft_r") :+ "_rts").map(col): _*),
+              cond, "left_anti"))
+        }
+      case BinaryOp(kind, lhs, rhs, None) =>
+        require(!isComparison(kind),
+          "comparison between two grouped sliding vectors is not " +
+            "supported (the V2V rule)")
+        val l = ge(lhs)
+        val (rk, cond) = keyed(ge(rhs))
+        l.join(rk, cond).select(gNames.map(col) ++ Seq(col("timestamp"),
+          arith(kind, col("value").cast("double"),
+            col("_rv").cast("double")).as("value")): _*)
       case other => throw new IllegalArgumentException(
-        s"queryRangeBy requires a range function over a matrix " +
-          s"selector, got: $other")
+        "grouped sliding evaluation takes range functions over matrix " +
+          "selectors (optionally under instant math, scalar-literal " +
+          s"arithmetic/comparison, binary or set composition), got: " +
+          s"$other — per-step re-evaluation of arbitrary expressions " +
+          "would rescan the store once per step")
     }
+    ge(parsed)
+  }
 
   /** GROUPED SUBQUERY — the outer range function folding a grouped
     * sliding inner:
@@ -1358,30 +1424,27 @@ final class TsdbEngine(
     * exact property the ungrouped subquery case documents. Emits
     * (group cols..., timestamp = outer window start, value).
     *
-    * Scope: the inner must be a range function over a matrix selector
-    * (the composed inner shapes slidingEval accepts stay ungrouped —
-    * same bounded-scope philosophy, the error says so).
+    * Scope: the inner is anything the grouped sliding evaluator
+    * accepts ([[queryRangeBy]]'s recursion — range fns over matrix
+    * selectors under instant math, scalar-literal arithmetic/
+    * comparison, binary or set composition), so the grouped and
+    * ungrouped subquery surfaces accept the SAME inner algebra.
     */
   def subqueryRangeBy(promql: String, grouping: Grouping,
       startMs: Long, endMs: Long): DataFrame =
     PromParser.parse(promql) match {
-      case RangeFn(okind, SubqueryMatrix(
-          RangeFn(ikind, MatrixSelector(sel, irange), iargs),
-          subRange, subStep, soff), oargs) =>
-        require(okind != FnAbsentOverTime && ikind != FnAbsentOverTime,
+      case RangeFn(okind, SubqueryMatrix(inner, subRange, subStep, soff),
+          oargs) =>
+        require(okind != FnAbsentOverTime,
           "absent_over_time has no grouped form (absence is not " +
             "attributable to a label value)")
-        val (gNames, gCols) = groupProjection(grouping)
+        val (gNames, _) = groupProjection(grouping)
         require(gNames.nonEmpty,
           "by () has no grouped form — use query()'s subquery")
-        val rows = data
-          .where(scanCond(sel, startMs - soff - irange + 1, endMs - soff))
-          .select(gCols ++ Seq(shiftedTs(sel), col("value")): _*)
-        val steps0 = RangeFns.sliding(ikind, rows, irange, subStep,
-          startMs - soff, endMs - soff, iargs, groupCols = gNames,
-          mode = rateMode)
         // subquery offset: inner evaluated on the shifted clock,
         // reported on the outer one
+        val steps0 = queryRangeBy(inner, grouping,
+          startMs - soff, endMs - soff, subStep)
         val steps =
           if (soff == 0L) steps0
           else steps0.withColumn("timestamp", col("timestamp") + lit(soff))
@@ -1394,9 +1457,7 @@ final class TsdbEngine(
           .select(gNames.map(col) ++
             Seq(col("wstart").as("timestamp"), col("value")): _*)
       case other => throw new IllegalArgumentException(
-        s"subqueryRangeBy requires a range function over a subquery " +
-          s"whose inner is a range function over a matrix selector " +
-          s"(composed inner shapes stay ungrouped — use query()), " +
+        s"subqueryRangeBy requires a range function over a subquery, " +
           s"got: $other")
     }
 

@@ -405,6 +405,38 @@ class CliWebSpec extends AnyFunSuite {
       val grp = rangeQ("group by (service) (req)")
       assert(grp.statusCode() == 400 &&
         grp.body().contains("unsupported aggregation"), grp.body())
+      // GROUPED BINARY composition — the ratio panel: sum/count per
+      // step window = the windowed mean. web (0,20]: 3/2=1.5, (20,40]:
+      // 4/1=4; mob (0,20]: 8/1=8
+      val ratio = rangeQ(
+        "sum by (service) (req) / count by (service) (req)")
+      assert(ratio.statusCode() == 200, ratio.body())
+      assert(ratio.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.02,"8.0"]]}"""),
+        ratio.body())
+      assert(ratio.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"1.5"],[0.04,"4.0"]]}"""),
+        ratio.body())
+      // grouped SET OP masking: drop steps whose window saw >1 sample
+      val mask = rangeQ(
+        "sum by (service) (req) unless (count by (service) (req) > 1)")
+      assert(mask.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.02,"8.0"]]}"""),
+        mask.body())
+      assert(mask.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.04,"4.0"]]}"""),
+        mask.body())
+      assert(!mask.body().contains("""[0.02,"3.0"]"""), mask.body())
+      // grouped vs literal threshold
+      val thresh = rangeQ("sum by (service) (req) > 5")
+      assert(thresh.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.02,"8.0"]]}"""),
+        thresh.body())
+      assert(!thresh.body().contains("web"), thresh.body())
+      // mismatched groupings reject with guidance
+      val mixed = rangeQ("sum by (service) (req) / sum by (dc) (req)")
+      assert(mixed.statusCode() == 400 &&
+        mixed.body().contains("same"), mixed.body())
     } finally server.stop(0)
   }
 

@@ -283,6 +283,21 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(l.contains("wstart"), s"unpartitioned window: $l"))
   }
 
+  test("ts101/ts102 grouped sliding composition: one scan per selector, keyed join") {
+    for (gate <- Seq("ts101_grouped_sliding_binary",
+        "ts102_grouped_sliding_setop")) {
+      val p = plan(graft.queries.TimeSeries.queries(gate)(spark, sf))
+      assert(p.linesIterator.count(l =>
+        l.contains("Scan") && l.contains("events")) <= 2, s"$gate:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"$gate: grouped composition must join on (group, step)")
+      // every window is keyed on (group, wstart) — never data-ordered
+      p.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+        assert(l.contains("wstart"), s"$gate unpartitioned window: $l"))
+    }
+  }
+
   test("ts67-ts70 round-11 grouped surfaces: one raw scan, no cartesian") {
     // ts67 nested grouped: the outer groupBy folds the inner frame —
     // never a second pass over events

@@ -659,6 +659,51 @@ class EngineSpec extends AnyFunSuite {
       20, 40, 20)) == Seq(20L -> 9d, 40L -> 4d))
   }
 
+  test("grouped sliding composition: binary join, null-safe keys, or-fill, subquery inner") {
+    val e = groupedEngine()
+    val byDc = Expr.Grouping(by = true, List("dc"))
+    def rows(df: DataFrame): Set[(Option[String], Long, Double)] =
+      df.collect().toSet[Row].map(r =>
+        (Option(r.getString(0)), r.getLong(1), r.getDouble(2)))
+    // windowed mean per dc: sum/count joined on (dc, step) — the NULL
+    // group (cli's missing dc) must match itself through the join
+    val mean = e.queryRangeBy(
+      "sum_over_time(req[20ms]) / count_over_time(req[20ms])",
+      byDc, 20, 40, 20)
+    // windows are (T-20, T]: ALL of dc=a's and dc=b's samples (t=10,
+    // t=20) land in the step-20 window; cli's t=30 in step 40's
+    assert(rows(mean) == Set(
+      (Some("a"), 20L, 11d / 3), (Some("b"), 20L, 10d),
+      (None, 40L, 32d)), rows(mean))
+    // or: empty left (threshold filters everything) → right fills
+    val orFill = e.queryRangeBy(
+      "(sum_over_time(req[20ms]) > 100) or count_over_time(req[20ms])",
+      byDc, 20, 40, 20)
+    assert(rows(orFill) == Set(
+      (Some("a"), 20L, 3d), (Some("b"), 20L, 2d), (None, 40L, 1d)),
+      rows(orFill))
+    // and/unless on the (group, step) key
+    val masked = e.queryRangeBy(
+      "sum_over_time(req[20ms]) unless (count_over_time(req[20ms]) > 2)",
+      byDc, 20, 40, 20)
+    assert(rows(masked) == Set(
+      (Some("b"), 20L, 20d), (None, 40L, 32d)), rows(masked))
+    // grouped SUBQUERY over a composed inner: the outer max tumbles
+    // the per-(dc, step) ratio series — one 40ms window from start 20
+    val sub = e.subqueryRangeBy(
+      "max_over_time((sum_over_time(req[20ms]) / " +
+        "count_over_time(req[20ms]))[40ms:20ms])", byDc, 20, 40)
+    assert(rows(sub) == Set(
+      (Some("a"), 20L, 11d / 3), (Some("b"), 20L, 10d), (None, 20L, 32d)),
+      rows(sub))
+    // V2V comparison and arbitrary shapes still reject
+    intercept[IllegalArgumentException](e.queryRangeBy(
+      "sum_over_time(req[20ms]) > count_over_time(req[20ms])",
+      byDc, 20, 40, 20))
+    intercept[IllegalArgumentException](
+      e.queryRangeBy("req", byDc, 20, 40, 20))
+  }
+
   test("grouping rejections: double clause, composition, bad children") {
     val e = groupedEngine()
     intercept[PromParseException](
