@@ -56,7 +56,8 @@ object Bench {
     // one-time LINEAR cost — reported as its own metric like the dsv2
     // store, so the gate times the derived-stream read-back it covers
     val recordBuildSec =
-      if (!only.forall(_.contains("ts98_recording_rule"))) -1.0
+      if (!only.forall(o => o.contains("ts98_recording_rule") ||
+        o.contains("ts103_record_grouped"))) -1.0
       else try graft.queries.TimeSeries.prepareRecordedStore(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] recorded store build failed: ${e.getMessage}")

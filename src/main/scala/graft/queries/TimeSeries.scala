@@ -190,14 +190,47 @@ object TimeSeries {
     new graft.tsdb.GraftDb(s, path)
   }
 
-  /** Bench prep hook: build ts98's recorded store untimed (the bulk
-    * ingest + record is a one-time linear cost reported as its own
-    * metric, like the DSv2 store); the gate then times the
-    * derived-stream read-back it covers.
+  /** GROUPED recording fixture (ts103): per-user purchase streams for
+    * the three smallest purchase user ids (window-sized ingest, the
+    * recordedDb discipline), then one recordGrouped rule — daily
+    * per-user sums recorded as `purch_daily_u{user=…}` series.
+    */
+  private def recordedGroupedDb(s: SparkSession, dir: String): graft.tsdb.GraftDb = {
+    val path = storePaths.getOrElseUpdate(
+      System.identityHashCode(s) + "|recg|" + dir, {
+        val p =
+          java.nio.file.Files.createTempDirectory("graft_recgdb").toString
+        val db = new graft.tsdb.GraftDb(s, p)
+        val ev = table(s, dir, "events")
+        val ids = ev.where(col("event_type") === "purchase")
+          .select(col("user_id")).distinct().orderBy("user_id").limit(3)
+          .collect().map(_.get(0).toString)
+        ids.foreach { u =>
+          db.createStream(s"""purch{user="$u"}""", VType.F64)
+          db.importFrame(s"""purch{user="$u"}""",
+            eventsLong(s, dir).where(col("name") === "purchase" &&
+                element_at(col("labels"), "user") === u &&
+                col("timestamp") >= SubStart - 86400000L &&
+                col("timestamp") <= SubEnd)
+              .select(col("timestamp"), col("value")))
+        }
+        db.recordGrouped("purch_daily_u", "sum_over_time(purch[1d])",
+          graft.tsdb.Expr.Grouping(by = true, List("user")),
+          SubStart, SubEnd, 86400000L)
+        p
+      })
+    new graft.tsdb.GraftDb(s, path)
+  }
+
+  /** Bench prep hook: build ts98's recorded store and ts103's grouped
+    * twin untimed (the bulk ingest + record is a one-time linear cost
+    * reported as its own metric, like the DSv2 store); the gates then
+    * time the derived-stream read-back they cover.
     */
   def prepareRecordedStore(s: SparkSession, dir: String): Double = {
     val t0 = System.nanoTime()
     recordedDb(s, dir)
+    recordedGroupedDb(s, dir)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -916,6 +949,18 @@ object TimeSeries {
     // sliding sums. The grouped sliding evaluator joins the two
     // derived frames on (user, step) with null-safe keys; one scan per
     // selector (PlanAuditSpec pins it).
+    // GROUPED RECORDING RULE — labels survive recording, as Prometheus
+    // rules keep them: recordGrouped writes one purch_daily_u{user=…}
+    // stream per user in ONE distributed append, and the read-back
+    // rolls each user's recorded daily sums up. The oracle recomputes
+    // both levels from raw events for the same three users.
+    "ts103_record_grouped" -> { (s, dir) =>
+      recordedGroupedDb(s, dir)
+        .query("sum by (user) (purch_daily_u)", AllStart, AllEnd)
+        .output.select(col("user"), round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
     "ts101_grouped_sliding_binary" -> { (s, dir) =>
       engine(s, dir)
         .queryRangeBy(
@@ -1518,6 +1563,22 @@ object TimeSeries {
          |  ROUND(MAX(c.v), 6) AS value
          |FROM c JOIN p ON p.t = c.t AND p.v > 0.027
          |GROUP BY 1 ORDER BY timestamp""".stripMargin,
+
+    "ts103_record_grouped" ->
+      s"""WITH ids AS (SELECT DISTINCT user_id FROM events
+         |  WHERE event_type = 'purchase' ORDER BY user_id LIMIT 3),
+         |d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND user_id IN (SELECT user_id FROM ids)
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${86400000L})) AS et),
+         |w AS (SELECT d.u, g.et, SUM(d.v) AS s FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et
+         |      GROUP BY d.u, g.et)
+         |SELECT u AS "user", ROUND(SUM(s), 6) AS value
+         |FROM w GROUP BY u ORDER BY CAST(u AS BIGINT)""".stripMargin,
 
     "ts101_grouped_sliding_binary" ->
       s"""WITH dc AS (SELECT CAST(user_id AS VARCHAR) AS u,

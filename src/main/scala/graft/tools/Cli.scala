@@ -169,6 +169,15 @@ object Cli {
           val n = db.record(target, promql, start.toLong, end.toLong,
             rest.headOption.map(_.toLong))
           out(s"recorded $n points into $target"); 0
+        case Seq("record-grouped", target, promql, byLabels, start, end, step) =>
+          // grouped recording rule: one derived stream PER GROUP under
+          // `target`, labels preserved (the query-range-by convention:
+          // comma-separated by-labels)
+          val ls = byLabels.split(',').map(_.trim).filter(_.nonEmpty).toList
+          val n = db.recordGrouped(target, promql,
+            graft.tsdb.Expr.Grouping(by = true, ls),
+            start.toLong, end.toLong, step.toLong)
+          out(s"recorded $n points into $target by (${ls.mkString(", ")})"); 0
         case "compact" +: rest if rest.size <= 1 =>
           // maintenance (beyond the reference CLI): merge flush deltas
           val n = rest.headOption.map(_.toInt)

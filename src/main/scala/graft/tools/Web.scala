@@ -718,10 +718,32 @@ object Web {
     def need(k: String) = field(k).getOrElse(
       throw new IllegalArgumentException(s"missing field: $k"))
     val path = allowedPath(req, dbRoot)
-    val n = new GraftDb(spark, path).record(
-      need("target").asText(), need("query").asText(),
-      need("start").asLong(), need("end").asLong(),
-      field("step").map(_.asLong()))
+    // optional "by" (array or comma-separated string, the /query
+    // convention) selects the GROUPED rule — one derived stream per
+    // group under `target`, labels preserved; it requires "step"
+    // (grouped rules record the per-step series)
+    val by: List[String] = field("by") match {
+      case None => Nil
+      case Some(n) if n.isArray =>
+        val it = n.elements(); val b = List.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      case Some(n) =>
+        n.asText().split(',').map(_.trim).filter(_.nonEmpty).toList
+    }
+    val db = new GraftDb(spark, path)
+    val n =
+      if (by.isEmpty)
+        db.record(need("target").asText(), need("query").asText(),
+          need("start").asLong(), need("end").asLong(),
+          field("step").map(_.asLong()))
+      else db.recordGrouped(need("target").asText(), need("query").asText(),
+        graft.tsdb.Expr.Grouping(by = true, by),
+        need("start").asLong(), need("end").asLong(),
+        field("step").map(_.asLong()).getOrElse(
+          throw new IllegalArgumentException(
+            "\"by\" requires \"step\" (grouped rules record the " +
+              "per-step series)")))
     val root = mapper.createObjectNode()
     root.put("recorded", n)
     root.put("target", need("target").asText())

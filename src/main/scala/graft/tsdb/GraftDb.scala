@@ -232,10 +232,20 @@ final class GraftDb(
     */
   def createStream(selector: String, vtype: VType): Unit = {
     val (name, labels) = parseSelector(selector)
+    registerStream(name, labels, vtype)
+  }
+
+  /** Catalog registration from an already-parsed (name, labels) pair —
+    * [[createStream]]'s body, also the entry [[recordGrouped]] uses
+    * for group label sets that never existed as selector text (no
+    * string round-trip to mis-quote).
+    */
+  private def registerStream(name: String, labels: Map[String, String],
+      vtype: VType): Unit = {
     require(!name.exists(c => c == '\n' || c == '\r' || c == '\u0000' || c == '\t'),
       s"stream name must not contain newline/NUL: ${name.replace("\n", "\\n")}")
     require(!streams().exists(d => d.name == name && d.labels == labels),
-      s"stream already exists: $selector")
+      s"stream already exists: $name $labels")
     upgradeCatalog()
     Files.writeString(catalogFile,
       catalogLine(StreamDef(name, labels, vtype)) + "\n",
@@ -560,6 +570,78 @@ final class GraftDb(
     try {
       val n = frame.count() // evaluates the rule query ONCE, cached
       importFrame(targetSelector, frame) // writes from the cache
+      n
+    } finally frame.unpersist()
+  }
+
+  /** GROUPED recording rule — Prometheus rules PRESERVE label sets:
+    * the grouped sliding evaluation of `promql` by `grouping` (the
+    * [[TsdbEngine.queryRangeBy]] algebra — range fns composed under
+    * instant math, binary/set operators) records one derived stream
+    * PER GROUP, all named `targetName`, each carrying its group labels
+    * (`sum_over_time(req[5m])` by (service) → `targetName{service=…}`
+    * series). The null group (label absent) records WITHOUT the label,
+    * exactly Prometheus' missing-label rule.
+    *
+    * Scale shape: ONE distributed rebalance-keyed append writes every
+    * group's samples — per-row label maps are native to the store
+    * layout, so group count multiplies rows, not write jobs. Only the
+    * catalog registration walks the group list driver-side
+    * (group-count-sized by construction, the bound every grouped
+    * result already has). Validation order matches [[record]]: the
+    * evaluation and the occupied-window probe run before any catalog
+    * write, so a rejected rule leaves no phantom streams; the probe is
+    * NAME-level (all groups share `targetName` — one pruned LIMIT-1
+    * scan covers every target series).
+    *
+    * `by` groupings only: a `without` group key is one canonical
+    * string, which names no label set to put on a stream — re-group
+    * with `by` over the labels you mean to keep.
+    */
+  def recordGrouped(targetName: String, promql: String,
+      grouping: Expr.Grouping, startMs: Long, endMs: Long,
+      stepMs: Long): Long = {
+    require(grouping.by,
+      "recordGrouped takes a `by` grouping (a `without` group key is " +
+        "one canonical string, which names no label set to put on a " +
+        "stream — re-group with `by` over the labels you keep)")
+    val (tname, tlabels) = parseSelector(targetName)
+    require(tlabels.isEmpty,
+      s"recordGrouped takes a bare target NAME (group labels become " +
+        s"the streams' labels), got matchers in: $targetName")
+    require(query(tname, startMs, endMs).df.limit(1).collect().isEmpty,
+      s"target $tname already holds samples in [$startMs, $endMs] — " +
+        "re-recording would duplicate points (deleteStream first, or " +
+        "record a disjoint window)")
+    val df = engine().queryRangeBy(PromParser.parse(promql), grouping,
+      startMs, endMs, stepMs)
+    val gCols = grouping.labels
+    val frame = df.persist()
+    try {
+      // group registration: the distinct label tuples, driver-side —
+      // group-count-sized. Null group values mean ABSENT labels.
+      val groups = frame.select(gCols.map(col): _*).distinct().collect()
+        .map(r => gCols.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.getString(i)).map(c -> _)
+        }.toMap)
+      val n = frame.count()
+      groups.foreach { ls =>
+        if (!streams().exists(d => d.name == tname && d.labels == ls))
+          registerStream(tname, ls, VType.F64)
+      }
+      // one distributed append for every group's samples
+      val labelsCol = map_filter(
+        map(gCols.flatMap(c => Seq(lit(c), col(c))): _*),
+        (_, v) => v.isNotNull)
+      frame.select(lit(tname).as("name"), labelsCol.as("labels"),
+          col("timestamp").cast("long").as("timestamp"),
+          col("value").cast("double").as("value"),
+          lit(null).cast("long").as("lvalue"))
+        .withColumn("bucket",
+          col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
+        .hint("rebalance", col("name"), col("bucket"))
+        .write.mode(SaveMode.Append).partitionBy("name", "bucket")
+        .parquet(dataDir)
       n
     } finally frame.unpersist()
   }

@@ -440,6 +440,55 @@ class CliWebSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("cli + http: record-grouped preserves labels per group") {
+    val db = freshDb()
+    assert(cli(db, "create-stream", """req{service = "web"}""", "f64")._1 == 0)
+    assert(cli(db, "create-stream", """req{service = "mob"}""", "f64")._1 == 0)
+    for ((t, v) <- Seq((10, 1), (20, 2), (30, 4)))
+      assert(cli(db, "insert", """req{service = "web"}""",
+        t.toString, v.toString)._1 == 0)
+    assert(cli(db, "insert", """req{service = "mob"}""", "10", "8")._1 == 0)
+    // windows (0,20] / (20,40]: web 3 / 4, mob 8 / - → 3 points
+    val (c, lines) = cli(db, "record-grouped", "req_sum",
+      "sum_over_time(req[20ms])", "service", "20", "40", "20")
+    assert(c == 0 &&
+      lines == Seq("recorded 3 points into req_sum by (service)"), lines)
+    // labels survive: each group is its own first-class series
+    val (c2, web) = cli(db, "query", """req_sum{service="web"}""", "0", "100")
+    assert(c2 == 0 && web == Seq("20 3", "40 4"), web)
+    val (c3, mob) = cli(db, "query", """req_sum{service="mob"}""", "0", "100")
+    assert(c3 == 0 && mob == Seq("20 8"), mob)
+    // and the derived family composes under grouping
+    val (c4, roll) = cli(db, "query", "sum by (service) (req_sum)", "0", "100")
+    assert(c4 == 0 && roll == Seq("mob 8", "web 7"), roll)
+    // occupied-window rejection covers every group via the shared name
+    assert(cli(db, "record-grouped", "req_sum", "sum_over_time(req[20ms])",
+      "service", "20", "40", "20")._1 == 1)
+    // the HTTP twin: /record with a "by" field
+    val server = Web.start(spark, 0, Some(db))
+    try {
+      val port = server.getAddress.getPort
+      def post(json: String) = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/record"))
+          .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val ok = post(s"""{"path": "$db", "target": "req_sum_h",
+        | "query": "sum_over_time(req[20ms])", "start": 20, "end": 40,
+        | "step": 20, "by": ["service"]}""".stripMargin)
+      assert(ok.statusCode() == 200 &&
+        ok.body().contains(""""recorded":3"""), ok.body())
+      val (c5, roll2) = cli(db, "query", "sum by (service) (req_sum_h)",
+        "0", "100")
+      assert(c5 == 0 && roll2 == Seq("mob 8", "web 7"), roll2)
+      // "by" without "step" is a loud 400
+      val bad = post(s"""{"path": "$db", "target": "req_sum_h2",
+        | "query": "sum_over_time(req[20ms])", "start": 50, "end": 60,
+        | "by": ["service"]}""".stripMargin)
+      assert(bad.statusCode() == 400 && bad.body().contains("requires"),
+        s"${bad.statusCode()} ${bad.body()}")
+    } finally server.stop(0)
+  }
+
   test("http: a symlink inside the db root pointing outside it cannot pass containment") {
     val root = freshDb()
     val outside = freshDb()

@@ -132,6 +132,56 @@ class LibrarySpec extends AnyFunSuite {
       db.importFrame("nope", Seq((1L, 1L)).toDF("timestamp", "value")))
   }
 
+  test("recordGrouped: per-group derived streams, null group, rejections phantom-free") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftdb_rg").toString
+    val db = new GraftDb(spark, dir)
+    // two labeled series plus one WITHOUT the label (the null group).
+    // The bare stream ingests FIRST — once labeled siblings exist the
+    // bare selector names all three (importFrame's exactly-1 rule)
+    db.createStream("req", VType.F64)
+    db.importFrame("req", Seq((30L, 32d)).toDF("timestamp", "value"))
+    db.createStream("""req{svc="a"}""", VType.F64)
+    db.createStream("""req{svc="b"}""", VType.F64)
+    db.importFrame("""req{svc="a"}""",
+      Seq((10L, 1d), (20L, 2d), (30L, 4d)).toDF("timestamp", "value"))
+    db.importFrame("""req{svc="b"}""",
+      Seq((10L, 8d)).toDF("timestamp", "value"))
+    val n = db.recordGrouped("req_sum", "sum_over_time(req[20ms])",
+      graft.tsdb.Expr.Grouping(by = true, List("svc")), 20L, 40L, 20L)
+    // windows (0,20] / (20,40]: a → 3 / 4; b → 8 / -; null → - / 32
+    assert(n == 4L)
+    // per-group streams exist, the null group WITHOUT the label
+    val defs = db.streams().filter(_.name == "req_sum")
+    assert(defs.map(_.labels).toSet == Set(
+      Map("svc" -> "a"), Map("svc" -> "b"), Map.empty[String, String]))
+    // per-series read-back through normal selectors
+    def series(sel: String) = db.query(sel, 0L, 100L).output
+      .orderBy("timestamp").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(series("""req_sum{svc="a"}""").toSeq == Seq(20L -> 3d, 40L -> 4d))
+    assert(series("""req_sum{svc="b"}""").toSeq == Seq(20L -> 8d))
+    assert(series("""req_sum{svc=""}""").toSeq == Seq(40L -> 32d))
+    // and the grouped rollup composes over the derived family
+    val roll = db.query("sum by (svc) (req_sum)", 0L, 100L).output
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1))).toSet
+    assert(roll == Set(Some("a") -> 7d, Some("b") -> 8d,
+      (None: Option[String]) -> 32d), roll)
+    // occupied window rejects (name-level probe covers every group)
+    val dup = intercept[IllegalArgumentException](
+      db.recordGrouped("req_sum", "sum_over_time(req[20ms])",
+        graft.tsdb.Expr.Grouping(by = true, List("svc")), 20L, 40L, 20L))
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+    // `without` and labeled targets reject BEFORE any write; a failed
+    // rule leaves no phantom streams
+    intercept[IllegalArgumentException](
+      db.recordGrouped("req_w", "sum_over_time(req[20ms])",
+        graft.tsdb.Expr.Grouping(by = false, List("svc")), 50L, 60L, 10L))
+    intercept[IllegalArgumentException](
+      db.recordGrouped("""req_l{x="1"}""", "sum_over_time(req[20ms])",
+        graft.tsdb.Expr.Grouping(by = true, List("svc")), 50L, 60L, 10L))
+    assert(!db.streams().exists(d => d.name == "req_w" || d.name == "req_l"))
+  }
+
   test("GraftDb csv import + export round-trip") {
     val dir = Files.createTempDirectory("graftcsv").toString
     val csv = Files.createTempDirectory("csvin").resolve("s.csv")
