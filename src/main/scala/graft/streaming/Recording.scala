@@ -63,15 +63,7 @@ object Recording {
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       sourceOptions: Map[String, String] =
         Map("maxFileAge" -> "36500d")): DataStreamWriter[Row] = {
-    val aggCol = kind match {
-      case "sum" => sum(col("value"))
-      case "avg" => avg(col("value"))
-      case "min" => min(col("value"))
-      case "max" => max(col("value"))
-      case "count" => count(lit(1)).cast("double")
-      case other => throw new IllegalArgumentException(
-        s"kind must be sum|avg|min|max|count, got $other")
-    }
+    val aggCol = windowAgg(kind)
     // the target must exist BEFORE the first commit so concurrent
     // readers resolve it; created F64 like the batch record (the
     // write-side selector validation — literal name, equality
@@ -94,6 +86,17 @@ object Recording {
       }
   }
 
+  /** The per-window statistic column. */
+  private def windowAgg(kind: String) = kind match {
+    case "sum" => sum(col("value"))
+    case "avg" => avg(col("value"))
+    case "min" => min(col("value"))
+    case "max" => max(col("value"))
+    case "count" => count(lit(1)).cast("double")
+    case other => throw new IllegalArgumentException(
+      s"kind must be sum|avg|min|max|count, got $other")
+  }
+
   /** Idempotent append of one sealed-window batch (the foreachBatch
     * body, named so the replay contract is spec-testable without
     * orchestrating a mid-commit crash): rows whose timestamp the
@@ -111,5 +114,67 @@ object Recording {
       .df.select(col("timestamp"))
     db.importFrame(targetSelector,
       batch.join(existing, Seq("timestamp"), "left_anti"))
+  }
+
+  /** GROUPED continuous rule — the streaming twin of
+    * [[graft.tsdb.GraftDb.recordGrouped]], as [[rule]] is of `record`:
+    * windows aggregate per (window, label tuple) and every group's
+    * sealed windows append as its own `targetName{labels…}` series
+    * (labels survive recording, Prometheus' rule shape). State bounds
+    * by open windows × groups; new groups register on first
+    * appearance (inside the idempotent batch apply). Same
+    * effectively-once contract as [[rule]], with (group, window-end)
+    * as the key.
+    */
+  def groupedRule(db: GraftDb, sourceName: String, targetName: String,
+      byLabels: Seq[String], windowMs: Long, latenessMs: Long,
+      checkpointDir: String, kind: String = "sum",
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      sourceOptions: Map[String, String] =
+        Map("maxFileAge" -> "36500d")): DataStreamWriter[Row] = {
+    require(byLabels.nonEmpty, "groupedRule takes at least one by-label")
+    db.tailStream(sourceOptions)
+      .where(col("name") === sourceName)
+      .withColumn("etime", timestamp_millis(col("timestamp")))
+      .withWatermark("etime", s"$latenessMs milliseconds")
+      .groupBy(window(col("etime"), s"$windowMs milliseconds") +:
+        byLabels.map(l => element_at(col("labels"), l).as(l)): _*)
+      .agg(windowAgg(kind).as("value"))
+      .select(byLabels.map(col) ++ Seq(
+        unix_millis(col("window.end")).as("timestamp"),
+        col("value").cast("double").as("value")): _*)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        applyGroupedBatch(db, targetName, byLabels, batch)
+      }
+  }
+
+  /** [[applyBatch]]'s grouped twin: idempotent on the (group label
+    * set, window-end) key. Spark cannot join on MAP equality, so both
+    * sides key on the canonical `k=v,k=v` label string
+    * ([[graft.tsdb.LabelCodec.canonCol]] — the `without` group-key
+    * codec, collision-free by escaping). The existing-read is the
+    * target NAME's rows in the batch's own time span (bucket-pruned,
+    * batch-sized).
+    */
+  def applyGroupedBatch(db: GraftDb, targetName: String,
+      byLabels: Seq[String],
+      batch: org.apache.spark.sql.DataFrame): Unit = {
+    val span = batch.agg(min(col("timestamp")), max(col("timestamp"))).head()
+    if (span.isNullAt(0)) return
+    val batchLabels = map_filter(
+      map(byLabels.flatMap(l => Seq(lit(l), col(l))): _*),
+      (_, v) => v.isNotNull)
+    val existing = db.scanNamed(targetName, span.getLong(0), span.getLong(1))
+      .select(col("timestamp"),
+        graft.tsdb.LabelCodec.canonCol(col("labels")).as("_ck"))
+    val fresh = batch
+      .withColumn("_ck", graft.tsdb.LabelCodec.canonCol(batchLabels))
+      .join(existing, Seq("timestamp", "_ck"), "left_anti")
+      .drop("_ck")
+    db.appendGroupedFrame(targetName, byLabels, fresh)
   }
 }

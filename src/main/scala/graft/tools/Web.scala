@@ -528,6 +528,26 @@ object Web {
             cols.map(col(_).asc): _*))
         aggregate(kind, child, Some(gr),
           df => df.withColumn("_rk", rank).where(col("_rk") <= k).drop("_rk"))
+      case GetK(_, kExpr, child, Some(g)) =>
+        // `topk by (s) (k, m)` — WITHIN-group top-k: each group is ONE
+        // pooled series, so k ≥ 1 is the identity (exactly Prometheus'
+        // one-series-group answer) and k = 0 empties; contrast with
+        // `topk(k, sum by (s) (m))`, the ACROSS-groups ranking above
+        val k = kExpr match {
+          case NumberLit(v) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"topk/bottomk k must be a numeric literal over the API " +
+              s"bridge, got: $other")
+        }
+        val inner = child match {
+          case rf @ RangeFn(_, _: MatrixSelector, _) => rf
+          case sel: Selector =>
+            RangeFn(FnLastOverTime, MatrixSelector(sel, stepMs), Nil)
+          case other => throw new IllegalArgumentException(
+            s"the API bridge ranks a selector or a range function over " +
+              s"a matrix selector, got: $other")
+        }
+        grouped(g, inner, df => if (k <= 0) df.limit(0) else df)
       case sel: Selector =>
         ungrouped(RangeFn(FnLastOverTime, MatrixSelector(sel, stepMs), Nil))
       case other =>

@@ -773,7 +773,7 @@ final class TsdbEngine(
     }
   }
 
-  /** Inverse of [[escapeLabelCol]] for re-opening the canonical group
+  /** Inverse of [[LabelCodec.escapeCol]] for re-opening the canonical group
     * string: decode the six codes, `%25` LAST (escape encoded `%`
     * first, so any `%XX` in the canonical is one of these six).
     */
@@ -1146,26 +1146,14 @@ final class TsdbEngine(
         if (g.labels.isEmpty) col("labels")
         else map_filter(col("labels"),
           (k, _) => !k.isInCollection(g.labels))
-      val canon = array_join(
-        transform(array_sort(map_keys(mf)),
-          k => concat(escapeLabelCol(k), lit("="),
-            escapeLabelCol(element_at(mf, k)))), ",")
-      (Seq("labels"), Seq(canon.as("labels")))
+      (Seq("labels"), Seq(LabelCodec.canonCol(mf).as("labels")))
     }
   }
 
-  /** [[LabelCodec.escape]] as a Column — percent-encodes the canonical
-    * group string's structural characters (`%` first, then `=`, `,`,
-    * tab, LF, CR; uppercase hex, byte-for-byte the codec's output).
-    * Prometheus label values are arbitrary UTF-8, so the `without`
-    * canonical key must escape exactly like the catalog lines do; clean
-    * values pass through unchanged, so well-behaved corpora keep their
-    * r10 group strings.
-    */
-  private def escapeLabelCol(c: Column): Column =
-    Seq("%" -> "%25", "=" -> "%3D", "," -> "%2C",
-        "\t" -> "%09", "\n" -> "%0A", "\r" -> "%0D")
-      .foldLeft(c) { case (acc, (ch, enc)) => replace(acc, lit(ch), lit(enc)) }
+  // (the `without` canonical escaping lives in LabelCodec.escapeCol /
+  // canonCol since round 12 — shared with the grouped-recording join
+  // keys, so the sites cannot drift; unescapeLabelCol below stays the
+  // engine-side inverse for re-opening canonical strings)
 
   private def groupedVector(child: Expr, g: Grouping,
       start: Long, end: Long): (DataFrame, Seq[String]) = {

@@ -615,36 +615,54 @@ final class GraftDb(
         "record a disjoint window)")
     val df = engine().queryRangeBy(PromParser.parse(promql), grouping,
       startMs, endMs, stepMs)
-    val gCols = grouping.labels
     val frame = df.persist()
     try {
-      // group registration: the distinct label tuples, driver-side —
-      // group-count-sized. Null group values mean ABSENT labels.
-      val groups = frame.select(gCols.map(col): _*).distinct().collect()
-        .map(r => gCols.zipWithIndex.flatMap { case (c, i) =>
-          Option(r.getString(i)).map(c -> _)
-        }.toMap)
       val n = frame.count()
-      groups.foreach { ls =>
-        if (!streams().exists(d => d.name == tname && d.labels == ls))
-          registerStream(tname, ls, VType.F64)
-      }
-      // one distributed append for every group's samples
-      val labelsCol = map_filter(
-        map(gCols.flatMap(c => Seq(lit(c), col(c))): _*),
-        (_, v) => v.isNotNull)
-      frame.select(lit(tname).as("name"), labelsCol.as("labels"),
-          col("timestamp").cast("long").as("timestamp"),
-          col("value").cast("double").as("value"),
-          lit(null).cast("long").as("lvalue"))
-        .withColumn("bucket",
-          col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
-        .hint("rebalance", col("name"), col("bucket"))
-        .write.mode(SaveMode.Append).partitionBy("name", "bucket")
-        .parquet(dataDir)
+      appendGroupedFrame(tname, grouping.labels, frame)
       n
     } finally frame.unpersist()
   }
+
+  /** Register every distinct group label set in `frame` (driver-side —
+    * group-count-sized; null group values mean ABSENT labels) and
+    * append all rows in ONE distributed rebalance-keyed write. `frame`
+    * columns: gCols..., timestamp, value. Shared by [[recordGrouped]]
+    * and the continuous grouped rule
+    * ([[graft.streaming.Recording.groupedRule]]).
+    */
+  private[graft] def appendGroupedFrame(tname: String, gCols: Seq[String],
+      frame: DataFrame): Unit = {
+    val groups = frame.select(gCols.map(col): _*).distinct().collect()
+      .map(r => gCols.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.getString(i)).map(c -> _)
+      }.toMap)
+    groups.foreach { ls =>
+      if (!streams().exists(d => d.name == tname && d.labels == ls))
+        registerStream(tname, ls, VType.F64)
+    }
+    val labelsCol = map_filter(
+      map(gCols.flatMap(c => Seq(lit(c), col(c))): _*),
+      (_, v) => v.isNotNull)
+    frame.select(lit(tname).as("name"), labelsCol.as("labels"),
+        col("timestamp").cast("long").as("timestamp"),
+        col("value").cast("double").as("value"),
+        lit(null).cast("long").as("lvalue"))
+      .withColumn("bucket",
+        col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
+      .hint("rebalance", col("name"), col("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("name", "bucket")
+      .parquet(dataDir)
+  }
+
+  /** Name-pruned raw scan WITH the labels column, bounded to
+    * [loMs, hiMs] — the grouped recording paths' existing-read
+    * ([[query]] projects labels away).
+    */
+  private[graft] def scanNamed(name: String, loMs: Long,
+      hiMs: Long): DataFrame =
+    dataset().where(col("name") === name &&
+        col("timestamp") >= loMs && col("timestamp") <= hiMs)
+      .select("labels", "timestamp", "value")
 
   /** Bulk CSV import (tachyon_cli/src/main.rs:247-296): header
     * `Timestamp,Value`, one stream per file.

@@ -51,6 +51,28 @@ object LabelCodec {
   def unescape(s: String): String =
     graft.sources.GraftSource.unescapePathName(s)
 
+  /** [[escape]] as a Column — percent-encodes the structural set (`%`
+    * first, then `=`, `,`, tab, LF, CR; uppercase hex), byte-for-byte
+    * the string codec's output. Shared by the engine's `without`
+    * canonical group key and the grouped-recording join keys, so the
+    * three sites cannot drift.
+    */
+  def escapeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, replace}
+    Seq("%" -> "%25", "=" -> "%3D", "," -> "%2C",
+        "\t" -> "%09", "\n" -> "%0A", "\r" -> "%0D")
+      .foldLeft(c) { case (acc, (ch, enc)) => replace(acc, lit(ch), lit(enc)) }
+  }
+
+  /** A label MAP column → its canonical `k=v,k=v` string (sorted keys,
+    * escaped) — [[encodeLabels]] as a Column; "" for the empty map.
+    */
+  def canonCol(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    array_join(transform(array_sort(map_keys(m)),
+      k => concat(escapeCol(k), lit("="), escapeCol(element_at(m, k)))), ",")
+  }
+
   /** Labels → the catalog's `k=v,k=v` field (sorted by key, escaped). */
   def encodeLabels(labels: Map[String, String]): String =
     labels.toSeq.sortBy(_._1)

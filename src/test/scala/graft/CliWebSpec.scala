@@ -437,6 +437,14 @@ class CliWebSpec extends AnyFunSuite {
       val mixed = rangeQ("sum by (service) (req) / sum by (dc) (req)")
       assert(mixed.statusCode() == 400 &&
         mixed.body().contains("same"), mixed.body())
+      // WITHIN-group topk: one pooled series per group → k ≥ 1 is the
+      // identity (last sample per step), k = 0 empties
+      val within = rangeQ("topk by (service) (1, req)")
+      assert(within.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"2.0"],[0.04,"4.0"]]}"""),
+        within.body())
+      val withinZero = rangeQ("topk by (service) (0, req)")
+      assert(!withinZero.body().contains("values\":[["), withinZero.body())
     } finally server.stop(0)
   }
 

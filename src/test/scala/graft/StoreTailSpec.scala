@@ -126,6 +126,49 @@ class StoreTailSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 3L)
   }
 
+  test("grouped continuous rule: per-group sealed windows append as labeled series") {
+    val root = Files.createTempDirectory("graft_rec_grp").toString
+    val ckpt = Files.createTempDirectory("graft_rec_grp_ckpt").toString
+    val db = new GraftDb(spark, root)
+    db.createStream("m{svc=\"a\"}", VType.F64)
+    db.createStream("m{svc=\"b\"}", VType.F64)
+    def round(): Unit = {
+      val run = graft.streaming.Recording.groupedRule(db, "m", "m_sum_g",
+        Seq("svc"), windowMs = 20L, latenessMs = 5L, checkpointDir = ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      run.awaitTermination()
+    }
+    val a = db.inserter("m{svc=\"a\"}")
+    Seq(5L -> 1d, 15L -> 2d, 25L -> 4d).foreach { case (t, v) => a.insert(t, v) }
+    a.flush()
+    val b = db.inserter("m{svc=\"b\"}")
+    b.insert(15L, 10d)
+    b.flush()
+    round() // everything still open
+    a.insert(60L, 8d) // watermark → 55 seals [0,20) and [20,40) for ALL groups
+    a.flush()
+    round()
+    def series(sel: String) = db.query(sel, 0L, 1000L).output
+      .orderBy("timestamp").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(series("m_sum_g{svc=\"a\"}") == Seq(20L -> 3d, 40L -> 4d),
+      series("m_sum_g{svc=\"a\"}"))
+    assert(series("m_sum_g{svc=\"b\"}") == Seq(20L -> 10d),
+      series("m_sum_g{svc=\"b\"}"))
+    // the derived family composes under grouping
+    val roll = db.query("sum by (svc) (m_sum_g)", 0L, 1000L).output
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(roll == Set("a" -> 7d, "b" -> 10d), roll)
+    // idempotent grouped apply: a replayed batch (even with one NEW
+    // group mixed in) appends only the missing (group, window) rows
+    import spark.implicits._
+    graft.streaming.Recording.applyGroupedBatch(db, "m_sum_g", Seq("svc"),
+      Seq(("a", 20L, 3d), ("c", 20L, 5d)).toDF("svc", "timestamp", "value"))
+    assert(series("m_sum_g{svc=\"a\"}") == Seq(20L -> 3d, 40L -> 4d))
+    assert(series("m_sum_g{svc=\"c\"}") == Seq(20L -> 5d))
+    assert(db.streams().exists(d =>
+      d.name == "m_sum_g" && d.labels == Map("svc" -> "c")))
+  }
+
   test("continuous recording survives a kill between append and checkpoint commit without duplicates") {
     val root = Files.createTempDirectory("graft_rec_replay").toString
     val ckpt = Files.createTempDirectory("graft_rec_replay_ckpt").toString
