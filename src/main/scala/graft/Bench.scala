@@ -55,14 +55,21 @@ object Bench {
     // ts98's recorded store: the build (bulk ingest + record) is a
     // one-time LINEAR cost — reported as its own metric like the dsv2
     // store, so the gate times the derived-stream read-back it covers
-    val recordBuildSec =
-      if (!only.forall(o => o.contains("ts98_recording_rule") ||
-        o.contains("ts103_record_grouped"))) -1.0
-      else try graft.queries.TimeSeries.prepareRecordedStore(spark, sfDir)
-      catch { case e: Throwable =>
+    val recordBuildSec = {
+      val plain = only.forall(_.contains("ts98_recording_rule"))
+      val grouped = only.forall(_.contains("ts103_record_grouped"))
+      if (!plain && !grouped) -1.0
+      else try {
+        // each selected gate pays exactly its own store's build
+        (if (plain) graft.queries.TimeSeries.prepareRecordedStore(spark, sfDir)
+         else 0.0) +
+          (if (grouped) graft.queries.TimeSeries
+            .prepareRecordedGroupedStore(spark, sfDir) else 0.0)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] recorded store build failed: ${e.getMessage}")
         -1.0
       }
+    }
 
     // Full-pack runs build every SHARED pass up front, TIMED, each
     // reported as its own "shared" line — so per-query numbers measure

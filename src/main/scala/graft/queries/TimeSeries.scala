@@ -222,14 +222,20 @@ object TimeSeries {
     new graft.tsdb.GraftDb(s, path)
   }
 
-  /** Bench prep hook: build ts98's recorded store and ts103's grouped
+  /** Bench prep hooks: build ts98's recorded store / ts103's grouped
     * twin untimed (the bulk ingest + record is a one-time linear cost
     * reported as its own metric, like the DSv2 store); the gates then
-    * time the derived-stream read-back they cover.
+    * time the derived-stream read-back they cover. SEPARATE hooks so a
+    * single-gate run never pays — or reports — the other store's build.
     */
   def prepareRecordedStore(s: SparkSession, dir: String): Double = {
     val t0 = System.nanoTime()
     recordedDb(s, dir)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def prepareRecordedGroupedStore(s: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
     recordedGroupedDb(s, dir)
     (System.nanoTime() - t0) / 1e9
   }

@@ -110,8 +110,12 @@ object Recording {
       batch: org.apache.spark.sql.DataFrame): Unit = {
     val span = batch.agg(min(col("timestamp")), max(col("timestamp"))).head()
     if (span.isNullAt(0)) return // empty batch (trigger with no sealed windows)
-    val existing = db.query(targetSelector, span.getLong(0), span.getLong(1))
-      .df.select(col("timestamp"))
+    // LABEL-EXACT existing-read (scanStream), not the pooled matcher
+    // query: the read enforces importFrame's exactly-1 resolution (an
+    // ambiguous target fails loudly BEFORE the anti-join could consume
+    // a sibling's samples) and sees precisely the rows the write owns
+    val existing = db.scanStream(targetSelector,
+      span.getLong(0), span.getLong(1)).select(col("timestamp"))
     db.importFrame(targetSelector,
       batch.join(existing, Seq("timestamp"), "left_anti"))
   }
@@ -171,10 +175,16 @@ object Recording {
     val existing = db.scanNamed(targetName, span.getLong(0), span.getLong(1))
       .select(col("timestamp"),
         graft.tsdb.LabelCodec.canonCol(col("labels")).as("_ck"))
+    // persisted: appendGroupedFrame reads the frame twice (the
+    // group-registration distinct and the write) — without the cache
+    // every trigger would run the anti-join INCLUDING the store
+    // existing-read twice on the streaming hot path
     val fresh = batch
       .withColumn("_ck", graft.tsdb.LabelCodec.canonCol(batchLabels))
       .join(existing, Seq("timestamp", "_ck"), "left_anti")
       .drop("_ck")
-    db.appendGroupedFrame(targetName, byLabels, fresh)
+      .persist()
+    try db.appendGroupedFrame(targetName, byLabels, fresh)
+    finally fresh.unpersist()
   }
 }

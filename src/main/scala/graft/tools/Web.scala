@@ -319,16 +319,31 @@ object Web {
     */
   private def checkUnderRoot(path: String, dbRoot: Option[String]): String = {
     dbRoot.foreach { root =>
-      def real(p0: java.nio.file.Path): java.nio.file.Path = {
+      import java.nio.file.{Files, LinkOption, Path}
+      // Existence probes NOFOLLOW: a DANGLING symlink must count as the
+      // deepest existing component and get its target resolved by hand
+      // — Files.exists() follows links, so a dangling one would read as
+      // "not there yet", be re-appended lexically onto the real root,
+      // and pass containment while the filesystem later CREATES the
+      // store through the link, outside the root.
+      def real(p0: Path, depth: Int = 0): Path = {
+        require(depth < 40, s"symlink chain too deep resolving: $p0")
         var existing = p0
         var rest = List.empty[String]
-        while (existing != null && !java.nio.file.Files.exists(existing)) {
+        while (existing != null &&
+            !Files.exists(existing, LinkOption.NOFOLLOW_LINKS)) {
           rest = existing.getFileName.toString :: rest
           existing = existing.getParent
         }
-        val base =
-          if (existing == null) p0.getRoot else existing.toRealPath()
-        rest.foldLeft(base)(_.resolve(_)).normalize
+        if (existing == null)
+          rest.foldLeft(p0.getRoot)(_.resolve(_)).normalize
+        else if (Files.isSymbolicLink(existing)) {
+          val target = Files.readSymbolicLink(existing)
+          val resolved =
+            if (target.isAbsolute) target
+            else existing.getParent.resolve(target)
+          real(rest.foldLeft(resolved)(_.resolve(_)).normalize, depth + 1)
+        } else rest.foldLeft(existing.toRealPath())(_.resolve(_)).normalize
       }
       val canonical = real(java.nio.file.Paths.get(root).toAbsolutePath)
       val requested = real(java.nio.file.Paths.get(path).toAbsolutePath)
@@ -474,44 +489,56 @@ object Web {
         s"the API bridge aggregates a selector or a range function " +
           s"over a matrix selector, got: $other")
     }
-    // map a COMPOSED grouped tree — binary/set/instant math over
-    // grouped aggregates, literals welcome — into (shared grouping,
-    // inner expr) for ONE grouped sliding evaluation: the ratio panel
-    // `sum by (s) (err) / sum by (s) (req)` and the masking idiom
-    // `sum by (s) (m) unless (count by (s) (m) > 1)`. None = the tree
-    // holds no grouped aggregate (the ungrouped paths own it).
-    def groupedTree(e: Expr): Option[(Grouping, Expr)] = e match {
-      case Aggregate(k, c, Some(g)) => Some((g, bridgeInner(k, c)))
+    // map a COMPOSED aggregate tree — binary/set/instant math over
+    // aggregates, grouped OR ungrouped, literals welcome — into
+    // (grouping, inner expr) for ONE sliding evaluation: the ratio
+    // panels `sum by (s) (err) / sum by (s) (req)` AND the ungrouped
+    // staple `sum(rate(err[5m])) / sum(rate(req[5m]))`, the masking
+    // idiom `sum by (s) (m) unless (count by (s) (m) > 1)`. None = no
+    // aggregate anywhere in the tree (the plain sliding paths own it).
+    // An aggregate-free side (literals always; any sliding shape when
+    // the evaluation is UNGROUPED) rides along raw; grouped × raw
+    // rejects — no shared key in the pooled-series model.
+    def composedTree(e: Expr): Option[(Option[Grouping], Expr)] = e match {
+      case Aggregate(k, c, g) => Some((g, bridgeInner(k, c)))
       case BinaryOp(kind, l, r, None) =>
-        (groupedTree(l), groupedTree(r)) match {
+        def mixed(other: Expr): Nothing = throw new IllegalArgumentException(
+          s"grouped and ungrouped operands cannot compose over the " +
+            s"API bridge (no shared key in the pooled-series model): " +
+            s"$other")
+        (composedTree(l), composedTree(r)) match {
           case (Some((gl, le)), Some((gr, re))) =>
             require(gl == gr, "grouped operands must share the same " +
               s"grouping over the API bridge: $gl vs $gr")
             Some((gl, BinaryOp(kind, le, re)))
-          case (Some((g, le)), None) => r match {
-            case n: NumberLit => Some((g, BinaryOp(kind, le, n)))
-            case other => throw new IllegalArgumentException(
-              s"grouped and ungrouped operands cannot compose over the " +
-                s"API bridge (no shared key in the pooled-series " +
-                s"model): $other")
-          }
-          case (None, Some((g, re))) => l match {
-            case n: NumberLit => Some((g, BinaryOp(kind, n, re)))
-            case other => throw new IllegalArgumentException(
-              s"grouped and ungrouped operands cannot compose over the " +
-                s"API bridge (no shared key in the pooled-series " +
-                s"model): $other")
-          }
+          case (Some((g, le)), None) =>
+            if (g.isEmpty || r.isInstanceOf[NumberLit])
+              Some((g, BinaryOp(kind, le, r)))
+            else mixed(r)
+          case (None, Some((g, re))) =>
+            if (g.isEmpty || l.isInstanceOf[NumberLit])
+              Some((g, BinaryOp(kind, l, re)))
+            else mixed(l)
           case (None, None) => None
         }
       case InstantFn(k, c, args) =>
-        groupedTree(c).map { case (g, ce) => (g, InstantFn(k, ce, args)) }
+        composedTree(c).map { case (g, ce) => (g, InstantFn(k, ce, args)) }
       case _ => None
     }
+    // composition roots dispatch ONCE (walking twice would re-run
+    // composedTree's validation); single Aggregate roots stay on the
+    // more capable aggregate() arm (its pooledIdentity covers the
+    // count→1/stddev→0 transforms bridgeInner can't express)
+    val composed = ast match {
+      case e @ (_: BinaryOp | _: InstantFn) => composedTree(e)
+      case _ => None
+    }
+    composed match {
+      case Some((Some(g), inner)) => return grouped(g, inner)
+      case Some((None, inner)) => return ungrouped(inner)
+      case None => ()
+    }
     ast match {
-      case e @ (_: BinaryOp | _: InstantFn) if groupedTree(e).isDefined =>
-        val (g, inner) = groupedTree(e).get
-        grouped(g, inner)
       case Aggregate(kind, child, g) =>
         aggregate(kind, child, g)
       case GetK(top, kExpr, Aggregate(kind, child, Some(gr)), None) =>

@@ -175,6 +175,12 @@ final class TsdbEngine(
       // row-local value maps compose over the sliding vector unchanged
       slidingEval(child, startMs, endMs, stepMs).withColumn("value",
         TsdbEngine.instantColumn(kind, fnArgs, col("value").cast("double")))
+    case BinaryOp(kind, lhs, rhs, None)
+        if isSetOp(kind) &&
+          (lhs.isInstanceOf[NumberLit] || rhs.isInstanceOf[NumberLit]) =>
+      throw new IllegalArgumentException(
+        "set operators (and/or/unless) take vector operands, not " +
+          "scalars (the Prometheus rule)")
     case BinaryOp(kind, NumberLit(v), rhs, None) =>
       val r = slidingEval(rhs, startMs, endMs, stepMs)
       if (isComparison(kind)) r.where(cmp(kind, lit(v), col("value")))
@@ -1350,6 +1356,12 @@ final class TsdbEngine(
       case InstantFn(kind, child, args) =>
         ge(child).withColumn("value",
           TsdbEngine.instantColumn(kind, args, col("value").cast("double")))
+      case BinaryOp(kind, lhs, rhs, None)
+          if isSetOp(kind) &&
+            (lhs.isInstanceOf[NumberLit] || rhs.isInstanceOf[NumberLit]) =>
+        throw new IllegalArgumentException(
+          "set operators (and/or/unless) take vector operands, not " +
+            "scalars (the Prometheus rule)")
       case BinaryOp(kind, NumberLit(v), rhs, None) =>
         val r = ge(rhs)
         if (isComparison(kind)) r.where(cmp(kind, lit(v), col("value")))

@@ -664,6 +664,28 @@ final class GraftDb(
         col("timestamp") >= loMs && col("timestamp") <= hiMs)
       .select("labels", "timestamp", "value")
 
+  /** Exactly-one-stream bounded scan (timestamp, value) — LABEL-EXACT,
+    * matching what [[importFrame]] writes to, and enforcing the SAME
+    * exactly-1 resolution contract on the read side: an ambiguous
+    * target selector (same-name siblings) fails loudly HERE, before
+    * the anti-join could consume a sibling's samples, instead of at
+    * the write. Matcher semantics would also admit SUPERSET-labeled
+    * siblings' rows; canonical-string equality excludes them. Map
+    * columns can't be equality predicates, so the filter keys on the
+    * canonical label string.
+    */
+  private[graft] def scanStream(selector: String, loMs: Long,
+      hiMs: Long): DataFrame = {
+    val (name, labels) = parseSelector(selector)
+    val hits = resolve(name, labels)
+    require(hits.size == 1,
+      s"selector must match exactly 1 stream, got ${hits.size}")
+    scanNamed(name, loMs, hiMs)
+      .where(LabelCodec.canonCol(col("labels")) ===
+        lit(LabelCodec.encodeLabels(hits.head.labels)))
+      .select("timestamp", "value")
+  }
+
   /** Bulk CSV import (tachyon_cli/src/main.rs:247-296): header
     * `Timestamp,Value`, one stream per file.
     */

@@ -100,17 +100,22 @@ object PromParser {
         // duration (5m, 1h30m…) or plain number
         durRe.findPrefixMatchOf(q.substring(i)) match {
           case Some(m) if !numRe.findPrefixMatchOf(q.substring(i)).exists(_.end > m.end) =>
-            // consume a chain of duration parts: 1h30m
-            var ms = 0L
+            // consume a chain of duration parts (1h30m), delegating
+            // the value to durationMs — THE one duration grammar, so
+            // the query surface rejects "5m5m"/"30m1h" exactly like
+            // the HTTP step params do (Prometheus' unit-order rule)
             var rest = q.substring(i)
             var consumed = 0
             var continue = true
             while (continue) durRe.findPrefixMatchOf(rest) match {
               case Some(d) =>
-                ms += d.group(1).toLong * unitMs(d.group(2))
                 consumed += d.end; rest = rest.substring(d.end)
               case None => continue = false
             }
+            val text = q.substring(i, i + consumed)
+            val ms = durationMs(text).getOrElse(throw new PromParseException(
+              s"bad duration '$text' (units must descend, each at most " +
+                s"once) in: $q"))
             i += consumed
             toks += TDur(ms)
           case _ =>

@@ -433,6 +433,17 @@ class CliWebSpec extends AnyFunSuite {
         """{"metric":{"service":"mob"},"values":[[0.02,"8.0"]]}"""),
         thresh.body())
       assert(!thresh.body().contains("web"), thresh.body())
+      // the composed UNGROUPED staple: sum/count window stats over the
+      // one pooled series — (0,20]: 11-3=8, (20,40]: 4-1=3
+      val ungComposed = rangeQ("sum(req) - count(req)")
+      assert(ungComposed.statusCode() == 200, ungComposed.body())
+      assert(ungComposed.body().contains(
+        """{"metric":{},"values":[[0.02,"8.0"],[0.04,"3.0"]]}"""),
+        ungComposed.body())
+      // set operators with scalar operands reject with Prometheus' rule
+      val setScalar = rangeQ("sum by (service) (req) unless 5")
+      assert(setScalar.statusCode() == 400 &&
+        setScalar.body().contains("not scalars"), setScalar.body())
       // mismatched groupings reject with guidance
       val mixed = rangeQ("sum by (service) (req) / sum by (dc) (req)")
       assert(mixed.statusCode() == 400 &&
@@ -515,6 +526,22 @@ class CliWebSpec extends AnyFunSuite {
         HttpResponse.BodyHandlers.ofString())
       assert(resp.statusCode() == 400 &&
         resp.body().contains("outside db root"), s"${resp.statusCode()} ${resp.body()}")
+      // a DANGLING symlink (target not created yet) must also fail —
+      // Files.exists() follows links, so a naive walk would treat it
+      // as a not-yet-existing component and let the store be CREATED
+      // through the link, outside the root
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(root, "dangle"),
+        java.nio.file.Paths.get(outside, "newdir"))
+      val dang = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"path": "$root/dangle", "query": "secret", "start": 0, "end": 9}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(dang.statusCode() == 400 &&
+        dang.body().contains("outside db root"),
+        s"${dang.statusCode()} ${dang.body()}")
       // a REAL subdirectory still resolves fine under the same check
       val sub = s"$root/realdb"
       new graft.tsdb.GraftDb(spark, sub).createStream("ok", graft.tsdb.VType.F64)

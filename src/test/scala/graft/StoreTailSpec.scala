@@ -124,6 +124,18 @@ class StoreTailSpec extends AnyFunSuite {
       spark.emptyDataset[(Long, Double)].toDF("timestamp", "value"))
     assert(db.query("count(d)", 0L, 1000L).output
       .collect().head.getLong(0) == 3L)
+    // a same-name SIBLING makes the bare target selector AMBIGUOUS:
+    // the rule fails LOUDLY on the idempotency read (the same
+    // exactly-1 contract importFrame enforces on the write) — never a
+    // pooled read that silently anti-joins the rule's own windows away
+    // against a sibling's samples
+    db.createStream("""d{src="other"}""", VType.F64)
+    db.importFrame("""d{src="other"}""",
+      Seq((80L, 99d)).toDF("timestamp", "value"))
+    val amb = intercept[IllegalArgumentException](
+      graft.streaming.Recording.applyBatch(db, "d",
+        Seq((80L, 7d)).toDF("timestamp", "value")))
+    assert(amb.getMessage.contains("exactly 1"), amb.getMessage)
   }
 
   test("grouped continuous rule: per-group sealed windows append as labeled series") {

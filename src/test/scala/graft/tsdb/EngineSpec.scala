@@ -702,6 +702,15 @@ class EngineSpec extends AnyFunSuite {
       byDc, 20, 40, 20))
     intercept[IllegalArgumentException](
       e.queryRangeBy("req", byDc, 20, 40, 20))
+    // set operators take vector operands, not scalars — in the grouped
+    // AND ungrouped sliding evaluators (the NumberLit arithmetic arms
+    // must not swallow them into "not arithmetic" internal errors)
+    val se1 = intercept[IllegalArgumentException](e.queryRangeBy(
+      "sum_over_time(req[20ms]) unless 5", byDc, 20, 40, 20))
+    assert(se1.getMessage.contains("not scalars"), se1.getMessage)
+    val se2 = intercept[IllegalArgumentException](e.queryRange(
+      "count_over_time(req[20ms]) and 2", 20, 40, 20))
+    assert(se2.getMessage.contains("not scalars"), se2.getMessage)
   }
 
   test("grouping rejections: double clause, composition, bad children") {

@@ -299,6 +299,12 @@ class ParserRoundTripSpec extends AnyFunSuite {
     assert(PromParser.durationMs("5m5m").isEmpty)
     assert(PromParser.durationMs("1s500ms").isDefined)
     assert(PromParser.durationMs("500ms1s").isEmpty)
+    // the QUERY surface shares the law (the tokenizer delegates):
+    // a step param and a range literal must agree on what parses
+    assert(PromParser.parse("rate(m[1h30m])") ==
+      RangeFn(FnRate, MatrixSelector(Selector("m", Nil, None, 0), 5400000L)))
+    intercept[PromParseException](PromParser.parse("rate(m[5m5m])"))
+    intercept[PromParseException](PromParser.parse("rate(m[30m1h])"))
   }
 
   test("parseSeriesSelector permits namelessness, still rejects conflicts and non-selectors") {
