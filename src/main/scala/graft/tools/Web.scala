@@ -408,10 +408,13 @@ object Web {
       case AggStddev => (FnStddevOverTime, Nil)
       case AggStdvar => (FnStdvarOverTime, Nil)
       case AggQuantile(phi) => (FnQuantileOverTime, List(phi))
+      // group() = 1 for every group with at least one sample — per
+      // step, that is exactly present_over_time
+      case AggGroup => (FnPresentOverTime, Nil)
       case other => throw new IllegalArgumentException(
-        s"unsupported aggregation over the API bridge: $other (group/" +
-          "count_values have no per-step window analogue in the " +
-          "pooled-series model)")
+        s"unsupported aggregation over the API bridge: $other " +
+          "(count_values emits value-keyed groups — no per-step " +
+          "window analogue in the pooled-series model)")
     }
     // aggregating an already-windowed inner (rate etc.): each group is
     // ONE pooled series, so the statistic over a one-element set —
@@ -422,12 +425,12 @@ object Web {
         require(phi >= 0 && phi <= 1,
           s"quantile φ out of [0, 1]: $phi") // the engine's φ policy
         df
-      case AggCount => df.withColumn("value", lit(1.0))
+      case AggCount | AggGroup => df.withColumn("value", lit(1.0))
       case AggStddev | AggStdvar => df.withColumn("value", lit(0.0))
       case other => throw new IllegalArgumentException(
-        s"unsupported aggregation over the API bridge: $other (group/" +
-          "count_values have no per-step window analogue in the " +
-          "pooled-series model)")
+        s"unsupported aggregation over the API bridge: $other " +
+          "(count_values emits value-keyed groups — no per-step " +
+          "window analogue in the pooled-series model)")
     }
     def groupCols(g: Grouping): Seq[String] =
       if (g.by) g.labels else Seq("labels")

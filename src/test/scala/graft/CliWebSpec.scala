@@ -401,10 +401,18 @@ class CliWebSpec extends AnyFunSuite {
       assert(without.body().contains(
         """{"metric":{"service":"web"},"values":[[0.02,"3.0"],[0.04,"4.0"]]}"""),
         without.body())
-      // group/count_values still reject loudly
+      // group() maps to present_over_time: 1 per group-step with data
       val grp = rangeQ("group by (service) (req)")
-      assert(grp.statusCode() == 400 &&
-        grp.body().contains("unsupported aggregation"), grp.body())
+      assert(grp.statusCode() == 200, grp.body())
+      assert(grp.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"1.0"],[0.04,"1.0"]]}"""),
+        grp.body())
+      assert(grp.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.02,"1.0"]]}"""), grp.body())
+      // count_values still rejects loudly (value-keyed output groups)
+      val cvg = rangeQ("""count_values by (service) ("v", req)""")
+      assert(cvg.statusCode() == 400 &&
+        cvg.body().contains("unsupported aggregation"), cvg.body())
       // GROUPED BINARY composition — the ratio panel: sum/count per
       // step window = the windowed mean. web (0,20]: 3/2=1.5, (20,40]:
       // 4/1=4; mob (0,20]: 8/1=8
