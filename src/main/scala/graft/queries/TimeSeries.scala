@@ -967,6 +967,31 @@ object TimeSeries {
         .orderBy(col("user").cast("long"))
     },
 
+    // SLIDING SUBQUERY — query_range of `fn(expr[range:step])`: the
+    // inner 1d-rate evaluates once on its 12h grid over the extended
+    // window, and the outer max SLIDES a 3-day lookback at every daily
+    // step (vs ts56's tumbling whole-range form). The dashboard "worst
+    // rate in the trailing 3 days, daily" panel.
+    "ts104_sliding_subquery" -> { (s, dir) =>
+      engineDedup(s, dir)
+        .queryRange("max_over_time(rate(purchase[1d])[3d:12h])",
+          SubStart, SubEnd, 86400000L)
+        .output.select(col("timestamp"), round(col("value"), 6).as("value"))
+        .orderBy("timestamp")
+    },
+
+    // ... and its per-user grouped twin through the grouped sliding
+    // evaluator's subquery arm (one raw scan, per-(user, step) inner).
+    "ts105_sliding_subquery_by" -> { (s, dir) =>
+      engine(s, dir)
+        .queryRangeBy("max_over_time(rate(purchase[1d])[3d:12h])",
+          graft.tsdb.Expr.Grouping(by = true, List("user")),
+          SubStart, SubEnd, 86400000L)
+        .select(col("user"), col("timestamp"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"), col("timestamp"))
+    },
+
     "ts101_grouped_sliding_binary" -> { (s, dir) =>
       engine(s, dir)
         .queryRangeBy(
@@ -1585,6 +1610,54 @@ object TimeSeries {
          |      GROUP BY d.u, g.et)
          |SELECT u AS "user", ROUND(SUM(s), 6) AS value
          |FROM w GROUP BY u ORDER BY CAST(u AS BIGINT)""".stripMargin,
+
+    "ts104_sliding_subquery" ->
+      s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}
+         |           WHERE t > ${SubStart - 3 * 86400000L - 86400000L}
+         |             AND t <= $SubEnd GROUP BY t),
+         |g AS (SELECT UNNEST(generate_series(${SubStart - 3 * 86400000L},
+         |        $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |w AS (SELECT g.et AS ws, d.t, d.v FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et),
+         |l AS (SELECT ws, t, v,
+         |        lag(v) OVER (PARTITION BY ws ORDER BY t, v) AS pv FROM w),
+         |a AS (SELECT ws,
+         |        SUM(CASE WHEN pv IS NULL THEN 0
+         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |        MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+         |      FROM l GROUP BY ws),
+         |i AS (SELECT ws AS et, inc / ((t1 - t0) / 1000.0) AS v
+         |      FROM a WHERE n >= 2 AND t1 > t0),
+         |og AS (SELECT UNNEST(generate_series($SubStart, $SubEnd,
+         |        ${86400000L})) AS ot)
+         |SELECT ot AS timestamp, ROUND(MAX(v), 6) AS value
+         |FROM og JOIN i ON i.et > ot - ${3 * 86400000L} AND i.et <= ot
+         |GROUP BY ot ORDER BY timestamp""".stripMargin,
+
+    "ts105_sliding_subquery_by" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 3 * 86400000L - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series(${SubStart - 3 * 86400000L},
+         |        $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |w AS (SELECT d.u, g.et AS ws, d.t, d.v FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et),
+         |l AS (SELECT u, ws, t, v,
+         |        lag(v) OVER (PARTITION BY u, ws ORDER BY t, v) AS pv FROM w),
+         |a AS (SELECT u, ws,
+         |        SUM(CASE WHEN pv IS NULL THEN 0
+         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |        MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+         |      FROM l GROUP BY u, ws),
+         |i AS (SELECT u, ws AS et, inc / ((t1 - t0) / 1000.0) AS v
+         |      FROM a WHERE n >= 2 AND t1 > t0),
+         |og AS (SELECT UNNEST(generate_series($SubStart, $SubEnd,
+         |        ${86400000L})) AS ot)
+         |SELECT i.u AS "user", ot AS timestamp, ROUND(MAX(v), 6) AS value
+         |FROM og JOIN i ON i.et > ot - ${3 * 86400000L} AND i.et <= ot
+         |GROUP BY i.u, ot ORDER BY CAST(i.u AS BIGINT), timestamp""".stripMargin,
 
     "ts101_grouped_sliding_binary" ->
       s"""WITH dc AS (SELECT CAST(user_id AS VARCHAR) AS u,

@@ -450,7 +450,7 @@ object Web {
     def aggregate(kind: AggKind, child: Expr, g: Option[Grouping],
         post: DataFrame => DataFrame = identity): PromMatrix =
       (child, g) match {
-        case (rf @ RangeFn(_, _: MatrixSelector, _), Some(gr)) =>
+        case (rf @ RangeFn(_, _: MatrixSelector | _: SubqueryMatrix, _), Some(gr)) =>
           grouped(gr, rf, df => post(pooledIdentity(kind)(df)))
         case (sel: Selector, Some(gr)) =>
           val (k, args) = windowed(kind)
@@ -458,7 +458,7 @@ object Web {
         // the UNGROUPED dashboard staples — `sum(rate(m[5m]))` over
         // the one pooled series, `sum(m)` the per-step window
         // statistic; both must work, not 400 with an engine error
-        case (rf @ RangeFn(_, _: MatrixSelector, _), None) =>
+        case (rf @ RangeFn(_, _: MatrixSelector | _: SubqueryMatrix, _), None) =>
           ungrouped(rf, df => post(pooledIdentity(kind)(df)))
         case (sel: Selector, None) =>
           val (k, args) = windowed(kind)
@@ -474,7 +474,7 @@ object Web {
     // a TRANSFORM (count→1, stddev→0) cannot ride inside a composed
     // tree and reject with guidance
     def bridgeInner(kind: AggKind, child: Expr): Expr = child match {
-      case rf @ RangeFn(_, _: MatrixSelector, _) => kind match {
+      case rf @ RangeFn(_, _: MatrixSelector | _: SubqueryMatrix, _) => kind match {
         case AggSum | AggAvg | AggMin | AggMax => rf
         case AggQuantile(phi) =>
           require(phi >= 0 && phi <= 1, s"quantile φ out of [0, 1]: $phi")
@@ -570,7 +570,7 @@ object Web {
               s"bridge, got: $other")
         }
         val inner = child match {
-          case rf @ RangeFn(_, _: MatrixSelector, _) => rf
+          case rf @ RangeFn(_, _: MatrixSelector | _: SubqueryMatrix, _) => rf
           case sel: Selector =>
             RangeFn(FnLastOverTime, MatrixSelector(sel, stepMs), Nil)
           case other => throw new IllegalArgumentException(

@@ -160,6 +160,10 @@ final class TsdbEngine(
     *    step grid is the match key (see the set-op arm); the masking
     *    idiom `rate(a[5m]) and (rate(b[5m]) > 0.2)` composes freely,
     *    including inside a subquery.
+    *  - range functions over SUBQUERIES (`max_over_time(
+    *    rate(m[5m])[1h:5m])` under query_range): the inner evaluates
+    *    once over the extended window on its own grid, the outer fn
+    *    slides over the derived frame (see the subquery arm).
     *
     * Anything else still refuses loudly: per-step re-evaluation of
     * arbitrary whole-range expressions would rescan the store once per
@@ -171,6 +175,25 @@ final class TsdbEngine(
       RangeFns.sliding(kind,
         select(sel, startMs - rangeMs + 1, endMs),
         rangeMs, stepMs, startMs, endMs, fnArgs, mode = rateMode)
+    case RangeFn(kind, SubqueryMatrix(inner, subRange, subStep, soff),
+        fnArgs) =>
+      // sliding SUBQUERY — query_range of `fn(expr[range:step])`: the
+      // inner derived series must cover every outer window
+      // (T - subRange, T] for T ∈ [start, end], so it evaluates ONCE
+      // over [start - subRange, end] on its own subStep grid (grids
+      // anchor at their evaluation start, the engine convention the
+      // whole-range subquery documents; Prometheus anchors subquery
+      // grids to absolute time — same documented deviation), and the
+      // outer fn slides over the step-count-sized derived frame. No
+      // scan amplification: the inner's selectors each scan once.
+      // `offset` shifts the inner clock and reports on the outer one.
+      val derived0 = slidingEval(inner,
+        startMs - subRange - soff, endMs - soff, subStep)
+      val derived =
+        if (soff == 0L) derived0
+        else derived0.withColumn("timestamp", col("timestamp") + lit(soff))
+      RangeFns.sliding(kind, derived, subRange, stepMs, startMs, endMs,
+        fnArgs, mode = rateMode)
     case InstantFn(kind, child, fnArgs) =>
       // row-local value maps compose over the sliding vector unchanged
       slidingEval(child, startMs, endMs, stepMs).withColumn("value",
@@ -1352,6 +1375,21 @@ final class TsdbEngine(
           .where(scanCond(sel, startMs - rangeMs + 1, endMs))
           .select(gCols ++ Seq(shiftedTs(sel), col("value")): _*)
         RangeFns.sliding(kind, rows, rangeMs, stepMs, startMs, endMs,
+          fnArgs, groupCols = gNames, mode = rateMode)
+      case RangeFn(kind, SubqueryMatrix(inner, subRange, subStep, soff),
+          fnArgs) =>
+        // grouped sliding subquery — the slidingEval arm's per-group
+        // twin: inner evaluated once per group on its subStep grid,
+        // outer fn slides per group over the derived frame
+        require(kind != FnAbsentOverTime,
+          "absent_over_time has no grouped form (absence is not " +
+            "attributable to a label value)")
+        val derived0 = queryRangeBy(inner, grouping,
+          startMs - subRange - soff, endMs - soff, subStep)
+        val derived =
+          if (soff == 0L) derived0
+          else derived0.withColumn("timestamp", col("timestamp") + lit(soff))
+        RangeFns.sliding(kind, derived, subRange, stepMs, startMs, endMs,
           fnArgs, groupCols = gNames, mode = rateMode)
       case InstantFn(kind, child, args) =>
         ge(child).withColumn("value",

@@ -456,6 +456,14 @@ class CliWebSpec extends AnyFunSuite {
       val mixed = rangeQ("sum by (service) (req) / sum by (dc) (req)")
       assert(mixed.statusCode() == 400 &&
         mixed.body().contains("same"), mixed.body())
+      // sliding SUBQUERY over query_range: inner 20ms sums on their
+      // own grid, outer max slides — T=20 sees the pooled 11, T=40
+      // sees the et=40 sum 4
+      val subq = rangeQ("max_over_time(sum_over_time(req[20ms])[20ms:20ms])")
+      assert(subq.statusCode() == 200, subq.body())
+      assert(subq.body().contains(
+        """{"metric":{},"values":[[0.02,"11.0"],[0.04,"4.0"]]}"""),
+        subq.body())
       // WITHIN-group topk: one pooled series per group → k ≥ 1 is the
       // identity (last sample per step), k = 0 empties
       val within = rangeQ("topk by (service) (1, req)")

@@ -298,6 +298,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ts104/ts105 sliding subqueries: one raw scan, keyed windows only") {
+    for (gate <- Seq("ts104_sliding_subquery", "ts105_sliding_subquery_by")) {
+      val p = plan(graft.queries.TimeSeries.queries(gate)(spark, sf))
+      assert(p.linesIterator.count(l =>
+        l.contains("Scan") && l.contains("events")) <= 1,
+        s"$gate:\n${p.take(1500)}")
+      p.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+        assert(l.contains("wstart"), s"$gate unpartitioned window: $l"))
+    }
+  }
+
   test("ts67-ts70 round-11 grouped surfaces: one raw scan, no cartesian") {
     // ts67 nested grouped: the outer groupBy folds the inner frame —
     // never a second pass over events

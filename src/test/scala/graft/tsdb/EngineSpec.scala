@@ -657,6 +657,17 @@ class EngineSpec extends AnyFunSuite {
     assert(vectorOf(ev.queryRange(
       "(sum_over_time(a[20ms]) > 100) or sum_over_time(b[20ms])",
       20, 40, 20)) == Seq(20L -> 9d, 40L -> 4d))
+    // SLIDING subquery (query_range of fn(expr[range:step])): inner on
+    // its own 10ms grid from start-range, outer max slides (T-20, T]
+    // at steps 20/40 — T=20 sees inner sums {1, 3}, T=40 sees {5, 3}
+    assert(vectorOf(ev.queryRange(
+      "max_over_time(sum_over_time(a[20ms])[20ms:10ms])", 20, 40, 20)) ==
+      Seq(20L -> 3d, 40L -> 5d))
+    // subquery offset under sliding: inner clock shifts back 10ms and
+    // reports forward — T=20 now sees only the shifted et=20 value 1
+    assert(vectorOf(ev.queryRange(
+      "max_over_time(sum_over_time(a[20ms])[20ms:10ms] offset 10ms)",
+      20, 40, 20)) == Seq(20L -> 1d, 40L -> 5d))
   }
 
   test("grouped sliding composition: binary join, null-safe keys, or-fill, subquery inner") {
@@ -688,6 +699,14 @@ class EngineSpec extends AnyFunSuite {
       byDc, 20, 40, 20)
     assert(rows(masked) == Set(
       (Some("b"), 20L, 20d), (None, 40L, 32d)), rows(masked))
+    // SLIDING subquery per group: each dc's own inner series under the outer
+    // sliding max (null group included)
+    val subSlide = e.queryRangeBy(
+      "max_over_time(sum_over_time(req[20ms])[20ms:20ms])",
+      byDc, 20, 40, 20)
+    assert(rows(subSlide) == Set(
+      (Some("a"), 20L, 11d), (Some("b"), 20L, 20d), (None, 40L, 32d)),
+      rows(subSlide))
     // grouped SUBQUERY over a composed inner: the outer max tumbles
     // the per-(dc, step) ratio series — one 40ms window from start 20
     val sub = e.subqueryRangeBy(

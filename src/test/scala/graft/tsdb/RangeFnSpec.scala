@@ -351,15 +351,17 @@ class RangeFnSpec extends AnyFunSuite {
     assert(math.abs(r(100L) - 11.0 / 3) < 1e-12)
   }
 
-  test("subquery rejections: bare use, nested subqueries, missing step") {
+  test("subquery rejections: bare use, missing step; nesting evaluates") {
     intercept[IllegalArgumentException] {
       engine.query("rate(ctr[30ms])[50ms:10ms]", 0, 100).df.collect()
     }
-    intercept[IllegalArgumentException] {
-      engine.query(
-        "avg_over_time(max_over_time(rate(ctr[30ms])[60ms:30ms])[90ms:30ms])",
-        0, 100).df.collect()
-    }
+    // NESTED subqueries evaluate since round 12 (the sliding-subquery
+    // arm makes every level a step-keyed derived frame — still one raw
+    // scan); rejection would be a regression now
+    val nested = engine.query(
+      "avg_over_time(max_over_time(rate(ctr[30ms])[60ms:30ms])[90ms:30ms])",
+      0, 100).df.collect()
+    assert(nested.nonEmpty)
     intercept[PromParseException] {
       PromParser.parse("max_over_time(rate(ctr[30ms])[50ms])")
     }
