@@ -369,6 +369,19 @@ object Web {
   private final case class PromMatrix(labels: Seq[String],
       canonical: Boolean, rows: Array[Row])
 
+  /** The ONE definition of "an already-windowed inner the sliding
+    * evaluators accept": a range function over a matrix selector or a
+    * subquery. Every promEval dispatch arm matches through this — a
+    * new admitted child shape lands here once, not at five sites.
+    */
+  private object SlidingShape {
+    def unapply(e: Expr): Option[Expr.RangeFn] = e match {
+      case rf @ Expr.RangeFn(_,
+          _: Expr.MatrixSelector | _: Expr.SubqueryMatrix, _) => Some(rf)
+      case _ => None
+    }
+  }
+
   /** Dispatch a Prometheus-API query over the sliding evaluator.
     * Shape mapping, documented where it deviates:
     *
@@ -450,7 +463,7 @@ object Web {
     def aggregate(kind: AggKind, child: Expr, g: Option[Grouping],
         post: DataFrame => DataFrame = identity): PromMatrix =
       (child, g) match {
-        case (rf @ RangeFn(_, _: MatrixSelector | _: SubqueryMatrix, _), Some(gr)) =>
+        case (SlidingShape(rf), Some(gr)) =>
           grouped(gr, rf, df => post(pooledIdentity(kind)(df)))
         case (sel: Selector, Some(gr)) =>
           val (k, args) = windowed(kind)
@@ -458,7 +471,7 @@ object Web {
         // the UNGROUPED dashboard staples — `sum(rate(m[5m]))` over
         // the one pooled series, `sum(m)` the per-step window
         // statistic; both must work, not 400 with an engine error
-        case (rf @ RangeFn(_, _: MatrixSelector | _: SubqueryMatrix, _), None) =>
+        case (SlidingShape(rf), None) =>
           ungrouped(rf, df => post(pooledIdentity(kind)(df)))
         case (sel: Selector, None) =>
           val (k, args) = windowed(kind)
@@ -474,7 +487,7 @@ object Web {
     // a TRANSFORM (count→1, stddev→0) cannot ride inside a composed
     // tree and reject with guidance
     def bridgeInner(kind: AggKind, child: Expr): Expr = child match {
-      case rf @ RangeFn(_, _: MatrixSelector | _: SubqueryMatrix, _) => kind match {
+      case SlidingShape(rf) => kind match {
         case AggSum | AggAvg | AggMin | AggMax => rf
         case AggQuantile(phi) =>
           require(phi >= 0 && phi <= 1, s"quantile φ out of [0, 1]: $phi")
@@ -570,7 +583,7 @@ object Web {
               s"bridge, got: $other")
         }
         val inner = child match {
-          case rf @ RangeFn(_, _: MatrixSelector | _: SubqueryMatrix, _) => rf
+          case SlidingShape(rf) => rf
           case sel: Selector =>
             RangeFn(FnLastOverTime, MatrixSelector(sel, stepMs), Nil)
           case other => throw new IllegalArgumentException(

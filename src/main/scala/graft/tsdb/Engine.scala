@@ -121,9 +121,10 @@ final class TsdbEngine(
     * query_range contract, vs [[query]]'s one-pass tumbling shape. The
     * selector scan extends `range` behind startMs so every window sees
     * its full lookback. Scope ([[slidingEval]]): range functions over
-    * matrix selectors, optionally under instant math or binary
-    * composition (`rate(a[5m]) / rate(b[5m])` — each side scans once,
-    * the sides join on the step grid) — evaluating an arbitrary
+    * matrix selectors OR subqueries, optionally under instant math,
+    * binary or set composition (`rate(a[5m]) / rate(b[5m])` — each
+    * side scans once, the sides join on the step grid) — evaluating
+    * an arbitrary
     * expression per step would re-run whole-range subplans step-count
     * times, which is exactly the scan amplification this engine refuses
     * to hide (the error says so).
@@ -187,11 +188,8 @@ final class TsdbEngine(
       // outer fn slides over the step-count-sized derived frame. No
       // scan amplification: the inner's selectors each scan once.
       // `offset` shifts the inner clock and reports on the outer one.
-      val derived0 = slidingEval(inner,
-        startMs - subRange - soff, endMs - soff, subStep)
-      val derived =
-        if (soff == 0L) derived0
-        else derived0.withColumn("timestamp", col("timestamp") + lit(soff))
+      val derived = reportOnOuterClock(slidingEval(inner,
+        startMs - subRange - soff, endMs - soff, subStep), soff)
       RangeFns.sliding(kind, derived, subRange, stepMs, startMs, endMs,
         fnArgs, mode = rateMode)
     case InstantFn(kind, child, fnArgs) =>
@@ -246,11 +244,19 @@ final class TsdbEngine(
         .select(col("timestamp"), arith(kind, col("lv"), col("rv")).as("value"))
     case other => throw new IllegalArgumentException(
       "sliding evaluation takes range functions over matrix selectors " +
-        "(optionally under instant math or binary composition), got: " +
-        s"$other — per-step re-evaluation of arbitrary expressions " +
-        "would rescan the store once per step; use query() for " +
-        "whole-range shapes")
+        "or subqueries, optionally under instant math, binary or set " +
+        s"composition, got: $other — per-step re-evaluation of " +
+        "arbitrary expressions would rescan the store once per step; " +
+        "use query() for whole-range shapes")
   }
+
+  /** Subquery-offset report-back: the inner evaluated on the shifted
+    * clock reports on the outer one (shared by the tumbling and
+    * sliding, grouped and ungrouped subquery arms).
+    */
+  private def reportOnOuterClock(df: DataFrame, soff: Long): DataFrame =
+    if (soff == 0L) df
+    else df.withColumn("timestamp", col("timestamp") + lit(soff))
 
   private def scanValue = col("value")
 
@@ -361,10 +367,8 @@ final class TsdbEngine(
       // so the outer aggregation never touches raw rows again.
       // `offset` shifts the inner evaluation range back and reports on
       // the outer clock — the step grid stays aligned to `start`.
-      val derived =
-        if (soff == 0L) slidingEval(inner, start, end, subStep)
-        else slidingEval(inner, start - soff, end - soff, subStep)
-          .withColumn("timestamp", col("timestamp") + lit(soff))
+      val derived = reportOnOuterClock(
+        slidingEval(inner, start - soff, end - soff, subStep), soff)
       TsdbResult(
         RangeFns(kind, derived, subRange, start, end, fnArgs, rateMode),
         isScalar = false, VType.F64)
@@ -1384,11 +1388,8 @@ final class TsdbEngine(
         require(kind != FnAbsentOverTime,
           "absent_over_time has no grouped form (absence is not " +
             "attributable to a label value)")
-        val derived0 = queryRangeBy(inner, grouping,
-          startMs - subRange - soff, endMs - soff, subStep)
-        val derived =
-          if (soff == 0L) derived0
-          else derived0.withColumn("timestamp", col("timestamp") + lit(soff))
+        val derived = reportOnOuterClock(queryRangeBy(inner, grouping,
+          startMs - subRange - soff, endMs - soff, subStep), soff)
         RangeFns.sliding(kind, derived, subRange, stepMs, startMs, endMs,
           fnArgs, groupCols = gNames, mode = rateMode)
       case InstantFn(kind, child, args) =>
@@ -1439,10 +1440,10 @@ final class TsdbEngine(
             col("_rv").cast("double")).as("value")): _*)
       case other => throw new IllegalArgumentException(
         "grouped sliding evaluation takes range functions over matrix " +
-          "selectors (optionally under instant math, scalar-literal " +
-          s"arithmetic/comparison, binary or set composition), got: " +
-          s"$other — per-step re-evaluation of arbitrary expressions " +
-          "would rescan the store once per step")
+          "selectors or subqueries, optionally under instant math, " +
+          s"scalar-literal arithmetic/comparison, binary or set " +
+          s"composition, got: $other — per-step re-evaluation of " +
+          "arbitrary expressions would rescan the store once per step")
     }
     ge(parsed)
   }
@@ -1481,11 +1482,8 @@ final class TsdbEngine(
           "by () has no grouped form — use query()'s subquery")
         // subquery offset: inner evaluated on the shifted clock,
         // reported on the outer one
-        val steps0 = queryRangeBy(inner, grouping,
-          startMs - soff, endMs - soff, subStep)
-        val steps =
-          if (soff == 0L) steps0
-          else steps0.withColumn("timestamp", col("timestamp") + lit(soff))
+        val steps = reportOnOuterClock(queryRangeBy(inner, grouping,
+          startMs - soff, endMs - soff, subStep), soff)
         val base = steps.select(gNames.map(col) ++ Seq(
           (col("timestamp") -
             pmod(col("timestamp") - startMs, lit(subRange))).as("wstart"),

@@ -668,6 +668,14 @@ class EngineSpec extends AnyFunSuite {
     assert(vectorOf(ev.queryRange(
       "max_over_time(sum_over_time(a[20ms])[20ms:10ms] offset 10ms)",
       20, 40, 20)) == Seq(20L -> 1d, 40L -> 5d))
+    // NESTED subqueries, hand-computed: inner-of-inner 10ms-grid sums
+    // (10→1, 20→3, 30→5, 40→3), middle sliding max at 20ms steps over
+    // (T-20, T] (20→3, 40→5), outer tumbling 40ms avg anchored at 20:
+    // [20,60) holds both → (3+5)/2
+    assert(vectorOf(ev.query(
+      "avg_over_time(max_over_time(" +
+        "sum_over_time(a[20ms])[20ms:10ms])[40ms:20ms])",
+      20, 60)) == Seq(20L -> 4d))
   }
 
   test("grouped sliding composition: binary join, null-safe keys, or-fill, subquery inner") {

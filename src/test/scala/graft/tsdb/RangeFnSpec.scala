@@ -357,7 +357,8 @@ class RangeFnSpec extends AnyFunSuite {
     }
     // NESTED subqueries evaluate since round 12 (the sliding-subquery
     // arm makes every level a step-keyed derived frame — still one raw
-    // scan); rejection would be a regression now
+    // scan); rejection would be a regression now. The VALUE golden for
+    // nesting lives in EngineSpec's hand-computed three-level case
     val nested = engine.query(
       "avg_over_time(max_over_time(rate(ctr[30ms])[60ms:30ms])[90ms:30ms])",
       0, 100).df.collect()
