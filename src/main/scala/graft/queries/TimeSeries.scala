@@ -972,6 +972,26 @@ object TimeSeries {
     // window, and the outer max SLIDES a 3-day lookback at every daily
     // step (vs ts56's tumbling whole-range form). The dashboard "worst
     // rate in the trailing 3 days, daily" panel.
+    // MATCHED grouped sliding composition — each user's SHARE of their
+    // cohort's purchase volume at every 12h step: `by (cohort, user)
+    // / on (cohort) group_left by (cohort)`, the whole-range ts68
+    // shape with the step dimension added. Both sides are group×step
+    // derived frames; the cohort side broadcasts.
+    "ts106_sliding_matched" -> { (s, dir) =>
+      engineCohort(s, dir).queryRangeByMatched(
+        graft.tsdb.PromParser.parse("sum_over_time(purchase[1d])"),
+        graft.tsdb.Expr.Grouping(by = true, List("cohort", "user")),
+        graft.tsdb.PromParser.parse("sum_over_time(purchase[1d])"),
+        graft.tsdb.Expr.Grouping(by = true, List("cohort")),
+        graft.tsdb.Expr.Div,
+        graft.tsdb.Expr.VectorMatch(on = true, List("cohort"),
+          graft.tsdb.Expr.ManyToOne),
+        SubStart, SubEnd, 12 * 3600 * 1000L)
+        .select(col("cohort"), col("user"), col("timestamp"),
+          round(col("value"), 9).as("value"))
+        .orderBy(col("cohort"), col("user").cast("long"), col("timestamp"))
+    },
+
     "ts104_sliding_subquery" -> { (s, dir) =>
       engineDedup(s, dir)
         .queryRange("max_over_time(rate(purchase[1d])[3d:12h])",
@@ -1610,6 +1630,25 @@ object TimeSeries {
          |      GROUP BY d.u, g.et)
          |SELECT u AS "user", ROUND(SUM(s), 6) AS value
          |FROM w GROUP BY u ORDER BY CAST(u AS BIGINT)""".stripMargin,
+
+    "ts106_sliding_matched" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        CAST(user_id % 3 AS VARCHAR) AS c,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |wl AS (SELECT d.c, d.u, g.et, SUM(d.v) AS s FROM g
+         |       JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et
+         |       GROUP BY d.c, d.u, g.et),
+         |wr AS (SELECT d.c, g.et, SUM(d.v) AS s FROM g
+         |       JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et
+         |       GROUP BY d.c, g.et)
+         |SELECT wl.c AS cohort, wl.u AS "user", wl.et AS timestamp,
+         |  ROUND(wl.s / wr.s, 9) AS value
+         |FROM wl JOIN wr ON wr.c = wl.c AND wr.et = wl.et
+         |ORDER BY cohort, CAST(wl.u AS BIGINT), timestamp""".stripMargin,
 
     "ts104_sliding_subquery" ->
       s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}

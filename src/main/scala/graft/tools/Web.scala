@@ -555,6 +555,23 @@ object Web {
       case None => ()
     }
     ast match {
+      // MATCHED grouped composition — the share-of-parent panel:
+      // `sum by (a,b) (x) / on (a) group_left sum by (a) (y)` at every
+      // step. Each side maps through bridgeInner with its own grouping
+      // and the engine joins per (match key, step); the series labels
+      // are the MANY side's groups plus any carried labels
+      case BinaryOp(kind, Aggregate(lk, lc, Some(gl)),
+          Aggregate(rk, rc, Some(gr)), Some(vm)) =>
+        require(gl.by && gr.by, "on/ignoring over the API bridge takes " +
+          "`by` groupings on both sides")
+        val df = e.queryRangeByMatched(
+          bridgeInner(lk, lc), gl, bridgeInner(rk, rc), gr,
+          kind, vm, startMs, endMs, stepMs)
+        val manyLabels =
+          if (vm.card == OneToMany) gr.labels else gl.labels
+        val cols = manyLabels ++ vm.carry
+        PromMatrix(cols, canonical = false, df.orderBy(
+          (cols :+ "timestamp").map(col): _*).collect())
       case Aggregate(kind, child, g) =>
         aggregate(kind, child, g)
       case GetK(top, kExpr, Aggregate(kind, child, Some(gr)), None) =>

@@ -1064,19 +1064,34 @@ final class TsdbEngine(
     */
   private def groupedBinaryMatched(kind: BinKind, l: TsdbResult,
       r: TsdbResult, m: VectorMatch): TsdbResult = {
-    require(!isComparison(kind),
-      "comparison under on/ignoring is not supported (the V2V rule)")
     require(l.grouped && r.grouped,
       "on/ignoring requires two grouped (by) operands — group both " +
         "sides, e.g. sum by (a, b) (x) / on (a) group_left sum by (a) (y)")
+    TsdbResult(matchedGroupedJoin(kind,
+        l.df, l.df.columns.init.toSeq, r.df, r.df.columns.init.toSeq,
+        m, timeKey = false),
+      isScalar = true, VType.F64, grouped = true)
+  }
+
+  /** The on/ignoring + group_left/group_right join core, shared by the
+    * whole-range matched binary and the SLIDING matched composition
+    * ([[queryRangeByMatched]] — `timeKey = true` adds the step
+    * timestamp to the join key and the carry-uniqueness fold, so
+    * matching is per (match key, step)). Acceptance rules are
+    * identical; both operand frames are post-aggregation
+    * group-count(-× step-count)-sized, the 'one' side broadcasts.
+    */
+  private def matchedGroupedJoin(kind: BinKind, lDf: DataFrame,
+      lGroups: Seq[String], rDf: DataFrame, rGroups: Seq[String],
+      m: VectorMatch, timeKey: Boolean): DataFrame = {
+    require(!isComparison(kind),
+      "comparison under on/ignoring is not supported (the V2V rule)")
     // group_right mirrors group_left: evaluate with the many side on
     // the left, remembering operand order for the arithmetic
-    val (swapped, many, one) = m.card match {
-      case OneToMany => (true, r, l)
-      case _ => (false, l, r)
+    val (swapped, many, manyCols, one, oneCols) = m.card match {
+      case OneToMany => (true, rDf, rGroups, lDf, lGroups)
+      case _ => (false, lDf, lGroups, rDf, rGroups)
     }
-    val manyCols = many.df.columns.init.toSeq
-    val oneCols = one.df.columns.init.toSeq
     val key = if (m.on) m.labels else oneCols.filterNot(m.labels.contains)
     require(key.nonEmpty,
       "empty match key — on () / ignoring (all labels) has no join " +
@@ -1120,31 +1135,38 @@ final class TsdbEngine(
     // raise_error fires if two carry tuples share a key, exactly the
     // runtime check Prometheus performs. The fold runs over the
     // group-count-sized frame, never the scan.
+    val foldKey = if (timeKey) key :+ "timestamp" else key
     val oneKeyed =
-      if (carry.isEmpty) one.df
+      if (carry.isEmpty) one
       else {
         val cs = struct(carry.map(col): _*)
-        one.df.groupBy(key.map(col): _*)
+        one.groupBy(foldKey.map(col): _*)
           .agg(min(cs).as("_cmin"), max(cs).as("_cmax"),
             first(col("value")).as("value"))
-          .select((key.map(col) ++ carry.map(c0 =>
+          .select((foldKey.map(col) ++ carry.map(c0 =>
             when(col("_cmin") <=> col("_cmax"), col("_cmin")(c0))
               .otherwise(raise_error(concat(
                 lit(s"group_left/right: carried label(s) " +
                   s"${carry.mkString(", ")} are not unique per match " +
                   "key ("), concat_ws(", ", key.map(col): _*), lit(")"))
-                .cast("string")).cast(one.df.schema(c0).dataType))
+                .cast("string")).cast(one.schema(c0).dataType))
               .as(c0)) :+ col("value")): _*)
       }
-    val oneOut = key ++ carry
-    val rr = broadcast(oneKeyed.toDF(oneOut.map(_ + "_graft_r") :+ "_rv": _*))
-    val cond = key.map(k => col(k) <=> col(k + "_graft_r")).reduce(_ && _)
+    val oneOut = foldKey ++ carry
+    val rr = broadcast(oneKeyed
+      .select((oneOut :+ "value").map(col): _*)
+      .toDF(oneOut.map(_ + "_graft_r") :+ "_rv": _*))
+    val cond = foldKey.map(k =>
+      if (k == "timestamp") col(k) === col(k + "_graft_r")
+      else col(k) <=> col(k + "_graft_r")).reduce(_ && _)
     val (lv, rv) =
       if (swapped) (col("_rv"), col("value")) else (col("value"), col("_rv"))
-    val df = many.df.join(rr, cond).select(
-      (manyCols.map(col) ++ carry.map(c0 => col(c0 + "_graft_r").as(c0))) :+
-      arith(kind, lv.cast("double"), rv.cast("double")).as("value"): _*)
-    TsdbResult(df, isScalar = true, VType.F64, grouped = true)
+    val outCols = manyCols.map(col) ++
+      carry.map(c0 => col(c0 + "_graft_r").as(c0)) ++
+      (if (timeKey) Seq(col("timestamp")) else Nil)
+    many.join(rr, cond).select(
+      outCols :+ arith(kind, lv.cast("double"), rv.cast("double"))
+        .as("value"): _*)
   }
 
   /** The shared grouped evaluation under a `by`/`without` clause:
@@ -1446,6 +1468,32 @@ final class TsdbEngine(
           "arbitrary expressions would rescan the store once per step")
     }
     ge(parsed)
+  }
+
+  /** MATCHED grouped sliding composition — the share-of-parent panel
+    * OVER TIME: `sum by (a, b) (x) / on (a) group_left sum by (a) (y)`
+    * at every step. Each side evaluates through the grouped sliding
+    * recursion with ITS OWN grouping (both must be `by` — match labels
+    * address label COLUMNS), and the sides join per (match key, step)
+    * under exactly [[groupedBinaryMatched]]'s acceptance rules
+    * (one-to-one needs both sides keyed by the match labels;
+    * many-to-one needs the 'one' side keyed exactly by them [∪ carry],
+    * carry-tuple uniqueness enforced per (key, step) on the
+    * executors). Both frames are group-count × step-count sized; the
+    * 'one' side broadcasts. Output: (many-side groups..., carried
+    * labels..., timestamp, value).
+    */
+  def queryRangeByMatched(lhs: Expr, gl: Grouping, rhs: Expr,
+      gr: Grouping, kind: BinKind, m: VectorMatch,
+      startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    require(gl.by && gr.by,
+      "matched sliding composition takes `by` groupings on both sides " +
+        "(match labels address label columns; a `without` canonical " +
+        "string is not a label set)")
+    matchedGroupedJoin(kind,
+      queryRangeBy(lhs, gl, startMs, endMs, stepMs), gl.labels,
+      queryRangeBy(rhs, gr, startMs, endMs, stepMs), gr.labels,
+      m, timeKey = true)
   }
 
   /** GROUPED SUBQUERY — the outer range function folding a grouped

@@ -452,6 +452,17 @@ class CliWebSpec extends AnyFunSuite {
       val setScalar = rangeQ("sum by (service) (req) unless 5")
       assert(setScalar.statusCode() == 400 &&
         setScalar.body().contains("not scalars"), setScalar.body())
+      // MATCHED composition over HTTP: the one-to-one `on` form —
+      // each group divided by itself is 1.0 at every step it exists
+      val onSelf = rangeQ(
+        "sum by (service) (req) / on (service) sum by (service) (req)")
+      assert(onSelf.statusCode() == 200, onSelf.body())
+      assert(onSelf.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"1.0"],[0.04,"1.0"]]}"""),
+        onSelf.body())
+      assert(onSelf.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.02,"1.0"]]}"""),
+        onSelf.body())
       // mismatched groupings reject with guidance
       val mixed = rangeQ("sum by (service) (req) / sum by (dc) (req)")
       assert(mixed.statusCode() == 400 &&

@@ -309,6 +309,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ts106 matched sliding composition: two scans, broadcast one side, no cartesian") {
+    val p = plan(graft.queries.TimeSeries.queries("ts106_sliding_matched")(spark, sf))
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("events")) <= 2, p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 'one' side must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "matched composition must equi-join on (key, step)")
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("wstart"), s"unpartitioned window: $l"))
+  }
+
   test("ts67-ts70 round-11 grouped surfaces: one raw scan, no cartesian") {
     // ts67 nested grouped: the outer groupBy folds the inner frame —
     // never a second pass over events

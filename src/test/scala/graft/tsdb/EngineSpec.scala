@@ -729,6 +729,31 @@ class EngineSpec extends AnyFunSuite {
       byDc, 20, 40, 20))
     intercept[IllegalArgumentException](
       e.queryRangeBy("req", byDc, 20, 40, 20))
+    // MATCHED sliding composition: share-of-dc per (service, step),
+    // `/ on (dc) group_left` — the one side keyed exactly by dc; the
+    // null dc group (cli) matches itself through the null-safe key
+    val matched = e.queryRangeByMatched(
+      PromParser.parse("sum_over_time(req[20ms])"),
+      Expr.Grouping(by = true, List("dc", "service")),
+      PromParser.parse("sum_over_time(req[20ms])"),
+      Expr.Grouping(by = true, List("dc")),
+      Expr.Div, Expr.VectorMatch(on = true, List("dc"), Expr.ManyToOne),
+      20, 40, 20)
+    assert(matched.columns.toSeq == Seq("dc", "service", "timestamp", "value"))
+    val mrows = matched.collect().toSet[Row].map(r =>
+      (Option(r.getString(0)), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(mrows == Set(
+      (Some("a"), "web", 20L, 3d / 11), (Some("a"), "mob", 20L, 8d / 11),
+      (Some("b"), "web", 20L, 0.2), (Some("b"), "mob", 20L, 0.8),
+      (None, "cli", 40L, 1d)), mrows)
+    // `without` groupings reject (match labels address label columns)
+    intercept[IllegalArgumentException](e.queryRangeByMatched(
+      PromParser.parse("sum_over_time(req[20ms])"),
+      Expr.Grouping(by = false, List("service")),
+      PromParser.parse("sum_over_time(req[20ms])"),
+      Expr.Grouping(by = true, List("dc")),
+      Expr.Div, Expr.VectorMatch(on = true, List("dc"), Expr.ManyToOne),
+      20, 40, 20))
     // set operators take vector operands, not scalars — in the grouped
     // AND ungrouped sliding evaluators (the NumberLit arithmetic arms
     // must not swallow them into "not arithmetic" internal errors)
