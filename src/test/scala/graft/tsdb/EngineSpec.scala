@@ -754,6 +754,50 @@ class EngineSpec extends AnyFunSuite {
       Expr.Grouping(by = true, List("dc")),
       Expr.Div, Expr.VectorMatch(on = true, List("dc"), Expr.ManyToOne),
       20, 40, 20))
+    // LABEL CARRY under the step key (`group_left(tier)`): the one
+    // side keyed dc ∪ {tier}, tier copied onto the many side's rows
+    val e3 = {
+      val rows = Seq(
+        ("req", Map("svc" -> "web", "dc" -> "a", "tier" -> "gold"), 10L, 1d),
+        ("req", Map("svc" -> "mob", "dc" -> "a", "tier" -> "gold"), 20L, 2d),
+        ("req", Map("svc" -> "web", "dc" -> "b", "tier" -> "silver"), 10L, 4d))
+      new TsdbEngine(spark, longDf(rows),
+        new StreamCatalog(Seq(StreamDef("req", Map.empty, VType.F64))))
+    }
+    val carried = e3.queryRangeByMatched(
+      PromParser.parse("sum_over_time(req[20ms])"),
+      Expr.Grouping(by = true, List("dc", "svc")),
+      PromParser.parse("sum_over_time(req[20ms])"),
+      Expr.Grouping(by = true, List("dc", "tier")),
+      Expr.Div,
+      Expr.VectorMatch(on = true, List("dc"), Expr.ManyToOne, List("tier")),
+      20, 20, 20)
+    assert(carried.columns.toSeq ==
+      Seq("dc", "svc", "tier", "timestamp", "value"))
+    val crows = carried.collect().toSet[Row].map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(crows == Set(
+      ("a", "web", "gold", 20L, 1d / 3), ("a", "mob", "gold", 20L, 2d / 3),
+      ("b", "web", "silver", 20L, 1d)), crows)
+    // per-(key, step) carry-tuple uniqueness still enforces: two tiers
+    // under one dc at the same step → executor-side raise_error
+    val e4 = {
+      val rows = Seq(
+        ("req", Map("svc" -> "web", "dc" -> "a", "tier" -> "gold"), 10L, 1d),
+        ("req", Map("svc" -> "mob", "dc" -> "a", "tier" -> "lead"), 20L, 2d))
+      new TsdbEngine(spark, longDf(rows),
+        new StreamCatalog(Seq(StreamDef("req", Map.empty, VType.F64))))
+    }
+    val dup = intercept[Exception](e4.queryRangeByMatched(
+      PromParser.parse("sum_over_time(req[20ms])"),
+      Expr.Grouping(by = true, List("dc", "svc")),
+      PromParser.parse("sum_over_time(req[20ms])"),
+      Expr.Grouping(by = true, List("dc", "tier")),
+      Expr.Div,
+      Expr.VectorMatch(on = true, List("dc"), Expr.ManyToOne, List("tier")),
+      20, 20, 20).collect())
+    assert(dup.getMessage.contains("not unique"), dup.getMessage)
     // set operators take vector operands, not scalars — in the grouped
     // AND ungrouped sliding evaluators (the NumberLit arithmetic arms
     // must not swallow them into "not arithmetic" internal errors)
