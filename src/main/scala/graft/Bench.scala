@@ -58,16 +58,24 @@ object Bench {
     val recordBuildSec = {
       val plain = only.forall(_.contains("ts98_recording_rule"))
       val grouped = only.forall(_.contains("ts103_record_grouped"))
+      // each selected gate pays exactly its own store's build; the two
+      // builds fail INDEPENDENTLY (ADVICE r12) — one throwing must not
+      // skip the other, or the skipped gate lazily rebuilds inside its
+      // timed run and silently inflates that number
+      def build(label: String, go: Boolean)(f: => Double): Double =
+        if (!go) 0.0
+        else try f catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] $label store build failed: ${e.getMessage}")
+          Double.NaN
+        }
       if (!plain && !grouped) -1.0
-      else try {
-        // each selected gate pays exactly its own store's build
-        (if (plain) graft.queries.TimeSeries.prepareRecordedStore(spark, sfDir)
-         else 0.0) +
-          (if (grouped) graft.queries.TimeSeries
-            .prepareRecordedGroupedStore(spark, sfDir) else 0.0)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] recorded store build failed: ${e.getMessage}")
-        -1.0
+      else {
+        val a = build("recorded", plain)(
+          graft.queries.TimeSeries.prepareRecordedStore(spark, sfDir))
+        val b = build("recorded-grouped", grouped)(
+          graft.queries.TimeSeries.prepareRecordedGroupedStore(spark, sfDir))
+        if (a.isNaN || b.isNaN) -1.0 else a + b
       }
     }
 

@@ -1012,6 +1012,39 @@ object TimeSeries {
         .orderBy(col("user").cast("long"), col("timestamp"))
     },
 
+    // AGGREGATE INNER in a subquery (round 13) — `sum(m)` as the inner
+    // of max_over_time: the aggregation maps to its _over_time twin
+    // over a substep-sized window (sum of the pooled purchase samples
+    // per 12h substep), and the outer max tumbles 3-day windows over
+    // the derived series. One raw scan (PlanAuditSpec pins it); the
+    // most-typed Prometheus rule shape, previously rejected.
+    "ts107_subquery_agg_inner" ->
+      q("max_over_time(sum(purchase)[3d:12h])", roundTo = 6) _,
+
+    // ... its GROUPED SLIDING twin: per-user 12h purchase sums under a
+    // 3-day sliding max at every daily step — the grouped Aggregate
+    // arm of the sliding evaluator (queryRangeBy), grouping carried by
+    // the aggregate node itself.
+    "ts108_subquery_agg_inner_by" -> { (s, dir) =>
+      engine(s, dir)
+        .queryRangeBy("max_over_time(sum by (user) (purchase)[3d:12h])",
+          graft.tsdb.Expr.Grouping(by = true, List("user")),
+          SubStart, SubEnd, 86400000L)
+        .select(col("user"), col("timestamp"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"), col("timestamp"))
+    },
+
+    // AGGREGATE over an ALREADY-WINDOWED inner — the verdict-r12
+    // staple `max_over_time(sum(rate(m[1d]))[3d:12h])`: sum over the
+    // one pooled rate series is the identity (the pooled-series
+    // one-element-set answer), so the result equals ts56's — but the
+    // evaluation path exercises the Aggregate admission + pooled
+    // post-map, which used to reject.
+    "ts109_subquery_agg_pooled" ->
+      q("max_over_time(sum(rate(purchase[1d]))[3d:12h])", roundTo = 6,
+        dedup = true) _,
+
     "ts101_grouped_sliding_binary" -> { (s, dir) =>
       engine(s, dir)
         .queryRangeBy(
@@ -1697,6 +1730,54 @@ object TimeSeries {
          |SELECT i.u AS "user", ot AS timestamp, ROUND(MAX(v), 6) AS value
          |FROM og JOIN i ON i.et > ot - ${3 * 86400000L} AND i.et <= ot
          |GROUP BY i.u, ot ORDER BY CAST(i.u AS BIGINT), timestamp""".stripMargin,
+
+    "ts107_subquery_agg_inner" ->
+      s"""WITH d AS (SELECT t, v FROM ${ev("event_type = 'purchase'")}
+         |           WHERE t > ${SubStart - 12 * 3600 * 1000L}
+         |             AND t <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |i AS (SELECT g.et AS t, SUM(d.v) AS v FROM g
+         |      JOIN d ON d.t > g.et - ${12 * 3600 * 1000L} AND d.t <= g.et
+         |      GROUP BY g.et)
+         |SELECT t - ((t - $SubStart) % ${3 * 86400000L}) AS timestamp,
+         |  ROUND(MAX(v), 6) AS value
+         |FROM i GROUP BY 1 ORDER BY timestamp""".stripMargin,
+
+    "ts108_subquery_agg_inner_by" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 3 * 86400000L - 12 * 3600 * 1000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series(${SubStart - 3 * 86400000L},
+         |        $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |i AS (SELECT d.u, g.et, SUM(d.v) AS v FROM g
+         |      JOIN d ON d.t > g.et - ${12 * 3600 * 1000L} AND d.t <= g.et
+         |      GROUP BY d.u, g.et),
+         |og AS (SELECT UNNEST(generate_series($SubStart, $SubEnd,
+         |        ${86400000L})) AS ot)
+         |SELECT i.u AS "user", ot AS timestamp, ROUND(MAX(v), 6) AS value
+         |FROM og JOIN i ON i.et > ot - ${3 * 86400000L} AND i.et <= ot
+         |GROUP BY i.u, ot ORDER BY CAST(i.u AS BIGINT), timestamp""".stripMargin,
+
+    "ts109_subquery_agg_pooled" ->
+      s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}
+         |           WHERE t > ${SubStart - 86400000L} AND t <= $SubEnd GROUP BY t),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |w AS (SELECT g.et AS ws, d.t, d.v FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et),
+         |l AS (SELECT ws, t, v,
+         |        lag(v) OVER (PARTITION BY ws ORDER BY t, v) AS pv FROM w),
+         |a AS (SELECT ws,
+         |        SUM(CASE WHEN pv IS NULL THEN 0
+         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc,
+         |        MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+         |      FROM l GROUP BY ws),
+         |inner_series AS (SELECT ws AS t, inc / ((t1 - t0) / 1000.0) AS v
+         |                 FROM a WHERE n >= 2 AND t1 > t0)
+         |SELECT t - ((t - $SubStart) % ${3 * 86400000L}) AS timestamp,
+         |  ROUND(MAX(v), 6) AS value
+         |FROM inner_series GROUP BY 1 ORDER BY timestamp""".stripMargin,
 
     "ts101_grouped_sliding_binary" ->
       s"""WITH dc AS (SELECT CAST(user_id AS VARCHAR) AS u,

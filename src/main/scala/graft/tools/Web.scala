@@ -412,39 +412,14 @@ object Web {
       endMs: Long, stepMs: Long): PromMatrix = {
     import graft.tsdb.Expr._
     val e = db.engine()
-    def windowed(kind: AggKind): (RangeFnKind, List[Double]) = kind match {
-      case AggSum => (FnSumOverTime, Nil)
-      case AggAvg => (FnAvgOverTime, Nil)
-      case AggMin => (FnMinOverTime, Nil)
-      case AggMax => (FnMaxOverTime, Nil)
-      case AggCount => (FnCountOverTime, Nil)
-      case AggStddev => (FnStddevOverTime, Nil)
-      case AggStdvar => (FnStdvarOverTime, Nil)
-      case AggQuantile(phi) => (FnQuantileOverTime, List(phi))
-      // group() = 1 for every group with at least one sample — per
-      // step, that is exactly present_over_time
-      case AggGroup => (FnPresentOverTime, Nil)
-      case other => throw new IllegalArgumentException(
-        s"unsupported aggregation over the API bridge: $other " +
-          "(count_values emits value-keyed groups — no per-step " +
-          "window analogue in the pooled-series model)")
-    }
-    // aggregating an already-windowed inner (rate etc.): each group is
-    // ONE pooled series, so the statistic over a one-element set —
-    // exactly Prometheus' answer when a group holds a single series
-    def pooledIdentity(kind: AggKind)(df: DataFrame): DataFrame = kind match {
-      case AggSum | AggAvg | AggMin | AggMax => df
-      case AggQuantile(phi) =>
-        require(phi >= 0 && phi <= 1,
-          s"quantile φ out of [0, 1]: $phi") // the engine's φ policy
-        df
-      case AggCount | AggGroup => df.withColumn("value", lit(1.0))
-      case AggStddev | AggStdvar => df.withColumn("value", lit(0.0))
-      case other => throw new IllegalArgumentException(
-        s"unsupported aggregation over the API bridge: $other " +
-          "(count_values emits value-keyed groups — no per-step " +
-          "window analogue in the pooled-series model)")
-    }
+    // both mappings live on the ENGINE now (TsdbEngine.windowedAgg /
+    // pooledAggPost — round 13 lifted them from here so the engine's
+    // sliding Aggregate arms and this bridge agree by construction);
+    // these are thin aliases keeping the dispatch below readable
+    def windowed(kind: AggKind): (RangeFnKind, List[Double]) =
+      graft.tsdb.TsdbEngine.windowedAgg(kind)
+    def pooledIdentity(kind: AggKind)(df: DataFrame): DataFrame =
+      graft.tsdb.TsdbEngine.pooledAggPost(kind)(df)
     def groupCols(g: Grouping): Seq[String] =
       if (g.by) g.labels else Seq("labels")
     def grouped(g: Grouping, inner: Expr,
@@ -522,9 +497,18 @@ object Web {
           s"grouped and ungrouped operands cannot compose over the " +
             s"API bridge (no shared key in the pooled-series model): " +
             s"$other")
+        // grouping equality is order-INsensitive: `sum by (a,b) (x) /
+        // sum by (b,a) (y)` is one grouping — the engine joins group
+        // columns by NAME, so label order never matters (ADVICE r12)
+        def same(a: Option[Grouping], b: Option[Grouping]): Boolean =
+          (a, b) match {
+            case (Some(x), Some(y)) =>
+              x.by == y.by && x.labels.toSet == y.labels.toSet
+            case (x, y) => x == y
+          }
         (composedTree(l), composedTree(r)) match {
           case (Some((gl, le)), Some((gr, re))) =>
-            require(gl == gr, "grouped operands must share the same " +
+            require(same(gl, gr), "grouped operands must share the same " +
               s"grouping over the API bridge: $gl vs $gr")
             Some((gl, BinaryOp(kind, le, re)))
           case (Some((g, le)), None) =>
@@ -539,6 +523,19 @@ object Web {
         }
       case InstantFn(k, c, args) =>
         composedTree(c).map { case (g, ce) => (g, InstantFn(k, ce, args)) }
+      case _ => None
+    }
+    // the grouping a subquery inner's aggregate tree carries, if any —
+    // walked (first hit wins) so the bridge can route grouped sliding
+    // subqueries through queryRangeBy; the engine re-validates that
+    // every aggregate in the tree agrees with the evaluation grouping
+    def subqueryGrouping(e: Expr): Option[Grouping] = e match {
+      case Aggregate(_, c, g) => g.orElse(subqueryGrouping(c))
+      case BinaryOp(_, l, r, _) =>
+        subqueryGrouping(l).orElse(subqueryGrouping(r))
+      case InstantFn(_, c, _) => subqueryGrouping(c)
+      case RangeFn(_, c, _) => subqueryGrouping(c)
+      case SubqueryMatrix(c, _, _, _) => subqueryGrouping(c)
       case _ => None
     }
     // composition roots dispatch ONCE (walking twice would re-run
@@ -610,6 +607,20 @@ object Web {
         grouped(g, inner, df => if (k <= 0) df.limit(0) else df)
       case sel: Selector =>
         ungrouped(RangeFn(FnLastOverTime, MatrixSelector(sel, stepMs), Nil))
+      case rf @ RangeFn(_, SubqueryMatrix(inner, _, _, _), _) =>
+        // sliding subquery — routes GROUPED when the inner tree holds
+        // a by/without aggregate (`quantile_over_time(0.9, sum by (s)
+        // (rate(m[5m]))[1h:5m])`): the group columns become the series
+        // labels and the engine's grouped Aggregate arm evaluates;
+        // groupless inners ride the plain ungrouped path below
+        subqueryGrouping(inner) match {
+          case Some(g) =>
+            val cols = groupCols(g)
+            val df = e.queryRangeBy(rf, g, startMs, endMs, stepMs)
+            PromMatrix(cols, canonical = !g.by, df.orderBy(
+              (cols :+ "timestamp").map(col): _*).collect())
+          case None => ungrouped(rf)
+        }
       case other =>
         // the sliding evaluator takes the already-parsed AST — parsing
         // once guarantees the dispatched and evaluated trees agree

@@ -242,12 +242,47 @@ final class TsdbEngine(
         .select(col("timestamp"), col("value").cast("double").as("rv"))
       l.join(r, Seq("timestamp"))
         .select(col("timestamp"), arith(kind, col("lv"), col("rv")).as("value"))
+    case Aggregate(kind, child, None) =>
+      // AGGREGATE INNER — `sum(rate(m[5m]))` under query_range or as a
+      // subquery inner (`max_over_time(sum(rate(m[5m]))[1h:5m])`, the
+      // most-typed Prometheus rule shape): the pooled-series
+      // translation (see slidingAggregate). The child's selectors each
+      // scan once — no per-step re-evaluation.
+      val (inner, post) = slidingAggregate(kind, child, stepMs)
+      post(slidingEval(inner, startMs, endMs, stepMs))
+    case Aggregate(_, _, Some(g)) => throw new IllegalArgumentException(
+      s"grouped aggregate (${if (g.by) "by" else "without"} " +
+        s"${g.labels.mkString("(", ", ", ")")}) inside an UNGROUPED " +
+        "sliding evaluation — its group columns must appear in the " +
+        "output; evaluate through queryRangeBy/subqueryRangeBy with " +
+        "the same grouping")
     case other => throw new IllegalArgumentException(
       "sliding evaluation takes range functions over matrix selectors " +
-        "or subqueries, optionally under instant math, binary or set " +
+        "or subqueries, optionally under instant math, aggregation, " +
+        "binary or set " +
         s"composition, got: $other — per-step re-evaluation of " +
         "arbitrary expressions would rescan the store once per step; " +
         "use query() for whole-range shapes")
+  }
+
+  /** Aggregate node admitted into sliding evaluation — the
+    * pooled-series translation the API bridge proved
+    * ([[graft.tools.Web]]'s bridgeInner/pooledIdentity), engine-native
+    * so `max_over_time(sum(rate(m[5m]))[1h:5m])` and its grouped twin
+    * evaluate on BOTH surfaces: a bare-selector child maps to the
+    * aggregation's `_over_time` twin over a step-sized window
+    * (Prometheus' staleness lookback tied to the step — the engine's
+    * documented bridge convention); an already-sliding child is ONE
+    * pooled series, so the aggregation collapses to the
+    * one-element-set answer (identity / 1 / 0) as a row-local
+    * post-map. Either way the child's selectors scan exactly once.
+    */
+  private def slidingAggregate(kind: AggKind, child: Expr,
+      stepMs: Long): (Expr, DataFrame => DataFrame) = child match {
+    case sel: Selector =>
+      val (k, args) = TsdbEngine.windowedAgg(kind)
+      (RangeFn(k, MatrixSelector(sel, stepMs), args), identity)
+    case other => (other, TsdbEngine.pooledAggPost(kind))
   }
 
   /** Subquery-offset report-back: the inner evaluated on the shifted
@@ -1444,9 +1479,12 @@ final class TsdbEngine(
             val r = ge(rhs)
             val (lk, cond) = keyed(l)
             // or: left wins; right fills only uncontested keys. The
-            // anti-join probes the LEFT's keys from the right side, so
-            // rename the right to match keyed()'s left-role columns
-            val rRenamed = r.toDF(l.columns.toIndexedSeq: _*)
+            // anti-join probes the LEFT's keys from the right side;
+            // select the right's columns BY NAME into keyed()'s
+            // left-role layout (a positional rename would silently
+            // mislabel if a future arm emitted a different order)
+            val rRenamed = r.select(
+              (gNames :+ "timestamp" :+ "value").map(col): _*)
             l.unionByName(rRenamed.join(
               lk.select((gNames.map(_ + "_graft_r") :+ "_rts").map(col): _*),
               cond, "left_anti"))
@@ -1460,10 +1498,28 @@ final class TsdbEngine(
         l.join(rk, cond).select(gNames.map(col) ++ Seq(col("timestamp"),
           arith(kind, col("value").cast("double"),
             col("_rv").cast("double")).as("value")): _*)
+      case Aggregate(kind, child, g) =>
+        // GROUPED AGGREGATE INNER — `sum by (s) (rate(m[5m]))` inside
+        // a subquery or under grouped query_range: legal when the
+        // node's grouping IS the evaluation grouping (label ORDER
+        // never matters — group columns join by name); a groupless
+        // aggregate rides too, because the grouped evaluation already
+        // pools each group's samples, which is exactly what the
+        // aggregate would do per group. A DIFFERENT grouping would
+        // need a second group-by level per step — re-group the outer
+        // evaluation instead.
+        require(g.forall(x => x.by == grouping.by &&
+            x.labels.toSet == grouping.labels.toSet),
+          s"aggregate grouping $g differs from the evaluation " +
+            s"grouping $grouping — sliding evaluation carries ONE " +
+            "group key; re-group the outer evaluation to match")
+        val (inner, post) = slidingAggregate(kind, child, stepMs)
+        post(ge(inner))
       case other => throw new IllegalArgumentException(
         "grouped sliding evaluation takes range functions over matrix " +
           "selectors or subqueries, optionally under instant math, " +
-          s"scalar-literal arithmetic/comparison, binary or set " +
+          s"aggregation, scalar-literal arithmetic/comparison, binary " +
+          s"or set " +
           s"composition, got: $other — per-step re-evaluation of " +
           "arbitrary expressions would rescan the store once per step")
     }
@@ -1822,6 +1878,54 @@ final class TsdbEngine(
 }
 
 object TsdbEngine {
+  /** The per-step windowed twin of an aggregation operator over a BARE
+    * selector in sliding evaluation — `sum(m)` at step T is the window
+    * statistic of m's samples in (T - step, T]: sum → sum_over_time,
+    * count → count_over_time, group → present_over_time (1 for any
+    * non-empty window), quantile(φ) carries φ. Shared by the engine's
+    * sliding Aggregate arms and the Prometheus API bridge (the mapping
+    * the bridge proved first; lifted here so both surfaces agree by
+    * construction). count_values rejects: value-keyed groups have no
+    * per-step window analogue in the pooled-series model.
+    */
+  private[graft] def windowedAgg(kind: AggKind): (RangeFnKind, List[Double]) =
+    kind match {
+      case AggSum => (FnSumOverTime, Nil)
+      case AggAvg => (FnAvgOverTime, Nil)
+      case AggMin => (FnMinOverTime, Nil)
+      case AggMax => (FnMaxOverTime, Nil)
+      case AggCount => (FnCountOverTime, Nil)
+      case AggStddev => (FnStddevOverTime, Nil)
+      case AggStdvar => (FnStdvarOverTime, Nil)
+      case AggQuantile(phi) => (FnQuantileOverTime, List(phi))
+      case AggGroup => (FnPresentOverTime, Nil)
+      case other => throw new IllegalArgumentException(
+        s"unsupported aggregation in sliding evaluation: $other " +
+          "(count_values emits value-keyed groups — no per-step " +
+          "window analogue in the pooled-series model)")
+    }
+
+  /** Aggregating an ALREADY-WINDOWED sliding inner (rate etc.): the
+    * pooled evaluation is one series (per group, when grouped), so the
+    * aggregation is a statistic over a ONE-element set —
+    * sum/avg/min/max/quantile are the identity, count/group are 1,
+    * stddev/stdvar are 0: exactly Prometheus' answer when a group
+    * holds a single series. Row-local post-map, no extra scan.
+    */
+  private[graft] def pooledAggPost(kind: AggKind): DataFrame => DataFrame =
+    kind match {
+      case AggSum | AggAvg | AggMin | AggMax => identity
+      case AggQuantile(phi) =>
+        require(phi >= 0 && phi <= 1, s"quantile φ out of [0, 1]: $phi")
+        identity
+      case AggCount | AggGroup => _.withColumn("value", lit(1.0))
+      case AggStddev | AggStdvar => _.withColumn("value", lit(0.0))
+      case other => throw new IllegalArgumentException(
+        s"unsupported aggregation in sliding evaluation: $other " +
+          "(count_values emits value-keyed groups — no per-step " +
+          "window analogue in the pooled-series model)")
+    }
+
   /** The instant-fn value map as a Column over `v` (already cast to
     * double) — row-local, Float64 out, shared by the whole-range eval
     * and queryRange's sliding composition.

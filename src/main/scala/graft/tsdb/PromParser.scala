@@ -428,7 +428,10 @@ object PromParser {
         val suffix = peekGrouping()
         if (prefix.isDefined && suffix.isDefined) throw new PromParseException(
           s"$name has two grouping clauses in: $q")
-        Aggregate(aggNames(name), child, prefix.orElse(suffix))
+        // `sum(expr)[range:step]` — aggregates take the subquery
+        // suffix like any instant-vector expression (the most-typed
+        // Prometheus rule shape, max_over_time(sum(rate(m[5m]))[1h:5m]))
+        subquerySuffix(Aggregate(aggNames(name), child, prefix.orElse(suffix)))
       case TIdent(fn @ ("quantile" | "count_values"))
           if peek == TOp("(") || peek == TIdent("by") || peek == TIdent("without") =>
         // parameterized aggregates: `quantile(0.9, m)` (numeric-literal
@@ -462,7 +465,7 @@ object PromParser {
         val suffix = peekGrouping()
         if (prefix.isDefined && suffix.isDefined) throw new PromParseException(
           s"$fn has two grouping clauses in: $q")
-        Aggregate(kind, child, prefix.orElse(suffix))
+        subquerySuffix(Aggregate(kind, child, prefix.orElse(suffix)))
       case TIdent(fn @ ("topk" | "bottomk"))
           if peek == TOp("(") || peek == TIdent("by") || peek == TIdent("without") =>
         // grouping in either position, like the aggregates:
@@ -476,7 +479,7 @@ object PromParser {
         val suffix = peekGrouping()
         if (prefix.isDefined && suffix.isDefined) throw new PromParseException(
           s"$fn has two grouping clauses in: $q")
-        GetK(fn == "topk", k, child, prefix.orElse(suffix))
+        subquerySuffix(GetK(fn == "topk", k, child, prefix.orElse(suffix)))
       case TIdent(fn) if instantFnNames.contains(fn) && peek == TOp("(") =>
         next() // consume '('
         val kind = instantFnNames(fn)

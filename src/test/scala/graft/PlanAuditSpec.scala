@@ -309,6 +309,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ts107-ts109 aggregate inners: one raw scan, keyed windows only") {
+    // round 13: Aggregate nodes admitted into sliding evaluation — the
+    // pooled-series translation must stay ONE scan (a per-step
+    // re-evaluation would show step-count scans) with every window
+    // keyed on (group,) wstart
+    for (gate <- Seq("ts107_subquery_agg_inner",
+        "ts108_subquery_agg_inner_by", "ts109_subquery_agg_pooled")) {
+      val p = plan(graft.queries.TimeSeries.queries(gate)(spark, sf))
+      assert(p.linesIterator.count(l =>
+        l.contains("Scan") && l.contains("events")) <= 1,
+        s"$gate:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$gate cartesian")
+      p.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+        assert(l.contains("wstart"), s"$gate unpartitioned window: $l"))
+    }
+  }
+
   test("ts106 matched sliding composition: two scans, broadcast one side, no cartesian") {
     val p = plan(graft.queries.TimeSeries.queries("ts106_sliding_matched")(spark, sf))
     assert(p.linesIterator.count(l =>

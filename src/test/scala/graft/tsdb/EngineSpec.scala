@@ -1188,6 +1188,53 @@ class EngineSpec extends AnyFunSuite {
     }.getMessage.contains("conflict"))
   }
 
+  test("aggregate inners in sliding evaluation: windowed twin, pooled transforms") {
+    // round 13: Aggregate nodes admitted into slidingEval/queryRangeBy.
+    // ints on ts {10,20,30,40} values {2,4,6,8}; step 20ms windows
+    // (T-20, T] at T ∈ {20, 40} → sum(ints) = {2+4, 6+8} = {6, 14}.
+    val e = helperEngine()
+    val sel = e.queryRange("sum(ints)", 20, 40, 20)
+      .df.orderBy("timestamp").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sel.toSeq == Seq((20L, 6.0), (40L, 14.0)))
+    // already-windowed inner: sum is the pooled one-element identity,
+    // count collapses to 1, stddev to 0 — over the SAME derived series
+    val base = e.queryRange("sum_over_time(ints[20ms])", 20, 40, 20)
+      .df.orderBy("timestamp").collect().map(_.getDouble(1)).toSeq
+    val idn = e.queryRange("sum(sum_over_time(ints[20ms]))", 20, 40, 20)
+      .df.orderBy("timestamp").collect().map(_.getDouble(1)).toSeq
+    assert(idn == base && base == Seq(6.0, 14.0))
+    val cnt = e.queryRange("count(sum_over_time(ints[20ms]))", 20, 40, 20)
+      .df.collect().map(_.getDouble(1)).toSeq
+    assert(cnt == Seq(1.0, 1.0))
+    val sd = e.queryRange("stddev(sum_over_time(ints[20ms]))", 20, 40, 20)
+      .df.collect().map(_.getDouble(1)).toSeq
+    assert(sd == Seq(0.0, 0.0))
+    // the subquery form — max_over_time(sum(ints)[40ms:20ms]) from 0:
+    // substeps {0, 20, 40} (grids anchor at evaluation start), inner
+    // sums {-, 6, 14}, outer windows keyed at wstart {0, 40}
+    val sq = e.query("max_over_time(sum(ints)[40ms:20ms])", 0, 40)
+      .df.orderBy("timestamp").collect().map(_.getDouble(1)).toSeq
+    assert(sq == Seq(6.0, 14.0))
+    // grouped twin routes through queryRangeBy when groupings agree...
+    val h = httpEngine()
+    val g = h.queryRangeBy(
+      "sum by (service) (http_requests_total)",
+      Expr.Grouping(by = true, List("service")), 29, 51, 22)
+      .orderBy("service", "timestamp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // windows (7,29] and (29,51]: web 45+47 / 23+48, mobile 9+18 / 0+100
+    assert(g.toSeq == Seq(("mobile", 29L, 27.0), ("mobile", 51L, 100.0),
+      ("web", 29L, 92.0), ("web", 51L, 71.0)))
+    // ...and a MISMATCHED grouping rejects (one group key per sliding
+    // evaluation), as does a grouped aggregate in an ungrouped eval
+    intercept[IllegalArgumentException](h.queryRangeBy(
+      "sum by (other) (http_requests_total)",
+      Expr.Grouping(by = true, List("service")), 29, 51, 22).collect())
+    intercept[IllegalArgumentException](
+      h.queryRange("sum by (service) (http_requests_total)", 29, 51, 22)
+        .df.collect())
+  }
+
   test("unsupported forms are rejected") {
     val e = helperEngine()
     // range functions are the engine's documented extension (RangeFnSpec);

@@ -405,8 +405,13 @@ class RangeFnSpec extends AnyFunSuite {
   }
 
   test("queryRange: whole-range shapes are rejected with the scan-amplification error") {
+    // round 13: `sum(ctr)` is no longer one of them — aggregates map
+    // to their _over_time twin over a step window (the Aggregate arm)
+    assert(engine.queryRange("sum(ctr)", 0L, 100L, 10L)
+      .df.limit(1).collect().nonEmpty)
+    // topk has no sliding arm — still the amplification refusal
     val e1 = intercept[IllegalArgumentException] {
-      engine.queryRange("sum(ctr)", 0L, 100L, 10L)
+      engine.queryRange("topk(2, ctr)", 0L, 100L, 10L)
     }
     assert(e1.getMessage.contains("range functions over matrix selectors") &&
       e1.getMessage.contains("rescan the store once per step"))
