@@ -128,6 +128,27 @@ object Containers {
       totalSamples.toDouble / sampleRate)
   }
 
+  /** Quarantine forms of the two walks ([[Mp4.tryMeta]] convention):
+    * a malformed payload yields Left(reason) instead of aborting the
+    * pass; loud forms stay for fixtures. Parse-shaped failures only —
+    * errors still propagate.
+    */
+  def tryWebpMeta(bytes: Array[Byte]): Either[String, WebPMeta] =
+    try Right(webpMeta(bytes)) catch {
+      case e: IllegalArgumentException =>
+        Left(Option(e.getMessage).getOrElse("malformed WebP"))
+      case e: ArrayIndexOutOfBoundsException =>
+        Left(s"truncated WebP: out-of-bounds read at ${e.getMessage}")
+    }
+
+  def tryFlacMeta(bytes: Array[Byte]): Either[String, FlacMeta] =
+    try Right(flacMeta(bytes)) catch {
+      case e: IllegalArgumentException =>
+        Left(Option(e.getMessage).getOrElse("malformed FLAC"))
+      case e: ArrayIndexOutOfBoundsException =>
+        Left(s"truncated FLAC: out-of-bounds read at ${e.getMessage}")
+    }
+
   /** Fixture builders — the forward-writing twins ([[Mp4.buildFixture]]
     * convention): gates/specs prove the round trip without a codec.
     */

@@ -148,6 +148,52 @@ object Mp4 {
       tracks)
   }
 
+  /** QUARANTINE form of [[meta]] — per-payload try: a malformed or
+    * truncated payload yields Left(reason) instead of aborting the
+    * pass. The loud form stays the default for fixtures (the Qoi
+    * corrupt-stream discipline — a fixture that fails to parse is a
+    * bug); a 100 TB curation run routes through this one so a single
+    * truncated upload cannot kill the job. Only parse-shaped failures
+    * are caught — real errors (OOM, interrupts) still propagate.
+    */
+  def tryMeta(bytes: Array[Byte]): Either[String, Meta] =
+    try Right(meta(bytes)) catch {
+      case e: IllegalArgumentException =>
+        Left(Option(e.getMessage).getOrElse("malformed MP4"))
+      case e: ArrayIndexOutOfBoundsException =>
+        Left(s"truncated MP4: out-of-bounds read at ${e.getMessage}")
+    }
+
+  /** [[extract]]'s quarantine twin: nullable metadata plus an `err`
+    * column — malformed rows SURVIVE the pass, filterable downstream
+    * (`where(col("err").isNull)` keeps the clean side; the rest routes
+    * to a quarantine sink). Same row-local mapPartitions shape.
+    */
+  final case class Mp4MetaQ(id: Long, brand: Option[String],
+      timescale: Option[Long], duration_ticks: Option[Long],
+      duration_sec: Option[Double], n_tracks: Option[Int],
+      handlers: Option[String], video_width: Option[Int],
+      video_height: Option[Int], err: Option[String])
+
+  def extractQuarantine(
+      media: Dataset[Multimodal.MediaRow]): Dataset[Mp4MetaQ] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      tryMeta(r.payload) match {
+        case Right(m) =>
+          val vid = m.tracks.find(_.handler == "vide")
+          Mp4MetaQ(r.id, Some(m.brand), Some(m.timescale),
+            Some(m.durationTicks), Some(m.durationSec),
+            Some(m.tracks.size),
+            Some(m.tracks.map(_.handler).mkString(",")),
+            Some(vid.map(_.width).getOrElse(0)),
+            Some(vid.map(_.height).getOrElse(0)), None)
+        case Left(err) => Mp4MetaQ(r.id, None, None, None, None, None,
+          None, None, None, Some(err))
+      }
+    })
+  }
+
   /** Distributed metadata extraction over the standard media schema —
     * the mapPartitions shape [[Multimodal.extractFeatures]] documents
     * (row-local byte walk, no codec, no shuffle). The first video

@@ -1919,6 +1919,37 @@ object Pipeline {
         .toDF("doc_id", "sample_rate", "channels", "bits_per_sample",
           "total_samples", "duration_sec")
         .orderBy("doc_id")
+    },
+
+    // QUARANTINE container walk (round 13): every 7th payload is
+    // truncated mid-header, and Mp4.extractQuarantine keeps the row
+    // with an `err` column instead of aborting the pass — the mode a
+    // 100 TB curation run needs (one bad upload must not kill it; the
+    // loud walk stays for fixtures). Clean rows carry the same
+    // arithmetically-predicted fields as mm05; corrupt rows surface
+    // ok=false with -1 dims.
+    "mm08_mp4_quarantine" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("n"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) =>
+          val full = graft.multimodal.Mp4.buildFixture(
+            brand = "isom", timescale = 1000L, durationTicks = n,
+            tracks = Seq(("vide",
+              (id % 640 + 16).toInt, (id % 360 + 9).toInt)),
+            v1 = false)
+          graft.multimodal.Multimodal.MediaRow(id,
+            if (id % 7 == 0) full.take(12) else full,
+            graft.multimodal.Multimodal.MediaMeta("mp4", 0, 0,
+              full.length.toLong))
+        })
+      graft.multimodal.Mp4.extractQuarantine(media)
+        .select(col("id").as("doc_id"), col("err").isNull.as("ok"),
+          coalesce(col("video_width"), lit(-1)).as("video_w"),
+          coalesce(col("video_height"), lit(-1)).as("video_h"))
+        .orderBy("doc_id")
     }
   )
 
@@ -3412,6 +3443,14 @@ object Pipeline {
         |  CAST(octet_length(encode(text)) * 100 AS BIGINT) AS total_samples,
         |  (octet_length(encode(text)) * 100)
         |    / CAST(8000 + (doc_id % 8) * 4000 AS DOUBLE) AS duration_sec
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm08_mp4_quarantine" ->
+      """SELECT doc_id, (doc_id % 7 <> 0) AS ok,
+        |  CASE WHEN doc_id % 7 = 0 THEN -1
+        |       ELSE CAST(doc_id % 640 + 16 AS INT) END AS video_w,
+        |  CASE WHEN doc_id % 7 = 0 THEN -1
+        |       ELSE CAST(doc_id % 360 + 9 AS INT) END AS video_h
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

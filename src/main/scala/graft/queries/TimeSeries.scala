@@ -71,6 +71,22 @@ object TimeSeries {
     new TsdbEngine(s, data, catalog)
   }
 
+  /** Three-label series — user, cohort (= user_id % 3), tier
+    * (= user_id % 2) — the `without` matched-composition fixture
+    * (ts110/ts111): dropping `user` with `without` leaves a
+    * (cohort, tier) canonical group, strictly coarser than user but
+    * finer than cohort, so the share-of-cohort ratio is non-trivial.
+    */
+  def engineTier(s: SparkSession, dir: String): TsdbEngine = {
+    val ev = table(s, dir, "events")
+    val data = ev.select(col("event_type").as("name"),
+      map(lit("user"), col("user_id").cast("string"),
+        lit("cohort"), (col("user_id") % 3).cast("string"),
+        lit("tier"), (col("user_id") % 2).cast("string")).as("labels"),
+      graft.engine.Graft.tsMillis(ev).as("timestamp"), col("value"))
+    new TsdbEngine(s, data, catalog)
+  }
+
   /** Cumulative-histogram fixture (ts78): each purchase event explodes
     * into one `purchase_bucket` sample per bucket bound
     * (le ∈ {100, 250, 400, +Inf}), labels {user, le}, value 1 when the
@@ -1035,6 +1051,39 @@ object TimeSeries {
         .orderBy(col("user").cast("long"), col("timestamp"))
     },
 
+    // WITHOUT matched composition (round 13), whole-range: each
+    // (cohort, tier) canonical group's share of its cohort's purchase
+    // volume. `sum without (user)` keeps the canonical label STRING as
+    // the group identity; `ignoring (tier)` derives the {cohort} key
+    // from the `by` side, and the engine re-opens cohort's value from
+    // the canonical string for the join (previously rejected).
+    "ts110_matched_without" -> { (s, dir) =>
+      engineTier(s, dir)
+        .query("sum without (user) (purchase) / ignoring (tier) " +
+          "group_left sum by (cohort) (purchase)", SubStart, SubEnd)
+        .output.select(col("labels"), round(col("value"), 9).as("value"))
+        .orderBy("labels")
+    },
+
+    // ... and its SLIDING twin through queryRangeByMatched: the same
+    // share-of-cohort ratio at every 12h step over 1-day windows, the
+    // `without` side riding the canonical column with `on (cohort)`
+    // re-opened per row.
+    "ts111_sliding_matched_without" -> { (s, dir) =>
+      engineTier(s, dir).queryRangeByMatched(
+        graft.tsdb.PromParser.parse("sum_over_time(purchase[1d])"),
+        graft.tsdb.Expr.Grouping(by = false, List("user")),
+        graft.tsdb.PromParser.parse("sum_over_time(purchase[1d])"),
+        graft.tsdb.Expr.Grouping(by = true, List("cohort")),
+        graft.tsdb.Expr.Div,
+        graft.tsdb.Expr.VectorMatch(on = true, List("cohort"),
+          graft.tsdb.Expr.ManyToOne),
+        SubStart, SubEnd, 12 * 3600 * 1000L)
+        .select(col("labels"), col("timestamp"),
+          round(col("value"), 9).as("value"))
+        .orderBy(col("labels"), col("timestamp"))
+    },
+
     // AGGREGATE over an ALREADY-WINDOWED inner — the verdict-r12
     // staple `max_over_time(sum(rate(m[1d]))[3d:12h])`: sum over the
     // one pooled rate series is the identity (the pooled-series
@@ -1759,6 +1808,37 @@ object TimeSeries {
          |SELECT i.u AS "user", ot AS timestamp, ROUND(MAX(v), 6) AS value
          |FROM og JOIN i ON i.et > ot - ${3 * 86400000L} AND i.et <= ot
          |GROUP BY i.u, ot ORDER BY CAST(i.u AS BIGINT), timestamp""".stripMargin,
+
+    "ts110_matched_without" ->
+      s"""WITH d AS (SELECT CAST(user_id % 3 AS VARCHAR) AS c,
+         |        CAST(user_id % 2 AS VARCHAR) AS tr,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'),
+         |l AS (SELECT c, tr, SUM(v) AS s FROM d WHERE ${sub()}
+         |      GROUP BY c, tr),
+         |r AS (SELECT c, SUM(v) AS s FROM d WHERE ${sub()} GROUP BY c)
+         |SELECT 'cohort=' || l.c || ',tier=' || l.tr AS labels,
+         |  ROUND(l.s / r.s, 9) AS value
+         |FROM l JOIN r ON r.c = l.c ORDER BY labels""".stripMargin,
+
+    "ts111_sliding_matched_without" ->
+      s"""WITH d AS (SELECT CAST(user_id % 3 AS VARCHAR) AS c,
+         |        CAST(user_id % 2 AS VARCHAR) AS tr,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |wl AS (SELECT d.c, d.tr, g.et, SUM(d.v) AS s FROM g
+         |       JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et
+         |       GROUP BY d.c, d.tr, g.et),
+         |wr AS (SELECT d.c, g.et, SUM(d.v) AS s FROM g
+         |       JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et
+         |       GROUP BY d.c, g.et)
+         |SELECT 'cohort=' || wl.c || ',tier=' || wl.tr AS labels,
+         |  wl.et AS timestamp, ROUND(wl.s / wr.s, 9) AS value
+         |FROM wl JOIN wr ON wr.c = wl.c AND wr.et = wl.et
+         |ORDER BY labels, timestamp""".stripMargin,
 
     "ts109_subquery_agg_pooled" ->
       s"""WITH d AS (SELECT t, AVG(v) AS v FROM ${ev("event_type = 'purchase'")}

@@ -525,6 +525,14 @@ object Web {
         composedTree(c).map { case (g, ce) => (g, InstantFn(k, ce, args)) }
       case _ => None
     }
+    // topk/bottomk k over the bridge: a literal stays driver-local; a
+    // scalar EXPRESSION (`topk(scalar(count(m)), ...)`, Prometheus-
+    // legal) evaluates whole-range through the engine's own k-subplan
+    // path — scalarK's 1-row collect IS the reference's k shape
+    def kOf(kExpr: Expr): Int = kExpr match {
+      case NumberLit(v) => v.toInt
+      case other => e.scalarK(other, startMs, endMs)
+    }
     // the grouping a subquery inner's aggregate tree carries, if any —
     // walked (first hit wins) so the bridge can route grouped sliding
     // subqueries through queryRangeBy; the engine re-validates that
@@ -569,16 +577,18 @@ object Web {
         val cols = manyLabels ++ vm.carry
         PromMatrix(cols, canonical = false, df.orderBy(
           (cols :+ "timestamp").map(col): _*).collect())
+      case Aggregate(AggCountValues(label), sel: Selector, None) =>
+        // count_values over the bridge (round 13): value-bucketed
+        // per-step counts — each sample lands in its unique step
+        // window, one scan, series keyed by the VALUE label
+        val df = e.countValuesRange(label, sel, startMs, endMs, stepMs)
+        PromMatrix(Seq(label), canonical = false, df.orderBy(
+          col(label), col("timestamp")).collect())
       case Aggregate(kind, child, g) =>
         aggregate(kind, child, g)
       case GetK(top, kExpr, Aggregate(kind, child, Some(gr)), None) =>
         // topk(k, sum by (u) (...)): the k best groups at each step
-        val k = kExpr match {
-          case NumberLit(v) => v.toInt
-          case other => throw new IllegalArgumentException(
-            s"topk/bottomk k must be a numeric literal over the API " +
-              s"bridge, got: $other")
-        }
+        val k = kOf(kExpr)
         val cols = groupCols(gr)
         val rank = row_number().over(Window.partitionBy(col("timestamp"))
           .orderBy((if (top) col("value").desc else col("value").asc) +:
@@ -590,12 +600,7 @@ object Web {
         // pooled series, so k ≥ 1 is the identity (exactly Prometheus'
         // one-series-group answer) and k = 0 empties; contrast with
         // `topk(k, sum by (s) (m))`, the ACROSS-groups ranking above
-        val k = kExpr match {
-          case NumberLit(v) => v.toInt
-          case other => throw new IllegalArgumentException(
-            s"topk/bottomk k must be a numeric literal over the API " +
-              s"bridge, got: $other")
-        }
+        val k = kOf(kExpr)
         val inner = child match {
           case SlidingShape(rf) => rf
           case sel: Selector =>

@@ -285,6 +285,48 @@ final class TsdbEngine(
     case other => (other, TsdbEngine.pooledAggPost(kind))
   }
 
+  /** GetK's k-subplan: evaluate whole-range, require a single scalar,
+    * 1-row collect (the reference evaluates the k subplan first,
+    * get_k.rs:77-79 — k is ONE number, so the single-value collect
+    * mirrors that), round, clamp at 0. Shared by eval's GetK arm and
+    * the Prometheus API bridge's topk/bottomk dispatch (which accepts
+    * `topk(scalar(count(m)), ...)` through exactly this path).
+    */
+  def scalarK(kExpr: Expr, startMs: Long, endMs: Long): Int = {
+    val kRes = eval(kExpr, startMs, endMs)
+    require(kRes.isScalar && !kRes.grouped,
+      "topk/bottomk k-parameter must be a single scalar")
+    val kRows = kRes.df.limit(1).collect()
+    if (kRows.isEmpty) 0 else math.max(0L, kRows(0).get(0) match {
+      case d: java.lang.Double => math.round(d.doubleValue())
+      case l: java.lang.Long => l.longValue()
+      case other => other.toString.toLong
+    }).toInt
+  }
+
+  /** count_values' query_range twin (the API bridge's per-step model):
+    * ONE scan over (start - step, end], each sample assigned to its
+    * UNIQUE step window (step-sized lookbacks tile the range), then
+    * per-(step, value-string) counts — the value renders through the
+    * same cast the whole-range AggCountValues arm uses, so the two
+    * surfaces agree on the label text. Emits (label, timestamp,
+    * value); group-count × step-count bounded output, no per-step
+    * rescan.
+    */
+  def countValuesRange(label: String, sel: Selector, startMs: Long,
+      endMs: Long, stepMs: Long): DataFrame = {
+    requireValueLabel(label, Nil)
+    val off = pmod(col("timestamp") - startMs, lit(stepMs))
+    val stepTs = when(off === 0, col("timestamp"))
+      .otherwise(col("timestamp") + (lit(stepMs) - off))
+    select(sel, startMs - stepMs + 1, endMs)
+      .select(stepTs.as("timestamp"), col("value"))
+      .where(col("timestamp") >= startMs && col("timestamp") <= endMs)
+      .groupBy(col("value").cast("string").as(label), col("timestamp"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(col(label), col("timestamp"), col("value"))
+  }
+
   /** Subquery-offset report-back: the inner evaluated on the shifted
     * clock reports on the outer one (shared by the tumbling and
     * sliding, grouped and ungrouped subquery arms).
@@ -325,17 +367,7 @@ final class TsdbEngine(
       groupedAggregate(kind, child, g, start, end)
 
     case GetK(top, kExpr, child, grouping) =>
-      val kRes = eval(kExpr, start, end)
-      require(kRes.isScalar && !kRes.grouped,
-        "topk/bottomk k-parameter must be a single scalar")
-      // The reference evaluates the k subplan first (get_k.rs:77-79); k is
-      // one number, so the single-value collect mirrors that.
-      val kRows = kRes.df.limit(1).collect()
-      val k = if (kRows.isEmpty) 0 else math.max(0L, kRows(0).get(0) match {
-        case d: java.lang.Double => math.round(d.doubleValue())
-        case l: java.lang.Long => l.longValue()
-        case other => other.toString.toLong
-      }).toInt
+      val k = scalarK(kExpr, start, end)
       grouping match {
         case Some(g) => groupedGetK(top, k, child, g, start, end)
         case None =>
@@ -1127,12 +1159,30 @@ final class TsdbEngine(
       case OneToMany => (true, rDf, rGroups, lDf, lGroups)
       case _ => (false, lDf, lGroups, rDf, rGroups)
     }
+    // WITHOUT-grouped operands (round 13): a side whose one group
+    // column is the canonical `labels` string re-opens the match-key
+    // label VALUES from that string (str_to_map over the escaped
+    // k=v,k=v text + unescape — the LabelCodec inverse), so `sum
+    // without (noisy) (x) / on (k) group_left sum by (k) (y)` composes
+    // without re-grouping. The canonical column stays the side's group
+    // identity; re-opened key columns are join plumbing only, dropped
+    // by the output projection.
+    val manyCanonical = manyCols == Seq("labels")
+    val oneCanonical = oneCols == Seq("labels")
+    require(!oneCanonical || m.on,
+      "ignoring(...) with a without-grouped 'one' side has no " +
+        "structural match key (the canonical string names no column " +
+        "set) — use on(...) or a `by` grouping")
     val key = if (m.on) m.labels else oneCols.filterNot(m.labels.contains)
     require(key.nonEmpty,
       "empty match key — on () / ignoring (all labels) has no join " +
         "semantics; use the scalar broadcast form instead")
+    require(!(manyCanonical || oneCanonical) || !key.contains("labels"),
+      "a match label named 'labels' collides with the canonical " +
+        "without-group column")
     val missing =
-      key.filterNot(manyCols.contains) ++ key.filterNot(oneCols.contains)
+      key.filterNot(k => manyCanonical || manyCols.contains(k)) ++
+        key.filterNot(k => oneCanonical || oneCols.contains(k))
     require(missing.isEmpty,
       s"match labels must be group columns of both operands " +
         s"((${manyCols.mkString(", ")}) vs (${oneCols.mkString(", ")})): " +
@@ -1140,10 +1190,23 @@ final class TsdbEngine(
     val carry = m.carry
     m.card match {
       case OneToOne =>
+        require(!manyCanonical && !oneCanonical,
+          "one-to-one on/ignoring over a without grouping cannot " +
+            "prove key uniqueness structurally — use `by` groupings " +
+            "or add group_left/group_right")
         require(manyCols.toSet == key.toSet && oneCols.toSet == key.toSet,
           "one-to-one on/ignoring requires both operands grouped " +
             "exactly by the match labels — add group_left/group_right " +
             "for many-to-one matching")
+      case _ if oneCanonical =>
+        // a without-grouped 'one' side: key uniqueness is not
+        // structural (the canonical grouping may be finer than the
+        // key) — enforced at runtime by the fold below, the check
+        // Prometheus performs (many-to-many rejection)
+        require(carry.isEmpty,
+          "label-carry from a without-grouped 'one' side is not " +
+            "supported — carried labels address group COLUMNS; " +
+            "re-group with `by` over the labels you carry")
       case _ if carry.isEmpty =>
         require(oneCols.toSet == key.toSet,
           s"many-to-one matching requires the 'one' side grouped " +
@@ -1164,15 +1227,43 @@ final class TsdbEngine(
           s"carried label(s) already exist on the many side: " +
             s"${clash.mkString(", ")}")
     }
+    // one key's VALUE re-opened from the canonical without-group
+    // string: probe the escaped k in the escaped k=v,k=v map text,
+    // unescape the hit; null = label absent (the by-column convention,
+    // so the null-safe join key matches missing labels)
+    def canonKey(k: String): Column =
+      unescapeLabelCol(element_at(
+        str_to_map(col("labels"), lit(","), lit("=")),
+        lit(LabelCodec.escape(k))))
+    def reopened(df: DataFrame): DataFrame =
+      key.foldLeft(df)((d, k0) => d.withColumn(k0, canonKey(k0)))
+    val manyKeyed = if (manyCanonical) reopened(many) else many
     // With carried labels, key uniqueness is no longer structural
     // (the one side's grouping is key ∪ carry): pre-fold the one side
     // to one row per key and ENFORCE uniqueness on the executors —
     // raise_error fires if two carry tuples share a key, exactly the
     // runtime check Prometheus performs. The fold runs over the
-    // group-count-sized frame, never the scan.
+    // group-count-sized frame, never the scan. A without-grouped 'one'
+    // side gets the same treatment over its canonical strings: two
+    // without-groups sharing a match key is the many-to-many shape
+    // Prometheus rejects at runtime.
     val foldKey = if (timeKey) key :+ "timestamp" else key
     val oneKeyed =
-      if (carry.isEmpty) one
+      if (oneCanonical) {
+        reopened(one).groupBy(foldKey.map(col): _*)
+          .agg(min(col("labels")).as("_lmin"),
+            max(col("labels")).as("_lmax"),
+            first(col("value")).as("value"))
+          .select((foldKey.map(col) :+
+            when(col("_lmin") <=> col("_lmax"), col("value"))
+              .otherwise(raise_error(concat(
+                lit("on(...) group_left/right: the without-grouped " +
+                  "'one' side is not unique per match key ("),
+                concat_ws(", ", key.map(col): _*), lit(")"))
+                .cast("string")).cast("double"))
+              .as("value")): _*)
+      }
+      else if (carry.isEmpty) one
       else {
         val cs = struct(carry.map(col): _*)
         one.groupBy(foldKey.map(col): _*)
@@ -1199,7 +1290,7 @@ final class TsdbEngine(
     val outCols = manyCols.map(col) ++
       carry.map(c0 => col(c0 + "_graft_r").as(c0)) ++
       (if (timeKey) Seq(col("timestamp")) else Nil)
-    many.join(rr, cond).select(
+    manyKeyed.join(rr, cond).select(
       outCols :+ arith(kind, lv.cast("double"), rv.cast("double"))
         .as("value"): _*)
   }
@@ -1529,8 +1620,9 @@ final class TsdbEngine(
   /** MATCHED grouped sliding composition — the share-of-parent panel
     * OVER TIME: `sum by (a, b) (x) / on (a) group_left sum by (a) (y)`
     * at every step. Each side evaluates through the grouped sliding
-    * recursion with ITS OWN grouping (both must be `by` — match labels
-    * address label COLUMNS), and the sides join per (match key, step)
+    * recursion with ITS OWN grouping (`by` or, since round 13,
+    * `without` — the canonical string re-opens into the match-key
+    * values), and the sides join per (match key, step)
     * under exactly [[groupedBinaryMatched]]'s acceptance rules
     * (one-to-one needs both sides keyed by the match labels;
     * many-to-one needs the 'one' side keyed exactly by them [∪ carry],
@@ -1542,13 +1634,13 @@ final class TsdbEngine(
   def queryRangeByMatched(lhs: Expr, gl: Grouping, rhs: Expr,
       gr: Grouping, kind: BinKind, m: VectorMatch,
       startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
-    require(gl.by && gr.by,
-      "matched sliding composition takes `by` groupings on both sides " +
-        "(match labels address label columns; a `without` canonical " +
-        "string is not a label set)")
+    // `without` sides (round 13) ride the canonical `labels` column;
+    // matchedGroupedJoin re-opens the match-key values from it
+    def sideCols(g: Grouping): Seq[String] =
+      if (g.by) g.labels else Seq("labels")
     matchedGroupedJoin(kind,
-      queryRangeBy(lhs, gl, startMs, endMs, stepMs), gl.labels,
-      queryRangeBy(rhs, gr, startMs, endMs, stepMs), gr.labels,
+      queryRangeBy(lhs, gl, startMs, endMs, stepMs), sideCols(gl),
+      queryRangeBy(rhs, gr, startMs, endMs, stepMs), sideCols(gr),
       m, timeKey = true)
   }
 

@@ -253,6 +253,33 @@ final class GraftDb(
     invalidateCatalog()
   }
 
+  /** BATCH catalog registration — ONE file append and ONE memo
+    * invalidate for any number of new streams. Registering G groups
+    * through [[registerStream]] would invalidate the CRC-memoized
+    * catalog per write and re-parse it on the next existence probe:
+    * O(G²) driver work on the FIRST recording of a high-cardinality
+    * grouping. Callers pass pre-deduplicated defs; duplicates against
+    * the existing catalog still reject loudly (same contract as
+    * [[registerStream]], checked once against one snapshot).
+    */
+  private def registerStreams(defs: Seq[StreamDef]): Unit = {
+    if (defs.isEmpty) return
+    defs.foreach(d => require(
+      !d.name.exists(c => c == '\n' || c == '\r' || c == '\u0000' || c == '\t'),
+      s"stream name must not contain newline/NUL: ${d.name.replace("\n", "\\n")}"))
+    val keys = defs.map(d => (d.name, d.labels))
+    require(keys.distinct.size == keys.size,
+      "duplicate stream defs in one batch registration")
+    val existing = streams().map(d => (d.name, d.labels)).toSet
+    keys.find(existing).foreach { case (n, ls) =>
+      throw new IllegalArgumentException(s"stream already exists: $n $ls") }
+    upgradeCatalog()
+    Files.writeString(catalogFile,
+      defs.map(catalogLine(_) + "\n").mkString,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    invalidateCatalog()
+  }
+
   /** [[createStream]] unless the exact (name, labels) stream already
     * exists; returns the parsed pair (the idempotent entry recording
     * rules use).
@@ -636,10 +663,13 @@ final class GraftDb(
       .map(r => gCols.zipWithIndex.flatMap { case (c, i) =>
         Option(r.getString(i)).map(c -> _)
       }.toMap)
-    groups.foreach { ls =>
-      if (!streams().exists(d => d.name == tname && d.labels == ls))
-        registerStream(tname, ls, VType.F64)
-    }
+    // ONE existence snapshot + ONE batched catalog append — per-group
+    // registerStream would re-parse the catalog after every write
+    // (O(G²) on the first recording of a high-cardinality grouping)
+    val known = streams().collect {
+      case d if d.name == tname => d.labels }.toSet
+    registerStreams(groups.toSeq.distinct.collect {
+      case ls if !known(ls) => StreamDef(tname, ls, VType.F64) })
     val labelsCol = map_filter(
       map(gCols.flatMap(c => Seq(lit(c), col(c))): _*),
       (_, v) => v.isNotNull)

@@ -221,15 +221,47 @@ class CliWebSpec extends AnyFunSuite {
       assert(cnt.body().contains(
         """{"metric":{"service":"web"},"values":[[0.02,"2.0"],[0.04,"1.0"]]}"""),
         cnt.body())
-      // count_values stays loud (no per-step window analogue)
+      // count_values evaluates per step (round 13): value-bucketed
+      // counts, series keyed by the value label — window (0,20] holds
+      // values {1,2,8} (one each), (20,40] holds {4}
       val cv = client.send(
         HttpRequest.newBuilder(URI.create(
           s"http://localhost:$port/api/v1/query_range?path=${enc(db)}" +
             s"""&query=${enc("""count_values("v", req)""")}""" +
             s"&start=0.02&end=0.04&step=20ms")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
-      assert(cv.statusCode() == 400 &&
-        cv.body().contains("unsupported aggregation"), cv.body())
+      assert(cv.statusCode() == 200, cv.body())
+      for (v <- Seq("1.0", "2.0", "8.0"))
+        assert(cv.body().contains(
+          s"""{"metric":{"v":"$v"},"values":[[0.02,"1.0"]]}"""), cv.body())
+      assert(cv.body().contains(
+        """{"metric":{"v":"4.0"},"values":[[0.04,"1.0"]]}"""), cv.body())
+      // ...the label may not collide with a result column
+      val cvBad = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/api/v1/query_range?path=${enc(db)}" +
+            s"""&query=${enc("""count_values("value", req)""")}""" +
+            s"&start=0.02&end=0.04&step=20ms")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(cvBad.statusCode() == 400 &&
+        cvBad.body().contains("collides"), cvBad.body())
+      // topk with a SCALAR k expression (round 13): the k-subplan
+      // evaluates whole-range over [start, end] = [20, 40]ms, which
+      // holds 2 samples → `count(req) - 1` = 1 keeps only the larger
+      // group per step
+      val tkq = enc("topk(count(req) - 1, sum by (service) (req))")
+      val tk = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/api/v1/query_range?path=${enc(db)}" +
+            s"&query=$tkq&start=0.02&end=0.04&step=20ms")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(tk.statusCode() == 200, tk.body())
+      // step 0.02: web 1+2=3 vs mob 8 → mob wins; step 0.04: web only
+      assert(tk.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.02,"8.0"]]}"""), tk.body())
+      assert(tk.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.04,"4.0"]]}"""), tk.body())
+      assert(!tk.body().contains("""[[0.02,"3.0"]"""), tk.body())
       // metadata endpoints: labels, label values, series (nameless
       // selector with a regex matcher resolves on the catalog)
       def metaGet(path: String) = client.send(

@@ -182,6 +182,26 @@ class LibrarySpec extends AnyFunSuite {
     assert(!db.streams().exists(d => d.name == "req_w" || d.name == "req_l"))
   }
 
+  test("appendGroupedFrame: 1k new groups = one catalog append, not G re-parses") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftdb_batch").toString
+    val db = new GraftDb(spark, dir)
+    val frame = (1 to 1000).map(i => (i.toString, (i * 10).toLong, i.toDouble))
+      .toDF("u", "timestamp", "value")
+    val before = db.catalogParses
+    db.appendGroupedFrame("bulk", Seq("u"), frame)
+    assert(db.streams().count(_.name == "bulk") == 1000)
+    // the batched registration path: per-group registerStream would
+    // invalidate the memo per write and re-parse the 1k-line catalog
+    // ~1k times (O(G²) line work); the batch does ONE existence
+    // snapshot + ONE append + ONE invalidate
+    val parses = db.catalogParses - before
+    assert(parses <= 3, s"batched registration re-parsed the catalog $parses times")
+    // re-appending the same groups registers nothing new (no dup defs)
+    db.appendGroupedFrame("bulk", Seq("u"), frame)
+    assert(db.streams().count(_.name == "bulk") == 1000)
+  }
+
   test("GraftDb csv import + export round-trip") {
     val dir = Files.createTempDirectory("graftcsv").toString
     val csv = Files.createTempDirectory("csvin").resolve("s.csv")

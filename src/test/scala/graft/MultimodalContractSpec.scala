@@ -459,4 +459,41 @@ class MultimodalContractSpec extends AnyFunSuite {
     assert(out.map(r => (r.video_width, r.video_height)).toSeq ==
       (1 to 6).map(i => (i * 10, i * 5)))
   }
+
+  test("quarantine walks: corrupt payloads survive beside good ones; loud forms still throw") {
+    import spark.implicits._
+    import graft.multimodal.{Containers, Mp4}
+    // one good + one corrupt payload per format through the try forms
+    val goodMp4 = Mp4.buildFixture("isom", 1000L, 500L,
+      Seq(("vide", 64, 32)), v1 = false)
+    assert(Mp4.tryMeta(goodMp4).exists(_.durationTicks == 500L))
+    assert(Mp4.tryMeta(goodMp4.take(12)).isLeft)
+    val goodWebp = Containers.buildWebPFixture("lossy", 40, 30)
+    assert(Containers.tryWebpMeta(goodWebp).exists(m =>
+      m.width == 40 && m.height == 30))
+    assert(Containers.tryWebpMeta(goodWebp.take(10)).isLeft)
+    assert(Containers.tryWebpMeta("RIFFxxxxNOPE".getBytes("ISO-8859-1")).isLeft)
+    val goodFlac = Containers.buildFlacFixture(44100, 2, 16, 44100L)
+    assert(Containers.tryFlacMeta(goodFlac).exists(_.sampleRate == 44100))
+    assert(Containers.tryFlacMeta(goodFlac.take(6)).isLeft)
+    // the loud forms keep the fixture discipline — same bytes, thrown
+    intercept[IllegalArgumentException](Mp4.meta(goodMp4.take(12)))
+    intercept[IllegalArgumentException](Containers.webpMeta(goodWebp.take(10)))
+    intercept[IllegalArgumentException](Containers.flacMeta(goodFlac.take(6)))
+    // distributed: the corrupt row rides the pass with err set; the
+    // clean rows' fields are intact — one truncated upload never
+    // aborts the job
+    val rows = (1L to 5L).map { id =>
+      val full = Mp4.buildFixture("isom", 1000L, id * 100,
+        Seq(("vide", id.toInt * 10, id.toInt * 5)), v1 = false)
+      Multimodal.MediaRow(id, if (id == 3L) full.take(12) else full,
+        Multimodal.MediaMeta("mp4", 0, 0, 0L))
+    }
+    val q = Mp4.extractQuarantine(spark.createDataset(rows).repartition(2))
+      .collect().sortBy(_.id)
+    assert(q.length == 5)
+    assert(q.filter(_.err.isDefined).map(_.id).toSeq == Seq(3L))
+    assert(q.filter(_.err.isEmpty).map(_.duration_ticks.get).toSeq ==
+      Seq(100L, 200L, 400L, 500L))
+  }
 }

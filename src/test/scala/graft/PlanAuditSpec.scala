@@ -327,6 +327,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ts110/ts111 without matched: two scans, broadcast one side, no cartesian") {
+    // round 13: canonical re-opening is row-local (str_to_map over the
+    // group-count-sized frame) — it must not add scans or break the
+    // broadcast equi-join shape
+    for (gate <- Seq("ts110_matched_without",
+        "ts111_sliding_matched_without")) {
+      val p = plan(graft.queries.TimeSeries.queries(gate)(spark, sf))
+      assert(p.linesIterator.count(l =>
+        l.contains("Scan") && l.contains("events")) <= 2,
+        s"$gate:\n${p.take(1500)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$gate: the 'one' side must broadcast:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$gate cartesian")
+    }
+  }
+
   test("ts106 matched sliding composition: two scans, broadcast one side, no cartesian") {
     val p = plan(graft.queries.TimeSeries.queries("ts106_sliding_matched")(spark, sf))
     assert(p.linesIterator.count(l =>

@@ -746,14 +746,22 @@ class EngineSpec extends AnyFunSuite {
       (Some("a"), "web", 20L, 3d / 11), (Some("a"), "mob", 20L, 8d / 11),
       (Some("b"), "web", 20L, 0.2), (Some("b"), "mob", 20L, 0.8),
       (None, "cli", 40L, 1d)), mrows)
-    // `without` groupings reject (match labels address label columns)
-    intercept[IllegalArgumentException](e.queryRangeByMatched(
+    // `without` groupings ride the canonical column (round 13): the
+    // many side without(service) leaves {dc} groups — dividing by the
+    // by(dc) one side is the identity ratio at every step, and the
+    // output keeps the canonical `labels` group identity
+    val mw = e.queryRangeByMatched(
       PromParser.parse("sum_over_time(req[20ms])"),
       Expr.Grouping(by = false, List("service")),
       PromParser.parse("sum_over_time(req[20ms])"),
       Expr.Grouping(by = true, List("dc")),
       Expr.Div, Expr.VectorMatch(on = true, List("dc"), Expr.ManyToOne),
-      20, 40, 20))
+      20, 40, 20)
+    assert(mw.columns.toSeq == Seq("labels", "timestamp", "value"))
+    val mwRows = mw.collect().toSet[Row].map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(mwRows.map(_._3) == Set(1d), mwRows)
+    assert(mwRows.map(_._1) == Set("dc=a", "dc=b", ""), mwRows)
     // LABEL CARRY under the step key (`group_left(tier)`): the one
     // side keyed dc ∪ {tier}, tier copied onto the many side's rows
     val e3 = {
@@ -1186,6 +1194,44 @@ class EngineSpec extends AnyFunSuite {
     assert(intercept[PromParseException] {
       e.query("""ints{__name__="floats"}""", 0L, 100L)
     }.getMessage.contains("conflict"))
+  }
+
+  test("without matched composition: canonical re-opening, one-side uniqueness fold") {
+    // round 13: a without-grouped operand rides its canonical `labels`
+    // column through on/ignoring — the match-key values re-open from
+    // the string. One side without(service): "dc=a" 11, "dc=b" 20,
+    // "" (cli, dc absent) 1; the null re-opened key matches cli's null
+    // dc via the null-safe join.
+    val e = groupedEngine()
+    def rows3(q: String): Set[(Option[String], Option[String], Double)] =
+      e.query(q, 0, 100).output.collect().toSet[Row].map(r =>
+        (Option(r.getString(0)), Option(r.getString(1)),
+          math.round(r.getDouble(2) * 1e6) / 1e6))
+    assert(rows3("sum by (service, dc) (req) / on (dc) group_left " +
+      "sum without (service) (req)") == Set(
+      (Some("web"), Some("a"), 3d / 11), (Some("mob"), Some("a"), 8d / 11),
+      (Some("web"), Some("b"), 4d / 20), (Some("mob"), Some("b"), 16d / 20),
+      (Some("cli"), (None: Option[String]), 1d))
+      .map { case (a, b, v) => (a, b, math.round(v * 1e6) / 1e6) })
+    // a non-unique without 'one' side (without () keeps (service, dc)
+    // — two groups share service=web) is the many-to-many shape:
+    // rejected on the EXECUTORS by the uniqueness fold
+    val dup = intercept[Exception](e.query(
+      "sum by (service, dc) (req) / on (service) group_left " +
+        "sum without () (req)", 0, 100).df.collect())
+    assert(dup.getMessage.contains("not unique per match key"),
+      dup.getMessage)
+    // ignoring(...) cannot derive a key from a canonical 'one' side
+    val ign = intercept[IllegalArgumentException](e.query(
+      "sum by (service, dc) (req) / ignoring (dc) group_left " +
+        "sum without () (req)", 0, 100))
+    assert(ign.getMessage.contains("no structural match key"),
+      ign.getMessage)
+    // one-to-one over a without grouping cannot prove uniqueness
+    val oto = intercept[IllegalArgumentException](e.query(
+      "sum without (dc) (req) / on (service) sum by (service) (req)",
+      0, 100))
+    assert(oto.getMessage.contains("structurally"), oto.getMessage)
   }
 
   test("aggregate inners in sliding evaluation: windowed twin, pooled transforms") {
