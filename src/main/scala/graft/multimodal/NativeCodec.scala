@@ -1,0 +1,69 @@
+package graft.multimodal
+
+/** The native half of the decode seam, prototyped (round 13): the
+  * container walks (Mp4/Containers/Qoi) stay pure JVM; actual frame/
+  * sample DECODE crosses a C ABI. This handle proves that boundary's
+  * memory/ownership contract with an identity transform and a scalar
+  * checksum — a production codec swaps the C body, the JNI shape and
+  * this loading discipline stay.
+  *
+  * Loading is behind a BUILD FLAG: set `GRAFT_NATIVE_LIB` to the
+  * compiled library's absolute path (scripts/build_native.sh emits
+  * it). Absent the flag nothing loads, nothing references this class
+  * at runtime, and decode remains a loud throw toward the seam
+  * ([[Multimodal.RealDecoder]]).
+  */
+final class NativeCodecHandle private[multimodal] () {
+  /** Round-trip: payload copied into native memory, a FRESH JVM-owned
+    * array copied back; the input is never mutated (JNI_ABORT).
+    */
+  @native def identity(payload: Array[Byte]): Array[Byte]
+
+  /** FNV-1a 32-bit over the payload, computed natively — must agree
+    * bit-for-bit with [[NativeCodec.fnv1aRef]].
+    */
+  @native def fnv1a(payload: Array[Byte]): Int
+}
+
+object NativeCodec {
+  /** Env var naming the compiled shared library (the build flag). */
+  val LibEnv = "GRAFT_NATIVE_LIB"
+
+  // System.load is process-global and loading two paths that define
+  // the same symbols is UB — remember the first and refuse a second
+  @volatile private var loadedFrom: Option[String] = None
+
+  /** Load the library at `path` (idempotent for the same path; a
+    * DIFFERENT path rejects loudly) and hand back a method handle.
+    */
+  def load(path: String): NativeCodecHandle = synchronized {
+    loadedFrom match {
+      case Some(p) =>
+        require(p == path,
+          s"native codec already loaded from $p; refusing second load " +
+            s"of $path (duplicate JNI symbols are undefined behavior)")
+      case None =>
+        System.load(path)
+        loadedFrom = Some(path)
+    }
+    new NativeCodecHandle
+  }
+
+  /** The flag-gated entry: None when GRAFT_NATIVE_LIB is unset — the
+    * caller falls back to JVM-only behavior.
+    */
+  def fromEnv(): Option[NativeCodecHandle] = sys.env.get(LibEnv).map(load)
+
+  /** Scala reference twin of the native fnv1a — the executable
+    * contract both sides of the ABI must satisfy on the same bytes.
+    */
+  def fnv1aRef(payload: Array[Byte]): Int = {
+    var h = 0x811c9dc5
+    var i = 0
+    while (i < payload.length) {
+      h = (h ^ (payload(i) & 0xff)) * 0x01000193
+      i += 1
+    }
+    h
+  }
+}

@@ -221,6 +221,22 @@ class CliWebSpec extends AnyFunSuite {
       assert(cnt.body().contains(
         """{"metric":{"service":"web"},"values":[[0.02,"2.0"],[0.04,"1.0"]]}"""),
         cnt.body())
+      // GROUPED AGGREGATE INNER in a sliding subquery (round 13): the
+      // bridge routes by the inner tree's grouping, group columns
+      // become series labels. Inner sum-per-service on the 20ms grid:
+      // web {3 @20, 4 @40}, mob {8 @20}; outer max over (0,40]
+      val gsq = enc(
+        "max_over_time(sum by (service) (req)[40ms:20ms])")
+      val gs = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/api/v1/query_range?path=${enc(db)}" +
+            s"&query=$gsq&start=0.04&end=0.04&step=40ms")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(gs.statusCode() == 200, gs.body())
+      assert(gs.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.04,"8.0"]]}"""), gs.body())
+      assert(gs.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.04,"4.0"]]}"""), gs.body())
       // count_values evaluates per step (round 13): value-bucketed
       // counts, series keyed by the value label — window (0,20] holds
       // values {1,2,8} (one each), (20,40] holds {4}
