@@ -23,6 +23,15 @@ final class NativeCodecHandle private[multimodal] () {
     * bit-for-bit with [[NativeCodec.fnv1aRef]].
     */
   @native def fnv1a(payload: Array[Byte]): Int
+
+  /** A REAL codec across the seam: native QOI decode, returning
+    * [width, height, px...] (px = 0xRRGGBB top-down row-major — the
+    * exact [[Qoi.decode]] convention, so the contract spec can demand
+    * bit-identical pixels). Malformed streams throw
+    * IllegalArgumentException across the ABI, matching the JVM
+    * decoder's loud-on-malformation discipline.
+    */
+  @native def decodeQoi(payload: Array[Byte]): Array[Int]
 }
 
 object NativeCodec {

@@ -1084,6 +1084,19 @@ object TimeSeries {
         .orderBy(col("labels"), col("timestamp"))
     },
 
+    // count_values' query_range twin (round 13): per-12h-step counts
+    // of each distinct purchase value — ONE scan, each sample lands in
+    // its unique step tile; the value label renders through the same
+    // cast as the whole-range count_values arm (ts71's family), so the
+    // two surfaces agree on label text. The HTTP bridge serves exactly
+    // this frame.
+    "ts112_count_values_range" -> { (s, dir) =>
+      engine(s, dir).countValuesRange("v",
+        graft.tsdb.Expr.Selector("purchase", Nil, None, 0L),
+        SubStart, SubEnd, 12 * 3600 * 1000L)
+        .orderBy(col("v"), col("timestamp"))
+    },
+
     // AGGREGATE over an ALREADY-WINDOWED inner — the verdict-r12
     // staple `max_over_time(sum(rate(m[1d]))[3d:12h])`: sum over the
     // one pooled rate series is the identity (the pooled-series
@@ -1808,6 +1821,18 @@ object TimeSeries {
          |SELECT i.u AS "user", ot AS timestamp, ROUND(MAX(v), 6) AS value
          |FROM og JOIN i ON i.et > ot - ${3 * 86400000L} AND i.et <= ot
          |GROUP BY i.u, ot ORDER BY CAST(i.u AS BIGINT), timestamp""".stripMargin,
+
+    "ts112_count_values_range" ->
+      s"""WITH d AS (SELECT t, v FROM ${ev("event_type = 'purchase'")}
+         |           WHERE t > ${SubStart - 12 * 3600 * 1000L}
+         |             AND t <= $SubEnd),
+         |b AS (SELECT $SubStart + CAST(CEIL((t - $SubStart) /
+         |        CAST(${12 * 3600 * 1000L} AS DOUBLE)) AS BIGINT)
+         |        * ${12 * 3600 * 1000L} AS et, v
+         |      FROM d)
+         |SELECT CAST(v AS VARCHAR) AS v, et AS timestamp,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM b GROUP BY 1, 2 ORDER BY v, timestamp""".stripMargin,
 
     "ts110_matched_without" ->
       s"""WITH d AS (SELECT CAST(user_id % 3 AS VARCHAR) AS c,

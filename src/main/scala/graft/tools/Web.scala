@@ -567,15 +567,21 @@ object Web {
       // are the MANY side's groups plus any carried labels
       case BinaryOp(kind, Aggregate(lk, lc, Some(gl)),
           Aggregate(rk, rc, Some(gr)), Some(vm)) =>
-        require(gl.by && gr.by, "on/ignoring over the API bridge takes " +
-          "`by` groupings on both sides")
+        // `without` sides ride the canonical labels column (round 13 —
+        // the engine re-opens the match-key values); the serializer
+        // decodes the canonical group identity back into metric fields
+        val manyG = if (vm.card == OneToMany) gr else gl
+        require(manyG.by || vm.carry.isEmpty,
+          "label-carry onto a without-grouped many side is not " +
+            "supported over the API bridge — the carried column has " +
+            "no metric field inside the canonical identity; re-group " +
+            "the many side with `by`")
         val df = e.queryRangeByMatched(
           bridgeInner(lk, lc), gl, bridgeInner(rk, rc), gr,
           kind, vm, startMs, endMs, stepMs)
-        val manyLabels =
-          if (vm.card == OneToMany) gr.labels else gl.labels
-        val cols = manyLabels ++ vm.carry
-        PromMatrix(cols, canonical = false, df.orderBy(
+        val cols =
+          (if (manyG.by) manyG.labels else Seq("labels")) ++ vm.carry
+        PromMatrix(cols, canonical = !manyG.by, df.orderBy(
           (cols :+ "timestamp").map(col): _*).collect())
       case Aggregate(AggCountValues(label), sel: Selector, None) =>
         // count_values over the bridge (round 13): value-bucketed

@@ -36,6 +36,103 @@ Java_graft_multimodal_NativeCodecHandle_identity(JNIEnv *env, jobject self,
   return out;
 }
 
+/* A REAL codec across the seam: QOI decode (the public qoiformat.org
+ * spec), the C twin of the JVM decoder (multimodal/Qoi.scala) — the
+ * contract spec proves both produce bit-identical pixels on the same
+ * payloads AND throw on the same malformed streams. Output layout:
+ * jintArray [width, height, px...] with px = 0xRRGGBB top-down
+ * row-major (alpha feeds the index hash but is not returned — exactly
+ * the JVM decoder's convention). Malformed input throws
+ * IllegalArgumentException ACROSS the ABI: loud-on-malformation is
+ * part of the seam contract, not just a JVM-side nicety. */
+static void throw_iae(JNIEnv *env, const char *msg) {
+  jclass c = (*env)->FindClass(env, "java/lang/IllegalArgumentException");
+  if (c != NULL) (*env)->ThrowNew(env, c, msg);
+}
+
+JNIEXPORT jintArray JNICALL
+Java_graft_multimodal_NativeCodecHandle_decodeQoi(JNIEnv *env, jobject self,
+                                                  jbyteArray payload) {
+  jsize len = (*env)->GetArrayLength(env, payload);
+  jbyte *raw = (*env)->GetByteArrayElements(env, payload, NULL);
+  if (raw == NULL) return NULL;
+  const unsigned char *b = (const unsigned char *)raw;
+  jintArray out = NULL;
+  jint *px = NULL;
+  const char *err = NULL;
+
+  if (len < 14 + 8 || b[0] != 'q' || b[1] != 'o' || b[2] != 'i' ||
+      b[3] != 'f') { err = "not a QOI payload"; goto done; }
+  {
+    long w = ((long)b[4] << 24) | ((long)b[5] << 16) | ((long)b[6] << 8) | b[7];
+    long h = ((long)b[8] << 24) | ((long)b[9] << 16) | ((long)b[10] << 8) | b[11];
+    int channels = b[12], colorspace = b[13];
+    if (channels != 3 && channels != 4) { err = "QOI channels must be 3 or 4"; goto done; }
+    if (colorspace > 1) { err = "QOI colorspace must be 0 or 1"; goto done; }
+    if (w <= 0 || h <= 0 || w * h > (0x7fffffffL >> 2)) {
+      err = "bad QOI dimensions"; goto done; }
+    long n = w * h;
+    px = (jint *)malloc((size_t)n * sizeof(jint));
+    if (px == NULL) { err = "QOI pixel buffer allocation failed"; goto done; }
+    int r = 0, g = 0, bl = 0, a = 255;
+    unsigned int index[64] = {0}; /* packed RGBA, zero = (0,0,0,0) */
+    long end = len - 8; /* ops end where the 8-byte end marker starts */
+    long p = 14, i = 0;
+    while (i < n) {
+      if (p >= end) { err = "truncated QOI stream"; goto done; }
+      int tag = b[p];
+      long run = 1;
+      if (tag == 0xFE) { /* QOI_OP_RGB */
+        if (p + 4 > end) { err = "truncated QOI_OP_RGB"; goto done; }
+        r = b[p + 1]; g = b[p + 2]; bl = b[p + 3]; p += 4;
+      } else if (tag == 0xFF) { /* QOI_OP_RGBA */
+        if (p + 5 > end) { err = "truncated QOI_OP_RGBA"; goto done; }
+        r = b[p + 1]; g = b[p + 2]; bl = b[p + 3]; a = b[p + 4]; p += 5;
+      } else switch (tag >> 6) {
+        case 0: { /* QOI_OP_INDEX */
+          unsigned int v = index[tag & 0x3f];
+          r = (v >> 24) & 0xff; g = (v >> 16) & 0xff;
+          bl = (v >> 8) & 0xff; a = v & 0xff; p += 1;
+          break; }
+        case 1: /* QOI_OP_DIFF: 2-bit deltas, bias 2, wrapping */
+          r = (r + ((tag >> 4) & 3) - 2) & 0xff;
+          g = (g + ((tag >> 2) & 3) - 2) & 0xff;
+          bl = (bl + (tag & 3) - 2) & 0xff;
+          p += 1;
+          break;
+        case 2: { /* QOI_OP_LUMA */
+          if (p + 2 > end) { err = "truncated QOI_OP_LUMA"; goto done; }
+          int dg = (tag & 0x3f) - 32, b2 = b[p + 1];
+          r = (r + dg + ((b2 >> 4) & 0xf) - 8) & 0xff;
+          g = (g + dg) & 0xff;
+          bl = (bl + dg + (b2 & 0xf) - 8) & 0xff;
+          p += 2;
+          break; }
+        default: /* QOI_OP_RUN (0xFE/0xFF taken above): length 1..62 */
+          run = (tag & 0x3f) + 1;
+          p += 1;
+      }
+      index[(3 * r + 5 * g + 7 * bl + 11 * a) % 64] =
+        ((unsigned int)r << 24) | ((unsigned int)g << 16) |
+        ((unsigned int)bl << 8) | (unsigned int)a;
+      if (i + run > n) { err = "QOI run overflows the pixel count"; goto done; }
+      jint packed = (jint)((r << 16) | (g << 8) | bl);
+      while (run-- > 0) px[i++] = packed;
+    }
+    out = (*env)->NewIntArray(env, (jsize)(n + 2));
+    if (out != NULL) {
+      jint wh[2] = {(jint)w, (jint)h};
+      (*env)->SetIntArrayRegion(env, out, 0, 2, wh);
+      (*env)->SetIntArrayRegion(env, out, 2, (jsize)n, px);
+    }
+  }
+done:
+  if (px != NULL) free(px);
+  (*env)->ReleaseByteArrayElements(env, payload, raw, JNI_ABORT);
+  if (err != NULL) { throw_iae(env, err); return NULL; }
+  return out;
+}
+
 JNIEXPORT jint JNICALL
 Java_graft_multimodal_NativeCodecHandle_fnv1a(JNIEnv *env, jobject self,
                                               jbyteArray payload) {

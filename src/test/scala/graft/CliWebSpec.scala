@@ -221,6 +221,25 @@ class CliWebSpec extends AnyFunSuite {
       assert(cnt.body().contains(
         """{"metric":{"service":"web"},"values":[[0.02,"2.0"],[0.04,"1.0"]]}"""),
         cnt.body())
+      // MATCHED composition with a `without` many side (round 13):
+      // `sum without ()` keeps {service} as a canonical group; the
+      // engine re-opens the on-key from the string and the serializer
+      // decodes the canonical identity back into metric fields — the
+      // self-ratio is 1.0 per service per step
+      val mwq = enc("sum without () (sum_over_time(req[20ms])) / " +
+        "on (service) group_left " +
+        "sum by (service) (sum_over_time(req[20ms]))")
+      val mw = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/api/v1/query_range?path=${enc(db)}" +
+            s"&query=$mwq&start=0.02&end=0.04&step=20ms")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(mw.statusCode() == 200, mw.body())
+      assert(mw.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.02,"1.0"]]}"""), mw.body())
+      assert(mw.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"1.0"],[0.04,"1.0"]]}"""),
+        mw.body())
       // GROUPED AGGREGATE INNER in a sliding subquery (round 13): the
       // bridge routes by the inner tree's grouping, group columns
       // become series labels. Inner sum-per-service on the 20ms grid:

@@ -35,8 +35,12 @@ class NativeSeamSpec extends AnyFunSuite {
     if (rc == 0) Some(out) else None
   }
 
+  // one library per JVM: System.load is process-global, so both tests
+  // share the same build (load() is idempotent for the same path)
+  private lazy val lib: Option[String] =
+    sys.env.get(NativeCodec.LibEnv).orElse(buildLib())
+
   test("JNI seam: mm fixture round-trips the C ABI; ownership + checksum contract") {
-    val lib = sys.env.get(NativeCodec.LibEnv).orElse(buildLib())
     assume(lib.isDefined,
       s"no ${NativeCodec.LibEnv} and no local C toolchain — seam untestable here")
     val h = NativeCodec.load(lib.get)
@@ -62,6 +66,50 @@ class NativeSeamSpec extends AnyFunSuite {
       assert(h.fnv1a(bytes) == NativeCodec.fnv1aRef(bytes),
         s"fnv1a mismatch at n=${bytes.length}")
       assert(h.identity(bytes).toSeq == bytes.toSeq)
+    }
+  }
+
+  /** Hand-assembled QOI stream (the MultimodalContractSpec builder). */
+  private def qoi(w: Int, h: Int, ops: Seq[Int]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write('q'); o.write('o'); o.write('i'); o.write('f')
+    def be32(v: Int): Unit = {
+      o.write((v >>> 24) & 0xff); o.write((v >>> 16) & 0xff)
+      o.write((v >>> 8) & 0xff); o.write(v & 0xff)
+    }
+    be32(w); be32(h)
+    o.write(3); o.write(0)
+    ops.foreach(b => o.write(b & 0xff))
+    (0 until 7).foreach(_ => o.write(0)); o.write(1)
+    o.toByteArray
+  }
+
+  test("JNI seam: native QOI decode is bit-identical to the JVM decoder") {
+    assume(lib.isDefined,
+      s"no ${NativeCodec.LibEnv} and no local C toolchain — seam untestable here")
+    val h = NativeCodec.load(lib.get)
+    import graft.multimodal.Qoi
+    // the all-six-ops fixture (RGB/DIFF/RUN/LUMA/INDEX/RGBA — the
+    // MultimodalContractSpec golden) through BOTH decoders
+    val img = qoi(2, 4, Seq(
+      0xFE, 10, 20, 30, 0x7F, 0xC1, 0xA8, 0xA6, 0x09,
+      0xFF, 40, 50, 60, 128, 0xFE, 70, 80, 90))
+    val native = h.decodeQoi(img)
+    val (w, jh, px) = Qoi.decode(img)
+    assert(native(0) == w && native(1) == jh)
+    assert(native.drop(2).toSeq == px.toSeq)
+    // run-fill fixture: same parity
+    val good = qoi(2, 4, Seq(0xFE, 10, 20, 30, 0xC0 | 6))
+    assert(h.decodeQoi(good).drop(2).toSeq == Qoi.decode(good)._3.toSeq)
+    // malformation parity: the SAME corrupt streams throw
+    // IllegalArgumentException on BOTH sides of the ABI — loudness is
+    // part of the seam contract, not a JVM-side nicety
+    for (bad <- Seq(
+        qoi(2, 2, Seq(0xFE, 10, 20, 30, 0xC0 | 8)), // run overflow
+        qoi(4, 4, Seq(0xFE, 10, 20, 30)), //           truncated ops
+        Array[Byte](1, 2, 3, 4, 5))) { //              not QOI at all
+      intercept[IllegalArgumentException](Qoi.decode(bad))
+      intercept[IllegalArgumentException](h.decodeQoi(bad))
     }
   }
 }

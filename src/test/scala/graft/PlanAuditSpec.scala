@@ -327,6 +327,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ts112 count_values range: one raw scan, row-local tiling, no window") {
+    val p = plan(graft.queries.TimeSeries.queries(
+      "ts112_count_values_range")(spark, sf))
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("events")) <= 1, p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), "cartesian")
+    // each sample's step tile is arithmetic on its own timestamp —
+    // a windowspecdefinition here would mean a per-step rescan crept in
+    assert(!p.contains("windowspecdefinition"), p.take(1500))
+  }
+
   test("ts110/ts111 without matched: two scans, broadcast one side, no cartesian") {
     // round 13: canonical re-opening is row-local (str_to_map over the
     // group-count-sized frame) — it must not add scans or break the
