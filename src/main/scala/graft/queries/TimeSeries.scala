@@ -1084,6 +1084,21 @@ object TimeSeries {
         .orderBy(col("labels"), col("timestamp"))
     },
 
+    // topk OVER TIME (round 13): the "top 3 users per step" panel —
+    // per-user 1-day sliding purchase sums at 12h steps, ranked PER
+    // STEP (ties to the group key ascending, the grouped whole-range
+    // rule; ranks over the group×step frame, never a global sort).
+    "ts113_sliding_topk" -> { (s, dir) =>
+      engine(s, dir).queryRangeGetK(top = true,
+        graft.tsdb.Expr.NumberLit(3),
+        graft.tsdb.PromParser.parse("sum_over_time(purchase[1d])"),
+        graft.tsdb.Expr.Grouping(by = true, List("user")),
+        SubStart, SubEnd, 12 * 3600 * 1000L)
+        .select(col("user"), col("timestamp"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"), col("timestamp"))
+    },
+
     // count_values' query_range twin (round 13): per-12h-step counts
     // of each distinct purchase value — ONE scan, each sample lands in
     // its unique step tile; the value label renders through the same
@@ -1821,6 +1836,22 @@ object TimeSeries {
          |SELECT i.u AS "user", ot AS timestamp, ROUND(MAX(v), 6) AS value
          |FROM og JOIN i ON i.et > ot - ${3 * 86400000L} AND i.et <= ot
          |GROUP BY i.u, ot ORDER BY CAST(i.u AS BIGINT), timestamp""".stripMargin,
+
+    "ts113_sliding_topk" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |w AS (SELECT d.u, g.et, SUM(d.v) AS s FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et
+         |      GROUP BY d.u, g.et),
+         |r AS (SELECT u, et, s, ROW_NUMBER() OVER
+         |        (PARTITION BY et ORDER BY s DESC, u) AS rk FROM w)
+         |SELECT u AS "user", et AS timestamp, ROUND(s, 6) AS value
+         |FROM r WHERE rk <= 3
+         |ORDER BY CAST(u AS BIGINT), timestamp""".stripMargin,
 
     "ts112_count_values_range" ->
       s"""WITH d AS (SELECT t, v FROM ${ev("event_type = 'purchase'")}

@@ -7,8 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, lit, row_number}
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.tsdb.{Expr, GraftDb, LabelCodec, PromParser, VType}
 
@@ -525,18 +524,24 @@ object Web {
         composedTree(c).map { case (g, ce) => (g, InstantFn(k, ce, args)) }
       case _ => None
     }
-    // topk/bottomk k over the bridge: a literal stays driver-local; a
-    // scalar EXPRESSION (`topk(scalar(count(m)), ...)`, Prometheus-
-    // legal) evaluates whole-range through the engine's own k-subplan
-    // path — scalarK's 1-row collect IS the reference's k shape
-    def kOf(kExpr: Expr): Int = kExpr match {
-      case NumberLit(v) => v.toInt
-      case other => e.scalarK(other, startMs, endMs)
-    }
+    // topk/bottomk k over the bridge: ALWAYS the engine's k-subplan
+    // path (scalarK — literals take its no-Spark-job fast arm), so
+    // every topk surface interprets the same k text identically
+    // (round-and-clamp; a local v.toInt here would truncate 2.9 → 2
+    // while the engine rounds → 3, review r13)
+    def kOf(kExpr: Expr): Int = e.scalarK(kExpr, startMs, endMs)
     // the grouping a subquery inner's aggregate tree carries, if any —
     // walked (first hit wins) so the bridge can route grouped sliding
     // subqueries through queryRangeBy; the engine re-validates that
-    // every aggregate in the tree agrees with the evaluation grouping
+    // every aggregate in the tree agrees with the evaluation grouping.
+    // DELIBERATE asymmetry with composedTree's top-level mixed()
+    // rejection: inside a subquery the ENGINE's grouped evaluator owns
+    // the semantics, where grouping DISTRIBUTES over the whole inner —
+    // an aggregate-free operand beside a grouped aggregate evaluates
+    // per group (the ts101 convention: `sum_over_time(a[1d]) /
+    // sum_over_time(b[1d])` by user groups BOTH sides); at top level
+    // the ungrouped side would evaluate POOLED (slidingEval), and
+    // pooled × grouped genuinely has no shared key
     def subqueryGrouping(e: Expr): Option[Grouping] = e match {
       case Aggregate(_, c, g) => g.orElse(subqueryGrouping(c))
       case BinaryOp(_, l, r, _) =>
@@ -592,15 +597,16 @@ object Web {
           col(label), col("timestamp")).collect())
       case Aggregate(kind, child, g) =>
         aggregate(kind, child, g)
-      case GetK(top, kExpr, Aggregate(kind, child, Some(gr)), None) =>
-        // topk(k, sum by (u) (...)): the k best groups at each step
-        val k = kOf(kExpr)
+      case GetK(top, kExpr, agg @ Aggregate(_, _, Some(gr)), None) =>
+        // topk(k, sum by (u) (...)): the k best groups at each step —
+        // the engine's per-step rank (queryRangeGetK, round 13; its
+        // ge() Aggregate arm does the windowed/pooled translation this
+        // arm used to duplicate); k literal or scalar expression
         val cols = groupCols(gr)
-        val rank = row_number().over(Window.partitionBy(col("timestamp"))
-          .orderBy((if (top) col("value").desc else col("value").asc) +:
-            cols.map(col(_).asc): _*))
-        aggregate(kind, child, Some(gr),
-          df => df.withColumn("_rk", rank).where(col("_rk") <= k).drop("_rk"))
+        val df = e.queryRangeGetK(top, kExpr, agg, gr,
+          startMs, endMs, stepMs)
+        PromMatrix(cols, canonical = !gr.by, df.orderBy(
+          (cols :+ "timestamp").map(col): _*).collect())
       case GetK(_, kExpr, child, Some(g)) =>
         // `topk by (s) (k, m)` — WITHIN-group top-k: each group is ONE
         // pooled series, so k ≥ 1 is the identity (exactly Prometheus'

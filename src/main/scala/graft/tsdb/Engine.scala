@@ -292,7 +292,15 @@ final class TsdbEngine(
     * the Prometheus API bridge's topk/bottomk dispatch (which accepts
     * `topk(scalar(count(m)), ...)` through exactly this path).
     */
-  def scalarK(kExpr: Expr, startMs: Long, endMs: Long): Int = {
+  def scalarK(kExpr: Expr, startMs: Long, endMs: Long): Int = kExpr match {
+    case NumberLit(v) =>
+      // literal k: same round-and-clamp as the evaluated path, no
+      // 1-row Spark job for the common `topk(3, ...)` case
+      math.max(0L, math.round(v)).toInt
+    case _ => scalarKEval(kExpr, startMs, endMs)
+  }
+
+  private def scalarKEval(kExpr: Expr, startMs: Long, endMs: Long): Int = {
     val kRes = eval(kExpr, startMs, endMs)
     require(kRes.isScalar && !kRes.grouped,
       "topk/bottomk k-parameter must be a single scalar")
@@ -1177,9 +1185,17 @@ final class TsdbEngine(
     require(key.nonEmpty,
       "empty match key — on () / ignoring (all labels) has no join " +
         "semantics; use the scalar broadcast form instead")
-    require(!(manyCanonical || oneCanonical) || !key.contains("labels"),
-      "a match label named 'labels' collides with the canonical " +
-        "without-group column")
+    // keys that collide with result columns cannot re-open from the
+    // canonical string — reopened()'s withColumn would CLOBBER the
+    // value/timestamp column and silently corrupt the arithmetic
+    // (review r13); by-groupings can never carry these names
+    // (groupProjection reserves them), so only the canonical path
+    // needs the guard
+    require(!(manyCanonical || oneCanonical) || !key.exists(
+        Set("labels", "timestamp", "value", "wstart", "_rk")),
+      "match labels colliding with result columns (labels/timestamp/" +
+        "value) cannot re-open from a canonical without group — " +
+        "rename the label or re-group with `by`")
     val missing =
       key.filterNot(k => manyCanonical || manyCols.contains(k)) ++
         key.filterNot(k => oneCanonical || oneCols.contains(k))
@@ -1311,7 +1327,11 @@ final class TsdbEngine(
     * `k=v,k=v` column of the remaining label set, named `labels`.
     */
   private def groupProjection(g: Grouping): (Seq[String], Seq[Column]) = {
-    val reserved = Set("timestamp", "value", "wstart", "_rk")
+    // "labels" is reserved too (matching the sibling grouped sites):
+    // a `by (labels)` column would be indistinguishable from the
+    // canonical without-group column, and matchedGroupedJoin's
+    // canonical detection keys on exactly that column name
+    val reserved = Set("timestamp", "value", "wstart", "_rk", "labels")
     if (g.by) {
       val bad = g.labels.filter(reserved)
       require(bad.isEmpty,
@@ -1642,6 +1662,33 @@ final class TsdbEngine(
       queryRangeBy(lhs, gl, startMs, endMs, stepMs), sideCols(gl),
       queryRangeBy(rhs, gr, startMs, endMs, stepMs), sideCols(gr),
       m, timeKey = true)
+  }
+
+  /** topk/bottomk OVER TIME — the dashboard "top k series per step"
+    * panel the API bridge already serves, engine-native (round 13):
+    * the grouped sliding evaluation of `inner` (any shape
+    * [[queryRangeBy]] accepts — range fns, aggregate inners, binary/
+    * set composition), then a per-STEP rank keeping the k best groups
+    * at each step (ties break on the group key ascending, the grouped
+    * whole-range rule). The rank partitions on the step timestamp over
+    * the group-count × step-count derived frame — bounded, never a
+    * global sort; each selector scans once. k follows GetK's k-subplan
+    * contract ([[scalarK]] — a 1-row whole-range collect, the
+    * reference's own k shape). Emits (group cols..., timestamp, value).
+    */
+  def queryRangeGetK(top: Boolean, kExpr: Expr, inner: Expr,
+      grouping: Grouping, startMs: Long, endMs: Long,
+      stepMs: Long): DataFrame = {
+    val k = scalarK(kExpr, startMs, endMs)
+    val df = queryRangeBy(inner, grouping, startMs, endMs, stepMs)
+    if (k <= 0) return df.limit(0)
+    val (gNames, _) = groupProjection(grouping)
+    val rank = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("timestamp"))
+        .orderBy((if (top) col("value").desc else col("value").asc) +:
+          gNames.map(col(_).asc): _*))
+    df.withColumn("_rk", rank).where(col("_rk") <= k).drop("_rk")
   }
 
   /** GROUPED SUBQUERY — the outer range function folding a grouped

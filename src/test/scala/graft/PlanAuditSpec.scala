@@ -339,6 +339,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p.take(1500))
   }
 
+  test("ts113 sliding topk: one raw scan, rank partitioned per step") {
+    val p = plan(graft.queries.TimeSeries.queries(
+      "ts113_sliding_topk")(spark, sf))
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("events")) <= 1, p.take(1500))
+    // the per-step rank must partition on the step timestamp (or the
+    // sliding machinery's wstart) — an empty partition spec is the
+    // global-sort scale regression this pins
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("wstart") || l.contains("timestamp"),
+        s"unpartitioned window: $l"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), "cartesian")
+  }
+
   test("ts110/ts111 without matched: two scans, broadcast one side, no cartesian") {
     // round 13: canonical re-opening is row-local (str_to_map over the
     // group-count-sized frame) — it must not add scans or break the

@@ -1232,6 +1232,51 @@ class EngineSpec extends AnyFunSuite {
       "sum without (dc) (req) / on (service) sum by (service) (req)",
       0, 100))
     assert(oto.getMessage.contains("structurally"), oto.getMessage)
+    // BOTH sides canonical: without(dc) groups by {service} on each
+    // side — self-ratio 1.0 per canonical group, key unique so the
+    // fold passes
+    val both = e.query(
+      "sum without (dc) (req) / on (service) group_left " +
+        "sum without (dc) (req)", 0, 100).df.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(both == Set("service=web" -> 1d, "service=mob" -> 1d,
+      "service=cli" -> 1d), both)
+    // review-r13 pins: `by (labels)` can no longer masquerade as a
+    // canonical side (reserved at the grouping level)...
+    val byLabels = intercept[IllegalArgumentException](e.query(
+      "sum by (labels) (req) / on (service) group_left " +
+        "sum by (service) (req)", 0, 100))
+    assert(byLabels.getMessage.contains("collide"), byLabels.getMessage)
+    // ...and a match key named after a result column cannot re-open
+    // from a canonical group (reopened() would clobber the column)
+    val clash = intercept[IllegalArgumentException](e.query(
+      "sum without (dc) (req) / on (value) group_left " +
+        "sum without (dc) (req)", 0, 100))
+    assert(clash.getMessage.contains("result columns"), clash.getMessage)
+  }
+
+  test("queryRangeGetK: per-step rank, ties to the group key, k clamps") {
+    val e = groupedEngine()
+    def run(top: Boolean, k: Double) = e.queryRangeGetK(top,
+      Expr.NumberLit(k),
+      PromParser.parse("sum_over_time(req[20ms])"),
+      Expr.Grouping(by = true, List("service")), 20, 40, 20)
+      .collect().toSet[Row]
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // per (service, step) sums on the fixture's 20ms windows
+    val all = run(top = true, 99) // k > group count keeps everything
+    // k=1: the largest group per step only
+    val top1 = run(top = true, 1)
+    assert(top1.size > 0 && top1.groupBy(_._2).forall(_._2.size == 1))
+    top1.foreach { case (_, ts, v) =>
+      assert(v == all.filter(_._2 == ts).map(_._3).max) }
+    // bottomk mirrors
+    val bot1 = run(top = false, 1)
+    bot1.foreach { case (_, ts, v) =>
+      assert(v == all.filter(_._2 == ts).map(_._3).min) }
+    // k = 0 empties; negative clamps to 0
+    assert(run(top = true, 0).isEmpty)
+    assert(run(top = true, -3).isEmpty)
   }
 
   test("aggregate inners in sliding evaluation: windowed twin, pooled transforms") {
