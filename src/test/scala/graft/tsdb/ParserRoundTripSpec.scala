@@ -117,7 +117,15 @@ class ParserRoundTripSpec extends AnyFunSuite {
       val o =
         if (off == 0) ""
         else if (off > 0) s" offset ${off}ms" else s" offset -${-off}ms"
-      s"(${render(c)})[${r}ms:${s}ms]$o"
+      c match {
+        // aggregates and topk take the subquery suffix DIRECTLY
+        // (round 13 grammar — `sum(rate(m[5m]))[1h:5m]`): render the
+        // paren-free form so the fuzzer exercises the new suffix path,
+        // not just the long-standing parenthesized one
+        case _: Aggregate | _: GetK =>
+          s"${render(c)}[${r}ms:${s}ms]$o"
+        case _ => s"(${render(c)})[${r}ms:${s}ms]$o"
+      }
     case InstantFn(k, c, args) =>
       s"${k.name}(${render(c)}${args.map(a => s", $a").mkString})"
     case HistogramQuantile(phi, c) =>
@@ -221,7 +229,17 @@ class ParserRoundTripSpec extends AnyFunSuite {
           AggQuantile(0.99), AggCountValues("bucket"))
         c <- exprGen(depth - 1)
         g <- groupingGen
-      } yield Aggregate(k, c, g)),
+        // round 13: sometimes hang the subquery suffix straight off
+        // the aggregate (`sum(x) by (a)[4s:1s]`) under a range fn —
+        // the new grammar path, round-tripped
+        sub <- Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
+        step <- Gen.choose(1L, 3600000L)
+      } yield {
+        val agg = Aggregate(k, c, g)
+        if (sub) RangeFn(FnMaxOverTime,
+          SubqueryMatrix(agg, step * 4, step, 0), Nil)
+        else agg
+      }),
       1 -> (for {
         top <- Gen.oneOf(true, false)
         kv <- Gen.choose(0, 20)
