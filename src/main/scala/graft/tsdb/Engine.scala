@@ -295,8 +295,10 @@ final class TsdbEngine(
   def scalarK(kExpr: Expr, startMs: Long, endMs: Long): Int = kExpr match {
     case NumberLit(v) =>
       // literal k: same round-and-clamp as the evaluated path, no
-      // 1-row Spark job for the common `topk(3, ...)` case
-      math.max(0L, math.round(v)).toInt
+      // 1-row Spark job for the common `topk(3, ...)` case. Clamp
+      // BOTH ends — a bare Long.toInt would wrap topk(3e9, ...) to a
+      // negative k and silently empty the result (review r13)
+      math.min(Int.MaxValue.toLong, math.max(0L, math.round(v))).toInt
     case _ => scalarKEval(kExpr, startMs, endMs)
   }
 
@@ -305,11 +307,12 @@ final class TsdbEngine(
     require(kRes.isScalar && !kRes.grouped,
       "topk/bottomk k-parameter must be a single scalar")
     val kRows = kRes.df.limit(1).collect()
-    if (kRows.isEmpty) 0 else math.max(0L, kRows(0).get(0) match {
+    if (kRows.isEmpty) 0
+    else math.min(Int.MaxValue.toLong, math.max(0L, kRows(0).get(0) match {
       case d: java.lang.Double => math.round(d.doubleValue())
       case l: java.lang.Long => l.longValue()
       case other => other.toString.toLong
-    }).toInt
+    })).toInt
   }
 
   /** count_values' query_range twin (the API bridge's per-step model):

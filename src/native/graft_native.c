@@ -25,6 +25,11 @@
 JNIEXPORT jbyteArray JNICALL
 Java_graft_multimodal_NativeCodecHandle_identity(JNIEnv *env, jobject self,
                                                  jbyteArray payload) {
+  if (payload == NULL) { /* JVM-parity: NPE, never a SIGSEGV */
+    jclass c = (*env)->FindClass(env, "java/lang/NullPointerException");
+    if (c != NULL) (*env)->ThrowNew(env, c, "null payload");
+    return NULL;
+  }
   jsize n = (*env)->GetArrayLength(env, payload);
   jbyte *in = (*env)->GetByteArrayElements(env, payload, NULL);
   if (in == NULL) return NULL; /* OutOfMemoryError already pending */
@@ -53,6 +58,11 @@ static void throw_iae(JNIEnv *env, const char *msg) {
 JNIEXPORT jintArray JNICALL
 Java_graft_multimodal_NativeCodecHandle_decodeQoi(JNIEnv *env, jobject self,
                                                   jbyteArray payload) {
+  if (payload == NULL) { /* JVM-parity: NPE, never a SIGSEGV */
+    jclass c = (*env)->FindClass(env, "java/lang/NullPointerException");
+    if (c != NULL) (*env)->ThrowNew(env, c, "null payload");
+    return NULL;
+  }
   jsize len = (*env)->GetArrayLength(env, payload);
   jbyte *raw = (*env)->GetByteArrayElements(env, payload, NULL);
   if (raw == NULL) return NULL;
@@ -69,7 +79,13 @@ Java_graft_multimodal_NativeCodecHandle_decodeQoi(JNIEnv *env, jobject self,
     int channels = b[12], colorspace = b[13];
     if (channels != 3 && channels != 4) { err = "QOI channels must be 3 or 4"; goto done; }
     if (colorspace > 1) { err = "QOI colorspace must be 0 or 1"; goto done; }
-    if (w <= 0 || h <= 0 || w * h > (0x7fffffffL >> 2)) {
+    /* bound each dimension BEFORE multiplying: w,h parse as unsigned
+     * 32-bit, so an unchecked w*h could overflow signed long (UB) and
+     * a wrapped-negative product would slip past the area check —
+     * with both sides <= 2^31-1 the product tops out at ~2^62, safely
+     * inside signed long (the JVM twin's w.toLong * h shape) */
+    if (w <= 0 || h <= 0 || w > 0x7fffffffL || h > 0x7fffffffL ||
+        w * h > (0x7fffffffL >> 2)) {
       err = "bad QOI dimensions"; goto done; }
     long n = w * h;
     px = (jint *)malloc((size_t)n * sizeof(jint));
@@ -136,6 +152,11 @@ done:
 JNIEXPORT jint JNICALL
 Java_graft_multimodal_NativeCodecHandle_fnv1a(JNIEnv *env, jobject self,
                                               jbyteArray payload) {
+  if (payload == NULL) { /* JVM-parity: NPE, never a SIGSEGV */
+    jclass c = (*env)->FindClass(env, "java/lang/NullPointerException");
+    if (c != NULL) (*env)->ThrowNew(env, c, "null payload");
+    return 0;
+  }
   jsize n = (*env)->GetArrayLength(env, payload);
   jbyte *in = (*env)->GetByteArrayElements(env, payload, NULL);
   if (in == NULL) return 0;

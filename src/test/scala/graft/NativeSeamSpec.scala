@@ -111,5 +111,15 @@ class NativeSeamSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](Qoi.decode(bad))
       intercept[IllegalArgumentException](h.decodeQoi(bad))
     }
+    // crafted giant-dimension header (w = h = 0xF0000000 as u32):
+    // both sides must reject as malformed — native-side a naive w*h
+    // would overflow signed arithmetic and slip the area guard
+    val giant = qoi(0xF0000000, 0xF0000000, Seq(0xC0))
+    intercept[IllegalArgumentException](Qoi.decode(giant))
+    intercept[IllegalArgumentException](h.decodeQoi(giant))
+    // null payloads NPE across the ABI, never a SIGSEGV
+    intercept[NullPointerException](h.decodeQoi(null))
+    intercept[NullPointerException](h.identity(null))
+    intercept[NullPointerException](h.fnv1a(null))
   }
 }

@@ -1277,6 +1277,11 @@ class EngineSpec extends AnyFunSuite {
     // k = 0 empties; negative clamps to 0
     assert(run(top = true, 0).isEmpty)
     assert(run(top = true, -3).isEmpty)
+    // a huge literal k clamps to Int.MaxValue and keeps everything —
+    // a bare Long.toInt would wrap negative and silently EMPTY the
+    // result (review r13)
+    assert(run(top = true, 3e9) == all)
+    assert(run(top = true, Double.PositiveInfinity) == all)
   }
 
   test("aggregate inners in sliding evaluation: windowed twin, pooled transforms") {
