@@ -137,7 +137,7 @@ object Containers {
     try Right(webpMeta(bytes)) catch {
       case e: IllegalArgumentException =>
         Left(Option(e.getMessage).getOrElse("malformed WebP"))
-      case e: ArrayIndexOutOfBoundsException =>
+      case e: IndexOutOfBoundsException =>
         Left(s"truncated WebP: out-of-bounds read at ${e.getMessage}")
     }
 
@@ -145,7 +145,7 @@ object Containers {
     try Right(flacMeta(bytes)) catch {
       case e: IllegalArgumentException =>
         Left(Option(e.getMessage).getOrElse("malformed FLAC"))
-      case e: ArrayIndexOutOfBoundsException =>
+      case e: IndexOutOfBoundsException =>
         Left(s"truncated FLAC: out-of-bounds read at ${e.getMessage}")
     }
 

@@ -160,7 +160,7 @@ object Mp4 {
     try Right(meta(bytes)) catch {
       case e: IllegalArgumentException =>
         Left(Option(e.getMessage).getOrElse("malformed MP4"))
-      case e: ArrayIndexOutOfBoundsException =>
+      case e: IndexOutOfBoundsException =>
         Left(s"truncated MP4: out-of-bounds read at ${e.getMessage}")
     }
 
