@@ -1084,6 +1084,27 @@ object TimeSeries {
         .orderBy(col("labels"), col("timestamp"))
     },
 
+    // SAMPLING aggregators (round 13 — Prometheus limitk/limit_ratio,
+    // the engine's deterministic exact-count md5-order rule): the
+    // DuckDB oracle reproduces the exact pick because md5 of the same
+    // text ranks identically in both engines. limitk keeps the 5
+    // md5-first users; limit_ratio(-0.4) keeps the LAST round(0.4·n)
+    // — the exact complement of limit_ratio(0.6).
+    "ts114_limitk" -> { (s, dir) =>
+      engine(s, dir)
+        .query("limitk(5, sum by (user) (purchase))", SubStart, SubEnd)
+        .output.select(col("user"), round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
+    "ts115_limit_ratio" -> { (s, dir) =>
+      engine(s, dir)
+        .query("limit_ratio(-0.4, sum by (user) (purchase))",
+          SubStart, SubEnd)
+        .output.select(col("user"), round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
     // topk OVER TIME (round 13): the "top 3 users per step" panel —
     // per-user 1-day sliding purchase sums at 12h steps, ranked PER
     // STEP (ties to the group key ascending, the grouped whole-range
@@ -1836,6 +1857,28 @@ object TimeSeries {
          |SELECT i.u AS "user", ot AS timestamp, ROUND(MAX(v), 6) AS value
          |FROM og JOIN i ON i.et > ot - ${3 * 86400000L} AND i.et <= ot
          |GROUP BY i.u, ot ORDER BY CAST(i.u AS BIGINT), timestamp""".stripMargin,
+
+    "ts114_limitk" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT u, SUM(v) AS value FROM d WHERE ${sub()} GROUP BY u),
+         |r AS (SELECT u, value,
+         |        ROW_NUMBER() OVER (ORDER BY md5(u), u) AS rk FROM c)
+         |SELECT u AS "user", ROUND(value, 6) AS value FROM r
+         |WHERE rk <= 5 ORDER BY CAST(u AS BIGINT)""".stripMargin,
+
+    "ts115_limit_ratio" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT u, SUM(v) AS value FROM d WHERE ${sub()} GROUP BY u),
+         |r AS (SELECT u, value,
+         |        ROW_NUMBER() OVER (ORDER BY md5(u), u) AS rk,
+         |        COUNT(*) OVER () AS n FROM c)
+         |SELECT u AS "user", ROUND(value, 6) AS value FROM r
+         |WHERE rk > n - ROUND(0.4 * n)
+         |ORDER BY CAST(u AS BIGINT)""".stripMargin,
 
     "ts113_sliding_topk" ->
       s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,

@@ -209,6 +209,19 @@ object Expr {
   final case class GetK(top: Boolean, k: Expr, child: Expr,
       grouping: Option[Grouping] = None) extends Expr
 
+  /** Prometheus' sampling aggregators (round 13, beyond the
+    * reference): `limitk(k, v)` keeps k series DETERMINISTICALLY
+    * (md5 order over the group key — this engine's exact-count rule,
+    * where Prometheus documents a hash-based approximate one);
+    * `limit_ratio(r, v)` keeps the first round(r·n) groups for r ≥ 0
+    * and the LAST round(−r·n) for r < 0, so limit_ratio(r) and
+    * limit_ratio(r − 1) partition the series exactly. In the
+    * pooled-series model both take a GROUPED child (a plain selector
+    * is one pooled series — aggregate into groups first).
+    */
+  final case class LimitK(k: Expr, child: Expr) extends Expr
+  final case class LimitRatio(r: Double, child: Expr) extends Expr
+
   /** A matrix selector `sel[range]` — valid ONLY as the immediate child
     * of a range function. The reference rejects matrix selectors
     * outright (planner.rs:84-261); this engine accepts them solely to

@@ -285,6 +285,22 @@ final class TsdbEngine(
     case other => (other, TsdbEngine.pooledAggPost(kind))
   }
 
+  /** The deterministic sampling order limitk/limit_ratio share: md5
+    * over the group key (group values joined with a 0x01 separator;
+    * null marks with a 0x02 sentinel so the null group and "" stay
+    * distinct), group columns ascending as the tiebreak. md5 of the
+    * same UTF-8 text is identical across engines, which is what makes
+    * the selection ORACLE-checkable (DuckDB computes the same ranks).
+    */
+  private def sampleOrder(df: DataFrame): Seq[Column] = {
+    val gNames = df.columns.init.toSeq
+    val sep = 1.toChar.toString
+    val nullMark = 2.toChar.toString + "null"
+    md5(concat_ws(sep,
+      gNames.map(g => coalesce(col(g), lit(nullMark))): _*).cast("binary")) +:
+      gNames.map(col(_).asc)
+  }
+
   /** GetK's k-subplan: evaluate whole-range, require a single scalar,
     * 1-row collect (the reference evaluates the k subplan first,
     * get_k.rs:77-79 — k is ONE number, so the single-value collect
@@ -376,6 +392,44 @@ final class TsdbEngine(
       // `sum by (user) (...)` — the clause the reference parses then
       // DROPS (planner.rs:84-88), evaluated for real here.
       groupedAggregate(kind, child, g, start, end)
+
+    case LimitK(kExpr, child) =>
+      // deterministic series sampling (Prometheus limitk; exact-count
+      // md5-order rule — see Ast.LimitK): orderBy+limit compiles to
+      // TakeOrderedAndProject, a bounded heap over the post-aggregation
+      // group-count-sized frame
+      val k = scalarK(kExpr, start, end)
+      val c = eval(child, start, end)
+      require(c.grouped, "limitk selects SERIES — in the pooled-series " +
+        "model a plain vector is ONE series; aggregate into groups " +
+        "first: limitk(2, sum by (s) (m))")
+      TsdbResult(
+        if (k == 0) c.df.limit(0)
+        else c.df.orderBy(sampleOrder(c.df): _*).limit(k),
+        isScalar = true, VType.F64, grouped = true)
+
+    case LimitRatio(r, child) =>
+      require(r >= -1 && r <= 1, s"limit_ratio takes r in [-1, 1], got $r")
+      val c = eval(child, start, end)
+      require(c.grouped, "limit_ratio selects SERIES — in the pooled-" +
+        "series model a plain vector is ONE series; aggregate into " +
+        "groups first: limit_ratio(0.5, sum by (s) (m))")
+      // rank + total over the group-count-sized frame (single-partition
+      // window over POST-AGGREGATION groups — metadata-sized, never the
+      // scan); r ≥ 0 keeps the first round(r·n) groups in md5 order,
+      // r < 0 the last round(−r·n), so r and r−1 partition exactly
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .orderBy(sampleOrder(c.df): _*)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val ranked = c.df
+        .withColumn("_rk", row_number().over(wOrd))
+        .withColumn("_n", count(lit(1)).over(wAll))
+      val kept =
+        if (r >= 0) ranked.where(col("_rk") <= round(lit(r) * col("_n")))
+        else ranked.where(
+          col("_rk") > col("_n") - round(lit(-r) * col("_n")))
+      TsdbResult(kept.drop("_rk", "_n"),
+        isScalar = true, VType.F64, grouped = true)
 
     case GetK(top, kExpr, child, grouping) =>
       val k = scalarK(kExpr, start, end)

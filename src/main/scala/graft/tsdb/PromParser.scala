@@ -480,6 +480,41 @@ object PromParser {
         if (prefix.isDefined && suffix.isDefined) throw new PromParseException(
           s"$fn has two grouping clauses in: $q")
         subquerySuffix(GetK(fn == "topk", k, child, prefix.orElse(suffix)))
+      case TIdent(fn @ ("limitk" | "limit_ratio")) if peek == TOp("(") =>
+        // sampling aggregators (no grouping clause — the pooled model
+        // takes a grouped CHILD: limitk(2, sum by (s) (m)))
+        expectOp("(")
+        val node: Expr = fn match {
+          case "limitk" =>
+            val k = parseExpr()
+            expectOp(",")
+            val child = parseExpr()
+            expectOp(")")
+            LimitK(k, child)
+          case _ =>
+            val r = next() match {
+              case TNum(v) => v
+              case TOp("-") => next() match {
+                case TNum(v) => -v
+                case t => throw new PromParseException(
+                  s"bad limit_ratio argument: $t in: $q")
+              }
+              case t => throw new PromParseException(
+                s"limit_ratio takes a numeric literal first, got $t in: $q")
+            }
+            expectOp(",")
+            val child = parseExpr()
+            expectOp(")")
+            LimitRatio(r, child)
+        }
+        peek match {
+          case TIdent("by") | TIdent("without") =>
+            throw new PromParseException(
+              s"$fn takes no grouping clause — group the CHILD " +
+                s"($fn(k, sum by (s) (m))) in: $q")
+          case _ => ()
+        }
+        subquerySuffix(node)
       case TIdent(fn) if instantFnNames.contains(fn) && peek == TOp("(") =>
         next() // consume '('
         val kind = instantFnNames(fn)

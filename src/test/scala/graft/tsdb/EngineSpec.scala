@@ -1255,6 +1255,36 @@ class EngineSpec extends AnyFunSuite {
     assert(clash.getMessage.contains("result columns"), clash.getMessage)
   }
 
+  test("limitk / limit_ratio: deterministic md5 sampling, exact partition") {
+    val e = groupedEngine()
+    def rows(q: String): Set[(String, Double)] =
+      e.query(q, 0, 100).output.collect().toSet[Row]
+        .map(r => (r.getString(0), r.getDouble(1)))
+    val all = rows("sum by (service) (req)")
+    assert(all.size == 3)
+    // k ≥ group count keeps everything; k = 0 empties; k = 1 is one
+    // deterministic group (same pick on every run)
+    assert(rows("limitk(99, sum by (service) (req))") == all)
+    assert(rows("limitk(0, sum by (service) (req))").isEmpty)
+    val one = rows("limitk(1, sum by (service) (req))")
+    assert(one.size == 1 &&
+      one == rows("limitk(1, sum by (service) (req))"))
+    // limit_ratio(r) and limit_ratio(r − 1) PARTITION the groups:
+    // disjoint, and their union is everything (the exact-count rule)
+    val a = rows("limit_ratio(0.6, sum by (service) (req))")
+    val b = rows("limit_ratio(-0.4, sum by (service) (req))")
+    assert((a & b).isEmpty && (a | b) == all, (a, b))
+    assert(rows("limit_ratio(1, sum by (service) (req))") == all)
+    assert(rows("limit_ratio(0, sum by (service) (req))").isEmpty)
+    // ungrouped children and out-of-range r reject loudly; so does a
+    // grouping clause on the operator itself (parse-level)
+    intercept[IllegalArgumentException](e.query("limitk(2, req)", 0, 100))
+    intercept[IllegalArgumentException](
+      e.query("limit_ratio(1.5, sum by (service) (req))", 0, 100))
+    intercept[PromParseException](
+      e.query("limitk(2, req) by (service)", 0, 100))
+  }
+
   test("queryRangeGetK: per-step rank, ties to the group key, k clamps") {
     val e = groupedEngine()
     def run(top: Boolean, k: Double) = e.queryRangeGetK(top,

@@ -108,6 +108,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
     case GetK(top, k, c, g) =>
       s"${if (top) "topk" else "bottomk"}(${render(k)}, ${render(c)})" +
         g.map(renderGrouping).getOrElse("")
+    case LimitK(k, c) => s"limitk(${render(k)}, ${render(c)})"
+    case LimitRatio(r, c) => s"limit_ratio($r, ${render(c)})"
     case RangeFn(k, c, args) =>
       val phi = if (k == FnQuantileOverTime) s"${args.head}, " else ""
       val tail = if (k == FnQuantileOverTime) ""
@@ -246,6 +248,14 @@ class ParserRoundTripSpec extends AnyFunSuite {
         c <- exprGen(depth - 1)
         g <- groupingGen
       } yield GetK(top, NumberLit(kv.toDouble), c, g)),
+      1 -> (for {
+        ratio <- Gen.oneOf(true, false)
+        kv <- Gen.choose(0, 20)
+        r <- Gen.oneOf(-1.0, -0.25, 0.5, 1.0)
+        c <- exprGen(depth - 1)
+      } yield
+        if (ratio) LimitRatio(r, c)
+        else LimitK(NumberLit(kv.toDouble), c)),
       2 -> (for {
         k <- Gen.oneOf(Add, Sub, Mul, Div, Mod, Eq, Ne, Gt, Lt, Ge, Le,
           And, Or, Unless, Pow, Atan2,
