@@ -7,7 +7,7 @@ JAVA_HOME="${JAVA_HOME:-$(dirname "$(dirname "$(readlink -f "$(command -v java)"
 OUT_DIR="${1:-target/native}"
 mkdir -p "$OUT_DIR"
 OUT="$OUT_DIR/libgraftnative.so"
-gcc -shared -fPIC -O2 \
+gcc -shared -fPIC -O2 -Werror=implicit-function-declaration \
   -I"$JAVA_HOME/include" -I"$JAVA_HOME/include/linux" \
   src/native/graft_native.c -o "$OUT"
 echo "$OUT"

@@ -349,14 +349,39 @@ object Relational {
         .orderBy($"event_type")
     },
 
-    // Exact percentiles (linear interpolation) per group.
+    // Exact percentiles (linear interpolation) per group — the
+    // two-pass RANK-BASED form, not the percentile() aggregate: that
+    // aggregate buffers every value of a group in ONE task's
+    // aggregation buffer (O(rows/group) heap — the only observed
+    // scale failure in 13 rounds: 30x pack OOM at the standing 8g).
+    // Here pass 1 is a tiny per-group count (broadcast back), pass 2
+    // a per-group sort-based row_number (WindowExec spills to disk,
+    // bounded task memory) filtered to the two bracketing ranks
+    // floor/ceil((n-1)*p); interpolation lo + frac*(hi-lo) is the
+    // exact formula percentile()/DuckDB quantile_cont use, so the
+    // result is bit-identical and the memory is flat at any scale.
     "q27_percentile" -> { (s, dir) =>
       import s.implicits._
-      table(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          r6(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
-          r6(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
+      def pct(valueCol: String, p: Double, out: String): DataFrame = {
+        val vals = table(s, dir, "lineitem")
+          .select($"l_returnflag", col(valueCol).cast("double").as("_v"))
+        val counts = vals.groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("_n"))
+        val ranked = vals.withColumn("_rk", row_number().over(
+          Window.partitionBy($"l_returnflag").orderBy($"_v")))
+        val pos = (col("_n") - 1) * p // 0-based fractional target rank
+        ranked.join(broadcast(counts), "l_returnflag")
+          .where(col("_rk") === floor(pos) + 1 ||
+            col("_rk") === ceil(pos) + 1)
+          .groupBy($"l_returnflag")
+          .agg(min($"_v").as("_lo"), max($"_v").as("_hi"),
+            first(pos - floor(pos)).as("_frac"))
+          .select($"l_returnflag",
+            r6(col("_lo") + col("_frac") * (col("_hi") - col("_lo")))
+              .as(out))
+      }
+      pct("l_quantity", 0.5, "median_qty")
+        .join(pct("l_extendedprice", 0.9, "p90_price"), "l_returnflag")
         .orderBy($"l_returnflag")
     },
 

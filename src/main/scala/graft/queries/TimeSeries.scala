@@ -1088,8 +1088,9 @@ object TimeSeries {
     // the engine's deterministic exact-count md5-order rule): the
     // DuckDB oracle reproduces the exact pick because md5 of the same
     // text ranks identically in both engines. limitk keeps the 5
-    // md5-first users; limit_ratio(-0.4) keeps the LAST round(0.4·n)
-    // — the exact complement of limit_ratio(0.6).
+    // md5-first users; limit_ratio(-0.4) keeps everything AFTER the
+    // first round(0.6·n) — the exact complement of limit_ratio(0.6)
+    // even when r·n lands on a .5 boundary (advice r13).
     "ts114_limitk" -> { (s, dir) =>
       engine(s, dir)
         .query("limitk(5, sum by (user) (purchase))", SubStart, SubEnd)
@@ -1877,7 +1878,7 @@ object TimeSeries {
          |        ROW_NUMBER() OVER (ORDER BY md5(u), u) AS rk,
          |        COUNT(*) OVER () AS n FROM c)
          |SELECT u AS "user", ROUND(value, 6) AS value FROM r
-         |WHERE rk > n - ROUND(0.4 * n)
+         |WHERE rk > ROUND(0.6 * n)
          |ORDER BY CAST(u AS BIGINT)""".stripMargin,
 
     "ts113_sliding_topk" ->

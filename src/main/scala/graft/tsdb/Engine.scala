@@ -293,6 +293,17 @@ final class TsdbEngine(
     * the selection ORACLE-checkable (DuckDB computes the same ranks).
     */
   private def sampleOrder(df: DataFrame): Seq[Column] = {
+    // The group key is "every column but the value" — assert that
+    // convention instead of silently trusting it, so a future child
+    // that carries a timestamp (or renames value) fails loudly rather
+    // than md5-ranking over a corrupted key (advice r13).
+    require(df.columns.nonEmpty && df.columns.last == "value",
+      s"limitk/limit_ratio expect a grouped frame with 'value' last; " +
+        s"got [${df.columns.mkString(", ")}]")
+    require(!df.columns.init.contains("timestamp"),
+      "limitk/limit_ratio sample SERIES from a whole-range grouped " +
+        "frame; a 'timestamp' column means a ranged child — use the " +
+        "query_range surface")
     val gNames = df.columns.init.toSeq
     val sep = 1.toChar.toString
     val nullMark = 2.toChar.toString + "null"
@@ -406,7 +417,9 @@ final class TsdbEngine(
       TsdbResult(
         if (k == 0) c.df.limit(0)
         else c.df.orderBy(sampleOrder(c.df): _*).limit(k),
-        isScalar = true, VType.F64, grouped = true)
+        // sampling FILTERS series — it never changes the child's value
+        // shape, so echo it instead of hardcoding (advice r13)
+        c.isScalar, c.vtype, grouped = true)
 
     case LimitRatio(r, child) =>
       require(r >= -1 && r <= 1, s"limit_ratio takes r in [-1, 1], got $r")
@@ -417,7 +430,11 @@ final class TsdbEngine(
       // rank + total over the group-count-sized frame (single-partition
       // window over POST-AGGREGATION groups — metadata-sized, never the
       // scan); r ≥ 0 keeps the first round(r·n) groups in md5 order,
-      // r < 0 the last round(−r·n), so r and r−1 partition exactly
+      // r < 0 everything AFTER the first round((1+r)·n) — the exact
+      // complement of the positive arm's count, so limit_ratio(r) and
+      // limit_ratio(r−1) partition even when r·n lands on a .5
+      // boundary (n=5, r=0.5 keeps ranks 1–3; r=−0.5 keeps 4–5, not
+      // 3–5 as the old n−round(−r·n) cut did; advice r13)
       val wOrd = org.apache.spark.sql.expressions.Window
         .orderBy(sampleOrder(c.df): _*)
       val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
@@ -426,10 +443,9 @@ final class TsdbEngine(
         .withColumn("_n", count(lit(1)).over(wAll))
       val kept =
         if (r >= 0) ranked.where(col("_rk") <= round(lit(r) * col("_n")))
-        else ranked.where(
-          col("_rk") > col("_n") - round(lit(-r) * col("_n")))
+        else ranked.where(col("_rk") > round(lit(1 + r) * col("_n")))
       TsdbResult(kept.drop("_rk", "_n"),
-        isScalar = true, VType.F64, grouped = true)
+        c.isScalar, c.vtype, grouped = true)
 
     case GetK(top, kExpr, child, grouping) =>
       val k = scalarK(kExpr, start, end)

@@ -21,6 +21,7 @@
  * JVM walks keep working and decode stays a loud throw.
  */
 #include <jni.h>
+#include <stdlib.h>
 
 JNIEXPORT jbyteArray JNICALL
 Java_graft_multimodal_NativeCodecHandle_identity(JNIEnv *env, jobject self,

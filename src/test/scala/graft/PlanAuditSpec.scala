@@ -686,6 +686,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the TopKByScore partial/final aggregate pair")
   }
 
+  test("q27 exact percentile never buffers a group in an agg buffer") {
+    // the r13 scale finding: percentile() holds O(rows/group) in ONE
+    // task's aggregation buffer (ObjectHashAggregate) — the only gate
+    // to OOM a 30x pack. The rank-based rewrite must keep the plan
+    // free of it: sorts spill, aggregation buffers don't.
+    val p = plan(graft.queries.Relational.queries("q27_percentile")(spark, sf))
+    assert(!p.contains("ObjectHashAggregate"),
+      "a buffering percentile aggregate is back in the plan")
+    assert(!p.toLowerCase.contains("percentile"),
+      "expected the rank-based form, not the percentile() aggregate")
+    // the sort-based rank pass partitions on the group key — the
+    // window must never be global
+    assert(p.contains("windowspecdefinition(l_returnflag"),
+      "row_number must partition by l_returnflag")
+  }
+
   test("dd15 index probe reads the stored tables, never re-shingles the corpus") {
     val p = formatted(graft.queries.Pipeline.queries("dd15_index_probe")(spark, sf))
     // the incremental claim: both corpus-side inputs (bands + shingles)

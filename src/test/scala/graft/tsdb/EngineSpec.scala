@@ -1274,6 +1274,13 @@ class EngineSpec extends AnyFunSuite {
     val a = rows("limit_ratio(0.6, sum by (service) (req))")
     val b = rows("limit_ratio(-0.4, sum by (service) (req))")
     assert((a & b).isEmpty && (a | b) == all, (a, b))
+    // the .5 boundary (advice r13): r·n = 1.5 with n = 3 — the old
+    // n − round(−r·n) negative cut double-counted the boundary rank;
+    // the complement rule rk > round((1+r)·n) partitions exactly
+    val h = rows("limit_ratio(0.5, sum by (service) (req))")
+    val hc = rows("limit_ratio(-0.5, sum by (service) (req))")
+    assert(h.size == 2 && hc.size == 1, (h, hc))
+    assert((h & hc).isEmpty && (h | hc) == all, (h, hc))
     assert(rows("limit_ratio(1, sum by (service) (req))") == all)
     assert(rows("limit_ratio(0, sum by (service) (req))").isEmpty)
     // ungrouped children and out-of-range r reject loudly; so does a
