@@ -175,19 +175,27 @@ object Mp4 {
       handlers: Option[String], video_width: Option[Int],
       video_height: Option[Int], err: Option[String])
 
+  /** The ONE Meta→row field mapping both extract forms share, so a
+    * change to what a parsed payload surfaces cannot drift between
+    * the loud and quarantine twins (review r13).
+    */
+  private def metaFields(
+      m: Meta): (String, Long, Long, Double, Int, String, Int, Int) = {
+    val vid = m.tracks.find(_.handler == "vide")
+    (m.brand, m.timescale, m.durationTicks, m.durationSec, m.tracks.size,
+      m.tracks.map(_.handler).mkString(","),
+      vid.map(_.width).getOrElse(0), vid.map(_.height).getOrElse(0))
+  }
+
   def extractQuarantine(
       media: Dataset[Multimodal.MediaRow]): Dataset[Mp4MetaQ] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
       tryMeta(r.payload) match {
         case Right(m) =>
-          val vid = m.tracks.find(_.handler == "vide")
-          Mp4MetaQ(r.id, Some(m.brand), Some(m.timescale),
-            Some(m.durationTicks), Some(m.durationSec),
-            Some(m.tracks.size),
-            Some(m.tracks.map(_.handler).mkString(",")),
-            Some(vid.map(_.width).getOrElse(0)),
-            Some(vid.map(_.height).getOrElse(0)), None)
+          val (brand, ts, dt, ds, n, hs, w, h) = metaFields(m)
+          Mp4MetaQ(r.id, Some(brand), Some(ts), Some(dt), Some(ds),
+            Some(n), Some(hs), Some(w), Some(h), None)
         case Left(err) => Mp4MetaQ(r.id, None, None, None, None, None,
           None, None, None, Some(err))
       }
@@ -203,11 +211,8 @@ object Mp4 {
   def extract(media: Dataset[Multimodal.MediaRow]): Dataset[Mp4Meta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val m = meta(r.payload)
-      val vid = m.tracks.find(_.handler == "vide")
-      Mp4Meta(r.id, m.brand, m.timescale, m.durationTicks, m.durationSec,
-        m.tracks.size, m.tracks.map(_.handler).mkString(","),
-        vid.map(_.width).getOrElse(0), vid.map(_.height).getOrElse(0))
+      val (brand, ts, dt, ds, n, hs, w, h) = metaFields(meta(r.payload))
+      Mp4Meta(r.id, brand, ts, dt, ds, n, hs, w, h)
     })
   }
 

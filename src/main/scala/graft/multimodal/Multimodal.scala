@@ -54,10 +54,28 @@ object Multimodal {
     * content therefore produce identical features; lossy jpeg produces
     * whatever pixels its decode yields. `qoi` decodes through the
     * built-in [[Qoi]] codec — the non-JDK proof of the seam's
-    * lossless-equality contract. Formats still past reach (mp4, webp,
-    * flac...) throw toward a JNI/FFI extension.
+    * lossless-equality contract — or, when `GRAFT_NATIVE_LIB` names a
+    * compiled [[NativeCodec]] library, through the NATIVE decoder
+    * across the JNI seam (NativeSeamSpec pins the two bit-identical;
+    * absent the flag, behavior is unchanged). `wav` likewise routes
+    * to the native PCM16 decode when the flag is set. Formats still
+    * past reach (mp4, webp, flac...) throw toward the same extension
+    * point.
     */
   object RealDecoder extends Decoder {
+    // Resolved once per JVM, lazily (None when GRAFT_NATIVE_LIB is
+    // unset). Executors resolve their own copy from their own env —
+    // the deploy shape a native codec needs anyway: the .so must
+    // exist on every host, and the flag marks where it is. The
+    // override is the TEST seam: sys.env is immutable in-JVM, so the
+    // contract spec injects its self-built handle here.
+    @volatile private[graft] var handleOverride: Option[NativeCodecHandle] =
+      None
+    @transient private lazy val fromEnv: Option[NativeCodecHandle] =
+      NativeCodec.fromEnv()
+    private def native: Option[NativeCodecHandle] =
+      handleOverride.orElse(fromEnv)
+
     def features(payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float] = {
       val acc = new Array[Float](dim)
       meta.format match {
@@ -81,38 +99,55 @@ object Multimodal {
             y += 1
           }
         case "wav" =>
-          import javax.sound.sampled.{AudioFormat, AudioSystem}
-          val in = AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(payload))
-          try {
-            val fmt = in.getFormat
-            require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
-                fmt.getSampleSizeInBits == 16,
-              s"contract covers PCM16 WAV, got $fmt")
-            val bytes = in.readAllBytes()
-            val be = fmt.isBigEndian
-            val n = bytes.length / 2
-            var i = 0
-            while (i < n) {
-              val s =
-                if (be) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
-                else ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
-              acc(i % dim) += s / 32768.0f
-              i += 1
-            }
-          } finally in.close()
+          // samples come from the native PCM16 walk when the seam is
+          // enabled, from AudioSystem otherwise — same s/32768 fold
+          // either way, so features are bit-identical (NativeSeamSpec)
+          val samples: Array[Short] = native match {
+            case Some(nh) => nh.decodeWavPcm16(payload)
+            case None =>
+              import javax.sound.sampled.{AudioFormat, AudioSystem}
+              val in = AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              try {
+                val fmt = in.getFormat
+                require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+                    fmt.getSampleSizeInBits == 16,
+                  s"contract covers PCM16 WAV, got $fmt")
+                val bytes = in.readAllBytes()
+                val be = fmt.isBigEndian
+                val out = new Array[Short](bytes.length / 2)
+                var i = 0
+                while (i < out.length) {
+                  out(i) =
+                    if (be) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+                    else ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+                  i += 1
+                }
+                out
+              } finally in.close()
+          }
+          var i = 0
+          while (i < samples.length) {
+            acc(i % dim) += samples(i) / 32768.0f
+            i += 1
+          }
         case "qoi" =>
           // the seam's first real NON-JDK codec: a complete decoder for
           // the public QOI spec ([[Qoi]]), folded with the identical
           // per-pixel luminance rule — MultimodalContractSpec pins
           // QOI-vs-BMP feature equality bit-for-bit on shared pixels,
-          // the exact contract a JNI/FFI codec must satisfy
+          // the exact contract a JNI/FFI codec must satisfy. With the
+          // seam enabled the pixels come from the NATIVE decoder
+          // (bit-identical to Qoi.decode per NativeSeamSpec).
           // px is top-down row-major, so j IS y*w+x — the same bucket
           // index the ImageIO branch computes
-          val (_, _, px) = Qoi.decode(payload)
+          val (px, pxOff) = native match {
+            case Some(nh) => (nh.decodeQoi(payload), 2) // [w, h, px...]
+            case None => (Qoi.decode(payload)._3, 0)
+          }
           var j = 0
-          while (j < px.length) {
-            val rgb = px(j)
+          while (j < px.length - pxOff) {
+            val rgb = px(j + pxOff)
             val r = (rgb >> 16) & 0xff
             val g = (rgb >> 8) & 0xff
             val b = rgb & 0xff

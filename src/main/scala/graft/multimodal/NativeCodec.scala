@@ -32,6 +32,15 @@ final class NativeCodecHandle private[multimodal] () {
     * decoder's loud-on-malformation discipline.
     */
   @native def decodeQoi(payload: Array[Byte]): Array[Int]
+
+  /** The seam's first AUDIO codec: RIFF/WAVE PCM16 sample extraction
+    * — returns the data chunk's little-endian s16 samples, verified
+    * against a PCM(1)/16-bit fmt chunk. The caller's s/32768 fold
+    * makes the features bit-identical to the JVM AudioSystem path
+    * (NativeSeamSpec pins it). Malformed/truncated chunks and non-
+    * PCM16 formats throw IllegalArgumentException across the ABI.
+    */
+  @native def decodeWavPcm16(payload: Array[Byte]): Array[Short]
 }
 
 object NativeCodec {

@@ -150,6 +150,76 @@ done:
   return out;
 }
 
+/* The seam's first AUDIO codec: RIFF/WAVE PCM16 sample extraction,
+ * the C twin of the JVM walks (UncompressedDecoder's chunk walk +
+ * RealDecoder's AudioSystem contract). Walks the chunk list, verifies
+ * the fmt chunk declares PCM (format code 1) at 16 bits/sample, and
+ * returns the data chunk's little-endian s16 samples as a jshortArray
+ * — the caller folds s/32768 exactly as the JVM path does, so the
+ * features are bit-identical (NativeSeamSpec pins this). Same
+ * corrupt-size discipline as the JVM walk: a chunk size that runs
+ * past the buffer throws instead of reading wild. */
+JNIEXPORT jshortArray JNICALL
+Java_graft_multimodal_NativeCodecHandle_decodeWavPcm16(JNIEnv *env,
+                                                       jobject self,
+                                                       jbyteArray payload) {
+  if (payload == NULL) { /* JVM-parity: NPE, never a SIGSEGV */
+    jclass c = (*env)->FindClass(env, "java/lang/NullPointerException");
+    if (c != NULL) (*env)->ThrowNew(env, c, "null payload");
+    return NULL;
+  }
+  jsize len = (*env)->GetArrayLength(env, payload);
+  jbyte *raw = (*env)->GetByteArrayElements(env, payload, NULL);
+  if (raw == NULL) return NULL;
+  const unsigned char *b = (const unsigned char *)raw;
+  jshortArray out = NULL;
+  jshort *samples = NULL;
+  const char *err = NULL;
+  int fmt_seen = 0;
+
+  if (len < 12 || b[0] != 'R' || b[1] != 'I' || b[2] != 'F' ||
+      b[3] != 'F' || b[8] != 'W' || b[9] != 'A' || b[10] != 'V' ||
+      b[11] != 'E') { err = "not a RIFF/WAVE payload"; goto done; }
+  {
+    long p = 12;
+    while (p + 8 <= (long)len) {
+      /* chunk sizes are unsigned 32-bit; assemble in long so a size
+       * with the high bit set can't wrap negative and pass the bound */
+      long sz = (long)b[p + 4] | ((long)b[p + 5] << 8) |
+                ((long)b[p + 6] << 16) | ((long)b[p + 7] << 24);
+      if (p + 8 + sz > (long)len) { err = "corrupt or truncated WAV chunk"; goto done; }
+      if (b[p] == 'f' && b[p + 1] == 'm' && b[p + 2] == 't' &&
+          b[p + 3] == ' ') {
+        if (sz < 16) { err = "truncated WAV fmt chunk"; goto done; }
+        int code = b[p + 8] | (b[p + 9] << 8);
+        int bits = b[p + 22] | (b[p + 23] << 8);
+        if (code != 1 || bits != 16) {
+          err = "contract covers PCM16 WAV"; goto done; }
+        fmt_seen = 1;
+      } else if (b[p] == 'd' && b[p + 1] == 'a' && b[p + 2] == 't' &&
+                 b[p + 3] == 'a') {
+        if (!fmt_seen) { err = "WAV data chunk before fmt"; goto done; }
+        long n = sz / 2;
+        samples = (jshort *)malloc((size_t)(n > 0 ? n : 1) * sizeof(jshort));
+        if (samples == NULL) { err = "WAV sample buffer allocation failed"; goto done; }
+        for (long i = 0; i < n; i++)
+          samples[i] = (jshort)(b[p + 8 + 2 * i] | (b[p + 9 + 2 * i] << 8));
+        out = (*env)->NewShortArray(env, (jsize)n);
+        if (out != NULL)
+          (*env)->SetShortArrayRegion(env, out, 0, (jsize)n, samples);
+        goto done;
+      }
+      p += 8 + sz + (sz & 1); /* chunks are word-aligned */
+    }
+    err = "no data chunk in WAV payload";
+  }
+done:
+  if (samples != NULL) free(samples);
+  (*env)->ReleaseByteArrayElements(env, payload, raw, JNI_ABORT);
+  if (err != NULL) { throw_iae(env, err); return NULL; }
+  return out;
+}
+
 JNIEXPORT jint JNICALL
 Java_graft_multimodal_NativeCodecHandle_fnv1a(JNIEnv *env, jobject self,
                                               jbyteArray payload) {

@@ -122,4 +122,71 @@ class NativeSeamSpec extends AnyFunSuite {
     intercept[NullPointerException](h.identity(null))
     intercept[NullPointerException](h.fnv1a(null))
   }
+
+  /** Minimal RIFF/WAVE PCM16 mono (the MultimodalContractSpec builder). */
+  private def wav(samples: Seq[Int]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    o.write("RIFF".getBytes); le32(36 + samples.length * 2)
+    o.write("WAVE".getBytes)
+    o.write("fmt ".getBytes); le32(16)
+    le16(1); le16(1)          // PCM, mono
+    le32(8000); le32(16000)   // sample rate, byte rate
+    le16(2); le16(16)         // block align, bits
+    o.write("data".getBytes); le32(samples.length * 2)
+    samples.foreach(s => le16(s & 0xffff))
+    o.toByteArray
+  }
+
+  test("JNI seam: native WAV-PCM16 samples are bit-identical to the JVM walk") {
+    assume(lib.isDefined,
+      s"no ${NativeCodec.LibEnv} and no local C toolchain — seam untestable here")
+    val h = NativeCodec.load(lib.get)
+    val fixture = wav(Seq(16384, -16384, 32767, -32768, 1, -1, 0))
+    assert(h.decodeWavPcm16(fixture).toSeq ==
+      Seq[Short](16384, -16384, 32767, -32768, 1, -1, 0))
+    // feature parity against BOTH JVM decoders on the same payload
+    import graft.multimodal.Multimodal
+    val meta = Multimodal.MediaMeta("wav", 0, 0, fixture.length.toLong)
+    val jvm = Multimodal.RealDecoder.features(fixture, meta, 3)
+    val contract = Multimodal.UncompressedDecoder.features(fixture, meta, 3)
+    assert(jvm.toSeq == contract.toSeq)
+    // malformation parity: non-PCM16 fmt, truncated chunk, not RIFF —
+    // loud on BOTH sides of the ABI
+    val badFmt = {
+      val b = wav(Seq(1, 2)); b(20) = 3; b } // fmt code 3 = IEEE float
+    for (bad <- Seq(badFmt, fixture.take(30),
+        Array[Byte]('R', 'I', 'F', 'F', 0, 0, 0, 0, 'N', 'O', 'P', 'E'))) {
+      intercept[IllegalArgumentException](h.decodeWavPcm16(bad))
+    }
+    intercept[NullPointerException](h.decodeWavPcm16(null))
+  }
+
+  test("JNI seam: RealDecoder routes qoi + wav through the native codec when enabled") {
+    assume(lib.isDefined,
+      s"no ${NativeCodec.LibEnv} and no local C toolchain — seam untestable here")
+    val h = NativeCodec.load(lib.get)
+    import graft.multimodal.Multimodal
+    val img = qoi(2, 4, Seq(
+      0xFE, 10, 20, 30, 0x7F, 0xC1, 0xA8, 0xA6, 0x09,
+      0xFF, 40, 50, 60, 128, 0xFE, 70, 80, 90))
+    val audio = wav(Seq(16384, -16384, 32767, -32768, 7))
+    val qMeta = Multimodal.MediaMeta("qoi", 2, 4, img.length.toLong)
+    val wMeta = Multimodal.MediaMeta("wav", 0, 0, audio.length.toLong)
+    val jvmQ = Multimodal.RealDecoder.features(img, qMeta, 3)
+    val jvmW = Multimodal.RealDecoder.features(audio, wMeta, 3)
+    Multimodal.RealDecoder.handleOverride = Some(h)
+    try {
+      // bit-identical features through the native decode — the wiring
+      // the production flag (GRAFT_NATIVE_LIB) enables
+      assert(Multimodal.RealDecoder.features(img, qMeta, 3).toSeq ==
+        jvmQ.toSeq)
+      assert(Multimodal.RealDecoder.features(audio, wMeta, 3).toSeq ==
+        jvmW.toSeq)
+      // malformation stays loud through the wired path too
+      intercept[IllegalArgumentException](Multimodal.RealDecoder.features(
+        img.take(16), qMeta, 3))
+    } finally Multimodal.RealDecoder.handleOverride = None
+  }
 }
