@@ -1121,6 +1121,74 @@ object TimeSeries {
         .orderBy(col("user").cast("long"), col("timestamp"))
     },
 
+    // SAMPLING over time (round 14): limitk/limit_ratio's query_range
+    // twins — the md5-order pick applied PER STEP over the grouped
+    // sliding matrix, so each evaluation samples among the series
+    // present at that step (n varies where a user has no purchases in
+    // the window). The HTTP bridge's ranged dispatch serves exactly
+    // these frames.
+    "ts116_sliding_limitk" -> { (s, dir) =>
+      engine(s, dir).queryRangeLimitK(
+        graft.tsdb.Expr.NumberLit(3),
+        graft.tsdb.PromParser.parse("sum_over_time(purchase[1d])"),
+        graft.tsdb.Expr.Grouping(by = true, List("user")),
+        SubStart, SubEnd, 12 * 3600 * 1000L)
+        .select(col("user"), col("timestamp"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"), col("timestamp"))
+    },
+
+    "ts117_sliding_limit_ratio" -> { (s, dir) =>
+      engine(s, dir).queryRangeLimitRatio(-0.5,
+        graft.tsdb.PromParser.parse("sum_over_time(purchase[1d])"),
+        graft.tsdb.Expr.Grouping(by = true, List("user")),
+        SubStart, SubEnd, 12 * 3600 * 1000L)
+        .select(col("user"), col("timestamp"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user").cast("long"), col("timestamp"))
+    },
+
+    // FINER inner grouping under a subquery (round 14): the inner
+    // `sum by (cohort, user)` evaluates per ITS key on the 12h grid
+    // (first keyed group-by), the user column drops, and max_over_time
+    // per (cohort, 3d window) pools the user sub-series (second keyed
+    // group-by) — "each cohort's single best per-user 12h purchase
+    // total over the trailing 3 days". Previously an honest rejection.
+    "ts120_subquery_finer_by" -> { (s, dir) =>
+      engineCohort(s, dir)
+        .queryRangeBy(
+          "max_over_time(sum by (cohort, user) (purchase)[3d:12h])",
+          graft.tsdb.Expr.Grouping(by = true, List("cohort")),
+          SubStart, SubEnd, 86400000L)
+        .select(col("cohort"), col("timestamp"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("cohort"), col("timestamp"))
+    },
+
+    // count_values over DERIVED series (round 14): the ranged arm now
+    // takes any sliding-evaluable inner. ts118 buckets the POOLED
+    // extrapolation-free rate (one series per step — the count is the
+    // occupancy of each rounded-rate bucket across the range); round()
+    // makes the value label an exact integer string both engines
+    // render identically. ts119 is the GROUPED form: per-step per-user
+    // 12h event counts, count_values over the user series at each step
+    // — "how many users produced exactly N purchases in the last 12h",
+    // the cohort-histogram panel.
+    "ts118_count_values_rate" -> { (s, dir) =>
+      engineDedup(s, dir).countValuesRange("v",
+        graft.tsdb.PromParser.parse("round(rate(purchase[1d]) * 1000)"),
+        SubStart, SubEnd, 6 * 3600 * 1000L)
+        .orderBy(col("v"), col("timestamp"))
+    },
+
+    "ts119_count_values_grouped" -> { (s, dir) =>
+      engine(s, dir).countValuesRange("v",
+        graft.tsdb.PromParser.parse(
+          "round(sum by (user) (count_over_time(purchase[12h])))"),
+        SubStart, SubEnd, 12 * 3600 * 1000L)
+        .orderBy(col("v"), col("timestamp"))
+    },
+
     // count_values' query_range twin (round 13): per-12h-step counts
     // of each distinct purchase value — ONE scan, each sample lands in
     // its unique step tile; the value label renders through the same
@@ -1896,6 +1964,79 @@ object TimeSeries {
          |SELECT u AS "user", et AS timestamp, ROUND(s, 6) AS value
          |FROM r WHERE rk <= 3
          |ORDER BY CAST(u AS BIGINT), timestamp""".stripMargin,
+
+    "ts116_sliding_limitk" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |w AS (SELECT d.u, g.et, SUM(d.v) AS s FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et
+         |      GROUP BY d.u, g.et),
+         |r AS (SELECT u, et, s, ROW_NUMBER() OVER
+         |        (PARTITION BY et ORDER BY md5(u), u) AS rk FROM w)
+         |SELECT u AS "user", et AS timestamp, ROUND(s, 6) AS value
+         |FROM r WHERE rk <= 3
+         |ORDER BY CAST(u AS BIGINT), timestamp""".stripMargin,
+
+    "ts117_sliding_limit_ratio" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |w AS (SELECT d.u, g.et, SUM(d.v) AS s FROM g
+         |      JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et
+         |      GROUP BY d.u, g.et),
+         |r AS (SELECT u, et, s, ROW_NUMBER() OVER
+         |        (PARTITION BY et ORDER BY md5(u), u) AS rk,
+         |        COUNT(*) OVER (PARTITION BY et) AS n FROM w)
+         |SELECT u AS "user", et AS timestamp, ROUND(s, 6) AS value
+         |FROM r WHERE rk > ROUND(0.5 * n)
+         |ORDER BY CAST(u AS BIGINT), timestamp""".stripMargin,
+
+    "ts120_subquery_finer_by" ->
+      s"""WITH d AS (SELECT CAST(user_id % 3 AS VARCHAR) AS c,
+         |        CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 3 * 86400000L - 12 * 3600 * 1000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series(${SubStart - 3 * 86400000L},
+         |        $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |i AS (SELECT d.c, d.u, g.et, SUM(d.v) AS v FROM g
+         |      JOIN d ON d.t > g.et - ${12 * 3600 * 1000L} AND d.t <= g.et
+         |      GROUP BY d.c, d.u, g.et),
+         |og AS (SELECT UNNEST(generate_series($SubStart, $SubEnd,
+         |        ${86400000L})) AS ot)
+         |SELECT i.c AS cohort, ot AS timestamp, ROUND(MAX(v), 6) AS value
+         |FROM og JOIN i ON i.et > ot - ${3 * 86400000L} AND i.et <= ot
+         |GROUP BY i.c, ot ORDER BY cohort, timestamp""".stripMargin,
+
+    "ts118_count_values_rate" ->
+      s"""WITH g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd,
+         |        ${6 * 3600 * 1000L})) AS et),
+         |${slidingRateCtes("purchase", "x")}
+         |SELECT CAST(FLOOR(v * 1000.0 / 1.0 + 0.5) * 1.0 AS VARCHAR) AS v,
+         |  ws AS timestamp, CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM x_r GROUP BY 1, 2 ORDER BY v, timestamp""".stripMargin,
+
+    "ts119_count_values_grouped" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 12 * 3600 * 1000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |w AS (SELECT d.u, g.et, CAST(COUNT(*) AS DOUBLE) AS c FROM g
+         |      JOIN d ON d.t > g.et - ${12 * 3600 * 1000L} AND d.t <= g.et
+         |      GROUP BY d.u, g.et)
+         |SELECT CAST(FLOOR(c / 1.0 + 0.5) * 1.0 AS VARCHAR) AS v,
+         |  et AS timestamp, CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM w GROUP BY 1, 2 ORDER BY v, timestamp""".stripMargin,
 
     "ts112_count_values_range" ->
       s"""WITH d AS (SELECT t, v FROM ${ev("event_type = 'purchase'")}

@@ -588,11 +588,14 @@ object Web {
           (if (manyG.by) manyG.labels else Seq("labels")) ++ vm.carry
         PromMatrix(cols, canonical = !manyG.by, df.orderBy(
           (cols :+ "timestamp").map(col): _*).collect())
-      case Aggregate(AggCountValues(label), sel: Selector, None) =>
-        // count_values over the bridge (round 13): value-bucketed
-        // per-step counts — each sample lands in its unique step
-        // window, one scan, series keyed by the VALUE label
-        val df = e.countValuesRange(label, sel, startMs, endMs, stepMs)
+      case Aggregate(AggCountValues(label), inner, None) =>
+        // count_values over the bridge (round 13; general inners round
+        // 14): value-bucketed per-step counts — a bare selector counts
+        // raw samples in their unique step windows; any sliding-
+        // evaluable inner (rate, instant math, grouped aggregates)
+        // counts the derived series per step. One scan either way,
+        // series keyed by the VALUE label
+        val df = e.countValuesRange(label, inner, startMs, endMs, stepMs)
         PromMatrix(Seq(label), canonical = false, df.orderBy(
           col(label), col("timestamp")).collect())
       case Aggregate(kind, child, g) =>
@@ -622,6 +625,27 @@ object Web {
               s"a matrix selector, got: $other")
         }
         grouped(g, inner, df => if (k <= 0) df.limit(0) else df)
+      case LimitK(kExpr, agg @ Aggregate(_, _, Some(gr))) =>
+        // limitk(k, sum by (u) (...)) at every step — the engine's
+        // per-step md5-order sampling (round 14): same matrix shape
+        // as ranged topk, the sampling order instead of the value one
+        val cols = groupCols(gr)
+        val df = e.queryRangeLimitK(kExpr, agg, gr, startMs, endMs,
+          stepMs)
+        PromMatrix(cols, canonical = !gr.by, df.orderBy(
+          (cols :+ "timestamp").map(col): _*).collect())
+      case LimitRatio(r, agg @ Aggregate(_, _, Some(gr))) =>
+        val cols = groupCols(gr)
+        val df = e.queryRangeLimitRatio(r, agg, gr, startMs, endMs,
+          stepMs)
+        PromMatrix(cols, canonical = !gr.by, df.orderBy(
+          (cols :+ "timestamp").map(col): _*).collect())
+      case LimitK(_, other) => throw new IllegalArgumentException(
+        "ranged limitk samples SERIES — aggregate into groups first: " +
+          s"limitk(3, sum by (s) (m)); got child: $other")
+      case LimitRatio(_, other) => throw new IllegalArgumentException(
+        "ranged limit_ratio samples SERIES — aggregate into groups " +
+          s"first: limit_ratio(0.5, sum by (s) (m)); got child: $other")
       case sel: Selector =>
         ungrouped(RangeFn(FnLastOverTime, MatrixSelector(sel, stepMs), Nil))
       case rf @ RangeFn(_, SubqueryMatrix(inner, _, _, _), _) =>

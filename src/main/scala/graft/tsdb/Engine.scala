@@ -304,7 +304,15 @@ final class TsdbEngine(
       "limitk/limit_ratio sample SERIES from a whole-range grouped " +
         "frame; a 'timestamp' column means a ranged child — use the " +
         "query_range surface")
-    val gNames = df.columns.init.toSeq
+    sampleOrderFor(df.columns.init.toSeq)
+  }
+
+  /** The md5 rule itself, over an explicit group-column list — shared
+    * by the whole-range arms (via [[sampleOrder]]'s schema-checked
+    * wrapper) and the per-step query_range samplers (whose frames
+    * legitimately carry a timestamp column excluded from the key).
+    */
+  private def sampleOrderFor(gNames: Seq[String]): Seq[Column] = {
     val sep = 1.toChar.toString
     val nullMark = 2.toChar.toString + "null"
     md5(concat_ws(sep,
@@ -342,28 +350,86 @@ final class TsdbEngine(
     })).toInt
   }
 
-  /** count_values' query_range twin (the API bridge's per-step model):
-    * ONE scan over (start - step, end], each sample assigned to its
-    * UNIQUE step window (step-sized lookbacks tile the range), then
-    * per-(step, value-string) counts — the value renders through the
-    * same cast the whole-range AggCountValues arm uses, so the two
-    * surfaces agree on the label text. Emits (label, timestamp,
-    * value); group-count × step-count bounded output, no per-step
-    * rescan.
+  /** count_values' query_range twin (the API bridge's per-step model).
+    * A bare Selector counts raw SAMPLES: ONE scan over
+    * (start - step, end], each sample assigned to its UNIQUE step
+    * window (step-sized lookbacks tile the range), then
+    * per-(step, value-string) counts. Any other inner the sliding
+    * machinery accepts (round 14 — rate/instant-fn/arithmetic trees,
+    * grouped aggregates) counts the derived SERIES at each step:
+    * grouped inners evaluate through [[queryRangeBy]] (one series per
+    * group per step), groupless ones through the pooled sliding
+    * evaluator. Either way the value renders through the same string
+    * cast the whole-range AggCountValues arm uses, so the surfaces
+    * agree on label text; output stays (label, timestamp, value),
+    * group-count × step-count bounded, no per-step rescan.
     */
-  def countValuesRange(label: String, sel: Selector, startMs: Long,
+  def countValuesRange(label: String, inner: Expr, startMs: Long,
       endMs: Long, stepMs: Long): DataFrame = {
     requireValueLabel(label, Nil)
-    val off = pmod(col("timestamp") - startMs, lit(stepMs))
-    val stepTs = when(off === 0, col("timestamp"))
-      .otherwise(col("timestamp") + (lit(stepMs) - off))
-    select(sel, startMs - stepMs + 1, endMs)
-      .select(stepTs.as("timestamp"), col("value"))
-      .where(col("timestamp") >= startMs && col("timestamp") <= endMs)
+    val perStep = inner match {
+      case sel: Selector =>
+        val off = pmod(col("timestamp") - startMs, lit(stepMs))
+        val stepTs = when(off === 0, col("timestamp"))
+          .otherwise(col("timestamp") + (lit(stepMs) - off))
+        select(sel, startMs - stepMs + 1, endMs)
+          .select(stepTs.as("timestamp"), col("value"))
+          .where(col("timestamp") >= startMs && col("timestamp") <= endMs)
+      case _ => innerGrouping(inner) match {
+        case Some(g) =>
+          queryRangeBy(inner, g, startMs, endMs, stepMs)
+            .select(col("timestamp"), col("value"))
+        case None =>
+          slidingEval(inner, startMs, endMs, stepMs)
+            .select(col("timestamp"), col("value"))
+      }
+    }
+    perStep
       .groupBy(col("value").cast("string").as(label), col("timestamp"))
       .agg(count(lit(1)).cast("double").as("value"))
       .select(col(label), col("timestamp"), col("value"))
   }
+
+  /** The grouping an inner tree evaluates under (the API bridge's
+    * subqueryGrouping rule): the first by/without clause found walking
+    * the composition — the convention that an aggregate-free operand
+    * beside a grouped aggregate evaluates per group.
+    */
+  private def innerGrouping(e: Expr): Option[Grouping] = e match {
+    case Aggregate(_, c, g) => g.orElse(innerGrouping(c))
+    case BinaryOp(_, l, r, _) =>
+      innerGrouping(l).orElse(innerGrouping(r))
+    case InstantFn(_, c, _) => innerGrouping(c)
+    case RangeFn(_, c, _) => innerGrouping(c)
+    case SubqueryMatrix(c, _, _, _) => innerGrouping(c)
+    case _ => None
+  }
+
+  /** The grouping a subquery INNER evaluates under when it differs
+    * from the evaluation grouping (round 14): a FINER `by` superset is
+    * legal — the inner evaluates per its own grouping and its
+    * sub-series pool into the evaluation groups at the outer window
+    * fold (the caller drops the extra label columns). Anything else
+    * still rejects loudly: a coarser or `without` inner has no
+    * defined projection onto the evaluation key. Returns `grouping`
+    * ITSELF (reference-equal) when the two agree, so callers can skip
+    * the projection.
+    */
+  private def finerInnerGrouping(inner: Expr, grouping: Grouping): Grouping =
+    innerGrouping(inner) match {
+      case Some(x) if !(x.by == grouping.by &&
+          x.labels.toSet == grouping.labels.toSet) =>
+        require(x.by && grouping.by &&
+            grouping.labels.toSet.subsetOf(x.labels.toSet),
+          s"inner grouping (${if (x.by) "by" else "without"} " +
+            s"${x.labels.mkString("(", ", ", ")")}) differs from the " +
+            s"evaluation grouping (${if (grouping.by) "by" else "without"}" +
+            s" ${grouping.labels.mkString("(", ", ", ")")}) — only a " +
+            "finer `by` superset pools into the evaluation grouping " +
+            "at the outer fold; re-group the outer evaluation otherwise")
+        x
+      case _ => grouping
+    }
 
   /** Subquery-offset report-back: the inner evaluated on the shifted
     * clock reports on the outer one (shared by the tumbling and
@@ -1625,12 +1691,24 @@ final class TsdbEngine(
           fnArgs) =>
         // grouped sliding subquery — the slidingEval arm's per-group
         // twin: inner evaluated once per group on its subStep grid,
-        // outer fn slides per group over the derived frame
+        // outer fn slides per group over the derived frame. A FINER
+        // `by` inner grouping (round 14 — `max_over_time(sum by (a,b)
+        // (...)[1h:5m])` evaluated by (a)) evaluates per ITS grouping
+        // (first keyed group-by), drops the extra label columns, and
+        // the outer fn's (group, wstart) fold is the second keyed
+        // group-by — each evaluation group pools its sub-series'
+        // samples, the model's pooled-series rule applied to the
+        // derived frame. Still one scan.
         require(kind != FnAbsentOverTime,
           "absent_over_time has no grouped form (absence is not " +
             "attributable to a label value)")
-        val derived = reportOnOuterClock(queryRangeBy(inner, grouping,
-          startMs - subRange - soff, endMs - soff, subStep), soff)
+        val ig = finerInnerGrouping(inner, grouping)
+        val all = queryRangeBy(inner, ig,
+          startMs - subRange - soff, endMs - soff, subStep)
+        val derived = reportOnOuterClock(
+          if (ig eq grouping) all
+          else all.select(gNames.map(col) ++
+            Seq(col("timestamp"), col("value")): _*), soff)
         RangeFns.sliding(kind, derived, subRange, stepMs, startMs, endMs,
           fnArgs, groupCols = gNames, mode = rateMode)
       case InstantFn(kind, child, args) =>
@@ -1696,7 +1774,9 @@ final class TsdbEngine(
             x.labels.toSet == grouping.labels.toSet),
           s"aggregate grouping $g differs from the evaluation " +
             s"grouping $grouping — sliding evaluation carries ONE " +
-            "group key; re-group the outer evaluation to match")
+            "group key; under a SUBQUERY a finer `by` superset pools " +
+            "into the evaluation grouping at the outer fold (round " +
+            "14), otherwise re-group the outer evaluation to match")
         val (inner, post) = slidingAggregate(kind, child, stepMs)
         post(ge(inner))
       case other => throw new IllegalArgumentException(
@@ -1764,6 +1844,53 @@ final class TsdbEngine(
     df.withColumn("_rk", rank).where(col("_rk") <= k).drop("_rk")
   }
 
+  /** limitk's query_range twin: per-step deterministic series
+    * sampling — the whole-range LimitK arm's md5-order rule applied
+    * PER STEP, so each evaluation samples among the series present at
+    * that step (the Prometheus per-evaluation contract: a group with
+    * no samples in a step's window doesn't occupy one of the k slots
+    * there). The rank window partitions on the step timestamp —
+    * group-count-sized frames over the post-aggregation matrix, never
+    * a global sort (the [[queryRangeGetK]] shape with the sampling
+    * order instead of the value order).
+    */
+  def queryRangeLimitK(kExpr: Expr, inner: Expr, grouping: Grouping,
+      startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    val k = scalarK(kExpr, startMs, endMs)
+    val df = queryRangeBy(inner, grouping, startMs, endMs, stepMs)
+    if (k <= 0) return df.limit(0)
+    val (gNames, _) = groupProjection(grouping)
+    val rank = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("timestamp"))
+        .orderBy(sampleOrderFor(gNames): _*))
+    df.withColumn("_rk", rank).where(col("_rk") <= k).drop("_rk")
+  }
+
+  /** limit_ratio's query_range twin — per-step rank AND per-step
+    * count over the same timestamp-partitioned window; r >= 0 keeps
+    * the first round(r*n_step) series in md5 order, r < 0 the exact
+    * complement (rk > round((1+r)*n_step)), so limit_ratio(r) and
+    * limit_ratio(r-1) partition each step exactly — including steps
+    * where n varies because a series has no samples in the window.
+    */
+  def queryRangeLimitRatio(r: Double, inner: Expr, grouping: Grouping,
+      startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    require(r >= -1 && r <= 1, s"limit_ratio takes r in [-1, 1], got $r")
+    val df = queryRangeBy(inner, grouping, startMs, endMs, stepMs)
+    val (gNames, _) = groupProjection(grouping)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("timestamp"))
+    val ranked = df
+      .withColumn("_rk",
+        row_number().over(w.orderBy(sampleOrderFor(gNames): _*)))
+      .withColumn("_n", count(lit(1)).over(w))
+    val kept =
+      if (r >= 0) ranked.where(col("_rk") <= round(lit(r) * col("_n")))
+      else ranked.where(col("_rk") > round(lit(1 + r) * col("_n")))
+    kept.drop("_rk", "_n")
+  }
+
   /** GROUPED SUBQUERY — the outer range function folding a grouped
     * sliding inner:
     * `subqueryRangeBy("max_over_time(rate(x[5m])[1h:5m])", by (u), ...)`
@@ -1797,9 +1924,17 @@ final class TsdbEngine(
         require(gNames.nonEmpty,
           "by () has no grouped form — use query()'s subquery")
         // subquery offset: inner evaluated on the shifted clock,
-        // reported on the outer one
-        val steps = reportOnOuterClock(queryRangeBy(inner, grouping,
-          startMs - soff, endMs - soff, subStep), soff)
+        // reported on the outer one. A finer `by` inner grouping
+        // evaluates per its own key and pools into the evaluation
+        // groups at the tumbling fold (round 14; the ge() subquery
+        // arm's rule)
+        val ig = finerInnerGrouping(inner, grouping)
+        val all = queryRangeBy(inner, ig,
+          startMs - soff, endMs - soff, subStep)
+        val steps = reportOnOuterClock(
+          if (ig eq grouping) all
+          else all.select(gNames.map(col) ++
+            Seq(col("timestamp"), col("value")): _*), soff)
         val base = steps.select(gNames.map(col) ++ Seq(
           (col("timestamp") -
             pmod(col("timestamp") - startMs, lit(subRange))).as("wstart"),

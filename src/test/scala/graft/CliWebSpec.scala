@@ -458,6 +458,42 @@ class CliWebSpec extends AnyFunSuite {
       assert(botk.body().contains(
         """{"metric":{"service":"web"},"values":[[0.02,"3.0"],[0.04,"4.0"]]}"""),
         botk.body())
+      // ranged limitk (round 14): per-step md5-order sampling —
+      // md5("web") < md5("mob"), so web is the pick at both steps
+      // regardless of value (sampling, not ranking)
+      val lk = rangeQ("limitk(1, sum by (service) (sum_over_time(req[20ms])))")
+      assert(lk.statusCode() == 200, lk.body())
+      assert(lk.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"3.0"],[0.04,"4.0"]]}"""),
+        lk.body())
+      assert(!lk.body().contains("mob"), lk.body())
+      // ranged limit_ratio, negative arm: n is PER STEP — at 0.02 two
+      // series (keep the md5-second, mob); at 0.04 web stands alone
+      // (n=1, round(0.5)=1, nothing past it) — so mob's single sample
+      // is the whole answer
+      val lr = rangeQ(
+        "limit_ratio(-0.5, sum by (service) (sum_over_time(req[20ms])))")
+      assert(lr.statusCode() == 200, lr.body())
+      assert(lr.body().contains(
+        """{"metric":{"service":"mob"},"values":[[0.02,"8.0"]]}"""),
+        lr.body())
+      assert(!lr.body().contains(""""service":"web""""), lr.body())
+      // an ungrouped child rejects with guidance, not a blind 500
+      val lkBad = rangeQ("limitk(1, req)")
+      assert(lkBad.statusCode() == 400 &&
+        lkBad.body().contains("aggregate into groups"), lkBad.body())
+      // ranged count_values over a DERIVED inner (round 14): per-step
+      // series counts — at 0.02 web sums 3, mob 8 (one series each
+      // bucket); at 0.04 only web's 4
+      val cv = rangeQ(
+        """count_values("b", sum by (service) (sum_over_time(req[20ms])))""")
+      assert(cv.statusCode() == 200, cv.body())
+      assert(cv.body().contains(
+        """{"metric":{"b":"3.0"},"values":[[0.02,"1.0"]]}"""), cv.body())
+      assert(cv.body().contains(
+        """{"metric":{"b":"4.0"},"values":[[0.04,"1.0"]]}"""), cv.body())
+      assert(cv.body().contains(
+        """{"metric":{"b":"8.0"},"values":[[0.02,"1.0"]]}"""), cv.body())
       // `without` grouping: the canonical label-set column re-opens
       // into per-label metric fields — same series as the by-form
       val without = rangeQ("sum without (dc) (sum_over_time(req[20ms]))")

@@ -354,6 +354,37 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoop"), "cartesian")
   }
 
+  test("ts116/ts117 sliding sampling: one raw scan, windows per step") {
+    // round 14: the ranged limitk/limit_ratio twins share ts113's
+    // shape contract — per-step windows only, never a global sort
+    for (gate <- Seq("ts116_sliding_limitk",
+        "ts117_sliding_limit_ratio")) {
+      val p = plan(graft.queries.TimeSeries.queries(gate)(spark, sf))
+      assert(p.linesIterator.count(l =>
+        l.contains("Scan") && l.contains("events")) <= 1, p.take(1500))
+      p.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+        assert(l.contains("wstart") || l.contains("timestamp"),
+          s"unpartitioned window in $gate: $l"))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), "cartesian")
+    }
+  }
+
+  test("ts120 finer-grouped subquery inner: one raw scan, keyed windows") {
+    // round 14: the finer `by` inner evaluates once per its own key
+    // and the outer fold pools it — two keyed group-bys over ONE scan,
+    // never a rescan per step or a global window
+    val p = plan(graft.queries.TimeSeries.queries(
+      "ts120_subquery_finer_by")(spark, sf))
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("events")) <= 1, p.take(1500))
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("wstart") || l.contains("timestamp"),
+        s"unpartitioned window: $l"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), "cartesian")
+  }
+
   test("ts110/ts111 without matched: two scans, broadcast one side, no cartesian") {
     // round 13: canonical re-opening is row-local (str_to_map over the
     // group-count-sized frame) — it must not add scans or break the

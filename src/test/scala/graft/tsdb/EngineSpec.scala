@@ -1292,6 +1292,31 @@ class EngineSpec extends AnyFunSuite {
       e.query("limitk(2, req) by (service)", 0, 100))
   }
 
+  test("finer-grouped subquery inner pools into the evaluation groups") {
+    val e = groupedEngine()
+    val g = Expr.Grouping(by = true, List("service"))
+    // inner per (service, dc) on the 20ms grid (anchored at 0): at 20
+    // web/a {1,2}→3, web/b→4, mob/a→8, mob/b→16; at 40 cli→32. The
+    // outer max pools each service's dc sub-series over (0, 40]:
+    // web max(3,4)=4, mob max(8,16)=16, cli 32.
+    val out = e.queryRangeBy(
+      "max_over_time(sum by (service, dc) (req)[40ms:20ms])",
+      g, 40, 40, 40).collect().toSet[Row]
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(out == Set(("web", 4d), ("mob", 16d), ("cli", 32d)), out)
+    // a COARSER inner (evaluation needs dc it can't produce) and a
+    // `without` inner (no addressable projection) still reject loudly
+    val coarse = intercept[IllegalArgumentException](e.queryRangeBy(
+      "max_over_time(sum by (service) (req)[40ms:20ms])",
+      Expr.Grouping(by = true, List("service", "dc")), 40, 40, 40))
+    assert(coarse.getMessage.contains("finer `by` superset"),
+      coarse.getMessage)
+    val wo = intercept[IllegalArgumentException](e.queryRangeBy(
+      "max_over_time(sum without (dc) (req)[40ms:20ms])",
+      g, 40, 40, 40))
+    assert(wo.getMessage.contains("finer `by` superset"), wo.getMessage)
+  }
+
   test("queryRangeGetK: per-step rank, ties to the group key, k clamps") {
     val e = groupedEngine()
     def run(top: Boolean, k: Double) = e.queryRangeGetK(top,
