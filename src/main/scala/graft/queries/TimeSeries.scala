@@ -87,6 +87,23 @@ object TimeSeries {
     new TsdbEngine(s, data, catalog)
   }
 
+  /** Three-label series with a cohort-DETERMINED third label — user,
+    * cohort (= user_id % 3), band (= cohort · 2): band is functionally
+    * dependent on cohort, so `sum without (user)`'s canonical
+    * {cohort, band} groups are unique per cohort — the
+    * carry-from-canonical fixture (ts121: group_left(band) re-opens
+    * band's value from the canonical string).
+    */
+  def engineBand(s: SparkSession, dir: String): TsdbEngine = {
+    val ev = table(s, dir, "events")
+    val data = ev.select(col("event_type").as("name"),
+      map(lit("user"), col("user_id").cast("string"),
+        lit("cohort"), (col("user_id") % 3).cast("string"),
+        lit("band"), ((col("user_id") % 3) * 2).cast("string")).as("labels"),
+      graft.engine.Graft.tsMillis(ev).as("timestamp"), col("value"))
+    new TsdbEngine(s, data, catalog)
+  }
+
   /** Cumulative-histogram fixture (ts78): each purchase event explodes
     * into one `purchase_bucket` sample per bucket bound
     * (le ∈ {100, 250, 400, +Inf}), labels {user, le}, value 1 when the
@@ -1148,6 +1165,21 @@ object TimeSeries {
         .orderBy(col("user").cast("long"), col("timestamp"))
     },
 
+    // CARRY from a without-grouped 'one' side (round 14): group_left
+    // (band) re-opens band's VALUE from the canonical labels string
+    // inside the uniqueness fold — previously an honest rejection.
+    // band = f(cohort) in the fixture, so the canonical {cohort, band}
+    // groups are unique per match key and the metadata-join carries.
+    "ts121_carry_from_without" -> { (s, dir) =>
+      engineBand(s, dir)
+        .query("sum by (user, cohort) (purchase) / on (cohort) " +
+          "group_left(band) sum without (user) (purchase)",
+          SubStart, SubEnd)
+        .output.select(col("user"), col("cohort"), col("band"),
+          round(col("value"), 9).as("value"))
+        .orderBy(col("user").cast("long"))
+    },
+
     // FINER inner grouping under a subquery (round 14): the inner
     // `sum by (cohort, user)` evaluates per ITS key on the 12h grid
     // (first keyed group-by), the user column drops, and max_over_time
@@ -1997,6 +2029,20 @@ object TimeSeries {
          |SELECT u AS "user", et AS timestamp, ROUND(s, 6) AS value
          |FROM r WHERE rk > ROUND(0.5 * n)
          |ORDER BY CAST(u AS BIGINT), timestamp""".stripMargin,
+
+    "ts121_carry_from_without" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        CAST(user_id % 3 AS VARCHAR) AS c,
+         |        CAST((user_id % 3) * 2 AS VARCHAR) AS b,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'),
+         |w AS (SELECT u, c, b, v FROM d WHERE ${sub()}),
+         |m AS (SELECT u, c, SUM(v) AS s FROM w GROUP BY 1, 2),
+         |o AS (SELECT c, b, SUM(v) AS s FROM w GROUP BY 1, 2)
+         |SELECT m.u AS "user", m.c AS cohort, o.b AS band,
+         |  ROUND(m.s / o.s, 9) AS value
+         |FROM m JOIN o ON m.c = o.c
+         |ORDER BY CAST(m.u AS BIGINT)""".stripMargin,
 
     "ts120_subquery_finer_by" ->
       s"""WITH d AS (SELECT CAST(user_id % 3 AS VARCHAR) AS c,

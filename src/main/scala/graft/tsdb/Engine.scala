@@ -1330,11 +1330,12 @@ final class TsdbEngine(
     // (review r13); by-groupings can never carry these names
     // (groupProjection reserves them), so only the canonical path
     // needs the guard
-    require(!(manyCanonical || oneCanonical) || !key.exists(
-        Set("labels", "timestamp", "value", "wstart", "_rk")),
-      "match labels colliding with result columns (labels/timestamp/" +
-        "value) cannot re-open from a canonical without group — " +
-        "rename the label or re-group with `by`")
+    require(!(manyCanonical || oneCanonical) ||
+        !(key ++ m.carry).exists(
+          Set("labels", "timestamp", "value", "wstart", "_rk")),
+      "match/carry labels colliding with result columns (labels/" +
+        "timestamp/value) cannot re-open from a canonical without " +
+        "group — rename the label or re-group with `by`")
     val missing =
       key.filterNot(k => manyCanonical || manyCols.contains(k)) ++
         key.filterNot(k => oneCanonical || oneCols.contains(k))
@@ -1357,11 +1358,16 @@ final class TsdbEngine(
         // a without-grouped 'one' side: key uniqueness is not
         // structural (the canonical grouping may be finer than the
         // key) — enforced at runtime by the fold below, the check
-        // Prometheus performs (many-to-many rejection)
-        require(carry.isEmpty,
-          "label-carry from a without-grouped 'one' side is not " +
-            "supported — carried labels address group COLUMNS; " +
-            "re-group with `by` over the labels you carry")
+        // Prometheus performs (many-to-many rejection). Carried labels
+        // (round 14) re-open from the canonical string INSIDE that
+        // fold — string-level uniqueness per key already implies carry
+        // uniqueness, so no second check is needed; a label absent
+        // from the canonical set carries null (the by-column
+        // convention for a missing label)
+        val clash = carry.filter(manyCols.contains)
+        require(clash.isEmpty,
+          s"carried label(s) already exist on the many side: " +
+            s"${clash.mkString(", ")}")
       case _ if carry.isEmpty =>
         require(oneCols.toSet == key.toSet,
           s"many-to-one matching requires the 'one' side grouped " +
@@ -1405,11 +1411,24 @@ final class TsdbEngine(
     val foldKey = if (timeKey) key :+ "timestamp" else key
     val oneKeyed =
       if (oneCanonical) {
+        // carried label values re-open from the (unique) canonical
+        // string itself — the same str_to_map probe as the key columns
+        def carried(c0: String): Column =
+          unescapeLabelCol(element_at(
+            str_to_map(col("_lmin"), lit(","), lit("=")),
+            lit(LabelCodec.escape(c0))))
         reopened(one).groupBy(foldKey.map(col): _*)
           .agg(min(col("labels")).as("_lmin"),
             max(col("labels")).as("_lmax"),
             first(col("value")).as("value"))
-          .select((foldKey.map(col) :+
+          .select((foldKey.map(col) ++ carry.map(c0 =>
+            when(col("_lmin") <=> col("_lmax"), carried(c0))
+              .otherwise(raise_error(concat(
+                lit("on(...) group_left/right: the without-grouped " +
+                  "'one' side is not unique per match key ("),
+                concat_ws(", ", key.map(col): _*), lit(")"))
+                .cast("string")).cast("string"))
+              .as(c0)) :+
             when(col("_lmin") <=> col("_lmax"), col("value"))
               .otherwise(raise_error(concat(
                 lit("on(...) group_left/right: the without-grouped " +

@@ -1255,6 +1255,38 @@ class EngineSpec extends AnyFunSuite {
     assert(clash.getMessage.contains("result columns"), clash.getMessage)
   }
 
+  test("carry from a without-grouped 'one' side re-opens from the canonical string") {
+    // region is determined by service, so the canonical
+    // {service, region} groups are unique per match key — the carried
+    // value re-opens from the canonical string inside the fold
+    val rows = Seq(
+      ("req", Map("service" -> "web", "zone" -> "z1", "region" -> "eu"), 10L, 1d),
+      ("req", Map("service" -> "web", "zone" -> "z2", "region" -> "eu"), 10L, 3d),
+      ("req", Map("service" -> "mob", "zone" -> "z1", "region" -> "us"), 10L, 8d))
+    val cat = new StreamCatalog(Seq(StreamDef("req", Map.empty, VType.F64)))
+    val e = new TsdbEngine(spark, longDf(rows), cat)
+    val q = "sum by (service, zone) (req) / on (service) " +
+      "group_left(region) sum without (zone) (req)"
+    val out = e.query(q, 0, 100).output.collect().toSet[Row].map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    assert(out == Set(("web", "z1", "eu", 0.25), ("web", "z2", "eu", 0.75),
+      ("mob", "z1", "us", 1d)), out)
+    // a carried label ABSENT from the canonical set carries null (the
+    // missing-label convention), it does not invent a value
+    val nul = e.query("sum by (service, zone) (req) / on (service) " +
+      "group_left(planet) sum without (zone) (req)", 0, 100)
+      .output.collect()
+    assert(nul.forall(_.isNullAt(2)), nul.mkString(", "))
+    // non-unique carry source: region varies within service=web → the
+    // runtime uniqueness fold rejects on the executors
+    val e2 = new TsdbEngine(spark, longDf(rows :+
+      (("req", Map("service" -> "web", "zone" -> "z3",
+        "region" -> "ap"), 10L, 2d))), cat)
+    val dup = intercept[Exception](e2.query(q, 0, 100).df.collect())
+    assert(dup.getMessage.contains("not unique per match key"),
+      dup.getMessage)
+  }
+
   test("limitk / limit_ratio: deterministic md5 sampling, exact partition") {
     val e = groupedEngine()
     def rows(q: String): Set[(String, Double)] =
