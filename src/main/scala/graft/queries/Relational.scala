@@ -350,38 +350,50 @@ object Relational {
     },
 
     // Exact percentiles (linear interpolation) per group — the
-    // two-pass RANK-BASED form, not the percentile() aggregate: that
-    // aggregate buffers every value of a group in ONE task's
-    // aggregation buffer (O(rows/group) heap — the only observed
-    // scale failure in 13 rounds: 30x pack OOM at the standing 8g).
-    // Here pass 1 is a tiny per-group count (broadcast back), pass 2
-    // a per-group sort-based row_number (WindowExec spills to disk,
-    // bounded task memory) filtered to the two bracketing ranks
-    // floor/ceil((n-1)*p); interpolation lo + frac*(hi-lo) is the
-    // exact formula percentile()/DuckDB quantile_cont use, so the
-    // result is bit-identical and the memory is flat at any scale.
+    // RANK-BASED form, not the percentile() aggregate: that aggregate
+    // buffers every value of a group in ONE task's aggregation buffer
+    // (O(rows/group) heap — the only observed scale failure in 13
+    // rounds: 30x pack OOM at the standing 8g). Per-group sort-based
+    // row_number windows (WindowExec spills to disk, bounded task
+    // memory) filtered to the two bracketing ranks floor/ceil((n-1)*p);
+    // interpolation lo + frac*(hi-lo) is the exact formula
+    // percentile()/DuckDB quantile_cont use, so the result is
+    // bit-identical and the memory is flat at any scale. Both
+    // percentile columns come off ONE scan: the group size _n rides
+    // the first sort window as a whole-partition count frame (no
+    // counts subplan, no broadcast join), the second value column gets
+    // its own sort window on the same partitioning, and the bracketing
+    // rows of BOTH columns survive one filter into one conditional
+    // aggregate — so lineitem is read once, shuffled once, sorted
+    // twice, where the join-of-two-pct-subplans form read it 4x.
     "q27_percentile" -> { (s, dir) =>
       import s.implicits._
-      def pct(valueCol: String, p: Double, out: String): DataFrame = {
-        val vals = table(s, dir, "lineitem")
-          .select($"l_returnflag", col(valueCol).cast("double").as("_v"))
-        val counts = vals.groupBy($"l_returnflag")
-          .agg(count(lit(1)).as("_n"))
-        val ranked = vals.withColumn("_rk", row_number().over(
-          Window.partitionBy($"l_returnflag").orderBy($"_v")))
-        val pos = (col("_n") - 1) * p // 0-based fractional target rank
-        ranked.join(broadcast(counts), "l_returnflag")
-          .where(col("_rk") === floor(pos) + 1 ||
-            col("_rk") === ceil(pos) + 1)
-          .groupBy($"l_returnflag")
-          .agg(min($"_v").as("_lo"), max($"_v").as("_hi"),
-            first(pos - floor(pos)).as("_frac"))
-          .select($"l_returnflag",
-            r6(col("_lo") + col("_frac") * (col("_hi") - col("_lo")))
-              .as(out))
-      }
-      pct("l_quantity", 0.5, "median_qty")
-        .join(pct("l_extendedprice", 0.9, "p90_price"), "l_returnflag")
+      val vals = table(s, dir, "lineitem")
+        .select($"l_returnflag",
+          $"l_quantity".cast("double").as("_v1"),
+          $"l_extendedprice".cast("double").as("_v2"))
+      val w1 = Window.partitionBy($"l_returnflag").orderBy($"_v1")
+      val ranked = vals
+        .withColumn("_rk1", row_number().over(w1))
+        .withColumn("_n", count(lit(1)).over(
+          w1.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("_rk2", row_number().over(
+          Window.partitionBy($"l_returnflag").orderBy($"_v2")))
+      val pos1 = (col("_n") - 1) * 0.5 // 0-based fractional target ranks
+      val pos2 = (col("_n") - 1) * 0.9
+      val hit1 = col("_rk1") === floor(pos1) + 1 || col("_rk1") === ceil(pos1) + 1
+      val hit2 = col("_rk2") === floor(pos2) + 1 || col("_rk2") === ceil(pos2) + 1
+      ranked
+        .where(hit1 || hit2)
+        .groupBy($"l_returnflag")
+        .agg(
+          min(when(hit1, $"_v1")).as("_lo1"), max(when(hit1, $"_v1")).as("_hi1"),
+          min(when(hit2, $"_v2")).as("_lo2"), max(when(hit2, $"_v2")).as("_hi2"),
+          first(pos1 - floor(pos1)).as("_f1"),
+          first(pos2 - floor(pos2)).as("_f2"))
+        .select($"l_returnflag",
+          r6(col("_lo1") + col("_f1") * (col("_hi1") - col("_lo1"))).as("median_qty"),
+          r6(col("_lo2") + col("_f2") * (col("_hi2") - col("_lo2"))).as("p90_price"))
         .orderBy($"l_returnflag")
     },
 

@@ -722,7 +722,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // task's aggregation buffer (ObjectHashAggregate) — the only gate
     // to OOM a 30x pack. The rank-based rewrite must keep the plan
     // free of it: sorts spill, aggregation buffers don't.
-    val p = plan(graft.queries.Relational.queries("q27_percentile")(spark, sf))
+    val df = graft.queries.Relational.queries("q27_percentile")(spark, sf)
+    val p = plan(df)
     assert(!p.contains("ObjectHashAggregate"),
       "a buffering percentile aggregate is back in the plan")
     assert(!p.toLowerCase.contains("percentile"),
@@ -731,6 +732,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // window must never be global
     assert(p.contains("windowspecdefinition(l_returnflag"),
       "row_number must partition by l_returnflag")
+    // both percentile columns and the group count must come off ONE
+    // lineitem pass — the join-of-subplans form scanned it 4x, which
+    // multiplies IO by 4 at exactly the 30x pack the rank form exists for
+    // formatted mode prints each node in the tree AND a detail section;
+    // count the numbered detail headers so each scan counts once
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(formatted(df)).size
+    assert(scans == 1, s"expected exactly one lineitem scan, saw $scans")
   }
 
   test("dd15 index probe reads the stored tables, never re-shingles the corpus") {
