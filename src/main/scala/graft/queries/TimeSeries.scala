@@ -1165,6 +1165,44 @@ object TimeSeries {
         .orderBy(col("user").cast("long"), col("timestamp"))
     },
 
+    // Ranged sampling over a GROUPED BINARY child (round 15):
+    // `limitk(2, sum by (user) (click ratio))` — the sampled
+    // error-ratio dashboard panel. The inner is ts101's grouped
+    // sliding ratio; the md5 pick applies per step over the joined
+    // (user, step) matrix, so n varies where a user lacks either
+    // series in a window. Same one-scan-per-selector bound as ts101.
+    "ts122_ranged_limitk_binary" -> { (s, dir) =>
+      engine(s, dir).queryRangeLimitK(
+        graft.tsdb.Expr.NumberLit(2),
+        graft.tsdb.PromParser.parse(
+          "sum_over_time(click[1d]) / sum_over_time(purchase[1d])"),
+        graft.tsdb.Expr.Grouping(by = true, List("user")),
+        SubStart, SubEnd, 12 * 3600 * 1000L)
+        .select(col("user"), col("timestamp"),
+          round(col("value"), 9).as("value"))
+        .orderBy(col("user").cast("long"), col("timestamp"))
+    },
+
+    // Ranged sampling over a MATCHED child (round 15): limitk(2, ...)
+    // over ts106's share-of-cohort matrix — the series key (and so the
+    // md5 sampling text) is the many side's groups (cohort, user), so
+    // the pick is deterministic and oracle-checkable per step.
+    "ts123_ranged_limitk_matched" -> { (s, dir) =>
+      engineCohort(s, dir).queryRangeLimitKMatched(
+        graft.tsdb.Expr.NumberLit(2),
+        graft.tsdb.PromParser.parse("sum_over_time(purchase[1d])"),
+        graft.tsdb.Expr.Grouping(by = true, List("cohort", "user")),
+        graft.tsdb.PromParser.parse("sum_over_time(purchase[1d])"),
+        graft.tsdb.Expr.Grouping(by = true, List("cohort")),
+        graft.tsdb.Expr.Div,
+        graft.tsdb.Expr.VectorMatch(on = true, List("cohort"),
+          graft.tsdb.Expr.ManyToOne),
+        SubStart, SubEnd, 12 * 3600 * 1000L)
+        .select(col("cohort"), col("user"), col("timestamp"),
+          round(col("value"), 9).as("value"))
+        .orderBy(col("cohort"), col("user").cast("long"), col("timestamp"))
+    },
+
     // CARRY from a without-grouped 'one' side (round 14): group_left
     // (band) re-opens band's VALUE from the canonical labels string
     // inside the uniqueness fold — previously an honest rejection.
@@ -2029,6 +2067,56 @@ object TimeSeries {
          |SELECT u AS "user", et AS timestamp, ROUND(s, 6) AS value
          |FROM r WHERE rk > ROUND(0.5 * n)
          |ORDER BY CAST(u AS BIGINT), timestamp""".stripMargin,
+
+    "ts122_ranged_limitk_binary" ->
+      s"""WITH dc AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'click'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |dp AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |wc AS (SELECT dc.u, g.et, SUM(dc.v) AS s FROM g
+         |       JOIN dc ON dc.t > g.et - 86400000 AND dc.t <= g.et
+         |       GROUP BY dc.u, g.et),
+         |wp AS (SELECT dp.u, g.et, SUM(dp.v) AS s FROM g
+         |       JOIN dp ON dp.t > g.et - 86400000 AND dp.t <= g.et
+         |       GROUP BY dp.u, g.et),
+         |rr AS (SELECT wc.u, wc.et, wc.s / wp.s AS v
+         |       FROM wc JOIN wp ON wp.u = wc.u AND wp.et = wc.et),
+         |r AS (SELECT u, et, v, ROW_NUMBER() OVER
+         |        (PARTITION BY et ORDER BY md5(u), u) AS rk FROM rr)
+         |SELECT u AS "user", et AS timestamp, ROUND(v, 9) AS value
+         |FROM r WHERE rk <= 2
+         |ORDER BY CAST(u AS BIGINT), timestamp""".stripMargin,
+
+    "ts123_ranged_limitk_matched" ->
+      s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |        CAST(user_id % 3 AS VARCHAR) AS c,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 86400000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series($SubStart, $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |wl AS (SELECT d.c, d.u, g.et, SUM(d.v) AS s FROM g
+         |       JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et
+         |       GROUP BY d.c, d.u, g.et),
+         |wr AS (SELECT d.c, g.et, SUM(d.v) AS s FROM g
+         |       JOIN d ON d.t > g.et - 86400000 AND d.t <= g.et
+         |       GROUP BY d.c, g.et),
+         |rr AS (SELECT wl.c, wl.u, wl.et, wl.s / wr.s AS v
+         |       FROM wl JOIN wr ON wr.c = wl.c AND wr.et = wl.et),
+         |r AS (SELECT c, u, et, v, ROW_NUMBER() OVER
+         |        (PARTITION BY et
+         |         ORDER BY md5(concat(c, chr(1), u)), c, u) AS rk FROM rr)
+         |SELECT c AS cohort, u AS "user", et AS timestamp,
+         |  ROUND(v, 9) AS value
+         |FROM r WHERE rk <= 2
+         |ORDER BY cohort, CAST(u AS BIGINT), timestamp""".stripMargin,
 
     "ts121_carry_from_without" ->
       s"""WITH d AS (SELECT CAST(user_id AS VARCHAR) AS u,

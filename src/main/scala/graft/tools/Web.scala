@@ -551,6 +551,56 @@ object Web {
       case SubqueryMatrix(c, _, _, _) => subqueryGrouping(c)
       case _ => None
     }
+    // count_values anywhere in a sampler child: the sampler picks
+    // SERIES and count_values keys its output series by VALUE text, so
+    // routing it to the grouped evaluator would fail deep with a
+    // generic sliding-grouping error (advice r14) — reject up front
+    // with guidance instead
+    def containsCountValues(e0: Expr): Boolean = e0 match {
+      case Aggregate(AggCountValues(_), _, _) => true
+      case Aggregate(_, c, _) => containsCountValues(c)
+      case BinaryOp(_, l, r, _) =>
+        containsCountValues(l) || containsCountValues(r)
+      case InstantFn(_, c, _) => containsCountValues(c)
+      case RangeFn(_, c, _) => containsCountValues(c)
+      case SubqueryMatrix(c, _, _, _) => containsCountValues(c)
+      case _ => false
+    }
+    // per-step sampling dispatch shared by ranged limitk/limit_ratio
+    // (round 15): matched grouped binaries route through the engine's
+    // matched twins (series key = many-side groups + carried labels);
+    // any other child whose grouping resolves samples its grouped
+    // matrix through the queryRangeBy scope — grouped aggregates,
+    // grouped binaries and set-ops, exactly the inners the engine
+    // surface already takes
+    def rangedSample(child: Expr, op: String, hint: String)(
+        groupedInner: Grouping => DataFrame,
+        matchedInner: (Expr, Grouping, Expr, Grouping, BinKind,
+          VectorMatch) => DataFrame): PromMatrix =
+      child match {
+        case BinaryOp(kind, Aggregate(lk, lc, Some(gl)),
+            Aggregate(rk, rc, Some(gr)), Some(vm)) =>
+          val cols = e.matchedSeriesCols(gl, gr, vm)
+          val manyBy = (if (vm.card == OneToMany) gr else gl).by
+          val df = matchedInner(
+            bridgeInner(lk, lc), gl, bridgeInner(rk, rc), gr, kind, vm)
+          PromMatrix(cols, canonical = !manyBy, df.orderBy(
+            (cols :+ "timestamp").map(col): _*).collect())
+        case _ =>
+          require(!containsCountValues(child),
+            s"ranged $op samples SERIES — count_values keys series by " +
+              s"VALUE text; aggregate into label groups instead: $hint")
+          subqueryGrouping(child) match {
+            case Some(g) =>
+              val cols = groupCols(g)
+              val df = groupedInner(g)
+              PromMatrix(cols, canonical = !g.by, df.orderBy(
+                (cols :+ "timestamp").map(col): _*).collect())
+            case None => throw new IllegalArgumentException(
+              s"ranged $op samples SERIES — aggregate into groups " +
+                s"first: $hint; got child: $child")
+          }
+      }
     // composition roots dispatch ONCE (walking twice would re-run
     // composedTree's validation); single Aggregate roots stay on the
     // more capable aggregate() arm (its pooledIdentity covers the
@@ -625,27 +675,25 @@ object Web {
               s"a matrix selector, got: $other")
         }
         grouped(g, inner, df => if (k <= 0) df.limit(0) else df)
-      case LimitK(kExpr, agg @ Aggregate(_, _, Some(gr))) =>
-        // limitk(k, sum by (u) (...)) at every step — the engine's
-        // per-step md5-order sampling (round 14): same matrix shape
-        // as ranged topk, the sampling order instead of the value one
-        val cols = groupCols(gr)
-        val df = e.queryRangeLimitK(kExpr, agg, gr, startMs, endMs,
-          stepMs)
-        PromMatrix(cols, canonical = !gr.by, df.orderBy(
-          (cols :+ "timestamp").map(col): _*).collect())
-      case LimitRatio(r, agg @ Aggregate(_, _, Some(gr))) =>
-        val cols = groupCols(gr)
-        val df = e.queryRangeLimitRatio(r, agg, gr, startMs, endMs,
-          stepMs)
-        PromMatrix(cols, canonical = !gr.by, df.orderBy(
-          (cols :+ "timestamp").map(col): _*).collect())
-      case LimitK(_, other) => throw new IllegalArgumentException(
-        "ranged limitk samples SERIES — aggregate into groups first: " +
-          s"limitk(3, sum by (s) (m)); got child: $other")
-      case LimitRatio(_, other) => throw new IllegalArgumentException(
-        "ranged limit_ratio samples SERIES — aggregate into groups " +
-          s"first: limit_ratio(0.5, sum by (s) (m)); got child: $other")
+      case LimitK(kExpr, inner) =>
+        // limitk(k, <grouped matrix>) at every step — the engine's
+        // per-step md5-order sampling (round 14; general inners +
+        // matched composition round 15): same matrix shape as ranged
+        // topk, the sampling order instead of the value one. Any child
+        // whose grouping resolves routes (grouped aggregates, grouped
+        // binaries/set-ops — the queryRangeBy scope); matched grouped
+        // binaries ride the matched twin
+        rangedSample(inner, "limitk", "limitk(3, sum by (s) (m))")(
+          g => e.queryRangeLimitK(kExpr, inner, g, startMs, endMs, stepMs),
+          (l, gl, r, gr, kind, vm) => e.queryRangeLimitKMatched(
+            kExpr, l, gl, r, gr, kind, vm, startMs, endMs, stepMs))
+      case LimitRatio(ratio, inner) =>
+        rangedSample(inner, "limit_ratio",
+          "limit_ratio(0.5, sum by (s) (m))")(
+          g => e.queryRangeLimitRatio(ratio, inner, g, startMs, endMs,
+            stepMs),
+          (l, gl, r, gr, kind, vm) => e.queryRangeLimitRatioMatched(
+            ratio, l, gl, r, gr, kind, vm, startMs, endMs, stepMs))
       case sel: Selector =>
         ungrouped(RangeFn(FnLastOverTime, MatrixSelector(sel, stepMs), Nil))
       case rf @ RangeFn(_, SubqueryMatrix(inner, _, _, _), _) =>

@@ -375,14 +375,16 @@ final class TsdbEngine(
         select(sel, startMs - stepMs + 1, endMs)
           .select(stepTs.as("timestamp"), col("value"))
           .where(col("timestamp") >= startMs && col("timestamp") <= endMs)
-      case _ => innerGrouping(inner) match {
-        case Some(g) =>
-          queryRangeBy(inner, g, startMs, endMs, stepMs)
-            .select(col("timestamp"), col("value"))
-        case None =>
-          slidingEval(inner, startMs, endMs, stepMs)
-            .select(col("timestamp"), col("value"))
-      }
+      case _ =>
+        requireOneInnerGrouping(inner, "count_values over a derived inner")
+        innerGrouping(inner) match {
+          case Some(g) =>
+            queryRangeBy(inner, g, startMs, endMs, stepMs)
+              .select(col("timestamp"), col("value"))
+          case None =>
+            slidingEval(inner, startMs, endMs, stepMs)
+              .select(col("timestamp"), col("value"))
+        }
     }
     perStep
       .groupBy(col("value").cast("string").as(label), col("timestamp"))
@@ -403,6 +405,36 @@ final class TsdbEngine(
     case RangeFn(_, c, _) => innerGrouping(c)
     case SubqueryMatrix(c, _, _, _) => innerGrouping(c)
     case _ => None
+  }
+
+  /** EVERY grouping an inner tree carries at its composition level —
+    * the agreement check behind [[innerGrouping]]'s first-hit walk
+    * (advice r14): a mixed inner like `sum by (a) (x) / sum by (b)
+    * (y)` used to dispatch under by(a) and fail deep inside the
+    * grouped sliding evaluator with a subquery-oriented message.
+    * Descent stops at an aggregate's OWN clause (a finer grouping
+    * nested under it is the legal subquery-pooling case, validated
+    * where it evaluates).
+    */
+  private def innerGroupings(e: Expr): Seq[Grouping] = e match {
+    case Aggregate(_, c, g) => g.map(Seq(_)).getOrElse(innerGroupings(c))
+    case BinaryOp(_, l, r, _) => innerGroupings(l) ++ innerGroupings(r)
+    case InstantFn(_, c, _) => innerGroupings(c)
+    case RangeFn(_, c, _) => innerGroupings(c)
+    case SubqueryMatrix(c, _, _, _) => innerGroupings(c)
+    case _ => Nil
+  }
+
+  private def requireOneInnerGrouping(inner: Expr, what: String): Unit = {
+    val gs = innerGroupings(inner)
+      .map(g => (g.by, g.labels.toSet)).distinct
+    require(gs.size <= 1,
+      s"$what needs ONE grouping across the inner composition — " +
+        s"found ${gs.map { case (by, ls) =>
+          (if (by) "by" else "without") + ls.mkString("(", ", ", ")")
+        }.mkString(" vs ")}; aggregate the operands to a shared key " +
+        "(matched on/ignoring composition routes through the matched " +
+        "query_range surface instead)")
   }
 
   /** The grouping a subquery INNER evaluates under when it differs
@@ -1344,6 +1376,16 @@ final class TsdbEngine(
         s"((${manyCols.mkString(", ")}) vs (${oneCols.mkString(", ")})): " +
         s"missing ${missing.distinct.mkString(", ")}")
     val carry = m.carry
+    // carry onto a without-grouped (canonical) many side: the clash
+    // checks below compare against manyCols, which is just
+    // Seq("labels") when canonical — a carried label already present
+    // INSIDE the canonical string would emit two values for one label
+    // name. The bridge rejects this at its surface; reject here too so
+    // direct engine callers are equally guarded (advice r14).
+    require(!manyCanonical || carry.isEmpty,
+      "label-carry onto a without-grouped many side is not supported — " +
+        "the carried label cannot be proven absent from the canonical " +
+        "label set; re-group the many side with `by`")
     m.card match {
       case OneToOne =>
         require(!manyCanonical && !oneCanonical,
@@ -1851,6 +1893,7 @@ final class TsdbEngine(
   def queryRangeGetK(top: Boolean, kExpr: Expr, inner: Expr,
       grouping: Grouping, startMs: Long, endMs: Long,
       stepMs: Long): DataFrame = {
+    requireOneInnerGrouping(inner, "ranged topk/bottomk")
     val k = scalarK(kExpr, startMs, endMs)
     val df = queryRangeBy(inner, grouping, startMs, endMs, stepMs)
     if (k <= 0) return df.limit(0)
@@ -1875,14 +1918,24 @@ final class TsdbEngine(
     */
   def queryRangeLimitK(kExpr: Expr, inner: Expr, grouping: Grouping,
       startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    requireOneInnerGrouping(inner, "ranged limitk")
     val k = scalarK(kExpr, startMs, endMs)
-    val df = queryRangeBy(inner, grouping, startMs, endMs, stepMs)
+    perStepLimitK(queryRangeBy(inner, grouping, startMs, endMs, stepMs),
+      groupProjection(grouping)._1, k)
+  }
+
+  /** The per-step md5 pick itself, over an explicit series-column
+    * list — shared by the grouped sampler above and the MATCHED twins
+    * below (whose series key is the many side's groups plus any
+    * carried labels, not a single grouping's projection).
+    */
+  private def perStepLimitK(df: DataFrame, seriesCols: Seq[String],
+      k: Int): DataFrame = {
     if (k <= 0) return df.limit(0)
-    val (gNames, _) = groupProjection(grouping)
     val rank = row_number().over(
       org.apache.spark.sql.expressions.Window
         .partitionBy(col("timestamp"))
-        .orderBy(sampleOrderFor(gNames): _*))
+        .orderBy(sampleOrderFor(seriesCols): _*))
     df.withColumn("_rk", rank).where(col("_rk") <= k).drop("_rk")
   }
 
@@ -1895,19 +1948,60 @@ final class TsdbEngine(
     */
   def queryRangeLimitRatio(r: Double, inner: Expr, grouping: Grouping,
       startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    requireOneInnerGrouping(inner, "ranged limit_ratio")
+    perStepLimitRatio(queryRangeBy(inner, grouping, startMs, endMs, stepMs),
+      groupProjection(grouping)._1, r)
+  }
+
+  private def perStepLimitRatio(df: DataFrame, seriesCols: Seq[String],
+      r: Double): DataFrame = {
     require(r >= -1 && r <= 1, s"limit_ratio takes r in [-1, 1], got $r")
-    val df = queryRangeBy(inner, grouping, startMs, endMs, stepMs)
-    val (gNames, _) = groupProjection(grouping)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("timestamp"))
     val ranked = df
       .withColumn("_rk",
-        row_number().over(w.orderBy(sampleOrderFor(gNames): _*)))
+        row_number().over(w.orderBy(sampleOrderFor(seriesCols): _*)))
       .withColumn("_n", count(lit(1)).over(w))
     val kept =
       if (r >= 0) ranked.where(col("_rk") <= round(lit(r) * col("_n")))
       else ranked.where(col("_rk") > round(lit(1 + r) * col("_n")))
     kept.drop("_rk", "_n")
+  }
+
+  /** Per-step sampling over a MATCHED grouped composition (round 15):
+    * `limitk(3, sum by (a, b) (x) / on (a) group_left sum by (a)
+    * (y))` — the share-of-parent matrix from [[queryRangeByMatched]]
+    * sampled per step. The series identity (and so the md5 key) is the
+    * many side's group columns plus any carried labels — for a
+    * `without`-grouped many side that is the canonical labels string,
+    * which is itself deterministic text, so the pick stays
+    * oracle-checkable. Same frame bounds as the matched query_range
+    * surface; the rank window adds one timestamp-partitioned pass.
+    */
+  def queryRangeLimitKMatched(kExpr: Expr, lhs: Expr, gl: Grouping,
+      rhs: Expr, gr: Grouping, kind: BinKind, m: VectorMatch,
+      startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    val k = scalarK(kExpr, startMs, endMs)
+    perStepLimitK(
+      queryRangeByMatched(lhs, gl, rhs, gr, kind, m, startMs, endMs, stepMs),
+      matchedSeriesCols(gl, gr, m), k)
+  }
+
+  def queryRangeLimitRatioMatched(r: Double, lhs: Expr, gl: Grouping,
+      rhs: Expr, gr: Grouping, kind: BinKind, m: VectorMatch,
+      startMs: Long, endMs: Long, stepMs: Long): DataFrame =
+    perStepLimitRatio(
+      queryRangeByMatched(lhs, gl, rhs, gr, kind, m, startMs, endMs, stepMs),
+      matchedSeriesCols(gl, gr, m), r)
+
+  /** The series columns a matched composition emits: the many side's
+    * groups (canonical `labels` when `without`-grouped) plus carried
+    * labels — the key the bridge serializes and the samplers rank on.
+    */
+  def matchedSeriesCols(gl: Grouping, gr: Grouping,
+      m: VectorMatch): Seq[String] = {
+    val manyG = if (m.card == OneToMany) gr else gl
+    (if (manyG.by) manyG.labels else Seq("labels")) ++ m.carry
   }
 
   /** GROUPED SUBQUERY — the outer range function folding a grouped

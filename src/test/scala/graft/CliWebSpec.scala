@@ -482,6 +482,41 @@ class CliWebSpec extends AnyFunSuite {
       val lkBad = rangeQ("limitk(1, req)")
       assert(lkBad.statusCode() == 400 &&
         lkBad.body().contains("aggregate into groups"), lkBad.body())
+      // ranged limitk over a GROUPED BINARY child (round 15): the
+      // sampled ratio panel — self-ratio is 1.0 per present series,
+      // and the pick stays md5-first (web) at both steps
+      val lkRatio = rangeQ("limitk(1, " +
+        "sum by (service) (sum_over_time(req[20ms])) / " +
+        "sum by (service) (sum_over_time(req[20ms])))")
+      assert(lkRatio.statusCode() == 200, lkRatio.body())
+      assert(lkRatio.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"1.0"],[0.04,"1.0"]]}"""),
+        lkRatio.body())
+      assert(!lkRatio.body().contains("mob"), lkRatio.body())
+      // ... and over a MATCHED child: group_left self-share routes
+      // through the engine's matched sampler twin
+      val lkMatched = rangeQ("limitk(1, " +
+        "sum by (service) (sum_over_time(req[20ms])) / on (service) " +
+        "group_left sum by (service) (sum_over_time(req[20ms])))")
+      assert(lkMatched.statusCode() == 200, lkMatched.body())
+      assert(lkMatched.body().contains(
+        """{"metric":{"service":"web"},"values":[[0.02,"1.0"],[0.04,"1.0"]]}"""),
+        lkMatched.body())
+      assert(!lkMatched.body().contains("mob"), lkMatched.body())
+      // a count_values child rejects with sampler-specific guidance
+      // (it keys series by VALUE text), not a deep sliding error
+      val lkCv = rangeQ(
+        """limitk(1, count_values("b", sum by (service) (sum_over_time(req[20ms]))))""")
+      assert(lkCv.statusCode() == 400 &&
+        lkCv.body().contains("count_values keys series by VALUE"),
+        lkCv.body())
+      // mixed groupings across the inner composition reject with the
+      // agreement message, not a deep subquery-oriented one
+      val lkMixed = rangeQ("limitk(1, " +
+        "sum by (service) (sum_over_time(req[20ms])) / " +
+        "sum by (dc) (sum_over_time(req[20ms])))")
+      assert(lkMixed.statusCode() == 400 &&
+        lkMixed.body().contains("ONE grouping"), lkMixed.body())
       // ranged count_values over a DERIVED inner (round 14): per-step
       // series counts — at 0.02 web sums 3, mob 8 (one series each
       // bucket); at 0.04 only web's 4

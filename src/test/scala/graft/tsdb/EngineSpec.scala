@@ -1285,6 +1285,17 @@ class EngineSpec extends AnyFunSuite {
     val dup = intercept[Exception](e2.query(q, 0, 100).df.collect())
     assert(dup.getMessage.contains("not unique per match key"),
       dup.getMessage)
+    // carry onto a without-grouped MANY side rejects at the ENGINE
+    // level (advice r14): the carried label cannot be proven absent
+    // from the canonical label set, so a clash would silently emit two
+    // values for one label name — previously only the HTTP bridge
+    // guarded this surface
+    val ontoCanon = intercept[IllegalArgumentException](e.query(
+      "sum without (zone) (req) / on (service) group_left(region) " +
+        "sum without (zone) (req)", 0, 100))
+    assert(ontoCanon.getMessage.contains(
+      "label-carry onto a without-grouped many side"),
+      ontoCanon.getMessage)
   }
 
   test("limitk / limit_ratio: deterministic md5 sampling, exact partition") {
