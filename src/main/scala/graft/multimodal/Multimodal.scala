@@ -154,10 +154,27 @@ object Multimodal {
             acc(j % dim) += (r + g + b) / (3.0f * 255.0f)
             j += 1
           }
+        case "flac" =>
+          // the second audio codec family (round 15): samples come
+          // from the native FLAC walk when the seam is enabled, from
+          // the built-in [[Flac]] decoder otherwise — interleaved s16
+          // either way, folded with the identical s/32768 rule, so
+          // features are bit-identical across the ABI (NativeSeamSpec)
+          // AND to a WAV of the same PCM (MultimodalContractSpec)
+          val samples: Array[Short] = native match {
+            case Some(nh) => nh.decodeFlacPcm16(payload)
+            case None => Flac.decode(payload)
+          }
+          var i = 0
+          while (i < samples.length) {
+            acc(i % dim) += samples(i) / 32768.0f
+            i += 1
+          }
         case f =>
           throw new IllegalArgumentException(
             s"RealDecoder covers bmp/png/jpeg/jpg/gif via ImageIO, wav " +
-              s"via AudioSystem, qoi via the built-in Qoi decoder; got " +
+              s"via AudioSystem, qoi via the built-in Qoi decoder, flac " +
+              s"via the built-in Flac decoder; got " +
               s"'$f' — extend the seam with a JNI/FFI codec (mp4 " +
               "CONTAINER metadata — duration/tracks/dims — is pure-JVM " +
               "already: graft.multimodal.Mp4.meta)")

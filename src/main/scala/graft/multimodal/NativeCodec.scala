@@ -41,6 +41,17 @@ final class NativeCodecHandle private[multimodal] () {
     * PCM16 formats throw IllegalArgumentException across the ABI.
     */
   @native def decodeWavPcm16(payload: Array[Byte]): Array[Short]
+
+  /** The second audio codec family (round 15): a complete native FLAC
+    * decoder — CONSTANT/VERBATIM/FIXED/LPC subframes, both rice
+    * residual methods with escapes, wasted bits, all four channel
+    * assignments — returning interleaved s16 samples, STREAMINFO-
+    * verified (16-bit contract, declared-total agreement, frame-header
+    * CRC-8). Must be bit-identical to the JVM [[Flac]] twin on every
+    * payload and throw IllegalArgumentException on the same
+    * malformations (NativeSeamSpec pins both).
+    */
+  @native def decodeFlacPcm16(payload: Array[Byte]): Array[Short]
 }
 
 object NativeCodec {

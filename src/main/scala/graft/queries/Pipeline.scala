@@ -1950,6 +1950,39 @@ object Pipeline {
           coalesce(col("video_width"), lit(-1)).as("video_w"),
           coalesce(col("video_height"), lit(-1)).as("video_h"))
         .orderBy("doc_id")
+    },
+
+    // FLAC sample DECODE (round 15): the full bitstream decoder behind
+    // the codec seam, run distributed — per doc a deterministic PCM
+    // signal is FLAC-encoded (the subframe type rotates through
+    // verbatim/fixed1-4/lpc1 so every predictor path executes at
+    // corpus scale) and decoded back; the oracle predicts the decoded
+    // stats arithmetically because decode must be EXACT, not
+    // approximate. Row-local byte work, no shuffle until the sort.
+    "mm09_flac_decode" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (id % 24 + 8).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 7) % 65536) - 32768).toInt)
+          val mode = (id % 6) match {
+            case 0 => "verbatim"
+            case 1 => "fixed1"
+            case 2 => "fixed2"
+            case 3 => "fixed3"
+            case 4 => "fixed4"
+            case _ => "lpc1"
+          }
+          val bytes = graft.multimodal.Flac.buildFixture(
+            Array(samples), 32, mode)
+          val dec = graft.multimodal.Flac.decode(bytes)
+          (id, dec.length.toLong, dec.foldLeft(0L)(_ + _),
+            dec.head.toInt, dec.last.toInt)
+        })
+        .toDF("doc_id", "n_samples", "sum_samples", "first_s", "last_s")
+        .orderBy("doc_id")
     }
   )
 
@@ -3451,6 +3484,19 @@ object Pipeline {
         |       ELSE CAST(doc_id % 640 + 16 AS INT) END AS video_w,
         |  CASE WHEN doc_id % 7 = 0 THEN -1
         |       ELSE CAST(doc_id % 360 + 9 AS INT) END AS video_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // decode is exact, so the oracle reconstructs the signal the gate
+    // encoded and demands the decoded stats match bit-for-bit
+    "mm09_flac_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 24 + 8 AS BIGINT) AS n_samples,
+        |  CAST(list_aggregate(list_transform(range(0, doc_id % 24 + 8),
+        |    i -> ((doc_id * 31 + i * 7) % 65536) - 32768), 'sum')
+        |    AS BIGINT) AS sum_samples,
+        |  CAST((doc_id * 31 % 65536) - 32768 AS INT) AS first_s,
+        |  CAST(((doc_id * 31 + (doc_id % 24 + 7) * 7) % 65536) - 32768
+        |    AS INT) AS last_s
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

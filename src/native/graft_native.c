@@ -193,7 +193,24 @@ Java_graft_multimodal_NativeCodecHandle_decodeWavPcm16(JNIEnv *env,
         if (sz < 16) { err = "truncated WAV fmt chunk"; goto done; }
         int code = b[p + 8] | (b[p + 9] << 8);
         int bits = b[p + 22] | (b[p + 23] << 8);
-        if (code != 1 || bits != 16) {
+        if (code == 0xFFFE) {
+          /* WAVE_FORMAT_EXTENSIBLE: PCM16 when the subformat GUID is
+           * KSDATAFORMAT_SUBTYPE_PCM (00000001-0000-0010-8000-
+           * 00AA00389B71, bytes below in on-disk order). The JVM
+           * AudioSystem path normalizes these to PCM_SIGNED 16-bit, so
+           * accepting them here keeps the two sides of the seam
+           * agreeing on the SAME payload set (advice r14) — an
+           * extensible non-PCM subformat still rejects. */
+          static const unsigned char pcm_guid[16] = {
+            0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+            0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71 };
+          int g;
+          if (sz < 40) { err = "truncated WAV extensible fmt chunk"; goto done; }
+          for (g = 0; g < 16; g++)
+            if (b[p + 32 + g] != pcm_guid[g]) {
+              err = "contract covers PCM16 WAV"; goto done; }
+          if (bits != 16) { err = "contract covers PCM16 WAV"; goto done; }
+        } else if (code != 1 || bits != 16) {
           err = "contract covers PCM16 WAV"; goto done; }
         fmt_seen = 1;
       } else if (b[p] == 'd' && b[p + 1] == 'a' && b[p + 2] == 't' &&
@@ -218,6 +235,356 @@ done:
   (*env)->ReleaseByteArrayElements(env, payload, raw, JNI_ABORT);
   if (err != NULL) { throw_iae(env, err); return NULL; }
   return out;
+}
+
+/* The second audio codec family across the seam: a complete FLAC
+ * decoder (public xiph.org format spec), the C twin of the JVM
+ * decoder (multimodal/Flac.scala) — CONSTANT/VERBATIM/FIXED(0-4)/
+ * LPC(1-32) subframes, both rice residual methods with escape
+ * partitions, wasted bits, UTF-8 frame numbers, and all four channel
+ * assignments. 16-bit contract like the WAV walk; STREAMINFO-verified
+ * (declared bit depth, per-frame agreement, total-sample count);
+ * frame-header CRC-8 checked. Bit-identical samples to the JVM twin
+ * and the same loud-on-malformation discipline (NativeSeamSpec pins
+ * both). */
+typedef struct {
+  const unsigned char *b;
+  long len;
+  long pos;
+  int bit;
+  const char *err;
+} fbits;
+
+static int fb_bit(fbits *r) {
+  int v;
+  if (r->err) return 0;
+  if (r->pos >= r->len) { r->err = "truncated FLAC stream"; return 0; }
+  v = (r->b[r->pos] >> (7 - r->bit)) & 1;
+  if (++r->bit == 8) { r->bit = 0; r->pos++; }
+  return v;
+}
+
+static unsigned long long fb_read(fbits *r, int n) {
+  unsigned long long v = 0;
+  int i;
+  for (i = 0; i < n; i++) v = (v << 1) | (unsigned)fb_bit(r);
+  return v;
+}
+
+static long long fb_signed(fbits *r, int n) {
+  unsigned long long u;
+  if (n == 0) return 0;
+  u = fb_read(r, n);
+  if (n < 64 && (u & (1ULL << (n - 1)))) u |= ~((1ULL << n) - 1);
+  return (long long)u;
+}
+
+static long long fb_unary(fbits *r) {
+  long long q = 0;
+  while (!r->err && fb_bit(r) == 0) q++;
+  return q;
+}
+
+static void fb_align(fbits *r) { if (r->bit) { r->bit = 0; r->pos++; } }
+
+/* CRC-8, polynomial 0x07, init 0 — the frame-header checksum. */
+static int flac_crc8(const unsigned char *b, long from, long until) {
+  int crc = 0;
+  long i;
+  int k;
+  for (i = from; i < until; i++) {
+    crc ^= b[i];
+    for (k = 0; k < 8; k++)
+      crc = (crc & 0x80) ? ((crc << 1) ^ 0x07) & 0xff : (crc << 1) & 0xff;
+  }
+  return crc;
+}
+
+static void flac_residual(fbits *r, long n, int order, long long *out) {
+  int method = (int)fb_read(r, 2);
+  int pbits, escape, partOrder, part;
+  long parts, perPart;
+  long i = order;
+  if (method > 1) { r->err = "reserved FLAC residual method"; return; }
+  pbits = method == 0 ? 4 : 5;
+  escape = (1 << pbits) - 1;
+  partOrder = (int)fb_read(r, 4);
+  parts = 1L << partOrder;
+  if (n & (parts - 1)) {
+    r->err = "FLAC partition order does not divide the block size"; return; }
+  perPart = n >> partOrder;
+  if (perPart < order) {
+    r->err = "FLAC predictor order exceeds the partition"; return; }
+  for (part = 0; part < parts && !r->err; part++) {
+    long count = part == 0 ? perPart - order : perPart;
+    int param = (int)fb_read(r, pbits);
+    long k;
+    if (param == escape) {
+      int raw = (int)fb_read(r, 5);
+      for (k = 0; k < count && !r->err; k++) out[i++] = fb_signed(r, raw);
+    } else {
+      for (k = 0; k < count && !r->err; k++) {
+        unsigned long long q = (unsigned long long)fb_unary(r);
+        unsigned long long u = (q << param) | fb_read(r, param);
+        out[i++] = (long long)(u >> 1) ^ -(long long)(u & 1);
+      }
+    }
+  }
+}
+
+static void flac_subframe(fbits *r, long n, int bps, long long *out) {
+  int tpe, wasted = 0, eff;
+  long i;
+  if (fb_bit(r) != 0) {
+    if (!r->err) r->err = "FLAC subframe padding bit set";
+    return;
+  }
+  tpe = (int)fb_read(r, 6);
+  if (fb_bit(r) == 1) wasted = (int)fb_unary(r) + 1;
+  if (r->err) return;
+  eff = bps - wasted;
+  if (eff <= 0) { r->err = "FLAC wasted bits exceed the sample size"; return; }
+  if (tpe == 0) { /* CONSTANT */
+    long long v = fb_signed(r, eff);
+    for (i = 0; i < n; i++) out[i] = v;
+  } else if (tpe == 1) { /* VERBATIM */
+    for (i = 0; i < n && !r->err; i++) out[i] = fb_signed(r, eff);
+  } else if ((tpe & 0x38) == 0x08 && (tpe & 7) <= 4) { /* FIXED */
+    int order = tpe & 7;
+    for (i = 0; i < order; i++) out[i] = fb_signed(r, eff);
+    flac_residual(r, n, order, out);
+    if (r->err) return;
+    for (i = order; i < n; i++) {
+      long long p;
+      switch (order) {
+        case 0: p = 0; break;
+        case 1: p = out[i - 1]; break;
+        case 2: p = 2 * out[i - 1] - out[i - 2]; break;
+        case 3: p = 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3]; break;
+        default: p = 4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3] -
+          out[i - 4];
+      }
+      out[i] += p;
+    }
+  } else if (tpe & 0x20) { /* LPC, order 1..32 */
+    int order = (tpe & 0x1f) + 1;
+    int precision, shift, j;
+    long long coef[32];
+    if (order > n) {
+      r->err = "FLAC predictor order exceeds the block size"; return; }
+    for (i = 0; i < order; i++) out[i] = fb_signed(r, eff);
+    precision = (int)fb_read(r, 4) + 1;
+    if (precision == 16) { r->err = "invalid FLAC LPC precision code"; return; }
+    shift = (int)fb_signed(r, 5);
+    if (r->err) return;
+    if (shift < 0) { r->err = "negative FLAC LPC shift"; return; }
+    for (j = 0; j < order; j++) coef[j] = fb_signed(r, precision);
+    flac_residual(r, n, order, out);
+    if (r->err) return;
+    for (i = order; i < n; i++) {
+      long long acc = 0;
+      for (j = 0; j < order; j++) acc += coef[j] * out[i - 1 - j];
+      out[i] += acc >> shift;
+    }
+  } else {
+    r->err = "reserved FLAC subframe type";
+    return;
+  }
+  if (wasted > 0)
+    for (i = 0; i < n; i++) out[i] <<= wasted;
+}
+
+JNIEXPORT jshortArray JNICALL
+Java_graft_multimodal_NativeCodecHandle_decodeFlacPcm16(JNIEnv *env,
+                                                        jobject self,
+                                                        jbyteArray payload) {
+  jsize len;
+  jbyte *raw;
+  const unsigned char *b;
+  jshortArray res = NULL;
+  jshort *out = NULL;
+  long long *ch = NULL;
+  const char *err = NULL;
+  long rate, silen, p;
+  int channels, bps, last;
+  long long total, expected, cap, nOut = 0;
+
+  if (payload == NULL) { /* JVM-parity: NPE, never a SIGSEGV */
+    jclass c = (*env)->FindClass(env, "java/lang/NullPointerException");
+    if (c != NULL) (*env)->ThrowNew(env, c, "null payload");
+    return NULL;
+  }
+  len = (*env)->GetArrayLength(env, payload);
+  raw = (*env)->GetByteArrayElements(env, payload, NULL);
+  if (raw == NULL) return NULL;
+  b = (const unsigned char *)raw;
+
+  if (len < 42 || b[0] != 'f' || b[1] != 'L' || b[2] != 'a' || b[3] != 'C') {
+    err = "not a FLAC payload (fLaC magic missing)"; goto done; }
+  if ((b[4] & 0x7f) != 0) {
+    err = "first metadata block is not STREAMINFO"; goto done; }
+  silen = ((long)b[5] << 16) | ((long)b[6] << 8) | b[7];
+  if (silen < 34 || 8 + silen > (long)len) {
+    err = "truncated or short STREAMINFO"; goto done; }
+  rate = ((long)b[18] << 12) | ((long)b[19] << 4) | (b[20] >> 4);
+  if (rate == 0) { err = "STREAMINFO sample rate 0"; goto done; }
+  channels = ((b[20] >> 1) & 7) + 1;
+  bps = (((b[20] & 1) << 4) | (b[21] >> 4)) + 1;
+  total = ((long long)(b[21] & 0x0f) << 32) | ((long long)b[22] << 24) |
+    ((long long)b[23] << 16) | ((long long)b[24] << 8) | b[25];
+  if (bps != 16) { err = "contract covers 16-bit FLAC"; goto done; }
+  p = 4;
+  last = 0;
+  while (!last) {
+    long blen;
+    if (p + 4 > (long)len) {
+      err = "truncated FLAC metadata block header"; goto done; }
+    last = b[p] & 0x80;
+    blen = ((long)b[p + 1] << 16) | ((long)b[p + 2] << 8) | b[p + 3];
+    p += 4 + blen;
+    if (p > (long)len) { err = "truncated FLAC metadata block"; goto done; }
+  }
+  expected = total > 0 ? total * channels : -1;
+  if (expected > 0x3fffffffLL) {
+    err = "FLAC declares more samples than a single payload can hold";
+    goto done; }
+  cap = expected >= 0 ? (expected > 0 ? expected : 1) : 65536;
+  out = (jshort *)malloc((size_t)cap * sizeof(jshort));
+  if (out == NULL) { err = "FLAC sample buffer allocation failed"; goto done; }
+
+#define FLAC_EMIT(v) do { \
+    long long _v = (v); \
+    if (_v < -32768 || _v > 32767) { \
+      err = "decoded sample exceeds the 16-bit range"; goto done; } \
+    if (nOut == cap) { \
+      jshort *_nw; \
+      if (expected >= 0) { \
+        err = "decoded sample count disagrees with what STREAMINFO " \
+              "declares"; goto done; } \
+      cap *= 2; \
+      _nw = (jshort *)realloc(out, (size_t)cap * sizeof(jshort)); \
+      if (_nw == NULL) { \
+        err = "FLAC sample buffer allocation failed"; goto done; } \
+      out = _nw; \
+    } \
+    out[nOut++] = (jshort)_v; \
+  } while (0)
+
+  while (p < (long)len) {
+    long frameStart = p;
+    int bsCode, rateCode, chanAsgn, sizeCode, lead, extra, i, nch, frameBps;
+    int c;
+    long blockSize, s;
+    fbits r;
+    if (p + 4 > (long)len) { err = "truncated FLAC frame header"; goto done; }
+    if (b[p] != 0xff || (b[p + 1] & 0xfc) != 0xf8) {
+      err = "bad FLAC frame sync"; goto done; }
+    bsCode = b[p + 2] >> 4;
+    rateCode = b[p + 2] & 0x0f;
+    chanAsgn = b[p + 3] >> 4;
+    sizeCode = (b[p + 3] >> 1) & 7;
+    if (b[p + 3] & 1) { err = "reserved FLAC frame-header bit set"; goto done; }
+    p += 4;
+    if (p >= (long)len) { err = "truncated FLAC frame number"; goto done; }
+    lead = b[p];
+    if ((lead & 0x80) == 0) extra = 0;
+    else if ((lead & 0xe0) == 0xc0) extra = 1;
+    else if ((lead & 0xf0) == 0xe0) extra = 2;
+    else if ((lead & 0xf8) == 0xf0) extra = 3;
+    else if ((lead & 0xfc) == 0xf8) extra = 4;
+    else if ((lead & 0xfe) == 0xfc) extra = 5;
+    else if (lead == 0xfe) extra = 6;
+    else { err = "bad FLAC frame-number coding"; goto done; }
+    if (p + 1 + extra > (long)len) {
+      err = "truncated FLAC frame number"; goto done; }
+    for (i = 0; i < extra; i++)
+      if ((b[p + 1 + i] & 0xc0) != 0x80) {
+        err = "bad FLAC frame-number coding"; goto done; }
+    p += 1 + extra;
+    if (bsCode == 0) { err = "reserved FLAC block-size code"; goto done; }
+    else if (bsCode == 1) blockSize = 192;
+    else if (bsCode <= 5) blockSize = 576L << (bsCode - 2);
+    else if (bsCode == 6) {
+      if (p >= (long)len) { err = "truncated FLAC block size"; goto done; }
+      blockSize = (long)b[p] + 1; p += 1;
+    } else if (bsCode == 7) {
+      if (p + 2 > (long)len) { err = "truncated FLAC block size"; goto done; }
+      blockSize = (((long)b[p] << 8) | b[p + 1]) + 1; p += 2;
+    } else blockSize = 256L << (bsCode - 8);
+    if (rateCode == 15) { err = "invalid FLAC sample-rate code"; goto done; }
+    else if (rateCode == 12) {
+      if (p + 1 > (long)len) { err = "truncated FLAC sample rate"; goto done; }
+      p += 1;
+    } else if (rateCode == 13 || rateCode == 14) {
+      if (p + 2 > (long)len) { err = "truncated FLAC sample rate"; goto done; }
+      p += 2;
+    }
+    if (p >= (long)len) {
+      err = "truncated FLAC frame header (no CRC-8)"; goto done; }
+    if (flac_crc8(b, frameStart, p) != b[p]) {
+      err = "FLAC frame-header CRC-8 mismatch"; goto done; }
+    p += 1;
+    if (chanAsgn <= 7) nch = chanAsgn + 1;
+    else if (chanAsgn <= 10) nch = 2;
+    else { err = "reserved FLAC channel assignment"; goto done; }
+    if (nch != channels) {
+      err = "frame channel count differs from STREAMINFO"; goto done; }
+    switch (sizeCode) {
+      case 0: frameBps = bps; break;
+      case 1: frameBps = 8; break;
+      case 2: frameBps = 12; break;
+      case 4: frameBps = 16; break;
+      case 5: frameBps = 20; break;
+      case 6: frameBps = 24; break;
+      case 7: frameBps = 32; break;
+      default: err = "reserved FLAC sample-size code"; goto done;
+    }
+    if (frameBps != 16) { err = "contract covers 16-bit FLAC"; goto done; }
+    ch = (long long *)malloc((size_t)nch * (size_t)blockSize *
+      sizeof(long long));
+    if (ch == NULL) {
+      err = "FLAC channel buffer allocation failed"; goto done; }
+    r.b = b; r.len = len; r.pos = p; r.bit = 0; r.err = NULL;
+    for (c = 0; c < nch && !r.err; c++) {
+      int sidebit = (chanAsgn == 8 && c == 1) || (chanAsgn == 9 && c == 0) ||
+        (chanAsgn == 10 && c == 1);
+      flac_subframe(&r, blockSize, frameBps + sidebit, ch + c * blockSize);
+    }
+    if (r.err) { err = r.err; goto done; }
+    fb_align(&r);
+    if (r.pos + 2 > (long)len) { err = "truncated FLAC frame CRC-16"; goto done; }
+    for (s = 0; s < blockSize; s++) {
+      if (chanAsgn == 8) { /* left/side: R = L - S */
+        FLAC_EMIT(ch[s]);
+        FLAC_EMIT(ch[s] - ch[blockSize + s]);
+      } else if (chanAsgn == 9) { /* right/side (side first): L = R + S */
+        FLAC_EMIT(ch[blockSize + s] + ch[s]);
+        FLAC_EMIT(ch[blockSize + s]);
+      } else if (chanAsgn == 10) { /* mid/side */
+        long long mid = (ch[s] << 1) | (ch[blockSize + s] & 1);
+        FLAC_EMIT((mid + ch[blockSize + s]) >> 1);
+        FLAC_EMIT((mid - ch[blockSize + s]) >> 1);
+      } else {
+        for (c = 0; c < nch; c++) FLAC_EMIT(ch[c * blockSize + s]);
+      }
+    }
+    free(ch);
+    ch = NULL;
+    p = r.pos + 2;
+  }
+#undef FLAC_EMIT
+  if (expected >= 0 && nOut != expected) {
+    err = "decoded sample count disagrees with what STREAMINFO declares";
+    goto done; }
+  res = (*env)->NewShortArray(env, (jsize)nOut);
+  if (res != NULL)
+    (*env)->SetShortArrayRegion(env, res, 0, (jsize)nOut, out);
+done:
+  if (ch != NULL) free(ch);
+  if (out != NULL) free(out);
+  (*env)->ReleaseByteArrayElements(env, payload, raw, JNI_ABORT);
+  if (err != NULL) { throw_iae(env, err); return NULL; }
+  return res;
 }
 
 JNIEXPORT jint JNICALL

@@ -442,6 +442,86 @@ class MultimodalContractSpec extends AnyFunSuite {
       Containers.flacMeta(zeroRate)).getMessage.contains("sample rate 0"))
   }
 
+  test("FLAC decode: every subframe type and channel assignment round-trips") {
+    import graft.multimodal.Flac
+    val rnd = new scala.util.Random(42)
+    val mono = Array.fill(40)(rnd.nextInt(65536) - 32768)
+    for (mode <- Seq("verbatim", "fixed0", "fixed1", "fixed2", "fixed3",
+        "fixed4", "lpc1")) {
+      val enc = Flac.buildFixture(Array(mono), 16, mode)
+      assert(Flac.decode(enc).toSeq == mono.map(_.toShort).toSeq, mode)
+    }
+    val const = Array.fill(32)(1234)
+    assert(Flac.decode(Flac.buildFixture(Array(const), 16, "constant"))
+      .toSeq == const.map(_.toShort).toSeq)
+    // stereo: all four channel assignments reconstruct the SAME
+    // interleaved PCM — decorrelation is an encoding choice, not a
+    // semantic one
+    val l = Array.fill(48)(rnd.nextInt(65536) - 32768)
+    val r = Array.fill(48)(rnd.nextInt(65536) - 32768)
+    val want = (0 until 48).flatMap(i => Seq(l(i).toShort, r(i).toShort))
+    for (st <- Seq("indep", "leftside", "rightside", "midside")) {
+      assert(Flac.decode(Flac.buildFixture(Array(l, r), 16, "verbatim", st))
+        .toSeq == want, st)
+      assert(Flac.decode(Flac.buildFixture(Array(l, r), 16, "fixed2", st))
+        .toSeq == want, st)
+    }
+    // feature parity with a WAV of the same PCM: the two audio arms
+    // must agree bit-for-bit on features — the cross-format half of
+    // the codec contract
+    import graft.multimodal.Multimodal
+    val flacBytes = Flac.buildFixture(Array(mono), 16, "fixed2")
+    val wavBytes = {
+      val o = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      o.write("RIFF".getBytes); le32(36 + mono.length * 2)
+      o.write("WAVE".getBytes); o.write("fmt ".getBytes); le32(16)
+      le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+      o.write("data".getBytes); le32(mono.length * 2)
+      mono.foreach(le16)
+      o.toByteArray
+    }
+    val fFeat = Multimodal.RealDecoder.features(flacBytes,
+      Multimodal.MediaMeta("flac", 0, 0, flacBytes.length.toLong), 5)
+    val wFeat = Multimodal.RealDecoder.features(wavBytes,
+      Multimodal.MediaMeta("wav", 0, 0, wavBytes.length.toLong), 5)
+    assert(fFeat.toSeq == wFeat.toSeq)
+  }
+
+  test("FLAC decode: malformed streams fail loudly, STREAMINFO is verified") {
+    import graft.multimodal.{Containers, Flac}
+    val rnd = new scala.util.Random(7)
+    val mono = Array.fill(32)(rnd.nextInt(65536) - 32768)
+    val good = Flac.buildFixture(Array(mono), 16, "fixed2")
+    assert(Flac.decode(good).length == 32)
+    // frame-header CRC-8: first frame starts at 42 (4 magic + 4 block
+    // header + 34 STREAMINFO), its CRC byte at 42+7
+    val badCrc = good.clone(); badCrc(49) = (badCrc(49) ^ 0x01).toByte
+    assert(intercept[IllegalArgumentException](Flac.decode(badCrc))
+      .getMessage.contains("CRC-8"))
+    // truncation mid-frame
+    intercept[IllegalArgumentException](
+      Flac.decode(java.util.Arrays.copyOf(good, good.length - 4)))
+    // STREAMINFO total-sample disagreement (the "verified" half):
+    // total's low byte lives at offset 25
+    val badTotal = good.clone(); badTotal(25) = (badTotal(25) ^ 0x01).toByte
+    assert(intercept[IllegalArgumentException](Flac.decode(badTotal))
+      .getMessage.contains("STREAMINFO declares"))
+    // non-16-bit depth rejects by contract, before any frame walk
+    assert(intercept[IllegalArgumentException](Flac.decode(
+      Containers.buildFlacFixture(8000, 1, 24, 0L)))
+      .getMessage.contains("contract covers 16-bit FLAC"))
+    // reserved subframe type: type bits 000010 (2) is reserved —
+    // corrupt the first subframe's type field
+    val badType = good.clone()
+    // subframe starts right after the CRC byte (offset 50): bits are
+    // [pad][type:6]... — set the byte to 0b00000100 (type 2, reserved)
+    badType(50) = 0x04.toByte
+    assert(intercept[IllegalArgumentException](Flac.decode(badType))
+      .getMessage.contains("reserved FLAC subframe type"))
+  }
+
   test("MP4 extraction runs through the distributed seam") {
     import spark.implicits._
     import graft.multimodal.Mp4

@@ -19,6 +19,35 @@ import graft.multimodal.{Mp4, NativeCodec}
   * fails — on machines with neither. The production decode path stays
   * flag-gated the same way (NativeCodec.fromEnv).
   */
+/** Child-JVM probe for the resolution failure modes: runs the REAL
+  * production path (RealDecoder → NativeCodec.fromEnv → System.load)
+  * in a process whose GRAFT_NATIVE_LIB the spec controls. Prints
+  * DECODED:... on success, THREW:<class> + exit 3 on any failure — the
+  * spec asserts which one happens under which flag.
+  */
+object NativeSeamProbe {
+  def main(args: Array[String]): Unit = {
+    val o = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    o.write("RIFF".getBytes); le32(36 + 6)
+    o.write("WAVE".getBytes); o.write("fmt ".getBytes); le32(16)
+    le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    o.write("data".getBytes); le32(6)
+    Seq(100, -100, 7).foreach(le16)
+    val wav = o.toByteArray
+    try {
+      val f = graft.multimodal.Multimodal.RealDecoder.features(wav,
+        graft.multimodal.Multimodal.MediaMeta("wav", 0, 0, wav.length.toLong), 3)
+      println("DECODED:" + f.toSeq.mkString(","))
+    } catch {
+      case e: Throwable =>
+        println("THREW:" + e.getClass.getName)
+        sys.exit(3)
+    }
+  }
+}
+
 class NativeSeamSpec extends AnyFunSuite {
 
   private def buildLib(): Option[String] = {
@@ -161,6 +190,144 @@ class NativeSeamSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](h.decodeWavPcm16(bad))
     }
     intercept[NullPointerException](h.decodeWavPcm16(null))
+  }
+
+  /** RIFF/WAVE with a WAVE_FORMAT_EXTENSIBLE (0xFFFE) fmt chunk whose
+    * subformat GUID is the given 16 bytes (PCM =
+    * 00000001-0000-0010-8000-00AA00389B71 in on-disk order).
+    */
+  private def wavExt(samples: Seq[Int], guid: Array[Int]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    o.write("RIFF".getBytes); le32(60 + samples.length * 2)
+    o.write("WAVE".getBytes)
+    o.write("fmt ".getBytes); le32(40)
+    le16(0xFFFE); le16(1)     // extensible, mono
+    le32(8000); le32(16000)   // sample rate, byte rate
+    le16(2); le16(16)         // block align, container bits
+    le16(22); le16(16)        // cbSize, valid bits
+    le32(0x4)                 // channel mask: FRONT_CENTER
+    guid.foreach(o.write)
+    o.write("data".getBytes); le32(samples.length * 2)
+    samples.foreach(s => le16(s & 0xffff))
+    o.toByteArray
+  }
+
+  private val PcmGuid = Array(0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+    0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+
+  test("JNI seam: extensible (0xFFFE) PCM16 WAV decodes identically on both sides") {
+    assume(lib.isDefined,
+      s"no ${NativeCodec.LibEnv} and no local C toolchain — seam untestable here")
+    val h = NativeCodec.load(lib.get)
+    // the env-dependent divergence from advice r14: AudioSystem
+    // normalizes WAVE_FORMAT_EXTENSIBLE PCM16, so the native walk must
+    // accept the same payloads — a payload must never decode on one
+    // host and reject on another because the flag is set there
+    val ext = wavExt(Seq(16384, -16384, 32767, -32768, 7), PcmGuid)
+    assert(h.decodeWavPcm16(ext).toSeq ==
+      Seq[Short](16384, -16384, 32767, -32768, 7))
+    import graft.multimodal.Multimodal
+    val meta = Multimodal.MediaMeta("wav", 0, 0, ext.length.toLong)
+    val jvm = Multimodal.RealDecoder.features(ext, meta, 3)
+    Multimodal.RealDecoder.handleOverride = Some(h)
+    try assert(Multimodal.RealDecoder.features(ext, meta, 3).toSeq == jvm.toSeq)
+    finally Multimodal.RealDecoder.handleOverride = None
+    // a non-PCM subformat (IEEE float GUID) rejects on BOTH sides
+    val float = wavExt(Seq(1, 2), PcmGuid.updated(0, 0x03))
+    intercept[IllegalArgumentException](h.decodeWavPcm16(float))
+    intercept[Exception](Multimodal.RealDecoder.features(float, meta, 3))
+  }
+
+  test("JNI seam: native FLAC decode is bit-identical to the JVM twin") {
+    assume(lib.isDefined,
+      s"no ${NativeCodec.LibEnv} and no local C toolchain — seam untestable here")
+    val h = NativeCodec.load(lib.get)
+    import graft.multimodal.Flac
+    val rnd = new scala.util.Random(19)
+    val mono = Array.fill(40)(rnd.nextInt(65536) - 32768)
+    for (mode <- Seq("constant", "verbatim", "fixed0", "fixed1", "fixed2",
+        "fixed3", "fixed4", "lpc1")) {
+      val src = if (mode == "constant") Array.fill(40)(-777) else mono
+      val enc = Flac.buildFixture(Array(src), 16, mode)
+      assert(h.decodeFlacPcm16(enc).toSeq == Flac.decode(enc).toSeq, mode)
+    }
+    val l = Array.fill(48)(rnd.nextInt(65536) - 32768)
+    val r = Array.fill(48)(rnd.nextInt(65536) - 32768)
+    for (st <- Seq("indep", "leftside", "rightside", "midside")) {
+      val enc = Flac.buildFixture(Array(l, r), 16, "fixed2", st)
+      assert(h.decodeFlacPcm16(enc).toSeq == Flac.decode(enc).toSeq, st)
+    }
+    // malformation parity: the SAME corrupt streams throw on BOTH sides
+    val good = Flac.buildFixture(Array(mono), 16, "fixed2")
+    val badCrc = good.clone(); badCrc(49) = (badCrc(49) ^ 0x01).toByte
+    val badTotal = good.clone(); badTotal(25) = (badTotal(25) ^ 0x01).toByte
+    val badType = good.clone(); badType(50) = 0x04.toByte
+    for (bad <- Seq(badCrc, badTotal, badType,
+        java.util.Arrays.copyOf(good, good.length - 4),
+        Array[Byte](1, 2, 3, 4))) {
+      intercept[IllegalArgumentException](Flac.decode(bad))
+      intercept[IllegalArgumentException](h.decodeFlacPcm16(bad))
+    }
+    intercept[NullPointerException](h.decodeFlacPcm16(null))
+    // RealDecoder's flac arm routes natively when the seam is enabled
+    import graft.multimodal.Multimodal
+    val meta = Multimodal.MediaMeta("flac", 0, 0, good.length.toLong)
+    val jvm = Multimodal.RealDecoder.features(good, meta, 3)
+    Multimodal.RealDecoder.handleOverride = Some(h)
+    try {
+      assert(Multimodal.RealDecoder.features(good, meta, 3).toSeq == jvm.toSeq)
+      intercept[IllegalArgumentException](
+        Multimodal.RealDecoder.features(badCrc, meta, 3))
+    } finally Multimodal.RealDecoder.handleOverride = None
+  }
+
+  test("JNI seam: a bad GRAFT_NATIVE_LIB fails LOUDLY — never a silent fallback") {
+    // System.load is process-global and this JVM may already hold the
+    // good library, so the resolution failure modes probe in a CHILD
+    // JVM running the production path (NativeSeamProbe → RealDecoder →
+    // NativeCodec.fromEnv). Three pins: garbage .so (load-time
+    // UnsatisfiedLinkError), valid .so missing the symbols (call-time
+    // UnsatisfiedLinkError), and no flag at all (clean JVM fallback) —
+    // proving the fallback happens ONLY when the flag is absent, by
+    // design rather than by a swallowed error.
+    val cp = Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes")
+      .map(new java.io.File(_).getAbsolutePath).mkString(":") +
+      ":/opt/spark/jars/*"
+    def probe(envLib: Option[String]): (Int, String) = {
+      val out = new StringBuilder
+      val base = Seq("java", "-cp", cp, "graft.NativeSeamProbe")
+      val pb = envLib match {
+        case Some(p) => Process(base, None, NativeCodec.LibEnv -> p)
+        case None => Process(base)
+      }
+      val rc = pb.!(ProcessLogger(s => out.append(s).append('\n'), _ => ()))
+      (rc, out.toString)
+    }
+    val (okRc, okOut) = probe(None)
+    assert(okRc == 0 && okOut.contains("DECODED:"), s"$okRc $okOut")
+    // garbage bytes at the flagged path: load-time failure, loud
+    val garbage = Files.createTempDirectory("graftbadso")
+      .resolve("libgarbage.so")
+    Files.write(garbage, Array[Byte](1, 2, 3, 4, 5))
+    val (gRc, gOut) = probe(Some(garbage.toAbsolutePath.toString))
+    assert(gRc != 0 && gOut.contains("THREW:java.lang.UnsatisfiedLinkError"),
+      s"$gRc $gOut")
+    // a VALID library missing the codec symbols: call-time failure, loud
+    val emptyLib = {
+      val dir = Files.createTempDirectory("graftemptyso")
+      val src = dir.resolve("empty.c")
+      Files.write(src, "int graft_unrelated(void) { return 42; }\n".getBytes)
+      val out = dir.resolve("libempty.so").toAbsolutePath.toString
+      val rc = Seq("gcc", "-shared", "-fPIC", src.toAbsolutePath.toString,
+        "-o", out).!(ProcessLogger(_ => ()))
+      if (rc == 0) Some(out) else None
+    }
+    assume(emptyLib.isDefined, "no C toolchain for the missing-symbol probe")
+    val (eRc, eOut) = probe(emptyLib)
+    assert(eRc != 0 && eOut.contains("THREW:java.lang.UnsatisfiedLinkError"),
+      s"$eRc $eOut")
   }
 
   test("JNI seam: RealDecoder routes qoi + wav through the native codec when enabled") {
