@@ -1183,6 +1183,23 @@ object TimeSeries {
         .orderBy(col("user").cast("long"), col("timestamp"))
     },
 
+    // `without` INNER grouping under a subquery (round 15): the last
+    // expression-shape rejection closed — `sum without ()` evaluates
+    // per its canonical {cohort, user} identity, the evaluation key
+    // (cohort) re-opens from the canonical string per group, and the
+    // outer fold pools the user sub-series per cohort: exactly ts120's
+    // semantics (same oracle) reached through the canonical path.
+    "ts124_subquery_without_inner" -> { (s, dir) =>
+      engineCohort(s, dir)
+        .queryRangeBy(
+          "max_over_time(sum without () (purchase)[3d:12h])",
+          graft.tsdb.Expr.Grouping(by = true, List("cohort")),
+          SubStart, SubEnd, 86400000L)
+        .select(col("cohort"), col("timestamp"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("cohort"), col("timestamp"))
+    },
+
     // Ranged sampling over a MATCHED child (round 15): limitk(2, ...)
     // over ts106's share-of-cohort matrix — the series key (and so the
     // md5 sampling text) is the many side's groups (cohort, user), so
@@ -2067,6 +2084,24 @@ object TimeSeries {
          |SELECT u AS "user", et AS timestamp, ROUND(s, 6) AS value
          |FROM r WHERE rk > ROUND(0.5 * n)
          |ORDER BY CAST(u AS BIGINT), timestamp""".stripMargin,
+
+    "ts124_subquery_without_inner" ->
+      s"""WITH d AS (SELECT CAST(user_id % 3 AS VARCHAR) AS c,
+         |        CAST(user_id AS VARCHAR) AS u,
+         |        epoch_ns(ts)//1000000 AS t, value AS v
+         |      FROM events WHERE event_type = 'purchase'
+         |        AND epoch_ns(ts)//1000000 > ${SubStart - 3 * 86400000L - 12 * 3600 * 1000L}
+         |        AND epoch_ns(ts)//1000000 <= $SubEnd),
+         |g AS (SELECT UNNEST(generate_series(${SubStart - 3 * 86400000L},
+         |        $SubEnd, ${12 * 3600 * 1000L})) AS et),
+         |i AS (SELECT d.c, d.u, g.et, SUM(d.v) AS v FROM g
+         |      JOIN d ON d.t > g.et - ${12 * 3600 * 1000L} AND d.t <= g.et
+         |      GROUP BY d.c, d.u, g.et),
+         |og AS (SELECT UNNEST(generate_series($SubStart, $SubEnd,
+         |        ${86400000L})) AS ot)
+         |SELECT i.c AS cohort, ot AS timestamp, ROUND(MAX(v), 6) AS value
+         |FROM og JOIN i ON i.et > ot - ${3 * 86400000L} AND i.et <= ot
+         |GROUP BY i.c, ot ORDER BY cohort, timestamp""".stripMargin,
 
     "ts122_ranged_limitk_binary" ->
       s"""WITH dc AS (SELECT CAST(user_id AS VARCHAR) AS u,

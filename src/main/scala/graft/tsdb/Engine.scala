@@ -451,17 +451,62 @@ final class TsdbEngine(
     innerGrouping(inner) match {
       case Some(x) if !(x.by == grouping.by &&
           x.labels.toSet == grouping.labels.toSet) =>
-        require(x.by && grouping.by &&
-            grouping.labels.toSet.subsetOf(x.labels.toSet),
-          s"inner grouping (${if (x.by) "by" else "without"} " +
-            s"${x.labels.mkString("(", ", ", ")")}) differs from the " +
-            s"evaluation grouping (${if (grouping.by) "by" else "without"}" +
-            s" ${grouping.labels.mkString("(", ", ", ")")}) — only a " +
-            "finer `by` superset pools into the evaluation grouping " +
-            "at the outer fold; re-group the outer evaluation otherwise")
-        x
+        if (!x.by && grouping.by) {
+          // a `without` inner under a `by` evaluation (round 15): the
+          // inner's canonical groups each CARRY the evaluation labels'
+          // values inside the canonical string — re-opened per group
+          // (the ts110/ts111 machinery) they project onto the
+          // evaluation key and pool at the outer fold, exactly the
+          // finer-`by` rule. Undefined only when the inner REMOVED an
+          // evaluation label: its value is gone from the canonical set
+          val removed = grouping.labels.toSet.intersect(x.labels.toSet)
+          require(removed.isEmpty,
+            s"the inner `without` grouping removed evaluation " +
+              s"label(s) ${removed.mkString(", ")} — their values are " +
+              "gone from the canonical group identity; keep them in " +
+              "the inner grouping or re-group the outer evaluation")
+          x
+        } else {
+          require(x.by && grouping.by &&
+              grouping.labels.toSet.subsetOf(x.labels.toSet),
+            s"inner grouping (${if (x.by) "by" else "without"} " +
+              s"${x.labels.mkString("(", ", ", ")")}) differs from the " +
+              s"evaluation grouping (${if (grouping.by) "by" else "without"}" +
+              s" ${grouping.labels.mkString("(", ", ", ")")}) — a finer " +
+              "`by` superset (or a `without` inner keeping the " +
+              "evaluation labels) pools into a `by` evaluation grouping " +
+              "at the outer fold; re-group the outer evaluation otherwise")
+          x
+        }
       case _ => grouping
     }
+
+  /** Project the evaluation key out of an inner frame evaluated under
+    * `ig` (the subquery pooling rule's column step): a finer `by`
+    * inner already carries the evaluation labels as columns; a
+    * `without` inner re-opens each one's VALUE from the canonical
+    * labels string — [[finerInnerGrouping]] has already rejected the
+    * removed-label case, and a label merely absent from a group's
+    * label set re-opens as null (the missing-label convention).
+    */
+  private def projectInnerGroups(df: DataFrame, ig: Grouping,
+      gNames: Seq[String]): DataFrame = {
+    val cols =
+      if (ig.by) df
+      else {
+        val reserved = gNames.filter(Seq("labels", "timestamp", "value")
+          .contains)
+        require(reserved.isEmpty,
+          s"evaluation label(s) ${reserved.mkString(", ")} collide with " +
+            "result columns and cannot re-open from a canonical group")
+        gNames.foldLeft(df)((d, k) => d.withColumn(k,
+          unescapeLabelCol(element_at(
+            str_to_map(col("labels"), lit(","), lit("=")),
+            lit(LabelCodec.escape(k))))))
+      }
+    cols.select(gNames.map(col) ++
+      Seq(col("timestamp"), col("value")): _*)
+  }
 
   /** Subquery-offset report-back: the inner evaluated on the shifted
     * clock reports on the outer one (shared by the tumbling and
@@ -1768,8 +1813,7 @@ final class TsdbEngine(
           startMs - subRange - soff, endMs - soff, subStep)
         val derived = reportOnOuterClock(
           if (ig eq grouping) all
-          else all.select(gNames.map(col) ++
-            Seq(col("timestamp"), col("value")): _*), soff)
+          else projectInnerGroups(all, ig, gNames), soff)
         RangeFns.sliding(kind, derived, subRange, stepMs, startMs, endMs,
           fnArgs, groupCols = gNames, mode = rateMode)
       case InstantFn(kind, child, args) =>
@@ -2046,8 +2090,7 @@ final class TsdbEngine(
           startMs - soff, endMs - soff, subStep)
         val steps = reportOnOuterClock(
           if (ig eq grouping) all
-          else all.select(gNames.map(col) ++
-            Seq(col("timestamp"), col("value")): _*), soff)
+          else projectInnerGroups(all, ig, gNames), soff)
         val base = steps.select(gNames.map(col) ++ Seq(
           (col("timestamp") -
             pmod(col("timestamp") - startMs, lit(subRange))).as("wstart"),

@@ -1347,17 +1347,34 @@ class EngineSpec extends AnyFunSuite {
       g, 40, 40, 40).collect().toSet[Row]
       .map(r => (r.getString(0), r.getDouble(2)))
     assert(out == Set(("web", 4d), ("mob", 16d), ("cli", 32d)), out)
-    // a COARSER inner (evaluation needs dc it can't produce) and a
-    // `without` inner (no addressable projection) still reject loudly
+    // a COARSER inner (evaluation needs dc it can't produce) still
+    // rejects loudly
     val coarse = intercept[IllegalArgumentException](e.queryRangeBy(
       "max_over_time(sum by (service) (req)[40ms:20ms])",
       Expr.Grouping(by = true, List("service", "dc")), 40, 40, 40))
     assert(coarse.getMessage.contains("finer `by` superset"),
       coarse.getMessage)
-    val wo = intercept[IllegalArgumentException](e.queryRangeBy(
-      "max_over_time(sum without (dc) (req)[40ms:20ms])",
+    // a `without` inner re-opens the evaluation key from its canonical
+    // group identity (round 15): `without ()` keeps {service, dc} —
+    // the finer pooling rule through the canonical path, same answer
+    // as the explicit by (service, dc) inner above
+    val woFiner = e.queryRangeBy(
+      "max_over_time(sum without () (req)[40ms:20ms])", g, 40, 40, 40)
+      .collect().toSet[Row].map(r => (r.getString(0), r.getDouble(2)))
+    assert(woFiner == out, woFiner)
+    // ... and `without (dc)` keeps {service}: the same-key case — dc
+    // sub-series merge INSIDE the inner sum, so web pools 1+2+4=7
+    val woSame = e.queryRangeBy(
+      "max_over_time(sum without (dc) (req)[40ms:20ms])", g, 40, 40, 40)
+      .collect().toSet[Row].map(r => (r.getString(0), r.getDouble(2)))
+    assert(woSame == Set(("web", 7d), ("mob", 24d), ("cli", 32d)), woSame)
+    // undefined ONLY when the inner removed an evaluation label — its
+    // value is gone from the canonical identity
+    val rm = intercept[IllegalArgumentException](e.queryRangeBy(
+      "max_over_time(sum without (service) (req)[40ms:20ms])",
       g, 40, 40, 40))
-    assert(wo.getMessage.contains("finer `by` superset"), wo.getMessage)
+    assert(rm.getMessage.contains("removed evaluation label"),
+      rm.getMessage)
   }
 
   test("queryRangeGetK: per-step rank, ties to the group key, k clamps") {
