@@ -350,47 +350,55 @@ object Relational {
     },
 
     // Exact percentiles (linear interpolation) per group — the
-    // RANK-BASED form, not the percentile() aggregate: that aggregate
-    // buffers every value of a group in ONE task's aggregation buffer
-    // (O(rows/group) heap — the only observed scale failure in 13
-    // rounds: 30x pack OOM at the standing 8g). Per-group sort-based
-    // row_number windows (WindowExec spills to disk, bounded task
-    // memory) filtered to the two bracketing ranks floor/ceil((n-1)*p);
-    // interpolation lo + frac*(hi-lo) is the exact formula
-    // percentile()/DuckDB quantile_cont use, so the result is
-    // bit-identical and the memory is flat at any scale. Both
-    // percentile columns come off ONE scan: the group size _n rides
-    // the first sort window as a whole-partition count frame (no
-    // counts subplan, no broadcast join), the second value column gets
-    // its own sort window on the same partitioning, and the bracketing
-    // rows of BOTH columns survive one filter into one conditional
-    // aggregate — so lineitem is read once, shuffled once, sorted
-    // twice, where the join-of-two-pct-subplans form read it 4x.
+    // HISTOGRAM form. History: percentile() buffers every value of a
+    // group in ONE task's aggregation buffer (O(rows/group) heap — the
+    // only observed scale failure in 13 rounds: 30x pack OOM at the
+    // standing 8g); the r14 rank-based sort-window replacement was
+    // memory-flat but sorted every row twice through spilling
+    // WindowExec (40s at 30x, the pack's slowest gate). This form
+    // aggregates to distinct (group, column, value) COUNTS first — a
+    // codegen'd HashAggregate whose map-side partial combine shrinks
+    // the shuffle from row count to distinct-value count (l_quantity
+    // has ~50 distinct values; prices a bounded set that does NOT grow
+    // with row replication) — then runs the rank bracketing over the
+    // tiny histogram: cumulative count per value covers the rank
+    // interval (cum-cnt, cum], so the value at sorted rank r is the
+    // unique histogram row with cum-cnt < r <= cum. lo/hi at ranks
+    // floor/ceil((n-1)*p)+1 and interpolation lo + frac*(hi-lo) are
+    // exactly what percentile()/DuckDB quantile_cont compute, so the
+    // result is bit-identical; memory is bounded by the hash-agg
+    // (spills) and a window over histogram-sized data. Both percentile
+    // columns ride ONE scan via inline'd (column-id, value) pairs into
+    // one shared histogram.
     "q27_percentile" -> { (s, dir) =>
       import s.implicits._
-      val vals = table(s, dir, "lineitem")
-        .select($"l_returnflag",
-          $"l_quantity".cast("double").as("_v1"),
-          $"l_extendedprice".cast("double").as("_v2"))
-      val w1 = Window.partitionBy($"l_returnflag").orderBy($"_v1")
-      val ranked = vals
-        .withColumn("_rk1", row_number().over(w1))
-        .withColumn("_n", count(lit(1)).over(
-          w1.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("_rk2", row_number().over(
-          Window.partitionBy($"l_returnflag").orderBy($"_v2")))
-      val pos1 = (col("_n") - 1) * 0.5 // 0-based fractional target ranks
-      val pos2 = (col("_n") - 1) * 0.9
-      val hit1 = col("_rk1") === floor(pos1) + 1 || col("_rk1") === ceil(pos1) + 1
-      val hit2 = col("_rk2") === floor(pos2) + 1 || col("_rk2") === ceil(pos2) + 1
+      val hist = table(s, dir, "lineitem")
+        .select($"l_returnflag", inline(array(
+          struct(lit(1).as("_cid"), $"l_quantity".cast("double").as("_v")),
+          struct(lit(2).as("_cid"), $"l_extendedprice".cast("double").as("_v")))))
+        .groupBy($"l_returnflag", $"_cid", $"_v")
+        .agg(count(lit(1)).as("_cnt"))
+      val part = Window.partitionBy($"l_returnflag", $"_cid")
+      val ranked = hist
+        .withColumn("_cum", sum($"_cnt").over(part.orderBy($"_v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_n", sum($"_cnt").over(
+          part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val pos = (col("_n") - 1) * when(col("_cid") === 1, 0.5).otherwise(0.9)
+      val rkLo = floor(pos) + 1
+      val rkHi = ceil(pos) + 1
+      val hitLo = col("_cum") - col("_cnt") < rkLo && rkLo <= col("_cum")
+      val hitHi = col("_cum") - col("_cnt") < rkHi && rkHi <= col("_cum")
       ranked
-        .where(hit1 || hit2)
+        .where(hitLo || hitHi)
         .groupBy($"l_returnflag")
         .agg(
-          min(when(hit1, $"_v1")).as("_lo1"), max(when(hit1, $"_v1")).as("_hi1"),
-          min(when(hit2, $"_v2")).as("_lo2"), max(when(hit2, $"_v2")).as("_hi2"),
-          first(pos1 - floor(pos1)).as("_f1"),
-          first(pos2 - floor(pos2)).as("_f2"))
+          max(when(col("_cid") === 1 && hitLo, $"_v")).as("_lo1"),
+          max(when(col("_cid") === 1 && hitHi, $"_v")).as("_hi1"),
+          max(when(col("_cid") === 2 && hitLo, $"_v")).as("_lo2"),
+          max(when(col("_cid") === 2 && hitHi, $"_v")).as("_hi2"),
+          max(when(col("_cid") === 1, pos - floor(pos))).as("_f1"),
+          max(when(col("_cid") === 2, pos - floor(pos))).as("_f2"))
         .select($"l_returnflag",
           r6(col("_lo1") + col("_f1") * (col("_hi1") - col("_lo1"))).as("median_qty"),
           r6(col("_lo2") + col("_f2") * (col("_hi2") - col("_lo2"))).as("p90_price"))

@@ -717,27 +717,36 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the TopKByScore partial/final aggregate pair")
   }
 
-  test("q27 exact percentile never buffers a group in an agg buffer") {
+  test("q27 exact percentile aggregates to a histogram before any sort") {
     // the r13 scale finding: percentile() holds O(rows/group) in ONE
     // task's aggregation buffer (ObjectHashAggregate) — the only gate
-    // to OOM a 30x pack. The rank-based rewrite must keep the plan
-    // free of it: sorts spill, aggregation buffers don't.
+    // to OOM a 30x pack. The r14 sort-window rank form was memory-flat
+    // but sorted every row twice (40s at 30x). The histogram form must
+    // keep BOTH properties: no buffering aggregate, and the window/sort
+    // runs over distinct-(group, column, value) COUNTS, not rows.
     val df = graft.queries.Relational.queries("q27_percentile")(spark, sf)
     val p = plan(df)
     assert(!p.contains("ObjectHashAggregate"),
       "a buffering percentile aggregate is back in the plan")
     assert(!p.toLowerCase.contains("percentile"),
-      "expected the rank-based form, not the percentile() aggregate")
-    // the sort-based rank pass partitions on the group key — the
-    // window must never be global
+      "expected the histogram rank form, not the percentile() aggregate")
+    // the rank bracketing partitions on (group, column id) — never global
     assert(p.contains("windowspecdefinition(l_returnflag"),
-      "row_number must partition by l_returnflag")
-    // both percentile columns and the group count must come off ONE
-    // lineitem pass — the join-of-subplans form scanned it 4x, which
-    // multiplies IO by 4 at exactly the 30x pack the rank form exists for
-    // formatted mode prints each node in the tree AND a detail section;
-    // count the numbered detail headers so each scan counts once
-    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(formatted(df)).size
+      "the cumulative-count window must partition by l_returnflag")
+    val fmt = formatted(df)
+    // the load-bearing shape: a codegen'd hash aggregate keyed on
+    // (group, column id, VALUE) sits below the window, so the shuffle
+    // and sort see distinct-value counts (map-side partial combine
+    // collapses replicated rows), not the row stream
+    assert("Keys \\[\\d+\\]: \\[l_returnflag#\\d+, _cid#\\d+, _v#\\d+\\]".r
+      .findFirstIn(fmt).isDefined,
+      "expected a HashAggregate keyed on (l_returnflag, _cid, _v) " +
+        "feeding the window — the histogram collapse is gone")
+    // both percentile columns must come off ONE lineitem pass (the
+    // inline'd (cid, value) pairs) — the join-of-subplans form scanned
+    // it 4x. formatted mode prints each node in the tree AND a detail
+    // section; count the numbered detail headers so each scan counts once
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(fmt).size
     assert(scans == 1, s"expected exactly one lineitem scan, saw $scans")
   }
 
