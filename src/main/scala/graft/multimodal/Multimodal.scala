@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   * real through the JDK's own codecs (ImageIO bmp/png/jpeg/gif,
   * AudioSystem PCM16 WAV — no native deps) plus one real NON-JDK codec
   * (the built-in [[Qoi]] decoder, proving the seam's bit-for-bit
-  * contract on a genuinely compressed format), throwing for formats
-  * still past reach (mp4/webp/flac SAMPLE decode → a JNI/FFI extension
-  * point with the same contract, MultimodalContractSpec — mp4/webp/
-  * flac CONTAINER metadata is already real, see [[Mp4]] and
-  * [[Containers]]); `stub` produces
+  * contract on a genuinely compressed format) plus the built-in
+  * [[Flac]] and [[Webp]] (VP8L) decoders, throwing for formats still
+  * past reach (mp4 SAMPLE decode → a JNI/FFI extension point with the
+  * same contract, MultimodalContractSpec — mp4 CONTAINER metadata is
+  * already real, see [[Mp4]] and [[Containers]]); `stub` produces
   * deterministic features from the payload bytes so the distributed
   * plumbing — schema, batched per-partition iteration, partitioning
   * advice — is testable without any codec at all.
@@ -58,8 +58,9 @@ object Multimodal {
     * compiled [[NativeCodec]] library, through the NATIVE decoder
     * across the JNI seam (NativeSeamSpec pins the two bit-identical;
     * absent the flag, behavior is unchanged). `wav` likewise routes
-    * to the native PCM16 decode when the flag is set. Formats still
-    * past reach (mp4, webp, flac...) throw toward the same extension
+    * to the native PCM16 decode when the flag is set, as do `flac`
+    * ([[Flac]]) and `webp` ([[Webp]], VP8L lossless). Formats still
+    * past reach (mp4 sample decode) throw toward the same extension
     * point.
     */
   object RealDecoder extends Decoder {
@@ -154,6 +155,26 @@ object Multimodal {
             acc(j % dim) += (r + g + b) / (3.0f * 255.0f)
             j += 1
           }
+        case "webp" =>
+          // the second image codec family (round 15): VP8L lossless
+          // pixels from the native walk when the seam is enabled, from
+          // the built-in [[Webp]] decoder otherwise — ARGB either way,
+          // folded with the identical per-pixel luminance rule, so
+          // features are bit-identical across the ABI (NativeSeamSpec)
+          // AND to a BMP of the same pixels (MultimodalContractSpec)
+          val (wpx, off) = native match {
+            case Some(nh) => (nh.decodeWebpArgb(payload), 2) // [w, h, px...]
+            case None => (Webp.decode(payload)._3, 0)
+          }
+          var j = 0
+          while (j < wpx.length - off) {
+            val rgb = wpx(j + off)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            acc(j % dim) += (r + g + b) / (3.0f * 255.0f)
+            j += 1
+          }
         case "flac" =>
           // the second audio codec family (round 15): samples come
           // from the native FLAC walk when the seam is enabled, from
@@ -173,8 +194,8 @@ object Multimodal {
         case f =>
           throw new IllegalArgumentException(
             s"RealDecoder covers bmp/png/jpeg/jpg/gif via ImageIO, wav " +
-              s"via AudioSystem, qoi via the built-in Qoi decoder, flac " +
-              s"via the built-in Flac decoder; got " +
+              s"via AudioSystem, qoi/flac/webp via the built-in " +
+              s"Qoi/Flac/Webp decoders; got " +
               s"'$f' — extend the seam with a JNI/FFI codec (mp4 " +
               "CONTAINER metadata — duration/tracks/dims — is pure-JVM " +
               "already: graft.multimodal.Mp4.meta)")

@@ -52,6 +52,19 @@ final class NativeCodecHandle private[multimodal] () {
     * malformations (NativeSeamSpec pins both).
     */
   @native def decodeFlacPcm16(payload: Array[Byte]): Array[Short]
+
+  /** The seam's second IMAGE codec (round 15): a complete native WebP
+    * LOSSLESS (VP8L) decoder — simple/normal prefix codes, color
+    * cache, LZ77 through the distance map and the direct form, meta
+    * prefix groups, and all four transforms applied inverse in
+    * reverse bitstream order — returning [width, height, px...] with
+    * px = 0xAARRGGBB top-down row-major (the [[Webp.decode]]
+    * convention plus the leading dims, mirroring [[decodeQoi]]). Must
+    * be bit-identical to the JVM [[Webp]] twin on every payload and
+    * throw IllegalArgumentException on the same malformations
+    * (NativeSeamSpec pins both).
+    */
+  @native def decodeWebpArgb(payload: Array[Byte]): Array[Int]
 }
 
 object NativeCodec {

@@ -1983,6 +1983,50 @@ object Pipeline {
         })
         .toDF("doc_id", "n_samples", "sum_samples", "first_s", "last_s")
         .orderBy("doc_id")
+    },
+
+    // WebP VP8L decode across the distributed seam (round 15): per-doc
+    // lossless fixtures (the rotating-strategy convention of mm09)
+    // encoded at corpus scale and decoded back; the oracle reconstructs
+    // the decoded pixel stats arithmetically because VP8L decode must
+    // be EXACT. The mode rotation walks every transform family —
+    // plain literals, subtract-green, color cache, three predictor
+    // modes (L, Average2(L,T), ClampAddSubtractFull), the cross-channel
+    // color transform, and color indexing — all of which must
+    // reconstruct the same pixels. Row-local byte work, no shuffle
+    // until the sort.
+    "mm10_webp_decode" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 5 + 2).toInt
+          val h = (id % 3 + 2).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val r = ((id * 31 + i * 7) % 256).toInt
+            val g = ((id * 17 + i * 13) % 256).toInt
+            val b = ((id * 23 + i * 29) % 256).toInt
+            0xff000000 | (r << 16) | (g << 8) | b
+          }
+          val mode = (id % 8) match {
+            case 0 => "literal"
+            case 1 => "subgreen"
+            case 2 => "cache"
+            case 3 => "predictor1"
+            case 4 => "predictor7"
+            case 5 => "predictor12"
+            case 6 => "colortx"
+            case _ => "palette"
+          }
+          val bytes = graft.multimodal.Webp.buildFixture(px, w, h, mode)
+          val (dw, dh, dec) = graft.multimodal.Webp.decode(bytes)
+          def rgb(v: Int) =
+            ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+          (id, dw, dh, dec.foldLeft(0L)((a, v) => a + rgb(v)),
+            rgb(dec.head), rgb(dec.last))
+        })
+        .toDF("doc_id", "w", "h", "sum_rgb", "first_rgb", "last_rgb")
+        .orderBy("doc_id")
     }
   )
 
@@ -3497,6 +3541,25 @@ object Pipeline {
         |  CAST((doc_id * 31 % 65536) - 32768 AS INT) AS first_s,
         |  CAST(((doc_id * 31 + (doc_id % 24 + 7) * 7) % 65536) - 32768
         |    AS INT) AS last_s
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // VP8L decode is exact, so the oracle reconstructs the pixel
+    // channels the gate encoded and demands the decoded stats match
+    // bit-for-bit (the mm09 convention for images)
+    "mm10_webp_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 5 + 2 AS INT) AS w,
+        |  CAST(doc_id % 3 + 2 AS INT) AS h,
+        |  CAST(list_aggregate(list_transform(
+        |    range(0, (doc_id % 5 + 2) * (doc_id % 3 + 2)),
+        |    i -> (doc_id * 31 + i * 7) % 256 + (doc_id * 17 + i * 13) % 256
+        |       + (doc_id * 23 + i * 29) % 256), 'sum') AS BIGINT) AS sum_rgb,
+        |  CAST(doc_id * 31 % 256 + doc_id * 17 % 256 + doc_id * 23 % 256
+        |    AS INT) AS first_rgb,
+        |  CAST((doc_id * 31 + ((doc_id % 5 + 2) * (doc_id % 3 + 2) - 1) * 7) % 256
+        |     + (doc_id * 17 + ((doc_id % 5 + 2) * (doc_id % 3 + 2) - 1) * 13) % 256
+        |     + (doc_id * 23 + ((doc_id % 5 + 2) * (doc_id % 3 + 2) - 1) * 29) % 256
+        |    AS INT) AS last_rgb
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

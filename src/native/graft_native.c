@@ -606,3 +606,601 @@ Java_graft_multimodal_NativeCodecHandle_fnv1a(JNIEnv *env, jobject self,
   (*env)->ReleaseByteArrayElements(env, payload, in, JNI_ABORT);
   return (jint)h;
 }
+
+/* The seam's second IMAGE codec: WebP LOSSLESS (VP8L) decode — the C
+ * twin of the JVM decoder (multimodal/Webp.scala), written to the
+ * public WebP Lossless Bitstream Specification. Complete support:
+ * LSB-first bit reading, simple and normal prefix codes (repeats,
+ * zero-runs, max-symbol cap, degenerate single-symbol trees), color
+ * cache, LZ77 through both the 120-entry distance map and the direct
+ * form, meta prefix groups, and all four transforms (predictor 0-13
+ * with border rules and the top-right wraparound, cross-channel color
+ * transform against the reconstructed red, subtract-green, color
+ * indexing with sub-byte bundling) applied inverse in reverse
+ * bitstream order. Output: jintArray [width, height, px...] with
+ * px = 0xAARRGGBB top-down row-major — Webp.decode's convention, so
+ * NativeSeamSpec can demand bit-identical pixels. Malformed streams
+ * throw IllegalArgumentException across the ABI with the same
+ * classifications as the JVM twin. */
+
+typedef struct {
+  const unsigned char *b;
+  long pos;
+  long end;
+  int bit;
+  const char *err;
+} wbits;
+
+static int wb_bit(wbits *r) {
+  int v;
+  if (r->err) return 0;
+  if (r->pos >= r->end) { r->err = "truncated VP8L stream"; return 0; }
+  v = (r->b[r->pos] >> r->bit) & 1;
+  if (++r->bit == 8) { r->bit = 0; r->pos++; }
+  return v;
+}
+
+static unsigned wb_read(wbits *r, int n) {
+  unsigned v = 0;
+  int i;
+  for (i = 0; i < n; i++) v |= (unsigned)wb_bit(r) << i;
+  return v;
+}
+
+#define WMAXLEN 15
+
+typedef struct {
+  int single;                /* >= 0: degenerate zero-bit tree */
+  int count[WMAXLEN + 1];
+  int first[WMAXLEN + 1];
+  int offs[WMAXLEN + 1];
+  int *syms;                 /* owned */
+} whuff;
+
+static void whuff_free(whuff *h) {
+  if (h->syms != NULL) { free(h->syms); h->syms = NULL; }
+}
+
+static int whuff_init(whuff *h, const int *lengths, int n,
+                      const char **err) {
+  int i, l, nz = 0, lastSym = -1, run = 0, code = 0;
+  long kraft = 0;
+  int cursor[WMAXLEN + 1];
+  h->single = -1;
+  h->syms = NULL;
+  for (i = 0; i <= WMAXLEN; i++) h->count[i] = 0;
+  for (i = 0; i < n; i++) {
+    l = lengths[i];
+    if (l < 0 || l > WMAXLEN) { *err = "prefix code length out of range"; return 0; }
+    if (l > 0) { nz++; lastSym = i; h->count[l]++; }
+  }
+  if (nz == 0) { *err = "empty prefix code (no symbol has a length)"; return 0; }
+  if (nz == 1) { h->single = lastSym; return 1; }
+  for (l = 1; l <= WMAXLEN; l++) kraft += (long)h->count[l] << (WMAXLEN - l);
+  if (kraft > (1L << WMAXLEN)) {
+    *err = "over-subscribed prefix code lengths"; return 0; }
+  for (l = 1; l <= WMAXLEN; l++) {
+    h->first[l] = code;
+    h->offs[l] = run;
+    code = (code + h->count[l]) << 1;
+    run += h->count[l];
+  }
+  h->syms = (int *)malloc((size_t)run * sizeof(int));
+  if (h->syms == NULL) { *err = "prefix code allocation failed"; return 0; }
+  for (l = 1; l <= WMAXLEN; l++) cursor[l] = h->offs[l];
+  for (i = 0; i < n; i++) {
+    l = lengths[i];
+    if (l > 0) h->syms[cursor[l]++] = i;
+  }
+  return 1;
+}
+
+static int whuff_read(whuff *h, wbits *r) {
+  int code = 0, len = 0;
+  if (h->single >= 0) return h->single;
+  while (len < WMAXLEN) {
+    code = (code << 1) | wb_bit(r);
+    len++;
+    if (r->err) return 0;
+    if (h->count[len] > 0 && code >= h->first[len] &&
+        code - h->first[len] < h->count[len])
+      return h->syms[h->offs[len] + code - h->first[len]];
+  }
+  r->err = "invalid prefix-coded stream (no symbol within 15 bits)";
+  return 0;
+}
+
+/* the spec's code-length-code symbol order */
+static const int wp_cl_order[19] =
+  {17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+
+/* (dx, dy) pairs of the 120-entry close-neighborhood distance map (the
+ * spec's generative rule: dy 0..7, dx 1..8 when dy = 0 else -7..8,
+ * sorted by dx*dx + dy*dy, ties by larger dy then positive dx first) */
+static const short wp_dist_map[240] = {
+  0, 1, 1, 0, 1, 1, -1, 1, 0, 2, 2, 0,
+  1, 2, -1, 2, 2, 1, -2, 1, 2, 2, -2, 2,
+  0, 3, 3, 0, 1, 3, -1, 3, 3, 1, -3, 1,
+  2, 3, -2, 3, 3, 2, -3, 2, 0, 4, 4, 0,
+  1, 4, -1, 4, 4, 1, -4, 1, 3, 3, -3, 3,
+  2, 4, -2, 4, 4, 2, -4, 2, 0, 5, 3, 4,
+  -3, 4, 4, 3, -4, 3, 5, 0, 1, 5, -1, 5,
+  5, 1, -5, 1, 2, 5, -2, 5, 5, 2, -5, 2,
+  4, 4, -4, 4, 3, 5, -3, 5, 5, 3, -5, 3,
+  0, 6, 6, 0, 1, 6, -1, 6, 6, 1, -6, 1,
+  2, 6, -2, 6, 6, 2, -6, 2, 4, 5, -4, 5,
+  5, 4, -5, 4, 3, 6, -3, 6, 6, 3, -6, 3,
+  0, 7, 7, 0, 1, 7, -1, 7, 5, 5, -5, 5,
+  7, 1, -7, 1, 4, 6, -4, 6, 6, 4, -6, 4,
+  2, 7, -2, 7, 7, 2, -7, 2, 3, 7, -3, 7,
+  7, 3, -7, 3, 5, 6, -5, 6, 6, 5, -6, 5,
+  8, 0, 4, 7, -4, 7, 7, 4, -7, 4, 8, 1,
+  8, 2, 6, 6, -6, 6, 8, 3, 5, 7, -5, 7,
+  7, 5, -7, 5, 8, 4, 6, 7, -6, 7, 7, 6,
+  -7, 6, 8, 5, 7, 7, -7, 7, 8, 6, 8, 7};
+
+static int wp_div_up(int a, int b) { return (a + b - 1) / b; }
+
+/* one prefix code: simple or normal (code-length-coded) form */
+static int wp_read_code(wbits *r, int alphabet, whuff *out,
+                        const char **err) {
+  int *lengths = (int *)calloc((size_t)alphabet, sizeof(int));
+  int ok = 0;
+  if (lengths == NULL) { *err = "code-length allocation failed"; return 0; }
+  if (wb_bit(r) == 1) { /* simple */
+    int nSym = wb_bit(r) + 1;
+    int first8 = wb_bit(r);
+    int s0 = (int)wb_read(r, first8 ? 8 : 1);
+    if (r->err) goto done;
+    if (s0 >= alphabet) { *err = "VP8L simple-code symbol out of the alphabet"; goto done; }
+    lengths[s0] = 1;
+    if (nSym == 2) {
+      int s1 = (int)wb_read(r, 8);
+      if (r->err) goto done;
+      if (s1 >= alphabet) { *err = "VP8L simple-code symbol out of the alphabet"; goto done; }
+      if (s1 == s0) { *err = "VP8L simple code repeats a symbol"; goto done; }
+      lengths[s1] = 1;
+    }
+    ok = whuff_init(out, lengths, alphabet, err);
+  } else { /* normal */
+    int clLens[19] = {0};
+    int ncl = 4 + (int)wb_read(r, 4);
+    int i, sym = 0, prev = 8, brk = 0;
+    long maxSymbol;
+    whuff clTree;
+    for (i = 0; i < ncl; i++) clLens[wp_cl_order[i]] = (int)wb_read(r, 3);
+    if (r->err) goto done;
+    if (!whuff_init(&clTree, clLens, 19, err)) goto done;
+    if (wb_bit(r) == 1) {
+      int nb = 2 + 2 * (int)wb_read(r, 3);
+      maxSymbol = 2 + (long)wb_read(r, nb);
+    } else maxSymbol = alphabet;
+    while (sym < alphabet && !brk && !r->err && *err == NULL) {
+      int cl;
+      if (maxSymbol == 0) { brk = 1; continue; }
+      maxSymbol--;
+      cl = whuff_read(&clTree, r);
+      if (r->err) break;
+      if (cl < 16) {
+        lengths[sym++] = cl;
+        if (cl != 0) prev = cl;
+      } else {
+        int extra = cl == 16 ? 2 : (cl == 17 ? 3 : 7);
+        int offset = cl == 18 ? 11 : 3;
+        int v = cl == 16 ? prev : 0;
+        int rep = (int)wb_read(r, extra) + offset;
+        if (sym + rep > alphabet) {
+          *err = "VP8L code-length repeat overruns the alphabet"; break; }
+        while (rep-- > 0) lengths[sym++] = v;
+      }
+    }
+    whuff_free(&clTree);
+    if (!r->err && *err == NULL) ok = whuff_init(out, lengths, alphabet, err);
+  }
+done:
+  free(lengths);
+  if (r->err && *err == NULL) *err = r->err;
+  return ok;
+}
+
+/* LZ77 length/distance prefix decoding */
+static int wp_prefix_value(int code, wbits *r) {
+  int extra, base;
+  if (code < 4) return code + 1;
+  extra = (code - 2) >> 1;
+  base = (2 + (code & 1)) << extra;
+  return base + (int)wb_read(r, extra) + 1;
+}
+
+static jint *wp_decode_image(wbits *r, int w, int h, int level0,
+                             const char **err);
+
+/* the spatially-coded image: cache, meta groups (level 0), pixels */
+static jint *wp_decode_spatial(wbits *r, int w, int h, int level0,
+                               const char **err) {
+  int cacheBits = 0, hb = 0, ew = 0, nGroups = 1, g;
+  long n = (long)w * h, i = 0;
+  jint *entropy = NULL, *px = NULL;
+  jint *cache = NULL;
+  whuff *trees = NULL; /* 5 per group: green, red, blue, alpha, dist */
+  int nTrees = 0;
+
+  if (wb_bit(r) == 1) {
+    cacheBits = (int)wb_read(r, 4);
+    if (cacheBits < 1 || cacheBits > 11) {
+      *err = "VP8L color-cache bits out of 1..11"; return NULL; }
+  }
+  if (level0 && wb_bit(r) == 1) {
+    hb = (int)wb_read(r, 3) + 2;
+    ew = wp_div_up(w, 1 << hb);
+    entropy = wp_decode_spatial(r, ew, wp_div_up(h, 1 << hb), 0, err);
+    if (entropy == NULL) return NULL;
+    {
+      long m = 0, k;
+      long en = (long)ew * wp_div_up(h, 1 << hb);
+      for (k = 0; k < en; k++) {
+        long gi = (entropy[k] >> 8) & 0xffff;
+        if (gi > m) m = gi;
+      }
+      nGroups = (int)m + 1;
+    }
+  }
+  if (r->err) goto fail;
+  trees = (whuff *)calloc((size_t)nGroups * 5, sizeof(whuff));
+  if (trees == NULL) { *err = "prefix group allocation failed"; goto fail; }
+  for (g = 0; g < nGroups; g++) {
+    int cacheSize = cacheBits > 0 ? (1 << cacheBits) : 0;
+    if (!wp_read_code(r, 256 + 24 + cacheSize, &trees[g * 5 + 0], err)) goto fail;
+    nTrees = g * 5 + 1;
+    if (!wp_read_code(r, 256, &trees[g * 5 + 1], err)) goto fail;
+    nTrees = g * 5 + 2;
+    if (!wp_read_code(r, 256, &trees[g * 5 + 2], err)) goto fail;
+    nTrees = g * 5 + 3;
+    if (!wp_read_code(r, 256, &trees[g * 5 + 3], err)) goto fail;
+    nTrees = g * 5 + 4;
+    if (!wp_read_code(r, 40, &trees[g * 5 + 4], err)) goto fail;
+    nTrees = g * 5 + 5;
+  }
+  px = (jint *)malloc((size_t)n * sizeof(jint));
+  if (px == NULL) { *err = "pixel allocation failed"; goto fail; }
+  if (cacheBits > 0) {
+    cache = (jint *)calloc((size_t)1 << cacheBits, sizeof(jint));
+    if (cache == NULL) { *err = "color-cache allocation failed"; goto fail; }
+  }
+  while (i < n && !r->err && *err == NULL) {
+    whuff *grp = trees;
+    int s;
+    if (entropy != NULL) {
+      long y = i / w, x = i % w;
+      long gi = (entropy[(y >> hb) * ew + (x >> hb)] >> 8) & 0xffff;
+      grp = trees + gi * 5;
+    }
+    s = whuff_read(&grp[0], r);
+    if (r->err) break;
+    if (s < 256) {
+      int red = whuff_read(&grp[1], r);
+      int blue = whuff_read(&grp[2], r);
+      int alpha = whuff_read(&grp[3], r);
+      jint v = ((jint)alpha << 24) | (red << 16) | (s << 8) | blue;
+      px[i++] = v;
+      if (cache != NULL)
+        cache[(unsigned)(0x1e35a7bd * (unsigned)v) >> (32 - cacheBits)] = v;
+    } else if (s < 280) {
+      int lenv = wp_prefix_value(s - 256, r);
+      int dsym = whuff_read(&grp[4], r);
+      int dcode, dist;
+      long k;
+      if (r->err) break;
+      dcode = wp_prefix_value(dsym, r);
+      if (r->err) break;
+      if (dcode > 120) dist = dcode - 120;
+      else {
+        int dx = wp_dist_map[(dcode - 1) * 2];
+        int dy = wp_dist_map[(dcode - 1) * 2 + 1];
+        dist = dy * w + dx;
+        if (dist < 1) dist = 1;
+      }
+      if (dist > i) { *err = "VP8L back-reference before the image start"; break; }
+      if (i + lenv > n) { *err = "VP8L back-reference overruns the image"; break; }
+      for (k = 0; k < lenv; k++) {
+        jint v = px[i - dist];
+        px[i++] = v;
+        if (cache != NULL)
+          cache[(unsigned)(0x1e35a7bd * (unsigned)v) >> (32 - cacheBits)] = v;
+      }
+    } else {
+      int idx = s - 280;
+      if (cacheBits == 0) { *err = "VP8L color-cache symbol without a cache"; break; }
+      if (idx >= (1 << cacheBits)) { *err = "VP8L color-cache index out of range"; break; }
+      px[i++] = cache[idx];
+    }
+  }
+  if (r->err && *err == NULL) *err = r->err;
+  if (*err != NULL) goto fail;
+  goto done;
+fail:
+  if (px != NULL) { free(px); px = NULL; }
+done:
+  if (cache != NULL) free(cache);
+  if (entropy != NULL) free(entropy);
+  if (trees != NULL) {
+    int t;
+    for (t = 0; t < nTrees; t++) whuff_free(&trees[t]);
+    free(trees);
+  }
+  return px;
+}
+
+/* ---- inverse transforms ---- */
+
+static jint wp_add_px(jint a, jint b) {
+  int aa = ((((unsigned)a >> 24) & 0xff) + (((unsigned)b >> 24) & 0xff)) & 0xff;
+  int rr = (((a >> 16) & 0xff) + ((b >> 16) & 0xff)) & 0xff;
+  int gg = (((a >> 8) & 0xff) + ((b >> 8) & 0xff)) & 0xff;
+  int bb = ((a & 0xff) + (b & 0xff)) & 0xff;
+  return ((jint)aa << 24) | (rr << 16) | (gg << 8) | bb;
+}
+
+static jint wp_avg2(jint a, jint b) {
+  int aa = ((((unsigned)a >> 24) & 0xff) + (((unsigned)b >> 24) & 0xff)) >> 1;
+  int rr = (((a >> 16) & 0xff) + ((b >> 16) & 0xff)) >> 1;
+  int gg = (((a >> 8) & 0xff) + ((b >> 8) & 0xff)) >> 1;
+  int bb = ((a & 0xff) + (b & 0xff)) >> 1;
+  return ((jint)aa << 24) | (rr << 16) | (gg << 8) | bb;
+}
+
+static int wp_clamp255(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
+
+static jint wp_select(jint l, jint t, jint tl) {
+  int pL = 0, pT = 0, s;
+  for (s = 0; s < 32; s += 8) {
+    int cl = ((unsigned)l >> s) & 0xff, ct = ((unsigned)t >> s) & 0xff;
+    int ctl = ((unsigned)tl >> s) & 0xff;
+    int p = cl + ct - ctl;
+    pL += p > cl ? p - cl : cl - p;
+    pT += p > ct ? p - ct : ct - p;
+  }
+  return pL < pT ? l : t;
+}
+
+static jint wp_cas_full(jint l, jint t, jint tl) {
+  jint out = 0;
+  int s;
+  for (s = 0; s < 32; s += 8) {
+    int v = (((unsigned)l >> s) & 0xff) + (((unsigned)t >> s) & 0xff) -
+            (((unsigned)tl >> s) & 0xff);
+    out |= (jint)wp_clamp255(v) << s;
+  }
+  return out;
+}
+
+static jint wp_cas_half(jint ave, jint tl) {
+  jint out = 0;
+  int s;
+  for (s = 0; s < 32; s += 8) {
+    int a = ((unsigned)ave >> s) & 0xff;
+    out |= (jint)wp_clamp255(a + (a - (int)(((unsigned)tl >> s) & 0xff)) / 2) << s;
+  }
+  return out;
+}
+
+static jint wp_predict(int mode, jint l, jint t, jint tl, jint tr,
+                       const char **err) {
+  switch (mode) {
+    case 0: return (jint)0xff000000;
+    case 1: return l;
+    case 2: return t;
+    case 3: return tr;
+    case 4: return tl;
+    case 5: return wp_avg2(wp_avg2(l, tr), t);
+    case 6: return wp_avg2(l, tl);
+    case 7: return wp_avg2(l, t);
+    case 8: return wp_avg2(tl, t);
+    case 9: return wp_avg2(t, tr);
+    case 10: return wp_avg2(wp_avg2(l, tl), wp_avg2(t, tr));
+    case 11: return wp_select(l, t, tl);
+    case 12: return wp_cas_full(l, t, tl);
+    case 13: return wp_cas_half(wp_avg2(l, t), tl);
+    default: *err = "VP8L predictor mode out of 0..13"; return 0;
+  }
+}
+
+/* 3.5 signed fixed-point cross-channel delta */
+static int wp_ct_delta(int t, int c) {
+  return ((int)(signed char)t * (int)(signed char)c) >> 5;
+}
+
+JNIEXPORT jintArray JNICALL
+Java_graft_multimodal_NativeCodecHandle_decodeWebpArgb(JNIEnv *env,
+                                                       jobject self,
+                                                       jbyteArray payload) {
+  jsize len;
+  jbyte *raw;
+  const unsigned char *b;
+  jintArray res = NULL;
+  jint *px = NULL;
+  const char *err = NULL;
+  long i, s = -1, e = -1, riffEnd;
+  int w, h, curW;
+  wbits r;
+  struct { int tpe; int bits; jint *data; int srcW; } tf[4];
+  int nTf = 0, ti;
+
+  if (payload == NULL) { /* JVM-parity: NPE, never a SIGSEGV */
+    jclass c = (*env)->FindClass(env, "java/lang/NullPointerException");
+    if (c != NULL) (*env)->ThrowNew(env, c, "null payload");
+    return NULL;
+  }
+  len = (*env)->GetArrayLength(env, payload);
+  raw = (*env)->GetByteArrayElements(env, payload, NULL);
+  if (raw == NULL) return NULL;
+  b = (const unsigned char *)raw;
+
+  if (len < 12 || b[0] != 'R' || b[1] != 'I' || b[2] != 'F' || b[3] != 'F' ||
+      b[8] != 'W' || b[9] != 'E' || b[10] != 'B' || b[11] != 'P') {
+    err = "not a WebP payload (RIFF....WEBP magic missing)"; goto done; }
+  riffEnd = 8 + ((long)b[4] | ((long)b[5] << 8) | ((long)b[6] << 16) |
+                 ((long)b[7] << 24));
+  if (riffEnd > len) { err = "RIFF size overruns the buffer"; goto done; }
+  i = 12;
+  while (s < 0 && i + 8 <= riffEnd) {
+    long size = (long)b[i + 4] | ((long)b[i + 5] << 8) |
+                ((long)b[i + 6] << 16) | ((long)b[i + 7] << 24);
+    if (i + 8 + size > riffEnd) { err = "chunk overruns the RIFF payload"; goto done; }
+    if (b[i] == 'V' && b[i + 1] == 'P' && b[i + 2] == '8' && b[i + 3] == 'L') {
+      s = i + 8; e = s + size;
+    } else i += 8 + size + (size & 1);
+  }
+  if (s < 0) { err = "VP8L chunk missing or truncated"; goto done; }
+  if (s >= e || b[s] != 0x2f) { err = "VP8L signature missing"; goto done; }
+
+  r.b = b; r.pos = s + 1; r.end = e; r.bit = 0; r.err = NULL;
+  w = (int)wb_read(&r, 14) + 1;
+  h = (int)wb_read(&r, 14) + 1;
+  wb_bit(&r); /* alpha-is-used hint */
+  if (wb_read(&r, 3) != 0) { err = "unsupported VP8L version"; goto done; }
+  if (r.err) { err = r.err; goto done; }
+
+  /* transforms (level 0 only) */
+  curW = w;
+  {
+    int seen = 0;
+    while (wb_bit(&r) == 1 && !r.err && err == NULL) {
+      int t = (int)wb_read(&r, 2);
+      if (seen & (1 << t)) { err = "VP8L transform appears twice"; goto done; }
+      seen |= 1 << t;
+      if (t == 0 || t == 1) {
+        int sb = (int)wb_read(&r, 3) + 2;
+        jint *data = wp_decode_image(&r, wp_div_up(curW, 1 << sb),
+                                     wp_div_up(h, 1 << sb), 0, &err);
+        if (data == NULL) goto done;
+        tf[nTf].tpe = t; tf[nTf].bits = sb; tf[nTf].data = data;
+        tf[nTf].srcW = curW; nTf++;
+      } else if (t == 2) {
+        tf[nTf].tpe = 2; tf[nTf].bits = 0; tf[nTf].data = NULL;
+        tf[nTf].srcW = curW; nTf++;
+      } else {
+        int np = (int)wb_read(&r, 8) + 1;
+        int k, widthBits;
+        jint *pal = wp_decode_image(&r, np, 1, 0, &err);
+        if (pal == NULL) goto done;
+        for (k = 1; k < np; k++) pal[k] = wp_add_px(pal[k], pal[k - 1]);
+        widthBits = np <= 2 ? 3 : (np <= 4 ? 2 : (np <= 16 ? 1 : 0));
+        tf[nTf].tpe = 3; tf[nTf].bits = widthBits; tf[nTf].data = pal;
+        /* srcW doubles as the palette size via data length — store
+         * width; palette size rides in a parallel slot (bits<<16) is
+         * ugly, keep np in the unused high bits of bits instead */
+        tf[nTf].bits = widthBits | (np << 4);
+        tf[nTf].srcW = curW; nTf++;
+        curW = wp_div_up(curW, 1 << widthBits);
+      }
+    }
+  }
+  if (r.err) { err = r.err; goto done; }
+
+  px = wp_decode_spatial(&r, curW, h, 1, &err);
+  if (px == NULL) goto done;
+
+  /* inverse transforms, newest-read first */
+  for (ti = nTf - 1; ti >= 0 && err == NULL; ti--) {
+    int t = tf[ti].tpe;
+    if (t == 0) { /* predictor */
+      int sb = tf[ti].bits, ww = tf[ti].srcW;
+      int tw = wp_div_up(ww, 1 << sb);
+      int x, y;
+      for (y = 0; y < h && err == NULL; y++)
+        for (x = 0; x < ww; x++) {
+          long idx = (long)y * ww + x;
+          jint pred;
+          if (x == 0 && y == 0) pred = (jint)0xff000000;
+          else if (y == 0) pred = px[idx - 1];
+          else if (x == 0) pred = px[idx - ww];
+          else {
+            int mode = (tf[ti].data[((long)(y >> sb)) * tw + (x >> sb)] >> 8) & 0xff;
+            pred = wp_predict(mode, px[idx - 1], px[idx - ww],
+                              px[idx - ww - 1], px[idx - ww + 1], &err);
+            if (err != NULL) break;
+          }
+          px[idx] = wp_add_px(px[idx], pred);
+        }
+      curW = ww;
+    } else if (t == 1) { /* color transform */
+      int sb = tf[ti].bits, ww = tf[ti].srcW;
+      int tw = wp_div_up(ww, 1 << sb);
+      int x, y;
+      for (y = 0; y < h; y++)
+        for (x = 0; x < ww; x++) {
+          long idx = (long)y * ww + x;
+          jint el = tf[ti].data[((long)(y >> sb)) * tw + (x >> sb)];
+          int g2r = el & 0xff, g2b = (el >> 8) & 0xff, r2b = (el >> 16) & 0xff;
+          jint v = px[idx];
+          int gg = (v >> 8) & 0xff;
+          int rr = (v >> 16) & 0xff;
+          int bb = v & 0xff;
+          rr = (rr + wp_ct_delta(g2r, gg)) & 0xff;
+          bb = (bb + wp_ct_delta(g2b, gg)) & 0xff;
+          bb = (bb + wp_ct_delta(r2b, rr)) & 0xff;
+          px[idx] = (v & (jint)0xff00ff00) | (rr << 16) | bb;
+        }
+      curW = ww;
+    } else if (t == 2) { /* subtract-green */
+      long k, n = (long)tf[ti].srcW * h;
+      for (k = 0; k < n; k++) {
+        jint v = px[k];
+        int gg = (v >> 8) & 0xff;
+        int rr = (((v >> 16) & 0xff) + gg) & 0xff;
+        int bb = ((v & 0xff) + gg) & 0xff;
+        px[k] = (v & (jint)0xff00ff00) | (rr << 16) | bb;
+      }
+      curW = tf[ti].srcW;
+    } else { /* color indexing */
+      int widthBits = tf[ti].bits & 0xf;
+      int np = tf[ti].bits >> 4;
+      int ww = tf[ti].srcW;
+      int packedW = curW;
+      int xcount = 1 << widthBits;
+      int bitsPer = 8 >> widthBits;
+      int mask = (1 << bitsPer) - 1;
+      int x, y;
+      jint *out2 = (jint *)malloc((size_t)ww * h * sizeof(jint));
+      if (out2 == NULL) { err = "unbundle allocation failed"; break; }
+      for (y = 0; y < h && err == NULL; y++)
+        for (x = 0; x < ww; x++) {
+          jint packed = px[(long)y * packedW + (x >> widthBits)];
+          int j = x & (xcount - 1);
+          int idx = (((unsigned)packed >> 8) >> (j * bitsPer)) & mask;
+          if (idx >= np) { err = "VP8L palette index out of range"; break; }
+          out2[(long)y * ww + x] = tf[ti].data[idx];
+        }
+      if (err != NULL) { free(out2); break; }
+      free(px);
+      px = out2;
+      curW = ww;
+    }
+  }
+  if (err != NULL) goto done;
+  if (curW != w) { err = "VP8L transform chain does not restore the width"; goto done; }
+
+  res = (*env)->NewIntArray(env, (jsize)(2 + (long)w * h));
+  if (res != NULL) {
+    jint wh[2];
+    wh[0] = w; wh[1] = h;
+    (*env)->SetIntArrayRegion(env, res, 0, 2, wh);
+    (*env)->SetIntArrayRegion(env, res, 2, (jsize)((long)w * h), px);
+  }
+
+done:
+  for (ti = 0; ti < nTf; ti++)
+    if (tf[ti].data != NULL) free(tf[ti].data);
+  if (px != NULL) free(px);
+  (*env)->ReleaseByteArrayElements(env, payload, raw, JNI_ABORT);
+  if (err != NULL) { throw_iae(env, err); return NULL; }
+  return res;
+}
+
+static jint *wp_decode_image(wbits *r, int w, int h, int level0,
+                             const char **err) {
+  /* subimages carry no transforms — the JNI entry handles level 0 */
+  (void)level0;
+  return wp_decode_spatial(r, w, h, 0, err);
+}

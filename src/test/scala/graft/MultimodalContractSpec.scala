@@ -522,6 +522,98 @@ class MultimodalContractSpec extends AnyFunSuite {
       .getMessage.contains("reserved FLAC subframe type"))
   }
 
+  test("WebP decode: every bitstream path round-trips; features equal BMP") {
+    import graft.multimodal.Webp
+    val rnd = new scala.util.Random(42)
+    def pix(n: Int) = Array.fill(n)(
+      (0xff << 24) | (rnd.nextInt(256) << 16) | (rnd.nextInt(256) << 8) |
+        rnd.nextInt(256))
+    def roundtrip(px: Array[Int], w: Int, h: Int, mode: String): Unit = {
+      val (dw, dh, dec) = Webp.decode(Webp.buildFixture(px, w, h, mode))
+      assert(dw == w && dh == h, s"$mode dims")
+      assert(dec.toSeq == px.toSeq, s"$mode pixels")
+    }
+    roundtrip(pix(35), 7, 5, "literal")
+    roundtrip(pix(18), 6, 3, "subgreen")
+    val rep = pix(16)
+    roundtrip(rep ++ rep, 4, 8, "cache")
+    val half = pix(10)
+    roundtrip(half ++ half, 5, 4, "lz77")
+    roundtrip(Array.fill(12)(0xff102030), 4, 3, "lz77map")
+    // all 14 predictor modes — including the Select and the two
+    // clamped add/subtract estimators with their exact tie/truncation
+    // rules
+    (0 to 13).foreach(m => roundtrip(pix(48), 8, 6, s"predictor$m"))
+    roundtrip(pix(36), 9, 4, "colortx")
+    // palettes at every bundling width: 8, 4, 2 indices per byte and
+    // the unbundled > 16-color form
+    roundtrip(Array.tabulate(20)(i =>
+      if (i % 3 == 0) 0xff112233 else 0xff445566), 5, 4, "palette")
+    roundtrip(Array.tabulate(24)(i =>
+      0xff000000 | ((i % 4) * 0x204060)), 6, 4, "palette")
+    roundtrip(Array.tabulate(24)(i =>
+      0xff000000 | ((i % 13) * 0x0a0a0a)), 6, 4, "palette")
+    roundtrip(Array.tabulate(34)(i =>
+      0xff000000 | ((i % 17) * 0x0f0f0f)), 17, 2, "palette")
+    // alpha channel survives decode
+    val ap = Array.tabulate(9)(i => ((i * 20 + 10) << 24) | 0x123456)
+    roundtrip(ap, 3, 3, "literal")
+    // feature parity with a BMP of the same pixels: the lossless image
+    // arms must agree bit-for-bit on features — the cross-format half
+    // of the codec contract (the QOI-vs-BMP rule, now for WebP)
+    import graft.multimodal.Multimodal
+    val w = 6; val h = 4
+    val px = pix(w * h)
+    val rows = (0 until h).map(y => (0 until w).map { x =>
+      val v = px(y * w + x)
+      (((v >> 16) & 0xff), ((v >> 8) & 0xff), (v & 0xff))
+    })
+    val webpBytes = Webp.buildFixture(px, w, h, "predictor7")
+    val wFeat = Multimodal.RealDecoder.features(webpBytes,
+      Multimodal.MediaMeta("webp", 0, 0, webpBytes.length.toLong), 5)
+    val bmpBytes = bmp(rows)
+    val bFeat = Multimodal.RealDecoder.features(bmpBytes,
+      Multimodal.MediaMeta("bmp", 0, 0, bmpBytes.length.toLong), 5)
+    assert(wFeat.toSeq == bFeat.toSeq)
+  }
+
+  test("WebP decode: malformed streams fail loudly, never spin or over-read") {
+    import graft.multimodal.{Containers, Webp}
+    val rnd = new scala.util.Random(11)
+    val px = Array.fill(20)(0xff000000 | rnd.nextInt(0x1000000))
+    val good = Webp.buildFixture(px, 5, 4, "literal")
+    assert(Webp.decode(good)._3.toSeq == px.toSeq)
+    // VP8L signature byte (offset 20: RIFF hdr 12 + chunk hdr 8)
+    val badSig = good.clone(); badSig(20) = 0x00
+    intercept[IllegalArgumentException](Webp.decode(badSig))
+    // nonzero version bits (bit 30 of the stream: byte 24 bit 6)
+    val badVer = good.clone(); badVer(24) = (badVer(24) ^ 0x40).toByte
+    assert(intercept[IllegalArgumentException](Webp.decode(badVer))
+      .getMessage.contains("version"))
+    // truncation anywhere is loud
+    (1 to 4).foreach { cut =>
+      intercept[IllegalArgumentException](
+        Webp.decode(java.util.Arrays.copyOf(good, good.length - cut)))
+    }
+    // the lossy variant is outside the VP8L contract
+    assert(intercept[IllegalArgumentException](
+      Webp.decode(Containers.buildWebPFixture("lossy", 4, 4)))
+      .getMessage.contains("lossless"))
+    // a metadata-only VP8L fixture (header, no image stream) truncates
+    intercept[IllegalArgumentException](
+      Webp.decode(Containers.buildWebPFixture("lossless", 4, 4)))
+    // an LZ77 reference before the image start is loud: hand-build a
+    // stream whose first symbol is a back-reference
+    val bw = Webp.buildFixture(Array.fill(4)(0xff010203), 2, 2, "lz77map")
+    // corrupting the literal's green symbol high bits lands in the
+    // length-code region before any pixel exists — any IAE is fine,
+    // just never a hang or a wild read
+    (21 until bw.length).foreach { i =>
+      val c = bw.clone(); c(i) = (c(i) ^ 0x55).toByte
+      try Webp.decode(c) catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("MP4 extraction runs through the distributed seam") {
     import spark.implicits._
     import graft.multimodal.Mp4

@@ -283,6 +283,60 @@ class NativeSeamSpec extends AnyFunSuite {
     } finally Multimodal.RealDecoder.handleOverride = None
   }
 
+  test("JNI seam: native WebP VP8L decode is bit-identical to the JVM twin") {
+    assume(lib.isDefined,
+      s"no ${NativeCodec.LibEnv} and no local C toolchain — seam untestable here")
+    val h = NativeCodec.load(lib.get)
+    import graft.multimodal.Webp
+    val rnd = new scala.util.Random(23)
+    def px(n: Int) = Array.fill(n)(
+      (0xff << 24) | (rnd.nextInt(256) << 16) | (rnd.nextInt(256) << 8) |
+        rnd.nextInt(256))
+    def check(pixels: Array[Int], w: Int, hh: Int, mode: String): Unit = {
+      val enc = Webp.buildFixture(pixels, w, hh, mode)
+      val (dw, dh, jvm) = Webp.decode(enc)
+      val nat = h.decodeWebpArgb(enc)
+      assert(nat(0) == dw && nat(1) == dh, s"$mode dims")
+      assert(nat.drop(2).toSeq == jvm.toSeq, s"$mode pixels")
+      assert(jvm.toSeq == pixels.toSeq, s"$mode roundtrip")
+    }
+    check(px(35), 7, 5, "literal")
+    check(px(24) ++ px(0), 6, 4, "subgreen")
+    check(px(12) ++ px(12), 6, 4, "cache")
+    val half = px(10)
+    check(half ++ half, 5, 4, "lz77")
+    check(Array.fill(12)(0xff314159), 4, 3, "lz77map")
+    (0 to 13).foreach(m => check(px(48), 8, 6, s"predictor$m"))
+    check(px(36), 9, 4, "colortx")
+    check(Array.tabulate(20)(i => if (i % 2 == 0) 0xff112233 else 0xff445566),
+      5, 4, "palette")
+    check(Array.tabulate(34)(i => 0xff000000 | (i % 17) * 0x0f0f0f),
+      17, 2, "palette")
+    // malformation parity: the SAME corrupt streams throw on BOTH sides
+    val good = Webp.buildFixture(px(20), 5, 4, "literal")
+    val badSig = good.clone(); badSig(20) = 0x00 // VP8L signature byte
+    val badVer = good.clone()
+    // version bits are bits 29..31 after the signature: flip one
+    badVer(24) = (badVer(24) ^ 0x40).toByte
+    for (bad <- Seq(badSig, badVer,
+        java.util.Arrays.copyOf(good, good.length - 3),
+        Array[Byte]('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'E', 'B', 'P'))) {
+      intercept[IllegalArgumentException](Webp.decode(bad))
+      intercept[IllegalArgumentException](h.decodeWebpArgb(bad))
+    }
+    intercept[NullPointerException](h.decodeWebpArgb(null))
+    // RealDecoder's webp arm routes natively when the seam is enabled
+    import graft.multimodal.Multimodal
+    val meta = Multimodal.MediaMeta("webp", 0, 0, good.length.toLong)
+    val jvmF = Multimodal.RealDecoder.features(good, meta, 3)
+    Multimodal.RealDecoder.handleOverride = Some(h)
+    try {
+      assert(Multimodal.RealDecoder.features(good, meta, 3).toSeq == jvmF.toSeq)
+      intercept[IllegalArgumentException](
+        Multimodal.RealDecoder.features(badSig, meta, 3))
+    } finally Multimodal.RealDecoder.handleOverride = None
+  }
+
   test("JNI seam: a bad GRAFT_NATIVE_LIB fails LOUDLY — never a silent fallback") {
     // System.load is process-global and this JVM may already hold the
     // good library, so the resolution failure modes probe in a CHILD
