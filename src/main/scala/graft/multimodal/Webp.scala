@@ -698,6 +698,11 @@ object Webp {
     *                  r2b=2), forward-transformed literals
     *  - `palette`   — color indexing; bundles indices when the
     *                  distinct-color count is at most 16
+    *  - `meta`      — meta prefix groups: a 4-pixel-block entropy
+    *                  image splits the canvas into a left and a right
+    *                  group whose green codes have DIFFERENT lengths
+    *                  (9 vs 10 bits), so decode proves the right tree
+    *                  is selected per block
     */
   def buildFixture(px: Array[Int], w: Int, h: Int,
       mode: String): Array[Byte] = {
@@ -912,6 +917,42 @@ object Webp {
         // packed pixels carry index bits in green; alpha stays 0 —
         // the indexing inverse replaces the whole pixel anyway
         writeLiteralImage(packed, 0)
+      case "meta" =>
+        require(w > 4, "meta mode needs both groups non-empty (w > 4)")
+        bw.bit(0) // no transforms
+        bw.bit(0) // no color cache
+        bw.bit(1) // meta prefix image
+        val hb = 2 // 4-pixel blocks
+        bw.bits(hb - 2, 3)
+        val ew = divUp(w, 1 << hb)
+        val eh = divUp(h, 1 << hb)
+        def groupOf(x: Int): Int = if ((x >> hb) * (1 << hb) >= w / 2) 1 else 0
+        val entropyPx = Array.tabulate(ew * eh) { k =>
+          0xff000000 | (groupOf((k % ew) << hb) << 8)
+        }
+        writeSubimage(entropyPx)
+        // two groups whose green codes differ in LENGTH — a stream
+        // decoded with the wrong group's tree cannot round-trip
+        val g9 = flatLengths(256 + 24, 9)
+        val g10 = flatLengths(256 + 24, 10)
+        Seq(9, 10).foreach { len =>
+          writeFlatCode(bw, 256 + 24, len)
+          writeFlatCode(bw, 256, 8)
+          writeFlatCode(bw, 256, 8)
+          writeFlatCode(bw, 256, 8)
+          writeSingleCode(bw, 0)
+        }
+        val c8 = flatLengths(256, 8)
+        var i = 0
+        while (i < px.length) {
+          val v = px(i)
+          val gl = if (groupOf(i % w) == 0) g9 else g10
+          writeSym(bw, gl, (v >>> 8) & 0xff)
+          writeSym(bw, c8, (v >>> 16) & 0xff)
+          writeSym(bw, c8, v & 0xff)
+          writeSym(bw, c8, (v >>> 24) & 0xff)
+          i += 1
+        }
       case other => throw new IllegalArgumentException(s"unknown mode $other")
     }
 

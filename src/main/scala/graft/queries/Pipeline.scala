@@ -1992,7 +1992,8 @@ object Pipeline {
     // be EXACT. The mode rotation walks every transform family —
     // plain literals, subtract-green, color cache, three predictor
     // modes (L, Average2(L,T), ClampAddSubtractFull), the cross-channel
-    // color transform, and color indexing — all of which must
+    // color transform, meta prefix groups (when the canvas is wide
+    // enough for both), and color indexing — all of which must
     // reconstruct the same pixels. Row-local byte work, no shuffle
     // until the sort.
     "mm10_webp_decode" -> { (s, dir) =>
@@ -2008,7 +2009,7 @@ object Pipeline {
             val b = ((id * 23 + i * 29) % 256).toInt
             0xff000000 | (r << 16) | (g << 8) | b
           }
-          val mode = (id % 8) match {
+          val mode = (id % 9) match {
             case 0 => "literal"
             case 1 => "subgreen"
             case 2 => "cache"
@@ -2016,6 +2017,7 @@ object Pipeline {
             case 4 => "predictor7"
             case 5 => "predictor12"
             case 6 => "colortx"
+            case 7 if w > 4 => "meta" // both groups non-empty
             case _ => "palette"
           }
           val bytes = graft.multimodal.Webp.buildFixture(px, w, h, mode)

@@ -545,6 +545,10 @@ class MultimodalContractSpec extends AnyFunSuite {
     // rules
     (0 to 13).foreach(m => roundtrip(pix(48), 8, 6, s"predictor$m"))
     roundtrip(pix(36), 9, 4, "colortx")
+    // meta prefix groups: two groups with different green code lengths
+    // (9 vs 10 bits) — decode must pick the right tree per 4-px block
+    roundtrip(pix(60), 10, 6, "meta")
+    roundtrip(pix(45), 9, 5, "meta")
     // palettes at every bundling width: 8, 4, 2 indices per byte and
     // the unbundled > 16-color form
     roundtrip(Array.tabulate(20)(i =>

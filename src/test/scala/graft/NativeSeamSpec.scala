@@ -308,6 +308,7 @@ class NativeSeamSpec extends AnyFunSuite {
     check(Array.fill(12)(0xff314159), 4, 3, "lz77map")
     (0 to 13).foreach(m => check(px(48), 8, 6, s"predictor$m"))
     check(px(36), 9, 4, "colortx")
+    check(px(60), 10, 6, "meta")
     check(Array.tabulate(20)(i => if (i % 2 == 0) 0xff112233 else 0xff445566),
       5, 4, "palette")
     check(Array.tabulate(34)(i => 0xff000000 | (i % 17) * 0x0f0f0f),
