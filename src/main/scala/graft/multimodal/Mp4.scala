@@ -148,6 +148,116 @@ object Mp4 {
       tracks)
   }
 
+  /** Per-track SAMPLE-TABLE statistics — the per-sample size/timing/
+    * keyframe signal a video-curation pipeline needs (bitrate,
+    * keyframe rate, sample-count sanity) WITHOUT any codec: everything
+    * here is container math over `stbl`'s stsz (sizes, fixed or
+    * per-sample), stts (decode deltas), stss (sync samples — absent
+    * means every sample is sync, the spec's rule) and `mdhd`'s media
+    * timescale. stts and stsz must agree on the sample count (loud
+    * otherwise); only version-0 tables are in scope (the dominant
+    * layout), loud on others.
+    */
+  final case class TrackSamples(handler: String, mediaTimescale: Long,
+      nSamples: Long, totalBytes: Long, minSize: Long, maxSize: Long,
+      durationTicks: Long, nSync: Long)
+
+  def sampleStats(bytes: Array[Byte]): List[TrackSamples] = {
+    val top = walk(bytes, 0, bytes.length)
+    val moov = top.find(_.tpe == "moov").getOrElse(throw
+      new IllegalArgumentException("no moov box: not a complete MP4"))
+    walk(bytes, moov.start, moov.end).filter(_.tpe == "trak").flatMap { t =>
+      val inTrak = walk(bytes, t.start, t.end)
+      inTrak.find(_.tpe == "mdia").flatMap { m =>
+        val inMdia = walk(bytes, m.start, m.end)
+        val handler = inMdia.find(_.tpe == "hdlr").map { hd =>
+          need(hd.end - hd.start >= 12, "hdlr body")
+          fourCC(bytes, hd.start + 8)
+        }.getOrElse("")
+        val timescale = inMdia.find(_.tpe == "mdhd").map { md =>
+          need(md.end - md.start >= 16, "mdhd body")
+          (bytes(md.start) & 0xff) match {
+            case 0 => be32(bytes, md.start + 12)
+            case 1 =>
+              need(md.end - md.start >= 24, "mdhd v1 body")
+              be32(bytes, md.start + 20)
+            case v =>
+              throw new IllegalArgumentException(s"unknown mdhd version $v")
+          }
+        }.getOrElse(0L)
+        inMdia.find(_.tpe == "minf").flatMap { mi =>
+          walk(bytes, mi.start, mi.end).find(_.tpe == "stbl").map { sb =>
+            val inStbl = walk(bytes, sb.start, sb.end)
+            def fullV0(b: Box, what: String): Int = {
+              need(b.end - b.start >= 8, s"$what body")
+              if ((bytes(b.start) & 0xff) != 0)
+                throw new IllegalArgumentException(
+                  s"only version-0 $what tables are in scope")
+              b.start + 4
+            }
+            val stsz = inStbl.find(_.tpe == "stsz").getOrElse(throw
+              new IllegalArgumentException("stbl without stsz"))
+            val szP = fullV0(stsz, "stsz")
+            val fixedSize = be32(bytes, szP)
+            val nSamples = be32(bytes, szP + 4)
+            val (total, minSz, maxSz) =
+              if (fixedSize != 0) (fixedSize * nSamples, fixedSize, fixedSize)
+              else {
+                need(stsz.end >= szP + 8 + 4 * nSamples, "stsz size array")
+                var tot = 0L
+                var mn = Long.MaxValue
+                var mx = 0L
+                var i = 0L
+                while (i < nSamples) {
+                  val s = be32(bytes, (szP + 8 + 4 * i).toInt)
+                  tot += s
+                  if (s < mn) mn = s
+                  if (s > mx) mx = s
+                  i += 1
+                }
+                (tot, if (nSamples == 0) 0L else mn, mx)
+              }
+            val stts = inStbl.find(_.tpe == "stts").getOrElse(throw
+              new IllegalArgumentException("stbl without stts"))
+            val ttP = fullV0(stts, "stts")
+            val nEntries = be32(bytes, ttP)
+            need(stts.end >= ttP + 4 + 8 * nEntries, "stts entry array")
+            var dur = 0L
+            var cnt = 0L
+            var e = 0L
+            while (e < nEntries) {
+              val c = be32(bytes, (ttP + 4 + 8 * e).toInt)
+              val d = be32(bytes, (ttP + 4 + 8 * e + 4).toInt)
+              cnt += c
+              dur += c * d
+              e += 1
+            }
+            if (cnt != nSamples)
+              throw new IllegalArgumentException(
+                s"stts sample count $cnt disagrees with stsz $nSamples")
+            val nSync = inStbl.find(_.tpe == "stss").map { ss =>
+              val p = fullV0(ss, "stss")
+              val n = be32(bytes, p)
+              need(ss.end >= p + 4 + 4 * n, "stss entry array")
+              n
+            }.getOrElse(nSamples) // no stss: every sample is sync
+            TrackSamples(handler, timescale, nSamples, total,
+              minSz, maxSz, dur, nSync)
+          }
+        }
+      }
+    }
+  }
+
+  /** [[sampleStats]]'s quarantine twin ([[tryMeta]] convention). */
+  def trySampleStats(bytes: Array[Byte]): Either[String, List[TrackSamples]] =
+    try Right(sampleStats(bytes)) catch {
+      case e: IllegalArgumentException =>
+        Left(Option(e.getMessage).getOrElse("malformed MP4"))
+      case e: IndexOutOfBoundsException =>
+        Left(s"truncated MP4: out-of-bounds read at ${e.getMessage}")
+    }
+
   /** QUARANTINE form of [[meta]] — per-payload try: a malformed or
     * truncated payload yields Left(reason) instead of aborting the
     * pass. The loud form stays the default for fixtures (the Qoi
@@ -225,7 +335,9 @@ object Mp4 {
     * both version layouts stay exercised.
     */
   def buildFixture(brand: String, timescale: Long, durationTicks: Long,
-      tracks: Seq[(String, Int, Int)], v1: Boolean = false): Array[Byte] = {
+      tracks: Seq[(String, Int, Int)], v1: Boolean = false,
+      sampleSizes: Seq[Seq[Long]] = Nil, sampleDelta: Long = 0,
+      syncEvery: Int = 0): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
     def w32(v: Long): Unit = {
       o.write(((v >>> 24) & 0xff).toInt); o.write(((v >>> 16) & 0xff).toInt)
@@ -275,6 +387,34 @@ object Mp4 {
           }
           box("mdia") {
             box("hdlr") { w32(0); w32(0); cc(handler); w32(0); w32(0); w32(0) }
+            // optional sample tables (round 15 — the [[sampleStats]]
+            // subset: mdhd timescale + stbl{stts, stsz, stss})
+            val sizes = sampleSizes.lift(i).getOrElse(Nil)
+            if (sizes.nonEmpty) {
+              box("mdhd") {
+                w32(0); w32(0); w32(0) // v0, creation, modification
+                w32(timescale); w32(sizes.length * sampleDelta)
+                w32(0x55c40000L) // language 'und' + pre_defined
+              }
+              box("minf") {
+                box("stbl") {
+                  box("stts") {
+                    w32(0); w32(1) // v0; one run of equal deltas
+                    w32(sizes.length.toLong); w32(sampleDelta)
+                  }
+                  box("stsz") {
+                    w32(0); w32(0) // v0; per-sample sizes
+                    w32(sizes.length.toLong)
+                    sizes.foreach(w32)
+                  }
+                  if (syncEvery > 0) box("stss") {
+                    val syncs = 1 to sizes.length by syncEvery
+                    w32(0); w32(syncs.size.toLong)
+                    syncs.foreach(s => w32(s.toLong))
+                  }
+                }
+              }
+            }
           }
         }
       }

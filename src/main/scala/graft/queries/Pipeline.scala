@@ -2029,6 +2029,37 @@ object Pipeline {
         })
         .toDF("doc_id", "w", "h", "sum_rgb", "first_rgb", "last_rgb")
         .orderBy("doc_id")
+    },
+
+    // MP4 sample-table statistics across the distributed seam (round
+    // 15): per-doc fixtures carrying real stbl tables (stts/stsz/stss
+    // + mdhd) at corpus scale, walked back by Mp4.sampleStats — the
+    // per-sample size/timing/keyframe signal a video-curation pipeline
+    // computes without any codec (bitrate, keyframe cadence,
+    // sample-count sanity). The oracle reconstructs every stat
+    // arithmetically because the walk is exact container math.
+    // Row-local byte work, no shuffle until the sort.
+    "mm11_mp4_samples" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (id % 20 + 5).toInt
+          val delta = (id % 7 + 1) * 100
+          val sizes = Seq.tabulate(n)(i => (id * 13 + i * 17) % 1000 + 100)
+          val bytes = graft.multimodal.Mp4.buildFixture(
+            "isom", 30000, n * delta, Seq(("vide", 640, 360)),
+            sampleSizes = Seq(sizes), sampleDelta = delta, syncEvery = 5)
+          val st = graft.multimodal.Mp4.sampleStats(bytes) match {
+            case one :: Nil => one
+            case other => sys.error(s"expected one track, got $other")
+          }
+          (id, st.nSamples, st.totalBytes, st.maxSize, st.durationTicks,
+            st.nSync)
+        })
+        .toDF("doc_id", "n_samples", "total_bytes", "max_size",
+          "duration_ticks", "n_sync")
+        .orderBy("doc_id")
     }
   )
 
@@ -3562,6 +3593,22 @@ object Pipeline {
         |     + (doc_id * 17 + ((doc_id % 5 + 2) * (doc_id % 3 + 2) - 1) * 13) % 256
         |     + (doc_id * 23 + ((doc_id % 5 + 2) * (doc_id % 3 + 2) - 1) * 29) % 256
         |    AS INT) AS last_rgb
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the sample-table walk is exact container math, so the oracle
+    // reconstructs sizes/deltas/keyframe cadence arithmetically
+    "mm11_mp4_samples" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 20 + 5 AS BIGINT) AS n_samples,
+        |  CAST(list_aggregate(list_transform(range(0, doc_id % 20 + 5),
+        |    i -> (doc_id * 13 + i * 17) % 1000 + 100), 'sum')
+        |    AS BIGINT) AS total_bytes,
+        |  CAST(list_aggregate(list_transform(range(0, doc_id % 20 + 5),
+        |    i -> (doc_id * 13 + i * 17) % 1000 + 100), 'max')
+        |    AS BIGINT) AS max_size,
+        |  CAST((doc_id % 20 + 5) * (doc_id % 7 + 1) * 100 AS BIGINT)
+        |    AS duration_ticks,
+        |  CAST((doc_id % 20 + 5 + 4) // 5 AS BIGINT) AS n_sync
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

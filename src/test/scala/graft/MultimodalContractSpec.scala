@@ -364,6 +364,50 @@ class MultimodalContractSpec extends AnyFunSuite {
 
   // ---- WebP / FLAC container walks (graft.multimodal.Containers) ----
 
+  test("MP4 sample tables: stsz/stts/stss walk back; spec rules pinned") {
+    import graft.multimodal.Mp4
+    val sizes = Seq(500L, 1200L, 300L, 900L, 700L, 400L, 1100L)
+    val fix = Mp4.buildFixture("isom", 30000, 7 * 1001, Seq(("vide", 640, 360)),
+      sampleSizes = Seq(sizes), sampleDelta = 1001, syncEvery = 3)
+    val st = Mp4.sampleStats(fix) match { case s :: Nil => s }
+    assert(st.handler == "vide" && st.mediaTimescale == 30000)
+    assert(st.nSamples == 7 && st.totalBytes == sizes.sum)
+    assert(st.minSize == 300 && st.maxSize == 1200)
+    assert(st.durationTicks == 7 * 1001)
+    assert(st.nSync == 3) // samples 1, 4, 7
+    // absent stss → EVERY sample is sync (the spec's rule)
+    val noSync = Mp4.buildFixture("isom", 30000, 7 * 1001,
+      Seq(("vide", 640, 360)), sampleSizes = Seq(sizes), sampleDelta = 1001)
+    assert(Mp4.sampleStats(noSync).head.nSync == 7)
+    // a track without sample tables contributes nothing; the old
+    // metadata walk is untouched by the new boxes
+    val plain = Mp4.buildFixture("isom", 30000, 99, Seq(("soun", 0, 0)))
+    assert(Mp4.sampleStats(plain).isEmpty)
+    assert(Mp4.meta(fix).tracks.head.handler == "vide")
+    // stts/stsz sample-count disagreement is loud: patch stts's run
+    // count (stts payload: v0(4) + entry_count(4) + [count, delta])
+    def patchBox(b: Array[Byte], tpe: String, off: Int, v: Int): Array[Byte] = {
+      val out = b.clone()
+      val i = (0 until b.length - 4).find(i =>
+        new String(b, i, 4, "ISO-8859-1") == tpe).get
+      out(i + 4 + off + 3) = (v & 0xff).toByte
+      out
+    }
+    val badCount = patchBox(fix, "stts", 8, 6) // run of 6 vs stsz's 7
+    assert(intercept[IllegalArgumentException](Mp4.sampleStats(badCount))
+      .getMessage.contains("disagrees"))
+    // non-zero table versions are out of scope, loudly
+    val bv = fix.clone()
+    val szAt = (0 until fix.length - 4).find(i =>
+      new String(fix, i, 4, "ISO-8859-1") == "stsz").get
+    bv(szAt + 4) = 1 // version byte
+    assert(intercept[IllegalArgumentException](Mp4.sampleStats(bv))
+      .getMessage.contains("version-0"))
+    // quarantine twin survives the malformation instead of throwing
+    assert(Mp4.trySampleStats(badCount).isLeft)
+    assert(Mp4.trySampleStats(fix).isRight)
+  }
+
   test("WebP golden: all three variant encodings read back; digests pinned") {
     import graft.multimodal.Containers
     def md5(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
