@@ -258,6 +258,146 @@ object Mp4 {
         Left(s"truncated MP4: out-of-bounds read at ${e.getMessage}")
     }
 
+  /** One sync (key) sample's absolute byte range in the file. */
+  final case class SyncSample(sample: Long, offset: Long, size: Long)
+  final case class TrackSync(handler: String, syncs: List[SyncSample])
+
+  /** Resolve every sync sample's ABSOLUTE byte range — the chunk math
+    * that turns the sample tables into actual keyframe extraction from
+    * `mdat` (frame-sampling a video corpus reads exactly these ranges
+    * and nothing else, the IO shape that matters at 100 TB): stss
+    * names the sync samples (1-based; absent = every sample), stsc's
+    * (first_chunk, samples_per_chunk) runs place samples into chunks,
+    * stco/co64 gives each chunk's file offset, and the offset within a
+    * chunk is the cumulative size of the chunk's earlier samples from
+    * stsz. Ranges are bounds-checked against the payload — an offset
+    * table pointing past the file is loud, never a wild read
+    * downstream.
+    */
+  def syncSamples(bytes: Array[Byte]): List[TrackSync] = {
+    val top = walk(bytes, 0, bytes.length)
+    val moov = top.find(_.tpe == "moov").getOrElse(throw
+      new IllegalArgumentException("no moov box: not a complete MP4"))
+    walk(bytes, moov.start, moov.end).filter(_.tpe == "trak").flatMap { t =>
+      val inTrak = walk(bytes, t.start, t.end)
+      inTrak.find(_.tpe == "mdia").flatMap { m =>
+        val inMdia = walk(bytes, m.start, m.end)
+        val handler = inMdia.find(_.tpe == "hdlr").map { hd =>
+          need(hd.end - hd.start >= 12, "hdlr body")
+          fourCC(bytes, hd.start + 8)
+        }.getOrElse("")
+        inMdia.find(_.tpe == "minf").flatMap { mi =>
+          walk(bytes, mi.start, mi.end).find(_.tpe == "stbl").map { sb =>
+            val inStbl = walk(bytes, sb.start, sb.end)
+            def v0(b: Box, what: String): Int = {
+              need(b.end - b.start >= 8, s"$what body")
+              if ((bytes(b.start) & 0xff) != 0)
+                throw new IllegalArgumentException(
+                  s"only version-0 $what tables are in scope")
+              b.start + 4
+            }
+            def boxOf(tpe: String): Box = inStbl.find(_.tpe == tpe)
+              .getOrElse(throw new IllegalArgumentException(
+                s"stbl without $tpe (needed to resolve byte ranges)"))
+            // stsz → per-sample sizes
+            val stsz = boxOf("stsz")
+            val szP = v0(stsz, "stsz")
+            val fixedSize = be32(bytes, szP)
+            val n = be32(bytes, szP + 4)
+            need(n <= Int.MaxValue / 8, "stsz sample count")
+            val sizes = new Array[Long](n.toInt)
+            if (fixedSize != 0) java.util.Arrays.fill(sizes, fixedSize)
+            else {
+              need(stsz.end >= szP + 8 + 4 * n, "stsz size array")
+              var i = 0
+              while (i < n) {
+                sizes(i) = be32(bytes, szP + 8 + 4 * i); i += 1
+              }
+            }
+            // stsc → chunk index (1-based) per sample
+            val stsc = boxOf("stsc")
+            val scP = v0(stsc, "stsc")
+            val nRuns = be32(bytes, scP)
+            need(stsc.end >= scP + 4 + 12 * nRuns, "stsc entry array")
+            // stco / co64 → chunk offsets
+            val (coOffs, coN) = inStbl.find(_.tpe == "stco") match {
+              case Some(co) =>
+                val p = v0(co, "stco")
+                val cn = be32(bytes, p)
+                need(co.end >= p + 4 + 4 * cn, "stco offset array")
+                (Array.tabulate(cn.toInt)(k => be32(bytes, p + 4 + 4 * k)), cn)
+              case None =>
+                val co = boxOf("co64")
+                val p = v0(co, "co64")
+                val cn = be32(bytes, p)
+                need(co.end >= p + 4 + 8 * cn, "co64 offset array")
+                (Array.tabulate(cn.toInt)(k => be64(bytes, p + 4 + 8 * k)), cn)
+            }
+            // stss → 1-based sync sample numbers (absent: all)
+            val syncNos: Array[Long] = inStbl.find(_.tpe == "stss") match {
+              case Some(ss) =>
+                val p = v0(ss, "stss")
+                val sn = be32(bytes, p)
+                need(ss.end >= p + 4 + 4 * sn, "stss entry array")
+                Array.tabulate(sn.toInt)(k => be32(bytes, p + 4 + 4 * k))
+              case None => Array.tabulate(n.toInt)(_ + 1L)
+            }
+            // walk chunks once, materializing each sample's (chunk,
+            // index-in-chunk); stsc runs extend to the next first_chunk
+            val sampleOffset = new Array[Long](n.toInt)
+            var sample = 0L
+            var run = 0L
+            var chunk = 1L // 1-based
+            while (sample < n) {
+              if (chunk > coN)
+                throw new IllegalArgumentException(
+                  "stsc places samples beyond the stco chunk list")
+              // advance to the run governing this chunk
+              while (run + 1 < nRuns &&
+                  be32(bytes, (scP + 4 + 12 * (run + 1)).toInt) <= chunk)
+                run += 1
+              val perChunk = be32(bytes, (scP + 4 + 12 * run + 4).toInt)
+              if (perChunk <= 0)
+                throw new IllegalArgumentException(
+                  "stsc samples_per_chunk must be positive")
+              var within = 0L
+              var acc = coOffs((chunk - 1).toInt)
+              while (within < perChunk && sample < n) {
+                sampleOffset(sample.toInt) = acc
+                acc += sizes(sample.toInt)
+                sample += 1
+                within += 1
+              }
+              chunk += 1
+            }
+            val syncs = syncNos.toList.map { no =>
+              if (no < 1 || no > n)
+                throw new IllegalArgumentException(
+                  s"stss names sample $no outside 1..$n")
+              val i = (no - 1).toInt
+              val off = sampleOffset(i)
+              if (off < 0 || off + sizes(i) > bytes.length)
+                throw new IllegalArgumentException(
+                  s"sample $no byte range [$off, ${off + sizes(i)}) " +
+                    "overruns the payload")
+              SyncSample(no, off, sizes(i))
+            }
+            TrackSync(handler, syncs)
+          }
+        }
+      }
+    }
+  }
+
+  /** [[syncSamples]]'s quarantine twin. */
+  def trySyncSamples(bytes: Array[Byte]): Either[String, List[TrackSync]] =
+    try Right(syncSamples(bytes)) catch {
+      case e: IllegalArgumentException =>
+        Left(Option(e.getMessage).getOrElse("malformed MP4"))
+      case e: IndexOutOfBoundsException =>
+        Left(s"truncated MP4: out-of-bounds read at ${e.getMessage}")
+    }
+
   /** QUARANTINE form of [[meta]] — per-payload try: a malformed or
     * truncated payload yields Left(reason) instead of aborting the
     * pass. The loud form stays the default for fixtures (the Qoi
@@ -337,7 +477,13 @@ object Mp4 {
   def buildFixture(brand: String, timescale: Long, durationTicks: Long,
       tracks: Seq[(String, Int, Int)], v1: Boolean = false,
       sampleSizes: Seq[Seq[Long]] = Nil, sampleDelta: Long = 0,
-      syncEvery: Int = 0): Array[Byte] = {
+      syncEvery: Int = 0, samplesPerChunk: Int = 0,
+      sampleFill: (Int, Long, Long) => Int = (_, _, _) => 0): Array[Byte] = {
+    // chunked layout: stco needs mdat's absolute position, which is
+    // only known after moov is fully written — record each stco
+    // offset-array position and patch the final buffer
+    val stcoPatch = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val trackDataStart = new Array[Int](tracks.size)
     val o = new java.io.ByteArrayOutputStream()
     def w32(v: Long): Unit = {
       o.write(((v >>> 24) & 0xff).toInt); o.write(((v >>> 16) & 0xff).toInt)
@@ -412,6 +558,19 @@ object Mp4 {
                     w32(0); w32(syncs.size.toLong)
                     syncs.foreach(s => w32(s.toLong))
                   }
+                  if (samplesPerChunk > 0) {
+                    box("stsc") {
+                      w32(0); w32(1) // v0; one uniform run
+                      w32(1); w32(samplesPerChunk.toLong); w32(1)
+                    }
+                    box("stco") {
+                      val nChunks =
+                        (sizes.length + samplesPerChunk - 1) / samplesPerChunk
+                      w32(0); w32(nChunks.toLong)
+                      stcoPatch += ((o.size(), i))
+                      (0 until nChunks).foreach(_ => w32(0)) // patched below
+                    }
+                  }
                 }
               }
             }
@@ -419,7 +578,42 @@ object Mp4 {
         }
       }
     }
-    box("mdat") { w32(0xdeadbeefL) } // token payload; the walk never reads it
-    o.toByteArray
+    if (samplesPerChunk > 0) {
+      // a REAL mdat: each chunked track's samples concatenated, bytes
+      // from sampleFill — so byte-range consumers read actual data
+      box("mdat") {
+        tracks.indices.foreach { i =>
+          val sizes = sampleSizes.lift(i).getOrElse(Nil)
+          if (sizes.nonEmpty) {
+            trackDataStart(i) = o.size()
+            sizes.zipWithIndex.foreach { case (sz, si) =>
+              var j = 0L
+              while (j < sz) { o.write(sampleFill(i, si.toLong, j) & 0xff); j += 1 }
+            }
+          }
+        }
+      }
+    } else {
+      box("mdat") { w32(0xdeadbeefL) } // token payload; the walk never reads it
+    }
+    val out = o.toByteArray
+    stcoPatch.foreach { case (pos, i) =>
+      val sizes = sampleSizes(i)
+      var off = trackDataStart(i).toLong
+      var k = 0
+      var s = 0
+      while (s < sizes.length) {
+        out(pos + 4 * k) = ((off >>> 24) & 0xff).toByte
+        out(pos + 4 * k + 1) = ((off >>> 16) & 0xff).toByte
+        out(pos + 4 * k + 2) = ((off >>> 8) & 0xff).toByte
+        out(pos + 4 * k + 3) = (off & 0xff).toByte
+        var c = 0
+        while (c < samplesPerChunk && s < sizes.length) {
+          off += sizes(s); s += 1; c += 1
+        }
+        k += 1
+      }
+    }
+    out
   }
 }

@@ -2060,6 +2060,47 @@ object Pipeline {
         .toDF("doc_id", "n_samples", "total_bytes", "max_size",
           "duration_ticks", "n_sync")
         .orderBy("doc_id")
+    },
+
+    // keyframe byte-range extraction (round 15): Mp4.syncSamples
+    // resolves every sync sample's ABSOLUTE byte range through the
+    // stsc/stco chunk math, and the gate READS those payload bytes —
+    // summing what it finds — so the oracle equality proves the
+    // offsets land on the actual sample data, not just that the
+    // arithmetic is self-consistent. This is the IO shape of keyframe
+    // extraction at 100 TB: read exactly the sync ranges, skip the
+    // rest. Row-local, no shuffle until the sort.
+    "mm12_mp4_keyframes" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (id % 20 + 5).toInt
+          val delta = (id % 7 + 1) * 100
+          val sizes = Seq.tabulate(n)(i => (id * 13 + i * 17) % 1000 + 100)
+          val bytes = graft.multimodal.Mp4.buildFixture(
+            "isom", 30000, n * delta, Seq(("vide", 640, 360)),
+            sampleSizes = Seq(sizes), sampleDelta = delta, syncEvery = 5,
+            samplesPerChunk = 3,
+            sampleFill = (_, si, _) => ((id + si * 13) % 256).toInt)
+          val syncs = graft.multimodal.Mp4.syncSamples(bytes) match {
+            case one :: Nil => one.syncs
+            case other => sys.error(s"expected one track, got $other")
+          }
+          var byteSum = 0L
+          var syncBytes = 0L
+          syncs.foreach { ss =>
+            var p = ss.offset
+            while (p < ss.offset + ss.size) {
+              byteSum += bytes(p.toInt) & 0xff
+              p += 1
+            }
+            syncBytes += ss.size
+          }
+          (id, syncs.size.toLong, syncBytes, byteSum)
+        })
+        .toDF("doc_id", "n_sync", "sync_bytes", "byte_sum")
+        .orderBy("doc_id")
     }
   )
 
@@ -3609,6 +3650,23 @@ object Pipeline {
         |  CAST((doc_id % 20 + 5) * (doc_id % 7 + 1) * 100 AS BIGINT)
         |    AS duration_ticks,
         |  CAST((doc_id % 20 + 5 + 4) // 5 AS BIGINT) AS n_sync
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the gate reads the resolved byte ranges out of the payload, so
+    // this oracle equality proves the stsc/stco offsets land on the
+    // actual sample data
+    "mm12_mp4_keyframes" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 20 + 5 + 4) // 5 AS BIGINT) AS n_sync,
+        |  CAST(list_aggregate(list_transform(
+        |    range(0, doc_id % 20 + 5, 5),
+        |    i -> (doc_id * 13 + i * 17) % 1000 + 100), 'sum')
+        |    AS BIGINT) AS sync_bytes,
+        |  CAST(list_aggregate(list_transform(
+        |    range(0, doc_id % 20 + 5, 5),
+        |    i -> ((doc_id * 13 + i * 17) % 1000 + 100)
+        |       * ((doc_id + i * 13) % 256)), 'sum')
+        |    AS BIGINT) AS byte_sum
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

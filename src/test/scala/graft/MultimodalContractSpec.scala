@@ -408,6 +408,54 @@ class MultimodalContractSpec extends AnyFunSuite {
     assert(Mp4.trySampleStats(fix).isRight)
   }
 
+  test("MP4 keyframe ranges: stsc/stco chunk math lands on the sample bytes") {
+    import graft.multimodal.Mp4
+    // 5 samples, 2 per chunk → chunks (1,2)(3,4)(5); syncs 1, 4
+    val sizes = Seq(10L, 20L, 30L, 40L, 50L)
+    val fix = Mp4.buildFixture("isom", 1000, 5 * 40, Seq(("vide", 64, 48)),
+      sampleSizes = Seq(sizes), sampleDelta = 40, syncEvery = 3,
+      samplesPerChunk = 2, sampleFill = (_, si, j) => (si * 100 + j).toInt)
+    val ts = Mp4.syncSamples(fix) match { case t :: Nil => t }
+    assert(ts.handler == "vide")
+    assert(ts.syncs.map(_.sample) == List(1L, 4L))
+    // sample 1 starts chunk 1; sample 4 is the SECOND sample of chunk
+    // 2, so its offset is chunk2's base + size(sample 3)
+    val s1 = ts.syncs(0)
+    val s4 = ts.syncs(1)
+    assert(s1.size == 10 && s4.size == 40)
+    // the ranges carry the bytes sampleFill wrote: sample si's byte j
+    // is (si*100 + j) mod 256
+    assert((0 until 10).forall(j => (fix(s1.offset.toInt + j) & 0xff) == j))
+    assert((0 until 40).forall(j =>
+      (fix(s4.offset.toInt + j) & 0xff) == ((300 + j) & 0xff)))
+    // chunk math: sample 4 (idx 3) sits after sample 3 (idx 2) in its
+    // chunk — offsets differ by exactly size(sample 3)
+    val all = Mp4.buildFixture("isom", 1000, 5 * 40, Seq(("vide", 64, 48)),
+      sampleSizes = Seq(sizes), sampleDelta = 40, syncEvery = 1,
+      samplesPerChunk = 2, sampleFill = (_, si, j) => (si * 100 + j).toInt)
+    val offs = Mp4.syncSamples(all).head.syncs.map(_.offset)
+    assert(offs(3) - offs(2) == 30)
+    // absent stss: EVERY sample resolves (spec rule carried over)
+    val noSync = Mp4.buildFixture("isom", 1000, 5 * 40, Seq(("vide", 64, 48)),
+      sampleSizes = Seq(sizes), sampleDelta = 40, samplesPerChunk = 2,
+      sampleFill = (_, si, j) => (si * 100 + j).toInt)
+    assert(Mp4.syncSamples(noSync).head.syncs.size == 5)
+    // a chunked walk without stsc/stco is loud (ranges unresolvable)
+    val noChunks = Mp4.buildFixture("isom", 1000, 5 * 40,
+      Seq(("vide", 64, 48)), sampleSizes = Seq(sizes), sampleDelta = 40)
+    assert(intercept[IllegalArgumentException](Mp4.syncSamples(noChunks))
+      .getMessage.contains("stsc"))
+    // an offset table pointing past the file is loud, never a wild read
+    val bad = fix.clone()
+    val coAt = (0 until fix.length - 4).find(i =>
+      new String(fix, i, 4, "ISO-8859-1") == "stco").get
+    bad(coAt + 12) = 0x7f // first chunk offset high byte → far past EOF
+    assert(intercept[IllegalArgumentException](Mp4.syncSamples(bad))
+      .getMessage.contains("overruns the payload"))
+    assert(Mp4.trySyncSamples(bad).isLeft)
+    assert(Mp4.trySyncSamples(fix).isRight)
+  }
+
   test("WebP golden: all three variant encodings read back; digests pinned") {
     import graft.multimodal.Containers
     def md5(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
