@@ -503,6 +503,25 @@ class CliWebSpec extends AnyFunSuite {
         """{"metric":{"service":"web"},"values":[[0.02,"1.0"],[0.04,"1.0"]]}"""),
         lkMatched.body())
       assert(!lkMatched.body().contains("mob"), lkMatched.body())
+      // the limit_ratio twin over the same matched child: r = 1.0
+      // keeps EVERY per-step series (the exact-partition rule), so
+      // both services survive where limitk(1) kept only md5-first
+      val lrMatched = rangeQ("limit_ratio(1.0, " +
+        "sum by (service) (sum_over_time(req[20ms])) / on (service) " +
+        "group_left sum by (service) (sum_over_time(req[20ms])))")
+      assert(lrMatched.statusCode() == 200, lrMatched.body())
+      assert(lrMatched.body().contains("\"service\":\"web\"") &&
+        lrMatched.body().contains("\"service\":\"mob\""), lrMatched.body())
+      // and the negative arm keeps the exact complement — of
+      // limit_ratio(0)'s empty pick, so -1.0 also keeps every series
+      // (rk > round(0·n) = 0), through the same matched route
+      val lrMatchedNeg = rangeQ("limit_ratio(-1.0, " +
+        "sum by (service) (sum_over_time(req[20ms])) / on (service) " +
+        "group_left sum by (service) (sum_over_time(req[20ms])))")
+      assert(lrMatchedNeg.statusCode() == 200, lrMatchedNeg.body())
+      assert(lrMatchedNeg.body().contains("\"service\":\"web\"") &&
+        lrMatchedNeg.body().contains("\"service\":\"mob\""),
+        lrMatchedNeg.body())
       // a count_values child rejects with sampler-specific guidance
       // (it keys series by VALUE text), not a deep sliding error
       val lkCv = rangeQ(
