@@ -69,6 +69,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(wstartExchanges == 1, s"expected 1 wstart exchange, got $wstartExchanges:\n$p")
   }
 
+  test("mm decode gates shuffle once — only for the output sort") {
+    // mm09-mm12 are row-local byte work (encode a fixture, decode it
+    // back, fold stats) — at 100 TB that must stay embarrassingly
+    // parallel: the only exchanges are the rangepartitioning the final
+    // orderBy needs and the deliberate round-robin `widen` that
+    // spreads the doc list across tasks BEFORE the decode (without it
+    // a small upstream file serializes the whole pass into one task).
+    // A hashpartitioning exchange means someone introduced a keyed
+    // shuffle into the decode path.
+    for (g <- Seq("mm09_flac_decode", "mm10_webp_decode",
+        "mm11_mp4_samples", "mm12_mp4_keyframes")) {
+      val p = plan(graft.queries.Pipeline.queries(g)(spark, sf))
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.forall(l => l.contains("rangepartitioning") ||
+          l.contains("RoundRobinPartitioning")),
+        s"$g: keyed exchange in a row-local gate:\n${exchanges.mkString("\n")}")
+      assert(exchanges.exists(_.contains("rangepartitioning")),
+        s"$g: expected the orderBy exchange")
+    }
+  }
+
   test("column pruning keeps the tx01 documents scan narrow") {
     val p = formatted(graft.queries.Pipeline.queries("tx01_tokens")(spark, sf))
     val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
