@@ -624,27 +624,47 @@ object Webp {
     def bytes: Array[Byte] = { align(); o.toByteArray }
   }
 
-  /** Write `sym` under the canonical code implied by `lengths` —
-    * MSB of the code first, matching the reader's tree walk.
+  /** Canonical writer table for a lengths array — codes assigned once
+    * (the reader's assignment, MSB-first on the wire), then each
+    * symbol write is a bit loop. A single-symbol table writes zero
+    * bits, mirroring the degenerate tree.
     */
-  private def writeSym(w: BitW, lengths: Array[Int], sym: Int): Unit = {
-    val count = new Array[Int](MaxLen + 1)
-    lengths.foreach(l => if (l > 0) count(l) += 1)
-    var nz = 0
-    lengths.foreach(l => if (l > 0) nz += 1)
-    if (nz == 1) return // degenerate tree: zero bits
-    var code = 0
-    val first = new Array[Int](MaxLen + 1)
-    var l = 1
-    while (l <= MaxLen) { first(l) = code; code = (code + count(l)) << 1; l += 1 }
-    val len = lengths(sym)
-    var rank = 0
-    var i = 0
-    while (i < sym) { if (lengths(i) == len) rank += 1; i += 1 }
-    val c = first(len) + rank
-    var j = len - 1
-    while (j >= 0) { w.bit((c >>> j) & 1); j -= 1 }
+  private final class Codes(val lengths: Array[Int]) {
+    private val codes = new Array[Int](lengths.length)
+    private val single: Boolean = {
+      var nz = 0
+      lengths.foreach(l => if (l > 0) nz += 1)
+      if (nz > 1) {
+        val count = new Array[Int](MaxLen + 1)
+        lengths.foreach(l => if (l > 0) count(l) += 1)
+        val next = new Array[Int](MaxLen + 1)
+        var code = 0
+        var l = 1
+        while (l <= MaxLen) {
+          next(l) = code
+          code = (code + count(l)) << 1
+          l += 1
+        }
+        var i = 0
+        while (i < lengths.length) {
+          val ln = lengths(i)
+          if (ln > 0) { codes(i) = next(ln); next(ln) += 1 }
+          i += 1
+        }
+      }
+      nz == 1
+    }
+    def write(w: BitW, sym: Int): Unit = {
+      if (single) return
+      val len = lengths(sym)
+      val c = codes(sym)
+      var j = len - 1
+      while (j >= 0) { w.bit((c >>> j) & 1); j -= 1 }
+    }
   }
+
+  private def writeSym(w: BitW, codes: Codes, sym: Int): Unit =
+    codes.write(w, sym)
 
   /** Write a NORMAL-form prefix code whose symbols all have length
     * `len` for the first `alphabet` symbols (a flat, possibly
@@ -722,7 +742,8 @@ object Webp {
       bw.bit(0) // no meta prefix image (level 0 only reads this bit —
                 // subimages are written by writeSubimage below)
       val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-      val greenLens = flatLengths(256 + 24 + cacheSize, 9)
+      val greenLens = new Codes(flatLengths(256 + 24 + cacheSize, 9))
+      val chan8 = new Codes(flatLengths(256, 8))
       writeFlatCode(bw, 256 + 24 + cacheSize, 9)
       writeFlatCode(bw, 256, 8)
       writeFlatCode(bw, 256, 8)
@@ -740,9 +761,9 @@ object Webp {
           writeSym(bw, greenLens, 280 + slot)
         } else {
           writeSym(bw, greenLens, (v >>> 8) & 0xff)
-          writeSym(bw, flatLengths(256, 8), (v >>> 16) & 0xff)
-          writeSym(bw, flatLengths(256, 8), v & 0xff)
-          writeSym(bw, flatLengths(256, 8), (v >>> 24) & 0xff)
+          writeSym(bw, chan8, (v >>> 16) & 0xff)
+          writeSym(bw, chan8, v & 0xff)
+          writeSym(bw, chan8, (v >>> 24) & 0xff)
           if (cache != null) { cache(slot) = v; filled(slot) = true }
         }
         i += 1
@@ -761,8 +782,8 @@ object Webp {
       writeFlatCode(bw, 256, 8)
       writeFlatCode(bw, 256, 8)
       writeSingleCode(bw, 0)
-      val g9 = flatLengths(256 + 24, 9)
-      val c8 = flatLengths(256, 8)
+      val g9 = new Codes(flatLengths(256 + 24, 9))
+      val c8 = new Codes(flatLengths(256, 8))
       pixels.foreach { v =>
         writeSym(bw, g9, (v >>> 8) & 0xff)
         writeSym(bw, c8, (v >>> 16) & 0xff)
@@ -795,13 +816,13 @@ object Webp {
         bw.bit(0) // no cache
         bw.bit(0) // no meta image
         val half = w * h / 2
-        val greenLens = flatLengths(256 + 24, 9)
+        val greenLens = new Codes(flatLengths(256 + 24, 9))
+        val c8 = new Codes(flatLengths(256, 8))
         writeFlatCode(bw, 256 + 24, 9)
         writeFlatCode(bw, 256, 8)
         writeFlatCode(bw, 256, 8)
         writeFlatCode(bw, 256, 8)
         writeFlatCode(bw, 40, 6)
-        val c8 = flatLengths(256, 8)
         var i = 0
         while (i < half) {
           val v = px(i)
@@ -811,37 +832,46 @@ object Webp {
           writeSym(bw, c8, (v >>> 24) & 0xff)
           i += 1
         }
-        writeLz(bw, greenLens, flatLengths(40, 6), half, half + 120)
+        writeLz(bw, greenLens, new Codes(flatLengths(40, 6)), half, half + 120)
       case "lz77map" =>
         require(w * h >= 2 && (1 until w * h).forall(i => px(i) == px(0)),
           "lz77map mode needs all pixels equal")
         bw.bit(0)
         bw.bit(0)
         bw.bit(0)
-        val greenLens = flatLengths(256 + 24, 9)
+        val greenLens = new Codes(flatLengths(256 + 24, 9))
+        val c8 = new Codes(flatLengths(256, 8))
         writeFlatCode(bw, 256 + 24, 9)
         writeFlatCode(bw, 256, 8)
         writeFlatCode(bw, 256, 8)
         writeFlatCode(bw, 256, 8)
         writeFlatCode(bw, 40, 6)
         val v = px(0)
-        val c8 = flatLengths(256, 8)
         writeSym(bw, greenLens, (v >>> 8) & 0xff)
         writeSym(bw, c8, (v >>> 16) & 0xff)
         writeSym(bw, c8, v & 0xff)
         writeSym(bw, c8, (v >>> 24) & 0xff)
         // distance-map plane code 2 = (dx=1, dy=0) → distance 1
-        writeLz(bw, greenLens, flatLengths(40, 6), w * h - 1, 2)
+        writeLz(bw, greenLens, new Codes(flatLengths(40, 6)), w * h - 1, 2)
       case m if m.startsWith("predictor") =>
-        val pmode = m.drop("predictor".length).toInt
-        require(pmode >= 0 && pmode <= 13, "predictor mode 0..13")
+        // "predictorN": one block, mode N, covering the whole image;
+        // "predictormulti": 4-pixel blocks whose modes CYCLE through
+        // all 14 — proving per-block mode switching in the inverse
+        val multi = m == "predictormulti"
+        val pmode = if (multi) -1 else m.drop("predictor".length).toInt
+        require(multi || (pmode >= 0 && pmode <= 13), "predictor mode 0..13")
         require(w <= 512 && h <= 512, "predictor fixture: dims <= 512")
         var sb = 2
-        while ((1 << sb) < math.max(w, h)) sb += 1
+        if (!multi) while ((1 << sb) < math.max(w, h)) sb += 1
         require(sb <= 9, "predictor block size")
+        val tw = divUp(w, 1 << sb)
+        val th = divUp(h, 1 << sb)
+        def modeAt(x: Int, y: Int): Int =
+          if (multi) ((y >> sb) * tw + (x >> sb)) % 14 else pmode
         bw.bit(1); bw.bits(0, 2) // predictor transform
         bw.bits(sb - 2, 3)
-        writeSubimage(Array(0xff000000 | (pmode << 8)))
+        writeSubimage(Array.tabulate(tw * th)(k =>
+          0xff000000 | ((if (multi) k % 14 else pmode) << 8)))
         bw.bit(0) // end of transforms
         // forward: residual = pixel - predicted (original neighbors —
         // the inverse reconstructs them identically)
@@ -855,8 +885,8 @@ object Webp {
               if (x == 0 && y == 0) 0xff000000
               else if (y == 0) px(i - 1)
               else if (x == 0) px(i - w)
-              else predict(pmode, px(i - 1), px(i - w), px(i - w - 1),
-                px(i - w + 1))
+              else predict(modeAt(x, y), px(i - 1), px(i - w),
+                px(i - w - 1), px(i - w + 1))
             res(i) = subPixels(px(i), pred)
             x += 1
           }
@@ -933,8 +963,8 @@ object Webp {
         writeSubimage(entropyPx)
         // two groups whose green codes differ in LENGTH — a stream
         // decoded with the wrong group's tree cannot round-trip
-        val g9 = flatLengths(256 + 24, 9)
-        val g10 = flatLengths(256 + 24, 10)
+        val g9 = new Codes(flatLengths(256 + 24, 9))
+        val g10 = new Codes(flatLengths(256 + 24, 10))
         Seq(9, 10).foreach { len =>
           writeFlatCode(bw, 256 + 24, len)
           writeFlatCode(bw, 256, 8)
@@ -942,7 +972,7 @@ object Webp {
           writeFlatCode(bw, 256, 8)
           writeSingleCode(bw, 0)
         }
-        val c8 = flatLengths(256, 8)
+        val c8 = new Codes(flatLengths(256, 8))
         var i = 0
         while (i < px.length) {
           val v = px(i)
@@ -983,7 +1013,7 @@ object Webp {
   /** One LZ77 reference: length via the prefix coding on the green
     * tree, then the distance code on the distance tree.
     */
-  private def writeLz(w: BitW, greenLens: Array[Int], distLens: Array[Int],
+  private def writeLz(w: BitW, greenLens: Codes, distLens: Codes,
       len: Int, distCode: Int): Unit = {
     val (lsym, lextra, lbits) = prefixEncode(len)
     writeSym(w, greenLens, 256 + lsym)

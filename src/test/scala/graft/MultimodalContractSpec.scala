@@ -636,6 +636,9 @@ class MultimodalContractSpec extends AnyFunSuite {
     // clamped add/subtract estimators with their exact tie/truncation
     // rules
     (0 to 13).foreach(m => roundtrip(pix(48), 8, 6, s"predictor$m"))
+    // multi-block: 4-px blocks whose modes cycle through all 14 —
+    // the inverse must switch predictors at every block boundary
+    roundtrip(pix(24 * 18), 24, 18, "predictormulti")
     roundtrip(pix(36), 9, 4, "colortx")
     // meta prefix groups: two groups with different green code lengths
     // (9 vs 10 bits) — decode must pick the right tree per 4-px block

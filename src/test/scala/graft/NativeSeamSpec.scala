@@ -307,6 +307,7 @@ class NativeSeamSpec extends AnyFunSuite {
     check(half ++ half, 5, 4, "lz77")
     check(Array.fill(12)(0xff314159), 4, 3, "lz77map")
     (0 to 13).foreach(m => check(px(48), 8, 6, s"predictor$m"))
+    check(px(24 * 18), 24, 18, "predictormulti")
     check(px(36), 9, 4, "colortx")
     check(px(60), 10, 6, "meta")
     check(Array.tabulate(20)(i => if (i % 2 == 0) 0xff112233 else 0xff445566),
