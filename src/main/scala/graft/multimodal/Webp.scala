@@ -189,7 +189,15 @@ object Webp {
       else i += 8 + size + (size & 1)
     }
     if (s < 0 || e > bytes.length) fail("VP8L chunk missing or truncated")
-    if ((bytes(s) & 0xff) != 0x2f) fail("VP8L signature missing")
+    decodeVp8l(bytes, s, e)
+  }
+
+  /** The VP8L bitstream core over a [s, e) slice — shared by the
+    * single-image path and the animated-frame walk.
+    */
+  private def decodeVp8l(bytes: Array[Byte], s: Int,
+      e: Int): (Int, Int, Array[Int]) = {
+    if (s >= e || (bytes(s) & 0xff) != 0x2f) fail("VP8L signature missing")
     val bits = new Bits(bytes, s + 1, e)
     val w = bits.read(14) + 1
     val h = bits.read(14) + 1
@@ -197,6 +205,143 @@ object Webp {
     if (bits.read(3) != 0) fail("unsupported VP8L version")
     val px = decodeImage(bits, w, h, level0 = true)
     (w, h, px)
+  }
+
+  /** One animated-WebP frame: canvas placement (x, y), dimensions,
+    * duration, and the decoded VP8L pixels.
+    */
+  final case class AnimFrame(x: Int, y: Int, w: Int, h: Int,
+      durationMs: Int, px: Array[Int])
+
+  /** Decode an ANIMATED lossless WebP: the VP8X+ANIM+ANMF container
+    * walk (pure JVM, the [[Mp4]]/[[Containers]] convention for
+    * container structure) with each ANMF frame's VP8L bitstream
+    * decoded through the same core as [[decode]]. Returns the canvas
+    * dimensions and the frames in file order. Lossless frames only —
+    * a VP8 (lossy) or ALPH frame payload is loud; so is an ANMF frame
+    * overrunning the canvas, a missing ANIM chunk, or a VP8X without
+    * the animation flag.
+    */
+  def decodeFrames(bytes: Array[Byte]): (Int, Int, List[AnimFrame]) = {
+    val m = Containers.webpMeta(bytes)
+    if (m.variant != "extended" || !m.animation)
+      fail("not an animated WebP (VP8X with the animation flag required)")
+    def u24(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+      ((bytes(i + 2) & 0xff) << 16)
+    def u32(i: Int): Long = (u24(i) & 0xffffffL) | ((bytes(i + 3) & 0xffL) << 24)
+    var i = 12
+    var sawAnim = false
+    val frames = scala.collection.mutable.ListBuffer.empty[AnimFrame]
+    while (i + 8 <= bytes.length) {
+      val tpe = new String(bytes, i, 4,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val size = u32(i + 4)
+      val start = i + 8
+      if (start + size > bytes.length)
+        fail(s"chunk '$tpe' overruns the WebP payload")
+      tpe match {
+        case "ANIM" =>
+          if (size < 6) fail("truncated ANIM chunk")
+          sawAnim = true
+        case "ANMF" =>
+          if (!sawAnim) fail("ANMF frame before the ANIM parameters")
+          if (size < 16) fail("truncated ANMF header")
+          val fx = u24(start) * 2
+          val fy = u24(start + 3) * 2
+          val fw = u24(start + 6) + 1
+          val fh = u24(start + 9) + 1
+          val dur = u24(start + 12)
+          // flags byte at start+15: blending/disposal — placement
+          // metadata, no effect on per-frame pixel decode
+          if (fx + fw > m.width || fy + fh > m.height)
+            fail(s"ANMF frame [$fx,$fy ${fw}x$fh] overruns the " +
+              s"${m.width}x${m.height} canvas")
+          // frame data: subchunks; the lossless contract wants VP8L
+          var p = start + 16
+          var decoded: Option[(Int, Int, Array[Int])] = None
+          while (decoded.isEmpty && p + 8 <= start + size) {
+            val st = new String(bytes, p, 4,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val ss = u32(p + 4)
+            if (p + 8 + ss > start + size)
+              fail(s"frame subchunk '$st' overruns its ANMF")
+            st match {
+              case "VP8L" => decoded = Some(decodeVp8l(bytes, p + 8,
+                (p + 8 + ss).toInt))
+              case "VP8 " | "ALPH" =>
+                fail("contract covers LOSSLESS animated WebP; frame " +
+                  s"carries '$st'")
+              case _ => p += 8 + ss.toInt + (ss.toInt & 1)
+            }
+          }
+          val (dw, dh, px) = decoded.getOrElse(
+            fail("ANMF frame without a VP8L bitstream"))
+          if (dw != fw || dh != fh)
+            fail(s"frame bitstream is ${dw}x$dh but ANMF declares ${fw}x$fh")
+          frames += AnimFrame(fx, fy, fw, fh, dur, px)
+        case _ => () // VP8X/ICCP/EXIF/XMP: skip
+      }
+      i = start + size.toInt + (size.toInt & 1)
+    }
+    if (frames.isEmpty) fail("animated WebP carries no ANMF frames")
+    (m.width, m.height, frames.toList)
+  }
+
+  /** Quarantine twin ([[Mp4.tryMeta]] convention). */
+  def tryDecodeFrames(
+      bytes: Array[Byte]): Either[String, (Int, Int, List[AnimFrame])] =
+    try Right(decodeFrames(bytes)) catch {
+      case e: IllegalArgumentException =>
+        Left(Option(e.getMessage).getOrElse("malformed animated WebP"))
+      case e: IndexOutOfBoundsException =>
+        Left(s"truncated WebP: out-of-bounds read at ${e.getMessage}")
+    }
+
+  /** Animated fixture builder: VP8X (animation flag, canvas) + ANIM +
+    * one ANMF per frame, each frame's pixels encoded by
+    * [[buildFixture]]'s VP8L machinery under the given mode.
+    */
+  def buildAnimFixture(canvasW: Int, canvasH: Int,
+      frames: Seq[(Int, Int, Int, Array[Int], Int, Int)], // x, y, durMs, px, w, h
+      mode: String = "literal"): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    val o = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { o.write(v & 0xff); o.write((v >>> 8) & 0xff) }
+    def w24(v: Int): Unit = { w16(v & 0xffff); o.write((v >>> 16) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def s4(s: String): Unit = o.write(s.getBytes("ISO-8859-1"))
+    val body = new java.io.ByteArrayOutputStream()
+    frames.foreach { case (fx, fy, dur, px, fw, fh) =>
+      require(fx % 2 == 0 && fy % 2 == 0, "ANMF stores x/2, y/2")
+      require(fx + fw <= canvasW && fy + fh <= canvasH, "frame on canvas")
+      // reuse the single-image builder and carve out its VP8L chunk
+      // (RIFF 12 + chunk header 8 in, chunk size from its header)
+      val whole = buildFixture(px, fw, fh, mode)
+      val chunkSize = (whole(16) & 0xff) | ((whole(17) & 0xff) << 8) |
+        ((whole(18) & 0xff) << 16) | ((whole(19) & 0xff) << 24)
+      val f = new java.io.ByteArrayOutputStream()
+      def f16(v: Int): Unit = { f.write(v & 0xff); f.write((v >>> 8) & 0xff) }
+      def f24(v: Int): Unit = { f16(v & 0xffff); f.write((v >>> 16) & 0xff) }
+      f24(fx / 2); f24(fy / 2); f24(fw - 1); f24(fh - 1)
+      f24(dur); f.write(0) // flags: no blend, keep
+      f.write(whole, 12, 8 + chunkSize + (chunkSize & 1))
+      val fb = f.toByteArray
+      body.write("ANMF".getBytes("ISO-8859-1"))
+      body.write(fb.length & 0xff); body.write((fb.length >>> 8) & 0xff)
+      body.write((fb.length >>> 16) & 0xff); body.write((fb.length >>> 24) & 0xff)
+      body.write(fb, 0, fb.length)
+      if ((fb.length & 1) == 1) body.write(0)
+    }
+    val anim = body.toByteArray
+    val riffLen = 4 + (8 + 10) + (8 + 6) + anim.length
+    s4("RIFF"); w32(riffLen); s4("WEBP")
+    s4("VP8X"); w32(10)
+    o.write(0x02); o.write(0); o.write(0); o.write(0) // animation flag
+    w24(canvasW - 1); w24(canvasH - 1)
+    s4("ANIM"); w32(6)
+    w32(0); w16(0) // background BGRA, infinite loop
+    o.write(anim, 0, anim.length)
+    o.toByteArray
   }
 
   private def decodeImage(bits: Bits, w: Int, h: Int,

@@ -2101,6 +2101,50 @@ object Pipeline {
         })
         .toDF("doc_id", "n_sync", "sync_bytes", "byte_sum")
         .orderBy("doc_id")
+    },
+
+    // animated WebP across the distributed seam (round 15): per-doc
+    // VP8X+ANIM+ANMF fixtures whose frames carry rotating VP8L
+    // strategies, decoded back frame by frame through the same VP8L
+    // core as mm10 — the frame-sample shape for animated images
+    // (frame count, total duration, per-frame pixel stats). Decode is
+    // exact, so the oracle reconstructs everything arithmetically.
+    // Row-local, no shuffle until the sort.
+    "mm13_webp_anim" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val nf = (id % 3 + 2).toInt
+          val fw = (id % 4 + 2).toInt
+          val frames = (0 until nf).map { j =>
+            val fh = ((id + j) % 3 + 2).toInt
+            val px = Array.tabulate(fw * fh) { i =>
+              val r = ((id * 31 + j * 11 + i * 7) % 256).toInt
+              val g = ((id * 17 + j * 5 + i * 13) % 256).toInt
+              val b = ((id * 23 + j * 3 + i * 29) % 256).toInt
+              0xff000000 | (r << 16) | (g << 8) | b
+            }
+            val dur = ((id % 9 + 1) * 10 + j).toInt
+            (2 * (j % 3), 2 * (j % 2), dur, px, fw, fh)
+          }
+          val mode = (id % 3) match {
+            case 0 => "literal"
+            case 1 => "subgreen"
+            case _ => "predictor7"
+          }
+          val bytes = graft.multimodal.Webp.buildAnimFixture(
+            16, 16, frames, mode)
+          val (cw, ch, dec) = graft.multimodal.Webp.decodeFrames(bytes)
+          require(cw == 16 && ch == 16, s"canvas $cw x $ch")
+          def rgb(v: Int) =
+            ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+          (id, dec.size.toLong,
+            dec.map(_.durationMs.toLong).sum,
+            dec.map(_.px.foldLeft(0L)((a, v) => a + rgb(v))).sum)
+        })
+        .toDF("doc_id", "n_frames", "total_dur", "sum_rgb")
+        .orderBy("doc_id")
     }
   )
 
@@ -3667,6 +3711,22 @@ object Pipeline {
         |    i -> ((doc_id * 13 + i * 17) % 1000 + 100)
         |       * ((doc_id + i * 13) % 256)), 'sum')
         |    AS BIGINT) AS byte_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // animated decode is exact, so the oracle reconstructs the frame
+    // pixel channels the gate encoded (nested per-frame/per-pixel)
+    "mm13_webp_anim" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 3 + 2 AS BIGINT) AS n_frames,
+        |  CAST(list_aggregate(list_transform(range(0, doc_id % 3 + 2),
+        |    j -> (doc_id % 9 + 1) * 10 + j), 'sum') AS BIGINT) AS total_dur,
+        |  CAST(list_aggregate(list_transform(range(0, doc_id % 3 + 2),
+        |    j -> list_aggregate(list_transform(
+        |      range(0, (doc_id % 4 + 2) * ((doc_id + j) % 3 + 2)),
+        |      i -> (doc_id * 31 + j * 11 + i * 7) % 256
+        |         + (doc_id * 17 + j * 5 + i * 13) % 256
+        |         + (doc_id * 23 + j * 3 + i * 29) % 256), 'sum')),
+        |    'sum') AS BIGINT) AS sum_rgb
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

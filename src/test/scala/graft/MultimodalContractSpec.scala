@@ -676,6 +676,41 @@ class MultimodalContractSpec extends AnyFunSuite {
     assert(wFeat.toSeq == bFeat.toSeq)
   }
 
+  test("WebP animated: frame walk + per-frame VP8L decode; placement rules") {
+    import graft.multimodal.Webp
+    val rnd = new scala.util.Random(31)
+    def pix(n: Int) = Array.fill(n)(0xff000000 | rnd.nextInt(0x1000000))
+    val f0 = pix(12) // 4x3 at (0,0)
+    val f1 = pix(6)  // 3x2 at (2,4)
+    val anim = Webp.buildAnimFixture(10, 8,
+      Seq((0, 0, 40, f0, 4, 3), (2, 4, 70, f1, 3, 2)), "subgreen")
+    val (cw, ch, frames) = Webp.decodeFrames(anim)
+    assert(cw == 10 && ch == 8)
+    assert(frames.map(f => (f.x, f.y, f.w, f.h, f.durationMs)) ==
+      List((0, 0, 4, 3, 40), (2, 4, 3, 2, 70)))
+    assert(frames(0).px.toSeq == f0.toSeq && frames(1).px.toSeq == f1.toSeq)
+    // the container meta agrees (variant extended, animation flagged)
+    val m = graft.multimodal.Containers.webpMeta(anim)
+    assert(m.variant == "extended" && m.animation && m.width == 10)
+    // a PLAIN lossless image is not an animation — loud
+    val still = Webp.buildFixture(pix(9), 3, 3, "literal")
+    assert(intercept[IllegalArgumentException](Webp.decodeFrames(still))
+      .getMessage.contains("animation flag"))
+    // a frame overrunning the canvas is loud at the walk, before
+    // any pixel decode
+    intercept[IllegalArgumentException](Webp.buildAnimFixture(4, 4,
+      Seq((2, 2, 10, pix(12), 4, 3))))
+    // ...and a hand-corrupted declared width triggers the decoder's
+    // own canvas check (ANMF width byte: header starts after
+    // RIFF(12) + VP8X(18) + ANIM(14) + 'ANMF'+size(8) → +6 is w-1)
+    val bad = anim.clone()
+    bad(12 + 18 + 14 + 8 + 6) = 0x7f
+    assert(intercept[IllegalArgumentException](Webp.decodeFrames(bad))
+      .getMessage.contains("overruns the"))
+    assert(Webp.tryDecodeFrames(bad).isLeft)
+    assert(Webp.tryDecodeFrames(anim).isRight)
+  }
+
   test("WebP decode: malformed streams fail loudly, never spin or over-read") {
     import graft.multimodal.{Containers, Webp}
     val rnd = new scala.util.Random(11)
