@@ -174,7 +174,9 @@ object Webp {
     // grammar; here we need the chunk offset too)
     Containers.webpMeta(bytes) match {
       case m if m.variant != "lossless" =>
-        fail(s"contract covers VP8L lossless WebP, got ${m.variant}")
+        fail(s"contract covers VP8L lossless WebP, got ${m.variant}" +
+          (if (m.animation) " — animated payloads decode via Webp.decodeFrames"
+           else ""))
       case _ => ()
     }
     var i = 12
