@@ -149,6 +149,70 @@ object Containers {
         Left(s"truncated FLAC: out-of-bounds read at ${e.getMessage}")
     }
 
+  /** FLAC VORBIS_COMMENT tags (metadata block type 4) — the text
+    * metadata an audio-curation pipeline filters on (TITLE, ARTIST,
+    * LANGUAGE, ...). The comment block is LITTLE-endian (the vorbis
+    * framing convention, unlike every other FLAC field): vendor
+    * length + string, then a comment count and length-prefixed
+    * `KEY=value` UTF-8 entries. Keys are case-insensitive per the
+    * vorbis spec and come back UPPERCASED; values keep their bytes.
+    * Duplicate keys are legal (multi-valued tags) and all survive in
+    * file order. A FLAC without the block yields (vendor "", no
+    * tags); a malformed block is loud.
+    */
+  def flacTags(bytes: Array[Byte]): (String, List[(String, String)]) = {
+    flacMeta(bytes) // magic + STREAMINFO validation
+    var p = 4
+    var last = false
+    while (!last) {
+      need(p + 4 <= bytes.length, "FLAC metadata block header")
+      last = (bytes(p) & 0x80) != 0
+      val tpe = bytes(p) & 0x7f
+      val len = u24be(bytes, p + 1)
+      need(p + 4 + len <= bytes.length, "FLAC metadata block body")
+      if (tpe == 4) {
+        val end = p + 4 + len
+        var q = p + 4
+        def u32(): Long = {
+          need(q + 4 <= end, "VORBIS_COMMENT length field")
+          val v = u32le(bytes, q); q += 4; v
+        }
+        def str(n: Long): String = {
+          require(n <= end - q,
+            s"VORBIS_COMMENT string ($n bytes) overruns the block")
+          val s = new String(bytes, q, n.toInt,
+            java.nio.charset.StandardCharsets.UTF_8)
+          q += n.toInt
+          s
+        }
+        val vendor = str(u32())
+        val n = u32()
+        val tags = List.newBuilder[(String, String)]
+        var i = 0L
+        while (i < n) {
+          val c = str(u32())
+          val eq = c.indexOf('=')
+          require(eq > 0, s"VORBIS_COMMENT entry without KEY=: '$c'")
+          tags += ((c.substring(0, eq).toUpperCase(java.util.Locale.ROOT),
+            c.substring(eq + 1)))
+          i += 1
+        }
+        return (vendor, tags.result())
+      }
+      p += 4 + len
+    }
+    ("", Nil)
+  }
+
+  def tryFlacTags(
+      bytes: Array[Byte]): Either[String, (String, List[(String, String)])] =
+    try Right(flacTags(bytes)) catch {
+      case e: IllegalArgumentException =>
+        Left(Option(e.getMessage).getOrElse("malformed FLAC"))
+      case e: IndexOutOfBoundsException =>
+        Left(s"truncated FLAC: out-of-bounds read at ${e.getMessage}")
+    }
+
   /** Fixture builders — the forward-writing twins ([[Mp4.buildFixture]]
     * convention): gates/specs prove the round trip without a codec.
     */
@@ -193,10 +257,13 @@ object Containers {
   }
 
   def buildFlacFixture(sampleRate: Int, channels: Int, bitsPerSample: Int,
-      totalSamples: Long): Array[Byte] = {
+      totalSamples: Long, vendor: String = "",
+      tags: Seq[(String, String)] = Nil): Array[Byte] = {
+    val withTags = vendor.nonEmpty || tags.nonEmpty
     val o = new java.io.ByteArrayOutputStream()
     o.write("fLaC".getBytes("ISO-8859-1"))
-    o.write(0x80) // last-metadata-block, type 0 (STREAMINFO)
+    // STREAMINFO is last only when no VORBIS_COMMENT block follows
+    o.write(if (withTags) 0x00 else 0x80)
     o.write(0); o.write(0); o.write(34)
     // min/max block size, min/max frame size: token values
     o.write(0x10); o.write(0); o.write(0x10); o.write(0)
@@ -212,6 +279,26 @@ object Containers {
     o.write(((totalSamples >>> 8) & 0xff).toInt)
     o.write((totalSamples & 0xff).toInt)
     (0 until 16).foreach(_ => o.write(0)) // MD5 of raw samples: token
+    if (withTags) {
+      // VORBIS_COMMENT (type 4, last) — little-endian framing
+      val body = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = {
+        body.write(v & 0xff); body.write((v >>> 8) & 0xff)
+        body.write((v >>> 16) & 0xff); body.write((v >>> 24) & 0xff)
+      }
+      val vb = vendor.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      le32(vb.length); body.write(vb, 0, vb.length)
+      le32(tags.size)
+      tags.foreach { case (k, v) =>
+        val cb = s"$k=$v".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        le32(cb.length); body.write(cb, 0, cb.length)
+      }
+      val bb = body.toByteArray
+      o.write(0x84) // last block, type 4
+      o.write((bb.length >>> 16) & 0xff); o.write((bb.length >>> 8) & 0xff)
+      o.write(bb.length & 0xff)
+      o.write(bb, 0, bb.length)
+    }
     o.toByteArray
   }
 }

@@ -2145,6 +2145,32 @@ object Pipeline {
         })
         .toDF("doc_id", "n_frames", "total_dur", "sum_rgb")
         .orderBy("doc_id")
+    },
+
+    // FLAC VORBIS_COMMENT tags across the distributed seam (round 15):
+    // the TEXT metadata an audio-curation pipeline filters on (title /
+    // language / track), parsed from per-doc fixtures carrying a real
+    // little-endian comment block. The oracle reconstructs the strings
+    // because the walk is exact. Row-local, no shuffle until the sort.
+    "mm14_flac_tags" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val lang = (id % 3) match {
+            case 0 => "en"; case 1 => "fr"; case _ => "de"
+          }
+          val bytes = graft.multimodal.Containers.buildFlacFixture(
+            8000, 1, 16, 64, vendor = "graft",
+            tags = Seq("title" -> s"doc$id", "LANGUAGE" -> lang,
+              "TrackNumber" -> (id % 20).toString))
+          val (vendor, tags) = graft.multimodal.Containers.flacTags(bytes)
+          val m = tags.toMap // keys already uppercased by the walk
+          (id, vendor, tags.size.toLong, m("TITLE"), m("LANGUAGE"),
+            m("TRACKNUMBER"))
+        })
+        .toDF("doc_id", "vendor", "n_tags", "title", "language", "track")
+        .orderBy("doc_id")
     }
   )
 
@@ -3727,6 +3753,17 @@ object Pipeline {
         |         + (doc_id * 17 + j * 5 + i * 13) % 256
         |         + (doc_id * 23 + j * 3 + i * 29) % 256), 'sum')),
         |    'sum') AS BIGINT) AS sum_rgb
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the tag walk is exact, so the oracle reconstructs the strings
+    "mm14_flac_tags" ->
+      """SELECT doc_id,
+        |  'graft' AS vendor,
+        |  CAST(3 AS BIGINT) AS n_tags,
+        |  'doc' || CAST(doc_id AS VARCHAR) AS title,
+        |  CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+        |    ELSE 'de' END AS language,
+        |  CAST(doc_id % 20 AS VARCHAR) AS track
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -534,6 +534,43 @@ class MultimodalContractSpec extends AnyFunSuite {
       Containers.flacMeta(zeroRate)).getMessage.contains("sample rate 0"))
   }
 
+  test("FLAC tags: VORBIS_COMMENT walks back; vorbis rules pinned") {
+    import graft.multimodal.Containers
+    val fx = Containers.buildFlacFixture(44100, 2, 16, 1000,
+      vendor = "graft-test",
+      tags = Seq("Title" -> "Ode", "ARTIST" -> "someone",
+        "artist" -> "someone else", "LANGUAGE" -> "en"))
+    val (vendor, tags) = Containers.flacTags(fx)
+    assert(vendor == "graft-test")
+    // keys uppercase (case-insensitive per vorbis); duplicates are
+    // multi-valued tags and ALL survive in file order
+    assert(tags == List("TITLE" -> "Ode", "ARTIST" -> "someone",
+      "ARTIST" -> "someone else", "LANGUAGE" -> "en"))
+    // values keep their bytes — '=' inside a VALUE is legal
+    val eq = Containers.buildFlacFixture(8000, 1, 16, 0,
+      vendor = "v", tags = Seq("K" -> "a=b"))
+    assert(Containers.flacTags(eq)._2 == List("K" -> "a=b"))
+    // the STREAMINFO walk is untouched by the extra block
+    val m = Containers.flacMeta(fx)
+    assert(m.sampleRate == 44100 && m.channels == 2 && m.totalSamples == 1000)
+    // a FLAC without the block yields empty tags, not an error
+    assert(Containers.flacTags(
+      Containers.buildFlacFixture(8000, 1, 16, 0)) == (("", Nil)))
+    // a comment-string length overrunning the block is loud
+    val bad = fx.clone()
+    // vendor length lives right after the 4-byte block header at the
+    // VORBIS_COMMENT block (4 magic + 38 STREAMINFO): bump it huge
+    bad(4 + 38 + 4 + 3) = 0x7f
+    assert(intercept[IllegalArgumentException](Containers.flacTags(bad))
+      .getMessage.contains("overruns the block"))
+    assert(Containers.tryFlacTags(bad).isLeft)
+    assert(Containers.tryFlacTags(fx).isRight)
+    // an entry without KEY= is loud
+    val noEq = Containers.buildFlacFixture(8000, 1, 16, 0,
+      vendor = "v", tags = Seq("JUSTAKEY" -> ""))
+    assert(Containers.flacTags(noEq)._2 == List("JUSTAKEY" -> ""))
+  }
+
   test("FLAC decode: every subframe type and channel assignment round-trips") {
     import graft.multimodal.Flac
     val rnd = new scala.util.Random(42)
