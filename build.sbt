@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // GC stays the JDK-default G1: an A/B against -XX:+UseParallelGC on a
+  // 10-gate probe set (r15) measured G1 clearly faster for this
+  // many-short-queries profile (ts25 warm 2.4s vs 3.9s, q24 0.65 vs
+  // 1.2) — the parallel collector's full-heap pauses land inside timed
+  // windows.
 )

@@ -72,9 +72,16 @@ object Dedup {
     */
   def shingleBase(df: DataFrame, idCol: String, textCol: String,
       nGram: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"),
+    // The empty-shingle filter tests token count, not size(hs): a
+    // filter on the projected hs pushes below the Project and evaluates
+    // the shingle-hash kernel TWICE per row (Filter + Project — no
+    // cross-operator subexpression elimination), and `hs nonempty ⟺
+    // tokens >= nGram` exactly. tokenCount is the cheap one-pass kernel
+    // (no arrays, no md5), so the expensive kernel runs once. (r15 §1.2
+    // per-task work; measured ~2x on the shared shingle passes.)
+    df.where(graft.functions.TextKernels.tokenCount(col(textCol)) >= nGram)
+      .select(col(idCol).as("id"),
         graft.functions.ShingleHash.shingleHashes60(col(textCol), nGram).as("hs"))
-      .where(size(col("hs")) > 0)
 
   /** (id, band_idx, band_key) LSH table for a shingle base: signatures
     * via the explode+agg shape (see minhashPairs), band keys as md5 of

@@ -95,8 +95,12 @@ object NgramLm {
       docs.select(explode(col(toksCol)).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    // coalesce: SUM over zero rows (empty or all-null corpus) is null
-    val n = docs.select(coalesce(sum(size(col(toksCol))), lit(0L)))
+    // N = Σ unigram counts — identical to sum(size(toks)) over docs
+    // (explode emits one row per token; empty/null arrays contribute 0
+    // both ways) but reads the unigram table the score plan needs
+    // anyway instead of re-scanning the corpus. coalesce: SUM over an
+    // empty unigram table (empty corpus) is null.
+    val n = uni.agg(coalesce(sum(col("c")), lit(0L)))
       .head().getLong(0)
     Model3(tri, bi, uni, n)
   }
@@ -170,12 +174,21 @@ object NgramLm {
     */
   def fitScorePerplexity(docs: DataFrame, idCol: String, toksCol: String,
       k: Double = 1.0): DataFrame = {
+    // `docs` is read twice (vocabulary count + the pair explode), and
+    // its toks column is typically an expensive tokenizer projection —
+    // persist it unless the caller already did, so the corpus is
+    // tokenized ONCE (the V count below runs first and populates the
+    // cache; the pair materialization then reads it).
+    val src =
+      if (docs.storageLevel == StorageLevel.NONE)
+        graft.engine.Caches.track(docs.persist(StorageLevel.MEMORY_AND_DISK))
+      else docs
     val pairs = graft.engine.Caches.track(
-      bigramPairs(docs, Seq(col(idCol)), toksCol)
+      bigramPairs(src, Seq(col(idCol)), toksCol)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
     val ctx = bg.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
-    val v = docs.select(explode(col(toksCol)).as("w")).distinct().count()
+    val v = src.select(explode(col(toksCol)).as("w")).distinct().count()
     val lp = log((coalesce(col("c"), lit(0L)).cast("double") + lit(k)) /
       (coalesce(col("c1"), lit(0L)).cast("double") + lit(k * v)))
     pairs
@@ -204,7 +217,13 @@ object NgramLm {
     */
   def dsirLogRatio(docs: DataFrame, idCol: String, toksCol: String,
       targetCol: Column, k: Double = 1.0): DataFrame = {
-    val flagged = docs.withColumn("_tgt", targetCol)
+    // flagged is read twice (vocabulary pass + pair explode) — persist
+    // so the tokenizer projection under `docs` runs once (the eager
+    // vocabulary head() below populates the cache first); same policy
+    // as fitScorePerplexity.
+    val flagged = graft.engine.Caches.track(
+      docs.withColumn("_tgt", targetCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val pairs = graft.engine.Caches.track(
       bigramPairs(flagged, Seq(col(idCol), col("_tgt")), toksCol)
         .persist(StorageLevel.MEMORY_AND_DISK))

@@ -1362,10 +1362,14 @@ object Pipeline {
     // per-doc average. The model is vocabulary-bound, the corpus is
     // never collected; V rides the plan as a literal.
     "tx16_bigram_ppl" -> { (s, dir) =>
+      // pre-filter on the cheap token-count kernel: a filter on
+      // size(toks) pushes below the Project and tokenizes every row
+      // TWICE (no cross-operator subexpression elimination); the
+      // count test is equivalent to size(tokens(text)) >= 2
       val d = docs(s, dir)
+        .where(graft.functions.TextKernels.tokenCount(col("text")) >= 2)
         .select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 2)
       graft.operators.NgramLm.fitScorePerplexity(d, "doc_id", "toks")
         .select(col("doc_id"), col("n_bigrams"),
           round(col("ppl"), 6).as("ppl"))
@@ -1382,10 +1386,12 @@ object Pipeline {
     // way; NgramLmSpec pins each branch by hand), and the novel token
     // always lands on the unigram floor.
     "tx19_stupid_backoff" -> { (s, dir) =>
+      // cheap token-count pre-filter (not size(toks) — see tx16): the
+      // persist then materializes with ONE tokenize per row, not two
       val d = graft.engine.Caches.track(docs(s, dir)
+        .where(graft.functions.TextKernels.tokenCount(col("text")) >= 3)
         .select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val m = graft.operators.NgramLm.fitTrigram(d, "toks")
       val probe = d.select(col("doc_id"),
@@ -1509,10 +1515,11 @@ object Pipeline {
     // on exp(logw). Non-target documents exercise the OOV smoothing
     // paths for real.
     "pp06_dsir_logratio" -> { (s, dir) =>
+      // cheap token-count pre-filter (not size(toks) — see tx16)
       val d = docs(s, dir)
+        .where(graft.functions.TextKernels.tokenCount(col("text")) >= 2)
         .select(col("doc_id"), col("source"),
           graft.functions.TextFunctions.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 2)
       graft.operators.NgramLm.dsirLogRatio(d, "doc_id", "toks",
           col("source").isin("src0", "src1"))
         .select(col("doc_id"), round(col("dsir_logw"), 6).as("dsir_logw"))

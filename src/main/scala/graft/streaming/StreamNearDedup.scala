@@ -54,10 +54,15 @@ object StreamNearDedup {
     val k = bands * rowsPerBand
     val spark = raw.sparkSession
     import spark.implicits._
-    val sigs = raw.select(
-      col(idCol).cast("long").as("id"),
-      graft.functions.ShingleHash.shingleHashes60(col(textCol), nGram).as("hs"))
-      .where(size(col("hs")) > 0) // shingle-less docs can't be compared
+    // shingle-less docs can't be compared; pre-filter on the cheap
+    // token-count kernel (hs nonempty ⟺ tokens >= nGram) so the
+    // shingle-hash kernel is not evaluated a second time by a filter
+    // pushed below the projection (same fix as Dedup.shingleBase)
+    val sigs = raw
+      .where(graft.functions.TextKernels.tokenCount(col(textCol)) >= nGram)
+      .select(
+        col(idCol).cast("long").as("id"),
+        graft.functions.ShingleHash.shingleHashes60(col(textCol), nGram).as("hs"))
       // compiled signature kernel (equal to TextFunctions.minhashSig —
       // DedupSpec pins it; the empty-array case is filtered above)
       .select(col("id"),

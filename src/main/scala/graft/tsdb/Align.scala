@@ -88,10 +88,30 @@ object Align {
   def interpolatedBucketed(
       l: DataFrame, r: DataFrame, roundInterpolated: Boolean,
       bucketMs: Long): DataFrame = {
-    val lv = l.select(col("timestamp"), col("value").as("lv_raw"))
-    val rv = r.select(col("timestamp"), col("value").as("rv_raw"))
-    val joined = lv.join(rv, Seq("timestamp"), "full_outer")
+    // The timestamp-union is built as UNION + one per-(bucket, ts)
+    // aggregate instead of a full-outer join: each side holds at most
+    // one sample per timestamp (the operator's documented contract), so
+    // max() of the side's null-padded column IS that side's value at the
+    // timestamp — row-for-row the FOJ result. The win is exchange count
+    // (guide §2.4): the union is repartitioned ONCE by hash(bucket),
+    // which satisfies the (bucket, ts) merge aggregate, the per-bucket
+    // summary aggregate AND the bucket-partitioned neighbor windows —
+    // one full-data exchange where the FOJ shape paid four (two join
+    // sides keyed on ts, then summary and windows re-keyed on bucket;
+    // a full-outer SMJ also reports Unknown partitioning, so nothing
+    // downstream could reuse its exchange). Parallelism is bounded by
+    // the bucket count — the same bound the window stage always had,
+    // and the engine sizes buckets off spark.sql.shuffle.partitions.
+    val lT = l.schema("value").dataType
+    val rT = r.schema("value").dataType
+    val u = l.select(col("timestamp"), col("value").as("lv_raw"),
+        lit(null).cast(rT).as("rv_raw"))
+      .unionAll(r.select(col("timestamp"), lit(null).cast(lT).as("lv_raw"),
+        col("value").as("rv_raw")))
       .withColumn("bucket", col("timestamp") - pmod(col("timestamp"), lit(bucketMs)))
+    val joined = u.repartition(col("bucket"))
+      .groupBy(col("bucket"), col("timestamp"))
+      .agg(max(col("lv_raw")).as("lv_raw"), max(col("rv_raw")).as("rv_raw"))
 
     // Per-bucket, per-side boundary summary.
     def lastNonNull(c: String, t: String) = Seq(
