@@ -586,8 +586,10 @@ object Pipeline {
       val corpus = docs(s, dir).select(col("doc_id"),
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + Quote)))
           .otherwise(col("text")).as("text"))
-      val fp = Dedup.winnowFingerprints(corpus, "doc_id", "text", k = 8, w = 4)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // tracked: rerun-accounting honesty, same as tx08's tf table
+      val fp = graft.engine.Caches.track(
+        Dedup.winnowFingerprints(corpus, "doc_id", "text", k = 8, w = 4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val shared = fp.groupBy("fp")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .where(col("nd") >= 2).select("fp")
@@ -990,9 +992,12 @@ object Pipeline {
       // persisted: tf feeds both the doc-frequency aggregate and the
       // join back — without it the tokenize+term shuffle runs twice
       // (self-join sides share no exchange under AQE; measured cliff)
-      val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // tracked so a bench rerun recomputes instead of silently reading
+      // this gate's first-pass cache (rerun-accounting honesty)
+      val tf = graft.engine.Caches.track(
+        d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = d.agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
@@ -1205,8 +1210,14 @@ object Pipeline {
     // sources are a handful at any corpus size); the grouped two-pass
     // lets one source span many partitions. PlanAuditSpec pins the shape.
     "pp02_token_budget" -> { (s, dir) =>
-      val t = docs(s, dir).select(col("doc_id"), col("source"),
-        tokenCount(col("text")).cast("long").as("n_tokens"))
+      // persisted NARROW (24B/row): groupedCumSum's range exchange
+      // samples boundaries by executing its child a second time — a
+      // cache of (id, source, count) makes the tokenizer kernel run
+      // once instead of twice (tracked; spills at scale)
+      val t = graft.engine.Caches.track(docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       graft.operators.RangeRank
         .groupedCumSum(t, Seq("source"), Seq(col("doc_id")), "n_tokens")
         .where(col("gcum") + col("n_tokens") <= 800)
@@ -1411,8 +1422,14 @@ object Pipeline {
     // k = 16 of the synthetic corpus's 31 token types, so the gate has
     // real OOV mass to check (a production call passes k = 32000).
     "tx20_vocab_coverage" -> { (s, dir) =>
-      val toks = docs(s, dir).select(col("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      // persisted: the exploded token table feeds the vocabulary
+      // aggregate AND the probe side of the membership join — without
+      // it the tokenize+explode runs once per side (tracked for rerun
+      // honesty; the vocab agg materializes the cache first)
+      val toks = graft.engine.Caches.track(docs(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("tok").asc).limit(16)
         .select(col("tok"), lit(1).as("in_v"))
