@@ -710,7 +710,14 @@ object Dedup {
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       minDocs: Long): DataFrame = {
-    // read three times (frequency agg, anti-join probe, per-doc totals)
+    // read twice (frequency agg + the flagged rebuild) — the totals and
+    // the rebuild share ONE aggregate: a left join tags each line with
+    // its boilerplate membership and collect_list's null-skipping drops
+    // tagged lines from the rebuilt text while count(*) still sees them.
+    // The previous shape (anti-join rebuild + separate per-doc totals +
+    // join of the two) read `lines` three times and shuffled it twice
+    // more; output is row-identical (all-boiler docs: n_kept = 0 and
+    // array_join over an empty list = "", matching the old coalesce).
     val lines = graft.engine.Caches.track(df
       .select(col(idCol), posexplode(split(col(textCol), "\n"))
         .as(Seq("pos", "line")))
@@ -719,18 +726,16 @@ object Dedup {
     val boiler = lines.groupBy(col("lh"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") >= minDocs)
-      .select("lh")
-    val rebuilt = lines.join(boiler, Seq("lh"), "left_anti")
+      .select(col("lh"), lit(1).as("_boiler"))
+    lines.join(boiler, Seq("lh"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("_boiler").isNull, 1)).as("n_kept"),
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
+          array_sort(collect_list(when(col("_boiler").isNull,
+            struct(col("pos"), col("line"))))),
           x => x.getField("line")), "\n").as(textCol))
-    lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col(textCol), lit("")).as(textCol))
+      .select(col(idCol), col("n_lines"), col("n_kept"), col(textCol))
   }
 
   /** Embedding near-duplicate pairs by cosine within `blockCols` cells
