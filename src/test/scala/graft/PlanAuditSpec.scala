@@ -852,6 +852,22 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.queries.Pipeline.clearCaches()
   }
 
+  test("dd11 line dedup rebuilds in ONE aggregate: a single tag join") {
+    // r15 optimization: the rebuilt text and the per-doc totals share
+    // one aggregate (collect_list skips boilerplate-tagged nulls, count
+    // still sees them). The former shape — anti-join rebuild + separate
+    // totals aggregate + a rebuilt-to-totals join — had TWO join nodes
+    // and three passes over the lines table; a second join reappearing
+    // is the regression this pins.
+    graft.queries.Pipeline.clearCaches()
+    val p = plan(graft.queries.Pipeline.queries("dd11_line_dedup")(spark, sf))
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size
+    assert(joins == 1,
+      s"dedupLines must join lines to the boilerplate tag exactly once, saw $joins")
+    graft.queries.Pipeline.clearCaches()
+  }
+
   test("ann06 batch KNN broadcasts the query batch and never windows") {
     val p = plan(graft.queries.Pipeline.queries("ann06_batch_topk")(spark, sf))
     assert(!p.contains("windowspecdefinition"),
