@@ -415,55 +415,6 @@ object Dedup {
       .distinct()
   }
 
-  /** [[jaccardPairsFromShingles]] restricted to pairs with AT LEAST ONE
-    * side satisfying `probePred` (a predicate over the id column) — the
-    * delta form: when a corpus is `base ∪ delta` and the base's pair
-    * set is already paid, the only new pairs are those touching the
-    * delta, and the candidate join shrinks from Σ_h n_h² to
-    * Σ_h n_h·d_h (delta-proportional).
-    *
-    * Exactness: the prefix table (df order included) is computed over
-    * the WHOLE corpus `sh`, so candidate completeness for every
-    * ≥1-delta pair follows from the same PPJoin theorem as the
-    * self-join — the probe side's rows are the identical prefix rows,
-    * merely row-filtered; the position/size filters are symmetric in
-    * the two sides, so orientation does not matter; the inline
-    * exact-Jaccard verify makes every emitted pair true. delta×delta
-    * pairs surface in both orientations and the survivors' distinct
-    * dedupes them (ids are canonicalized to id_a < id_b first).
-    * `pairs(base∪delta) ≡ pairs(base) ∪ thisCall` therefore holds
-    * edge-for-edge whenever the base pair set was computed at the SAME
-    * threshold and shingle width (the caller's contract, same as
-    * Curation.PrepaidPairs).
-    */
-  def jaccardPairsDeltaFromShingles(sh: DataFrame,
-      probePred: Column => Column, threshold: Double = 0.5): DataFrame = {
-    if (sh.storageLevel != StorageLevel.NONE) sh.count()
-    // same materialize-before-fanout discipline as the self-join form
-    // (prefH feeds both join sides; Dd03AB class)
-    val prefH = graft.engine.Caches.track(
-      jaccardPrefixes(sh, threshold)
-        .join(sh, "id" :: Nil)
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    prefH.count()
-    prefH.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"),
-        col("p").as("p_a"), col("hs").as("shs_a"))
-      .join(prefH.where(probePred(col("id")))
-        .select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"),
-          col("p").as("p_b"), col("hs").as("shs_b")), "h" :: Nil)
-      .where(col("id_a") =!= col("id_b"))
-      .where(col("sz_a").cast("double") >= col("sz_b") * threshold &&
-        col("sz_b").cast("double") >= col("sz_a") * threshold)
-      .where(least(col("sz_a") - col("p_a"), col("sz_b") - col("p_b"))
-        .cast("double") >=
-        (col("sz_a") + col("sz_b")) * (threshold / (1.0 + threshold)))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        jaccardSorted(col("shs_a"), col("shs_b")).as("jac"))
-      .where(col("jac") >= threshold)
-      .distinct()
-  }
-
   /** Exact-Jaccard verification of a (id_a, id_b) candidate table
     * against the shingle table: brings each side's hs array onto the
     * pair row and keeps pairs at/above the threshold. Split out so the

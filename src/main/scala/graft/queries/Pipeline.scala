@@ -257,21 +257,8 @@ object Pipeline {
     */
   private def tripleComponents(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(System.identityHashCode(s) + "|cc3|" + dir, {
-      // pairs(triple) decomposes exactly: pairs among the near-corpus
-      // ids are [[nearPairs]] (same threshold 0.5, same nGram 3 — the
-      // PrepaidPairs contract), so only pairs TOUCHING the second-copy
-      // docs (ids ≥ 2e6, 1/21 of the corpus) need a search — the delta
-      // PPJoin's candidate join is Σ_h n_h·d_h instead of Σ_h n_h²
-      // (~10x fewer candidate rows; r15 opt). The prefix/df order is
-      // computed over the whole triple corpus, so candidate
-      // completeness for every ≥1-delta pair is the same PPJoin
-      // theorem; exact-Jaccard verify makes the union edge-identical
-      // to the full self-join (dd07/dd19's blocking-free recursive
-      // oracle re-proves it every round).
       Dedup.components(
-          nearPairs(s, dir).unionAll(
-            Dedup.jaccardPairsDeltaFromShingles(
-              tripleShingles(s, dir), _ >= 2000000L, threshold = 0.5)))
+          Dedup.jaccardPairsFromShingles(tripleShingles(s, dir), threshold = 0.5))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .transform(mat)
     })

@@ -29,10 +29,24 @@ object R15Probe {
     graft.engine.Graft.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val rows = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (e.taskInfo != null) taskMs.addAndGet(e.taskInfo.duration)
+          if (e.taskMetrics != null && e.taskMetrics.shuffleWriteMetrics != null)
+            rows.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        }
+      })
     def t(name: String)(f: => Any): Unit = {
+      taskMs.set(0); rows.set(0)
       val t0 = System.nanoTime()
       f
-      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"[probe] $name%-28s $wall%8.3f s  taskSec=${taskMs.get / 1e3}%9.3f shufRows=${rows.get}%12d")
     }
 
     val d = graft.engine.Graft.widen(

@@ -372,41 +372,4 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
-
-  // The r15 delta decomposition: pairs(base ∪ delta) must equal
-  // pairs(base) ∪ deltaSearch(whole corpus, delta predicate) edge for
-  // edge — including delta×delta pairs (emitted in both orientations,
-  // deduped) and base×delta pairs, and EXCLUDING nothing. Random
-  // small-vocab corpora make dense boundary overlap; the base pair set
-  // is computed under its own df order (the production shape:
-  // nearPairs precedes tripleShingles) which must not matter.
-  test("delta PPJoin: base pairs + delta search equals the full search") {
-    val rnd = new scala.util.Random(20260818L)
-    for (trial <- 0 until 3) {
-      val base = (0 until 20).map { i =>
-        val len = 5 + rnd.nextInt(12)
-        (i.toLong, (0 until len).map(_ => s"t${rnd.nextInt(7)}").mkString(" "))
-      }
-      // delta: near-copies of some base docs plus fresh docs, ids >= 100
-      val delta = (0 until 8).map { i =>
-        val len = 5 + rnd.nextInt(12)
-        (100L + i, (0 until len).map(_ => s"t${rnd.nextInt(7)}").mkString(" "))
-      } ++ Seq((120L, base(3)._2), (121L, base(7)._2))
-      val all = (base ++ delta).toDF("doc_id", "text")
-      def pairSet(df: DataFrame) = df.select("id_a", "id_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      for (t <- Seq(0.4, 0.5, 0.7)) {
-        val full = pairSet(Dedup.jaccardPairsFromShingles(
-          Dedup.shingleBase(all, "doc_id", "text"), t))
-        val basePairs = pairSet(Dedup.jaccardPairsFromShingles(
-          Dedup.shingleBase(base.toDF("doc_id", "text"), "doc_id", "text"), t))
-        val deltaPairs = pairSet(Dedup.jaccardPairsDeltaFromShingles(
-          Dedup.shingleBase(all, "doc_id", "text"), _ >= 100L, t))
-        assert(basePairs.union(deltaPairs) == full, s"trial $trial t=$t")
-        assert(deltaPairs.exists { case (_, b) => b >= 120L },
-          "fixture must exercise exact-copy delta pairs")
-      }
-    }
-    graft.engine.Caches.release()
-  }
 }
