@@ -165,27 +165,32 @@ object NgramLm {
         exp(-avg(col("lp"))).as("ppl"))
   }
 
-  /** [[fit]] + [[perplexity]] over the SAME corpus in one bigram
-    * explode instead of two: the id-carrying pair table is persisted,
-    * the model counts aggregate FROM it (dropping the id), and the
-    * scoring joins the same table back — the self-perplexity shape
-    * every CCNet-style filter runs. Output matches
-    * `perplexity(docs, ..., fit(docs, ...))` exactly.
+  /** [[fit]] + [[perplexity]] over the SAME corpus with ONE tokenize:
+    * the narrow (id, toks) projection is persisted, the model counts
+    * aggregate from its bigram explode (dropping the id), and the
+    * scoring probe re-explodes the same cached arrays — the
+    * self-perplexity shape every CCNet-style filter runs. Output
+    * matches `perplexity(docs, ..., fit(docs, ...))` exactly.
     */
   def fitScorePerplexity(docs: DataFrame, idCol: String, toksCol: String,
       k: Double = 1.0): DataFrame = {
-    // `docs` is read twice (vocabulary count + the pair explode), and
-    // its toks column is typically an expensive tokenizer projection —
-    // persist it unless the caller already did, so the corpus is
+    // `docs` is read three times (vocabulary count + model-count
+    // aggregate + scoring probe), and its toks column is typically an
+    // expensive tokenizer projection — persist the NARROW (id, toks)
+    // projection unless the caller already persisted, so the corpus is
     // tokenized ONCE (the V count below runs first and populates the
-    // cache; the pair materialization then reads it).
+    // cache). A derived select, not docs itself: persisting the
+    // caller's handle in place is a side effect they can see. The pair
+    // explode is NOT persisted — it is cheap column math over the
+    // cached arrays, and caching the exploded one-row-per-pair table
+    // costs more to write+read than re-running the explode (the tx20
+    // lesson, re-measured here in r16).
     val src =
       if (docs.storageLevel == StorageLevel.NONE)
-        graft.engine.Caches.track(docs.persist(StorageLevel.MEMORY_AND_DISK))
+        graft.engine.Caches.track(docs.select(col(idCol), col(toksCol))
+          .persist(StorageLevel.MEMORY_AND_DISK))
       else docs
-    val pairs = graft.engine.Caches.track(
-      bigramPairs(src, Seq(col(idCol)), toksCol)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    val pairs = bigramPairs(src, Seq(col(idCol)), toksCol)
     val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
     val ctx = bg.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
     val v = src.select(explode(col(toksCol)).as("w")).distinct().count()
@@ -224,9 +229,10 @@ object NgramLm {
     val flagged = graft.engine.Caches.track(
       docs.withColumn("_tgt", targetCol)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val pairs = graft.engine.Caches.track(
-      bigramPairs(flagged, Seq(col(idCol), col("_tgt")), toksCol)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    // the pair explode is NOT persisted (tx20 lesson): both consumers
+    // re-explode from the cached arrays, which is cheaper than
+    // writing+reading a one-row-per-pair cache
+    val pairs = bigramPairs(flagged, Seq(col(idCol), col("_tgt")), toksCol)
     val counts = pairs
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_r"),

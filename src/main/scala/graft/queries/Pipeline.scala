@@ -1422,14 +1422,19 @@ object Pipeline {
     // k = 16 of the synthetic corpus's 31 token types, so the gate has
     // real OOV mass to check (a production call passes k = 32000).
     "tx20_vocab_coverage" -> { (s, dir) =>
-      // persisted: the exploded token table feeds the vocabulary
-      // aggregate AND the probe side of the membership join — without
-      // it the tokenize+explode runs once per side (tracked for rerun
-      // honesty; the vocab agg materializes the cache first)
-      val toks = graft.engine.Caches.track(docs(s, dir)
+      // persisted NARROW — the (doc_id, toks array) projection BEFORE
+      // explode: the vocabulary aggregate and the membership-join probe
+      // side each explode from the cached arrays, so the tokenizer
+      // kernel runs once while the cache stays one row per doc. (r15
+      // persisted the exploded one-row-per-token table instead — wider
+      // than the corpus; cache write+read cost a measured 21% on the
+      // gate. Tracked for rerun honesty.)
+      val tokArr = graft.engine.Caches.track(docs(s, dir)
         .select(col("doc_id"),
-          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val toks = tokArr.select(col("doc_id"),
+        explode(col("toks")).as("tok"))
       val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("tok").asc).limit(16)
         .select(col("tok"), lit(1).as("in_v"))

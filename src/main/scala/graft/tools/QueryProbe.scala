@@ -69,7 +69,20 @@ object QueryProbe {
         }
       }
     }
-    names.foreach { n => run(n, "cold"); run(n, "warm") }
+    // QPROBE_RUNS=N runs each gate N times; QPROBE_CLEAR=1 drops the
+    // gate's plan-internal persists before every run, so runs 2..N
+    // measure the bench contract exactly: JIT-warm, cache-COLD (the
+    // default cold+warm pair leaves run 2 reading run 1's caches —
+    // fine for fixed-overhead attribution, wrong for A/B of persist
+    // shapes).
+    val nRuns = sys.env.get("QPROBE_RUNS").flatMap(_.toIntOption).getOrElse(2)
+    val clear = sys.env.get("QPROBE_CLEAR").contains("1")
+    names.foreach { n =>
+      (1 to nRuns).foreach { i =>
+        if (clear) graft.queries.Pipeline.clearCaches()
+        run(n, if (clear) s"r$i" else if (i == 1) "cold" else "warm")
+      }
+    }
     spark.stop()
   }
 }
