@@ -557,11 +557,17 @@ object Dedup {
     // both directions from ONE pass over `pairs` — a unionAll of two
     // selects would execute the (expensive) pair-generation subplan
     // twice when this persist materializes
+    // persisted PRE-PARTITIONED on dst: the per-round neighbor join
+    // keys edges by dst every iteration, and a cache that already
+    // reports hashpartitioning(dst) lets each round shuffle only the
+    // (cluster-membership-sized) labels side instead of re-exchanging
+    // the edge table O(diameter) times
     val edges = pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))

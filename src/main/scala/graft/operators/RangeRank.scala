@@ -30,6 +30,19 @@ object RangeRank {
   /** Returns `df` plus `grank` (1-based global row number in `sortCols`
     * order) and `gcount` (total row count, for NTILE/PERCENT_RANK math).
     *
+    * NOTE on the range exchange's boundary sampling (r16 measurement):
+    * the sampling pass re-executes the child subplan above its last
+    * exchange, so an expensive projection there runs twice. A generic
+    * input persist here was implemented and A/B-measured at 1x and 10x
+    * data (sq01/sq02/pp03/q24/pp07/sp02, min over repeated cache-cold
+    * runs): it LOST or tied on every caller at both scales — the cache
+    * write+read on the critical path costs more than the re-executed
+    * map work, which shuffle-file reuse already bounds to the
+    * post-exchange slice. Callers with a measured-expensive child can
+    * persist narrowly themselves (pp02 does; re-measured a wash at
+    * 10x, kept). Do not re-add an unconditional persist without fresh
+    * numbers.
+    *
     * The local rank comes from `monotonically_increasing_id` after a
     * per-partition sort — its documented encoding is (partition id <<
     * 33) | per-partition sequence, so pid and local row number are two
