@@ -835,6 +835,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "counts and per-doc averages must map-side combine")
   }
 
+  test("tx20 caches the PRE-explode token arrays, not the exploded table") {
+    // r16 optimization: the persisted frame is the narrow (doc_id,
+    // toks array) projection; the vocabulary aggregate and the
+    // membership probe each explode FROM the cache. The r15 shape —
+    // persisting the exploded one-row-per-token table — cost a
+    // measured 21-35% on the gate (cache write+read of a wider-than-
+    // corpus frame); an InMemoryRelation carrying an exploded token
+    // column is that regression reappearing.
+    graft.queries.Pipeline.clearCaches()
+    val p = formatted(graft.queries.Pipeline.queries("tx20_vocab_coverage")(spark, sf))
+    val cacheArgs = "InMemoryRelation[^\\n]*\\n[^\\n]*Arguments: \\[[^\\]]*\\]".r
+      .findAllIn(p).toSeq
+    assert(cacheArgs.nonEmpty, "tx20 must cache the tokenized corpus once")
+    assert(cacheArgs.forall(_.contains("toks#")),
+      s"the tx20 cache must hold the token ARRAY column, saw: $cacheArgs")
+    graft.queries.Pipeline.clearCaches()
+  }
+
   test("dd04 jaccard verify is inline: no pair-keyed array-carrying exchange") {
     graft.queries.Pipeline.clearCaches()
     val sh = graft.dedup.Dedup.shingleBase(
