@@ -1794,14 +1794,23 @@ object Pipeline {
     // deterministic; a 64-bit collision would need ~4B distinct bigrams
     // (birthday bound) to reach even 50% likelihood corpus-wide.
     "tx05_top_bigrams" -> { (s, dir) =>
-      // grouping by (hash, bigram) keeps the cheap 8-byte shuffle sort
-      // key while making a 64-bit hash collision harmless (two distinct
-      // bigrams colliding would otherwise silently merge their counts)
+      // count on the (w1, w2) PAIR and render the bigram string only
+      // per DISTINCT pair after the aggregate: the former shape
+      // (explode wordShingles -> group by the concatenated string)
+      // built one string per bigram OCCURRENCE — corpus-token-many
+      // concat allocations whose only consumer was the group key.
+      // Exact pair grouping also retires the old (hash, bigram)
+      // collision-guard key outright. Identical output: concat_ws over
+      // the same tokens, same (n desc, bigram) order.
+      val t = tokens(col("text"))
+      val len = greatest(size(t) - 1, lit(0))
       docs(s, dir)
-        .select(explode(wordShingles(tokens(col("text")), 2)).as("bigram"))
-        .groupBy(xxhash64(col("bigram")).as("h"), col("bigram"))
+        .select(explode(arrays_zip(
+          slice(t, lit(1), len).as("w1"),
+          slice(t, lit(2), len).as("w2"))).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .agg(count(lit(1)).as("n"))
-        .select(col("bigram"), col("n"))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
     },
